@@ -1,0 +1,480 @@
+"""Relational query surface (SURVEY.md §2 B1-B17).
+
+The reference's data lake exists to serve exactly this kind of query
+(`/root/reference/resources/firehose_transformation.py:16` — "…to do
+dedupe in the Lake"; hourly partition layout at
+`/root/reference/lib/dynamodb-streaming-datalake-stack.ts:222`). Each
+recipe here is a pure DataFrame program: Catalyst supplies predicate
+pushdown, column pruning, join selection (broadcast vs sort-merge),
+partial aggregation, and TakeOrderedAndProject — verified in
+``tests/test_plans.py``.
+
+Float determinism (so the DuckDB oracle hash-matches): monetary/measure
+aggregates go through ``decimal(18,6)`` — the double->decimal cast is
+exact-rounding in both engines, decimal SUM is exact, and the final
+cast back to double is nearest-even in both — so the result is
+bit-identical regardless of partition/summation order. Plain SUM(double)
+would differ between engines in the last ulp.
+
+Scale notes per query are inline; the common themes:
+* dimension joins (nation/region/supplier/part at TPC-H ratios) are
+  broadcast — no shuffle of the fact table;
+* aggregations are partial+final (map-side combine) by construction;
+* top-k is ORDER BY + LIMIT which Spark plans as TakeOrderedAndProject
+  (per-partition heap, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.registry import query
+from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+DEC = "decimal(18,6)"
+
+
+def dsum(c: Column, alias: str) -> Column:
+    """Order-independent, engine-portable SUM of a double measure."""
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def davg(c: Column, alias: str) -> Column:
+    """AVG as exact decimal sum / count, divided in double (portable)."""
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+def _sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+def _sql_davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT(*) AS {alias}"
+    )
+
+
+# --------------------------------------------------------------------------
+# B10/B15: hash aggregation with scalar expressions (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_dsum('l_quantity', 'sum_qty')},
+           {_sql_dsum('l_extendedprice', 'sum_base_price')},
+           {_sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {_sql_davg('l_quantity', 'avg_qty')},
+           {_sql_davg('l_extendedprice', 'avg_price')},
+           {_sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: scan -> filter (pushed to parquet) -> 6-group agg.
+
+    Scale: partial aggregation collapses 100 TB of lineitem to 6 groups
+    map-side; the shuffle moves only num_partitions x 6 rows.
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B8 + B13: fact-fact join, aggregation, top-k (TPC-H Q3 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey,
+           {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-orders revenue top-10.
+
+    Scale: customer filter prunes before the join; orders->lineitem is
+    the only big shuffle (both sides hashed on orderkey); final top-k is
+    TakeOrderedAndProject, never a full sort.
+    """
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    c = read_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    l = read_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# B8: multi-way join through broadcast dimensions (TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q5_nation_revenue",
+    oracle=f"""
+    SELECT n_name, {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('REGION_0', 'REGION_1')
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue by nation for two regions.
+
+    Scale: nation/region/supplier are broadcast (they stay small at any
+    scale factor: TPC-H ratios), so the only shuffles are the two
+    fact-side hash exchanges. The region filter prunes nations before
+    the broadcast, shrinking the build side further.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").where(
+        F.col("r_name").isin("REGION_0", "REGION_1")
+    )
+    dims = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+            F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            dims,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B9: anti join / semi join
+# --------------------------------------------------------------------------
+@query(
+    "q_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (B9): customers that never ordered.
+
+    Scale: Spark runs this as a broadcast/shuffled hash anti-join on the
+    distinct o_custkey set — equivalent to "keys deleted since snapshot"
+    reconciliation in the CDC lake.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_suppliers_with_bulk_sales",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+)
+def q_suppliers_with_bulk_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (B9): suppliers having at least one bulk lineitem."""
+    s = read_table(spark, sf_dir, "supplier")
+    l = read_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    return s.join(l, s.s_suppkey == l.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+
+
+# --------------------------------------------------------------------------
+# B11: rollup over (event_type, hour)
+# --------------------------------------------------------------------------
+@query(
+    "q_rollup_events",
+    oracle=f"""
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           {_sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+    """,
+)
+def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain ingest monitoring: rollup (event_type, day) (B11).
+
+    Scale: ROLLUP expands each input row into grouping-set rows *after*
+    partial aggregation under AQE; 100 TB of events still reduces
+    map-side first.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "sum_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B12: window functions — per-key version history
+# --------------------------------------------------------------------------
+@query(
+    "q_user_event_history",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           ROW_NUMBER() OVER w AS version,
+           LAG(value)   OVER w AS prev_value,
+           value - COALESCE(LAG(value) OVER w, 0.0) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-vs-previous-version per key (B12) — the CDC version-history
+    pattern (`Event` + `ingestion_timestamp` ordering per SURVEY §2 B6/B12).
+
+    Scale: one shuffle on user_id, then a per-partition sort; skewed
+    users are the known hazard — AQE skew handling or key salting would
+    apply if a user had billions of events.
+    """
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("version"),
+        F.lag("value").over(w).alias("prev_value"),
+        (F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0))).alias("delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B13: top-k
+# --------------------------------------------------------------------------
+@query(
+    "q_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-valuable 100 orders (B13): TakeOrderedAndProject, not a sort."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# B14: set operations
+# --------------------------------------------------------------------------
+@query(
+    "q_set_reconcile_customers",
+    oracle="""
+    (SELECT o_custkey AS custkey FROM orders
+     INTERSECT
+     SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_set_reconcile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-reconciliation set algebra (B14): INTERSECT then EXCEPT.
+
+    Scale: Spark compiles both to aggregates/joins on the key — shuffles
+    only distinct keys.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    ordered = o.select(F.col("o_custkey").alias("custkey"))
+    rich = c.where(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return ordered.intersect(rich).subtract(building)
+
+
+# --------------------------------------------------------------------------
+# B15: scalar functions — string/math and datetime
+# --------------------------------------------------------------------------
+@query(
+    "q_scalar_string_math",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_type, 1, 4) AS type_prefix,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+           concat(p_brand, '/', p_type) AS brand_type,
+           abs(p_size - 25) AS size_dist,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 11 AS DOUBLE) AS price_x11
+    FROM part
+    WHERE p_size BETWEEN 10 AND 40
+    """,
+)
+def q_scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regex/math scalar surface (B15) — stays fully inside
+    whole-stage codegen; no UDFs."""
+    p = read_table(spark, sf_dir, "part")
+    return p.where(F.col("p_size").between(10, 40)).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("bigint").alias("brand_num"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_retailprice").cast("decimal(12,2)") * 11).cast("double").alias("price_x11"),
+    )
+
+
+@query(
+    "q_scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           strftime(o_orderdate, '%Y-%m') AS order_ym,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    """,
+)
+def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar surface (B15): year/month/day, formatting, epoch."""
+    o = read_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate")
+    return o.where(F.col("o_orderstatus") == "P").select(
+        "o_orderkey",
+        F.year(ts).alias("order_year"),
+        F.month(ts).alias("order_month"),
+        F.dayofmonth(ts).alias("order_day"),
+        F.date_format(ts, "yyyy-MM").alias("order_ym"),
+        F.unix_timestamp(ts.cast("timestamp")).alias("order_epoch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B16: JSON functions
+# --------------------------------------------------------------------------
+@query(
+    "q_json_props",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over a JSON payload column (B16) — the CDC zone's
+    `M`/`L` attributes re-parsed at query time."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B17: array/explode — word count over documents
+# --------------------------------------------------------------------------
+@query(
+    "q_top_words",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 50
+    """,
+)
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode + aggregate (B17): classic word count, top 50.
+
+    Scale: explode multiplies rows ~100x; partial aggregation collapses
+    them again before the shuffle, so the exchange carries only distinct
+    words per partition.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(50)
+    )

@@ -1,0 +1,147 @@
+"""Latest-state reconstruction & snapshot(+)CDC merge (SURVEY §2 B6/B7).
+
+The declared purpose of the reference lake's ``Event`` +
+``ingestion_timestamp`` columns is "dedupe in the Lake"
+(``/root/reference/resources/firehose_transformation.py:16-19``); the
+key is ``(id, name)``
+(``/root/reference/lib/dynamodb-streaming-datalake-stack.ts:72-79``).
+
+Two physical strategies for top-1-per-key, chosen for scale:
+
+* ``agg`` (default): ``max_by(col, struct(version...))`` under a plain
+  groupBy — partial aggregation runs map-side, so at 100 TB the shuffle
+  carries one row per key per input partition instead of every version.
+* ``window``: ``row_number() over (partition by key order by version
+  desc) = 1`` — full shuffle + per-partition sort of ALL versions;
+  kept because it is the standard formulation and is what the DuckDB
+  oracle uses, but the agg path is the one to run at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.registry import query
+from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+
+def latest_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    method: str = "agg",
+) -> DataFrame:
+    """Top-1-per-key: the newest version of every key (B6).
+
+    ``order_by`` must be a deterministic total order within a key —
+    e.g. ``("ingestion_timestamp", "seq")`` with our monotonic
+    tie-break, or ``("ts", "event_id")`` for the events table.
+    """
+    payload = [c for c in df.columns if c not in keys]
+    if method == "agg":
+        version = F.struct(*[F.col(c) for c in order_by])
+        aggs = [F.max_by(F.col(c), version).alias(c) for c in payload]
+        return df.groupBy(*keys).agg(*aggs)
+    if method == "window":
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    raise ValueError(f"unknown method: {method!r}")
+
+
+def reconstruct_table(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    event_col: str = "Event",
+    delete_event: str = "REMOVE",
+) -> DataFrame:
+    """Current table state from a CDC log: latest version per key, then
+    drop keys whose latest event is a delete (B4+B6) — REMOVE rows carry
+    the deleted image (``firehose_transformation.py:9-10``) precisely so
+    this subtraction is possible."""
+    latest = latest_state(df, keys, order_by)
+    return latest.where(F.col(event_col) != delete_event)
+
+
+def merge_snapshot_cdc(
+    snapshot: DataFrame,
+    cdc: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    method: str = "agg",
+) -> DataFrame:
+    """Snapshot (+) CDC full-outer combine, CDC wins (B7).
+
+    The lake's two zones — Parquet full_load
+    (``ddb_full_load.py:73-82``) and the gzip-NDJSON CDC prefix
+    (stack ``:220-222``) — are two halves of one logical table
+    (README.md:62-81). Union by name (schema drift tolerated), then
+    latest-state per key: any key touched by CDC after the snapshot cut
+    takes its CDC version because its order key is newer.
+    """
+    unioned = snapshot.unionByName(cdc, allowMissingColumns=True)
+    return latest_state(unioned, keys, order_by, method=method)
+
+
+# ---------------------------------------------------------------------------
+# registered queries (events table stands in as the CDC log: key=user_id,
+# version=(ts, event_id))
+# ---------------------------------------------------------------------------
+
+_LATEST_ORACLE = """
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+"""
+
+
+@query("q_latest_state_per_key", oracle=_LATEST_ORACLE)
+def q_latest_state_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 latest-state dedup, agg strategy (map-side combine)."""
+    e = read_table(spark, sf_dir, "events")
+    latest = latest_state(e, keys=["user_id"], order_by=["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+    )
+
+
+@query("q_merge_snapshot_cdc", oracle=_LATEST_ORACLE)
+def q_merge_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: split events at a cut timestamp into a 'snapshot' (latest
+    state before T) and a 'CDC tail' (events after T), merge, and verify
+    the merge equals direct latest-state over the whole log — the same
+    identity the lake relies on (full_load + CDC = current table)."""
+    e = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    snapshot = latest_state(
+        e.where(F.col("ts") < cut), keys=["user_id"], order_by=["ts", "event_id"]
+    )
+    cdc_tail = e.where(F.col("ts") >= cut)
+    merged = merge_snapshot_cdc(
+        snapshot, cdc_tail, keys=["user_id"], order_by=["ts", "event_id"]
+    )
+    return merged.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+    )

@@ -1,0 +1,96 @@
+"""SparkSession construction + engine configuration.
+
+Plays the role the reference's CDK stacks play for infrastructure wiring
+(``/root/reference/bin/dynamodb-streaming-datalake.ts:13-69``): one place
+where the engine's runtime knobs live.
+
+Scale notes (the defaults below are chosen for a real cluster, not just
+local mode):
+
+* AQE on — runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace all of the reference's
+  hand-tuned parallelism arithmetic
+  (``/root/reference/lib/glue_jobs/ddb_full_load.py:39-46``).
+* ``spark.sql.shuffle.partitions`` is only an upper bound once AQE
+  coalescing is enabled; on a 1000-executor cluster you would raise it to
+  ~2-3x total cores and let AQE shrink small stages.
+* Arrow enabled so any pandas-UDF escape hatch is vectorized.
+* ``spark.sql.legacy.parquet.nanosAsLong=true``: the synthetic lake
+  fixtures carry parquet TIMESTAMP(NANOS) which Spark has no native type
+  for; readers normalize the resulting bigint to TIMESTAMP_NTZ (see
+  ``sources.readers.read_table``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_DEFAULTS: dict[str, str] = {
+    # deterministic semantics
+    "spark.sql.session.timeZone": "UTC",
+    # adaptive execution: coalesce small shuffle partitions, split skewed
+    # ones, switch sort-merge->broadcast at runtime
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # vectorized python interop for pandas UDFs / toPandas
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # fixtures use parquet TIMESTAMP(NANOS); read as long + normalize
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # a 100 TB table never wants schema-merge over all footers
+    "spark.sql.parquet.mergeSchema": "false",
+    # keep partition count sane for the local harness; AQE coalesces
+    "spark.sql.shuffle.partitions": "32",
+    # readable error surface
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    """CPU budget for local mode: $SPARK_GRAFT_CPUS or all cores."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "dynamodb-streaming-datalake-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master=None`` means: respect an externally-provided master (cluster
+    deploy) and fall back to ``local[N]`` for the test/bench harness.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{default_parallelism()}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(ENGINE_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an existing session.
+
+    The driver harness owns SparkSession creation in some entry points
+    (``__spark_entry__.entry``); this makes those sessions behave like
+    ours for every conf that is mutable post-start.
+    """
+    for k, v in ENGINE_DEFAULTS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a running session — keep going
+    return spark

@@ -1,0 +1,94 @@
+"""Batch readers for the two lake zones + the synthetic catalog.
+
+Reference parity:
+
+* snapshot zone — Parquet written by the Glue full-load job
+  (``/root/reference/lib/glue_jobs/ddb_full_load.py:75-82``) -> B1
+  ``spark.read.parquet``.
+* CDC zone — gzip NDJSON under hourly prefixes written by Firehose
+  (``/root/reference/lib/dynamodb-streaming-datalake-stack.ts:220-222``)
+  -> B2 ``spark.read.json`` with an explicit schema (schema-on-read; at
+  100 TB you never pay json inference over the full lake) and B3
+  partition pruning via the hive-style ``y=/m=/d=/h=`` layout our sink
+  writes.
+
+Scale notes: every reader returns a plain DataFrame so Catalyst keeps
+predicate pushdown + column pruning; nothing here collects or infers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: tables the driver generates under /root/testdata/sf*/ (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# columns stored as parquet TIMESTAMP(NANOS): Spark has no nanos type, so
+# the session reads them as bigint (nanosAsLong) and we normalize to
+# TIMESTAMP_NTZ at microsecond precision — the same truncation DuckDB's
+# TIMESTAMP applies, keeping the oracle comparable.
+_NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+}
+
+
+def _normalize_nanos(df: DataFrame, table: str) -> DataFrame:
+    for c in _NANO_TS_COLUMNS.get(table, ()):
+        field = df.schema[c] if c in df.columns else None
+        if field is not None and isinstance(field.dataType, T.LongType):
+            # integer `div`, not `/`: double division of ~1e18 nanos loses
+            # microsecond precision (ulp ~0.25us at that magnitude)
+            df = df.withColumn(
+                c,
+                F.to_timestamp_ntz(F.timestamp_micros(F.expr(f"`{c}` div 1000"))),
+            )
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic lake table (B1 parquet scan)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_nanos(df, name)
+
+
+def load_catalog(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All tables at a scale factor, keyed by name."""
+    return {t: read_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_catalog(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works too."""
+    for name, df in load_catalog(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_cdc_zone(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Read the gzip-NDJSON CDC zone (B2) with schema-on-read.
+
+    With ``schema=None`` Spark infers (acceptable for tests only); for
+    scale, pass the known lake schema so the scan is a single pass and
+    column pruning reaches the reader. Partition columns from the
+    hive-style layout (``y/m/d/h``, see ``sources.writers``) appear
+    automatically and prune on filter (B3).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
