@@ -1,0 +1,133 @@
+"""CDC transform pipeline (A3-A8) against the reference's observable
+contract + the pure-Python fold oracle (SURVEY §5 test pyramid 1 & 4)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.operators.cdc import cdc_transform
+from dynamodb_streaming_datalake_spark.operators.state import reconstruct_table
+from dynamodb_streaming_datalake_spark.sources.cdc_fixture import (
+    CdcFixture,
+    canonical_readme_sequence,
+    generate_fixture,
+)
+
+ATTRS = ("id", "name", "Designation", "salary", "active", "tags", "address")
+def EVENT_TS():
+    return F.timestamp_seconds(F.col("env.dynamodb.ApproximateCreationDateTime"))
+
+
+def _raw_df(spark, fixture: CdcFixture):
+    rows = [(line,) for line in fixture.json_lines()]
+    return spark.createDataFrame(rows, "json string")
+
+
+def _transform(spark, fixture: CdcFixture):
+    raw = _raw_df(spark, fixture)
+    return cdc_transform(raw, attributes=ATTRS, ingestion_ts=EVENT_TS())
+
+
+def test_readme_sequence_reconstructs_then_removes(spark):
+    """README.md:43-56 canonical check: after 3 puts the state is one
+    row with Designation='Developer Advocate'; after the REMOVE, zero."""
+    fx = CdcFixture(events=canonical_readme_sequence())
+    ok, err = _transform(spark, fx)
+    assert err.count() == 0
+
+    state_after_remove = reconstruct_table(
+        ok, keys=["id", "name"], order_by=["event_time", "eventID"]
+    )
+    assert state_after_remove.count() == 0
+
+    fx_pre_remove = CdcFixture(events=canonical_readme_sequence()[:3])
+    ok2, _ = _transform(spark, fx_pre_remove)
+    state = reconstruct_table(
+        ok2, keys=["id", "name"], order_by=["event_time", "eventID"]
+    ).collect()
+    assert len(state) == 1
+    assert state[0]["Designation"] == "Developer Advocate"
+    assert state[0]["id"] == "864732" and state[0]["name"] == "Adam"
+
+
+def test_remove_takes_old_image(spark):
+    """REMOVE rows carry the deleted image
+    (firehose_transformation.py:9-10)."""
+    fx = CdcFixture(events=canonical_readme_sequence())
+    ok, _ = _transform(spark, fx)
+    removed = ok.where(F.col("Event") == "REMOVE").collect()
+    assert len(removed) == 1
+    assert removed[0]["Designation"] == "Developer Advocate"
+
+
+def test_flatten_drops_type_tags_and_stringifies(spark):
+    """A5: {attr: {tag: val}} -> str(val); tags/address stay JSON text."""
+    fx = generate_fixture(n_keys=5, n_events=20, unknown_rate=0.0)
+    ok, _ = _transform(spark, fx)
+    row = (
+        ok.where((F.col("Event") == "INSERT") & (F.col("id") != "864732"))
+        .orderBy("event_time")
+        .first()
+    )
+    assert isinstance(row["salary"], str) and row["salary"].isdigit()
+    assert row["active"] in ("true", "false")
+    assert row["tags"].startswith("[")  # L carried as JSON string
+    assert row["address"].startswith("{")  # M carried as JSON string
+
+
+def test_unknown_event_routed_not_crashed(spark):
+    """The reference Lambda crashes on unknown eventName (NameError,
+    firehose_transformation.py:6-10); we route to the error zone (A8)."""
+    fx = generate_fixture(n_keys=20, n_events=300, unknown_rate=0.1)
+    ok, err = _transform(spark, fx)
+    bad = err.collect()
+    assert all(r["result"] == "UnknownEvent" for r in bad)
+    assert len(bad) > 0
+    assert ok.where(F.col("Event") == "TTL_DELETE").count() == 0
+    assert ok.count() + len(bad) == len(fx.events)
+
+
+def test_malformed_json_routed(spark):
+    fx = CdcFixture(events=canonical_readme_sequence())
+    lines = fx.json_lines() + ["{not valid json", '{"eventName": null}']
+    raw = spark.createDataFrame([(l,) for l in lines], "json string")
+    ok, err = cdc_transform(raw, attributes=ATTRS, ingestion_ts=EVENT_TS())
+    assert ok.count() == 4
+    assert err.where(F.col("result") == "MalformedRecord").count() == 2
+
+
+def test_property_fold_oracle(spark):
+    """Property test (SURVEY §5.4): engine reconstruction == trivial
+    Python fold of the same random history."""
+    fx = generate_fixture(n_keys=300, n_events=2000, unknown_rate=0.01)
+    ok, _ = _transform(spark, fx)
+    engine = (
+        reconstruct_table(ok, keys=["id", "name"], order_by=["event_time", "eventID"])
+        .select(*ATTRS)
+        .toPandas()
+        .sort_values(["id", "name"])
+        .reset_index(drop=True)
+    )
+    oracle_rows = [
+        {a: attrs.get(a) for a in ATTRS} for attrs in fx.fold_state().values()
+    ]
+    oracle = (
+        pd.DataFrame(oracle_rows, columns=list(ATTRS))
+        .sort_values(["id", "name"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(engine, oracle)
+
+
+def test_agg_and_window_latest_state_agree(spark):
+    fx = generate_fixture(n_keys=50, n_events=500)
+    ok, _ = _transform(spark, fx)
+    a = reconstruct_table(ok, ["id", "name"], ["event_time", "eventID"])
+    from dynamodb_streaming_datalake_spark.operators.state import latest_state
+
+    w = latest_state(ok, ["id", "name"], ["event_time", "eventID"], method="window")
+    w = w.where(F.col("Event") != "REMOVE")
+    assert sorted(map(tuple, a.select(*ATTRS).collect())) == sorted(
+        map(tuple, w.select(*ATTRS).collect())
+    )
