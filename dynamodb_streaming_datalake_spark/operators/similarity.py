@@ -1,0 +1,231 @@
+"""Similarity search over embedding columns (training-data pipeline).
+
+Two paths over ``embeddings`` (``array<float>``, 64-dim):
+
+* ``q_ann_topk`` — brute-force cosine top-k: the correctness baseline.
+  Scale shape: broadcast the (small) query set against the corpus, one
+  pass, per-query top-k via window — at 100 TB you'd replace the window
+  with a per-partition heap + final merge, which Catalyst already
+  approximates via partial TakeOrdered when k is small.
+* ``q_ann_lsh`` — random-hyperplane LSH: the scale path. Bucket =
+  sign-bits of 6 pseudo-random hyperplane projections; candidates come
+  from bucket-equality joins (shuffle bounded by bucket collision
+  counts), re-ranked by exact cosine.
+
+Determinism: hyperplanes are derived from md5 parity (portable across
+engines); projections are summed in exact decimal so the sign — and
+therefore the bucket — is independent of row order and partitioning.
+Cosines use the fixed-shape formula of ``functions.texthash.cosine``
+(bit-identical to the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.functions.texthash import (
+    cosine,
+    sql_cosine,
+    sql_portable_hash60,
+)
+from dynamodb_streaming_datalake_spark.registry import query
+from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+N_QUERIES = 10
+TOP_K = 5
+LSH_PLANES = 6
+LSH_QUERIES = 50
+LSH_TOP_K = 3
+DIM = 64
+
+
+@query(
+    "q_ann_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {sql_cosine('q.qe', 'e.embedding')} AS c
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, c,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(c, 6) AS cos_sim
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the first N query vectors."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("c"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("c", 6).alias("cos_sim"))
+    )
+
+
+_SQL_BUCKETS = f"""
+    planes AS (
+        SELECT j.j AS j, d.d AS d,
+               (({sql_portable_hash60("j.j::VARCHAR || '_' || d.d::VARCHAR")} % 2) * 2 - 1) AS sign
+        FROM (SELECT unnest(generate_series(0, {LSH_PLANES - 1})) AS j) j,
+             (SELECT unnest(generate_series(0, {DIM - 1})) AS d) d
+    ),
+    comps AS (
+        SELECT e.vec_id, d.d AS d,
+               CAST(CAST(e.embedding[d.d + 1] AS DOUBLE) AS DECIMAL(18,9)) AS val
+        FROM embeddings e, (SELECT unnest(generate_series(0, {DIM - 1})) AS d) d
+    ),
+    proj AS (
+        SELECT c.vec_id, p.j, SUM(c.val * p.sign) AS pv
+        FROM comps c JOIN planes p ON c.d = p.d
+        GROUP BY c.vec_id, p.j
+    ),
+    buckets AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN pv >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+                 AS bucket
+        FROM proj GROUP BY vec_id
+    )
+"""
+
+
+@query(
+    "q_ann_lsh",
+    oracle=f"""
+    WITH {_SQL_BUCKETS},
+    cand AS (
+        SELECT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+        FROM buckets qb
+        JOIN buckets nb ON qb.bucket = nb.bucket AND nb.vec_id <> qb.vec_id
+        WHERE qb.vec_id < {LSH_QUERIES}
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               {sql_cosine('q.embedding', 'n.embedding')} AS cs
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cs,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cs, 6) AS cos_sim
+    FROM ranked WHERE rank <= {LSH_TOP_K}
+    """,
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 6 sign-bits -> 64 buckets; candidates by
+    bucket equality; exact-cosine re-rank, top-3 per query.
+
+    Scale: buckets are computed in one pass (explode 64 dims, broadcast
+    the 6x64 plane table, two map-side-combining aggregations); the
+    candidate join is equi on bucket. No all-pairs stage anywhere.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    spark_ = e.sparkSession
+
+    js = spark_.range(LSH_PLANES).select(F.col("id").alias("j"))
+    ds = spark_.range(DIM).select(F.col("id").alias("d"))
+    planes = js.join(ds).select(
+        "j",
+        "d",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("_", F.col("j"), F.col("d"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            )
+            * 2
+            - 1
+        ).alias("sign"),
+    )
+    comps = e.join(F.broadcast(ds)).select(
+        "vec_id",
+        "d",
+        F.expr("CAST(CAST(embedding[CAST(d AS INT)] AS DOUBLE) AS DECIMAL(18,9))").alias(
+            "val"
+        ),
+    )
+    proj = (
+        comps.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("val") * F.col("sign")).alias("pv"))
+    )
+    buckets = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("pv") >= 0, F.expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    cand = (
+        buckets.alias("qb")
+        .where(F.col("qb.vec_id") < LSH_QUERIES)
+        .join(
+            buckets.alias("nb"),
+            (F.col("qb.bucket") == F.col("nb.bucket"))
+            & (F.col("nb.vec_id") != F.col("qb.vec_id")),
+        )
+        .select(
+            F.col("qb.vec_id").alias("query_id"),
+            F.col("nb.vec_id").alias("neighbor_id"),
+        )
+    )
+    scored = (
+        cand.join(
+            e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
+            "query_id",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ne")).alias("cs"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= LSH_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cs", 6).alias("cos_sim"),
+        )
+    )
