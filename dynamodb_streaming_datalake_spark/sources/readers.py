@@ -75,6 +75,20 @@ def register_catalog(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Stream a synthetic table through the file source — the test
+    harness's replay of the Kinesis stream (SURVEY §2 A1), with the same
+    nano-timestamp normalization as the batch reader."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    df = (
+        spark.readStream.schema(raw_schema)
+        # FileStreamSource needs a directory; pick the one table via glob
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    return _normalize_nanos(df, name)
+
+
 def read_cdc_zone(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,178 @@
+"""Streaming semantics (SURVEY §2 A1-A2/A9 streaming path, B18-B19):
+availableNow micro-batch drains, exactly-once sinks, stream==batch
+window parity, stateful dedup, custom stateful latest-state."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.operators.cdc import cdc_transform
+from dynamodb_streaming_datalake_spark.operators.state import reconstruct_table
+from dynamodb_streaming_datalake_spark.sources.cdc_fixture import generate_fixture
+from dynamodb_streaming_datalake_spark.sources.readers import read_table, read_table_stream
+from dynamodb_streaming_datalake_spark.streaming.pipeline import (
+    start_error_stream,
+    start_lake_stream,
+)
+from dynamodb_streaming_datalake_spark.streaming.stateful import (
+    streaming_dedup,
+    streaming_latest_state,
+)
+from dynamodb_streaming_datalake_spark.streaming.windows import tumbling_counts
+
+ATTRS = ("id", "name", "Designation", "salary", "active", "tags", "address")
+
+
+def EVENT_TS():
+    return F.timestamp_seconds(F.col("env.dynamodb.ApproximateCreationDateTime"))
+
+
+def _write_source_files(fixture, src_dir, n_files=3):
+    lines = fixture.json_lines()
+    per = (len(lines) + n_files - 1) // n_files
+    src_dir.mkdir(parents=True, exist_ok=True)
+    for i in range(n_files):
+        chunk = lines[i * per : (i + 1) * per]
+        if chunk:
+            (src_dir / f"batch-{i}.json").write_text("\n".join(chunk) + "\n")
+
+
+def test_lake_stream_exactly_once_and_incremental(spark, tmp_path):
+    """availableNow drain -> lake rows == batch ok rows; re-running on
+    the same checkpoint adds nothing; new source files add only their
+    rows (checkpoint replay == exactly-once, stronger than Firehose's
+    2-retries at-least-once)."""
+    fx = generate_fixture(n_keys=40, n_events=300, unknown_rate=0.05)
+    src = tmp_path / "src"
+    _write_source_files(fx, src, n_files=2)
+
+    lake = str(tmp_path / "lake")
+    ck = str(tmp_path / "ck")
+    q = start_lake_stream(
+        spark, str(src), lake, ck, attributes=ATTRS, ingestion_ts=EVENT_TS()
+    )
+    q.awaitTermination(120)
+
+    raw = spark.createDataFrame([(l,) for l in fx.json_lines()], "json string")
+    ok, err = cdc_transform(raw, attributes=ATTRS, ingestion_ts=EVENT_TS())
+    expected = ok.count()
+    assert spark.read.json(lake).count() == expected
+
+    # replay with same checkpoint: no duplicates
+    q2 = start_lake_stream(
+        spark, str(src), lake, ck, attributes=ATTRS, ingestion_ts=EVENT_TS()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.json(lake).count() == expected
+
+    # new file: only its ok-rows are appended
+    fx2 = generate_fixture(n_keys=10, n_events=50, unknown_rate=0.0, seed=7)
+    (src / "batch-late.json").write_text("\n".join(fx2.json_lines()) + "\n")
+    q3 = start_lake_stream(
+        spark, str(src), lake, ck, attributes=ATTRS, ingestion_ts=EVENT_TS()
+    )
+    q3.awaitTermination(120)
+    raw2 = spark.createDataFrame([(l,) for l in fx2.json_lines()], "json string")
+    ok2, _ = cdc_transform(raw2, attributes=ATTRS, ingestion_ts=EVENT_TS())
+    assert spark.read.json(lake).count() == expected + ok2.count()
+
+
+def test_error_stream_routes_unknown_events(spark, tmp_path):
+    fx = generate_fixture(n_keys=20, n_events=200, unknown_rate=0.15)
+    src = tmp_path / "src"
+    _write_source_files(fx, src)
+    errs = str(tmp_path / "errors")
+    q = start_error_stream(spark, str(src), errs, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert glob.glob(f"{errs}/result=UnknownEvent/*.json.gz")
+    n_unknown = sum(1 for e in fx.events if e.event_name == "TTL_DELETE")
+    assert spark.read.json(errs).count() == n_unknown
+
+
+def test_streaming_window_matches_batch(spark, sf_smoke):
+    """B18: the same tumbling_counts function over the events stream
+    (availableNow) must equal its batch result."""
+    stream = tumbling_counts(read_table_stream(spark, sf_smoke, "events"))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tumbling_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("tumbling_stream").collect()
+    want = tumbling_counts(read_table(spark, sf_smoke, "events")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    """B19: replayed records (same eventID) across micro-batches are
+    emitted once."""
+    fx = generate_fixture(n_keys=10, n_events=80, unknown_rate=0.0)
+    src = tmp_path / "src"
+    _write_source_files(fx, src, n_files=2)
+    # duplicate an entire file -> at-least-once delivery simulation
+    dup = (src / "batch-0.json").read_text()
+    (src / "batch-dup.json").write_text(dup)
+
+    raw = spark.readStream.text(str(src)).withColumnRenamed("value", "json")
+    ok, _ = cdc_transform(raw, attributes=ATTRS, ingestion_ts=EVENT_TS())
+    deduped = streaming_dedup(ok, ["eventID"], event_time_col="event_time")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_stream")
+    assert out.count() == len(fx.events)
+    assert out.select("eventID").distinct().count() == len(fx.events)
+
+
+def test_streaming_latest_state_matches_batch(spark, tmp_path):
+    """B19 custom stateful op: applyInPandasWithState latest-state over
+    the full drain == batch reconstruction (live keys)."""
+    fx = generate_fixture(n_keys=30, n_events=250, unknown_rate=0.0)
+    src = tmp_path / "src"
+    _write_source_files(fx, src, n_files=3)
+
+    raw = spark.readStream.text(str(src)).withColumnRenamed("value", "json")
+    ok, _ = cdc_transform(raw, attributes=ATTRS, ingestion_ts=EVENT_TS())
+    latest = streaming_latest_state(ok, payload_cols=["Designation", "salary"])
+    q = (
+        latest.writeStream.format("memory")
+        .queryName("latest_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # final state per key = last update emitted across all micro-batches
+    out = spark.table("latest_stream")
+    from dynamodb_streaming_datalake_spark.operators.state import latest_state
+
+    final = latest_state(out, keys=["id", "name"], order_by=["event_time_us"])
+    live = final.where(F.col("Event") != "REMOVE")
+
+    raw_b = spark.createDataFrame([(l,) for l in fx.json_lines()], "json string")
+    ok_b, _ = cdc_transform(raw_b, attributes=ATTRS, ingestion_ts=EVENT_TS())
+    want = reconstruct_table(ok_b, ["id", "name"], ["event_time", "eventID"])
+    got_keys = sorted(map(tuple, live.select("id", "name").collect()))
+    want_keys = sorted(map(tuple, want.select("id", "name").collect()))
+    assert got_keys == want_keys
+
+    # payload of a spot-checked key matches
+    import json
+
+    want_row = want.orderBy("id", "name").first()
+    got_row = live.where(
+        (F.col("id") == want_row["id"]) & (F.col("name") == want_row["name"])
+    ).first()
+    payload = json.loads(got_row["payload"])
+    assert payload.get("Designation") == want_row["Designation"]
