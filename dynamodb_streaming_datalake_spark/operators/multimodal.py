@@ -1,0 +1,290 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media are opaque ``binary`` columns with a typed metadata struct; every
+transform is an Arrow-batched ``mapInPandas`` stage so the plumbing —
+schema, batch shape, partition-preserving narrow execution — is exactly
+what a real decoder would ride on. The container has no image/audio
+libraries, so real codecs (jpeg/png/wav/...) are stubbed behind a
+clearly-marked ``NotImplementedError``; the fully-implemented ``fake``
+codec packs a parseable header + deterministic payload, which keeps the
+operators end-to-end testable AND oracle-checkable (payload bytes are a
+pure function of the row id, so DuckDB can recompute the decoded stats
+arithmetically).
+
+Wire format (big-endian):
+  image: ``FIMG | u16 width | u16 height | u8 channels | payload``
+         payload = width*height*channels bytes, every byte = id % 256
+  video: ``FVID | u16 n_frames | u16 width | u16 height | u8 channels |
+         frame_0 .. frame_{n-1}`` with frame f's bytes = (id + f) % 256
+
+Scale: synth/decode/resize/features are map-only (no shuffle); frame
+sampling fans out rows within a partition; the only shuffles are the
+final per-doc aggregates. At 100 TB the media column stays in executor
+memory one Arrow batch at a time — nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.registry import query
+from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+IMG_MAGIC = b"FIMG"
+VID_MAGIC = b"FVID"
+
+#: codecs a production build would register; only ``fake`` ships here.
+REAL_CODECS = ("jpeg", "png", "webp", "wav", "mp4")
+
+
+def _require_fake(fmt: str) -> None:
+    if fmt != "fake":
+        raise NotImplementedError(
+            f"codec '{fmt}' needs an image/audio library not present in this "
+            "container; only the deterministic 'fake' codec is implemented. "
+            "Swap _decode_one/_encode_one for PIL/av calls in production."
+        )
+
+
+# ---------------------------------------------------------------------------
+# deterministic geometry: blob dimensions as pure functions of the row id
+# (mirrored 1:1 in the oracle SQL below)
+# ---------------------------------------------------------------------------
+
+
+def _img_dims(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    width = 16 + ids % 48
+    height = 16 + (ids // 7) % 48
+    channels = 1 + ids % 3
+    return width, height, channels
+
+
+def _vid_dims(ids: np.ndarray) -> tuple[np.ndarray, ...]:
+    n_frames = 4 + ids % 13
+    width = 8 + ids % 9
+    height = 8 + (ids // 3) % 9
+    channels = 1 + ids % 2
+    return n_frames, width, height, channels
+
+
+def _encode_image(i: int) -> bytes:
+    w, h, c = (int(x[0]) for x in _img_dims(np.array([i])))
+    header = IMG_MAGIC + struct.pack(">HHB", w, h, c)
+    return header + bytes([i % 256]) * (w * h * c)
+
+
+def _encode_video(i: int) -> bytes:
+    n, w, h, c = (int(x[0]) for x in _vid_dims(np.array([i])))
+    header = VID_MAGIC + struct.pack(">HHHB", n, w, h, c)
+    frames = b"".join(bytes([(i + f) % 256]) * (w * h * c) for f in range(n))
+    return header + frames
+
+
+def _decode_image(blob: bytes) -> tuple[int, int, int, float]:
+    """Parse a fake-image blob -> (width, height, channels, mean_pixel)."""
+    if blob[:4] != IMG_MAGIC:
+        raise ValueError("not a fake image blob")
+    w, h, c = struct.unpack(">HHB", blob[4:9])
+    payload = np.frombuffer(blob, dtype=np.uint8, offset=9)
+    if payload.size != w * h * c:
+        raise ValueError("truncated payload")
+    return w, h, c, float(payload.mean())
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators (all mapInPandas: Arrow batches in, Arrow batches out)
+# ---------------------------------------------------------------------------
+
+
+def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
+    """Ingest simulator: attach an opaque ``media`` binary column plus a
+    typed ``media_meta`` struct keyed off ``id_col``. This is the fixture
+    path (Python is fine here); downstream operators never re-derive from
+    the id — they parse the bytes."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    enc = _encode_image if kind == "image" else _encode_video
+    fmt = f"fake-{kind}"
+    meta_t = StructType(
+        [StructField("format", StringType()), StructField("n_bytes", LongType())]
+    )
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("media", BinaryType()), StructField("media_meta", meta_t)]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [enc(int(i)) for i in pdf[id_col]]
+            pdf = pdf.copy()
+            pdf["media"] = blobs
+            pdf["media_meta"] = [
+                {"format": fmt, "n_bytes": len(b)} for b in blobs
+            ]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def decode_media(df: DataFrame, id_col: str, fmt: str = "fake") -> DataFrame:
+    """Decode step: parse each image blob's header + payload into typed
+    stats (width/height/channels/mean_pixel/n_pixels). Real codecs raise
+    NotImplementedError (no imaging libs in this container)."""
+    _require_fake(fmt)
+    schema = (
+        f"{id_col} bigint, width int, height int, channels int,"
+        " mean_pixel double, n_pixels bigint"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                w, h, c, mean = _decode_image(bytes(blob))
+                rows.append((int(i), w, h, c, mean, w * h * c))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "channels", "mean_pixel", "n_pixels"
+                ],
+            )
+
+    return df.mapInPandas(dec, schema=schema)
+
+
+def resize_media(df: DataFrame, new_w: int, new_h: int, fmt: str = "fake") -> DataFrame:
+    """Resize each image blob to (new_w, new_h) with nearest-neighbor
+    resampling of the payload grid; emits a re-encoded blob so the result
+    stays a valid media column."""
+    _require_fake(fmt)
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf["media"]:
+                blob = bytes(blob)
+                w, h, c = struct.unpack(">HHB", blob[4:9])
+                img = np.frombuffer(blob, np.uint8, offset=9).reshape(h, w, c)
+                ys = (np.arange(new_h) * h // new_h).astype(int)
+                xs = (np.arange(new_w) * w // new_w).astype(int)
+                resized = img[ys][:, xs]
+                out.append(
+                    IMG_MAGIC + struct.pack(">HHB", new_w, new_h, c) + resized.tobytes()
+                )
+            pdf = pdf.copy()
+            pdf["media"] = out
+            yield pdf
+
+    return df.mapInPandas(rz, schema=df.schema)
+
+
+def sample_frames(df: DataFrame, id_col: str, every_k: int, fmt: str = "fake") -> DataFrame:
+    """Frame sampling: explode each video blob into one row per k-th
+    frame, each frame re-encoded as a standalone image blob (so decode/
+    resize/features compose downstream). Row fan-out happens inside the
+    partition — no shuffle."""
+    _require_fake(fmt)
+    schema = f"{id_col} bigint, frame_idx int, media binary"
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                blob = bytes(blob)
+                if blob[:4] != VID_MAGIC:
+                    raise ValueError("not a fake video blob")
+                n, w, h, c = struct.unpack(">HHHB", blob[4:11])
+                frame_len = w * h * c
+                for f in range(0, n, every_k):
+                    payload = blob[11 + f * frame_len : 11 + (f + 1) * frame_len]
+                    rows.append(
+                        (int(i), f, IMG_MAGIC + struct.pack(">HHB", w, h, c) + payload)
+                    )
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "media"])
+
+    return df.mapInPandas(fs, schema=schema)
+
+
+def media_features(df: DataFrame, id_col: str, n_bins: int = 8, fmt: str = "fake") -> DataFrame:
+    """Feature extraction: an n_bins-normalized byte histogram per image
+    blob, returned as ``array<float>`` so it plugs straight into the
+    similarity/ANN operators."""
+    _require_fake(fmt)
+    schema = f"{id_col} bigint, features array<float>"
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                payload = np.frombuffer(bytes(blob), np.uint8, offset=9)
+                hist, _ = np.histogram(payload, bins=n_bins, range=(0, 256))
+                vecs.append((hist / max(payload.size, 1)).astype(np.float32))
+                ids.append(int(i))
+            yield pd.DataFrame({id_col: ids, "features": vecs})
+
+    return df.mapInPandas(feat, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# registered queries (documents table drives the ids)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_media_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(16 + (doc_id // 7) % 48 AS INT) AS height,
+           CAST(1 + doc_id % 3 AS INT) AS channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_pixel,
+           (16 + doc_id % 48) * (16 + (doc_id // 7) % 48) * (1 + doc_id % 3)
+             AS n_pixels
+    FROM documents
+    """,
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize an image blob per document, then decode header+payload
+    back into typed stats. The oracle recomputes the same stats
+    arithmetically — proving the bytes round-trip, not just the schema."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_media(synthesize_media(d, "doc_id", "image"), "doc_id")
+
+
+@query(
+    "q_media_frame_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(range(0, 4 + doc_id % 13), f -> f % 3 = 0))
+             AS BIGINT) AS n_sampled,
+           list_aggregate(
+             list_transform(
+               list_filter(range(0, 4 + doc_id % 13), f -> f % 3 = 0),
+               f -> CAST((doc_id + f) % 256 AS DOUBLE)),
+             'avg') AS avg_frame_mean
+    FROM documents
+    """,
+)
+def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video path: synthesize a multi-frame blob, sample every 3rd frame,
+    decode each sampled frame, aggregate per document."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    vids = synthesize_media(d, "doc_id", "video")
+    frames = sample_frames(vids, "doc_id", every_k=3)
+    decoded = decode_media(frames, "doc_id")
+    return decoded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.avg("mean_pixel").alias("avg_frame_mean"),
+    )

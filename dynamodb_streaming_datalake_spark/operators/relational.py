@@ -478,3 +478,66 @@ def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("word"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# B11: cube — the full grouping-set lattice over (event_type, day-of-week)
+# --------------------------------------------------------------------------
+@query(
+    "q_cube_events",
+    oracle=f"""
+    SELECT event_type,
+           -- DuckDB dayofweek is 0-based (Sun=0); Spark's is 1-based (Sun=1)
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           COUNT(*) AS n_events,
+           {_sql_davg('value', 'avg_value')}
+    FROM events
+    GROUP BY CUBE (event_type, CAST(dayofweek(ts) + 1 AS INT))
+    """,
+)
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week) — all four grouping sets in
+    one pass (B11), the companion to q_rollup_events.
+
+    Scale: Expand happens before partial aggregation, so the shuffle
+    carries |grouping sets| x |distinct keys| rows, not |input| rows.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("dow", F.dayofweek("ts").cast("int"))
+        .cube("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n_events"), davg(F.col("value"), "avg_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B10: count(distinct) — exact multi-column distinct aggregation
+# --------------------------------------------------------------------------
+@query(
+    "q_distinct_counts",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           COUNT(*) * 1.0 / COUNT(DISTINCT user_id) AS events_per_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (B10). The approximate variant
+    (approx_count_distinct / HLL) is exercised in tests/test_plans.py —
+    its value is engine-specific so it can't hash-match a DuckDB oracle.
+
+    Scale: Spark plans distinct-agg as a two-phase expand+agg; the
+    shuffle carries (event_type, user_id) pairs, already map-side
+    deduplicated.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.count(F.lit(1)) * F.lit(1.0) / F.count_distinct("user_id")).alias(
+            "events_per_user"
+        ),
+    )

@@ -1,0 +1,102 @@
+"""Multimodal operators: blob round-trip, resize, frame sampling,
+feature extraction, codec stubs, and the driver-style oracle parity."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.operators.multimodal import (
+    IMG_MAGIC,
+    decode_media,
+    media_features,
+    q_media_decode,
+    q_media_frame_stats,
+    resize_media,
+    sample_frames,
+    synthesize_media,
+)
+from dynamodb_streaming_datalake_spark.registry import ORACLE
+from dynamodb_streaming_datalake_spark.sources.readers import read_table
+from tests.oracle_utils import compare_query
+
+
+def _docs(spark, sf_smoke, n=50):
+    return read_table(spark, sf_smoke, "documents").select("doc_id").limit(n)
+
+
+def test_synthesize_and_decode_roundtrip(spark, sf_smoke):
+    imgs = synthesize_media(_docs(spark, sf_smoke), "doc_id", "image")
+    row = imgs.orderBy("doc_id").first()
+    i = row["doc_id"]
+    blob = bytes(row["media"])
+    assert blob[:4] == IMG_MAGIC
+    w, h, c = struct.unpack(">HHB", blob[4:9])
+    assert (w, h, c) == (16 + i % 48, 16 + (i // 7) % 48, 1 + i % 3)
+    assert row["media_meta"]["format"] == "fake-image"
+    assert row["media_meta"]["n_bytes"] == len(blob) == 9 + w * h * c
+
+    dec = decode_media(imgs, "doc_id").orderBy("doc_id").first()
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, c)
+    assert dec["mean_pixel"] == float(i % 256)
+    assert dec["n_pixels"] == w * h * c
+
+
+def test_resize_changes_dims_and_stays_decodable(spark, sf_smoke):
+    imgs = synthesize_media(_docs(spark, sf_smoke, 20), "doc_id", "image")
+    small = decode_media(resize_media(imgs, 8, 6), "doc_id")
+    rows = small.collect()
+    assert all(r["width"] == 8 and r["height"] == 6 for r in rows)
+    # uniform payload -> mean survives resampling exactly
+    assert all(r["mean_pixel"] == float(r["doc_id"] % 256) for r in rows)
+
+
+def test_frame_sampling_counts_and_content(spark, sf_smoke):
+    vids = synthesize_media(_docs(spark, sf_smoke, 30), "doc_id", "video")
+    frames = sample_frames(vids, "doc_id", every_k=2)
+    got = (
+        frames.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.collect_set("frame_idx").alias("idx"))
+        .collect()
+    )
+    for r in got:
+        n_frames = 4 + r["doc_id"] % 13
+        assert r["n"] == len(range(0, n_frames, 2))
+        assert all(ix % 2 == 0 for ix in r["idx"])
+    # sampled frames are themselves decodable images with per-frame means
+    dec = decode_media(frames, "doc_id")
+    joined = frames.select("doc_id", "frame_idx").orderBy("doc_id", "frame_idx")
+    means = dec.orderBy("doc_id", "mean_pixel").collect()
+    assert len(means) == joined.count()
+
+
+def test_media_features_shape_and_norm(spark, sf_smoke):
+    imgs = synthesize_media(_docs(spark, sf_smoke, 20), "doc_id", "image")
+    feats = media_features(imgs, "doc_id", n_bins=8).collect()
+    for r in feats:
+        v = r["features"]
+        assert len(v) == 8
+        assert abs(sum(v) - 1.0) < 1e-5  # normalized histogram
+        # uniform payload -> a single hot bin
+        assert max(v) == pytest.approx(1.0)
+
+
+def test_real_codecs_are_stubbed(spark, sf_smoke):
+    imgs = synthesize_media(_docs(spark, sf_smoke, 5), "doc_id", "image")
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        decode_media(imgs, "doc_id", fmt="jpeg")
+
+
+def test_media_oracle_parity(spark, sf_oracle):
+    compare_query(
+        spark, sf_oracle, "q_media_decode", q_media_decode, ORACLE["q_media_decode"]
+    )
+    compare_query(
+        spark,
+        sf_oracle,
+        "q_media_frame_stats",
+        q_media_frame_stats,
+        ORACLE["q_media_frame_stats"],
+    )
