@@ -159,20 +159,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROWS_PER_BAND = MINHASH_SEEDS // MINHASH_BANDS
 
+#: universal-hash family over one portable base hash: m_s = (a_s*h + b_s) % P.
+#: One md5 per shingle instead of one per (shingle, seed) — 16x fewer md5
+#: evaluations, the dominant cost of signature building. Constants are
+#: literals so the DuckDB oracle derives the identical family.
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime); a*h + b fits int64
+MINHASH_A = [(s * 40503 + 12582917) % MINHASH_P for s in range(MINHASH_SEEDS)]
+MINHASH_B = [(s * 31415927 + 2718281) % MINHASH_P for s in range(MINHASH_SEEDS)]
+
+_SQL_MH_MINS = ", ".join(
+    f"MIN(({MINHASH_A[s]} * h0 + {MINHASH_B[s]}) % {MINHASH_P}) AS m{s}"
+    for s in range(MINHASH_SEEDS)
+)
+_SQL_MH_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, concat_ws('|', "
+    + ", ".join(f"m{s}" for s in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
+    + ") AS bucket FROM mh"
+    for b in range(MINHASH_BANDS)
+)
+
 _SQL_MINHASH_PAIRS = f"""
     WITH {_SQL_SHINGLE_ROWS},
-    mh AS (
-        SELECT doc_id, seed.s AS seed,
-               MIN(md5(seed.s::VARCHAR || '|' || sh)) AS minh
-        FROM shingle_rows, (SELECT unnest(generate_series(0, {MINHASH_SEEDS - 1})) AS s) seed
-        GROUP BY doc_id, seed.s
+    hs AS (
+        SELECT doc_id, {sql_portable_hash60('sh')} % {MINHASH_P} AS h0
+        FROM shingle_rows
     ),
-    bands AS (
-        SELECT doc_id, seed // {_ROWS_PER_BAND} AS band,
-               md5(string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minh, '|'
-                              ORDER BY lpad(seed::VARCHAR, 2, '0') || ':' || minh)) AS bucket
-        FROM mh GROUP BY doc_id, seed // {_ROWS_PER_BAND}
-    ),
+    mh AS (SELECT doc_id, {_SQL_MH_MINS} FROM hs GROUP BY doc_id),
+    bands AS ({_SQL_MH_BANDS}),
     cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y
@@ -191,39 +204,48 @@ _SQL_MINHASH_PAIRS = f"""
 
 
 def minhash_signatures(docs: DataFrame, n_seeds: int = MINHASH_SEEDS) -> DataFrame:
-    """(doc_id, seed, minh): minh = MIN over shingles of md5(seed|sh).
+    """Wide signature matrix: (doc_id, m0..m{n-1}), m_s = MIN over
+    shingles of the s-th universal hash of the shingle's base hash.
 
-    MIN over strings is order-independent — signatures are identical on
-    any partitioning. One shuffle: groupBy (doc_id, seed) with map-side
-    partial MIN.
+    Plan shape: one md5 + n_seeds affine int ops per shingle row, then a
+    single hash-shuffle into n_seeds map-side-combined MIN aggregates —
+    no seed-dimension join, no (doc, seed) long format through the
+    exchange. MIN over ints is order-independent, so signatures are
+    identical on any partitioning.
     """
-    sh = shingle_rows(docs)
-    seeds = docs.sparkSession.range(n_seeds).select(F.col("id").cast("int").alias("seed"))
-    return (
-        sh.join(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(
-                F.concat_ws("|", F.col("seed").cast("string"), F.col("sh"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minh"))
+    sh = shingle_rows(docs).withColumn(
+        "h0", portable_hash60(F.col("sh")) % MINHASH_P
+    )
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[s]) * F.col("h0") + F.lit(MINHASH_B[s])) % MINHASH_P
+            ).alias(f"m{s}")
+            for s in range(n_seeds)
+        ]
     )
 
 
 def lsh_band_buckets(signatures: DataFrame, rows_per_band: int = _ROWS_PER_BAND) -> DataFrame:
-    """Fold each band's signature rows into one bucket id (md5 of the
-    seed-ordered concat). Docs sharing any band bucket are candidates."""
-    tag = F.concat_ws(
-        ":", F.lpad(F.col("seed").cast("string"), 2, "0"), F.col("minh")
+    """(doc_id, band, bucket) rows, bucket = seed-ordered concat of the
+    band's minhash values — computed row-locally from the wide signature
+    matrix (posexplode), no extra shuffle. Docs sharing any band bucket
+    are candidates."""
+    n_bands = MINHASH_SEEDS // rows_per_band
+    buckets = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"m{s}")
+                    for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
     )
-    return (
-        signatures.withColumn("band", F.expr(f"seed div {rows_per_band}"))
-        .withColumn("tag", tag)
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("tag")))).alias("bucket"))
+    return signatures.select(
+        "doc_id", F.posexplode(buckets).alias("band", "bucket")
     )
 
 
@@ -293,27 +315,32 @@ _SQL_SIMHASH = f"""
 def simhash_fingerprints(docs: DataFrame, n_bits: int = SIMHASH_BITS) -> DataFrame:
     """60-bit SimHash per doc from distinct word tokens.
 
-    Bit votes are integer SUMs (order-independent); the fingerprint
-    assembly is a sum of distinct powers of two. Two shuffles, both with
-    map-side combine: (doc, bit) votes, then (doc) assembly.
+    The textbook formulation sums a +/-1 vote per (token, bit); here the
+    votes are computed algebraically — ``v_b = 2*S_b - n`` with ``S_b``
+    the count of token hashes with bit b set — so the plan is ONE
+    hash-shuffle of token rows into 61 map-side-combined aggregates
+    (count + 60 bit sums), no bit-dimension join and no 60x row blowup.
+    Identical output (integer arithmetic, order-independent); the DuckDB
+    oracle keeps the textbook form as an independent derivation.
     """
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     ).withColumn("h", portable_hash60(F.col("tok")))
-    bits = docs.sparkSession.range(n_bits).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        toks.join(F.broadcast(bits))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum(F.expr("((shiftright(h, bit) & 1) * 2) - 1")).alias("v"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.expr(f"shiftright(h, {b}) & 1")).alias(f"s{b}")
+            for b in range(n_bits)
+        ],
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") >= 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
-                F.lit(0)
-            )
+    fingerprint = None
+    for b in range(n_bits):
+        term = F.when(2 * F.col(f"s{b}") - F.col("n") >= 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
         )
-        .cast("bigint")
-        .alias("fingerprint")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bit_sums.select(
+        "doc_id", fingerprint.cast("bigint").alias("fingerprint")
     )
 
 
@@ -389,6 +416,101 @@ from dynamodb_streaming_datalake_spark.functions.texthash import (  # noqa: E402
 )
 
 
+def embedding_pairs_bruteforce(emb: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs cosine via a theta self-join with column-expression
+    cosine. Kept as the tiny-data correctness twin of the blocked GEMM
+    below (tests assert they agree); never the plan you want at scale —
+    the join output is |rows|^2 and the fold is interpreted per element."""
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("raw_cos"),
+        )
+        .where(F.col("raw_cos") > threshold)
+        .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cos_sim"))
+    )
+
+
+def embedding_pairs_blocked(
+    emb: DataFrame, threshold: float, n_blocks: int = 8
+) -> DataFrame:
+    """Exact all-pairs cosine as blocked matrix multiplication.
+
+    Vectors hash into ``n_blocks`` blocks; each vector is replicated to
+    every block-pair it participates in (L side for partners >= its
+    block, R side for partners <= it), then one ``applyInPandas`` task
+    per unordered block-pair computes the full similarity sub-matrix
+    with a single float64 GEMM and thresholds it.
+
+    Scale: shuffle volume is (n_blocks+1) x input (vs |rows|^2 for the
+    theta join); tasks are n_blocks*(n_blocks+1)/2 independent GEMMs
+    sized to executor memory by choosing n_blocks ~ total_bytes /
+    block_budget. This is the standard exact kNN/self-similarity layout
+    for a 1000-executor cluster, and the kernel is BLAS, not interpreted
+    expression eval.
+    """
+    nb = n_blocks
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.hash("vec_id"), F.lit(nb)).cast("int").alias("blk"),
+    )
+    left = e.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(nb - 1))).alias("bj"),
+        F.lit("L").alias("side"),
+        "vec_id",
+        "embedding",
+    )
+    right = e.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit("R").alias("side"),
+        "vec_id",
+        "embedding",
+    )
+    tagged = left.unionByName(right)
+
+    def gemm(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        bi, bj = key
+        ls = pdf[pdf["side"] == "L"]
+        rs = ls if bi == bj else pdf[pdf["side"] == "R"]
+        if ls.empty or rs.empty:
+            return pd.DataFrame(columns=["vec_a", "vec_b", "cos_sim"])
+        A = np.stack(ls["embedding"].to_numpy()).astype(np.float64)
+        B = np.stack(rs["embedding"].to_numpy()).astype(np.float64)
+        sims = (A @ B.T) / np.outer(
+            np.sqrt((A * A).sum(axis=1)), np.sqrt((B * B).sum(axis=1))
+        )
+        ids_l = ls["vec_id"].to_numpy()
+        ids_r = rs["vec_id"].to_numpy()
+        ii, jj = np.nonzero(sims > threshold)
+        va, vb, s = ids_l[ii], ids_r[jj], sims[ii, jj]
+        keep = va != vb
+        va, vb, s = va[keep], vb[keep], s[keep]
+        lo = np.minimum(va, vb)
+        hi = np.maximum(va, vb)
+        # bi == bj computes the full square: keep one orientation only
+        if bi == bj:
+            keep = va < vb
+            lo, hi, s = lo[keep], hi[keep], s[keep]
+        return pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "cos_sim": np.round(s, 6)}
+        )
+
+    return tagged.groupBy("bi", "bj").applyInPandas(
+        gemm, schema="vec_a long, vec_b long, cos_sim double"
+    )
+
+
 @query(
     "q_dedup_embedding",
     oracle=f"""
@@ -399,25 +521,12 @@ from dynamodb_streaming_datalake_spark.functions.texthash import (  # noqa: E402
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute-force all-pairs baseline).
-
-    Scale: this quadratic form is the correctness baseline; the LSH
-    route (``operators.similarity.q_ann_lsh``) is the 100 TB path.
-    """
+    """Embedding-cosine near-dup pairs, exact, via blocked GEMM
+    (``embedding_pairs_blocked``); the ANN/LSH route
+    (``operators.similarity.q_ann_lsh``) trades recall for even less
+    work when approximation is acceptable."""
     e = read_table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("raw_cos"),
-        )
-        .where(F.col("raw_cos") > EMBED_NEAR_DUP_COS)
-        .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cos_sim"))
-    )
+    return embedding_pairs_blocked(e, EMBED_NEAR_DUP_COS)
 
 
 # ---------------------------------------------------------------------------
