@@ -1,13 +1,10 @@
 """Physical-plan assertions: the scale claims the operator docstrings
 make (broadcast dim joins, TakeOrderedAndProject top-k, partial
 aggregation, parquet filter pushdown + column pruning, whole-stage
-codegen) verified against `.explain("formatted")` output — the "would
+codegen) verified via the ``plans`` introspection layer — the "would
 this plan survive 100x data" gate."""
 
 from __future__ import annotations
-
-import io
-from contextlib import redirect_stdout
 
 from pyspark.sql import functions as F
 
@@ -19,14 +16,14 @@ from dynamodb_streaming_datalake_spark.operators.relational import (
     q_top_words,
     q_topk_orders,
 )
+from dynamodb_streaming_datalake_spark.plans import (
+    codegen_subtree_count,
+    explain_str,
+    has_node,
+    pushed_filters,
+    read_schema_line,
+)
 from dynamodb_streaming_datalake_spark.sources.readers import read_table
-
-
-def plan(df, mode: str = "formatted") -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
 
 
 def test_dim_joins_are_broadcast(spark, sf_oracle):
@@ -34,23 +31,22 @@ def test_dim_joins_are_broadcast(spark, sf_oracle):
     BroadcastHashJoin — a SortMergeJoin here would shuffle the 100 TB
     fact side on the join key."""
     for q in (q3_shipping_priority, q5_nation_revenue):
-        p = plan(q(spark, sf_oracle))
-        assert "BroadcastHashJoin" in p, p
-        assert "SortMergeJoin" not in p, p
+        df = q(spark, sf_oracle)
+        assert has_node(df, "BroadcastHashJoin"), explain_str(df)
+        assert not has_node(df, "SortMergeJoin"), explain_str(df)
 
 
 def test_anti_join_is_broadcast(spark, sf_oracle):
-    p = plan(q_customers_without_orders(spark, sf_oracle))
+    df = q_customers_without_orders(spark, sf_oracle)
+    p = explain_str(df)
     assert "LeftAnti" in p and "Broadcast" in p, p
 
 
 def test_topk_plans_take_ordered(spark, sf_oracle):
     """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
     heap), never a global Sort of the full table."""
-    p = plan(q_topk_orders(spark, sf_oracle))
-    assert "TakeOrderedAndProject" in p, p
-    for t in (q_top_words,):
-        assert "TakeOrderedAndProject" in plan(t(spark, sf_oracle))
+    for q in (q_topk_orders, q_top_words):
+        assert has_node(q(spark, sf_oracle), "TakeOrderedAndProject")
 
 
 def test_aggregation_is_partial_plus_final(spark, sf_oracle):
@@ -58,28 +54,29 @@ def test_aggregation_is_partial_plus_final(spark, sf_oracle):
     shuffle carries combined groups, not raw rows; and the pipeline runs
     inside WholeStageCodegen."""
     df = q1_pricing_summary(spark, sf_oracle)
-    p = plan(df)
-    assert p.count("HashAggregate") >= 2, p
-    cg = plan(df, "codegen")
-    assert "Found" in cg and "WholeStageCodegen subtrees" in cg, cg[:500]
+    assert explain_str(df).count("HashAggregate") >= 2
+    # AQE's pre-execution plan hides codegen spans; flip it off to see them
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert codegen_subtree_count(q1_pricing_summary(spark, sf_oracle)) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def test_filter_pushdown_reaches_parquet(spark, sf_oracle):
     """A predicate on a scanned column must appear in PushedFilters —
     rows are skipped at the parquet reader, not post-scan."""
     o = read_table(spark, sf_oracle, "orders").where(F.col("o_orderkey") < 100)
-    p = plan(o)
-    assert "PushedFilters: [" in p and "LessThan(o_orderkey,100)" in p, p
+    assert "LessThan(o_orderkey,100)" in pushed_filters(o)
 
 
 def test_column_pruning_reaches_parquet(spark, sf_oracle):
     """A 2-column projection must scan 2 columns (ReadSchema), not the
     whole table."""
     o = read_table(spark, sf_oracle, "orders").select("o_orderkey", "o_totalprice")
-    p = plan(o)
-    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
-    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
-    assert "o_comment" not in read_schema and "o_orderdate" not in read_schema
+    rs = read_schema_line(o)
+    assert "o_orderkey" in rs and "o_totalprice" in rs
+    assert "o_comment" not in rs and "o_orderdate" not in rs
 
 
 def test_approx_count_distinct_accuracy(spark, sf_oracle):
@@ -108,5 +105,5 @@ def test_partition_pruning_on_hive_layout(spark, tmp_path):
     path = str(tmp_path / "lake")
     src.write.partitionBy("h").parquet(path)
     df = spark.read.parquet(path).where(F.col("h") == 3)
-    p = plan(df)
+    p = explain_str(df)
     assert "PartitionFilters" in p and "(h" in p, p
