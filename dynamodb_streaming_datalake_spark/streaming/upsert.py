@@ -1,0 +1,128 @@
+"""Continuous snapshot maintenance: streaming B7.
+
+The batch path merges the Parquet full-load zone with the CDC zone on
+demand (``operators.state.merge_snapshot_cdc``). This module keeps that
+merge *continuously materialized*: a ``foreachBatch`` sink upserts each
+micro-batch's newest-per-key rows into a versioned Parquet snapshot.
+
+Plain Parquet has no ACID upsert, so versions are MVCC directories —
+``<dir>/v=<n>`` written whole, readers resolve the max committed
+version (the write is atomic at directory granularity because a version
+is never read until its ``_SUCCESS`` exists). In production you would
+swap the inner merge for Delta/Iceberg ``MERGE INTO`` and keep the
+surrounding plumbing; the interface is format-agnostic on purpose.
+
+Scale: each upsert shuffles (previous snapshot ∪ batch) once on the
+key — the snapshot side is bounded by key cardinality (table size,
+REMOVE keys persist as one tombstone row each), not stream history.
+Batches are pre-reduced to one row per key before the merge, so the
+union's streaming side is bounded by keys-touched, not
+events-received. Tombstones are kept in storage (filtered at read) so
+an out-of-order older event can never resurrect a deleted key — it
+loses the merge to the tombstone's newer order key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from dynamodb_streaming_datalake_spark.operators.state import latest_state
+
+
+def _versions(spark: SparkSession, snapshot_dir: str) -> list[int]:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return []
+    out = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name.startswith("v=") and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+        ):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def current_snapshot(
+    spark: SparkSession,
+    snapshot_dir: str,
+    live_only: bool = True,
+    event_col: str = "Event",
+    delete_event: str = "REMOVE",
+) -> DataFrame | None:
+    """The latest committed snapshot version (None before the first
+    commit). ``live_only`` filters REMOVE tombstones — the serving view;
+    ``live_only=False`` exposes them for merge/debug."""
+    vs = _versions(spark, snapshot_dir)
+    if not vs:
+        return None
+    df = spark.read.parquet(f"{snapshot_dir}/v={vs[-1]}")
+    return df.where(F.col(event_col) != delete_event) if live_only else df
+
+
+def upsert_snapshot(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    snapshot_dir: str,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    version: int,
+) -> None:
+    """Merge one micro-batch into the snapshot, writing version ``version``.
+
+    Batch rows are reduced to newest-per-key first; the previous
+    snapshot's rows lose ties only to strictly newer order keys, so
+    replayed batches (checkpoint recovery re-running foreachBatch) are
+    idempotent: re-merging the same rows produces the same snapshot.
+    """
+    reduced = latest_state(batch_df, keys, order_by)
+    prev = current_snapshot(spark, snapshot_dir, live_only=False)
+    merged = (
+        reduced
+        if prev is None
+        else latest_state(
+            prev.unionByName(reduced, allowMissingColumns=True), keys, order_by
+        )
+    )
+    merged.write.mode("overwrite").parquet(f"{snapshot_dir}/v={version}")
+
+
+def start_snapshot_maintenance(
+    ok_rows: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    keys: Sequence[str] = ("id", "name"),
+    order_by: Sequence[str] = ("event_time", "eventID"),
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch sink: continuously-maintained current-table-state.
+
+    ``ok_rows`` is the ok side of ``cdc_transform`` on a stream. Each
+    micro-batch advances the snapshot one version; ``current_snapshot``
+    always serves the last committed version (readers never see a
+    half-written merge).
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_snapshot(
+            batch_df.sparkSession,
+            batch_df,
+            snapshot_dir,
+            keys,
+            order_by,
+            version=batch_id,
+        )
+
+    writer = ok_rows.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -176,3 +176,61 @@ def test_streaming_latest_state_matches_batch(spark, tmp_path):
     ).first()
     payload = json.loads(got_row["payload"])
     assert payload.get("Designation") == want_row["Designation"]
+
+
+def test_snapshot_maintenance_matches_batch(spark, tmp_path):
+    """Streaming B7: foreachBatch-upserted versioned snapshot after a
+    full drain == batch reconstruct_table; REMOVE tombstones persist in
+    storage but not in the serving view."""
+    from dynamodb_streaming_datalake_spark.streaming.upsert import (
+        current_snapshot,
+        start_snapshot_maintenance,
+    )
+
+    fx = generate_fixture(n_keys=40, n_events=300, unknown_rate=0.0)
+    src = tmp_path / "src"
+    _write_source_files(fx, src, n_files=3)
+
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .withColumnRenamed("value", "json")
+    )
+    ok, _ = cdc_transform(raw, attributes=ATTRS, ingestion_ts=EVENT_TS())
+    snap_dir = str(tmp_path / "snap")
+    q = start_snapshot_maintenance(ok, snap_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = current_snapshot(spark, snap_dir)
+    raw_b = spark.createDataFrame([(l,) for l in fx.json_lines()], "json string")
+    ok_b, _ = cdc_transform(raw_b, attributes=ATTRS, ingestion_ts=EVENT_TS())
+    want = reconstruct_table(ok_b, ["id", "name"], ["event_time", "eventID"])
+    cols = ["id", "name", "Designation", "salary"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+
+    # tombstones: stored but not served
+    stored = current_snapshot(spark, snap_dir, live_only=False)
+    n_removed_keys = stored.where(F.col("Event") == "REMOVE").count()
+    assert stored.count() == got.count() + n_removed_keys
+
+    # late replay of an OLD event for a removed key must not resurrect it
+    from dynamodb_streaming_datalake_spark.streaming.upsert import upsert_snapshot
+
+    removed = stored.where(F.col("Event") == "REMOVE").first()
+    if removed is not None:
+        late = ok_b.where(
+            (F.col("id") == removed["id"])
+            & (F.col("name") == removed["name"])
+            & (F.col("Event") != "REMOVE")
+        ).limit(1)
+        if late.count():
+            upsert_snapshot(
+                spark, late, snap_dir, ["id", "name"], ["event_time", "eventID"],
+                version=9999,
+            )
+            still = current_snapshot(spark, snap_dir).where(
+                (F.col("id") == removed["id"]) & (F.col("name") == removed["name"])
+            )
+            assert still.count() == 0
