@@ -115,7 +115,9 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
         StructType,
     )
 
-    enc = _encode_image if kind == "image" else _encode_video
+    encoders = {"image": _encode_image, "video": _encode_video}
+    # audio encoder is defined below this function; resolve lazily
+    enc = encoders.get(kind) or globals()[f"_encode_{kind}"]
     fmt = f"fake-{kind}"
     meta_t = StructType(
         [StructField("format", StringType()), StructField("n_bytes", LongType())]
@@ -287,4 +289,85 @@ def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sampled"),
         F.avg("mean_pixel").alias("avg_frame_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio modality: 8-bit PCM blobs -> duration / level stats
+# ---------------------------------------------------------------------------
+
+AUD_MAGIC = b"FAUD"
+
+
+def _aud_dims(i: int) -> tuple[int, int]:
+    sample_rate = 8000 + (i % 3) * 4000
+    n_samples = 800 + i % 800
+    return sample_rate, n_samples
+
+
+def _encode_audio(i: int) -> bytes:
+    """``FAUD | u32 sample_rate | u32 n_samples | samples`` with sample
+    s = (i + s_idx) % 256 — deterministic 8-bit PCM the oracle can
+    recompute arithmetically."""
+    rate, n = _aud_dims(i)
+    payload = bytes((i + s) % 256 for s in range(n))
+    return AUD_MAGIC + struct.pack(">II", rate, n) + payload
+
+
+def decode_audio(df: DataFrame, id_col: str, fmt: str = "fake") -> DataFrame:
+    """Audio decode: parse header + samples into (sample_rate,
+    n_samples, duration_s, rms). Real codecs (wav/mp3) raise
+    NotImplementedError — same stub contract as images."""
+    _require_fake(fmt)
+    schema = (
+        f"{id_col} bigint, sample_rate int, n_samples bigint,"
+        " duration_s double, rms double"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                blob = bytes(blob)
+                if blob[:4] != AUD_MAGIC:
+                    raise ValueError("not a fake audio blob")
+                rate, n = struct.unpack(">II", blob[4:12])
+                samples = np.frombuffer(blob, np.uint8, offset=12).astype(np.float64)
+                if samples.size != n:
+                    raise ValueError("truncated payload")
+                rows.append(
+                    (int(i), rate, n, n / rate, float(np.sqrt((samples**2).mean())))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "n_samples", "duration_s", "rms"],
+            )
+
+    return df.mapInPandas(dec, schema=schema)
+
+
+@query(
+    "q_media_audio_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(800 + doc_id % 800 AS BIGINT) AS n_samples,
+           (800 + doc_id % 800) * 1.0 / (8000 + (doc_id % 3) * 4000)
+             AS duration_s,
+           round(sqrt(list_aggregate(
+             list_transform(range(0, 800 + doc_id % 800),
+                            s -> CAST(((doc_id + s) % 256) AS DOUBLE) ^ 2),
+             'avg')), 6) AS rms
+    FROM documents
+    """,
+)
+def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio path: synthesize an 8-bit PCM blob per document, decode
+    real bytes back into duration + RMS level; oracle recomputes both
+    arithmetically from doc_id."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    aud = synthesize_media(d, "doc_id", "audio")
+    dec = decode_audio(aud, "doc_id")
+    return dec.select(
+        "doc_id", "sample_rate", "n_samples", "duration_s", F.round("rms", 6).alias("rms")
     )

@@ -229,3 +229,115 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cs", 6).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> cluster lists -> probe & re-rank
+# ---------------------------------------------------------------------------
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 2
+IVF_QUERIES = 50
+IVF_TOP_K = 3
+
+_SQL_IVF = f"""
+    cents AS (
+        SELECT vec_id AS cid, embedding AS ce
+        FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+    ),
+    assign AS (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sql_cosine('e.embedding', 'c.ce')} DESC,
+                                           c.cid) AS r
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    lists AS (SELECT vec_id, cid FROM assign WHERE r = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM assign
+        WHERE r <= {IVF_NPROBE} AND vec_id < {IVF_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id
+        FROM probes p JOIN lists l ON l.cid = p.cid
+        WHERE l.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               {sql_cosine('q.embedding', 'n.embedding')} AS cs
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cs,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, neighbor_id) AS rank
+        FROM scored
+    )
+"""
+
+
+@query(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH {_SQL_IVF}
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cs, 6) AS cos_sim
+    FROM ranked WHERE rank <= {IVF_TOP_K}
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: a 16-centroid coarse quantizer partitions the corpus
+    into inverted lists; each query probes its nprobe=2 nearest lists
+    and re-ranks candidates by exact cosine.
+
+    The quantizer here is deterministic (the first 16 vectors) so the
+    oracle can replay it; production would train centroids with k-means
+    (MLlib) — the assignment/probe/re-rank plumbing is identical.
+
+    Scale: assignment is map-only (broadcast 16 centroids, top-1 per
+    vector); the candidate join is equi on cluster id, bounded by list
+    sizes (~N/K per list); exact cosine touches only candidates. This
+    is the layout FAISS-style IVF uses, expressed as DataFrame ops.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored_assign = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        cosine(F.col("embedding"), F.col("ce")).alias("ac"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ac").desc(), F.col("cid"))
+    ranked_assign = scored_assign.withColumn("r", F.row_number().over(w_assign))
+    lists = ranked_assign.where(F.col("r") == 1).select("vec_id", "cid")
+    probes = ranked_assign.where(
+        (F.col("r") <= IVF_NPROBE) & (F.col("vec_id") < IVF_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    cand = (
+        probes.join(lists, "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
+            "query_id",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ne")).alias("cs"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cs", 6).alias("cos_sim"))
+    )

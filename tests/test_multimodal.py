@@ -100,3 +100,24 @@ def test_media_oracle_parity(spark, sf_oracle):
         q_media_frame_stats,
         ORACLE["q_media_frame_stats"],
     )
+
+
+def test_audio_decode_roundtrip(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    aud = synthesize_media(_docs(spark, sf_smoke, 25), "doc_id", "audio")
+    rows = decode_audio(aud, "doc_id").collect()
+    for r in rows:
+        i = r["doc_id"]
+        assert r["sample_rate"] == 8000 + (i % 3) * 4000
+        assert r["n_samples"] == 800 + i % 800
+        assert r["duration_s"] == pytest.approx(r["n_samples"] / r["sample_rate"])
+        # rms of the deterministic ramp, recomputed independently
+        import numpy as np
+
+        s = (i + np.arange(r["n_samples"])) % 256
+        assert r["rms"] == pytest.approx(float(np.sqrt((s.astype(float) ** 2).mean())))
+    with pytest.raises(NotImplementedError, match="wav"):
+        decode_audio(aud, "doc_id", fmt="wav")
