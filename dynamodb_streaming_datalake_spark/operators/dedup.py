@@ -121,15 +121,26 @@ def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     cap before the self-join and prefer ``minhash_lsh_pairs``.
     """
     sh = shingle_rows(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # set sizes are row-local (|distinct shingles per doc|) — no explode
+    sizes = docs.select("doc_id", F.size(word_shingles("text")).alias("n"))
+    # pairs per shingle via posting-list expansion: group docs sharing a
+    # shingle, emit (lo, hi) pairs in-row — ONE shuffle on sh instead of
+    # a self-join's two exchanges + sort. Equivalent output: the join
+    # emits one row per (pair, shared shingle); so does this expansion.
+    # Skew note: a shingle shared by c docs expands to c*(c-1)/2 pairs
+    # in one row — web-scale corpora cap posting-list length first (drop
+    # ultra-common shingles); the planted corpus has no hot shingles.
+    postings = sh.groupBy("sh").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    pair_structs = F.expr(
+        """
+        flatten(transform(ids, (x, i) ->
+            transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))
+        """
+    )
     common = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        postings.select(F.explode(pair_structs).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
