@@ -541,3 +541,40 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_per_user"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# B8 (fact x fact): the join that CANNOT broadcast at scale
+# --------------------------------------------------------------------------
+@query(
+    "q_order_lineitem_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           {_sql_davg('l.l_quantity', 'avg_qty')}
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x fact equi-join (orders x lineitem): the join whose build
+    side does NOT fit in memory at 100 TB, so the physical strategy is
+    shuffle + sort-merge on the join key (tests/test_plans.py asserts
+    Spark takes the SMJ path once broadcast is off). Both inputs arrive
+    hash-partitioned on orderkey; in a bucketed lake layout this join is
+    shuffle-free.
+    """
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    l = read_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(rev, "revenue"),
+            davg(F.col("l_quantity"), "avg_qty"),
+        )
+    )

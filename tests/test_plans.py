@@ -107,3 +107,23 @@ def test_partition_pruning_on_hive_layout(spark, tmp_path):
     df = spark.read.parquet(path).where(F.col("h") == 3)
     p = explain_str(df)
     assert "PartitionFilters" in p and "(h" in p, p
+
+
+def test_fact_fact_join_sort_merges_without_broadcast(spark, sf_oracle):
+    """B8's other half: with broadcast unavailable (the 100 TB fact-fact
+    case), the orders x lineitem join must plan as SortMergeJoin on the
+    shuffled key — never a nested loop."""
+    from dynamodb_streaming_datalake_spark.operators.relational import (
+        q_order_lineitem_join,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = q_order_lineitem_join(spark, sf_oracle)
+        p = explain_str(df)
+        assert "SortMergeJoin" in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
