@@ -1,0 +1,59 @@
+"""Skew mitigation: salted joins.
+
+AQE's skew-join splitting (on by default, ``session.ENGINE_DEFAULTS``)
+handles most skew at runtime by splitting oversized shuffle partitions.
+Salting is the explicit fallback for the cases AQE can't fix — a single
+join *key* so hot that one key's rows exceed an executor (AQE splits
+partitions, not keys), or a deterministic-layout requirement.
+
+Mechanics: the skewed (probe) side gets a random-ish salt in
+``[0, n_salts)`` derived from a row fingerprint (deterministic here so
+tests and reruns agree); the build side is replicated ``n_salts`` times
+with every salt value; the join key becomes (key, salt). Each hot key's
+rows now spread over ``n_salts`` tasks at the cost of an
+``n_salts``-times-larger build side — which is why you salt the join
+whose build side is small-but-not-broadcastable, or cap n_salts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salt_probe_side(df: DataFrame, fingerprint_cols: Sequence[str], n_salts: int) -> DataFrame:
+    """Tag each probe-side row with a deterministic salt in [0, n_salts)."""
+    fp = F.xxhash64(*[F.col(c) for c in fingerprint_cols])
+    return df.withColumn(SALT_COL, F.pmod(fp, F.lit(n_salts)).cast("int"))
+
+
+def explode_build_side(df: DataFrame, n_salts: int) -> DataFrame:
+    """Replicate each build-side row once per salt value."""
+    return df.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+    fingerprint_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Equi-join with the probe side's hot keys spread over ``n_salts``
+    tasks. Result is row-identical to ``probe.join(build, on, how)``
+    (asserted in tests); only the physical distribution changes.
+
+    ``fingerprint_cols`` defaults to all probe columns — any stable
+    per-row tuple works; it only controls which task a row lands on.
+    """
+    fp_cols = list(fingerprint_cols or probe.columns)
+    p = salt_probe_side(probe, fp_cols, n_salts)
+    b = explode_build_side(build, n_salts)
+    return p.join(b, [*on, SALT_COL], how).drop(SALT_COL)
