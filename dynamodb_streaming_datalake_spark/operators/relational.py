@@ -578,3 +578,58 @@ def q_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(F.col("l_quantity"), "avg_qty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# data profiling: per-column stats in ONE scan (training-data hygiene)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+@query(
+    "q_table_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               COUNT(*) AS n_rows,
+               COUNT({c}) AS n_non_null,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of ``orders`` — row counts, null counts, distinct
+    cardinality, min/max — the first pass any data-quality gate runs
+    over a new drop.
+
+    Scale: ALL columns' metrics are computed in a single aggregate over
+    ONE scan (no per-column passes); the long format comes from a
+    row-local stack of the wide result. Distinct counts are the only
+    expensive part — swap count_distinct for approx_count_distinct when
+    cardinality tolerance allows.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(column_name, n_non_null, n_distinct, min_value, max_value)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("column_name", "n_rows", "n_non_null", "n_distinct", "min_value", "max_value")

@@ -56,14 +56,21 @@ def current_snapshot(
     live_only: bool = True,
     event_col: str = "Event",
     delete_event: str = "REMOVE",
+    version: int | None = None,
 ) -> DataFrame | None:
-    """The latest committed snapshot version (None before the first
-    commit). ``live_only`` filters REMOVE tombstones — the serving view;
-    ``live_only=False`` exposes them for merge/debug."""
+    """A committed snapshot version (None before the first commit).
+    ``live_only`` filters REMOVE tombstones — the serving view;
+    ``live_only=False`` exposes them for merge/debug. ``version`` time-
+    travels to an older committed version (MVCC dirs are immutable once
+    committed, so every past state stays readable until vacuumed)."""
     vs = _versions(spark, snapshot_dir)
     if not vs:
         return None
-    df = spark.read.parquet(f"{snapshot_dir}/v={vs[-1]}")
+    if version is None:
+        version = vs[-1]
+    elif version not in vs:
+        raise ValueError(f"version {version} not committed; have {vs}")
+    df = spark.read.parquet(f"{snapshot_dir}/v={version}")
     return df.where(F.col(event_col) != delete_event) if live_only else df
 
 

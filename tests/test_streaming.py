@@ -234,3 +234,54 @@ def test_snapshot_maintenance_matches_batch(spark, tmp_path):
                 (F.col("id") == removed["id"]) & (F.col("name") == removed["name"])
             )
             assert still.count() == 0
+
+
+def test_streaming_sliding_and_session_match_batch(spark, sf_smoke):
+    """B18 full coverage: sliding and session windows over the events
+    stream (availableNow) equal their batch results — session windows
+    exercise the state-store merge path."""
+    from dynamodb_streaming_datalake_spark.streaming.windows import (
+        session_counts,
+        sliding_counts,
+    )
+
+    for i, builder in enumerate((sliding_counts, session_counts)):
+        name = f"wstream_{i}"
+        stream = builder(read_table_stream(spark, sf_smoke, "events"))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table(name).collect()
+        want = builder(read_table(spark, sf_smoke, "events")).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)), builder.__name__
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """MVCC versions stay readable: version 0 serves the first batch's
+    state even after later upserts rewrote the current view."""
+    from dynamodb_streaming_datalake_spark.streaming.upsert import (
+        current_snapshot,
+        upsert_snapshot,
+    )
+    import pytest as _pytest
+
+    fx = generate_fixture(n_keys=20, n_events=120, unknown_rate=0.0)
+    raw = spark.createDataFrame([(l,) for l in fx.json_lines()], "json string")
+    ok, _ = cdc_transform(raw, attributes=ATTRS, ingestion_ts=EVENT_TS())
+    half = ok.where(F.col("eventID") < "ev-160")
+    snap = str(tmp_path / "snap")
+    keys, order = ["id", "name"], ["event_time", "eventID"]
+    upsert_snapshot(spark, half, snap, keys, order, version=0)
+    v0_rows = current_snapshot(spark, snap).count()
+    upsert_snapshot(spark, ok, snap, keys, order, version=1)
+    assert current_snapshot(spark, snap, version=0).count() == v0_rows
+    assert current_snapshot(spark, snap).count() >= v0_rows - ok.where(
+        F.col("Event") == "REMOVE"
+    ).count()
+    with _pytest.raises(ValueError, match="not committed"):
+        current_snapshot(spark, snap, version=7)
