@@ -191,3 +191,83 @@ def cdc_transform(
         "result",
     )
     return ok, err
+
+
+# ---------------------------------------------------------------------------
+# typed attribute decode (SURVEY §7 risk register)
+# ---------------------------------------------------------------------------
+
+#: AttributeValue tag -> decoder. The reference str()-coerces everything
+#: (``firehose_transformation.py:12-14``) and that stringly contract is
+#: what ``flatten_image`` preserves; this is the OTHER half the risk
+#: register demands: a lossless typed decode for queries that need real
+#: numerics/booleans/structures. ``N`` becomes decimal(38,18) (DynamoDB
+#: numbers are decimal strings with up to 38 digits of precision — a
+#: double would corrupt them).
+_TAG_DECODERS = {
+    "S": lambda v: v,
+    "N": lambda v: v.cast("decimal(38,18)"),
+    "BOOL": lambda v: v == F.lit("true"),
+    "NULL": lambda v: F.lit(None).cast("string"),
+    "B": lambda v: F.unbase64(v),
+    "L": lambda v: F.from_json(v, "array<string>"),
+    "M": lambda v: F.from_json(v, "map<string,string>"),
+    "SS": lambda v: F.from_json(v, "array<string>"),
+    "NS": lambda v: F.transform(
+        F.from_json(v, "array<string>"), lambda x: x.cast("decimal(38,18)")
+    ),
+    "BS": lambda v: F.transform(F.from_json(v, "array<string>"), F.unbase64),
+}
+
+
+def project_attributes_typed(
+    df: DataFrame, spec: dict[str, str], image_col: str = "image"
+) -> DataFrame:
+    """Typed projection straight off the *tagged* image (not the
+    stringly ``attrs``): ``spec`` maps attribute -> AttributeValue tag,
+    e.g. ``{"salary": "N", "active": "BOOL", "tags": "L"}``. Each column
+    gets the tag's native Spark type; a record carrying a different tag
+    for the attribute yields null (tag mismatch = schema drift, visible
+    instead of silently coerced).
+    """
+    cols = []
+    for attr, tag in spec.items():
+        if tag not in _TAG_DECODERS:
+            raise ValueError(f"unknown AttributeValue tag {tag!r} for {attr!r}")
+        raw = F.col(image_col).getItem(attr).getItem(tag)
+        cols.append(_TAG_DECODERS[tag](raw).alias(attr))
+    keep = [c for c in df.columns if c not in spec]
+    return df.select(*keep, *cols)
+
+
+def cdc_transform_typed(
+    raw: DataFrame,
+    spec: dict[str, str],
+    json_col: str = "json",
+    ingestion_ts: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """A3-A8 with the typed decode: same pipeline, but declared
+    attributes land with native types instead of the reference's
+    string coercion. Use for analytics zones; use ``cdc_transform`` for
+    reference-faithful lake parity."""
+    env = parse_envelope(raw, json_col)
+    dispatched = select_image(env)
+    enriched = enrich(dispatched, ingestion_ts=ingestion_ts)
+    ok, err = route_errors(enriched)
+    ok = project_attributes_typed(
+        ok.select(
+            F.col("env.eventID").alias("eventID"),
+            "event_time",
+            "image",
+            "Event",
+            "ingestion_timestamp",
+        ),
+        spec,
+    ).drop("image")
+    err = err.select(
+        F.col(json_col).alias("raw"),
+        F.col("env.eventID").alias("eventID"),
+        F.col("env.eventName").alias("eventName"),
+        "result",
+    )
+    return ok, err

@@ -131,3 +131,44 @@ def test_agg_and_window_latest_state_agree(spark):
     assert sorted(map(tuple, a.select(*ATTRS).collect())) == sorted(
         map(tuple, w.select(*ATTRS).collect())
     )
+
+
+def test_typed_decode(spark):
+    """SURVEY §7 risk register: the typed decode path — N -> decimal,
+    BOOL -> boolean, L/M -> parsed structures — alongside the
+    reference-faithful stringly flatten."""
+    from decimal import Decimal
+
+    from dynamodb_streaming_datalake_spark.operators.cdc import cdc_transform_typed
+
+    fx = generate_fixture(n_keys=10, n_events=60, unknown_rate=0.0)
+    raw = spark.createDataFrame([(l,) for l in fx.json_lines()], "json string")
+    spec = {
+        "id": "S",
+        "name": "S",
+        "salary": "N",
+        "active": "BOOL",
+        "tags": "L",
+        "address": "M",
+    }
+    ok, err = cdc_transform_typed(raw, spec, ingestion_ts=EVENT_TS())
+    assert err.count() == 0
+    # readme-prefixed events carry only id/name/Designation; the
+    # generated ev-* events have the full typed attribute set
+    row = ok.where(
+        (F.col("Event") != "REMOVE") & F.col("eventID").startswith("ev-")
+    ).first()
+    assert isinstance(row["salary"], Decimal)
+    assert isinstance(row["active"], bool)
+    assert isinstance(row["tags"], list) and len(row["tags"]) == 2
+    assert row["address"]["city"].startswith("city")
+    dt = dict(ok.dtypes)
+    assert dt["salary"] == "decimal(38,18)"
+    assert dt["active"] == "boolean"
+    assert dt["tags"] == "array<string>"
+    assert dt["address"] == "map<string,string>"
+
+    # tag mismatch -> null, not coercion
+    bad_spec = {"id": "S", "salary": "BOOL"}
+    ok2, _ = cdc_transform_typed(raw, bad_spec, ingestion_ts=EVENT_TS())
+    assert ok2.where(F.col("salary").isNotNull()).count() == 0
