@@ -149,49 +149,39 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join is equi on bucket. No all-pairs stage anywhere.
     """
     e = read_table(spark, sf_dir, "embeddings")
-    spark_ = e.sparkSession
 
-    js = spark_.range(LSH_PLANES).select(F.col("id").alias("j"))
-    ds = spark_.range(DIM).select(F.col("id").alias("d"))
-    planes = js.join(ds).select(
-        "j",
-        "d",
-        (
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws("_", F.col("j"), F.col("d"))), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 2
-            )
-            * 2
-            - 1
-        ).alias("sign"),
-    )
-    comps = e.join(F.broadcast(ds)).select(
-        "vec_id",
-        "d",
-        F.expr("CAST(CAST(embedding[CAST(d AS INT)] AS DOUBLE) AS DECIMAL(18,9))").alias(
-            "val"
-        ),
-    )
-    proj = (
-        comps.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("val") * F.col("sign")).alias("pv"))
-    )
-    buckets = proj.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("pv") >= 0, F.expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(
-                F.lit(0)
-            )
+    # Hyperplane signs are md5-parity — portable, so they are computed
+    # HERE at plan-build time (hashlib md5 == Spark md5 == DuckDB md5)
+    # and embedded as literal arrays. The projection then becomes a
+    # row-local decimal fold: bucket assignment is map-only, no
+    # dim-explode, no plane join, no shuffle. (The oracle still derives
+    # the same signs in SQL — an independent re-derivation.)
+    import hashlib
+
+    def _sign(j: int, d: int) -> int:
+        h = int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:15], 16)
+        return (h % 2) * 2 - 1
+
+    bucket_expr = None
+    for j in range(LSH_PLANES):
+        signs = F.array(*[F.lit(_sign(j, d)) for d in range(DIM)])
+        # identical arithmetic shape to the SQL: per-dim
+        # decimal(18,9)(double(x)) * sign, summed exactly
+        terms = F.zip_with(
+            F.col("embedding"),
+            signs,
+            lambda x, s: x.cast("double").cast("decimal(18,9)") * s,
         )
-        .cast("bigint")
-        .alias("bucket")
-    )
+        pv = F.aggregate(
+            terms,
+            F.lit(0).cast("decimal(28,9)"),
+            # re-cast: decimal + widens precision each step otherwise
+            # (exact: |pv| << 10^19 so (28,9) never truncates)
+            lambda acc, t: (acc + t).cast("decimal(28,9)"),
+        )
+        bit = F.when(pv >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket_expr = bit if bucket_expr is None else bucket_expr + bit
+    buckets = e.select("vec_id", bucket_expr.cast("bigint").alias("bucket"))
     cand = (
         buckets.alias("qb")
         .where(F.col("qb.vec_id") < LSH_QUERIES)
