@@ -15,7 +15,16 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", extra_conf={"spark.ui.enabled": "false"})
+    import tempfile
+
+    s = get_spark(
+        app_name="tests",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # static conf: needed by the bucketed-table tests (saveAsTable)
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+        },
+    )
     yield s
     s.stop()
 

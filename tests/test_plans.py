@@ -127,3 +127,43 @@ def test_fact_fact_join_sort_merges_without_broadcast(spark, sf_oracle):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """The 100 TB fact-fact endgame: both sides bucketed on the join key
+    -> SortMergeJoin with NO shuffle exchange (co-located buckets)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        o = read_table(spark, "/root/testdata/sf0.001", "orders")
+        l = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+        (
+            o.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable("orders_b")
+        )
+        (
+            l.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable("lineitem_b")
+        )
+        ob = spark.table("orders_b")
+        lb = spark.table("lineitem_b")
+        joined = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"]).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        p = explain_str(joined)
+        assert "SortMergeJoin" in p, p
+        assert "Exchange" not in p, p  # co-located: no shuffle at all
+        # sanity: result matches the unbucketed join
+        plain = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
