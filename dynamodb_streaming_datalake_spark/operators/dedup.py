@@ -400,19 +400,24 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(shiftright(fingerprint, band * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1}"
         ).alias("bval"),
     )
+    # posting-list pair expansion (as in jaccard_pairs): group the docs
+    # sharing a band value, emit ordered pairs in-row — the fingerprint
+    # pipeline runs ONCE (a self-join would recompute it per side; Spark
+    # does not reuse the exchange across self-join aliases here).
+    postings = banded.groupBy("band", "bval").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "fingerprint"))).alias("ds")
+    )
+    pair_structs = F.expr(
+        """
+        flatten(transform(ds, (x, i) ->
+            transform(slice(ds, i + 2, size(ds)), y ->
+                struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                       bit_count(x.fingerprint ^ y.fingerprint) AS hamming))))
+        """
+    )
     return (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bval") == F.col("y.bval"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.expr("bit_count(x.fingerprint ^ y.fingerprint)").alias("hamming"),
-        )
+        postings.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
