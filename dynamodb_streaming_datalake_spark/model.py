@@ -60,11 +60,14 @@ def cdc_envelope_schema() -> T.StructType:
 
 
 def lake_row_schema(attributes: tuple[str, ...]) -> T.StructType:
-    """Schema of the flattened CDC-zone lake row: every attribute is a
-    string (the reference str()-coerces all types,
-    firehose_transformation.py:12-14) plus the two injected columns
-    (:18-19) and our deterministic tie-break."""
-    fields = [T.StructField(a, T.StringType()) for a in attributes]
+    """Schema of the flattened CDC-zone lake row exactly as
+    ``streaming.pipeline.start_lake_stream`` writes it: eventID, the
+    declared attributes as strings (the reference str()-coerces all
+    types, firehose_transformation.py:12-14), and the two injected
+    columns (:18-19). Pass this to ``sources.readers.read_cdc_zone`` so
+    the scan is schema-declared, single-pass, and prunable."""
+    fields = [T.StructField("eventID", T.StringType())]
+    fields += [T.StructField(a, T.StringType()) for a in attributes]
     fields += [
         T.StructField("Event", T.StringType()),
         T.StructField("ingestion_timestamp", T.StringType()),

@@ -50,12 +50,9 @@ def test_full_dataflow_stream_lake_reconstruct(spark, tmp_path):
     q.awaitTermination(120)
 
     # schema-on-read scan of the gzip zone (B2) + reconstruction (B6)
-    lake_schema = (
-        "eventID string, "
-        + ", ".join(f"{a} string" for a in ATTRS)
-        + ", Event string, ingestion_timestamp string"
-    )
-    scanned = read_cdc_zone(spark, lake, schema=lake_schema)
+    from dynamodb_streaming_datalake_spark.model import lake_row_schema
+
+    scanned = read_cdc_zone(spark, lake, schema=lake_row_schema(ATTRS))
     got = (
         reconstruct_table(scanned, ["id", "name"], ["ingestion_timestamp", "eventID"])
         .select("id", "name", "Designation", "salary")

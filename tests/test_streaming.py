@@ -285,3 +285,23 @@ def test_snapshot_time_travel(spark, tmp_path):
     ).count()
     with _pytest.raises(ValueError, match="not committed"):
         current_snapshot(spark, snap, version=7)
+
+
+def test_kinesis_swap_point_config_and_stub(spark):
+    """A1 prod wiring: option assembly matches the reference's stream
+    config; a missing connector fails with a clear message, not a stack
+    of py4j noise."""
+    import pytest as _pytest
+
+    from dynamodb_streaming_datalake_spark.sources.kinesis import (
+        KinesisSourceConfig,
+        read_kinesis_lines,
+    )
+
+    cfg = KinesisSourceConfig(stream_name="ddb-exclusive-stream", region="us-east-1")
+    opts = cfg.options()
+    assert opts["streamName"] == "ddb-exclusive-stream"
+    assert opts["minPartitions"] == "10"  # reference shardCount: 10
+    assert opts["startingPosition"] == "TRIM_HORIZON"
+    with _pytest.raises(RuntimeError, match="connector 'aws-kinesis' unavailable"):
+        read_kinesis_lines(spark, cfg)
