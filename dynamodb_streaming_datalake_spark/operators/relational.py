@@ -633,3 +633,186 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("__n").alias("n_rows"),
     ).select("column_name", "n_rows", "n_non_null", "n_distinct", "min_value", "max_value")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped breadth: Q4/Q6/Q14/Q18 adapted to the fixture columns
+# --------------------------------------------------------------------------
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts for orders with a late-shipping
+    line (correlated EXISTS -> left-semi join with a non-equi term).
+
+    Scale: the semi-join shuffles both sides on orderkey and emits each
+    order at most once — no fan-out; the extra inequality rides on the
+    same equi-join, no nested loop.
+    """
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {_sql_dsum('l_extendedprice * l_discount', 'revenue')},
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate — every predicate is
+    parquet-pushable, the aggregate is a single global partial+final
+    pair; the canonical 'is pushdown actually working' query."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT 100.00 *
+           CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+               AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,6))) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share — conditional aggregation over a
+    broadcast part join; one month of lineitem via pushed-down range."""
+    l = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = read_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo.cast(DEC)).cast("double")
+                / F.sum(rev.cast(DEC)).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice,
+           {_sql_dsum('l_quantity', 'total_qty')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 180
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: per-order quantity rollup with HAVING, top-20
+    by price. Scale: group on the join key the data already shuffled on
+    (orderkey) — one exchange feeds both the join and the aggregate."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+        .where(F.col("total_qty") > 180)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# B12 frame specs: rolling aggregates over an explicit ROWS window
+# --------------------------------------------------------------------------
+@query(
+    "q_rolling_user_value",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_value,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS window_n
+    FROM events
+    """,
+)
+def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frame spec (B12): trailing-3-event rolling sum per user
+    — ROWS BETWEEN 2 PRECEDING AND CURRENT ROW, the moving-aggregate
+    pattern windows are for. One shuffle on user_id, per-partition sort."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("rolling_value"),
+        F.count(F.lit(1)).over(w).alias("window_n"),
+    )
