@@ -816,3 +816,67 @@ def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("rolling_value"),
         F.count(F.lit(1)).over(w).alias("window_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# event-sequence funnel: ordered view -> click -> purchase conversion
+# --------------------------------------------------------------------------
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS tv FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS tc
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.tv
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.tc
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: first view -> first later click -> first later
+    purchase, counted per stage.
+
+    Scale: each stage is a keyed aggregate joined to the previous
+    stage's (user, ts) — all equi-joins on user_id, reusing one
+    partitioning; no window over the full event history is needed.
+    """
+    e = read_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    # one declarative plan: three scalar aggregates cross-joined (each
+    # side is a single row — no driver-side .count() actions)
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
