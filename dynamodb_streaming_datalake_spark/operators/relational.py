@@ -880,3 +880,35 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
     )
+
+
+# --------------------------------------------------------------------------
+# B10 depth: exact percentiles (interpolated) per group
+# --------------------------------------------------------------------------
+@query(
+    "q_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both linear interpolation over the sorted
+    values). The streaming/huge-group variant is approx_percentile
+    (t-digest) — engine-specific, so exercised in tests, not the oracle.
+
+    Scale: exact percentiles buffer each group's values — fine for
+    bounded group counts; switch to approx_percentile when a single
+    group's values exceed executor memory.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )

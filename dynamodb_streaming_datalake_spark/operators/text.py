@@ -175,3 +175,56 @@ def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition filters (Gopher/C4-style quality rules)
+# ---------------------------------------------------------------------------
+@query(
+    "q_text_repetition",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS toks,
+               {sql_word_shingles('text')} AS dsh
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6)
+             AS token_rep_ratio,
+           CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_shingles,
+           CAST(len(dsh) AS BIGINT) AS n_distinct_shingles,
+           round(CASE WHEN len(toks) - 2 > 0
+                 THEN 1.0 - len(dsh) * 1.0 / (len(toks) - 2) ELSE 0.0 END, 6)
+             AS shingle_rep_ratio
+    FROM t
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters (the Gopher-rules quality signals): fraction
+    of duplicate tokens and duplicate 3-gram shingles per document —
+    high values flag boilerplate/spam for exclusion from training mixes.
+
+    Scale: every metric is a row-local array expression (split /
+    array_distinct / size) — a pure map over the corpus, no explode, no
+    shuffle at all.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("bigint")
+    n_dtok = F.size(F.array_distinct(toks)).cast("bigint")
+    n_sh = F.greatest(F.size(toks) - 2, F.lit(0)).cast("bigint")
+    n_dsh = F.size(word_shingles("text")).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dtok.alias("n_distinct_tokens"),
+        F.round(1.0 - n_dtok * F.lit(1.0) / n_tok, 6).alias("token_rep_ratio"),
+        n_sh.alias("n_shingles"),
+        n_dsh.alias("n_distinct_shingles"),
+        F.round(
+            F.when(n_sh > 0, 1.0 - n_dsh * F.lit(1.0) / n_sh).otherwise(F.lit(0.0)), 6
+        ).alias("shingle_rep_ratio"),
+    )
