@@ -32,6 +32,13 @@ def word_shingles(col: str = "text", n: int = 3) -> Column:
     The guard mirrors DuckDB's ``generate_series(1, len-n+1)`` (empty
     when len < n) — Spark's ``sequence(1, 0)`` would count *down*, so it
     must be gated explicitly.
+
+    Portable contract is SET equality, not array order: Spark
+    ``array_distinct`` keeps first occurrence while DuckDB
+    ``list_distinct`` does not guarantee order — so every cross-engine
+    consumer must be order-insensitive (MIN, counts, intersect/union
+    sizes; verified for arbitrary inputs in
+    ``tests/test_property_crossengine.py``).
     """
     return F.expr(
         f"""
