@@ -914,3 +914,55 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+# --------------------------------------------------------------------------
+# B13 complement: global total-order sort (range partitioning)
+# --------------------------------------------------------------------------
+@query(
+    "q_global_sort",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    ORDER BY value DESC, event_id
+    """,
+)
+def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total order over the table (ORDER BY, no limit): Spark samples
+    the sort key to build range partition bounds, each partition sorts
+    locally, and partitions concatenate in order — the scalable global
+    sort, vs the top-k heap path of q_topk_orders."""
+    e = read_table(spark, sf_dir, "events")
+    return e.select("event_id", "user_id", "event_type", "value").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL entry point: the same engine via spark.sql over registered views
+# --------------------------------------------------------------------------
+@query(
+    "q_sql_entrypoint",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2's closing note: the SQL parser + Catalyst 'arrive free
+    via spark.sql'. This query IS a SQL string over the registered lake
+    views — proving a reference user can keep writing SQL, same engine,
+    same plans, same oracle gate as the DataFrame recipes."""
+    from dynamodb_streaming_datalake_spark.sources.readers import register_catalog
+
+    register_catalog(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
