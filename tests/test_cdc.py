@@ -172,3 +172,31 @@ def test_typed_decode(spark):
     bad_spec = {"id": "S", "salary": "BOOL"}
     ok2, _ = cdc_transform_typed(raw, bad_spec, ingestion_ts=EVENT_TS())
     assert ok2.where(F.col("salary").isNotNull()).count() == 0
+
+
+def test_readme_sequence_matches_checked_in_golden(spark):
+    """SURVEY §5.2 golden test: the reference's only documented
+    correctness procedure (README.md:43-56 put-items + screenshot
+    eyeball) frozen as a checked-in golden — any contract drift in the
+    transform (image dispatch, flatten, enrichment) diffs here."""
+    import json
+    from pathlib import Path
+
+    from dynamodb_streaming_datalake_spark.sources.cdc_fixture import (
+        CdcFixture,
+        canonical_readme_sequence,
+    )
+
+    fx = CdcFixture(events=canonical_readme_sequence())
+    raw = spark.createDataFrame([(l,) for l in fx.json_lines()], "json string")
+    ok, err = cdc_transform(
+        raw, attributes=("id", "name", "Designation"), ingestion_ts=EVENT_TS()
+    )
+    assert err.count() == 0
+    rows = [r.asDict() for r in ok.orderBy("eventID").collect()]
+    for r in rows:
+        r["event_time"] = str(r["event_time"])
+    golden = json.loads(
+        (Path(__file__).parent / "goldens" / "readme_cdc.json").read_text()
+    )
+    assert rows == golden
