@@ -400,24 +400,28 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(shiftright(fingerprint, band * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1}"
         ).alias("bval"),
     )
-    # posting-list pair expansion (as in jaccard_pairs): group the docs
-    # sharing a band value, emit ordered pairs in-row — the fingerprint
-    # pipeline runs ONCE (a self-join would recompute it per side; Spark
-    # does not reuse the exchange across self-join aliases here).
-    postings = banded.groupBy("band", "bval").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "fingerprint"))).alias("ds")
-    )
-    pair_structs = F.expr(
-        """
-        flatten(transform(ds, (x, i) ->
-            transform(slice(ds, i + 2, size(ds)), y ->
-                struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-                       bit_count(x.fingerprint ^ y.fingerprint) AS hamming))))
-        """
-    )
+    # candidate generation stays an equi-JOIN on (band, bval), not a
+    # posting-list in-row expansion: simhash band values are COARSE
+    # (15 bits over near-dup-heavy corpora), so hot buckets reach
+    # thousands of docs -> millions of pairs; the join STREAMS those
+    # pairs through the hamming filter, while an in-row flatten would
+    # materialize a multi-million-element array in one row (measured
+    # 2x slower at sf0.1 with a 1371-doc bucket). Contrast jaccard_pairs,
+    # where shingle posting lists are short and the in-row expansion
+    # wins. AQE reuses the fingerprint exchange across the self-join.
     return (
-        postings.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.expr("bit_count(x.fingerprint ^ y.fingerprint)").alias("hamming"),
+        )
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
