@@ -121,3 +121,30 @@ def test_audio_decode_roundtrip(spark, sf_smoke):
         assert r["rms"] == pytest.approx(float(np.sqrt((s.astype(float) ** 2).mean())))
     with pytest.raises(NotImplementedError, match="wav"):
         decode_audio(aud, "doc_id", fmt="wav")
+
+
+def test_media_pipeline_works_in_streaming(spark, sf_smoke):
+    """mapInPandas media stages compose with Structured Streaming: the
+    same synthesize -> decode pipeline over a documents stream
+    (availableNow) equals its batch result — one code path, both
+    execution modes, like the CDC transforms."""
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table_stream
+
+    stream_docs = read_table_stream(spark, sf_smoke, "documents").select("doc_id")
+    decoded = decode_media(synthesize_media(stream_docs, "doc_id", "image"), "doc_id")
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName("media_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("media_stream").collect()
+    want = decode_media(
+        synthesize_media(
+            read_table(spark, sf_smoke, "documents").select("doc_id"), "doc_id", "image"
+        ),
+        "doc_id",
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
