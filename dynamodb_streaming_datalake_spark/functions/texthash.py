@@ -14,7 +14,7 @@ SUM, exact-decimal SUM — never float addition.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 #: 15 hex chars = 60 bits — fits a signed 64-bit int in both engines
