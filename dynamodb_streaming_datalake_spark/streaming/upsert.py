@@ -133,3 +133,22 @@ def start_snapshot_maintenance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def vacuum_snapshots(
+    spark: SparkSession, snapshot_dir: str, keep_last: int = 2
+) -> list[int]:
+    """Delete all but the newest ``keep_last`` committed versions
+    (time travel keeps every version readable until vacuumed — storage
+    grows by one snapshot per micro-batch otherwise). Returns the
+    version numbers removed. Never touches the current version;
+    ``keep_last`` is clamped to >= 1."""
+    keep_last = max(1, keep_last)
+    vs = _versions(spark, snapshot_dir)
+    doomed = vs[:-keep_last]
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for v in doomed:
+        path = jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/v={v}")
+        path.getFileSystem(conf).delete(path, True)
+    return doomed

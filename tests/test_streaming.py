@@ -305,3 +305,29 @@ def test_kinesis_swap_point_config_and_stub(spark):
     assert opts["startingPosition"] == "TRIM_HORIZON"
     with _pytest.raises(RuntimeError, match="connector 'aws-kinesis' unavailable"):
         read_kinesis_lines(spark, cfg)
+
+
+def test_snapshot_vacuum_keeps_recent_versions(spark, tmp_path):
+    from dynamodb_streaming_datalake_spark.streaming.upsert import (
+        current_snapshot,
+        upsert_snapshot,
+        vacuum_snapshots,
+    )
+
+    fx = generate_fixture(n_keys=10, n_events=60, unknown_rate=0.0)
+    raw = spark.createDataFrame([(l,) for l in fx.json_lines()], "json string")
+    ok, _ = cdc_transform(raw, attributes=ATTRS, ingestion_ts=EVENT_TS())
+    snap = str(tmp_path / "snap")
+    keys, order = ["id", "name"], ["event_time", "eventID"]
+    for v in range(4):
+        upsert_snapshot(spark, ok, snap, keys, order, version=v)
+    final_rows = current_snapshot(spark, snap).count()
+
+    removed = vacuum_snapshots(spark, snap, keep_last=2)
+    assert removed == [0, 1]
+    assert current_snapshot(spark, snap).count() == final_rows  # current intact
+    assert current_snapshot(spark, snap, version=2).count() == final_rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not committed"):
+        current_snapshot(spark, snap, version=0)
