@@ -215,3 +215,27 @@ def test_salting_equalizes_genuinely_skewed_join(spark, sf_oracle):
         )
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
+    """Plan hygiene across the ENTIRE registry: no CartesianProduct or
+    BroadcastNestedLoopJoin in any query's plan, except the whitelisted
+    intentional cross products whose broadcast side is constant-sized
+    (ANN query sets, IVF centroids, simhash band table, funnel's
+    single-row aggregates). A new query that accidentally joins without
+    an equi-condition fails here before it fails at 100 TB."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    INTENTIONAL_CROSS = {
+        "q_ann_topk",  # broadcast N_QUERIES rows x corpus scan
+        "q_ann_ivf",  # broadcast 16 centroids x corpus (assignment)
+        "q_dedup_simhash_pairs",  # broadcast 4-row band table
+        "q_funnel_conversion",  # three 1-row aggregates crossed
+    }
+    offenders = {}
+    for name, fn in sorted(all_queries().items()):
+        p = explain_str(fn(spark, sf_oracle))
+        bad = [x for x in ("CartesianProduct", "BroadcastNestedLoopJoin") if x in p]
+        if bad and name not in INTENTIONAL_CROSS:
+            offenders[name] = bad
+    assert not offenders, offenders
