@@ -239,3 +239,21 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         if bad and name not in INTENTIONAL_CROSS:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_approx_percentile_accuracy(spark, sf_oracle):
+    """q_value_percentiles' scale variant: t-digest approx_percentile
+    within 2% relative of the exact interpolated percentile per group
+    (engine-specific value, so tested here rather than oracle-matched)."""
+    e = read_table(spark, sf_oracle, "events")
+    rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.9)).alias("exact"),
+            F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) / abs(r["exact"]) < 0.02, r
