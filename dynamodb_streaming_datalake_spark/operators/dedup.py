@@ -568,3 +568,89 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_pairs(d, JACCARD_THRESHOLD)
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return d.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters: connected components over the pair graph
+# ---------------------------------------------------------------------------
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components of an undirected edge list ``(a, b)`` by
+    iterative min-label propagation: every node starts labelled with
+    itself; each round a node takes the min of its own and its
+    neighbors' labels; fixpoint = per-component min node id.
+
+    Distributed shape: the edge list is localCheckpointed once and
+    re-joined each round; each round is one shuffle of (node, label)
+    pairs. Rounds needed = graph diameter — near-dup clusters are
+    small/star-shaped, so a handful. (At adversarial scale you would
+    switch to the large-star/small-star algorithm of Kiveris et al.
+    for O(log n) rounds; the fixpoint it computes is identical.)
+
+    Deterministic by construction: MIN is order-independent, so the
+    labelling is the same on any partitioning or cluster size.
+    """
+    bidir = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        bidir.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        neighbor_min = bidir.join(labels, bidir["b"] == labels["node"]).select(
+            F.col("a").alias("node"), "label"
+        )
+        labels = (
+            labels.union(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        # labels only ever decrease; an unchanged sum is a fixpoint
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+_SQL_EMB_PAIRS = f"""
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.embedding', 'b.embedding')} > {EMBED_NEAR_DUP_COS}
+"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_SQL_EMB_PAIRS}),
+    edges AS (
+        SELECT va AS a, vb AS b FROM pairs
+        UNION ALL
+        SELECT vb AS a, va AS b FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS vec_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters* (not just pairs): connected components over
+    the embedding-cosine pair graph; output maps every clustered vec_id
+    to its canonical (min-id) cluster representative. Pairwise output
+    alone can't drive dedup when A~B and B~C but A!~C — the component
+    is the dedup unit. Oracle: DuckDB recursive CTE transitive closure."""
+    e = read_table(spark, sf_dir, "embeddings")
+    pairs = embedding_pairs_blocked(e, EMBED_NEAR_DUP_COS)
+    edges = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    return connected_components(edges).select(
+        F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
+    )

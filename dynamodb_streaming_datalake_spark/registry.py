@@ -39,7 +39,16 @@ def load_all() -> None:
     import dynamodb_streaming_datalake_spark.operators.relational  # noqa: F401
     import dynamodb_streaming_datalake_spark.operators.state  # noqa: F401
 
-    for mod in ("dedup", "similarity", "text", "multimodal", "udf", "sampling"):
+    for mod in (
+        "dedup",
+        "similarity",
+        "text",
+        "multimodal",
+        "udf",
+        "sampling",
+        "contamination",
+        "privacy",
+    ):
         try:
             __import__(f"dynamodb_streaming_datalake_spark.operators.{mod}")
         except ImportError:

@@ -1,0 +1,94 @@
+"""Unit tests for training-prep operators: decontamination,
+k-anonymization, and near-dup connected components. Oracle parity for
+the registered queries is covered by test_oracle_parity.py; these pin
+the semantic invariants on tiny, hand-checkable frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_connected_components_transitive(spark):
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3 (no direct 1-3 edge) plus separate pair 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    got = {
+        (r["node"], r["label"]) for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_partition_independent(spark):
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)] + [(20, 21), (21, 22)],
+        "a long, b long",
+    )
+    one = {(r["node"], r["label"]) for r in connected_components(edges).collect()}
+    many = {
+        (r["node"], r["label"])
+        for r in connected_components(edges.repartition(13)).collect()
+    }
+    assert one == many
+    assert {lbl for _, lbl in one} == {1, 20}
+
+
+def test_contamination_flags_shared_ngram(spark):
+    from dynamodb_streaming_datalake_spark.operators.contamination import (
+        contaminated_docs,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "he saw the quick brown fox jumps away"),  # shares 4-grams
+            (2, "completely different words entirely here now"),  # clean
+            (3, "quick brown fox jumps"),  # exactly one shared 4-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_overlap"] for r in contaminated_docs(docs, eval_docs).collect()}
+    assert set(got) == {1, 3}
+    # doc 1 shares 'the quick brown fox' and 'quick brown fox jumps'
+    assert got[1] == 2 and got[3] == 1
+
+
+def test_k_anonymize_suppresses_small_groups(spark):
+    from dynamodb_streaming_datalake_spark.operators.privacy import k_anonymize
+
+    rows = [(f"id{i}", "A") for i in range(5)] + [("solo", "B")]
+    df = spark.createDataFrame(rows, "pid string, quasi string")
+    out = k_anonymize(df, "pid", ["quasi"], k=3).collect()
+    assert {r["pid"] for r in out} == {f"id{i}" for i in range(5)}
+    assert all(r["group_size"] == 5 for r in out)
+
+
+def test_k_anonymity_holds_on_released_rows(spark, sf_oracle):
+    """Every released quasi-identifier tuple occurs >= K_ANON times —
+    the actual privacy guarantee, checked on real data. Runs at sf0.01:
+    at sf0.001 every cell is < k and the (correct) release is empty,
+    which would make the guarantee vacuous."""
+    from dynamodb_streaming_datalake_spark.operators.privacy import (
+        K_ANON,
+        q_k_anonymize,
+    )
+
+    out = q_k_anonymize(spark, sf_oracle)
+    small = (
+        out.groupBy("c_mktsegment", "acctbal_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") < K_ANON)
+    )
+    assert small.count() == 0
+    assert out.count() > 0  # releases something (not vacuous)
