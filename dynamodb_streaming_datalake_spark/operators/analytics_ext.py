@@ -1,0 +1,289 @@
+"""Event-analytics operators beyond plain SQL shapes: as-of join,
+range (interval) join, pivot, portable statistical moments, histogram.
+
+These serve the CDC lake's event side (SURVEY.md §2B: the reference's
+hourly-partitioned event zone, `/root/reference/lib/
+dynamodb-streaming-datalake-stack.ts:222`, exists to answer exactly
+this kind of behavioral query). Spark has no built-in as-of or
+band-range join, so both are re-expressed as compositions of built-in
+operators that keep Catalyst in charge (SURVEY.md §2 guidance:
+composition first, UDF last):
+
+* as-of join  -> union + ordered window fill-forward (one shuffle,
+  scales as sort-within-partition of user history);
+* range join  -> time-bucket equi-join + residual range filter (turns
+  an O(n^2) theta join into an equi-join with bounded duplication).
+
+Float determinism: moments are computed from decimal(38,6) power sums
+(exact, order-independent) and combined in double with the same
+formula in both engines — no reliance on matching the engines'
+internal Welford implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.registry import query
+from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+DEC38 = "decimal(38,6)"
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+# --------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's latest prior view
+# --------------------------------------------------------------------------
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT p.event_id, p.ts AS purchase_ts,
+           (SELECT MAX(v.ts) FROM events v
+             WHERE v.event_type = 'view'
+               AND v.user_id = p.user_id
+               AND v.ts <= p.ts) AS asof_view_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): for every purchase, the
+    user's most recent view at-or-before the purchase time; NULL when
+    the user never viewed before buying.
+
+    Spark lacks a native as-of join; the scalable composition is
+    union + window fill-forward: tag both sides, sort each user's
+    merged history once, and carry the last view timestamp forward.
+    One shuffle on user_id, O(history) per user — versus the oracle's
+    correlated subquery, which would rescan views per purchase.
+    Ties (view and purchase at the same microsecond) order the view
+    first, matching the oracle's ``v.ts <= p.ts``.
+    """
+    e = read_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .select("user_id", "ts", F.lit(0).alias("is_p"), F.lit(None).cast("long").alias("event_id"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.lit(1).alias("is_p"), "event_id")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = v.unionByName(p).withColumn(
+        "asof_view_ts",
+        F.last(F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return merged.where(F.col("is_p") == 1).select(
+        "event_id", F.col("ts").alias("purchase_ts"), "asof_view_ts"
+    )
+
+
+# --------------------------------------------------------------------------
+# Range (interval) join: clicks within the hour preceding each purchase
+# --------------------------------------------------------------------------
+@query(
+    "q_range_join_clicks",
+    oracle="""
+    SELECT p.event_id, COUNT(c.ts) AS n_clicks
+    FROM events p
+    LEFT JOIN events c
+      ON c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <  p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def q_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: how many same-user clicks happened in the
+    preceding hour (interval join with a [ts-1h, ts) band).
+
+    Spark plans a raw time-band theta join as BroadcastNestedLoop —
+    quadratic. The scale path: bucket both sides to the hour and
+    equi-join on (user_id, bucket), probing each purchase into its own
+    and the previous hour's bucket (a 1-hour band can only span two
+    hourly buckets), then apply the exact band as a residual filter.
+    Duplication factor is exactly 2 on the probe side; the join is a
+    plain hash join on (user_id, bucket).
+    """
+    e = read_table(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.date_trunc("hour", F.col("ts")).alias("c_bucket"),
+        )
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.date_trunc("hour", F.col("ts")),
+                    F.date_trunc("hour", F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+                )
+            ),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("bucket") == F.col("c_bucket"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("ts")),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(F.count("c_ts").alias("n_clicks"))
+
+
+# --------------------------------------------------------------------------
+# Pivot: cohort x event_type activity matrix
+# --------------------------------------------------------------------------
+@query(
+    "q_pivot_event_matrix",
+    oracle="""
+    SELECT (user_id % 50) AS cohort,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY (user_id % 50)
+    ORDER BY cohort
+    """,
+)
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide activity matrix: one row per user cohort, one column per
+    event type (relational pivot).
+
+    Scale: the pivot value list is declared (no extra pass to discover
+    distinct values), so this is a single partial+final aggregate with
+    5 counters per group — same cost as the plain groupBy. Missing
+    combinations become 0 to match the oracle's FILTER counts.
+    """
+    e = read_table(spark, sf_dir, "events")
+    out = (
+        e.groupBy((F.col("user_id") % 50).alias("cohort"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("cohort")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Moments: variance / stddev / correlation from exact power sums
+# --------------------------------------------------------------------------
+@query(
+    "q_event_moments",
+    oracle=f"""
+    WITH sums AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(EXTRACT(hour FROM ts) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(EXTRACT(hour FROM ts) * EXTRACT(hour FROM ts)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(value * EXTRACT(hour FROM ts)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           sx / n AS mean_value,
+           (sxx - sx * sx / n) / (n - 1) AS var_value,
+           SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_value,
+           (n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+             AS corr_value_hour
+    FROM sums
+    ORDER BY event_type
+    """,
+)
+def q_event_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / variance / stddev of event value, and its correlation
+    with hour-of-day, per event type.
+
+    Engine-portable numerics: instead of the built-in VAR_SAMP/CORR
+    (whose streaming implementations differ across engines in the last
+    ulps), both sides aggregate exact decimal(38,6) power sums —
+    order-independent — and apply the identical closed-form double
+    formula. Bit-equal results without any rounding fudge.
+
+    Scale: one partial+final aggregate; the power sums are 5 decimal
+    accumulators per group — same shuffle as a plain count.
+    """
+    e = read_table(spark, sf_dir, "events")
+    x = F.col("value")
+    y = F.hour("ts").cast("double")
+    sums = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC38)).cast("double").alias("sx"),
+        F.sum((x * x).cast(DEC38)).cast("double").alias("sxx"),
+        F.sum(y.cast(DEC38)).cast("double").alias("sy"),
+        F.sum((y * y).cast(DEC38)).cast("double").alias("syy"),
+        F.sum((x * y).cast(DEC38)).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return sums.select(
+        "event_type",
+        "n",
+        (sx / n).alias("mean_value"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_value"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_value"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr_value_hour"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Histogram: fixed-width value binning
+# --------------------------------------------------------------------------
+@query(
+    "q_histogram_value",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type, CAST(FLOOR(value / 25.0) AS BIGINT)
+    ORDER BY event_type, bin
+    """,
+)
+def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width 25) of event value per type.
+
+    Scale: binning is a row-local projection, so this stays a single
+    partial+final aggregate; cardinality is bounded by
+    types x bins, not rows. FLOOR of an identical double division is
+    bit-deterministic in both engines.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 25.0).alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type", "bin")
+    )

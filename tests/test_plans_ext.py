@@ -1,0 +1,79 @@
+"""Physical-plan assertions for the extended TPC-H and event-analytics
+queries — each new operator's scale claim, verified on the real plan."""
+
+from __future__ import annotations
+
+from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+    q_asof_join,
+    q_pivot_event_matrix,
+    q_range_join_clicks,
+)
+from dynamodb_streaming_datalake_spark.operators.tpch_ext import (
+    q7_volume_shipping,
+    q9_product_profit,
+    q10_returned_items,
+    q19_disjunctive_revenue,
+    q22_idle_rich_customers,
+)
+from dynamodb_streaming_datalake_spark.plans import explain_str, has_node
+
+
+def test_q9_q19_dims_broadcast_no_fact_shuffle(spark, sf_oracle):
+    """Q9/Q19 join lineitem only against dimensions: every join must be
+    broadcast — an SMJ would shuffle the full fact table for a dim."""
+    for q in (q9_product_profit, q19_disjunctive_revenue):
+        df = q(spark, sf_oracle)
+        assert has_node(df, "BroadcastHashJoin"), explain_str(df)
+        assert not has_node(df, "SortMergeJoin"), explain_str(df)
+
+
+def test_q7_nation_pair_prunes_before_fact_join(spark, sf_oracle):
+    """Q7's supplier/customer/nation lookups broadcast; only the
+    orders<->lineitem fact join may shuffle."""
+    df = q7_volume_shipping(spark, sf_oracle)
+    p = explain_str(df)
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert not has_node(df, "CartesianProduct"), p
+
+
+def test_q10_topk_is_take_ordered(spark, sf_oracle):
+    assert has_node(q10_returned_items(spark, sf_oracle), "TakeOrderedAndProject")
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_oracle):
+    """The NOT EXISTS is a left-anti join; the AVG threshold arrives as
+    a broadcast, never via a driver collect."""
+    p = explain_str(q22_idle_rich_customers(spark, sf_oracle))
+    assert "LeftAnti" in p, p
+    assert "Broadcast" in p, p
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_oracle):
+    """The bucketed rewrite must plan as a hash/sort-merge equi-join on
+    (user_id, bucket) — a raw time-band theta join would fall back to
+    BroadcastNestedLoopJoin, which is quadratic and unusable at scale."""
+    df = q_range_join_clicks(spark, sf_oracle)
+    p = explain_str(df)
+    assert not has_node(df, "BroadcastNestedLoopJoin"), p
+    assert not has_node(df, "CartesianProduct"), p
+
+
+def test_asof_join_is_single_user_partitioning(spark, sf_oracle):
+    """The as-of composition is union + one window over user_id: no
+    join node at all, and exactly one hash exchange (user_id) feeds the
+    sort-within-partition."""
+    df = q_asof_join(spark, sf_oracle)
+    p = explain_str(df)
+    assert has_node(df, "Window"), p
+    assert "Join" not in p, p
+    simple = explain_str(df, "simple")
+    assert simple.count("Exchange hashpartitioning") == 1, simple
+
+
+def test_pivot_is_single_aggregate(spark, sf_oracle):
+    """A declared-value pivot compiles to one partial+final aggregate —
+    no extra distinct-discovery pass, no join."""
+    df = q_pivot_event_matrix(spark, sf_oracle)
+    p = explain_str(df)
+    assert p.count("HashAggregate") >= 2, p
+    assert "Join" not in p, p
