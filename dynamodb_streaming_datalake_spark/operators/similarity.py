@@ -331,3 +331,150 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= IVF_TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cs", 6).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative k-means (Lloyd's, 2 rounds) — fully declarative, SQL oracle
+# --------------------------------------------------------------------------
+KM_K = 8
+KM_DEC = "decimal(38,6)"
+
+_SQL_KM_ASSIGN = """
+    {out} AS (
+        SELECT vec_id, cid, cs FROM (
+            SELECT e.vec_id, c.cid,
+                   {cos} AS cs,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cos} DESC, c.cid) AS r
+            FROM embeddings e CROSS JOIN {cents} c
+        ) WHERE r = 1
+    )
+"""
+
+
+def _sql_km_assign(out: str, cents: str) -> str:
+    cos = sql_cosine("e.embedding", "c.ce")
+    return _SQL_KM_ASSIGN.format(out=out, cents=cents, cos=cos)
+
+
+@query(
+    "q_kmeans",
+    oracle=f"""
+    WITH cents0 AS (
+        SELECT vec_id AS cid, embedding AS ce
+        FROM embeddings WHERE vec_id < {KM_K}
+    ),
+    {_sql_km_assign('a1', 'cents0')},
+    upd AS (
+        SELECT cid, d,
+               CAST(SUM(CAST(CAST(e.embedding[d] AS DOUBLE) AS DECIMAL(38,6)))
+                    AS DOUBLE)
+                 / COUNT(*) AS cv
+        FROM a1 JOIN embeddings e USING (vec_id), range(1, 65) t(d)
+        GROUP BY cid, d
+    ),
+    cents1 AS (
+        SELECT cid, list(cv ORDER BY d) AS ce FROM upd GROUP BY cid
+    ),
+    {_sql_km_assign('a2', 'cents1')},
+    norms AS (
+        SELECT cid, sqrt(list_dot_product(ce::DOUBLE[], ce::DOUBLE[]))
+               AS centroid_norm
+        FROM cents1
+    )
+    SELECT a2.cid, COUNT(*) AS n,
+           CAST(SUM(CAST(cs AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS mean_cos,
+           ANY_VALUE(centroid_norm) AS centroid_norm
+    FROM a2 JOIN norms ON a2.cid = norms.cid
+    GROUP BY a2.cid
+    ORDER BY a2.cid
+    """,
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means, two Lloyd iterations, K=8, deterministic init
+    (first K vectors) — the iterative-algorithm shape (MLlib's KMeans
+    does the same loop) kept fully declarative so the DuckDB oracle can
+    replay it exactly.
+
+    Per iteration:
+    * assign — broadcast the K centroids, score cosine per (vector,
+      centroid), argmax via partial-aggregating MAX(struct(cs, -cid)):
+      the 8x fan-out collapses map-side, so the shuffle carries one row
+      per vector, not K.
+    * update — per-cluster centroid = per-dimension mean, computed as
+      64 exact decimal(38,6) SUMs in ONE hash aggregate (map-side
+      partial): the shuffle carries K x 64 decimal sums per partition.
+      No explode: dimension access is a row-local projection.
+
+    Determinism: cosine uses the fixed-shape fold (bit-identical to
+    DuckDB's list_dot_product); means are exact-decimal; the argmax
+    tie-breaks on cid. Every derived double is therefore bit-equal in
+    both engines, so the 2nd iteration's assignment — and the reported
+    mean cosine per cluster — hash-match without rounding.
+
+    Scale: per iteration one broadcast + two map-side-combining
+    shuffles (argmax rows, K x 64 sums). Centroids never leave the
+    cluster (no driver collect); K more iterations = K more cheap
+    stages, embeddings scanned once per assignment.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+
+    def assign(cents: DataFrame, out_cs: str = "cs") -> DataFrame:
+        scored = e.join(F.broadcast(cents)).select(
+            "vec_id",
+            "cid",
+            cosine(F.col("embedding"), F.col("ce")).alias("cs"),
+        )
+        win = (
+            scored.groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))).alias("best"))
+            .select(
+                "vec_id",
+                (-F.col("best.ncid")).alias("cid"),
+                F.col("best.cs").alias(out_cs),
+            )
+        )
+        return win
+
+    cents0 = e.where(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    a1 = assign(cents0)
+    dims = [
+        (
+            F.sum(F.col("embedding")[d].cast("double").cast(KM_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias(f"d{d}")
+        for d in range(DIM)
+    ]
+    cents1 = (
+        a1.join(e, "vec_id")
+        .groupBy("cid")
+        .agg(*dims)
+        .select("cid", F.array(*[F.col(f"d{d}") for d in range(DIM)]).alias("ce"))
+    )
+    a2 = assign(cents1)
+    norms = cents1.select(
+        "cid",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("ce"), lambda x: x * x),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+        ).alias("centroid_norm"),
+    )
+    return (
+        a2.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("cs").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_cos"),
+        )
+        .join(F.broadcast(norms), "cid")
+        .select("cid", "n", "mean_cos", "centroid_norm")
+        .orderBy("cid")
+    )

@@ -145,3 +145,44 @@ def q_merge_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
     )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ROW_NUMBER() OVER w AS INT) AS version_no,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(LEAD(ts) OVER w) AS BIGINT) AS valid_to_us,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type IN ('signup', 'purchase')
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 reconstruction: turn each key's change history into
+    versioned validity intervals [valid_from, valid_to) with an
+    is_current flag — the standard way a CDC lake serves "state as of
+    time T" without storing one snapshot per timestamp (the reference
+    lands `Event` + `ingestion_timestamp` per change for exactly this,
+    `/root/reference/resources/firehose_transformation.py:16-19`).
+
+    Scale: one shuffle on the key; ROW_NUMBER and LEAD share a single
+    window spec, so Catalyst plans one Window operator over one sort.
+    Joining facts "as of" then becomes a range probe into bounded
+    intervals instead of a scan of the full history.
+    """
+    e = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("version_no"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(nxt.cast("timestamp")).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )

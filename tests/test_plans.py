@@ -231,6 +231,8 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_ann_ivf",  # broadcast 16 centroids x corpus (assignment)
         "q_dedup_simhash_pairs",  # broadcast 4-row band table
         "q_funnel_conversion",  # three 1-row aggregates crossed
+        "q_kmeans",  # broadcast K=8 centroids x corpus (assignment)
+        "q22_idle_rich_customers",  # 1-row AVG threshold crossed
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
