@@ -448,11 +448,15 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"d{d}")
         for d in range(DIM)
     ]
+    # lazy localCheckpoint: K rows, but two consumers (assignment 2 and
+    # the norm projection) — without it the whole iteration-1 subplan
+    # (scan + argmax + 64-sum aggregate) executes twice
     cents1 = (
         a1.join(e, "vec_id")
         .groupBy("cid")
         .agg(*dims)
         .select("cid", F.array(*[F.col(f"d{d}") for d in range(DIM)]).alias("ce"))
+        .localCheckpoint(eager=False)
     )
     a2 = assign(cents1)
     norms = cents1.select(

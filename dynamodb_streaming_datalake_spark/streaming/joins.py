@@ -1,0 +1,69 @@
+"""Stream-stream interval join (SURVEY §2 B18 extension).
+
+The reference pipeline has no join capability at all — correlating two
+event streams (e.g. attributing purchases to the clicks that preceded
+them) requires landing both in the lake and batch-joining later. The
+idiomatic Structured Streaming replacement is a watermarked
+stream-stream inner join with a time-interval condition: Spark buffers
+each side in the state store only up to
+``watermark + interval width``, so state is bounded and late rows are
+dropped consistently on both sides.
+
+The builder is mode-agnostic (works on batch frames unchanged, which is
+how the parity test and the DuckDB-oracle-checked batch twin
+``q_range_join_clicks`` pin its semantics).
+
+Scale: the join shuffles both streams on ``user_id``; per-key state is
+bounded by the 1-hour band times the per-user click rate. This is the
+streaming analogue of the bucketed batch range join — the band bound is
+what keeps state (streaming) or duplication (batch) finite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+INTERVAL = "INTERVAL 1 HOUR"
+WATERMARK = "30 minutes"
+
+
+def _prep(df: DataFrame, ts_col: str) -> DataFrame:
+    if df.isStreaming:
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        return df.withWatermark(ts_col, WATERMARK)
+    return df
+
+
+def purchase_click_attribution(events: DataFrame) -> DataFrame:
+    """Inner interval join: every (purchase, same-user click) pair with
+    the click in the hour before the purchase. Output keys are stable
+    integers so streaming (ltz) and batch (ntz) runs compare equal."""
+    p = _prep(
+        events.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        ),
+        "p_ts",
+    )
+    c = _prep(
+        events.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        ),
+        "c_ts",
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(INTERVAL))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.unix_micros(F.col("c_ts").cast("timestamp")).alias("click_ts_us"),
+    )

@@ -331,3 +331,26 @@ def test_snapshot_vacuum_keeps_recent_versions(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not committed"):
         current_snapshot(spark, snap, version=0)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke):
+    """B18 extension: the watermarked stream-stream interval join
+    (purchase<-click attribution) over the events stream must produce
+    exactly the batch join's pairs — same builder, both modes."""
+    from dynamodb_streaming_datalake_spark.streaming.joins import (
+        purchase_click_attribution,
+    )
+
+    stream = purchase_click_attribution(read_table_stream(spark, sf_smoke, "events"))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ssj_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ssj_stream").collect()
+    want = purchase_click_attribution(read_table(spark, sf_smoke, "events")).collect()
+    assert len(want) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
