@@ -91,3 +91,45 @@ def test_compaction_preserves_rows_and_pruning(spark, tmp_path, fmt):
 
     pruned = after.where(F.col("h") == 2)
     assert "PartitionFilters" in explain_str(pruned)
+
+
+def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_oracle, tmp_path):
+    """Z-ordered layout must let parquet min-max pruning skip files for
+    a selective predicate on EITHER interleaved column — the
+    data-skipping property a single-column sort gives only its own
+    column. Measured against that single-sort baseline; row fidelity is
+    checked exactly."""
+    from dynamodb_streaming_datalake_spark.operators.layout import zorder_write
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_oracle, "events").select("event_id", "user_id", "value")
+    zpath = str(tmp_path / "zorder")
+    zorder_write(e, ("user_id", "value"), zpath, n_files=16)
+    # baseline: same file count, sorted on user_id only
+    spath = str(tmp_path / "usersort")
+    e.repartitionByRange(16, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.mode("overwrite").parquet(spath)
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == e.count()
+    assert back.exceptAll(e).count() == 0 and e.exceptAll(back).count() == 0
+
+    def touched(df, cond):
+        return df.where(cond).select(F.input_file_name()).distinct().count()
+
+    zfiles = back.select(F.input_file_name()).distinct().count()
+    sorted_back = spark.read.parquet(spath)
+    sfiles = sorted_back.select(F.input_file_name()).distinct().count()
+    assert zfiles >= 8 and sfiles >= 8
+
+    pred_u = F.col("user_id").between(10, 12)   # ~2% of users
+    pred_v = F.col("value") < 5.0               # ~1-2% of values
+
+    # z-order prunes meaningfully on BOTH dimensions...
+    assert touched(back, pred_u) <= zfiles // 2, touched(back, pred_u)
+    assert touched(back, pred_v) <= zfiles // 2, touched(back, pred_v)
+    # ...whereas the single-column sort cannot prune the off dimension
+    assert touched(sorted_back, pred_v) >= sfiles - 2
+    # and z-order strictly beats it there
+    assert touched(back, pred_v) < touched(sorted_back, pred_v)
