@@ -680,3 +680,237 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: per-group value vs a global-threshold scalar subquery
+# (partsupp-free adaptation: per-part shipped value for one nation's
+# suppliers, kept only above a fraction of the nation's total)
+# --------------------------------------------------------------------------
+@query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH nl AS (
+        SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+    ),
+    pv AS (
+        SELECT l_partkey AS partkey, {_sql_dsum('val', 'part_value')}
+        FROM nl GROUP BY l_partkey
+    )
+    SELECT partkey, part_value FROM pv
+    WHERE part_value > (SELECT {_sql_dsum('val', 't')} FROM nl) * 0.001
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's shape — per-group value filtered against a scalar
+    subquery over the SAME input (fraction of the grand total) — with
+    lineitem value standing in for partsupp stock value (TESTDATA.md has
+    no partsupp).
+
+    Scale: the nation→supplier dimension chain broadcasts (never
+    shuffles lineitem); the per-part aggregate is partial+final on
+    ``l_partkey``; the grand total is the SAME aggregate re-reduced to
+    one row and broadcast back — no driver collect, no second scan of
+    the fact (the per-part frame re-aggregates, |parts| rows not
+    |lineitem|).
+    """
+    n = read_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pv = (
+        l.join(F.broadcast(s), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum(val, "part_value"))
+    )
+    # grand total from the already-reduced per-part frame: decimal sums
+    # re-add associatively, so re-aggregating part_value (cast back to
+    # decimal) equals one pass over the raw rows
+    total = pv.agg(
+        (F.sum(F.col("part_value").cast(DEC)).cast("double") * F.lit(0.001)).alias(
+            "threshold"
+        )
+    )
+    return (
+        pv.join(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 shape: conditional CASE-sum aggregation over a fact-fact join
+# (shipmode-free adaptation: ship-year lanes, priority split)
+# --------------------------------------------------------------------------
+@query(
+    "q12_priority_by_shipyear",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1999-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q12_priority_by_shipyear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's shape — join the two facts, then pivot priority into
+    conditional counts per lane — with ship-year lanes standing in for
+    l_shipmode (TESTDATA.md has no shipmode column).
+
+    Scale: the date filter prunes lineitem at the parquet scan before
+    the orderkey shuffle; both facts shuffle-join on ``l_orderkey`` (the
+    orders side is too big to broadcast at 100 TB); the CASE-sums are
+    plain long counts — partial aggregation collapses each partition to
+    |years| rows before the final exchange.
+    """
+    l = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("date"))
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 shape: distinct-count per attribute group, with an excluded-set
+# anti-join (partsupp-free: suppliers observed shipping the part)
+# --------------------------------------------------------------------------
+@query(
+    "q16_parts_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16's shape — how many distinct suppliers serve each
+    (brand, type, size) slice, excluding a complaint set — with the
+    lineitem relation standing in for partsupp and negative-balance
+    suppliers standing in for the '%Complaints%' comment match.
+
+    Scale: part filter broadcasts; the excluded-supplier set is tiny and
+    broadcast as a LEFT ANTI join (NOT IN with non-null keys ≡ anti
+    join); COUNT(DISTINCT) compiles to a two-phase Expand-free plan —
+    first a (group, suppkey) distinct-aggregate, then the count — both
+    partial+final on the same keys.
+    """
+    p = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = read_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    l = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: nested semi-joins through a correlated half-of-total
+# threshold (partsupp-free: suppliers dominating a part's 1997 volume)
+# --------------------------------------------------------------------------
+@query(
+    "q20_dominant_part_suppliers",
+    oracle="""
+    WITH fl AS (
+        SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small %')
+          AND l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+    ),
+    sq AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        FROM fl GROUP BY l_partkey, l_suppkey
+    ),
+    pt AS (
+        SELECT l_partkey, CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE) AS tot
+        FROM sq GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_suppkey AS suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT sq.l_suppkey FROM sq JOIN pt ON sq.l_partkey = pt.l_partkey
+        WHERE sq.qty > 0.5 * pt.tot)
+    ORDER BY suppkey
+    """,
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's shape — a supplier qualifies if, for SOME filtered
+    part, its own shipped volume exceeds half that part's total (the
+    availqty > ½·sum(qty) correlated threshold), then a semi-join back
+    to supplier — with 1997 shipped quantity standing in for partsupp
+    availqty.
+
+    Scale: the name-filtered part set broadcasts to prune lineitem at
+    the scan; one shuffle on ``l_partkey`` serves both the
+    (part, supplier) aggregate and the per-part total (window over the
+    grouped frame — no second exchange); the qualifying supplier-key set
+    is tiny, so the final LEFT SEMI join broadcasts it rather than
+    shuffling the supplier table.
+    """
+    p = read_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("small %")
+    ).select("p_partkey")
+    l = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    sq = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        sq.withColumn(
+            "tot", F.sum(F.col("qty").cast(DEC)).over(w).cast("double")
+        )
+        .where(F.col("qty") > F.lit(0.5) * F.col("tot"))
+        .select("l_suppkey")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(dominant), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select(F.col("s_suppkey").alias("suppkey"), "s_name")
+        .orderBy("suppkey")
+    )

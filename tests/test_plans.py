@@ -233,6 +233,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_funnel_conversion",  # three 1-row aggregates crossed
         "q_kmeans",  # broadcast K=8 centroids x corpus (assignment)
         "q22_idle_rich_customers",  # 1-row AVG threshold crossed
+        "q11_important_parts",  # 1-row grand-total threshold crossed
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
