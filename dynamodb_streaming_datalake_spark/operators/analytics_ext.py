@@ -287,3 +287,247 @@ def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin")
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS with grouping_id (general form of rollup/cube, B11)
+# --------------------------------------------------------------------------
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT event_type,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(GROUPING(event_type, CAST(dayofweek(ts) + 1 AS INT)) AS BIGINT)
+             AS gid,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(dayofweek(ts) + 1 AS INT)), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube compile to
+    (B11): per-type totals, per-day-of-week totals, and the grand total
+    in ONE pass, with grouping_id disambiguating which set a row
+    belongs to (NULL event_type could otherwise mean 'aggregated away'
+    or a genuinely null value).
+
+    Scale: like rollup/cube, Expand multiplies rows only by the number
+    of grouping sets (3), and partial aggregation still combines
+    map-side before the shuffle.
+    """
+    e = read_table(spark, sf_dir, "events").withColumn(
+        "dow", (F.dayofweek("ts")).cast("int")
+    )
+    return (
+        e.groupingSets(
+            [["event_type"], ["dow"], []],
+            "event_type",
+            "dow",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select("event_type", "dow", "gid", "n_events", "sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-based RANGE window frame (B12)
+# --------------------------------------------------------------------------
+@query(
+    "q_window_time_range",
+    oracle="""
+    SELECT event_id,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS sum_last_hour
+    FROM (SELECT event_id, user_id, value,
+                 epoch_us(ts) // 1000000 AS ts_sec FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: that user's event count and value sum over the
+    trailing hour — a value-based RANGE frame, not a row-count frame
+    (two events at the same second share a frame; a quiet hour means a
+    frame of one).
+
+    Scale: one shuffle on user_id; the RANGE frame is evaluated by a
+    sliding aggregate over the sorted partition (no self-join, no
+    re-scan per row). The frame bound is on integer epoch seconds so
+    batch order never affects membership.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000))
+        .cast("long")
+        .alias("ts_sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_last_hour"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution ranks: ntile / percent_rank / cume_dist (B12)
+# --------------------------------------------------------------------------
+@query(
+    "q_user_value_deciles",
+    oracle="""
+    WITH totals AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, total_value,
+           CAST(NTILE(10) OVER w AS INT) AS decile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM totals
+    WINDOW w AS (ORDER BY total_value DESC, user_id)
+    """,
+)
+def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users ranked into deciles by lifetime value, with exact
+    percentile position (B12's ranking family beyond row_number/rank).
+
+    Scale: the per-user aggregate is partial+final; the unpartitioned
+    ranking window is a single-reducer sort of |users| rows — fine
+    because users << events, and the ordered frame is the point. (For
+    |users| at billions you'd switch to approx quantile cutoffs.)
+    percent_rank/cume_dist are exact rational formulas of (rank, n) —
+    engine-portable; the DESC order key is a decimal-derived double,
+    identical in both engines.
+    """
+    e = read_table(spark, sf_dir, "events")
+    totals = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value")
+    )
+    w = Window.orderBy(F.col("total_value").desc(), "user_id")
+    return totals.select(
+        "user_id",
+        "total_value",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill / resample (dense hourly spine per series)
+# --------------------------------------------------------------------------
+@query(
+    "q_gap_fill_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type,
+               date_trunc('hour', MIN(ts)) AS mn,
+               date_trunc('hour', MAX(ts)) AS mx
+        FROM events GROUP BY 1
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+        FROM bounds
+    )
+    SELECT s.event_type, s.hour_ts,
+           COALESCE(h.n, 0) AS n_events,
+           COALESCE(h.sv, 0.0) AS sum_value
+    FROM spine s
+    LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hour_ts = h.hour_ts
+    """,
+)
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample per event series with explicit zero rows for
+    silent hours — the dense time spine every monitoring/feature
+    pipeline needs (a naive GROUP BY simply omits empty buckets, and
+    downstream window/ML code then misreads gaps as missing data).
+
+    Spark shape: aggregate to (type, hour); derive each series' own
+    [min_hour, max_hour] from the SAME aggregate; `sequence()` +
+    `explode` builds the spine JVM-side (no driver loop, no Python);
+    left-join the hourly aggregate back and coalesce zeros.
+
+    Scale: the fact is shuffled once (partial+final agg to |types|×|hours|
+    rows); everything after operates on the aggregate, which is smaller
+    than the input by the bucket ratio. The spine explode is linear in
+    output rows and map-only; the final join keys are identical on both
+    sides so AQE broadcasts the smaller (both are aggregate-sized).
+    """
+    e = read_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_ts").alias("mn"), F.max("hour_ts").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("hour_ts"),
+        )
+    )
+    return spine.join(hourly, ["event_type", "hour_ts"], "left").select(
+        "event_type",
+        "hour_ts",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-key argmax aggregation (max_by / arg_max — top-1 without a window)
+# --------------------------------------------------------------------------
+@query(
+    "q_user_last_event",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, ts) AS last_event_type,
+           arg_max(value, ts) AS last_value,
+           MAX(ts) AS last_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's most recent event attributes as a single aggregate —
+    `max_by` (argmax) instead of the row_number-window top-1 used by
+    q_latest_state_per_key, trading generality for a cheaper plan.
+
+    Scale: this is the shape to prefer for top-1-per-key at 100 TB:
+    partial aggregation keeps ONE candidate row per key per partition
+    before the shuffle (the window variant must shuffle and sort every
+    row). (user_id, ts) is unique in the fixture, so the argmax is
+    deterministic and engine-portable.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_type", "ts").alias("last_event_type"),
+        F.max_by("value", "ts").alias("last_value"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
