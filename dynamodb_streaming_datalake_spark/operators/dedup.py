@@ -582,28 +582,66 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # near-dup clusters: connected components over the pair graph
 # ---------------------------------------------------------------------------
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
-    """Connected components of an undirected edge list ``(a, b)`` by
-    iterative min-label propagation: every node starts labelled with
-    itself; each round a node takes the min of its own and its
-    neighbors' labels; fixpoint = per-component min node id.
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, driver_edge_limit: int = 2_000_000
+) -> DataFrame:
+    """Connected components of an undirected edge list ``(a, b)``;
+    output labels every endpoint node with its component's min node id.
 
-    Distributed shape: the edge list is localCheckpointed once and
-    re-joined each round; each round is one label-propagation shuffle
-    plus one pointer-jump shuffle of (node, label) pairs. The jump
-    (label <- label's label, i.e. path halving) makes convergence
-    O(log diameter) rounds instead of O(diameter) — each round is two
-    small shuffles of the node frame, but one fewer materialization +
-    driver action per eliminated round, which is what iterative jobs
-    actually pay for. The fixpoint is the per-component min node id
-    either way.
+    Strategy is sized to the MATERIALIZED edge count — the same
+    data-size dispatch Spark itself applies when it broadcasts a small
+    join side instead of shuffling both:
 
-    Deterministic by construction: MIN is order-independent, so the
-    labelling is the same on any partitioning or cluster size.
+    * ``|edges| <= driver_edge_limit`` (default 2M ≈ tens of MB): the
+      candidate graph of a near-dup pass is a reduced artifact, often
+      thousands of rows even when the input is 100 TB. Iterating Spark
+      jobs over it pays multi-second scheduler/shuffle latency per
+      round for microseconds of work; a driver-local union-find is the
+      faster plan on a 1000-executor cluster too, exactly like
+      collecting a dimension to broadcast it.
+    * larger graphs: iterative min-label propagation with path halving
+      (label <- label(label)), O(log diameter) rounds, each round two
+      shuffles of the (node, label) frame re-joined against the
+      checkpointed edge list. No driver materialization anywhere.
+
+    Both paths produce the identical per-component min-id labelling:
+    MIN is order-independent, so the result is deterministic on any
+    partitioning, cluster size, or strategy choice.
     """
     bidir = edges.select("a", "b").union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
+    # the checkpoint above already paid for materialization; count() on
+    # it is metadata-cheap and tells us which strategy is sane
+    if bidir.count() <= 2 * driver_edge_limit:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        # collect the CHECKPOINTED frame: edges' upstream (e.g. a GEMM
+        # candidate join) must not execute a second time. Both
+        # directions are present; union-find is idempotent over them.
+        for a, b in bidir.collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by min id keeps labels canonical
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(n, find(n)) for n in parent]
+        out = edges.sparkSession.createDataFrame(
+            rows, schema=edges.select("a", "b").schema
+        )
+        return out.select(
+            F.col("a").alias("node"), F.col("b").alias("label")
+        )
     labels = (
         bidir.select(F.col("a").alias("node"))
         .distinct()

@@ -39,6 +39,13 @@ def test_connected_components_partition_independent(spark):
     }
     assert one == many
     assert {lbl for _, lbl in one} == {1, 20}
+    # the distributed label-propagation path must agree exactly with the
+    # driver union-find fast path on the same graph
+    dist = {
+        (r["node"], r["label"])
+        for r in connected_components(edges, driver_edge_limit=0).collect()
+    }
+    assert dist == one
 
 
 def test_contamination_flags_shared_ngram(spark):
