@@ -161,7 +161,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
-    WHERE r_name IN ('REGION_0', 'REGION_1')
+    WHERE r_name IN ('ASIA', 'EUROPE')
       AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n_name
@@ -184,7 +184,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region").where(
-        F.col("r_name").isin("REGION_0", "REGION_1")
+        F.col("r_name").isin("ASIA", "EUROPE")
     )
     dims = F.broadcast(
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
@@ -212,18 +212,22 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN
+        (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
     """,
 )
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join (B9): customers that never ordered.
+    """Anti join (B9): customers that never placed a big-ticket order.
 
     Scale: Spark runs this as a broadcast/shuffled hash anti-join on the
     distinct o_custkey set — equivalent to "keys deleted since snapshot"
-    reconciliation in the CDC lake.
+    reconciliation in the CDC lake. The totalprice filter is pushed to
+    the orders scan (and keeps the result non-empty at every SF: the
+    synthetic data gives every customer *some* order, so the plain
+    never-ordered variant is vacuously empty).
     """
     c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )

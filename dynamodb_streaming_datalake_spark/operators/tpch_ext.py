@@ -273,13 +273,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part     ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
-    WHERE p_name LIKE '%green%'
+    WHERE p_name LIKE '%red%'
     GROUP BY n_name, EXTRACT(year FROM l_shipdate)
     ORDER BY nation, o_year
     """,
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Profit on green parts by supplier nation and ship year, with
+    """Profit on red parts by supplier nation and ship year, with
     cost modeled as 10% of retail price (no partsupp.ps_supplycost in
     the synthetic schema).
 
@@ -289,7 +289,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     p = (
         read_table(spark, sf_dir, "part")
-        .where(F.col("p_name").like("%green%"))
+        .where(F.col("p_name").like("%red%"))
         .select("p_partkey", "p_retailprice")
     )
     n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -649,26 +649,38 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer, thresh
     WHERE c_acctbal > avg_bal
       AND NOT EXISTS (
-          SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
       )
     GROUP BY (c_nationkey % 5)
     ORDER BY segment
     """,
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Above-average-balance customers with no orders, rolled up by
-    nation segment — TPC-H Q22 with ``c_nationkey % 5`` standing in
-    for the phone country code.
+    """Above-average-balance customers with no *recent* orders (none
+    since 2000-01-01), rolled up by nation segment — TPC-H Q22 with
+    ``c_nationkey % 5`` standing in for the phone country code and a
+    recency window standing in for never-ordered (which is vacuously
+    empty on the synthetic data: every customer has orders).
 
     Scale: the AVG threshold is a 1-row broadcast (no collect); the
     NOT EXISTS is a left-anti join against just orders' custkey column
-    (pruned at scan). Both shuffles hash on custkey.
+    (orderdate filter + custkey projection pushed to the scan). Both
+    shuffles hash on custkey.
     """
     c = read_table(spark, sf_dir, "customer")
     thresh = c.where(F.col("c_acctbal") > 0.0).agg(
         davg(F.col("c_acctbal"), "avg_bal")
     )
-    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+    )
     return (
         c.join(F.broadcast(thresh))
         .where(F.col("c_acctbal") > F.col("avg_bal"))
