@@ -648,7 +648,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = None
+    prev_sig = None
     for _ in range(max_iter):
         neighbor_min = bidir.join(labels, bidir["b"] == labels["node"]).select(
             F.col("a").alias("node"), "label"
@@ -674,11 +674,18 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        # labels only ever decrease; an unchanged sum is a fixpoint
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
+        # labels only ever decrease, so an unchanged *assignment* is a
+        # fixpoint. Test it with an id-type-agnostic signature: count +
+        # sum of xxhash64(node,label). SUM(label) would be NULL for
+        # string ids (None == None terminates round 1 with wrong labels).
+        sig = labels.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("node", "label")).alias("h"),
+        ).first()
+        cur_sig = (sig["n"], sig["h"])
+        if cur_sig == prev_sig:
             return labels
-        prev_sum = cur_sum
+        prev_sig = cur_sig
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
 

@@ -52,7 +52,19 @@ def salted_join(
 
     ``fingerprint_cols`` defaults to all probe columns — any stable
     per-row tuple works; it only controls which task a row lands on.
+
+    ``how`` is restricted to joins whose semantics survive build-side
+    replication: the build side appears ``n_salts`` times, so any join
+    that can emit an UNMATCHED build row (right/full outer) would emit
+    it ``n_salts`` times — silently wrong results, not a perf detail.
+    Salt the mirrored join instead (swap sides, use 'left').
     """
+    allowed = {"inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti", "cross"}
+    if how.lower().replace("_", "") not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — replicated build rows "
+            f"would duplicate unmatched output; use one of {sorted(allowed)}"
+        )
     fp_cols = list(fingerprint_cols or probe.columns)
     p = salt_probe_side(probe, fp_cols, n_salts)
     b = explode_build_side(build, n_salts)

@@ -88,7 +88,17 @@ def upsert_snapshot(
     snapshot's rows lose ties only to strictly newer order keys, so
     replayed batches (checkpoint recovery re-running foreachBatch) are
     idempotent: re-merging the same rows produces the same snapshot.
+
+    Replay of an ALREADY-COMMITTED version is a no-op: if ``v=<version>``
+    has a _SUCCESS marker the batch's merge result is durably on disk,
+    and re-running would make ``current_snapshot`` read ``v=<version>``
+    while overwriting the same directory (Spark rejects overwriting a
+    path being read from — the stream would fail permanently on every
+    restart). This happens when a crash lands between the snapshot
+    commit and the checkpoint commit.
     """
+    if version in _versions(spark, snapshot_dir):
+        return
     reduced = latest_state(batch_df, keys, order_by)
     prev = current_snapshot(spark, snapshot_dir, live_only=False)
     merged = (

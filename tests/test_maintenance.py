@@ -133,3 +133,84 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_oracle, tmp_path
     assert touched(sorted_back, pred_v) >= sfiles - 2
     # and z-order strictly beats it there
     assert touched(back, pred_v) < touched(sorted_back, pred_v)
+
+
+def test_salted_join_rejects_outer_how(spark, sf_smoke):
+    """right/full outer would emit unmatched build rows n_salts times —
+    must be rejected loudly, not silently wrong."""
+    o = read_table(spark, sf_smoke, "orders").select("o_orderkey")
+    for bad in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_join(o, o, ["o_orderkey"], how=bad)
+    # supported spellings still work
+    assert salted_join(o.limit(5), o, ["o_orderkey"], how="left_semi").count() == 5
+
+
+def _partition_rows(spark, root, fmt):
+    return sorted(map(tuple, spark.read.format(fmt).load(root).collect()))
+
+
+def test_compaction_recovery_uncommitted_tmp_rolls_back(spark, tmp_path):
+    """A crash during the tmp write (no manifest yet) leaves old files
+    intact; the next run must drop the orphan tmp and recompact."""
+    from dynamodb_streaming_datalake_spark.sources.maintenance import _fs
+
+    e = read_table(spark, "/root/testdata/sf0.001", "events").drop("props")
+    root = str(tmp_path / "lake")
+    e.withColumn("h", F.hour("ts") % 2).repartition(4).write.partitionBy(
+        "h"
+    ).mode("overwrite").json(root)
+    before = _partition_rows(spark, root, "json")
+    part = list_leaf_partitions(spark, root)[0]
+    # fake a mid-write crash: partial tmp, no _SUCCESS-backed manifest
+    jvm, fs = _fs(spark, root)
+    tmp = jvm.org.apache.hadoop.fs.Path(part + "/.compact-tmp")
+    fs.mkdirs(tmp)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(tmp, "part-junk.json"), True)
+    out.write(bytearray(b"{\"broken\": "))
+    out.close()
+
+    report = compact_partitions(spark, root, fmt="json")
+    assert _partition_rows(spark, root, "json") == before
+    assert part in report
+    assert not fs.exists(tmp)
+
+
+def test_compaction_recovery_committed_tmp_completes_swap(spark, tmp_path):
+    """A crash after the manifest was written (but before rename/delete)
+    must be rolled FORWARD: new files in, manifest's old files out."""
+    from dynamodb_streaming_datalake_spark.sources.maintenance import (
+        _fs,
+        _write_manifest,
+    )
+
+    e = read_table(spark, "/root/testdata/sf0.001", "events").drop("props")
+    root = str(tmp_path / "lake")
+    e.withColumn("h", F.hour("ts") % 2).repartition(4).write.partitionBy(
+        "h"
+    ).mode("overwrite").json(root)
+    before = _partition_rows(spark, root, "json")
+    part = list_leaf_partitions(spark, root)[0]
+    jvm, fs = _fs(spark, root)
+    ppath = jvm.org.apache.hadoop.fs.Path(part)
+    old_names = [
+        s.getPath().getName()
+        for s in fs.listStatus(ppath)
+        if s.isFile() and not s.getPath().getName().startswith(("_", "."))
+    ]
+    assert len(old_names) > 1
+    # committed tmp: real compacted rewrite + manifest, then "crash"
+    tmp = part + "/.compact-tmp"
+    spark.read.json(part).coalesce(1).write.mode("overwrite").json(tmp)
+    tmp_path_h = jvm.org.apache.hadoop.fs.Path(tmp)
+    _write_manifest(jvm, fs, tmp_path_h, old_names)
+
+    compact_partitions(spark, root, fmt="json")
+    assert _partition_rows(spark, root, "json") == before
+    assert not fs.exists(tmp_path_h)
+    remaining = [
+        s.getPath().getName()
+        for s in fs.listStatus(ppath)
+        if s.isFile() and not s.getPath().getName().startswith(("_", "."))
+    ]
+    assert not set(remaining) & set(old_names)  # old files gone

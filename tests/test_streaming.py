@@ -354,3 +354,26 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_smoke):
     want = purchase_click_attribution(read_table(spark, sf_smoke, "events")).collect()
     assert len(want) > 0
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_upsert_replay_of_committed_version_is_noop(spark, tmp_path):
+    """Regression (ADVICE r1): checkpoint-recovery replay of a batch
+    whose snapshot version already committed must short-circuit —
+    re-running used to read v=N while overwriting v=N, which Spark
+    rejects, wedging the stream permanently."""
+    from dynamodb_streaming_datalake_spark.streaming.upsert import (
+        current_snapshot,
+        upsert_snapshot,
+    )
+
+    fx = generate_fixture(n_keys=15, n_events=90, unknown_rate=0.0)
+    raw = spark.createDataFrame([(l,) for l in fx.json_lines()], "json string")
+    ok, _ = cdc_transform(raw, attributes=ATTRS, ingestion_ts=EVENT_TS())
+    snap = str(tmp_path / "snap")
+    keys, order = ["id", "name"], ["event_time", "eventID"]
+    upsert_snapshot(spark, ok, snap, keys, order, version=0)
+    want = sorted(map(tuple, current_snapshot(spark, snap, live_only=False).collect()))
+    # replay the same batch at the same version: must not raise, must not change
+    upsert_snapshot(spark, ok, snap, keys, order, version=0)
+    got = sorted(map(tuple, current_snapshot(spark, snap, live_only=False).collect()))
+    assert got == want

@@ -99,3 +99,25 @@ def test_k_anonymity_holds_on_released_rows(spark, sf_oracle):
     )
     assert small.count() == 0
     assert out.count() > 0  # releases something (not vacuous)
+
+
+def test_connected_components_string_ids_distributed(spark):
+    """Regression (ADVICE r1): the distributed path's fixpoint test must
+    not depend on numeric node ids — SUM(label) over strings is NULL
+    every round and terminated after one iteration with wrong labels."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain long enough that one propagation round cannot finish
+    edges = spark.createDataFrame(
+        [(f"doc{i:02d}", f"doc{i + 1:02d}") for i in range(1, 9)]
+        + [("x1", "x2"), ("x2", "x3")],
+        "a string, b string",
+    )
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components(edges, driver_edge_limit=0).collect()
+    }
+    assert {lbl for _, lbl in got} == {"doc01", "x1"}
+    assert all(lbl == "doc01" for n, lbl in got if n.startswith("doc"))
