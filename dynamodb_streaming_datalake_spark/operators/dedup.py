@@ -23,15 +23,22 @@ makes them reproducible on a 1000-executor cluster.
 
 Scale notes: the all-pairs exact-Jaccard query is quadratic in the
 worst case and exists as the small-corpus baseline + LSH verifier; at
-100 TB you run MinHash-LSH (bounded by band-bucket collision counts)
-and cap ultra-common shingles (a frequency cutoff before the join)
-to bound skew — the planted corpus here has no hot shingles, so the
-cap is left out to keep Jaccard exact.
+100 TB you run MinHash-LSH (bounded by band-bucket collision counts).
+Both paths cap ultra-common keys before any pair expansion —
+``jaccard_pairs`` drops shingles shared by more than
+``max_shingle_freq`` docs (a hot shingle otherwise expands to
+c*(c-1)/2 pairs), ``minhash_lsh_pairs`` drops band buckets larger than
+``max_bucket_size`` — so the worst-case output is bounded by
+cap^2-per-key, not corpus^2. The caps are the registered defaults and
+are mirrored in the DuckDB oracle SQL, so the capped semantics are
+what the correctness gate checks (the planted corpus has no hot keys,
+making capped == uncapped there; the planted-hot-shingle tests pin the
+capped behavior itself).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.functions.texthash import (
@@ -44,6 +51,13 @@ from dynamodb_streaming_datalake_spark.registry import query
 from dynamodb_streaming_datalake_spark.sources.readers import read_table
 
 JACCARD_THRESHOLD = 0.5
+#: drop shingles shared by more than this many docs before pair
+#: expansion (bounds the quadratic blowup per hot shingle); mirrored in
+#: the oracle SQL. 64 pairs-per-shingle-max at the default.
+MAX_SHINGLE_FREQ = 64
+#: drop LSH band buckets larger than this before the candidate
+#: self-join (bounds candidates per bucket at cap^2).
+MAX_BUCKET_SIZE = 64
 MINHASH_SEEDS = 16
 MINHASH_BANDS = 4
 SIMHASH_BITS = 60
@@ -92,17 +106,27 @@ _SQL_SHINGLE_ROWS = f"""
 
 _SQL_JACCARD_PAIRS = f"""
     WITH {_SQL_SHINGLE_ROWS},
+    cool AS (
+        SELECT sh FROM shingle_rows
+        GROUP BY sh HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}
+    ),
+    capped AS (
+        SELECT r.doc_id, r.sh FROM shingle_rows r JOIN cool USING (sh)
+    ),
+    capped_sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id
+    ),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-        FROM shingle_rows a
-        JOIN shingle_rows b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM capped a
+        JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
            c * 1.0 / (sa.n + sb.n - c) AS jaccard
     FROM common
-    JOIN shingle_sizes sa ON sa.doc_id = doc_a
-    JOIN shingle_sizes sb ON sb.doc_id = doc_b
+    JOIN capped_sizes sa ON sa.doc_id = doc_a
+    JOIN capped_sizes sb ON sb.doc_id = doc_b
     WHERE c * 1.0 / (sa.n + sb.n - c) > {JACCARD_THRESHOLD}
 """
 
@@ -112,24 +136,48 @@ def shingle_rows(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.explode(word_shingles("text")).alias("sh"))
 
 
-def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    max_shingle_freq: int | None = MAX_SHINGLE_FREQ,
+) -> DataFrame:
     """Exact 3-shingle Jaccard for every overlapping pair, thresholded.
 
     The intersect count and set sizes are integers, so the final single
-    double division is engine-identical. Scale: quadratic only in docs
-    *sharing a shingle*; for web-scale corpora add a shingle-frequency
-    cap before the self-join and prefer ``minhash_lsh_pairs``.
+    double division is engine-identical.
+
+    Scale: quadratic only in docs *sharing a shingle* — and
+    ``max_shingle_freq`` bounds exactly that: shingles shared by more
+    docs are dropped BEFORE the posting lists are built, so no posting
+    list (and no in-row pair expansion) ever exceeds the cap; worst-case
+    pairs per shingle is cap*(cap-1)/2 instead of corpus^2. Jaccard is
+    then computed over each doc's *capped* shingle set (sizes shrink
+    with the universe, the standard web-dedup convention — boilerplate
+    shingles stop counting as similarity at all). ``None`` disables the
+    cap and restores exact whole-set Jaccard with row-local sizes.
     """
     sh = shingle_rows(docs)
-    # set sizes are row-local (|distinct shingles per doc|) — no explode
-    sizes = docs.select("doc_id", F.size(word_shingles("text")).alias("n"))
+    if max_shingle_freq is not None:
+        # hot-shingle set is tiny by definition (few keys exceed the
+        # cap) -> broadcast anti-join; the counts agg is map-side
+        # combined on sh, never materializing a hot posting list.
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .where(F.col("freq") > max_shingle_freq)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    else:
+        # set sizes are row-local (|distinct shingles per doc|) — no explode
+        sizes = docs.select("doc_id", F.size(word_shingles("text")).alias("n"))
     # pairs per shingle via posting-list expansion: group docs sharing a
     # shingle, emit (lo, hi) pairs in-row — ONE shuffle on sh instead of
     # a self-join's two exchanges + sort. Equivalent output: the join
     # emits one row per (pair, shared shingle); so does this expansion.
-    # Skew note: a shingle shared by c docs expands to c*(c-1)/2 pairs
-    # in one row — web-scale corpora cap posting-list length first (drop
-    # ultra-common shingles); the planted corpus has no hot shingles.
+    # A shingle shared by c docs expands to c*(c-1)/2 pairs in one row;
+    # with the cap, c <= max_shingle_freq by construction.
     postings = sh.groupBy("sh").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
     pair_structs = F.expr(
         """
@@ -196,7 +244,14 @@ _SQL_MINHASH_PAIRS = f"""
         FROM shingle_rows
     ),
     mh AS (SELECT doc_id, {_SQL_MH_MINS} FROM hs GROUP BY doc_id),
-    bands AS ({_SQL_MH_BANDS}),
+    all_bands AS ({_SQL_MH_BANDS}),
+    small_buckets AS (
+        SELECT band, bucket FROM all_bands
+        GROUP BY band, bucket HAVING COUNT(*) <= {MAX_BUCKET_SIZE}
+    ),
+    bands AS (
+        SELECT b.* FROM all_bands b JOIN small_buckets USING (band, bucket)
+    ),
     cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y
@@ -260,15 +315,34 @@ def lsh_band_buckets(signatures: DataFrame, rows_per_band: int = _ROWS_PER_BAND)
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+) -> DataFrame:
     """Candidate pairs from band-bucket equality, verified with exact
     Jaccard on the candidates only.
 
     Scale: the self-join is on (band, bucket) — an equi-join whose
-    output is bounded by per-bucket collision counts, not |docs|^2. The
+    output is bounded by per-bucket collision counts, not |docs|^2 —
+    and ``max_bucket_size`` bounds the collision counts themselves:
+    a degenerate bucket (boilerplate-heavy corpora collapse many docs
+    into one bucket) is dropped entirely rather than expanded into
+    cap-breaking candidate volume, capping candidates per bucket at
+    cap*(cap-1)/2. Dropping a bucket only costs recall for pairs whose
+    OTHER bands also collide nowhere — the standard LSH trade. The
     verify step computes array intersections for candidate pairs only.
+    ``None`` disables the cap.
     """
     buckets = lsh_band_buckets(minhash_signatures(docs))
+    if max_bucket_size is not None:
+        big = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .where(F.col("sz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(F.broadcast(big), ["band", "bucket"], "left_anti")
     cand = (
         buckets.alias("x")
         .join(
@@ -540,22 +614,126 @@ def embedding_pairs_blocked(
     )
 
 
+#: coarse-quantizer sizing for the IVF near-dup path. ``n_centroids``
+#: scales ~sqrt(N) at real corpus sizes (fixed here for the fixture);
+#: candidates are bounded by probed-list overlap, never all-pairs.
+EMB_IVF_CENTROIDS = 16
+EMB_IVF_NPROBE = 2
+
+_SQL_EMB_PAIRS_IVF = f"""
+    cents AS (
+        SELECT vec_id AS cid, embedding AS ce
+        FROM embeddings WHERE vec_id < {EMB_IVF_CENTROIDS}
+    ),
+    assign AS (
+        SELECT e.vec_id, c.cid, e.embedding,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {sql_cosine('e.embedding', 'c.ce')} DESC, c.cid
+               ) AS r
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    lists AS (SELECT vec_id, cid FROM assign WHERE r = 1),
+    probes AS (SELECT vec_id, cid FROM assign WHERE r <= {EMB_IVF_NPROBE}),
+    cand AS (
+        SELECT DISTINCT LEAST(p.vec_id, l.vec_id) AS vec_a,
+                        GREATEST(p.vec_id, l.vec_id) AS vec_b
+        FROM probes p
+        JOIN lists l ON l.cid = p.cid AND l.vec_id <> p.vec_id
+    ),
+    ivf_pairs AS (
+        SELECT vec_a, vec_b,
+               round({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+        FROM cand
+        JOIN embeddings a ON a.vec_id = vec_a
+        JOIN embeddings b ON b.vec_id = vec_b
+        WHERE {sql_cosine('a.embedding', 'b.embedding')} > {EMBED_NEAR_DUP_COS}
+    )
+"""
+
+
+def embedding_pairs_ivf(
+    emb: DataFrame,
+    threshold: float,
+    n_centroids: int = EMB_IVF_CENTROIDS,
+    nprobe: int = EMB_IVF_NPROBE,
+) -> DataFrame:
+    """Near-dup pairs via an IVF (inverted-file) coarse quantizer — the
+    100 TB path: exact cosine is computed for CANDIDATES only, never
+    all pairs.
+
+    Shape (FAISS-IVF on DataFrames): broadcast the ``n_centroids``
+    coarse centroids (deterministically the first ``n_centroids``
+    vec_ids, as in ``q_ann_ivf``); every vector joins its home list
+    (rank-1 centroid) and probes its ``nprobe`` nearest lists; a
+    candidate pair is (prober, list member) sharing a list id — an
+    equi-join on cid — then exact cosine verifies candidates against
+    ``threshold``. Both orientations are generated (a probing b's list
+    and b probing a's), so same-home-list pairs are always candidates.
+
+    Recall is the standard IVF trade: a true pair split across
+    non-probed lists is missed. Compute is |emb| x n_centroids coarse
+    scores (map-only vs a broadcast) + per-list pair verification; at
+    real corpus sizes ``n_centroids`` grows ~sqrt(N), keeping lists
+    near-constant. The exact blocked-GEMM twin
+    (``embedding_pairs_blocked``) stays the recall oracle in tests.
+    """
+    cents = F.broadcast(
+        emb.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cid")
+    )
+    assign = (
+        emb.join(cents)
+        .select(
+            "vec_id",
+            "cid",
+            cosine(F.col("embedding"), F.col("ce")).alias("score"),
+        )
+        .withColumn("r", F.row_number().over(w))
+    )
+    lists = assign.where(F.col("r") == 1).select(
+        F.col("vec_id").alias("lv"), "cid"
+    )
+    probes = assign.where(F.col("r") <= nprobe).select(
+        F.col("vec_id").alias("pv"), "cid"
+    )
+    cand = (
+        probes.join(lists, "cid")
+        .where(F.col("pv") != F.col("lv"))
+        .select(
+            F.least("pv", "lv").alias("vec_a"),
+            F.greatest("pv", "lv").alias("vec_b"),
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("raw_cos"))
+        .where(F.col("raw_cos") > threshold)
+        .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cos_sim"))
+    )
+
+
 @query(
     "q_dedup_embedding",
-    oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {sql_cosine('a.embedding', 'b.embedding')} > {EMBED_NEAR_DUP_COS}
-    """,
+    oracle=f"WITH {_SQL_EMB_PAIRS_IVF} SELECT * FROM ivf_pairs",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact, via blocked GEMM
-    (``embedding_pairs_blocked``); the ANN/LSH route
-    (``operators.similarity.q_ann_lsh``) trades recall for even less
-    work when approximation is acceptable."""
+    """Embedding-cosine near-dup pairs via IVF candidate generation +
+    exact verify on candidates only — the registered scale default.
+    The exact all-pairs twins (``embedding_pairs_blocked`` blocked
+    GEMM, ``embedding_pairs_bruteforce``) remain as test-only recall
+    verifiers: exact O(N^2) compute cannot be the default at 100 TB."""
     e = read_table(spark, sf_dir, "embeddings")
-    return embedding_pairs_blocked(e, EMBED_NEAR_DUP_COS)
+    return embedding_pairs_ivf(e, EMBED_NEAR_DUP_COS)
 
 
 # ---------------------------------------------------------------------------
@@ -566,15 +744,20 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id, lang, source FROM documents
     WHERE doc_id NOT IN (
-        SELECT doc_b FROM ({_SQL_JACCARD_PAIRS})
+        SELECT doc_b FROM ({_SQL_MINHASH_PAIRS})
     )
     """,
 )
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy dedup: drop the higher doc_id of every near-dup pair
-    (anti-join against the pair list), keeping canonical docs."""
+    (anti-join against the pair list), keeping canonical docs.
+
+    The pair list is ``minhash_lsh_pairs`` — the scale path (bounded
+    band-bucket candidates), not the exact all-pairs Jaccard, which
+    stays a verifier. At the fixture's corpus the two pair sets agree
+    (asserted in tests); at 100 TB only the LSH one is runnable."""
     d = read_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(d, JACCARD_THRESHOLD)
+    pairs = minhash_lsh_pairs(d, JACCARD_THRESHOLD)
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return d.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
@@ -689,21 +872,14 @@ def connected_components(
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
 
-_SQL_EMB_PAIRS = f"""
-    SELECT a.vec_id AS va, b.vec_id AS vb
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {sql_cosine('a.embedding', 'b.embedding')} > {EMBED_NEAR_DUP_COS}
-"""
-
-
 @query(
     "q_dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE pairs AS ({_SQL_EMB_PAIRS}),
+    WITH RECURSIVE {_SQL_EMB_PAIRS_IVF},
     edges AS (
-        SELECT va AS a, vb AS b FROM pairs
+        SELECT vec_a AS a, vec_b AS b FROM ivf_pairs
         UNION ALL
-        SELECT vb AS a, va AS b FROM pairs
+        SELECT vec_b AS a, vec_a AS b FROM ivf_pairs
     ),
     reach(node, label) AS (
         SELECT DISTINCT a, a FROM edges
@@ -716,12 +892,18 @@ _SQL_EMB_PAIRS = f"""
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup *clusters* (not just pairs): connected components over
-    the embedding-cosine pair graph; output maps every clustered vec_id
-    to its canonical (min-id) cluster representative. Pairwise output
-    alone can't drive dedup when A~B and B~C but A!~C — the component
-    is the dedup unit. Oracle: DuckDB recursive CTE transitive closure."""
+    the embedding near-dup pair graph; output maps every clustered
+    vec_id to its canonical (min-id) cluster representative. Pairwise
+    output alone can't drive dedup when A~B and B~C but A!~C — the
+    component is the dedup unit.
+
+    The edge list comes from the IVF candidate path
+    (``embedding_pairs_ivf``), not exact all-pairs GEMM: at 100 TB the
+    pair graph must itself be produced by bucketed candidate
+    generation. Oracle: DuckDB recursive CTE transitive closure over
+    the identical IVF pair set."""
     e = read_table(spark, sf_dir, "embeddings")
-    pairs = embedding_pairs_blocked(e, EMBED_NEAR_DUP_COS)
+    pairs = embedding_pairs_ivf(e, EMBED_NEAR_DUP_COS)
     edges = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
     return connected_components(edges).select(
         F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")

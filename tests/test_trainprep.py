@@ -121,3 +121,97 @@ def test_connected_components_string_ids_distributed(spark):
     }
     assert {lbl for _, lbl in got} == {"doc01", "x1"}
     assert all(lbl == "doc01" for n, lbl in got if n.startswith("doc"))
+
+
+def test_shingle_frequency_cap_bounds_posting_lists(spark):
+    """Planted hot shingle: one phrase shared by 60 docs must NOT expand
+    into 60*59/2 pairs when the cap is on — the hot shingle is dropped
+    before posting lists are built."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import jaccard_pairs
+
+    hot = "common boilerplate footer text here"
+    rows = [(i, f"unique{i} words{i} only{i} " + hot) for i in range(60)]
+    # plus one genuine near-dup pair with NO hot shingle
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = jaccard_pairs(docs, 0.3, max_shingle_freq=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # the 60 boilerplate docs share ONLY capped-out shingles -> no pairs;
+    # the genuine near-dup pair survives on its un-capped shingles
+    assert got == {(100, 101)}
+
+    # uncapped baseline: the hot shingle really does create pair blowup
+    # (boilerplate-only similarity), proving the cap changed behavior
+    uncapped = jaccard_pairs(docs, 0.3, max_shingle_freq=None)
+    assert uncapped.count() > len(got)
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """Planted identical docs: 40 copies collide into one band bucket;
+    with max_bucket_size below 40 the bucket is dropped (no candidate
+    blowup), while distinct near-dup pairs elsewhere still surface."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    clone = "identical cloned document body repeated verbatim everywhere"
+    rows = [(i, clone) for i in range(40)]
+    rows += [(200, "orange banana cherry date elderberry fig grape"),
+             (201, "orange banana cherry date elderberry fig plum")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_pairs(docs, 0.3, max_bucket_size=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {(200, 201)}
+
+    uncapped = minhash_lsh_pairs(docs, 0.3, max_bucket_size=None)
+    assert uncapped.count() == 40 * 39 // 2 + 1
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard_on_fixture(spark, sf_smoke):
+    """The registered q_dedup_apply consumes LSH pairs; pin that on the
+    fixture corpus LSH recall vs exact Jaccard is total (same pair set)
+    so the swap changed scale behavior, not results."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_smoke, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in jaccard_pairs(d, JACCARD_THRESHOLD).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(d, JACCARD_THRESHOLD).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
+def test_embedding_ivf_pairs_subset_of_exact_with_high_recall(spark, sf_smoke):
+    """IVF candidates must be a SUBSET of the exact blocked-GEMM pairs
+    (verification is exact, so no false positives) and recall the large
+    majority of true near-dups on the fixture."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        EMBED_NEAR_DUP_COS,
+        embedding_pairs_blocked,
+        embedding_pairs_ivf,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_smoke, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_pairs_blocked(e, EMBED_NEAR_DUP_COS).collect()
+    }
+    ivf = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_pairs_ivf(e, EMBED_NEAR_DUP_COS).collect()
+    }
+    assert ivf <= exact
+    assert len(exact) > 0
+    assert len(ivf) / len(exact) >= 0.5, (len(ivf), len(exact))
