@@ -1,0 +1,169 @@
+"""Driver-gated CDC-zone end-to-end round trip (B2 + B3 + A3-A9).
+
+The reference's lake IS gzip NDJSON under hourly prefixes
+(``/root/reference/lib/dynamodb-streaming-datalake-stack.ts:220-222``)
+— but every other registered query scans the parquet fixtures, so the
+NDJSON write -> prune -> read -> reconstruct path was pytest-only in
+round 1. This query runs the WHOLE lake lifecycle inside the driver's
+oracle gate:
+
+1. synthesize DynamoDB stream envelopes deterministically FROM the
+   ``events`` parquet (pure column expressions, so the DuckDB oracle
+   can re-derive the identical records straight from the same parquet);
+2. ``cdc_transform`` them (A3-A8: decode, image dispatch, flatten,
+   enrich, route);
+3. ``write_cdc_zone``: gzip NDJSON, hive ``y=/m=/d=/h=`` partitions (A9);
+4. ``read_cdc_zone`` with a declared schema (B2, schema-on-read) and a
+   one-day partition predicate (B3 — Catalyst prunes ~29/30 of the
+   files; asserted in ``tests/test_plans.py``);
+5. ``reconstruct_table``: newest-per-key minus REMOVE tombstones (B4+B6).
+
+The oracle replays steps 1+4's filter+5 in SQL — if any step of the
+round trip corrupted, reordered, or dropped a field, the value hash
+diverges.
+
+Determinism notes: the envelope's numeric attribute is stringified
+through ``decimal(9,2)`` (events.value carries exactly 2 decimals, so
+the cast is lossless and both engines print the same digits); event
+time is whole-second (ApproximateCreationDateTime is a unix-seconds
+epoch, like the real stream); eventID is zero-padded so the
+string tie-break is total and engine-identical.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dynamodb_streaming_datalake_spark.operators.cdc import cdc_transform
+from dynamodb_streaming_datalake_spark.operators.state import reconstruct_table
+from dynamodb_streaming_datalake_spark.registry import query
+from dynamodb_streaming_datalake_spark.sources.readers import (
+    read_cdc_zone,
+    read_table,
+)
+from dynamodb_streaming_datalake_spark.sources.writers import write_cdc_zone
+
+#: attributes the synthetic table declares (id/name are the reference's
+#: key schema, stack.ts:72-79; value is the numeric payload)
+ZONE_ATTRIBUTES = ("id", "name", "value")
+
+
+def synth_envelopes(events: DataFrame) -> DataFrame:
+    """DynamoDB stream envelope JSON lines derived 1:1 from events rows.
+
+    Mapping (all deterministic in event_id): every 10th event is a
+    REMOVE (carrying OldImage, like the real stream), the rest split
+    INSERT/MODIFY; the item key is (id=user_id, name=event_type) with a
+    decimal-stringified value attribute — the reference's ``id``/
+    ``name`` key schema with typed AttributeValue tags.
+    """
+    ename = (
+        F.when(F.col("event_id") % 10 == 0, F.lit("REMOVE"))
+        .when(F.col("event_id") % 2 == 0, F.lit("INSERT"))
+        .otherwise(F.lit("MODIFY"))
+    )
+    image = F.create_map(
+        F.lit("id"),
+        F.create_map(F.lit("S"), F.col("user_id").cast("string")),
+        F.lit("name"),
+        F.create_map(F.lit("S"), F.col("event_type")),
+        F.lit("value"),
+        F.create_map(
+            F.lit("N"), F.col("value").cast("decimal(9,2)").cast("string")
+        ),
+    )
+    env = F.struct(
+        F.format_string("ev-%010d", F.col("event_id")).alias("eventID"),
+        ename.alias("eventName"),
+        F.struct(
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias(
+                "ApproximateCreationDateTime"
+            ),
+            F.when(ename != "REMOVE", image).alias("NewImage"),
+            F.when(ename == "REMOVE", image).alias("OldImage"),
+        ).alias("dynamodb"),
+    )
+    return events.select(F.to_json(env).alias("json"), F.col("ts"))
+
+
+def zone_row_schema() -> T.StructType:
+    """Declared read schema for the round-trip zone (B2: schema-on-read,
+    single-pass scan, no inference job)."""
+    return T.StructType(
+        [
+            T.StructField("eventID", T.StringType()),
+            T.StructField("event_time", T.TimestampType()),
+            T.StructField("Event", T.StringType()),
+            T.StructField("ingestion_timestamp", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+
+
+def build_cdc_zone(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Steps 1-3: synthesize, transform, land as gzip NDJSON hive zone."""
+    raw = synth_envelopes(read_table(spark, sf_dir, "events"))
+    ok, _err = cdc_transform(
+        raw, attributes=ZONE_ATTRIBUTES, ingestion_ts=F.col("ts")
+    )
+    write_cdc_zone(ok, path)
+
+
+def read_day_state(spark: SparkSession, path: str) -> DataFrame:
+    """Steps 4-5: pruned read of one day's partitions, then current-state
+    reconstruction (newest per id, REMOVE keys dropped)."""
+    zone = read_cdc_zone(spark, path, schema=zone_row_schema())
+    day = zone.where(
+        (F.col("y") == 2024) & (F.col("m") == 1) & (F.col("d") == 1)
+    )
+    state = reconstruct_table(
+        day.drop("y", "m", "d", "h"),
+        keys=["id"],
+        order_by=["event_time", "eventID"],
+    )
+    return state.select(
+        "id",
+        "name",
+        "value",
+        "Event",
+        F.unix_timestamp("event_time").alias("event_time_s"),
+    )
+
+
+@query(
+    "q_cdc_zone_roundtrip",
+    oracle="""
+    WITH src AS (
+        SELECT CAST(user_id AS VARCHAR) AS id,
+               event_type AS name,
+               CAST(CAST(value AS DECIMAL(9,2)) AS VARCHAR) AS value,
+               CASE WHEN event_id % 10 = 0 THEN 'REMOVE'
+                    WHEN event_id % 2 = 0 THEN 'INSERT'
+                    ELSE 'MODIFY' END AS Event,
+               CAST(floor(epoch(ts)) AS BIGINT) AS event_time_s,
+               'ev-' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS eventID
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY id ORDER BY event_time_s DESC, eventID DESC) AS rn
+        FROM src
+    )
+    SELECT id, name, value, Event, event_time_s
+    FROM ranked WHERE rn = 1 AND Event <> 'REMOVE'
+    """,
+)
+def q_cdc_zone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC-lake lifecycle, oracle-gated end to end (see module
+    docstring). The zone lands in a fresh temp dir per invocation (the
+    returned DataFrame stays lazy, so the dir must outlive the call)."""
+    path = tempfile.mkdtemp(prefix="cdc_zone_rt_")
+    build_cdc_zone(spark, sf_dir, path)
+    return read_day_state(spark, path)

@@ -40,6 +40,7 @@ def load_all() -> None:
     import dynamodb_streaming_datalake_spark.operators.state  # noqa: F401
 
     for mod in (
+        "cdc_zone",
         "tpch_ext",
         "analytics_ext",
         "dedup",

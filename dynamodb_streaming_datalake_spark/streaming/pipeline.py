@@ -44,8 +44,14 @@ def start_lake_stream(
     attributes: tuple[str, ...] | None = None,
     ingestion_ts: Column | None = None,
     available_now: bool = True,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
-    """ok-rows stream -> gzip NDJSON hourly-partitioned lake (A9)."""
+    """ok-rows stream -> gzip NDJSON hourly-partitioned lake (A9).
+
+    ``processing_time`` (e.g. ``"60 seconds"``) is the continuous-run
+    cadence — the direct twin of the reference Firehose's 60 s buffer
+    hint (``stack.ts:211-214``); it overrides ``available_now``.
+    """
     raw = read_cdc_lines(spark, src_dir)
     ok, _ = cdc_transform(raw, attributes=attributes, ingestion_ts=ingestion_ts)
     out = add_hour_partitions(ok.drop("event_time"))
@@ -56,7 +62,9 @@ def start_lake_stream(
         .option("path", lake_dir)
         .option("checkpointLocation", checkpoint_dir)
     )
-    if available_now:
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
 

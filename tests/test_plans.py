@@ -260,3 +260,20 @@ def test_approx_percentile_accuracy(spark, sf_oracle):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) / abs(r["exact"]) < 0.02, r
+
+
+def test_cdc_zone_roundtrip_prunes_partitions(spark, sf_smoke, tmp_path):
+    """The registered round-trip's day predicate must reach the NDJSON
+    scan as PartitionFilters (B3) — directory pruning, not scan-and-drop
+    — and the declared schema must keep the scan single-pass (B2)."""
+    from dynamodb_streaming_datalake_spark.operators.cdc_zone import (
+        build_cdc_zone,
+        read_day_state,
+    )
+
+    path = str(tmp_path / "zone")
+    build_cdc_zone(spark, sf_smoke, path)
+    state = read_day_state(spark, path)
+    p = explain_str(state)
+    assert "PartitionFilters" in p, p
+    assert "(d" in p and "(m" in p and "(y" in p, p

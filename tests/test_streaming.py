@@ -377,3 +377,40 @@ def test_upsert_replay_of_committed_version_is_noop(spark, tmp_path):
     upsert_snapshot(spark, ok, snap, keys, order, version=0)
     got = sorted(map(tuple, current_snapshot(spark, snap, live_only=False).collect()))
     assert got == want
+
+
+def test_processing_time_trigger_drains_continuously(spark, tmp_path):
+    """The reference's 60 s Firehose buffer cadence maps to
+    trigger(processingTime=...) (stack.ts:211-214). Run the lake stream
+    on a short cadence, wait until it drains the source, and check the
+    landed rows equal the batch transform — the continuous trigger must
+    not change WHAT lands, only WHEN."""
+    import time
+
+    fx = generate_fixture(n_keys=20, n_events=120, unknown_rate=0.0)
+    src = tmp_path / "src"
+    _write_source_files(fx, src, n_files=2)
+    lake, ck = str(tmp_path / "lake"), str(tmp_path / "ck")
+
+    q = start_lake_stream(
+        spark, str(src), lake, ck,
+        attributes=ATTRS, ingestion_ts=EVENT_TS(),
+        processing_time="1 second",
+    )
+    raw = spark.createDataFrame([(l,) for l in fx.json_lines()], "json string")
+    ok, _ = cdc_transform(raw, attributes=ATTRS, ingestion_ts=EVENT_TS())
+    expected = ok.count()
+    try:
+        deadline = time.time() + 120
+        landed = -1
+        while time.time() < deadline:
+            try:
+                landed = spark.read.json(lake).count()
+            except Exception:  # lake dir not created yet
+                landed = 0
+            if landed == expected:
+                break
+            time.sleep(1)
+        assert landed == expected
+    finally:
+        q.stop()
