@@ -107,8 +107,17 @@ def zone_row_schema() -> T.StructType:
 
 
 def build_cdc_zone(spark: SparkSession, sf_dir: str, path: str) -> None:
-    """Steps 1-3: synthesize, transform, land as gzip NDJSON hive zone."""
-    raw = synth_envelopes(read_table(spark, sf_dir, "events"))
+    """Steps 1-3: synthesize, transform, land as gzip NDJSON hive zone.
+
+    The zone covers the log's first week — 168 hourly partitions, of
+    which the read-back prunes to 24. (A week bounds the per-run write
+    volume; the lifecycle under test — partitioned gzip write, pruned
+    schema-declared read, reconstruction — is identical at any span.)
+    """
+    events = read_table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+    )
+    raw = synth_envelopes(events)
     ok, _err = cdc_transform(
         raw, attributes=ZONE_ATTRIBUTES, ingestion_ts=F.col("ts")
     )

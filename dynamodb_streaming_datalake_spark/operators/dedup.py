@@ -38,7 +38,7 @@ capped behavior itself).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.functions.texthash import (
@@ -673,27 +673,56 @@ def embedding_pairs_ivf(
 
     Recall is the standard IVF trade: a true pair split across
     non-probed lists is missed. Compute is |emb| x n_centroids coarse
-    scores (map-only vs a broadcast) + per-list pair verification; at
-    real corpus sizes ``n_centroids`` grows ~sqrt(N), keeping lists
-    near-constant. The exact blocked-GEMM twin
-    (``embedding_pairs_blocked``) stays the recall oracle in tests.
+    scores (one vectorized float64 GEMM per Arrow batch — map-only; the
+    centroid matrix is driver-collected like any broadcast dim) +
+    per-list pair verification; at real corpus sizes ``n_centroids``
+    grows ~sqrt(N), keeping lists near-constant. Candidate VERIFY uses
+    the engine-bit-identical HOF ``cosine`` (the oracle-checked value);
+    numpy only picks which lists to probe, where a summation-order
+    near-tie flip would need two coarse scores within ~1 ulp. The exact
+    blocked-GEMM twin (``embedding_pairs_blocked``) stays the recall
+    oracle in tests.
     """
-    cents = F.broadcast(
-        emb.where(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-        )
+    import numpy as np
+    import pandas as pd
+
+    # bounded collect: n_centroids rows == collecting a broadcast dim
+    cents = sorted(
+        emb.where(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("score").desc(), F.col("cid")
-    )
+    C = np.array([r["embedding"] for r in cents], dtype=np.float64)
+    cids = np.array([r["vec_id"] for r in cents], dtype=np.int64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    k = min(nprobe, len(cents))
+
+    def coarse_assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            S = En @ Cn.T
+            # rank lists by score desc; stable sort keeps cid asc on ties
+            idx = np.argsort(-S, axis=1, kind="stable")[:, :k]
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vid, k),
+                    "cid": cids[idx].ravel(),
+                    "r": np.tile(np.arange(1, k + 1), len(vid)),
+                }
+            )
+
     assign = (
-        emb.join(cents)
-        .select(
-            "vec_id",
-            "cid",
-            cosine(F.col("embedding"), F.col("ce")).alias("score"),
-        )
-        .withColumn("r", F.row_number().over(w))
+        emb.select("vec_id", "embedding")
+        .mapInPandas(coarse_assign, schema="vec_id long, cid long, r int")
+        # materialize once: lists and probes both read it, and the
+        # UDF must not run twice (cost, not correctness — it is
+        # deterministic)
+        .localCheckpoint()
     )
     lists = assign.where(F.col("r") == 1).select(
         F.col("vec_id").alias("lv"), "cid"
@@ -712,13 +741,34 @@ def embedding_pairs_ivf(
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cos = cosine(F.col("emb_a"), F.col("emb_b"))
+
+    # exact verify, vectorized: one float64 batch kernel instead of a
+    # per-row interpreted HOF fold — candidate volume is bucket-bounded
+    # but still O(list size) per probe, and the kernel is what makes
+    # verification cheap (same numpy-then-round(6) contract the blocked
+    # GEMM twin hash-matches against the sequential-double oracle).
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["emb_a"].tolist(), dtype=np.float64)
+            B = np.array(pdf["emb_b"].tolist(), dtype=np.float64)
+            cs = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            keep = cs > threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy(dtype=np.int64)[keep],
+                    "vec_b": pdf["vec_b"].to_numpy(dtype=np.int64)[keep],
+                    "cos_sim": np.round(cs[keep], 6),
+                }
+            )
+
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("raw_cos"))
-        .where(F.col("raw_cos") > threshold)
-        .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cos_sim"))
+        .mapInPandas(verify, schema="vec_a long, vec_b long, cos_sim double")
     )
 
 

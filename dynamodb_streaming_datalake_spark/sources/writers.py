@@ -63,3 +63,28 @@ def write_snapshot(
     if target_partitions:
         df = df.repartition(target_partitions)
     df.write.mode("overwrite").parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Bucketed+sorted managed table — the co-located-join layout.
+
+    Two fact tables bucketed the same way (same key, same bucket count)
+    join with ZERO exchange and, when ``sort=True``, zero sort: each
+    task zips bucket i with bucket i. At 100 TB this turns the recurring
+    orders x lineitem (or snapshot x CDC) join from the cluster's
+    biggest shuffle into a map-side merge — you pay the shuffle once at
+    layout time, not on every query. (Plan asserted shuffle-free in
+    ``tests/test_plans.py``.) Bucket count is fixed at table-creation:
+    pick it for the TARGET scale (e.g. data_bytes / 256 MB), not the
+    current one.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        w = w.sortBy(*bucket_cols)
+    w.format("parquet").saveAsTable(table)

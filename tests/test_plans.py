@@ -135,20 +135,14 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        from dynamodb_streaming_datalake_spark.sources.writers import (
+            write_bucketed,
+        )
+
         o = read_table(spark, "/root/testdata/sf0.001", "orders")
         l = read_table(spark, "/root/testdata/sf0.001", "lineitem")
-        (
-            o.write.bucketBy(8, "o_orderkey")
-            .sortBy("o_orderkey")
-            .mode("overwrite")
-            .saveAsTable("orders_b")
-        )
-        (
-            l.write.bucketBy(8, "l_orderkey")
-            .sortBy("l_orderkey")
-            .mode("overwrite")
-            .saveAsTable("lineitem_b")
-        )
+        write_bucketed(o, "orders_b", ("o_orderkey",), 8)
+        write_bucketed(l, "lineitem_b", ("l_orderkey",), 8)
         ob = spark.table("orders_b")
         lb = spark.table("lineitem_b")
         joined = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"]).select(
