@@ -812,6 +812,53 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
 
+@query(
+    "q_dedup_apply_clustered",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_SQL_MINHASH_PAIRS}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    members AS (
+        SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (
+        SELECT node FROM members WHERE node <> cluster_id
+    )
+    """,
+)
+def q_dedup_apply_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-canonical dedup — the semantics production pipelines
+    actually want: pairwise greedy dedup (``q_dedup_apply``) mishandles
+    transitive chains (A~B and B~C but A!~C drops B *and* C, keeping a
+    near-dup of each other's neighbor is fine but over-dropping isn't
+    decidable pairwise). Here the MinHash-LSH pair graph is closed into
+    connected components and exactly one representative (min doc_id)
+    per component survives.
+
+    Scale: LSH pairs are bucket-bounded (``max_bucket_size``); the
+    component pass runs on the reduced pair graph, not the corpus
+    (``connected_components`` dispatches driver-union-find vs
+    distributed label propagation by edge count). One extra broadcast
+    anti-join applies the drop set."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, JACCARD_THRESHOLD)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    labels = connected_components(edges)
+    drops = labels.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 # near-dup clusters: connected components over the pair graph
 # ---------------------------------------------------------------------------

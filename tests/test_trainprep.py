@@ -215,3 +215,31 @@ def test_embedding_ivf_pairs_subset_of_exact_with_high_recall(spark, sf_smoke):
     assert ivf <= exact
     assert len(exact) > 0
     assert len(ivf) / len(exact) >= 0.5, (len(ivf), len(exact))
+
+
+def test_apply_clustered_keeps_one_rep_per_transitive_chain(spark):
+    """A~B and B~C with A!~C: pairwise greedy can over/under-drop;
+    cluster-canonical dedup must keep exactly min(doc_id) of the chain."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    rows = [
+        (1, " ".join(words)),                       # A
+        (2, " ".join(words[:-1] + ["mu"])),         # B ~ A
+        (3, " ".join(["nu"] + words[1:-1] + ["mu"])),  # C ~ B, farther from A
+        (9, "completely different text with no overlap at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, 0.5)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    labels = connected_components(edges)
+    comp = {(r["node"], r["label"]) for r in labels.collect()}
+    # the chain forms ONE component labelled by doc 1
+    assert {lbl for _, lbl in comp} == {1}
+    drops = {n for n, lbl in comp if n != lbl}
+    assert drops == {2, 3}  # doc 9 untouched, doc 1 the survivor
