@@ -531,3 +531,81 @@ def q_user_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# gap-based sessionization (batch) — the classic clickstream cut
+# --------------------------------------------------------------------------
+SESSION_GAP_S = 1800
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, event_id, value,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                         - LAG(CAST(epoch_us(ts) AS BIGINT)) OVER w
+                         > {SESSION_GAP_S} * 1000000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS start_us,
+           MAX(ts_us) AS end_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (B12 composite): a new session starts
+    after a >30 min silence; session ids are per-user running sums of
+    the new-session flag — the standard batch formulation (its streaming
+    twin is the session window in ``streaming/windows.py``).
+
+    Scale: one shuffle on user_id; LAG and the running SUM share the
+    same (user_id, ts) sort, so Catalyst plans a single Window sort,
+    and the session aggregate re-uses the same hash partitioning. All
+    derived columns are integer microseconds or exact-decimal sums —
+    engine-bit-identical.
+    """
+    e = read_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = (
+        F.when(
+            (ts_us - F.lag(ts_us).over(w) > SESSION_GAP_S * 1_000_000)
+            | F.lag("ts").over(w).isNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        ts_us.alias("ts_us"),
+        F.sum(is_new).over(run).alias("session_no"),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
