@@ -23,7 +23,7 @@ fact rows, no driver-side state — the same plan works on 10^9 users.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.registry import query
@@ -83,3 +83,72 @@ def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("acctbal_band"),
     )
     return k_anonymize(generalized, "pseudonym", ["c_mktsegment", "acctbal_band"])
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrubbing of free text)
+# ---------------------------------------------------------------------------
+
+#: email-shaped substrings (the fixture corpus has none, so the query
+#: synthesizes a deterministic contact line per customer — the point is
+#: the redaction plumbing, which real corpora exercise directly)
+EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+#: phone-shaped substrings: +D-DDD-DDDD / DDD-DDD-DDDD style runs
+PHONE_RE = r"\+?[0-9]{1,3}-[0-9]{3,4}-[0-9]{4}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub email- then phone-shaped substrings with typed tags.
+
+    Scale: two JVM regexp_replace passes, row-local, zero shuffle —
+    a pure map over the corpus at any size.
+    """
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH contact AS (
+        SELECT c_custkey,
+               'Reach ' || c_name || ' at user' || c_custkey ||
+               '@example.com or +1-555-' ||
+               lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+               ' re ' || c_mktsegment AS text
+        FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM contact
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over free text: count and scrub email/phone-shaped
+    substrings before the text reaches a training corpus. The contact
+    line is synthesized deterministically per customer (the fixtures
+    carry no PII); the regex scrub itself is exactly what runs on a
+    real crawl."""
+    c = read_table(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("Reach "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" re "),
+        F.col("c_mktsegment"),
+    )
+    return c.select(
+        "c_custkey",
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(text, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        redact_pii(text).alias("redacted"),
+    )
