@@ -18,6 +18,77 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Deliberate driver-facing ordering. The driver's CORRECTNESS gate records
+# exactly the first 50 entries of ``all_queries()``, so ordering is part of
+# the proof surface, not cosmetics: rounds 1-2 proved positions 1-50 (the
+# relational/CDC core) twice while the LLM-pipeline surface (dedup, ANN,
+# text, multimodal, sampling, privacy, streaming windows) sat unchecked at
+# 51+. Positions 1-36 below are those never-driver-checked queries;
+# 37-50 are one anchor per core operator family; the twice-proven TPC-H
+# tail intentionally sits beyond 50. Names not listed here order after the
+# listed ones, in registration order — so a future registration can never
+# silently eject a listed query from the window.
+PRIORITY: tuple[str, ...] = (
+    # -- 1-36: never driver-checked through round 2 --------------------
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_dedup_embedding",
+    "q_dedup_clusters",
+    "q_dedup_apply",
+    "q_dedup_apply_clustered",
+    "q_ann_topk",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_kmeans",
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_text_repetition",
+    "q_lang_distribution",
+    "q_media_decode",
+    "q_media_frame_stats",
+    "q_media_audio_stats",
+    "q_udf_vector_norms",
+    "q_sample_deterministic",
+    "q_training_mix",
+    "q_decontaminate",
+    "q_k_anonymize",
+    "q_pii_redact",
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_window_session",
+    "q_window_time_range",
+    "q_grouping_sets",
+    "q_sessionize",
+    "q_user_last_event",
+    "q_user_value_deciles",
+    "q_gap_fill_hourly",
+    # -- 37-50: core anchors, one per operator family ------------------
+    "q1_pricing_summary",        # hash agg + partial/final
+    "q3_shipping_priority",      # multi-join + top-k
+    "q_cdc_zone_roundtrip",      # A3-A9 CDC lifecycle + pruned read
+    "q_latest_state_per_key",    # B6 latest-state dedup
+    "q_merge_snapshot_cdc",      # B7 snapshot ⊕ CDC merge
+    "q_scd2_intervals",          # window-based SCD2
+    "q_customers_without_orders",  # anti join
+    "q_rollup_events",           # rollup
+    "q_user_event_history",      # window functions
+    "q_topk_orders",             # TakeOrderedAndProject
+    "q_set_reconcile_customers",  # set ops
+    "q_json_props",              # JSON fns
+    "q_top_words",               # array/map HOFs
+    "q_sql_entrypoint",          # SQL surface
+)
+
+
+def _ordered(d: dict) -> dict:
+    listed = [n for n in PRIORITY if n in d]
+    rest = [n for n in d if n not in set(PRIORITY)]
+    return {n: d[n] for n in (*listed, *rest)}
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query recipe; ``oracle`` is DuckDB SQL over the
@@ -64,9 +135,9 @@ def load_all() -> None:
 
 def all_queries() -> dict[str, QueryFn]:
     load_all()
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def all_oracle_sql() -> dict[str, str]:
     load_all()
-    return dict(ORACLE)
+    return _ordered(ORACLE)

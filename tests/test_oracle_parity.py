@@ -21,3 +21,20 @@ def test_oracle_parity(spark, sf_smoke, name):
         df.limit(5).collect()
         return
     compare_query(spark, sf_smoke, name, QUERIES[name], ORACLE[name])
+
+
+@pytest.mark.oracle_full
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity_sf001(spark, sf_oracle, name):
+    """Same comparison at sf0.01 — the exact scale the driver gate runs.
+
+    Opt-in (``pytest -m oracle_full``): slower, but catches float/tie-break
+    divergences that only appear beyond the sf0.001 smoke fixture. Run this
+    once before any registry freeze / snapshot.
+    """
+    if name not in ORACLE:
+        df = QUERIES[name](spark, sf_oracle)
+        assert df.columns
+        df.limit(5).collect()
+        return
+    compare_query(spark, sf_oracle, name, QUERIES[name], ORACLE[name])
