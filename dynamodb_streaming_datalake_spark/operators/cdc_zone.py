@@ -23,7 +23,7 @@ round trip corrupted, reordered, or dropped a field, the value hash
 diverges.
 
 Determinism notes: the envelope's numeric attribute is stringified
-through ``decimal(9,2)`` (events.value carries exactly 2 decimals, so
+through ``decimal(18,2)`` (events.value carries exactly 2 decimals, so
 the cast is lossless and both engines print the same digits); event
 time is whole-second (ApproximateCreationDateTime is a unix-seconds
 epoch, like the real stream); eventID is zero-padded so the
@@ -148,6 +148,57 @@ def read_day_state(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+#: zone layout version — bump to invalidate previously cached zones when
+#: the synthesis/write contract changes (e.g. the decimal(18,2) widening)
+_ZONE_VERSION = "v2"
+
+
+def _zone_cache_path(sf_dir: str) -> str:
+    key = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), f"cdc_zone_cache_{_ZONE_VERSION}_{key}"
+    )
+
+
+def ensure_cdc_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Build the gzip NDJSON zone for ``sf_dir`` once; reuse thereafter.
+
+    The zone is deterministic in (sf_dir, layout version), so bench +
+    correctness + tests share one copy instead of leaking a fresh
+    168-partition write per invocation. Build lands in a unique temp dir
+    and is atomically renamed into place, so a crashed build can never be
+    mistaken for a complete zone and concurrent builders race safely
+    (loser's rename fails, winner's zone is used). Only caches from OLDER
+    layout versions are removed — the version is encoded in the dir name,
+    so same-version zones for other sf_dirs are left intact (bench/tests
+    alternating between scales no longer thrash each other's cache)."""
+    final = _zone_cache_path(sf_dir)
+    if os.path.isdir(final):
+        return final
+    # drop superseded-version caches only (current-version prefix is spared)
+    tmp_root = tempfile.gettempdir()
+    keep_prefix = f"cdc_zone_cache_{_ZONE_VERSION}_"
+    for name in os.listdir(tmp_root):
+        stale = name.startswith("cdc_zone_rt_") or (
+            name.startswith("cdc_zone_cache_")
+            and not name.startswith(keep_prefix)
+        )
+        if stale:
+            shutil.rmtree(os.path.join(tmp_root, name), ignore_errors=True)
+    build_dir = tempfile.mkdtemp(prefix="cdc_zone_build_", dir=tmp_root)
+    try:
+        build_cdc_zone(spark, sf_dir, build_dir)
+        try:
+            os.rename(build_dir, final)
+        except OSError:
+            # concurrent builder won the rename; use its zone
+            shutil.rmtree(build_dir, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(build_dir, ignore_errors=True)
+        raise
+    return final
+
+
 @query(
     "q_cdc_zone_roundtrip",
     oracle="""
@@ -172,50 +223,6 @@ def read_day_state(spark: SparkSession, path: str) -> DataFrame:
     FROM ranked WHERE rn = 1 AND Event <> 'REMOVE'
     """,
 )
-#: zone layout version — bump to invalidate previously cached zones when
-#: the synthesis/write contract changes (e.g. the decimal(18,2) widening)
-_ZONE_VERSION = "v2"
-
-
-def _zone_cache_path(sf_dir: str) -> str:
-    key = hashlib.sha256(
-        f"{_ZONE_VERSION}:{os.path.realpath(sf_dir)}".encode()
-    ).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"cdc_zone_cache_{key}")
-
-
-def ensure_cdc_zone(spark: SparkSession, sf_dir: str) -> str:
-    """Build the gzip NDJSON zone for ``sf_dir`` once; reuse thereafter.
-
-    The zone is deterministic in (sf_dir, layout version), so bench +
-    correctness + tests share one copy instead of leaking a fresh
-    168-partition write per invocation. Build lands in a unique temp dir
-    and is atomically renamed into place, so a crashed build can never be
-    mistaken for a complete zone and concurrent builders race safely
-    (loser's rename fails, winner's zone is used). Stale cache dirs from
-    older layout versions are removed opportunistically."""
-    final = _zone_cache_path(sf_dir)
-    if os.path.isdir(final):
-        return final
-    # drop superseded-version caches (same tmp root, different key)
-    tmp_root = tempfile.gettempdir()
-    for name in os.listdir(tmp_root):
-        if name.startswith(("cdc_zone_cache_", "cdc_zone_rt_")) and name != os.path.basename(final):
-            shutil.rmtree(os.path.join(tmp_root, name), ignore_errors=True)
-    build_dir = tempfile.mkdtemp(prefix="cdc_zone_build_", dir=tmp_root)
-    try:
-        build_cdc_zone(spark, sf_dir, build_dir)
-        try:
-            os.rename(build_dir, final)
-        except OSError:
-            # concurrent builder won the rename; use its zone
-            shutil.rmtree(build_dir, ignore_errors=True)
-    except BaseException:
-        shutil.rmtree(build_dir, ignore_errors=True)
-        raise
-    return final
-
-
 def q_cdc_zone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CDC-lake lifecycle, oracle-gated end to end (see module
     docstring). The written zone is cached per sf_dir (`ensure_cdc_zone`),

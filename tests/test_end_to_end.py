@@ -87,3 +87,34 @@ def test_full_dataflow_stream_lake_reconstruct(spark, tmp_path):
         (r["id"], r["name"]): (r["Designation"], r["salary"])
         for r in live.select("id", "name", "Designation", "salary").collect()
     } == want
+
+
+def test_zone_cache_versioned_cleanup(tmp_path, monkeypatch):
+    """ensure_cdc_zone spares same-version caches for OTHER sf_dirs
+    (bench/tests alternating scales must not thrash each other) while
+    sweeping pre-versioned and superseded caches, and never rebuilds a
+    zone it already has."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.operators import cdc_zone as cz
+
+    monkeypatch.setattr(cz.tempfile, "gettempdir", lambda: str(tmp_path))
+    keep = tmp_path / f"cdc_zone_cache_{cz._ZONE_VERSION}_deadbeefdeadbeef"
+    stale_unversioned = tmp_path / "cdc_zone_cache_0123456789abcdef"
+    stale_rt = tmp_path / "cdc_zone_rt_old"
+    for d in (keep, stale_unversioned, stale_rt):
+        d.mkdir()
+
+    built = []
+    monkeypatch.setattr(
+        cz, "build_cdc_zone", lambda spark, sf, p: built.append(p)
+    )
+    path = cz.ensure_cdc_zone(None, str(tmp_path / "sfX"))
+    assert os.path.isdir(path) and len(built) == 1
+    assert os.path.basename(path).startswith(f"cdc_zone_cache_{cz._ZONE_VERSION}_")
+    assert keep.is_dir(), "same-version cache for another sf_dir was deleted"
+    assert not stale_unversioned.exists() and not stale_rt.exists()
+
+    # cached: second call must not rebuild
+    cz.ensure_cdc_zone(None, str(tmp_path / "sfX"))
+    assert len(built) == 1
