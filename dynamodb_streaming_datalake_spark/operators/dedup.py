@@ -683,9 +683,6 @@ def embedding_pairs_ivf(
     blocked-GEMM twin (``embedding_pairs_blocked``) stays the recall
     oracle in tests.
     """
-    import numpy as np
-    import pandas as pd
-
     # bounded collect: n_centroids rows == collecting a broadcast dim
     cents = sorted(
         emb.where(F.col("vec_id") < n_centroids)
@@ -693,10 +690,29 @@ def embedding_pairs_ivf(
         .collect(),
         key=lambda r: r["vec_id"],
     )
-    C = np.array([r["embedding"] for r in cents], dtype=np.float64)
-    cids = np.array([r["vec_id"] for r in cents], dtype=np.int64)
+    return _ivf_pairs_from_centroids(
+        emb, [(r["vec_id"], r["embedding"]) for r in cents], threshold, nprobe
+    )
+
+
+def _ivf_pairs_from_centroids(
+    emb: DataFrame,
+    cent_rows: list,
+    threshold: float,
+    nprobe: int,
+) -> DataFrame:
+    """IVF candidate generation + exact verify against an explicit coarse
+    codebook ``cent_rows`` = [(cid, vector), ...] sorted by cid — shared
+    by the fixed-init (`embedding_pairs_ivf`) and Lloyd-trained
+    (`embedding_pairs_ivf_trained`) quantizers. The codebook is
+    driver-resident by construction (bounded like a broadcast dim)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array([v for _, v in cent_rows], dtype=np.float64)
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    k = min(nprobe, len(cents))
+    k = min(nprobe, len(cent_rows))
 
     def coarse_assign(batches):
         for pdf in batches:
@@ -784,6 +800,146 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifiers: exact O(N^2) compute cannot be the default at 100 TB."""
     e = read_table(spark, sf_dir, "embeddings")
     return embedding_pairs_ivf(e, EMBED_NEAR_DUP_COS)
+
+
+#: embedding dimensionality of the fixture corpus (array<float>, 64-dim)
+EMB_DIM = 64
+
+
+def trained_coarse_centroids(
+    emb: DataFrame, k: int = EMB_IVF_CENTROIDS
+) -> DataFrame:
+    """One exact-decimal Lloyd iteration from the deterministic first-k
+    init — the trained coarse quantizer the fixed-init IVF's docstring
+    promises at real corpus sizes (where ``k`` scales ~sqrt(N) and the
+    first-k codebook stops covering the space).
+
+    Same replayable shape as ``q_kmeans``: broadcast-assign to argmax
+    cosine (tie-break cid), then per-cluster per-dimension mean as
+    exact ``decimal(38,6)`` sums in ONE map-side-combining hash
+    aggregate — so the DuckDB oracle re-derives bit-identical centroid
+    doubles and the downstream IVF assignment is engine-checkable.
+
+    Scale: one broadcast join + two shuffles (argmax rows: one per
+    vector; the K x 64 decimal sums). More Lloyd rounds = repeat the
+    pair of stages; the codebook itself never exceeds K rows.
+    """
+    cents0 = emb.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = emb.join(F.broadcast(cents0)).select(
+        "vec_id", "cid", cosine(F.col("embedding"), F.col("ce")).alias("cs")
+    )
+    a1 = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))
+            ).alias("best")
+        )
+        .select("vec_id", (-F.col("best.ncid")).alias("cid"))
+    )
+    dims = [
+        (
+            F.sum(
+                F.col("embedding")[d].cast("double").cast("decimal(38,6)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias(f"d{d}")
+        for d in range(EMB_DIM)
+    ]
+    return (
+        a1.join(emb, "vec_id")
+        .groupBy("cid")
+        .agg(*dims)
+        .select(
+            "cid",
+            F.array(*[F.col(f"d{d}") for d in range(EMB_DIM)]).alias("ce"),
+        )
+    )
+
+
+def embedding_pairs_ivf_trained(
+    emb: DataFrame,
+    threshold: float,
+    k: int = EMB_IVF_CENTROIDS,
+    nprobe: int = EMB_IVF_NPROBE,
+) -> DataFrame:
+    """IVF near-dup pairs over a Lloyd-trained coarse codebook: train
+    (`trained_coarse_centroids`), collect the K-row codebook (bounded,
+    broadcast-analogous), then reuse the shared candidate machinery."""
+    cents = sorted(
+        trained_coarse_centroids(emb, k).collect(), key=lambda r: r["cid"]
+    )
+    return _ivf_pairs_from_centroids(
+        emb, [(r["cid"], r["ce"]) for r in cents], threshold, nprobe
+    )
+
+
+_SQL_KM_ASSIGN_RANKED = f"""
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {sql_cosine('e.embedding', 'c.ce')} DESC, c.cid
+               ) AS r
+        FROM embeddings e CROSS JOIN {{cents}} c
+"""
+
+_SQL_EMB_PAIRS_IVF_TRAINED = f"""
+    cents0 AS (
+        SELECT vec_id AS cid, embedding AS ce
+        FROM embeddings WHERE vec_id < {EMB_IVF_CENTROIDS}
+    ),
+    a1 AS (
+        SELECT vec_id, cid FROM ({_SQL_KM_ASSIGN_RANKED.format(cents='cents0')}
+        ) WHERE r = 1
+    ),
+    upd AS (
+        SELECT cid, d,
+               CAST(SUM(CAST(CAST(e.embedding[d] AS DOUBLE)
+                             AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*) AS cv
+        FROM a1 JOIN embeddings e USING (vec_id),
+             range(1, {EMB_DIM + 1}) t(d)
+        GROUP BY cid, d
+    ),
+    tcents AS (SELECT cid, list(cv ORDER BY d) AS ce FROM upd GROUP BY cid),
+    assign_t AS ({_SQL_KM_ASSIGN_RANKED.format(cents='tcents')}
+    ),
+    lists_t AS (SELECT vec_id, cid FROM assign_t WHERE r = 1),
+    probes_t AS (SELECT vec_id, cid FROM assign_t WHERE r <= {EMB_IVF_NPROBE}),
+    cand_t AS (
+        SELECT DISTINCT LEAST(p.vec_id, l.vec_id) AS vec_a,
+                        GREATEST(p.vec_id, l.vec_id) AS vec_b
+        FROM probes_t p
+        JOIN lists_t l ON l.cid = p.cid AND l.vec_id <> p.vec_id
+    ),
+    ivf_trained_pairs AS (
+        SELECT vec_a, vec_b,
+               round({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+        FROM cand_t
+        JOIN embeddings a ON a.vec_id = vec_a
+        JOIN embeddings b ON b.vec_id = vec_b
+        WHERE {sql_cosine('a.embedding', 'b.embedding')} > {EMBED_NEAR_DUP_COS}
+    )
+"""
+
+
+@query(
+    "q_dedup_embedding_trained",
+    oracle=f"WITH {_SQL_EMB_PAIRS_IVF_TRAINED} SELECT * FROM ivf_trained_pairs",
+)
+def q_dedup_embedding_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via a TRAINED IVF coarse quantizer —
+    discharges the fixed-init IVF's documented caveat: instead of the
+    first-K vec_ids, the codebook is one exact-decimal Lloyd iteration
+    over the corpus, so list occupancy tracks the data distribution
+    (the property that keeps list sizes ~N/K as K grows ~sqrt(N)).
+    Candidate generation and exact verify are the same bucketed path as
+    ``q_dedup_embedding``; the DuckDB oracle replays the training, the
+    home/probe assignment, and the verify end to end."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return embedding_pairs_ivf_trained(e, EMBED_NEAR_DUP_COS)
 
 
 # ---------------------------------------------------------------------------

@@ -36,6 +36,7 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_simhash",
     "q_dedup_simhash_pairs",
     "q_dedup_embedding",
+    "q_dedup_embedding_trained",  # new in round 4 — unproven first
     "q_dedup_clusters",
     "q_dedup_apply",
     "q_dedup_apply_clustered",

@@ -217,6 +217,33 @@ def test_embedding_ivf_pairs_subset_of_exact_with_high_recall(spark, sf_smoke):
     assert len(ivf) / len(exact) >= 0.5, (len(ivf), len(exact))
 
 
+def test_embedding_ivf_trained_subset_of_exact_with_high_recall(
+    spark, sf_smoke
+):
+    """The Lloyd-trained codebook must preserve the IVF contract: no
+    false positives (exact verify), and recall at least as usable as
+    the fixed-init codebook on the fixture."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        EMBED_NEAR_DUP_COS,
+        embedding_pairs_blocked,
+        embedding_pairs_ivf_trained,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_smoke, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_pairs_blocked(e, EMBED_NEAR_DUP_COS).collect()
+    }
+    trained = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_pairs_ivf_trained(e, EMBED_NEAR_DUP_COS).collect()
+    }
+    assert trained <= exact
+    assert len(exact) > 0
+    assert len(trained) / len(exact) >= 0.5, (len(trained), len(exact))
+
+
 def test_apply_clustered_keeps_one_rep_per_transitive_chain(spark):
     """A~B and B~C with A!~C: pairwise greedy can over/under-drop;
     cluster-canonical dedup must keep exactly min(doc_id) of the chain."""
