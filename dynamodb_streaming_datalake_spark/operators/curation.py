@@ -1,0 +1,187 @@
+"""End-to-end corpus curation — the flagship LLM-pipeline composition.
+
+Every production pre-training pipeline chains the same stages this
+repo implements as standalone operators; this module composes them
+into ONE oracle-gated query, proving the stages compose without a
+driver-side loop or a materialization between them:
+
+1. **eval split-off** — the deterministic 5% hash sample is the eval
+   set (``operators.contamination``); only the remainder is curatable.
+2. **language filter** — keep the target-language subset.
+3. **quality filter** — the ``q_text_stats`` quality score (length +
+   stopword-rate components) at a fixed threshold.
+4. **near-dup removal** — drop MinHash+LSH pair losers (the same
+   full-corpus pair set ``q_dedup_apply`` consumes).
+5. **decontamination** — drop docs sharing any 4-gram with the eval
+   set (broadcast semi-join, ``operators.contamination``).
+6. **per-source quota** — cap surviving docs per source, picked in
+   deterministic hash order (the Common-Crawl-style guard against one
+   domain dominating the mix).
+
+Scale shape: stages 1-3 are row-local predicates fused into the scan;
+stage 4's pair set is bucket-bounded (never all-pairs); stage 5 is a
+broadcast semi-join (eval shingle hashes are small by construction);
+stage 6 is one window shuffle on ``source``, whose per-key row count
+is already quota-bounded *below* by the filters. Catalyst fuses 1-3
+into a single stage, so the whole query is: scan -> (LSH pipeline on
+the side) -> two anti-joins -> one window.
+
+Reference basis: curation stages follow the public pre-training
+data recipes (GPT-3/PaLM-style dedup + decontamination + source
+mixing); the reference repo itself stops at lake ingestion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.operators.contamination import (
+    EVAL_RATE,
+    NGRAM,
+    _SQL_BUCKET,
+    _SQL_SHINGLES,
+    contaminated_docs,
+)
+from dynamodb_streaming_datalake_spark.operators.dedup import (
+    _SQL_MINHASH_PAIRS,
+    minhash_lsh_pairs,
+)
+from dynamodb_streaming_datalake_spark.operators.sampling import (
+    DENOM,
+    hash_bucket,
+)
+from dynamodb_streaming_datalake_spark.operators.text import (
+    _SW_LIST_SQL,
+    STOPWORDS,
+)
+from dynamodb_streaming_datalake_spark.functions.texthash import (
+    sql_portable_hash60,
+)
+from dynamodb_streaming_datalake_spark.registry import query
+from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+#: curation thresholds — fixture-calibrated (quality median ~0.29) but
+#: scale-free: each is a rate/quota, not an absolute count
+CURATION_MIN_QUALITY = 0.25
+CURATION_LANGS = ("en", "de", "fr", "es")
+PER_SOURCE_CAP = 15
+
+_EVAL_CUT = int(EVAL_RATE * DENOM)
+_LANG_LIST_SQL = ", ".join(f"'{lang}'" for lang in CURATION_LANGS)
+
+#: the q_text_stats quality expression, verbatim (DuckDB side)
+_SQL_QUALITY = f"""round(least(len(toks) / 200.0, 1.0) * 0.7 +
+                 least(len(list_filter(toks, x -> x IN ({_SW_LIST_SQL}))) * 1.0
+                       / len(toks) / 0.2, 1.0) * 0.3, 6)"""
+
+
+@query(
+    "q_corpus_curation",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, source,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               {_SQL_QUALITY} AS quality_score
+        FROM (
+            SELECT *, string_split(text, ' ') AS toks FROM documents
+            WHERE {_SQL_BUCKET} >= {_EVAL_CUT}
+        )
+        WHERE lang IN ({_LANG_LIST_SQL})
+    ),
+    kept AS (
+        SELECT * FROM scored WHERE quality_score >= {CURATION_MIN_QUALITY}
+    ),
+    sh AS (
+        SELECT doc_id, {_SQL_BUCKET} AS bucket,
+               unnest({_SQL_SHINGLES}) AS s
+        FROM documents
+    ),
+    ev AS (
+        SELECT DISTINCT {sql_portable_hash60('s')} AS sh_hash
+        FROM sh WHERE bucket < {_EVAL_CUT}
+    ),
+    contaminated AS (
+        SELECT DISTINCT sh.doc_id
+        FROM sh JOIN ev ON {sql_portable_hash60('s')} = ev.sh_hash
+        WHERE sh.bucket >= {_EVAL_CUT}
+    ),
+    filtered AS (
+        SELECT * FROM kept
+        WHERE doc_id NOT IN (SELECT doc_b FROM ({_SQL_MINHASH_PAIRS}))
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY {_SQL_BUCKET}, doc_id
+        ) AS src_rank
+        FROM filtered
+    )
+    SELECT doc_id, lang, source, n_tokens, quality_score,
+           CAST(src_rank AS INT) AS src_rank
+    FROM ranked WHERE src_rank <= {PER_SOURCE_CAP}
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated training subset: eval carve-out -> language + quality
+    filters -> LSH near-dup losers dropped -> decontaminated -> capped
+    per source in deterministic hash order. See module docstring for
+    the per-stage scale shape."""
+    d = read_table(spark, sf_dir, "documents")
+    train = d.where(hash_bucket(F.col("doc_id")) >= _EVAL_CUT)
+
+    toks = F.split("text", " ")
+    sw = F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    n_tokens = F.size(toks).cast("bigint")
+    n_sw = F.size(sw).cast("bigint")
+    quality = F.round(
+        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.7
+        + F.least(n_sw * F.lit(1.0) / n_tokens / F.lit(0.2), F.lit(1.0))
+        * 0.3,
+        6,
+    )
+    kept = (
+        train.where(F.col("lang").isin(*CURATION_LANGS))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "text",
+            n_tokens.alias("n_tokens"),
+            quality.alias("quality_score"),
+        )
+        .where(F.col("quality_score") >= CURATION_MIN_QUALITY)
+    )
+
+    # full-corpus LSH pair losers (the q_dedup_apply pair set)
+    losers = (
+        minhash_lsh_pairs(d).select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    # contamination is checked for the kept docs only — an anti-join
+    # against the full-train contaminated set (what the oracle computes)
+    # filters identically, since membership outside `kept` is irrelevant
+    eval_docs = d.where(hash_bucket(F.col("doc_id")) < _EVAL_CUT)
+    contaminated = contaminated_docs(
+        kept.select("doc_id", "text"), eval_docs, NGRAM
+    ).select("doc_id")
+
+    clean = (
+        kept.drop("text")
+        .join(losers, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    w = Window.partitionBy("source").orderBy(
+        hash_bucket(F.col("doc_id")), F.col("doc_id")
+    )
+    return (
+        clean.withColumn("src_rank", F.row_number().over(w))
+        .where(F.col("src_rank") <= PER_SOURCE_CAP)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            "quality_score",
+            F.col("src_rank").cast("int").alias("src_rank"),
+        )
+    )

@@ -56,6 +56,7 @@ PRIORITY: tuple[str, ...] = (
     "q_sample_deterministic",
     "q_training_mix",
     "q_decontaminate",
+    "q_corpus_curation",  # new in round 4 — unproven first
     "q_k_anonymize",
     "q_pii_redact",
     "q_window_tumbling",
@@ -123,6 +124,7 @@ def load_all() -> None:
         "sampling",
         "contamination",
         "privacy",
+        "curation",
     ):
         try:
             __import__(f"dynamodb_streaming_datalake_spark.operators.{mod}")
