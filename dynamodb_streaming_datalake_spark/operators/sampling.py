@@ -98,3 +98,103 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, F.col("doc_id"), "source", {"src0": 0.50, "src1": 0.90, "src2": 0.25}
     )
     return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# token-budget corpus cut (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+#: per-language token budget for the cut — a corpus cut is inherently an
+#: absolute target ("train on 1T tokens of English"), fixture-sized here
+TOKEN_BUDGET_PER_LANG = 5_000
+#: hash-space blocks for the two-phase prefix sum; at 100 TB this is the
+#: knob that bounds any single window partition to ~N/blocks rows
+PREFIX_BLOCKS = 128
+_BLOCK_W = DENOM // PREFIX_BLOCKS
+
+
+@query(
+    "q_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               {_SQL_BUCKET} AS bucket
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY bucket, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < {TOKEN_BUDGET_PER_LANG}
+    """,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut each language's corpus at a token budget: walk docs in
+    deterministic hash order, keep every doc that STARTS under the
+    budget (so the cut point is identical on any cluster), and report
+    the running total.
+
+    The oracle is the obvious one-window running sum. The Spark plan is
+    deliberately NOT that: a per-lang unbounded window sorts an entire
+    language inside one reducer, which is exactly the skew that breaks
+    at 100 TB (one language can be half the corpus). Instead this is a
+    **two-phase distributed prefix sum** with identical output:
+
+    1. block sums — docs hash into ``PREFIX_BLOCKS`` ordered blocks;
+       one map-side-combining aggregate yields (lang, block) totals,
+       a ~langs x blocks row table;
+    2. block offsets — running sum over that tiny table (the only
+       unbounded window, trivially sized), broadcast back;
+    3. intra-block running sums — window partitioned by (lang, block),
+       so the largest sort partition is ~N/blocks, tunable via one
+       constant.
+
+    cum = block offset + intra-block running sum, bit-equal to the
+    naive plan; the budget filter then keeps docs whose predecessor
+    total is still under budget.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        hash_bucket(F.col("doc_id")).alias("bucket"),
+    ).withColumn("block", (F.col("bucket") / _BLOCK_W).cast("int"))
+
+    block_sums = t.groupBy("lang", "block").agg(
+        F.sum("n_tokens").alias("block_tokens")
+    )
+    w_blocks = (
+        Window.partitionBy("lang")
+        .orderBy("block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = block_sums.select(
+        "lang",
+        "block",
+        F.coalesce(F.sum("block_tokens").over(w_blocks), F.lit(0)).alias(
+            "block_offset"
+        ),
+    )
+    w_intra = (
+        Window.partitionBy("lang", "block")
+        .orderBy("bucket", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.join(F.broadcast(offsets), ["lang", "block"]).withColumn(
+        "cum_tokens",
+        (F.col("block_offset") + F.sum("n_tokens").over(w_intra)).cast(
+            "bigint"
+        ),
+    )
+    return c.where(
+        F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET_PER_LANG
+    ).select("doc_id", "lang", "n_tokens", "cum_tokens")

@@ -55,6 +55,7 @@ PRIORITY: tuple[str, ...] = (
     "q_udf_vector_norms",
     "q_sample_deterministic",
     "q_training_mix",
+    "q_token_budget",  # new in round 4 — unproven first
     "q_decontaminate",
     "q_corpus_curation",  # new in round 4 — unproven first
     "q_k_anonymize",
