@@ -53,6 +53,7 @@ PRIORITY: tuple[str, ...] = (
     "q_media_frame_stats",
     "q_media_audio_stats",
     "q_udf_vector_norms",
+    "q_embedding_quantize",  # new in round 4 — unproven first
     "q_sample_deterministic",
     "q_training_mix",
     "q_token_budget",  # new in round 4 — unproven first
