@@ -814,30 +814,55 @@ def trained_coarse_centroids(
     promises at real corpus sizes (where ``k`` scales ~sqrt(N) and the
     first-k codebook stops covering the space).
 
-    Same replayable shape as ``q_kmeans``: broadcast-assign to argmax
-    cosine (tie-break cid), then per-cluster per-dimension mean as
-    exact ``decimal(38,6)`` sums in ONE map-side-combining hash
-    aggregate — so the DuckDB oracle re-derives bit-identical centroid
-    doubles and the downstream IVF assignment is engine-checkable.
+    Assignment is a vectorized Arrow-batch GEMM argmax (numpy picks the
+    nearest init centroid, first-index ties = lowest cid — matching the
+    oracle's ``ORDER BY cos DESC, cid``); the per-cluster per-dimension
+    MEANS are exact ``decimal(38,6)`` sums in ONE map-side-combining
+    hash aggregate, so the DuckDB oracle re-derives bit-identical
+    centroid doubles from the same assignment. (``q_kmeans`` keeps the
+    fully-HOF bit-exact assignment as the declarative twin; here the
+    GEMM carries the same accepted ulp contract as IVF probe
+    selection.)
 
-    Scale: one broadcast join + two shuffles (argmax rows: one per
-    vector; the K x 64 decimal sums). More Lloyd rounds = repeat the
-    pair of stages; the codebook itself never exceeds K rows.
+    Scale: one map-only assignment pass + one shuffle (the K x 64
+    decimal sums). More Lloyd rounds = repeat the pair of stages; the
+    codebook itself never exceeds K rows.
     """
-    cents0 = emb.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    import numpy as np
+    import pandas as pd
+
+    # init codebook: bounded collect, like any broadcast dim
+    init = sorted(
+        emb.where(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    scored = emb.join(F.broadcast(cents0)).select(
-        "vec_id", "cid", cosine(F.col("embedding"), F.col("ce")).alias("cs")
-    )
-    a1 = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))
-            ).alias("best")
-        )
-        .select("vec_id", (-F.col("best.ncid")).alias("cid"))
+    C = np.array([r["embedding"] for r in init], dtype=np.float64)
+    cids = np.array([r["vec_id"] for r in init], dtype=np.int64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    # vectorized argmax assignment (one float64 GEMM per Arrow batch;
+    # stable argsort keeps the cid-asc tie-break) — same accepted ulp
+    # contract as the IVF probe selection: a flip needs two coarse
+    # scores within ~1 ulp. The centroid MEANS downstream stay exact
+    # decimal, so the oracle replays them bit-identically.
+    def argmax_assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            best = np.argmax(En @ Cn.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cid": cids[best],
+                }
+            )
+
+    a1 = emb.select("vec_id", "embedding").mapInPandas(
+        argmax_assign, schema="vec_id long, cid long"
     )
     dims = [
         (
