@@ -77,3 +77,58 @@ def test_pivot_is_single_aggregate(spark, sf_oracle):
     p = explain_str(df)
     assert p.count("HashAggregate") >= 2, p
     assert "Join" not in p, p
+
+
+def test_quantize_is_map_only_no_exchange(spark, sf_oracle):
+    """int8 quantization is row-local HOFs end to end: any Exchange in
+    the plan means an accidental shuffle crept into a map-only pass."""
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        q_embedding_quantize,
+    )
+
+    df = q_embedding_quantize(spark, sf_oracle)
+    p = explain_str(df)
+    assert "Exchange" not in p, p
+    assert not has_node(df, "BatchEvalPython"), p
+
+
+def test_token_budget_no_global_per_lang_sort(spark, sf_oracle):
+    """The prefix sum must window on (lang, block), never lang alone —
+    a global per-lang sort funnels a whole language through one
+    reducer. Every Sort's partition spec must include block."""
+    import re
+
+    from dynamodb_streaming_datalake_spark.operators.sampling import (
+        q_token_budget,
+    )
+
+    df = q_token_budget(spark, sf_oracle)
+    p = explain_str(df)
+    # the doc-level window (ordered by bucket/doc_id) must partition by
+    # lang AND block; the only lang-alone window allowed is over the
+    # tiny block-sums table (ordered by block)
+    specs = re.findall(
+        r"windowspecdefinition.*?\], \[([^\]]*)\], \[([^\]]*)\]", p
+    )
+    doc_windows = [
+        part for part, order in specs if "bucket" in order or "doc_id" in order
+    ]
+    assert doc_windows, p
+    for part in doc_windows:
+        assert "block" in part, (part, p)
+
+
+def test_curation_anti_joins_broadcast(spark, sf_oracle):
+    """Both exclusion sets (LSH losers, contaminated docs) are small by
+    construction and must arrive as broadcast anti-joins, never a
+    shuffled SMJ of the corpus against them."""
+    from dynamodb_streaming_datalake_spark.operators.curation import (
+        q_corpus_curation,
+    )
+
+    df = q_corpus_curation(spark, sf_oracle)
+    p = explain_str(df)
+    assert p.count("BroadcastHashJoin") + p.count(
+        "BroadcastNestedLoop"
+    ) >= 2 or "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
