@@ -167,8 +167,21 @@ def jaccard_pairs(
             .where(F.col("freq") > max_shingle_freq)
             .select("sh")
         )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        # lazy localCheckpoint: the capped shingle rows feed THREE
+        # consumers (sizes, postings, and sizes again via the sa/sb
+        # aliases) — without it the explode + anti-join subtree is
+        # inlined up to 14x in the physical plan and recomputed per
+        # branch. One linear materialization beats three recomputes at
+        # any scale; sizes is checkpointed too (one row per doc, tiny)
+        # because the final join reads it under two aliases.
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti").localCheckpoint(
+            eager=False
+        )
+        sizes = (
+            sh.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=False)
+        )
     else:
         # set sizes are row-local (|distinct shingles per doc|) — no explode
         sizes = docs.select("doc_id", F.size(word_shingles("text")).alias("n"))
@@ -343,6 +356,13 @@ def minhash_lsh_pairs(
             .select("band", "bucket")
         )
         buckets = buckets.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+    # lazy localCheckpoint: the signature pipeline (shingle explode ->
+    # 16 min-aggs -> band rows -> cap anti-join) feeds the cap count,
+    # BOTH sides of the self-join, and nothing else — without it the
+    # whole pipeline is inlined and recomputed per consumer (16
+    # Generate nodes in the physical plan). One band-rows
+    # materialization (|docs| x bands rows) is linear and small.
+    buckets = buckets.localCheckpoint(eager=False)
     cand = (
         buckets.alias("x")
         .join(
