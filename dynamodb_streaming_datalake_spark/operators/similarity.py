@@ -562,3 +562,91 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mse"),
     )
+
+
+# --------------------------------------------------------------------------
+# metadata-filtered ANN (pre-filtered vector search)
+# --------------------------------------------------------------------------
+FILTERED_N_QUERIES = 10
+FILTERED_TOP_K = 3
+
+
+@query(
+    "q_ann_filtered",
+    oracle=f"""
+    WITH q AS (
+        SELECT e.vec_id AS query_id, e.embedding AS qe, d.lang AS qlang
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        WHERE e.vec_id < {FILTERED_N_QUERIES}
+    ),
+    cand AS (
+        SELECT q.query_id, q.qlang, e.vec_id AS neighbor_id,
+               {sql_cosine('q.qe', 'e.embedding')} AS c
+        FROM q
+        JOIN documents d ON d.lang = q.qlang
+        JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, qlang AS lang, neighbor_id, c,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, neighbor_id) AS rank
+        FROM cand
+    )
+    SELECT query_id, lang, neighbor_id, CAST(rank AS INT) AS rank,
+           round(c, 6) AS cos_sim
+    FROM ranked WHERE rank <= {FILTERED_TOP_K}
+    """,
+)
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered top-k vector search: neighbors must share the
+    query document's language — the pre-filtering strategy every
+    production vector store ships (search WHERE lang = X).
+
+    The filter is an EQUI-join on the filter attribute, not a
+    post-filter over an unfiltered top-k (post-filtering under-fills k
+    when the predicate is selective, the classic filtered-ANN bug).
+    Shape: queries broadcast with their metadata; candidates come from
+    joining the corpus on lang, so each query scores only its stratum —
+    at scale this composes with the IVF path by bucketing lists per
+    filter value (partition pruning does the stratum selection when
+    the corpus is partitioned by the filter column)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    q = (
+        e.where(F.col("vec_id") < FILTERED_N_QUERIES)
+        .join(d, F.col("doc_id") == F.col("vec_id"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("lang").alias("qlang"),
+        )
+    )
+    corpus = e.join(d, F.col("doc_id") == F.col("vec_id")).select(
+        "vec_id", "embedding", "lang"
+    )
+    cand = (
+        F.broadcast(q)
+        .join(corpus, F.col("lang") == F.col("qlang"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("qlang").alias("lang"),
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("c"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= FILTERED_TOP_K)
+        .select(
+            "query_id",
+            "lang",
+            "neighbor_id",
+            "rank",
+            F.round("c", 6).alias("cos_sim"),
+        )
+    )

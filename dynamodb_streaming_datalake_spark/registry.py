@@ -43,6 +43,7 @@ PRIORITY: tuple[str, ...] = (
     "q_ann_topk",
     "q_ann_lsh",
     "q_ann_ivf",
+    "q_ann_filtered",  # new in round 4 — unproven first
     "q_kmeans",
     "q_text_stats",
     "q_text_langid",
