@@ -67,3 +67,20 @@ def purchase_click_attribution(events: DataFrame) -> DataFrame:
         "click_id",
         F.unix_micros(F.col("c_ts").cast("timestamp")).alias("click_ts_us"),
     )
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, keys: list[str]) -> DataFrame:
+    """Stream-static enrichment join — the canonical consumer pattern
+    the reference lake serves (CDC events + a dimension snapshot).
+
+    Structured Streaming plans a stream-static join stateless-ly: the
+    static side is re-resolved every micro-batch (so a dimension
+    REFRESHED in place is picked up without restarting the query), and
+    no state store is involved. ``F.broadcast`` pins the build side —
+    a shuffled join would re-exchange every micro-batch of the stream.
+
+    Mode-agnostic like the other builders: on batch frames it is the
+    plain broadcast equi-join, which is how the parity test pins the
+    semantics. Left join keeps un-matched stream rows (an event whose
+    dimension row is late must not be dropped)."""
+    return stream.join(F.broadcast(dim), keys, "left")

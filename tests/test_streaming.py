@@ -414,3 +414,37 @@ def test_processing_time_trigger_drains_continuously(spark, tmp_path):
         assert landed == expected
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_smoke):
+    """Stream-static broadcast enrichment: events enriched with a
+    per-user dimension must equal the batch join, and events whose
+    user is missing from the dimension must survive (left join)."""
+    from dynamodb_streaming_datalake_spark.streaming.joins import enrich_stream
+
+    dim = (
+        read_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "user_events")
+        .where(F.col("user_id") % 2 == 0)  # half the users missing
+    )
+    proj = ["event_id", "user_id", "event_type"]
+    stream = enrich_stream(
+        read_table_stream(spark, sf_smoke, "events").select(*proj), dim, ["user_id"]
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enrich_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("enrich_stream").collect()
+    want = enrich_stream(
+        read_table(spark, sf_smoke, "events").select(*proj), dim, ["user_id"]
+    ).collect()
+    assert len(want) > 0
+    assert any(r["user_events"] is None for r in want)  # left-join survivors
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
