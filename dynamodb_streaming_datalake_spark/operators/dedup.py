@@ -38,6 +38,8 @@ capped behavior itself).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -634,16 +636,47 @@ def embedding_pairs_blocked(
     )
 
 
-#: coarse-quantizer sizing for the IVF near-dup path. ``n_centroids``
-#: scales ~sqrt(N) at real corpus sizes (fixed here for the fixture);
+#: coarse-quantizer sizing for the IVF near-dup path: ``n_centroids``
+#: = max(floor, isqrt(N)) — the FAISS convention that keeps inverted
+#: lists near-constant (~sqrt(N) rows each) as the corpus grows;
 #: candidates are bounded by probed-list overlap, never all-pairs.
 EMB_IVF_CENTROIDS = 16
 EMB_IVF_NPROBE = 2
 
+
+def ivf_n_centroids(
+    n_vectors: int, floor_k: int = EMB_IVF_CENTROIDS
+) -> int:
+    """~sqrt(N) coarse-quantizer sizing with a floor — derived, not
+    fixed, so the codebook grows with the corpus. Mirrored in the
+    oracle SQL as a scalar subquery (GREATEST(floor, floor(sqrt(n)))),
+    and isqrt == floor(sqrt) for any count below 2^52."""
+    return max(floor_k, math.isqrt(max(n_vectors, 0)))
+
+
+def ivf_nprobe(k: int, floor_p: int = EMB_IVF_NPROBE) -> int:
+    """Probe count scaled with the codebook: ~1/8 of the lists (the
+    fraction the fixed 2-of-16 default probed), floored at 2 —
+    growing K without growing nprobe silently trades recall away."""
+    return max(floor_p, -(-k // 8))
+
+
+#: oracle twins of :func:`ivf_n_centroids` / :func:`ivf_nprobe` over
+#: the embeddings view
+_SQL_K_CENTROIDS = (
+    f"(SELECT GREATEST({EMB_IVF_CENTROIDS}, "
+    f"CAST(floor(sqrt(COUNT(*))) AS BIGINT)) FROM embeddings)"
+)
+_SQL_NPROBE = (
+    f"(SELECT GREATEST({EMB_IVF_NPROBE}, CAST(ceil("
+    f"GREATEST({EMB_IVF_CENTROIDS}, floor(sqrt(COUNT(*)))) / 8.0"
+    f") AS BIGINT)) FROM embeddings)"
+)
+
 _SQL_EMB_PAIRS_IVF = f"""
     cents AS (
         SELECT vec_id AS cid, embedding AS ce
-        FROM embeddings WHERE vec_id < {EMB_IVF_CENTROIDS}
+        FROM embeddings WHERE vec_id < {_SQL_K_CENTROIDS}
     ),
     assign AS (
         SELECT e.vec_id, c.cid, e.embedding,
@@ -654,7 +687,7 @@ _SQL_EMB_PAIRS_IVF = f"""
         FROM embeddings e CROSS JOIN cents c
     ),
     lists AS (SELECT vec_id, cid FROM assign WHERE r = 1),
-    probes AS (SELECT vec_id, cid FROM assign WHERE r <= {EMB_IVF_NPROBE}),
+    probes AS (SELECT vec_id, cid FROM assign WHERE r <= {_SQL_NPROBE}),
     cand AS (
         SELECT DISTINCT LEAST(p.vec_id, l.vec_id) AS vec_a,
                         GREATEST(p.vec_id, l.vec_id) AS vec_b
@@ -675,8 +708,8 @@ _SQL_EMB_PAIRS_IVF = f"""
 def embedding_pairs_ivf(
     emb: DataFrame,
     threshold: float,
-    n_centroids: int = EMB_IVF_CENTROIDS,
-    nprobe: int = EMB_IVF_NPROBE,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via an IVF (inverted-file) coarse quantizer — the
     100 TB path: exact cosine is computed for CANDIDATES only, never
@@ -703,6 +736,11 @@ def embedding_pairs_ivf(
     blocked-GEMM twin (``embedding_pairs_blocked``) stays the recall
     oracle in tests.
     """
+    if n_centroids is None:
+        # one count-star (parquet metadata-cheap) sizes the codebook
+        n_centroids = ivf_n_centroids(emb.count())
+    if nprobe is None:
+        nprobe = ivf_nprobe(n_centroids)
     # bounded collect: n_centroids rows == collecting a broadcast dim
     cents = sorted(
         emb.where(F.col("vec_id") < n_centroids)
@@ -827,7 +865,7 @@ EMB_DIM = 64
 
 
 def trained_coarse_centroids(
-    emb: DataFrame, k: int = EMB_IVF_CENTROIDS
+    emb: DataFrame, k: int | None = None
 ) -> DataFrame:
     """One exact-decimal Lloyd iteration from the deterministic first-k
     init — the trained coarse quantizer the fixed-init IVF's docstring
@@ -851,6 +889,8 @@ def trained_coarse_centroids(
     import numpy as np
     import pandas as pd
 
+    if k is None:
+        k = ivf_n_centroids(emb.count())
     # init codebook: bounded collect, like any broadcast dim
     init = sorted(
         emb.where(F.col("vec_id") < k)
@@ -907,12 +947,16 @@ def trained_coarse_centroids(
 def embedding_pairs_ivf_trained(
     emb: DataFrame,
     threshold: float,
-    k: int = EMB_IVF_CENTROIDS,
-    nprobe: int = EMB_IVF_NPROBE,
+    k: int | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """IVF near-dup pairs over a Lloyd-trained coarse codebook: train
     (`trained_coarse_centroids`), collect the K-row codebook (bounded,
     broadcast-analogous), then reuse the shared candidate machinery."""
+    if k is None:
+        k = ivf_n_centroids(emb.count())
+    if nprobe is None:
+        nprobe = ivf_nprobe(k)
     cents = sorted(
         trained_coarse_centroids(emb, k).collect(), key=lambda r: r["cid"]
     )
@@ -933,7 +977,7 @@ _SQL_KM_ASSIGN_RANKED = f"""
 _SQL_EMB_PAIRS_IVF_TRAINED = f"""
     cents0 AS (
         SELECT vec_id AS cid, embedding AS ce
-        FROM embeddings WHERE vec_id < {EMB_IVF_CENTROIDS}
+        FROM embeddings WHERE vec_id < {_SQL_K_CENTROIDS}
     ),
     a1 AS (
         SELECT vec_id, cid FROM ({_SQL_KM_ASSIGN_RANKED.format(cents='cents0')}
@@ -952,7 +996,7 @@ _SQL_EMB_PAIRS_IVF_TRAINED = f"""
     assign_t AS ({_SQL_KM_ASSIGN_RANKED.format(cents='tcents')}
     ),
     lists_t AS (SELECT vec_id, cid FROM assign_t WHERE r = 1),
-    probes_t AS (SELECT vec_id, cid FROM assign_t WHERE r <= {EMB_IVF_NPROBE}),
+    probes_t AS (SELECT vec_id, cid FROM assign_t WHERE r <= {_SQL_NPROBE}),
     cand_t AS (
         SELECT DISTINCT LEAST(p.vec_id, l.vec_id) AS vec_a,
                         GREATEST(p.vec_id, l.vec_id) AS vec_b

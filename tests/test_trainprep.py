@@ -270,3 +270,30 @@ def test_apply_clustered_keeps_one_rep_per_transitive_chain(spark):
     assert {lbl for _, lbl in comp} == {1}
     drops = {n for n, lbl in comp if n != lbl}
     assert drops == {2, 3}  # doc 9 untouched, doc 1 the survivor
+
+
+def test_ivf_sizing_scales_sqrt_n():
+    """The coarse codebook is derived, not fixed: floor of 16 for
+    fixture-sized inputs, ~sqrt(N) beyond (a planted 250k-vector corpus
+    must get a 500-centroid codebook)."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        EMB_IVF_CENTROIDS,
+        ivf_n_centroids,
+    )
+
+    assert ivf_n_centroids(50) == EMB_IVF_CENTROIDS
+    assert ivf_n_centroids(256) == EMB_IVF_CENTROIDS
+    assert ivf_n_centroids(500) == 22
+    assert ivf_n_centroids(250_000) == 500
+    assert ivf_n_centroids(0) == EMB_IVF_CENTROIDS
+
+
+def test_ivf_nprobe_tracks_codebook():
+    """nprobe keeps ~1/8 list coverage as K grows (2-of-16 fixture
+    default preserved), so derived sizing can't silently trade recall."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import ivf_nprobe
+
+    assert ivf_nprobe(16) == 2
+    assert ivf_nprobe(22) == 3
+    assert ivf_nprobe(44) == 6
+    assert ivf_nprobe(500) == 63
