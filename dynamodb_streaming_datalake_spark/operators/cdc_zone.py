@@ -230,3 +230,94 @@ def q_cdc_zone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     later run exercises the pruned schema-declared read + reconstruction."""
     path = ensure_cdc_zone(spark, sf_dir)
     return read_day_state(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# B19 driver visibility: batch-reconstructible applyInPandasWithState twin
+# ---------------------------------------------------------------------------
+import itertools  # noqa: E402
+
+_TWIN_SEQ = itertools.count()
+
+
+@query(
+    "q_stateful_latest_state",
+    oracle="""
+    WITH src AS (
+        SELECT CAST(user_id AS VARCHAR) AS id,
+               event_type AS name,
+               CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value,
+               CASE WHEN event_id % 10 = 0 THEN 'REMOVE'
+                    WHEN event_id % 2 = 0 THEN 'INSERT'
+                    ELSE 'MODIFY' END AS Event,
+               CAST(floor(epoch(ts)) AS BIGINT) AS event_time_s,
+               'ev-' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS eventID
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY id, name
+            ORDER BY event_time_s DESC, eventID DESC) AS rn
+        FROM src
+    )
+    SELECT id, name, Event, event_time_s, value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_stateful_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 (`applyInPandasWithState`) under the driver's oracle gate:
+    run the REAL streaming stateful operator — not a batch stand-in —
+    over one day of the cached CDC zone with an ``availableNow``
+    drain, then reconstruct the final per-key state from its update-
+    mode emission log. The oracle replays the same newest-per-(id,name)
+    fold in SQL (REMOVE tombstones included: the state op emits them
+    like any other newest version — dropping them is `reconstruct`'s
+    job, exercised by ``q_cdc_zone_roundtrip``).
+
+    Emissions carry (event_time_us, event_id), so the reconstruction
+    (row_number over both, descending) is total even when one key's
+    state is emitted in several micro-batches.
+
+    Scale: the state store holds one row per live key, partitioned by
+    key across executors; the emission log is at most
+    one-row-per-key-per-micro-batch; the final fold shuffles only the
+    emission log, never the stream."""
+    from pyspark.sql import Window
+
+    from dynamodb_streaming_datalake_spark.streaming.stateful import (
+        streaming_latest_state,
+    )
+
+    path = ensure_cdc_zone(spark, sf_dir)
+    day = os.path.join(path, "y=2024", "m=1", "d=1", "h=*")
+    stream = spark.readStream.schema(zone_row_schema()).json(day)
+    latest = streaming_latest_state(stream, payload_cols=["value"])
+    name = f"stateful_twin_{next(_TWIN_SEQ)}"
+    q = (
+        latest.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stateful twin stream did not drain in 600s")
+    out = spark.table(name)
+    w = Window.partitionBy("id", "name").orderBy(
+        F.col("event_time_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "id",
+            "name",
+            "Event",
+            (F.col("event_time_us") / F.lit(1_000_000))
+            .cast("bigint")
+            .alias("event_time_s"),
+            F.get_json_object("payload", "$.value").alias("value"),
+        )
+    )

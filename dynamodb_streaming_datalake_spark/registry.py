@@ -75,6 +75,7 @@ PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",        # hash agg + partial/final
     "q3_shipping_priority",      # multi-join + top-k
     "q_cdc_zone_roundtrip",      # A3-A9 CDC lifecycle + pruned read
+    "q_stateful_latest_state",   # new in round 4 — B19 driver row
     "q_latest_state_per_key",    # B6 latest-state dedup
     "q_merge_snapshot_cdc",      # B7 snapshot ⊕ CDC merge
     "q_scd2_intervals",          # window-based SCD2

@@ -45,8 +45,11 @@ def streaming_dedup(
 
 
 #: output/state schemas for streaming_latest_state over the CDC fixture
+#: (event_id makes the emission stream totally ordered per key, so a
+#: batch consumer can reconstruct the final state unambiguously)
 LATEST_STATE_OUTPUT = (
-    "id string, name string, Event string, event_time_us long, payload string"
+    "id string, name string, Event string, event_time_us long, "
+    "event_id string, payload string"
 )
 LATEST_STATE_STATE = "event_time_us long, event_id string, event string, payload string"
 
@@ -75,6 +78,7 @@ def _latest_state_fn(
                 "name": [key[1]],
                 "Event": [best_event],
                 "event_time_us": [best_us],
+                "event_id": [best_id],
                 "payload": [best_payload],
             }
         )
