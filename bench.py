@@ -76,6 +76,10 @@ def main() -> None:
         "q_dedup_apply",
         "q_ann_ivf",
         "q_text_stats",
+        "q_corpus_curation",
+        "q_dedup_embedding_trained",
+        "q_token_budget",
+        "q_stateful_latest_state",
     ]
     print(
         json.dumps(

@@ -23,9 +23,12 @@ ORACLE: dict[str, str] = {}
 # the proof surface, not cosmetics: rounds 1-2 proved positions 1-50 (the
 # relational/CDC core) twice while the LLM-pipeline surface (dedup, ANN,
 # text, multimodal, sampling, privacy, streaming windows) sat unchecked at
-# 51+. Positions 1-36 below are those never-driver-checked queries;
-# 37-50 are one anchor per core operator family; the twice-proven TPC-H
-# tail intentionally sits beyond 50. Names not listed here order after the
+# 51+. Round 3 put those never-checked queries first; round 4 inserted its
+# six new queries (trained IVF, filtered ANN, quantize, token budget,
+# curation, stateful twin) inside the window, ejecting only twice-proven
+# anchors. Rotation rule for future rounds: UNPROVEN first, once-proven
+# next, twice-proven tail last — rotate twice-proven window members out to
+# make room, never the converse. Names not listed here order after the
 # listed ones, in registration order — so a future registration can never
 # silently eject a listed query from the window.
 PRIORITY: tuple[str, ...] = (
