@@ -504,7 +504,10 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize a multi-million-element array in one row (measured
     # 2x slower at sf0.1 with a 1371-doc bucket). Contrast jaccard_pairs,
     # where shingle posting lists are short and the in-row expansion
-    # wins. AQE reuses the fingerprint exchange across the self-join.
+    # wins. The lazy localCheckpoint guarantees the fingerprint
+    # pipeline (token explode + 60 bit-vote aggregate) is computed once
+    # for both self-join sides instead of per branch.
+    banded = banded.localCheckpoint(eager=False)
     return (
         banded.alias("x")
         .join(
