@@ -609,3 +609,54 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unpivot (melt): the inverse of the pivot — wide matrix back to long form
+# --------------------------------------------------------------------------
+@query(
+    "q_unpivot_event_matrix",
+    oracle="""
+    WITH wide AS (
+        SELECT (user_id % 50) AS cohort,
+               COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+               COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+               COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+        FROM events GROUP BY (user_id % 50)
+    )
+    SELECT cohort, event_type, CAST(n AS BIGINT) AS n
+    FROM wide
+    UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+    WHERE n > 0
+    """,
+)
+def q_unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational unpivot (melt): the wide per-cohort activity matrix
+    back to (cohort, event_type, n) long form, zero cells dropped
+    (mirroring UNPIVOT's default exclude-nulls contract — the pivot
+    filled them in, the unpivot strips them back out).
+
+    Scale: `unpivot` is a row-local Expand (each wide row emits one row
+    per measure column) stacked directly on the pivot's single
+    partial+final aggregate — no extra shuffle, no UDF. This is the
+    standard long<->wide bridge a feature-engineering pipeline crosses
+    in both directions."""
+    e = read_table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy((F.col("user_id") % 50).alias("cohort"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+    return (
+        wide.unpivot(
+            ids=["cohort"],
+            values=list(EVENT_TYPES),
+            variableColumnName="event_type",
+            valueColumnName="n",
+        )
+        .where(F.col("n") > 0)
+        .select("cohort", "event_type", F.col("n").cast("bigint").alias("n"))
+    )

@@ -70,6 +70,7 @@ PRIORITY: tuple[str, ...] = (
     "q_window_session",
     "q_window_time_range",
     "q_grouping_sets",
+    "q_unpivot_event_matrix",  # new in round 4 — unproven first
     "q_sessionize",
     "q_user_last_event",
     "q_user_value_deciles",
