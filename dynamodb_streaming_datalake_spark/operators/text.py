@@ -228,3 +228,58 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n_sh > 0, 1.0 - n_dsh * F.lit(1.0) / n_sh).otherwise(F.lit(0.0)), 6
         ).alias("shingle_rep_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (overlapping token windows for sequence prep)
+# ---------------------------------------------------------------------------
+
+#: tokens per chunk / stride between chunk starts (16-token overlap)
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "q_doc_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks), {CHUNK_STRIDE}))
+               AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS INT) AS chunk_id,
+           CAST(len(list_slice(toks, start, start + {CHUNK_TOKENS} - 1))
+                AS BIGINT) AS chunk_tokens,
+           array_to_string(list_slice(toks, start, start + {CHUNK_TOKENS} - 1),
+                           ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the sequence-prep step that
+    turns variable-length documents into model-sized pieces
+    ({CHUNK_TOKENS} tokens, stride {CHUNK_STRIDE}, so consecutive
+    chunks share 16 tokens of context). The final (short) chunk is
+    kept: training pipelines pad it, they don't drop it.
+
+    Scale: entirely row-local — sequence + posexplode-style expansion
+    inside the row, slice + join as array HOFs, no UDF, no shuffle.
+    Output volume is input tokens x (chunk/stride) ~ 1.33x, the
+    standard overlap cost."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    t = d.select("doc_id", toks.alias("toks"), F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_TOKENS)
+    return t.select(
+        "doc_id",
+        ((F.col("start") - 1) / F.lit(CHUNK_STRIDE)).cast("int").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -52,6 +52,7 @@ PRIORITY: tuple[str, ...] = (
     "q_text_langid",
     "q_text_fingerprint",
     "q_text_repetition",
+    "q_doc_chunks",  # new in round 4 — unproven first
     "q_lang_distribution",
     "q_media_decode",
     "q_media_frame_stats",

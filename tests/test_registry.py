@@ -36,5 +36,6 @@ def test_window_prefers_unproven_queries():
         "q_corpus_curation",
         "q_stateful_latest_state",
         "q_unpivot_event_matrix",
+        "q_doc_chunks",
     ):
         assert n in names, n
