@@ -26,16 +26,22 @@ def test_every_query_has_oracle_sql():
 
 
 def test_window_prefers_unproven_queries():
-    """Round-4 registrations must sit inside the driver's 50-row window."""
+    """Round-5 rotation: the 44 queries whose most recent driver row is
+    rounds 1-2 must sit inside the driver's 50-row window (their proof had
+    gone stale); round-4's freshly-proven additions rotate to the tail."""
     names = list(all_queries())[:50]
     for n in (
-        "q_dedup_embedding_trained",
-        "q_ann_filtered",
-        "q_embedding_quantize",
-        "q_token_budget",
-        "q_corpus_curation",
-        "q_stateful_latest_state",
-        "q_unpivot_event_matrix",
-        "q_doc_chunks",
+        "q2_min_cost_supplier",
+        "q9_product_profit",
+        "q18_large_volume_customers",
+        "q_asof_join",
+        "q_range_join_clicks",
+        "q_pivot_event_matrix",
+        "q_funnel_conversion",
+        "q_distinct_counts",
+        "q_sql_entrypoint",
+        "q_histogram_value",
     ):
         assert n in names, n
+    for n in ("q_dedup_embedding_trained", "q_corpus_curation"):
+        assert n not in names, f"{n} should have rotated out of the window"
