@@ -293,6 +293,12 @@ def q_stateful_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = os.path.join(path, "y=2024", "m=1", "d=1", "h=*")
     stream = spark.readStream.schema(zone_row_schema()).json(day)
     latest = streaming_latest_state(stream, payload_cols=["value"])
+    # Drop twin tables from earlier invocations: the memory sink keeps the
+    # full emission log in driver memory, so repeated bench/correctness
+    # runs in one session would otherwise accumulate it without bound.
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith("stateful_twin_"):
+            spark.catalog.dropTempView(tbl.name)
     name = f"stateful_twin_{next(_TWIN_SEQ)}"
     q = (
         latest.writeStream.format("memory")

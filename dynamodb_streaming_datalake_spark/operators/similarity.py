@@ -495,6 +495,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
                  AS scale
         FROM embeddings
+        WHERE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0
     ),
     q AS (
         SELECT vec_id, ed, scale,
@@ -535,7 +536,12 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     ad = F.col("embedding").cast("array<double>")
     scale = F.array_max(F.transform(ad, lambda x: F.abs(x)))
-    t = e.select("vec_id", ad.alias("ed"), scale.alias("scale"))
+    # All-zero vectors have scale 0 and no meaningful quantization (the
+    # division would produce inf/NaN, where Spark and DuckDB IEEE
+    # behavior may diverge); exclude them in BOTH engines.
+    t = e.select("vec_id", ad.alias("ed"), scale.alias("scale")).where(
+        F.col("scale") > 0
+    )
     codes = F.transform(
         F.col("ed"),
         lambda x: F.floor(x * F.lit(127.0) / F.col("scale") + F.lit(0.5)),

@@ -262,7 +262,7 @@ CHUNK_STRIDE = 48
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking — the sequence-prep step that
     turns variable-length documents into model-sized pieces
-    ({CHUNK_TOKENS} tokens, stride {CHUNK_STRIDE}, so consecutive
+    (64 tokens, stride 48, so consecutive
     chunks share 16 tokens of context). The final (short) chunk is
     kept: training pipelines pad it, they don't drop it.
 

@@ -440,7 +440,7 @@ def test_stream_static_enrichment_matches_batch(spark, sf_smoke):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "enrichment stream did not drain in 120s"
     got = spark.table("enrich_stream").collect()
     want = enrich_stream(
         read_table(spark, sf_smoke, "events").select(*proj), dim, ["user_id"]
