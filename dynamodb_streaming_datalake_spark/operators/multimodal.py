@@ -4,11 +4,13 @@ Media are opaque ``binary`` columns with a typed metadata struct; every
 transform is an Arrow-batched ``mapInPandas`` stage so the plumbing —
 schema, batch shape, partition-preserving narrow execution — is exactly
 what a real decoder would ride on. The container has no image/audio
-libraries, so real codecs (jpeg/png/wav/...) are stubbed behind a
-clearly-marked ``NotImplementedError``; the fully-implemented ``fake``
-codec packs a parseable header + deterministic payload, which keeps the
-operators end-to-end testable AND oracle-checkable (payload bytes are a
-pure function of the row id, so DuckDB can recompute the decoded stats
+libraries, so library-dependent codecs (jpeg/png/mp3/mp4) are stubbed
+behind a clearly-marked ``NotImplementedError``; RIFF/WAV (16-bit PCM)
+and PPM (P6) are REAL formats implemented with struct/numpy alone (see
+parse_wav / parse_ppm); and the fully-implemented ``fake`` codec packs a
+parseable header + deterministic payload, which keeps the operators
+end-to-end testable AND oracle-checkable (payload bytes are a pure
+function of the row id, so DuckDB can recompute the decoded stats
 arithmetically).
 
 Wire format (big-endian):
@@ -39,16 +41,19 @@ from dynamodb_streaming_datalake_spark.sources.readers import read_table
 IMG_MAGIC = b"FIMG"
 VID_MAGIC = b"FVID"
 
-#: codecs a production build would register; only ``fake`` ships here.
-REAL_CODECS = ("jpeg", "png", "webp", "wav", "mp4")
+#: codecs still needing libraries this container lacks. ``wav`` (RIFF,
+#: 16-bit PCM) and ``ppm`` (P6) are REAL container formats implemented
+#: below with struct/numpy alone — see decode_wav / decode_ppm.
+STUBBED_CODECS = ("jpeg", "png", "webp", "mp3", "mp4")
+REAL_CODECS = ("fake", "wav", "ppm")
 
 
 def _require_fake(fmt: str) -> None:
-    if fmt != "fake":
+    if fmt not in REAL_CODECS:
         raise NotImplementedError(
             f"codec '{fmt}' needs an image/audio library not present in this "
-            "container; only the deterministic 'fake' codec is implemented. "
-            "Swap _decode_one/_encode_one for PIL/av calls in production."
+            f"container; implemented codecs: {REAL_CODECS}. "
+            "Swap the decode kernels for PIL/av calls in production."
         )
 
 
@@ -116,9 +121,10 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
     )
 
     encoders = {"image": _encode_image, "video": _encode_video}
-    # audio encoder is defined below this function; resolve lazily
+    # audio/wav/ppm encoders are defined below this function; resolve lazily
     enc = encoders.get(kind) or globals()[f"_encode_{kind}"]
-    fmt = f"fake-{kind}"
+    # wav/ppm are REAL container formats, not fakes — label them honestly
+    fmt = kind if kind in ("wav", "ppm") else f"fake-{kind}"
     meta_t = StructType(
         [StructField("format", StringType()), StructField("n_bytes", LongType())]
     )
@@ -371,3 +377,243 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.select(
         "doc_id", "sample_rate", "n_samples", "duration_s", F.round("rms", 6).alias("rms")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs: RIFF/WAV (16-bit PCM) and PPM (P6) — pure struct/numpy,
+# no media libraries. These retire the stub for two genuine container
+# formats: the encoder writes spec-conformant bytes (stdlib `wave` can
+# open our WAVs — pinned in tests/test_multimodal.py) and the decoder is
+# a real chunk-walking / header-grammar parser, not a length check.
+# ---------------------------------------------------------------------------
+
+
+def _wav_params(i: int) -> tuple[int, int]:
+    sample_rate = 8000 + (i % 3) * 4000
+    n_samples = 800 + i % 800
+    return sample_rate, n_samples
+
+
+def _encode_wav(i: int) -> bytes:
+    """Spec-conformant RIFF/WAVE, mono 16-bit little-endian PCM:
+    ``RIFF <sz> WAVE`` + ``fmt `` chunk (PCM=1) + ``data`` chunk.
+    Sample k = ((i*7 + k*13) % 4001) - 2000 — integer-valued, so every
+    engine's sum-of-squares is exact in float64 (max |sum| << 2^53) and
+    the RMS is bit-identical between Spark and the DuckDB oracle."""
+    rate, n = _wav_params(i)
+    k = np.arange(n, dtype=np.int64)
+    samples = ((i * 7 + k * 13) % 4001 - 2000).astype("<i2")
+    data = samples.tobytes()
+    channels, bits = 1, 16
+    block_align = channels * bits // 8
+    fmt_chunk = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, rate, rate * block_align, block_align, bits
+    )
+    data_chunk = b"data" + struct.pack("<I", len(data)) + data
+    body = b"WAVE" + fmt_chunk + data_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Real RIFF parser: verify the RIFF/WAVE signature, then walk the
+    chunk list (id, u32-LE size, payload, odd-size pad byte) collecting
+    ``fmt `` and ``data``. Only uncompressed 16-bit PCM is decodable
+    here; compressed audio_format values raise NotImplementedError."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    riff_size = struct.unpack("<I", blob[4:8])[0]
+    if riff_size + 8 != len(blob):
+        raise ValueError("RIFF size mismatch")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        payload = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", payload[:16])
+        elif cid == b"data":
+            data = payload
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"compressed WAV (format={audio_format})")
+    if bits != 16:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    samples = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        samples = samples.reshape(-1, channels)
+    return rate, channels, samples
+
+
+def decode_wav(df: DataFrame, id_col: str) -> DataFrame:
+    """Decode a real WAV column into (sample_rate, n_samples,
+    duration_s, rms). Same mapInPandas plumbing as the fake codec —
+    the only change is the kernel is a genuine RIFF chunk walk."""
+    schema = (
+        f"{id_col} bigint, sample_rate int, n_samples bigint,"
+        " duration_s double, rms double"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                rate, _ch, samples = parse_wav(bytes(blob))
+                x = samples.astype(np.float64)
+                # integer samples: the sum of squares is exact in f64
+                rms = float(np.sqrt((x * x).sum() / x.size))
+                rows.append((int(i), rate, x.size, x.size / rate, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "n_samples", "duration_s", "rms"],
+            )
+
+    return df.mapInPandas(dec, schema=schema)
+
+
+def _ppm_dims(i: int) -> tuple[int, int]:
+    width = 8 + i % 24
+    height = 8 + (i // 5) % 24
+    return width, height
+
+
+def _encode_ppm(i: int) -> bytes:
+    """Binary PPM (P6): ``P6\\n# comment\\n<w> <h>\\n255\\n`` + raw RGB.
+    Pixel byte k = (i + k) % 256 — consecutive residues, whose mean has
+    the closed form the oracle evaluates (no giant list ops in SQL)."""
+    w, h = _ppm_dims(i)
+    m = w * h * 3
+    k = np.arange(m, dtype=np.int64)
+    payload = ((i + k) % 256).astype(np.uint8).tobytes()
+    header = f"P6\n# synthetic id={i}\n{w} {h}\n255\n".encode("ascii")
+    return header + payload
+
+
+def parse_ppm(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Real PPM (P6) header parser: magic, then three whitespace-
+    separated integers (width, height, maxval), honoring ``#`` comments
+    per the netpbm grammar; payload is raw interleaved RGB."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(blob):
+            raise ValueError("truncated PPM header")
+        c = blob[pos : pos + 1]
+        if c == b"#":  # comment runs to end of line
+            nl = blob.find(b"\n", pos)
+            pos = len(blob) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(blob) and not blob[end : end + 1].isspace():
+                end += 1
+            fields.append(int(blob[pos:end]))
+            pos = end
+    pos += 1  # single whitespace byte after maxval, then raw payload
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    payload = np.frombuffer(blob, np.uint8, offset=pos)
+    if payload.size != w * h * 3:
+        raise ValueError("truncated PPM payload")
+    return w, h, payload.reshape(h, w, 3)
+
+
+def decode_ppm(df: DataFrame, id_col: str) -> DataFrame:
+    """Decode a real PPM column into typed stats (width, height,
+    channels, mean_pixel, n_bytes)."""
+    schema = (
+        f"{id_col} bigint, width int, height int, channels int,"
+        " mean_pixel double, n_bytes bigint"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                w, h, img = parse_ppm(bytes(blob))
+                m = img.size
+                # exact integer sum -> one f64 division, same in DuckDB
+                mean = float(int(img.astype(np.int64).sum()) / m)
+                rows.append((int(i), w, h, 3, mean, m))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "channels", "mean_pixel", "n_bytes"],
+            )
+
+    return df.mapInPandas(dec, schema=schema)
+
+
+@query(
+    "q_media_wav",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(800 + doc_id % 800 AS BIGINT) AS n_samples,
+           (800 + doc_id % 800) * 1.0 / (8000 + (doc_id % 3) * 4000)
+             AS duration_s,
+           round(sqrt(list_aggregate(
+             list_transform(range(0, 800 + doc_id % 800),
+                            k -> CAST((doc_id * 7 + k * 13) % 4001 - 2000
+                                      AS DOUBLE) ^ 2),
+             'avg')), 6) AS rms
+    FROM documents
+    """,
+)
+def q_media_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path (round-5): write a spec-conformant RIFF/WAV
+    16-bit PCM blob per document, then chunk-walk it back into duration
+    + RMS. The oracle recomputes both arithmetically from doc_id, so a
+    single wrong byte offset in the encoder or parser breaks the hash.
+
+    Scale: synth + decode are map-only mapInPandas stages — at 100 TB
+    the audio column streams through executors one Arrow batch at a
+    time, no shuffle, no driver traffic."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    wav = synthesize_media(d, "doc_id", "wav")
+    dec = decode_wav(wav, "doc_id")
+    return dec.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "duration_s",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+@query(
+    "q_media_ppm",
+    # mean of ((doc_id + k) % 256) for k in 0..m-1 via the prefix-sum
+    # closed form S(n) = (n//256)*32640 + r*(r-1)/2, r = n%256 —
+    # avoids materializing w*h*3-element lists in SQL.
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 24 AS INT) AS width,
+               CAST(8 + (doc_id // 5) % 24 AS INT) AS height,
+               doc_id % 256 AS a,
+               (8 + doc_id % 24) * (8 + (doc_id // 5) % 24) * 3 AS m
+        FROM documents
+    )
+    SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+           (((a + m) // 256) * 32640 + ((a + m) % 256) * ((a + m) % 256 - 1) // 2
+            - ((a // 256) * 32640 + (a % 256) * ((a % 256) - 1) // 2)
+           ) * 1.0 / m AS mean_pixel,
+           CAST(m AS BIGINT) AS n_bytes
+    FROM dims
+    """,
+)
+def q_media_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path (round-5): encode a binary PPM (P6) — including
+    a comment line the parser must skip — per document, then parse the
+    netpbm header grammar back into typed stats. Oracle computes the
+    payload mean with a modular prefix-sum closed form.
+
+    Scale: map-only, same contract as q_media_wav."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    ppm = synthesize_media(d, "doc_id", "ppm")
+    return decode_ppm(ppm, "doc_id")
