@@ -240,6 +240,20 @@ import itertools  # noqa: E402
 _TWIN_SEQ = itertools.count()
 
 
+def _zone_day_glob(path: str) -> str:
+    """Glob for day 1 of the cached zone (the pruned-read target)."""
+    return os.path.join(path, "y=2024", "m=1", "d=1", "h=*")
+
+
+def _drop_twin_views(spark: SparkSession, prefix: str) -> None:
+    """Memory sinks keep their full emission log in driver memory; drop
+    leftovers from earlier invocations so repeated bench/correctness
+    runs in one session don't accumulate them."""
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith(prefix):
+            spark.catalog.dropTempView(tbl.name)
+
+
 @query(
     "q_stateful_latest_state",
     oracle="""
@@ -290,15 +304,10 @@ def q_stateful_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = ensure_cdc_zone(spark, sf_dir)
-    day = os.path.join(path, "y=2024", "m=1", "d=1", "h=*")
+    day = _zone_day_glob(path)
     stream = spark.readStream.schema(zone_row_schema()).json(day)
     latest = streaming_latest_state(stream, payload_cols=["value"])
-    # Drop twin tables from earlier invocations: the memory sink keeps the
-    # full emission log in driver memory, so repeated bench/correctness
-    # runs in one session would otherwise accumulate it without bound.
-    for tbl in spark.catalog.listTables():
-        if tbl.name.startswith("stateful_twin_"):
-            spark.catalog.dropTempView(tbl.name)
+    _drop_twin_views(spark, "stateful_twin_")
     name = f"stateful_twin_{next(_TWIN_SEQ)}"
     q = (
         latest.writeStream.format("memory")
@@ -326,4 +335,105 @@ def q_stateful_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("event_time_s"),
             F.get_json_object("payload", "$.value").alias("value"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream-static enrichment under the driver's oracle gate (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_enrich_stream",
+    oracle="""
+    WITH src AS (
+        SELECT CAST(user_id AS VARCHAR) AS id,
+               event_type AS name,
+               CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value,
+               CASE WHEN event_id % 10 = 0 THEN 'REMOVE'
+                    WHEN event_id % 2 = 0 THEN 'INSERT'
+                    ELSE 'MODIFY' END AS Event,
+               CAST(floor(epoch(ts)) AS BIGINT) AS event_time_s,
+               'ev-' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS eventID
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'
+    ),
+    dim AS (
+        SELECT CAST(user_id AS VARCHAR) AS id,
+               COUNT(*) AS user_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_total
+        FROM events
+        WHERE user_id % 2 = 0
+        GROUP BY user_id
+    )
+    SELECT s.eventID, s.id, s.name, s.Event, s.event_time_s, s.value,
+           d.user_events, d.user_total
+    FROM src s LEFT JOIN dim d ON s.id = d.id
+    """,
+)
+def q_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (``streaming/joins.py:enrich_stream``)
+    under the driver's oracle gate: the REAL streaming operator — a
+    broadcast left join of a CDC-zone day STREAM against a per-user
+    dimension snapshot aggregated from the events parquet — drained
+    with ``availableNow`` into a memory sink. This is the canonical
+    consumer pattern the reference lake serves (landing DynamoDB state
+    next to facts, ``/root/reference/README.md:2``).
+
+    The dimension covers only even user ids, so the left join's
+    keep-unmatched-stream-rows semantics is itself oracle-checked
+    (odd-id rows must survive with NULL enrichment columns).
+
+    Scale: stream-static joins are stateless — the static side is
+    re-resolved each micro-batch and ``F.broadcast`` pins it as the
+    build side, so the stream is never re-shuffled; at 100 TB/day of
+    CDC the per-batch cost is one broadcast of the (bounded) dimension
+    delta, no state store growth.
+    """
+    from dynamodb_streaming_datalake_spark.streaming.joins import enrich_stream
+
+    path = ensure_cdc_zone(spark, sf_dir)
+    stream = spark.readStream.schema(zone_row_schema()).json(_zone_day_glob(path))
+    dim = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("user_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("user_total"),
+        )
+        .select(
+            F.col("user_id").cast("string").alias("id"),
+            "user_events",
+            "user_total",
+        )
+    )
+    enriched = enrich_stream(
+        stream.select("eventID", "id", "name", "Event", "event_time", "value"),
+        dim,
+        ["id"],
+    )
+    _drop_twin_views(spark, "enrich_twin_")
+    name = f"enrich_twin_{next(_TWIN_SEQ)}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("enrichment stream did not drain in 600s")
+    return spark.table(name).select(
+        "eventID",
+        "id",
+        "name",
+        "Event",
+        F.unix_timestamp("event_time").alias("event_time_s"),
+        "value",
+        "user_events",
+        "user_total",
     )

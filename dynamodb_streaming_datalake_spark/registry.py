@@ -37,7 +37,7 @@ ORACLE: dict[str, str] = {}
 PRIORITY: tuple[str, ...] = (
     # -- new in round 5: never driver-checked (uncomment as each lands;
     #    test_registry fails loudly on any name not actually registered) --
-    # "q_enrich_stream",         # stream-static enrichment batch twin
+    "q_enrich_stream",           # stream-static enrichment, oracle-gated
     "q_media_wav",               # real RIFF/WAV codec round-trip
     "q_media_ppm",               # real PPM image codec round-trip
     # "q_tfidf_terms",           # TF-IDF term ranking over documents
