@@ -57,19 +57,27 @@ LATEST_STATE_STATE = "event_time_us long, event_id string, event string, payload
 def _latest_state_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Keep (max event_time, eventID) per key; emit on change."""
+    """Keep (max event_time, eventID) per key; emit on change.
+
+    The per-batch scan is vectorized: one C-side lexicographic
+    sort_values over (event_time_us, eventID) and a tail(1), then a
+    single tuple compare against stored state — no Python-per-row work
+    on hot keys (eventIDs are zero-padded, so the string sort agrees
+    with the tuple compare)."""
     if state.exists:
         best_us, best_id, best_event, best_payload = state.get
     else:
         best_us, best_id, best_event, best_payload = -1, "", "", ""
     changed = False
     for pdf in pdfs:
-        for row in pdf.itertuples(index=False):
-            us = int(row.event_time_us)
-            if (us, row.eventID) > (best_us, best_id):
-                best_us, best_id = us, row.eventID
-                best_event, best_payload = row.Event, row.payload
-                changed = True
+        if pdf.empty:
+            continue
+        top = pdf.sort_values(["event_time_us", "eventID"]).iloc[-1]
+        us, eid = int(top.event_time_us), top.eventID
+        if (us, eid) > (best_us, best_id):
+            best_us, best_id = us, eid
+            best_event, best_payload = top.Event, top.payload
+            changed = True
     state.update((best_us, best_id, best_event, best_payload))
     if changed:
         yield pd.DataFrame(
