@@ -756,24 +756,24 @@ def embedding_pairs_ivf(
     )
 
 
-def _ivf_pairs_from_centroids(
-    emb: DataFrame,
-    cent_rows: list,
-    threshold: float,
-    nprobe: int,
-) -> DataFrame:
-    """IVF candidate generation + exact verify against an explicit coarse
-    codebook ``cent_rows`` = [(cid, vector), ...] sorted by cid — shared
-    by the fixed-init (`embedding_pairs_ivf`) and Lloyd-trained
-    (`embedding_pairs_ivf_trained`) quantizers. The codebook is
-    driver-resident by construction (bounded like a broadcast dim)."""
+#: above this codebook size the K x 64 float64 centroid matrix (~32 MB
+#: at 64k rows) stops being a sane per-executor broadcast / per-batch
+#: GEMM operand, and coarse assignment cuts over to the distributed
+#: two-level quantizer (`_ivf_assign_distributed`). At sqrt(N) sizing
+#: this corresponds to N ~ 4e9 vectors — the "extreme N" regime.
+IVF_MAX_DRIVER_CODEBOOK = 65_536
+
+
+def _ivf_assign_driver(emb: DataFrame, cent_rows: list, k: int) -> DataFrame:
+    """Coarse assignment with a driver-resident codebook: one float64
+    GEMM per Arrow batch against the broadcast centroid matrix. The
+    right path whenever K x dim fits comfortably per executor."""
     import numpy as np
     import pandas as pd
 
     C = np.array([v for _, v in cent_rows], dtype=np.float64)
     cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    k = min(nprobe, len(cent_rows))
 
     def coarse_assign(batches):
         for pdf in batches:
@@ -793,9 +793,154 @@ def _ivf_pairs_from_centroids(
                 }
             )
 
+    return emb.select("vec_id", "embedding").mapInPandas(
+        coarse_assign, schema="vec_id long, cid long, r int"
+    )
+
+
+def _ivf_assign_distributed(
+    emb: DataFrame,
+    cent_rows: list,
+    k: int,
+    super_probe: int = 2,
+) -> DataFrame:
+    """Two-level coarse assignment for codebooks past the driver/GEMM
+    limit: quantize the CENTROIDS under a ~sqrt(K)-entry super-codebook,
+    have each vector probe its ``super_probe`` nearest super-lists
+    (map-only GEMM against the SMALL level-0 codebook), then rank the
+    ~super_probe * sqrt(K) candidate centroids per vector with an
+    equi-join on super-list id + one window — never an N x K product
+    and never a >sqrt(K)-row driver matrix.
+
+    Same recall trade as IVF itself, one level up: a vector whose true
+    home centroid lives in a non-probed super-list is assigned its best
+    PROBED centroid. ``super_probe >= len(super codebook)`` makes the
+    candidate set complete and the assignment identical to the driver
+    path (the equivalence the planted test pins)."""
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    K = len(cent_rows)
+    stride = max(1, _math.isqrt(K))
+    # level-0 codebook: every stride-th centroid — sqrt(K) rows, spread
+    # across cid space (cent_rows is sorted by cid)
+    sup = cent_rows[::stride]
+    S0 = np.array([v for _, v in sup], dtype=np.float64)
+    S0n = S0 / np.linalg.norm(S0, axis=1, keepdims=True)
+    sp = min(super_probe, len(sup))
+
+    # centroids live in a DataFrame (at real extreme-N they never touch
+    # the driver; here they arrive as rows and parallelize back out)
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cent_rows],
+        "cid long, ce array<double>",
+    )
+
+    def home_super(batches):  # centroid -> its ONE nearest super-list
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["ce"].tolist(), dtype=np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "cid": pdf["cid"].to_numpy(dtype=np.int64),
+                    "ce": pdf["ce"],
+                    "sid": np.argmax(Cn @ S0n.T, axis=1).astype(np.int64),
+                }
+            )
+
+    cent_sid = cent_df.mapInPandas(
+        home_super, schema="cid long, ce array<double>, sid long"
+    )
+
+    def probe_supers(batches):  # vector -> its super_probe nearest super-lists
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            idx = np.argsort(-(En @ S0n.T), axis=1, kind="stable")[:, :sp]
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vid, sp),
+                    "embedding": pdf["embedding"].iloc[
+                        np.repeat(np.arange(len(pdf)), sp)
+                    ].to_numpy(),
+                    "sid": idx.ravel().astype(np.int64),
+                }
+            )
+
+    vec_probes = emb.select("vec_id", "embedding").mapInPandas(
+        probe_supers, schema="vec_id long, embedding array<float>, sid long"
+    )
+
+    def exact_cos(batches):  # score candidate (vector, centroid) rows
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            C = np.array(pdf["ce"].tolist(), dtype=np.float64)
+            cs = np.einsum("ij,ij->i", E, C) / (
+                np.linalg.norm(E, axis=1) * np.linalg.norm(C, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cid": pdf["cid"].to_numpy(dtype=np.int64),
+                    "cos": cs,
+                }
+            )
+
+    scored = vec_probes.join(cent_sid, "sid").mapInPandas(
+        exact_cos, schema="vec_id long, cid long, cos double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.col("cid"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .select("vec_id", "cid", F.col("r").cast("int").alias("r"))
+    )
+
+
+def _ivf_pairs_from_centroids(
+    emb: DataFrame,
+    cent_rows: list,
+    threshold: float,
+    nprobe: int,
+    max_driver_codebook: int = IVF_MAX_DRIVER_CODEBOOK,
+    super_probe: int = 2,
+) -> DataFrame:
+    """IVF candidate generation + exact verify against an explicit coarse
+    codebook ``cent_rows`` = [(cid, vector), ...] sorted by cid — shared
+    by the fixed-init (`embedding_pairs_ivf`) and Lloyd-trained
+    (`embedding_pairs_ivf_trained`) quantizers.
+
+    Codebook-size guard: up to ``max_driver_codebook`` centroids the
+    codebook rides the driver like a broadcast dim and assignment is a
+    per-batch GEMM (`_ivf_assign_driver`); past it — K ~ 64k, i.e.
+    N ~ 4e9 at sqrt-N sizing, where the K x dim matrix stops fitting a
+    sane broadcast — assignment cuts over to the distributed two-level
+    quantizer (`_ivf_assign_distributed`). Downstream candidate
+    generation and exact verify are identical either way."""
+    import numpy as np
+    import pandas as pd
+
+    k = min(nprobe, len(cent_rows))
+    if len(cent_rows) <= max_driver_codebook:
+        assign = _ivf_assign_driver(emb, cent_rows, k)
+    else:
+        assign = _ivf_assign_distributed(
+            emb, cent_rows, k, super_probe=super_probe
+        )
     assign = (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(coarse_assign, schema="vec_id long, cid long, r int")
+        assign
         # materialize once: lists and probes both read it, and the
         # UDF must not run twice (cost, not correctness — it is
         # deterministic)

@@ -297,3 +297,99 @@ def test_ivf_nprobe_tracks_codebook():
     assert ivf_nprobe(22) == 3
     assert ivf_nprobe(44) == 6
     assert ivf_nprobe(500) == 63
+
+
+def test_ivf_codebook_guard_distributed_path_matches_driver_path(
+    spark, sf_smoke
+):
+    """Extreme-N codebook guard (planted): force the cutover threshold
+    below the fixture codebook so `_ivf_pairs_from_centroids` dispatches
+    to the distributed two-level quantizer, with super_probe covering
+    every super-list — the regime where the candidate-centroid set is
+    complete and the assignment must EQUAL the driver-GEMM path's. Same
+    pair set out of both paths == the cutover changes execution
+    strategy, not semantics."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        EMBED_NEAR_DUP_COS,
+        _ivf_pairs_from_centroids,
+        ivf_n_centroids,
+        ivf_nprobe,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_smoke, "embeddings")
+    k = ivf_n_centroids(e.count())
+    nprobe = ivf_nprobe(k)
+    cents = sorted(
+        (
+            (r["vec_id"], r["embedding"])
+            for r in e.where(F.col("vec_id") < k)
+            .select("vec_id", "embedding")
+            .collect()
+        ),
+    )
+    driver = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in _ivf_pairs_from_centroids(
+            e, cents, EMBED_NEAR_DUP_COS, nprobe
+        ).collect()
+    }
+    # cutover forced: max_driver_codebook below len(cents); super_probe
+    # covers all super-lists -> assignment identical to the driver path
+    dist = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in _ivf_pairs_from_centroids(
+            e,
+            cents,
+            EMBED_NEAR_DUP_COS,
+            nprobe,
+            max_driver_codebook=2,
+            super_probe=len(cents),
+        ).collect()
+    }
+    assert len(driver) > 0
+    assert dist == driver
+
+
+def test_ivf_distributed_default_probe_is_recall_bounded_subset(
+    spark, sf_smoke
+):
+    """With the DEFAULT super_probe (2) the two-level path may miss
+    cross-super-list pairs (and can even surface true pairs the driver
+    path missed, since home assignments differ); the contract is exact
+    verification plus usable recall relative to the driver path."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        EMBED_NEAR_DUP_COS,
+        _ivf_pairs_from_centroids,
+        ivf_n_centroids,
+        ivf_nprobe,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_smoke, "embeddings")
+    k = ivf_n_centroids(e.count())
+    nprobe = ivf_nprobe(k)
+    cents = sorted(
+        (
+            (r["vec_id"], r["embedding"])
+            for r in e.where(F.col("vec_id") < k)
+            .select("vec_id", "embedding")
+            .collect()
+        ),
+    )
+    driver = {
+        (r["vec_a"], r["vec_b"])
+        for r in _ivf_pairs_from_centroids(
+            e, cents, EMBED_NEAR_DUP_COS, nprobe
+        ).collect()
+    }
+    dist = {
+        (r["vec_a"], r["vec_b"])
+        for r in _ivf_pairs_from_centroids(
+            e, cents, EMBED_NEAR_DUP_COS, nprobe, max_driver_codebook=2
+        ).collect()
+    }
+    assert len(driver) > 0
+    assert len(dist) / len(driver) >= 0.5, (len(dist), len(driver))
