@@ -11,6 +11,12 @@ unparseable. The full per-query timing map is written to
 Each query is timed over a full materialization (count of the result) —
 no collect of large results to the driver. A warmup query amortizes JVM
 and code-gen startup out of the per-query numbers.
+
+Noise discipline: each query is timed SPARK_GRAFT_BENCH_REPS times
+(default 3) and the reported number is the per-query MEDIAN — local
+wall-clock at sf0.1 otherwise swings +/-25% per query with machine
+load, drowning real round-over-round regressions. All samples land in
+``bench_detail.json``.
 """
 
 from __future__ import annotations
@@ -18,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -40,11 +47,17 @@ def main() -> None:
     first = sorted(queries)[0]
     queries[first](spark, sf_dir).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in sorted(queries):
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            ts.append(round(time.perf_counter() - t0, 3))
+        samples[name] = ts
+        timings[name] = round(statistics.median(ts), 3)
 
     total = round(sum(timings.values()), 3)
     detail_path = Path(__file__).resolve().parent / "bench_detail.json"
@@ -55,6 +68,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
+                "reps": reps,
                 "sf": sf,
                 "n_queries": len(timings),
             },
@@ -80,6 +95,8 @@ def main() -> None:
         "q_dedup_embedding_trained",
         "q_token_budget",
         "q_stateful_latest_state",
+        "q_enrich_stream",
+        "q_media_wav",
     ]
     print(
         json.dumps(
