@@ -1,0 +1,153 @@
+"""Distributed bloom-filter pre-join (round 5).
+
+The semi-join reduction every warehouse engine applies when a selective
+dimension predicate should prune a huge fact scan BEFORE the join
+shuffle: build a bloom filter over the qualifying dim keys, test the
+fact's key column against it map-side, and only then run the exact
+join. Spark applies this internally as a runtime filter in some plans
+(`spark.sql.optimizer.runtime.bloomFilter.enabled`); this operator is
+the explicit, composable version — usable when the dim is far too big
+to broadcast but its BITMAP (fixed 8 KB here) never is.
+
+Everything is JVM-side column expressions:
+
+* build — per-key positions via ``xxhash64(key, seed_i) % m``, OR-folded
+  into 64-bit words by ONE ``groupBy(word).agg(bit_or(mask))`` whose
+  output is at most m/64 rows (1024 for the default 2^16 bits),
+  collected like any broadcast dim;
+* test — the bitmap rides the fact-side filter as a literal
+  ``array<long>``; each of the ``n_hashes`` probes is an
+  ``element_at`` + bitwise AND, fused into the scan filter (map-only,
+  no join, no shuffle on the unpruned fact).
+
+False positives only cost work — the exact join behind the filter
+decides membership — so results are bit-identical to the plain join,
+which is exactly what the DuckDB oracle checks.
+
+Scale: the bitmap is O(m) bits regardless of |dim| (size m for the
+target FP rate: ~0.1% at m = 16 bits/key, 3 hashes); the fact side
+reads pruned. At 100 TB the win is not scanning less but SHUFFLING
+less: only surviving fact rows enter the join exchange.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.operators.relational import (
+    _sql_dsum,
+    dsum,
+)
+from dynamodb_streaming_datalake_spark.registry import query
+from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+BLOOM_M_BITS = 1 << 16  #: bitmap width (8 KB) — fixed, |dim|-independent
+BLOOM_N_HASHES = 3
+
+
+def _positions(key: Column) -> list[Column]:
+    """The n_hashes bit positions of ``key``: xxhash64 with the hash
+    index as a second column (cheap seed diversification)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(BLOOM_M_BITS))
+        for i in range(BLOOM_N_HASHES)
+    ]
+
+
+def bloom_build(dim_keys: DataFrame, key_col: str) -> list[int]:
+    """Aggregate the dim keys' bit positions into an m/64-word bitmap —
+    one shuffle of (word, mask) pairs into ≤ m/64 rows, then a bounded
+    collect (the bitmap IS a broadcast-sized object by construction)."""
+    pos = dim_keys.select(
+        F.explode(F.array(*_positions(F.col(key_col)))).alias("pos")
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("pos") % 64).cast("int"),
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * (BLOOM_M_BITS // 64)
+    for r in words:
+        bitmap[r["word"]] = r["bits"]
+    return bitmap
+
+
+def bloom_might_contain(key: Column, bitmap: list[int]) -> Column:
+    """Membership test as a pure scan filter: n_hashes element_at +
+    AND probes against the literal bitmap array. No join, no shuffle —
+    Catalyst fuses it into the fact scan."""
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in bitmap])
+    probes = [
+        F.element_at(arr, (p / 64).cast("int") + 1).bitwiseAND(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+            )
+        )
+        != 0
+        for p in _positions(key)
+    ]
+    return reduce(lambda a, b: a & b, probes)
+
+
+def bloom_prejoin(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+) -> DataFrame:
+    """Prune ``fact`` with a bloom filter built over ``dim``'s keys,
+    then run the exact inner join. Results equal the plain join (the
+    filter can only pass false positives, which the join drops)."""
+    bitmap = bloom_build(dim.select(dim_key), dim_key)
+    pruned = fact.where(bloom_might_contain(F.col(fact_key), bitmap))
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])
+
+
+@query(
+    "q_bloom_prejoin",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS n_lineitems,
+           {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY order_month
+    """,
+)
+def q_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue of URGENT-priority orders with the lineitem scan
+    bloom-pruned before the join — the explicit semi-join-reduction
+    operator. The oracle is the PLAIN join: bloom false positives are
+    dropped by the exact join, so the operator must be result-invisible
+    (that invariant is the check)."""
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    joined = bloom_prejoin(
+        lineitem,
+        orders.select("o_orderkey", "o_orderdate"),
+        "l_orderkey",
+        "o_orderkey",
+    )
+    return (
+        joined.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+        )
+    )

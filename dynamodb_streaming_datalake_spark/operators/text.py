@@ -283,3 +283,156 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term ranking (round 5)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_TERMS = 3
+
+
+@query(
+    "q_tfidf_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0)
+                 AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, round(score, 6) AS tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TFIDF_TOP_TERMS}
+    """,
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} TF-IDF terms per document — the classic retrieval /
+    quality-signal scoring (smooth idf = ln((N+1)/(df+1)) + 1, the
+    sklearn convention). Identical double math in both engines: tf and
+    df are exact integers, N is exact, and one ln + one multiply per
+    (doc, term) round-trips through round(6).
+
+    Scale: tf is one (doc_id, term) partial+final aggregate; df is a
+    second aggregate over the (already small) tf frame; the df side of
+    the score join is vocabulary-sized — broadcast at any corpus scale
+    where vocab << corpus (always, for word-level terms). The final
+    top-k is a per-doc window over ≤ vocab rows per doc.
+    """
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "term", "tf", F.round("score", 6).alias("tfidf"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# frequency heavy hitters: Misra-Gries candidates + exact verify (round 5)
+# ---------------------------------------------------------------------------
+
+HH_K = 40  #: report tokens with frequency > N/HH_K
+
+
+def misra_gries_candidates(toks: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: at most ``k`` surviving
+    candidates per partition, guaranteed to include every item with
+    partition frequency > N_p/(k+1) — hence (pigeonhole) every GLOBAL
+    heavy hitter with frequency > N/k survives in at least one
+    partition. State is k counters per partition regardless of
+    cardinality; the per-batch update is a value_counts merge (loop is
+    vocabulary-bounded, not row-bounded) with the standard
+    decrement-all eviction."""
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf[col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            while len(counters) > k:
+                dec = min(counters.values())
+                counters = {t: v - dec for t, v in counters.items() if v > dec}
+        if counters:
+            yield pd.DataFrame({col: list(counters)})
+
+    return toks.select(col).mapInPandas(mg, schema=f"{col} string").distinct()
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT token, COUNT(*) AS cnt,
+           round(COUNT(*) * 1.0 / (SELECT n FROM tot), 6) AS share
+    FROM toks GROUP BY token
+    HAVING COUNT(*) > (SELECT n FROM tot) / {HH_K}.0
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency heavy hitters over the token stream — vocabulary items
+    with frequency > N/{k} — via the two-pass sketch pattern that works
+    at unbounded cardinality: (1) per-partition Misra-Gries keeps ≤ k
+    counters and provably never drops a global heavy hitter; (2) the
+    candidate set (≤ k x partitions rows) broadcast-semi-joins the
+    stream for an EXACT recount, so the output is exactly the true
+    hitters — the sketch only bounds state, it never decides the
+    answer. The oracle is the plain exact SQL, which is the point.
+
+    Scale: at 100 TB the naive groupBy shuffles the full vocabulary
+    (trillions of n-gram keys); here the shuffle after the map-side
+    sketch is ≤ k rows per partition, and the recount aggregates only
+    candidate keys (map-side combining on a broadcast-filtered scan).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    cands = misra_gries_candidates(toks, "token", HH_K)
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > F.col("n_total") / F.lit(float(HH_K)))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_total"), 6).alias("share"),
+        )
+    )

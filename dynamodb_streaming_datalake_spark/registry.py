@@ -40,9 +40,9 @@ PRIORITY: tuple[str, ...] = (
     "q_enrich_stream",           # stream-static enrichment, oracle-gated
     "q_media_wav",               # real RIFF/WAV codec round-trip
     "q_media_ppm",               # real PPM image codec round-trip
-    # "q_tfidf_terms",           # TF-IDF term ranking over documents
-    # "q_heavy_hitters",         # frequency heavy-hitters w/ error bound
-    # "q_bloom_prejoin",         # bloom-filter pre-join reduction
+    "q_tfidf_terms",             # TF-IDF term ranking over documents
+    "q_heavy_hitters",           # Misra-Gries + exact-verify heavy hitters
+    "q_bloom_prejoin",           # bloom-filter pre-join reduction
     # -- last driver-proven in rounds 1-2: re-prove this round ----------
     "q_customers_without_orders",
     "q_rollup_events",
@@ -169,6 +169,7 @@ def load_all() -> None:
     import dynamodb_streaming_datalake_spark.operators.state  # noqa: F401
 
     for mod in (
+        "bloom",
         "cdc_zone",
         "tpch_ext",
         "analytics_ext",

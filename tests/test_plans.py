@@ -228,6 +228,8 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_kmeans",  # broadcast K=8 centroids x corpus (assignment)
         "q22_idle_rich_customers",  # 1-row AVG threshold crossed
         "q11_important_parts",  # 1-row grand-total threshold crossed
+        "q_tfidf_terms",  # 1-row corpus doc count crossed
+        "q_heavy_hitters",  # 1-row token total crossed
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):

@@ -45,3 +45,58 @@ def test_deterministic_sample_is_nested_and_stable(spark, sf_smoke):
     assert s10b == s10
     # rate lands in the right ballpark
     assert abs(len(s10) / d.count() - 0.10) < 0.03
+
+
+def test_misra_gries_never_drops_a_true_heavy_hitter(spark):
+    """Planted eviction: 5000 distinct cold tokens + two hot tokens,
+    k=20 counters — far fewer counters than cardinality, so eviction
+    churns constantly, yet every item with global freq > N/k must
+    survive in the candidate set (the MG guarantee q_heavy_hitters'
+    exactness rests on)."""
+    from dynamodb_streaming_datalake_spark.operators.text import (
+        misra_gries_candidates,
+    )
+
+    rows = (
+        [(f"cold{i}",) for i in range(5000)]
+        + [("hot_a",)] * 600
+        + [("hot_b",)] * 400
+    )
+    toks = spark.createDataFrame(rows, "token string").repartition(8)
+    k = 20
+    n = len(rows)
+    cands = {
+        r["token"] for r in misra_gries_candidates(toks, "token", k).collect()
+    }
+    # true hitters: freq > N/k = 300
+    assert {"hot_a", "hot_b"} <= cands
+    # and state stayed bounded: at most k survivors per partition
+    assert len(cands) <= k * 8
+
+
+def test_q_heavy_hitters_matches_exact_recount(spark, sf_smoke):
+    """End-to-end: the two-pass sketch+verify output equals a plain
+    exact groupBy/HAVING computed with DataFrame ops."""
+    from dynamodb_streaming_datalake_spark.operators.text import (
+        HH_K,
+        q_heavy_hitters,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["token"], r["cnt"])
+        for r in q_heavy_hitters(spark, sf_smoke).collect()
+    }
+    toks = read_table(spark, sf_smoke, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    n = toks.count()
+    want = {
+        (r["token"], r["cnt"])
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > n / float(HH_K))
+        .collect()
+    }
+    assert got == want and len(got) > 0
