@@ -69,3 +69,64 @@ def salted_join(
     p = salt_probe_side(probe, fp_cols, n_salts)
     b = explode_build_side(build, n_salts)
     return p.join(b, [*on, SALT_COL], how).drop(SALT_COL)
+
+
+# ---------------------------------------------------------------------------
+# driver-gated skew query (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _register() -> None:
+    """Register q_salted_join lazily to avoid import cycles (registry ->
+    operators -> registry)."""
+    from dynamodb_streaming_datalake_spark.operators.relational import (
+        _sql_dsum,
+        dsum,
+    )
+    from dynamodb_streaming_datalake_spark.registry import query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    @query(
+        "q_salted_join",
+        oracle=f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_lineitems,
+               {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        """,
+    )
+    def q_salted_join(spark, sf_dir):
+        """Hot-key-safe join under the oracle gate: the full
+        lineitem x orders join runs SALTED (probe keys spread over 8
+        salt values, build side replicated 8x) and must be
+        row-identical to the plain join — the oracle IS the plain
+        join, so the salt's result-invisibility is value-hash-checked,
+        not just asserted in pytest.
+
+        Scale: AQE skew splitting handles oversized partitions; salting
+        is the explicit fix when a SINGLE key exceeds an executor (AQE
+        splits partitions, not keys). Cost model in the module
+        docstring: build side grows n_salts-fold, so salt joins whose
+        build side is small-but-not-broadcastable."""
+        li = read_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("okey"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        orders = read_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("okey"), "o_orderpriority"
+        )
+        # fingerprint over ALL probe columns (default): salting by the
+        # join key alone would give a hot key one salt — no spreading
+        joined = salted_join(li, orders, ["okey"], n_salts=8)
+        return joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+
+
+_register()

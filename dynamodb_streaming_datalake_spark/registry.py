@@ -88,6 +88,10 @@ PRIORITY: tuple[str, ...] = (
     "q_pivot_event_matrix",
     "q_event_moments",
     "q_histogram_value",
+    # -- position 51: 7th round-5 query; the window holds 6 new + the 44
+    #    stale re-proofs, so this one waits for the round-6 rotation
+    #    (mechanics already pytest-asserted result-identical) ----------
+    "q_salted_join",
     # -- tail: proven green in CORRECTNESS_r04 (round-4 window) ---------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
@@ -182,6 +186,7 @@ def load_all() -> None:
         "contamination",
         "privacy",
         "curation",
+        "skew",
     ):
         try:
             __import__(f"dynamodb_streaming_datalake_spark.operators.{mod}")
