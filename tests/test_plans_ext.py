@@ -132,3 +132,40 @@ def test_curation_anti_joins_broadcast(spark, sf_oracle):
         "BroadcastNestedLoop"
     ) >= 2 or "LeftAnti" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_tfidf_df_join_is_broadcast(spark, sf_oracle):
+    """TF-IDF's df-side join is vocabulary-sized — it must broadcast;
+    a shuffled join here would re-exchange the tf frame for a frame
+    that is vocab-small at any corpus scale."""
+    from dynamodb_streaming_datalake_spark.operators.text import q_tfidf_terms
+
+    df = q_tfidf_terms(spark, sf_oracle)
+    p = explain_str(df)
+    assert p.count("BroadcastHashJoin") >= 1, p
+    assert not has_node(df, "SortMergeJoin"), p
+
+
+def test_heavy_hitters_recount_join_is_broadcast(spark, sf_oracle):
+    """The exact-recount semi-join against the candidate set must
+    broadcast (candidates are <= k x partitions rows by construction);
+    shuffling the token stream to meet the tiny candidate frame would
+    throw away the sketch's whole point."""
+    from dynamodb_streaming_datalake_spark.operators.text import q_heavy_hitters
+
+    df = q_heavy_hitters(spark, sf_oracle)
+    p = explain_str(df)
+    assert p.count("BroadcastHashJoin") >= 1, p
+    assert not has_node(df, "SortMergeJoin"), p
+
+
+def test_salted_join_key_is_key_plus_salt(spark, sf_oracle):
+    """The salted join's physical join keys must include the salt
+    column — the whole mechanism — and no nested-loop fallback."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    df = all_queries()["q_salted_join"](spark, sf_oracle)
+    p = explain_str(df)
+    assert "__salt" in p, p
+    assert not has_node(df, "BroadcastNestedLoopJoin"), p
+    assert not has_node(df, "CartesianProduct"), p
