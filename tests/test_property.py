@@ -90,3 +90,60 @@ def test_reconstruction_equals_fold(spark, history):
         .astype(object)
     )
     pd.testing.assert_frame_equal(engine.astype(object), oracle)
+
+
+# ---------------------------------------------------------------------------
+# real-codec round trips (round 5): arbitrary payloads, not just fixtures
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    channels=st.integers(1, 2),
+    samples=st.lists(st.integers(-32768, 32767), min_size=2, max_size=400),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_arbitrary_pcm(rate, channels, samples):
+    """Any 16-bit PCM payload written through the stdlib wave module
+    must parse back sample-exact through our RIFF chunk walker."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import parse_wav
+
+    n_frames = len(samples) // channels
+    data = np.array(samples[: n_frames * channels], dtype="<i2")
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(channels)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    w.writeframes(data.tobytes())
+    w.close()
+    got_rate, got_ch, got = parse_wav(buf.getvalue())
+    assert got_rate == rate and got_ch == channels
+    assert np.array_equal(got.ravel(), data)
+
+
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31),
+    comment=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_roundtrip_arbitrary_pixels(w, h, seed, comment):
+    """Any RGB payload under any legal header spelling (with/without
+    comment lines) parses back byte-exact."""
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import parse_ppm
+
+    rng = np.random.RandomState(seed % (2**31))
+    payload = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8)
+    header = b"P6\n" + (b"# c\n" if comment else b"") + f"{w} {h}\n255\n".encode()
+    got_w, got_h, img = parse_ppm(header + payload.tobytes())
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(img.ravel(), payload)
