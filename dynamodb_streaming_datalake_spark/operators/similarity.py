@@ -656,3 +656,169 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c", 6).alias("cos_sim"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization (round 5): M subspaces x K codes, trained, no UDF
+# --------------------------------------------------------------------------
+
+PQ_M = 8  #: subspaces (DIM/PQ_SUBDIM)
+PQ_SUBDIM = 8
+PQ_K = 16  #: codes per subspace -> 8 x 4 bits = 4 bytes/vector
+
+
+def l2sq(a, b) -> F.Column:
+    """Squared L2 distance as the fixed sequential fold — the same
+    bit-identical-to-DuckDB evaluation shape as :func:`cosine`."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def _sql_l2sq(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}),"
+        f" p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')"
+    )
+
+
+_SQL_PQ_DIST_ICB = _sql_l2sq("sub.v", "icb.c")
+_SQL_PQ_DIST_TCB = _sql_l2sq("sub.v", "tcb.c")
+
+
+@query(
+    "q_pq_quantize",
+    oracle=f"""
+    WITH sub AS (
+        SELECT vec_id, s,
+               list_slice(embedding::DOUBLE[], s*{PQ_SUBDIM} + 1,
+                          s*{PQ_SUBDIM} + {PQ_SUBDIM}) AS v
+        FROM embeddings, range(0, {PQ_M}) t(s)
+    ),
+    icb AS (SELECT s, vec_id AS code, v AS c FROM sub WHERE vec_id < {PQ_K}),
+    a1 AS (
+        SELECT vec_id, s, code FROM (
+            SELECT sub.vec_id, sub.s, icb.code,
+                   ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                       ORDER BY {_SQL_PQ_DIST_ICB} ASC, icb.code) AS r
+            FROM sub JOIN icb ON icb.s = sub.s
+        ) WHERE r = 1
+    ),
+    upd AS (
+        SELECT a1.s, a1.code, d,
+               CAST(SUM(CAST(sub.v[d] AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*) AS cv
+        FROM a1 JOIN sub ON sub.vec_id = a1.vec_id AND sub.s = a1.s,
+             range(1, {PQ_SUBDIM + 1}) t(d)
+        GROUP BY a1.s, a1.code, d
+    ),
+    tcb AS (SELECT s, code, list(cv ORDER BY d) AS c FROM upd GROUP BY s, code),
+    enc AS (
+        SELECT vec_id, s, code, dist FROM (
+            SELECT sub.vec_id, sub.s, tcb.code,
+                   {_SQL_PQ_DIST_TCB} AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                       ORDER BY {_SQL_PQ_DIST_TCB} ASC, tcb.code) AS r
+            FROM sub JOIN tcb ON tcb.s = sub.s
+        ) WHERE r = 1
+    )
+    SELECT vec_id,
+           array_to_string(list(code ORDER BY s), ',') AS codes,
+           round(list_aggregate(list(dist ORDER BY s), 'sum')
+                 / {DIM}.0, 6) AS mse
+    FROM enc GROUP BY vec_id
+    """,
+)
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the billion-scale ANN compression step
+    (4 bits x 8 subspaces = 4 bytes/vector vs 256 for float64): split
+    each embedding into {PQ_M} contiguous 8-dim subvectors, train a
+    {PQ_K}-entry codebook per subspace with ONE exact-decimal Lloyd
+    iteration from the deterministic first-K init, encode every
+    subvector as its nearest code, and report the per-vector code
+    string + reconstruction MSE.
+
+    Fully declarative — no UDF, no collect: subvectors are row-local
+    slices over an exploded subspace index; distances are the fixed
+    sequential HOF fold (bit-identical to the oracle's list fold);
+    argmin is the partial-aggregating MIN(struct(dist, code)) (the
+    q_kmeans pattern — the K-way fan-out collapses map-side); trained
+    means are decimal(38,6) sums in one hash aggregate. The DuckDB
+    oracle replays train + encode end to end, so every codebook double
+    and every assignment must match bit-for-bit.
+
+    Scale: codebooks are M x K rows (128 here) — broadcast both ways;
+    two scans of the corpus (train assign, encode assign), each a
+    map-side-combining aggregate; the shuffles carry one row per
+    (vector, subspace) argmin and M x K x 8 decimal sums. At 100 TB
+    this is the same shape FAISS's PQ trainer distributes.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    ad = F.col("embedding").cast("array<double>")
+    sub = e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+        ad.alias("full"),
+    ).select(
+        "vec_id",
+        "s",
+        F.slice(F.col("full"), F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v"),
+    )
+    icb = sub.where(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").alias("code"), F.col("v").alias("c")
+    )
+
+    def assign(codebook: DataFrame) -> DataFrame:
+        scored = sub.join(F.broadcast(codebook), "s").select(
+            "vec_id", "s", "code", l2sq(F.col("v"), F.col("c")).alias("dist")
+        )
+        return (
+            scored.groupBy("vec_id", "s")
+            .agg(F.min(F.struct("dist", "code")).alias("best"))
+            .select(
+                "vec_id",
+                "s",
+                F.col("best.code").alias("code"),
+                F.col("best.dist").alias("dist"),
+            )
+        )
+
+    a1 = assign(icb)
+    dims = [
+        (
+            F.sum(F.col("v")[d].cast(KM_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias(f"d{d}")
+        for d in range(PQ_SUBDIM)
+    ]
+    tcb = (
+        a1.join(sub, ["vec_id", "s"])
+        .groupBy("s", "code")
+        .agg(*dims)
+        .select(
+            "s",
+            "code",
+            F.array(*[F.col(f"d{d}") for d in range(PQ_SUBDIM)]).alias("c"),
+        )
+    )
+    enc = assign(tcb)
+    lst = F.sort_array(F.collect_list(F.struct("s", "code", "dist")))
+    return (
+        enc.groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(lst, lambda x: x["code"].cast("string")), ","
+            ).alias("codes"),
+            F.round(
+                F.aggregate(
+                    F.transform(lst, lambda x: x["dist"]),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(float(DIM)),
+                6,
+            ).alias("mse"),
+        )
+    )

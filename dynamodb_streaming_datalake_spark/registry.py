@@ -88,10 +88,11 @@ PRIORITY: tuple[str, ...] = (
     "q_pivot_event_matrix",
     "q_event_moments",
     "q_histogram_value",
-    # -- position 51: 7th round-5 query; the window holds 6 new + the 44
-    #    stale re-proofs, so this one waits for the round-6 rotation
-    #    (mechanics already pytest-asserted result-identical) ----------
+    # -- positions 51+: further round-5 queries; the window holds 6 new
+    #    + the 44 stale re-proofs, so these wait for the round-6
+    #    rotation (locally oracle-verified at sf0.001 + sf0.01) --------
     "q_salted_join",
+    "q_pq_quantize",
     # -- tail: proven green in CORRECTNESS_r04 (round-4 window) ---------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

