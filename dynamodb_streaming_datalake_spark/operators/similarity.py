@@ -688,6 +688,65 @@ _SQL_PQ_DIST_ICB = _sql_l2sq("sub.v", "icb.c")
 _SQL_PQ_DIST_TCB = _sql_l2sq("sub.v", "tcb.c")
 
 
+def _pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, s, v): row-local 8-dim slices, one row per subspace."""
+    ad = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+        ad.alias("full"),
+    ).select(
+        "vec_id",
+        "s",
+        F.slice(F.col("full"), F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v"),
+    )
+
+
+def _pq_assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest code per (vector, subspace): broadcast the M x K
+    codebook, argmin via partial-aggregating MIN(struct(dist, code))
+    so the K-way fan-out collapses map-side."""
+    scored = sub.join(F.broadcast(codebook), "s").select(
+        "vec_id", "s", "code", l2sq(F.col("v"), F.col("c")).alias("dist")
+    )
+    return (
+        scored.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("dist", "code")).alias("best"))
+        .select(
+            "vec_id",
+            "s",
+            F.col("best.code").alias("code"),
+            F.col("best.dist").alias("dist"),
+        )
+    )
+
+
+def _pq_trained_codebook(sub: DataFrame) -> DataFrame:
+    """(s, code, c): one exact-decimal Lloyd iteration from the
+    deterministic first-K init, per subspace."""
+    icb = sub.where(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").alias("code"), F.col("v").alias("c")
+    )
+    a1 = _pq_assign(sub, icb)
+    dims = [
+        (
+            F.sum(F.col("v")[d].cast(KM_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias(f"d{d}")
+        for d in range(PQ_SUBDIM)
+    ]
+    return (
+        a1.join(sub, ["vec_id", "s"])
+        .groupBy("s", "code")
+        .agg(*dims)
+        .select(
+            "s",
+            "code",
+            F.array(*[F.col(f"d{d}") for d in range(PQ_SUBDIM)]).alias("c"),
+        )
+    )
+
+
 @query(
     "q_pq_quantize",
     oracle=f"""
@@ -755,55 +814,8 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vector, subspace) argmin and M x K x 8 decimal sums. At 100 TB
     this is the same shape FAISS's PQ trainer distributes.
     """
-    e = read_table(spark, sf_dir, "embeddings")
-    ad = F.col("embedding").cast("array<double>")
-    sub = e.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
-        ad.alias("full"),
-    ).select(
-        "vec_id",
-        "s",
-        F.slice(F.col("full"), F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v"),
-    )
-    icb = sub.where(F.col("vec_id") < PQ_K).select(
-        "s", F.col("vec_id").alias("code"), F.col("v").alias("c")
-    )
-
-    def assign(codebook: DataFrame) -> DataFrame:
-        scored = sub.join(F.broadcast(codebook), "s").select(
-            "vec_id", "s", "code", l2sq(F.col("v"), F.col("c")).alias("dist")
-        )
-        return (
-            scored.groupBy("vec_id", "s")
-            .agg(F.min(F.struct("dist", "code")).alias("best"))
-            .select(
-                "vec_id",
-                "s",
-                F.col("best.code").alias("code"),
-                F.col("best.dist").alias("dist"),
-            )
-        )
-
-    a1 = assign(icb)
-    dims = [
-        (
-            F.sum(F.col("v")[d].cast(KM_DEC)).cast("double")
-            / F.count(F.lit(1))
-        ).alias(f"d{d}")
-        for d in range(PQ_SUBDIM)
-    ]
-    tcb = (
-        a1.join(sub, ["vec_id", "s"])
-        .groupBy("s", "code")
-        .agg(*dims)
-        .select(
-            "s",
-            "code",
-            F.array(*[F.col(f"d{d}") for d in range(PQ_SUBDIM)]).alias("c"),
-        )
-    )
-    enc = assign(tcb)
+    sub = _pq_subvectors(read_table(spark, sf_dir, "embeddings"))
+    enc = _pq_assign(sub, _pq_trained_codebook(sub))
     lst = F.sort_array(F.collect_list(F.struct("s", "code", "dist")))
     return (
         enc.groupBy("vec_id")
@@ -820,5 +832,135 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(float(DIM)),
                 6,
             ).alias("mse"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ADC search over PQ codes (round 5): the other half of product quantization
+# --------------------------------------------------------------------------
+
+PQ_NQ = 10  #: query vectors (first vec_ids, like q_ann_topk)
+PQ_TOPK = 5
+
+_SQL_PQ_LUT_DIST = _sql_l2sq("q.v", "tcb.c")
+
+
+@query(
+    "q_ann_pq",
+    oracle=f"""
+    WITH sub AS (
+        SELECT vec_id, s,
+               list_slice(embedding::DOUBLE[], s*{PQ_SUBDIM} + 1,
+                          s*{PQ_SUBDIM} + {PQ_SUBDIM}) AS v
+        FROM embeddings, range(0, {PQ_M}) t(s)
+    ),
+    icb AS (SELECT s, vec_id AS code, v AS c FROM sub WHERE vec_id < {PQ_K}),
+    a1 AS (
+        SELECT vec_id, s, code FROM (
+            SELECT sub.vec_id, sub.s, icb.code,
+                   ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                       ORDER BY {_SQL_PQ_DIST_ICB} ASC, icb.code) AS r
+            FROM sub JOIN icb ON icb.s = sub.s
+        ) WHERE r = 1
+    ),
+    upd AS (
+        SELECT a1.s, a1.code, d,
+               CAST(SUM(CAST(sub.v[d] AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*) AS cv
+        FROM a1 JOIN sub ON sub.vec_id = a1.vec_id AND sub.s = a1.s,
+             range(1, {PQ_SUBDIM + 1}) t(d)
+        GROUP BY a1.s, a1.code, d
+    ),
+    tcb AS (SELECT s, code, list(cv ORDER BY d) AS c FROM upd GROUP BY s, code),
+    enc AS (
+        SELECT vec_id, s, code FROM (
+            SELECT sub.vec_id, sub.s, tcb.code,
+                   ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                       ORDER BY {_SQL_PQ_DIST_TCB} ASC, tcb.code) AS r
+            FROM sub JOIN tcb ON tcb.s = sub.s
+        ) WHERE r = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, tcb.s, tcb.code,
+               {_SQL_PQ_LUT_DIST} AS d
+        FROM sub q JOIN tcb ON tcb.s = q.s
+        WHERE q.vec_id < {PQ_NQ}
+    ),
+    approx AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id,
+               list_aggregate(list(l.d ORDER BY l.s), 'sum') AS adist
+        FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+        WHERE e.vec_id <> l.query_id
+        GROUP BY l.query_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(adist, 6) AS approx_dist
+    FROM (
+        SELECT query_id, neighbor_id, adist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adist ASC, neighbor_id) AS rank
+        FROM approx
+    ) WHERE rank <= {PQ_TOPK}
+    """,
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k search over PQ
+    codes — how a billion-vector index actually answers queries: the
+    query stays exact, the corpus is represented only by its 8 codes,
+    and each candidate distance is a sum of 8 lookup-table entries
+    instead of a 64-dim scan.
+
+    Shape: train + encode as in ``q_pq_quantize`` (shared helpers);
+    per query a LUT of {PQ_M} x {PQ_K} exact subspace distances (one
+    broadcast join against the codebook — 1280 rows for 10 queries);
+    the corpus joins the LUT on (s, code) — an equi-join whose fan-out
+    is Q rows per (vector, subspace) — and the per-pair distance is the
+    s-ordered sequential fold (bit-identical to the oracle's list
+    fold, so ranking ties cannot diverge). Top-k per query by
+    (adist, neighbor_id).
+
+    Scale: the fact-side cost is |corpus| x M x Q LUT-joined rows with
+    map-side combining into one row per (query, vector) — no 64-dim
+    arithmetic ever touches the corpus at query time; at 100 TB the
+    codes table is 16x smaller than the embeddings and the LUT is
+    KB-sized per query batch.
+    """
+    sub = _pq_subvectors(read_table(spark, sf_dir, "embeddings"))
+    # two consumers (encode assign + query LUT): materialize the K x M
+    # codebook once instead of re-running the Lloyd subplan
+    tcb = _pq_trained_codebook(sub).localCheckpoint(eager=False)
+    enc = _pq_assign(sub, tcb).select("vec_id", "s", "code")
+    q = sub.where(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("v").alias("qv")
+    )
+    lut = q.join(F.broadcast(tcb), "s").select(
+        "query_id", "s", "code", l2sq(F.col("qv"), F.col("c")).alias("d")
+    )
+    pairs = enc.join(F.broadcast(lut), ["s", "code"]).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    slist = F.sort_array(F.collect_list(F.struct("s", "d")))
+    approx = (
+        pairs.groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.aggregate(
+                F.transform(slist, lambda x: x["d"]),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("adist", 6).alias("approx_dist"),
         )
     )

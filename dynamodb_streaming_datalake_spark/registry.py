@@ -93,6 +93,7 @@ PRIORITY: tuple[str, ...] = (
     #    rotation (locally oracle-verified at sf0.001 + sf0.01) --------
     "q_salted_join",
     "q_pq_quantize",
+    "q_ann_pq",
     # -- tail: proven green in CORRECTNESS_r04 (round-4 window) ---------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

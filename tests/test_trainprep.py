@@ -414,3 +414,23 @@ def test_pq_codes_shape_and_error_vs_scalar_quantization(spark, sf_smoke):
         assert r["mse"] >= 0.0
     # most vectors should NOT be perfectly reconstructed (k << corpus)
     assert sum(1 for r in rows if r["mse"] > 0) > len(rows) * 0.5
+
+
+def test_ann_pq_returns_full_topk_per_query(spark, sf_smoke):
+    """ADC search shape: every query gets exactly PQ_TOPK ranked
+    neighbors, never itself, ranks dense from 1."""
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        PQ_NQ,
+        PQ_TOPK,
+        q_ann_pq,
+    )
+
+    rows = q_ann_pq(spark, sf_smoke).collect()
+    by_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["approx_dist"] >= 0.0
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert len(by_q) == PQ_NQ
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, PQ_TOPK + 1))
