@@ -87,7 +87,10 @@ def bloom_might_contain(key: Column, bitmap: list[int]) -> Column:
     """Membership test as a pure scan filter: n_hashes element_at +
     AND probes against the literal bitmap array. No join, no shuffle —
     Catalyst fuses it into the fact scan."""
-    arr = F.array(*[F.lit(int(w)).cast("long") for w in bitmap])
+    # one ArrayType literal (constant-folded), NOT F.array of 1024
+    # literal columns — CreateArray is rebuilt per row in codegen and
+    # costs ~2s at sf0.1; a Literal is materialized once
+    arr = F.lit([int(w) for w in bitmap]).cast("array<long>")
     probes = [
         F.element_at(arr, (p / 64).cast("int") + 1).bitwiseAND(
             F.call_function(
