@@ -5,9 +5,10 @@ transform is an Arrow-batched ``mapInPandas`` stage so the plumbing —
 schema, batch shape, partition-preserving narrow execution — is exactly
 what a real decoder would ride on. The container has no image/audio
 libraries, so library-dependent codecs (jpeg/png/mp3/mp4) are stubbed
-behind a clearly-marked ``NotImplementedError``; RIFF/WAV (16-bit PCM)
-and PPM (P6) are REAL formats implemented with struct/numpy alone (see
-parse_wav / parse_ppm); and the fully-implemented ``fake`` codec packs a
+behind a clearly-marked ``NotImplementedError``; RIFF/WAV (16-bit PCM),
+PPM (P6), and BMP (BI_RGB 24-bit) are REAL formats implemented with
+struct/numpy alone (see parse_wav / parse_ppm / parse_bmp); and the
+fully-implemented ``fake`` codec packs a
 parseable header + deterministic payload, which keeps the operators
 end-to-end testable AND oracle-checkable (payload bytes are a pure
 function of the row id, so DuckDB can recompute the decoded stats
@@ -42,10 +43,11 @@ IMG_MAGIC = b"FIMG"
 VID_MAGIC = b"FVID"
 
 #: codecs still needing libraries this container lacks. ``wav`` (RIFF,
-#: 16-bit PCM) and ``ppm`` (P6) are REAL container formats implemented
-#: below with struct/numpy alone — see decode_wav / decode_ppm.
+#: 16-bit PCM), ``ppm`` (P6), and ``bmp`` (BI_RGB 24-bit) are REAL
+#: container formats implemented below with struct/numpy alone — see
+#: decode_wav / decode_ppm / decode_bmp.
 STUBBED_CODECS = ("jpeg", "png", "webp", "mp3", "mp4")
-REAL_CODECS = ("fake", "wav", "ppm")
+REAL_CODECS = ("fake", "wav", "ppm", "bmp")
 
 
 def _require_fake(fmt: str) -> None:
@@ -123,8 +125,8 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
     encoders = {"image": _encode_image, "video": _encode_video}
     # audio/wav/ppm encoders are defined below this function; resolve lazily
     enc = encoders.get(kind) or globals()[f"_encode_{kind}"]
-    # wav/ppm are REAL container formats, not fakes — label them honestly
-    fmt = kind if kind in ("wav", "ppm") else f"fake-{kind}"
+    # wav/ppm/bmp are REAL container formats, not fakes — label honestly
+    fmt = kind if kind in ("wav", "ppm", "bmp") else f"fake-{kind}"
     meta_t = StructType(
         [StructField("format", StringType()), StructField("n_bytes", LongType())]
     )
@@ -617,3 +619,129 @@ def q_media_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     ppm = synthesize_media(d, "doc_id", "ppm")
     return decode_ppm(ppm, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #3: BMP (Windows bitmap, BI_RGB 24-bit) — round 5
+# ---------------------------------------------------------------------------
+
+
+def _bmp_dims(i: int) -> tuple[int, int]:
+    width = 5 + i % 21  # deliberately often not a multiple of 4:
+    height = 4 + (i // 3) % 13  # row padding must be exercised
+    return width, height
+
+
+def _encode_bmp(i: int) -> bytes:
+    """Spec-conformant BMP: BITMAPFILEHEADER (14 bytes) +
+    BITMAPINFOHEADER (40 bytes), BI_RGB 24-bit, bottom-up rows padded
+    to 4-byte boundaries. Pixel byte k (in reading order, BGR within
+    pixel) = (i + k) % 256 — same closed-form-mean family as PPM."""
+    w, h = _bmp_dims(i)
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    k = np.arange(h * row_raw, dtype=np.int64)
+    flat = ((i + k) % 256).astype(np.uint8).reshape(h, row_raw)
+    # bottom-up storage: last reading-order row is written first
+    rows = b"".join(
+        flat[r].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)
+    )
+    data_offset = 14 + 40
+    file_size = data_offset + len(rows)
+    file_header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, data_offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + rows
+
+
+def parse_bmp(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Real BMP parser: file header, BITMAPINFOHEADER, BI_RGB 24-bit
+    only (compressed variants raise NotImplementedError), honoring the
+    pixel-data offset, 4-byte row padding, and bottom-up vs top-down
+    row order (negative height). Returns rows in reading order as
+    (h, w*3) uint8."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    file_size, _r1, _r2, data_offset = struct.unpack("<IHHI", blob[2:14])
+    if file_size != len(blob):
+        raise ValueError("BMP size mismatch")
+    hdr_size = struct.unpack("<I", blob[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER not supported")
+    w, h_signed, planes, bpp, compression = struct.unpack(
+        "<iiHHI", blob[18:34]
+    )
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (BI_ code {compression})")
+    if bpp != 24:
+        raise NotImplementedError(f"{bpp}-bpp BMP not supported")
+    h = abs(h_signed)
+    row_raw = w * 3
+    stride = row_raw + ((-row_raw) % 4)
+    px = np.frombuffer(blob, np.uint8, offset=data_offset)
+    if px.size < stride * h:
+        raise ValueError("truncated BMP payload")
+    grid = px[: stride * h].reshape(h, stride)[:, :row_raw]
+    if h_signed > 0:  # bottom-up: flip back to reading order
+        grid = grid[::-1]
+    return w, h, np.ascontiguousarray(grid)
+
+
+def decode_bmp(df: DataFrame, id_col: str) -> DataFrame:
+    """Decode a real BMP column into typed stats (width, height,
+    channels, mean_pixel, n_bytes) — same contract as decode_ppm."""
+    schema = (
+        f"{id_col} bigint, width int, height int, channels int,"
+        " mean_pixel double, n_bytes bigint"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                w, h, grid = parse_bmp(bytes(blob))
+                m = grid.size
+                mean = float(int(grid.astype(np.int64).sum()) / m)
+                rows.append((int(i), w, h, 3, mean, m))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "channels", "mean_pixel", "n_bytes"],
+            )
+
+    return df.mapInPandas(dec, schema=schema)
+
+
+@query(
+    "q_media_bmp",
+    # same modular prefix-sum closed form as q_media_ppm: pixel byte k
+    # (reading order) = (doc_id + k) % 256 over m = w*h*3 bytes; the
+    # bottom-up storage + row padding must cancel out exactly in decode
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(5 + doc_id % 21 AS INT) AS width,
+               CAST(4 + (doc_id // 3) % 13 AS INT) AS height,
+               doc_id % 256 AS a,
+               (5 + doc_id % 21) * (4 + (doc_id // 3) % 13) * 3 AS m
+        FROM documents
+    )
+    SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+           (((a + m) // 256) * 32640 + ((a + m) % 256) * ((a + m) % 256 - 1) // 2
+            - ((a // 256) * 32640 + (a % 256) * ((a % 256) - 1) // 2)
+           ) * 1.0 / m AS mean_pixel,
+           CAST(m AS BIGINT) AS n_bytes
+    FROM dims
+    """,
+)
+def q_media_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path #3: spec-conformant BI_RGB 24-bit BMP per
+    document — widths chosen so 4-byte row padding is exercised, rows
+    stored bottom-up — parsed back into typed stats. A wrong stride,
+    a missed flip, or an off-by-one in the 54-byte header shifts the
+    payload and breaks the closed-form mean the oracle computes.
+
+    Scale: map-only mapInPandas, same contract as q_media_wav/ppm."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    bmp = synthesize_media(d, "doc_id", "bmp")
+    return decode_bmp(bmp, "doc_id")

@@ -94,6 +94,7 @@ PRIORITY: tuple[str, ...] = (
     "q_salted_join",
     "q_pq_quantize",
     "q_ann_pq",
+    "q_media_bmp",
     # -- tail: proven green in CORRECTNESS_r04 (round-4 window) ---------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

@@ -248,3 +248,50 @@ def test_q_media_ppm_oracle_parity(spark, sf_smoke):
     from dynamodb_streaming_datalake_spark.operators.multimodal import q_media_ppm
 
     compare_query(spark, sf_smoke, "q_media_ppm", q_media_ppm, ORACLE["q_media_ppm"])
+
+
+def test_bmp_roundtrip_padding_and_row_order():
+    """BMP encode/decode: 4-byte row padding exercised (widths not
+    multiples of 4), bottom-up flip restored, top-down (negative
+    height) variant also parses, compressed BMPs rejected."""
+    import struct as st
+
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _bmp_dims,
+        _encode_bmp,
+        parse_bmp,
+    )
+
+    for i in (0, 1, 2, 3, 7, 100, 12345):
+        blob = _encode_bmp(i)
+        w, h, grid = parse_bmp(blob)
+        assert (w, h) == _bmp_dims(i)
+        k = np.arange(grid.size, dtype=np.int64)
+        assert np.array_equal(
+            grid, ((i + k) % 256).astype(np.uint8).reshape(h, w * 3)
+        )
+    # top-down variant (negative height): same reading-order pixels
+    blob = bytearray(_encode_bmp(7))
+    w, h = _bmp_dims(7)
+    stride = w * 3 + ((-(w * 3)) % 4)
+    rows = [bytes(blob[54 + r * stride : 54 + (r + 1) * stride]) for r in range(h)]
+    blob[22:26] = st.pack("<i", -h)
+    blob[54:] = b"".join(reversed(rows))
+    _w, _h, grid2 = parse_bmp(bytes(blob))
+    k = np.arange(h * w * 3, dtype=np.int64)
+    assert np.array_equal(
+        grid2, ((7 + k) % 256).astype(np.uint8).reshape(h, w * 3)
+    )
+    # compressed (BI_RLE8) rejected
+    bad = bytearray(_encode_bmp(3))
+    bad[30:34] = st.pack("<I", 1)
+    with pytest.raises(NotImplementedError, match="compressed"):
+        parse_bmp(bytes(bad))
+
+
+def test_q_media_bmp_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.multimodal import q_media_bmp
+
+    compare_query(spark, sf_smoke, "q_media_bmp", q_media_bmp, ORACLE["q_media_bmp"])
