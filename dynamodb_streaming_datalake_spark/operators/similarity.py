@@ -964,3 +964,158 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("adist", 6).alias("approx_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ADC + exact re-rank (round 5): the production PQ retrieval shape
+# --------------------------------------------------------------------------
+
+PQ_RERANK_POOL = 20  #: ADC shortlist size fed to the exact re-rank
+
+
+@query(
+    "q_ann_pq_rerank",
+    oracle=f"""
+    WITH sub AS (
+        SELECT vec_id, s,
+               list_slice(embedding::DOUBLE[], s*{PQ_SUBDIM} + 1,
+                          s*{PQ_SUBDIM} + {PQ_SUBDIM}) AS v
+        FROM embeddings, range(0, {PQ_M}) t(s)
+    ),
+    icb AS (SELECT s, vec_id AS code, v AS c FROM sub WHERE vec_id < {PQ_K}),
+    a1 AS (
+        SELECT vec_id, s, code FROM (
+            SELECT sub.vec_id, sub.s, icb.code,
+                   ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                       ORDER BY {_SQL_PQ_DIST_ICB} ASC, icb.code) AS r
+            FROM sub JOIN icb ON icb.s = sub.s
+        ) WHERE r = 1
+    ),
+    upd AS (
+        SELECT a1.s, a1.code, d,
+               CAST(SUM(CAST(sub.v[d] AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*) AS cv
+        FROM a1 JOIN sub ON sub.vec_id = a1.vec_id AND sub.s = a1.s,
+             range(1, {PQ_SUBDIM + 1}) t(d)
+        GROUP BY a1.s, a1.code, d
+    ),
+    tcb AS (SELECT s, code, list(cv ORDER BY d) AS c FROM upd GROUP BY s, code),
+    enc AS (
+        SELECT vec_id, s, code FROM (
+            SELECT sub.vec_id, sub.s, tcb.code,
+                   ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                       ORDER BY {_SQL_PQ_DIST_TCB} ASC, tcb.code) AS r
+            FROM sub JOIN tcb ON tcb.s = sub.s
+        ) WHERE r = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, tcb.s, tcb.code,
+               {_SQL_PQ_LUT_DIST} AS d
+        FROM sub q JOIN tcb ON tcb.s = q.s
+        WHERE q.vec_id < {PQ_NQ}
+    ),
+    approx AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id,
+               list_aggregate(list(l.d ORDER BY l.s), 'sum') AS adist
+        FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+        WHERE e.vec_id <> l.query_id
+        GROUP BY l.query_id, e.vec_id
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adist ASC, neighbor_id) AS rank
+            FROM approx
+        ) WHERE rank <= {PQ_RERANK_POOL}
+    ),
+    exact AS (
+        SELECT sl.query_id, sl.neighbor_id,
+               {sql_cosine('q.embedding', 'n.embedding')} AS cs
+        FROM shortlist sl
+        JOIN embeddings q ON q.vec_id = sl.query_id
+        JOIN embeddings n ON n.vec_id = sl.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cs, 6) AS cos_sim
+    FROM (
+        SELECT query_id, neighbor_id, cs,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cs DESC, neighbor_id) AS rank
+        FROM exact
+    ) WHERE rank <= {PQ_TOPK}
+    """,
+)
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ retrieval shape (FAISS ``IndexRefine``): ADC
+    over the 4-byte codes shortlists {PQ_RERANK_POOL} candidates per
+    query, then ONLY the shortlist's full vectors are fetched for an
+    exact-cosine re-rank of the final top-{PQ_TOPK}. Quantization
+    error decides what enters the pool; exact math decides the order —
+    the ranking the user sees never depends on reconstruction error.
+
+    Scale: the expensive exact pass touches Q x {PQ_RERANK_POOL} rows
+    total regardless of corpus size; the full-vector fetch is an
+    equi-join of the (tiny) shortlist against the embeddings table —
+    at 100 TB that join broadcasts the shortlist, reading full vectors
+    for 0.000…% of the corpus.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    sub = _pq_subvectors(e)
+    tcb = _pq_trained_codebook(sub).localCheckpoint(eager=False)
+    enc = _pq_assign(sub, tcb).select("vec_id", "s", "code")
+    q = sub.where(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("v").alias("qv")
+    )
+    lut = q.join(F.broadcast(tcb), "s").select(
+        "query_id", "s", "code", l2sq(F.col("qv"), F.col("c")).alias("d")
+    )
+    slist = F.sort_array(F.collect_list(F.struct("s", "d")))
+    approx = (
+        enc.join(F.broadcast(lut), ["s", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.aggregate(
+                F.transform(slist, lambda x: x["d"]),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adist")
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        approx.withColumn("rank", F.row_number().over(wa))
+        .where(F.col("rank") <= PQ_RERANK_POOL)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        F.broadcast(shortlist)
+        .join(
+            e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
+            "query_id",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ne"),
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ne")).alias("cs"))
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(we))
+        .where(F.col("rank") <= PQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cs", 6).alias("cos_sim"),
+        )
+    )

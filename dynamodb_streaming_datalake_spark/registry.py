@@ -95,6 +95,7 @@ PRIORITY: tuple[str, ...] = (
     "q_pq_quantize",
     "q_ann_pq",
     "q_media_bmp",
+    "q_ann_pq_rerank",
     # -- tail: proven green in CORRECTNESS_r04 (round-4 window) ---------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
