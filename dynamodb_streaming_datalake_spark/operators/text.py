@@ -436,3 +436,143 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt") / F.col("n_total"), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (round 5): rolling-hash boundaries
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 4  #: tokens per boundary-test shingle
+CDC_MASK = 16  #: boundary when shingle_hash % CDC_MASK == 0 (~avg chunk)
+CDC_MIN_START = 5  #: no boundary inside the first tokens (min chunk size)
+
+
+@query(
+    "q_doc_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, tok, pos
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        )
+    ),
+    sh AS (
+        SELECT doc_id, pos, tok,
+               string_agg(tok, ' ') OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {CDC_WINDOW - 1} PRECEDING AND CURRENT ROW
+               ) AS win,
+               COUNT(*) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {CDC_WINDOW - 1} PRECEDING AND CURRENT ROW
+               ) AS wlen
+        FROM toks
+    ),
+    marks AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN wlen = {CDC_WINDOW} AND pos > {CDC_MIN_START}
+                         AND ('0x' || substr(md5(win), 1, 15))::BIGINT
+                             % {CDC_MASK} = 0
+                    THEN 1 ELSE 0 END AS boundary
+        FROM sh
+    ),
+    chunked AS (
+        SELECT doc_id, pos, tok,
+               SUM(boundary) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS chunk_id
+        FROM marks
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS chunk_tokens,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+    FROM chunked
+    GROUP BY doc_id, chunk_id
+    """,
+)
+def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking — the storage-dedup primitive (LBFS/
+    restic-style): a chunk boundary falls wherever the rolling hash of
+    the last {w} tokens satisfies hash % {m} == 0, so chunk edges are
+    ANCHORED TO CONTENT, not offsets. Insert one token at the front of
+    a document and fixed-size chunking shifts every chunk; CDC re-syncs
+    at the next boundary, so downstream exact-hash dedup still matches
+    every untouched chunk (pinned in tests/test_text.py).
+
+    Per chunk: token count + md5 — the dedup key a chunk store would
+    use. Boundary hash is the portable md5-prefix hash (identical in
+    Spark, DuckDB, and hashlib); a minimum chunk prefix keeps
+    degenerate 1-token chunks out.
+
+    Scale: tokenize + posexplode are row-local; the shingle window,
+    boundary marks, and the cumulative chunk id are ONE window
+    partitioned by doc_id (documents are the natural parallelism
+    unit), then one (doc_id, chunk_id) aggregate — two shuffles total,
+    both on the document key, no cross-document traffic at all.
+    """
+    from pyspark.sql import Window
+
+    from dynamodb_streaming_datalake_spark.functions.texthash import (
+        portable_hash60,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    ww = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(CDC_WINDOW - 1), 0)
+    )
+    sh = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.array_join(F.collect_list("tok").over(ww), " ").alias("win"),
+        F.count(F.lit(1)).over(ww).alias("wlen"),
+    )
+    marks = sh.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(
+            (F.col("wlen") == CDC_WINDOW)
+            & (F.col("pos") > CDC_MIN_START)
+            & (portable_hash60(F.col("win")) % CDC_MASK == 0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("boundary"),
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunked = marks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.sum("boundary").over(wc).alias("chunk_id"),
+    )
+    return (
+        chunked.groupBy("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"))
+        .agg(
+            F.count(F.lit(1)).alias("chunk_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                        lambda x: x["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+    )

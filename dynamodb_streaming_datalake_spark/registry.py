@@ -96,6 +96,7 @@ PRIORITY: tuple[str, ...] = (
     "q_ann_pq",
     "q_media_bmp",
     "q_ann_pq_rerank",
+    "q_doc_cdc_chunks",
     # -- tail: proven green in CORRECTNESS_r04 (round-4 window) ---------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

@@ -100,3 +100,45 @@ def test_q_heavy_hitters_matches_exact_recount(spark, sf_smoke):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cdc_chunking_resyncs_after_prefix_insert(spark):
+    """THE content-defined-chunking property: prepend one token to a
+    long document and the chunk set must re-synchronize — most chunk
+    hashes survive (fixed-size chunking would shift every chunk)."""
+    import hashlib
+
+    from dynamodb_streaming_datalake_spark.operators.text import (
+        CDC_MASK,
+        CDC_MIN_START,
+        CDC_WINDOW,
+    )
+    from dynamodb_streaming_datalake_spark.registry import QUERIES
+
+    # deterministic pseudo-random token stream, long enough for many chunks
+    words = [
+        f"w{int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 997}"
+        for i in range(400)
+    ]
+    base = " ".join(words)
+    shifted = "INSERTED " + base
+
+    import dynamodb_streaming_datalake_spark.operators.text  # noqa: F401
+
+    fn = QUERIES["q_doc_cdc_chunks"]
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(1, base, "en", "src", len(base)), (2, shifted, "en", "src", len(shifted))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        rows = fn(spark, tmp).collect()
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+    assert len(h1) > 3, "document too short to chunk — tune CDC_MASK"
+    shared = h1 & h2
+    # all but the first chunk(s) must re-sync and hash-match
+    assert len(shared) >= len(h1) - 2, (len(shared), len(h1))
