@@ -84,3 +84,106 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# driver-gated z-order query (round 5)
+# ---------------------------------------------------------------------------
+
+_ZO_VERSION = "v1"
+
+
+def _zorder_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), f"zorder_cache_{_ZO_VERSION}_{key}"
+    )
+
+
+def ensure_zorder_events(spark, sf_dir: str) -> str:
+    """Z-ordered copy of ``events`` on (user_id, value), built once per
+    (version, sf_dir) with the same atomic-rename discipline as the CDC
+    zone cache."""
+    import os
+    import shutil
+    import tempfile
+
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    final = _zorder_cache_path(sf_dir)
+    if os.path.isdir(final):
+        return final
+    tmp_root = tempfile.gettempdir()
+    keep = f"zorder_cache_{_ZO_VERSION}_"
+    for name in os.listdir(tmp_root):
+        if name.startswith("zorder_cache_") and not name.startswith(keep):
+            shutil.rmtree(os.path.join(tmp_root, name), ignore_errors=True)
+    build = tempfile.mkdtemp(prefix="zorder_build_", dir=tmp_root)
+    try:
+        zorder_write(
+            read_table(spark, sf_dir, "events"),
+            ("user_id", "value"),
+            os.path.join(build, "events"),
+        )
+        try:
+            os.rename(build, final)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(build, ignore_errors=True)
+        raise
+    return final
+
+
+def _register() -> None:
+    import os
+
+    from dynamodb_streaming_datalake_spark.operators.relational import (
+        _sql_dsum,
+        dsum,
+    )
+    from dynamodb_streaming_datalake_spark.registry import query
+
+    @query(
+        "q_zorder_scan",
+        oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               {_sql_dsum('value', 'total_value')}
+        FROM events
+        WHERE user_id BETWEEN 40 AND 80 AND value BETWEEN 50 AND 500
+        GROUP BY event_type
+        """,
+    )
+    def q_zorder_scan(spark, sf_dir):
+        """Layout result-invisibility under the oracle gate: the query
+        scans the Z-ORDERED copy of events (Morton-interleaved
+        (user_id, value) layout, cached per sf_dir) with a selective
+        predicate on BOTH interleaved dimensions, and must hash-match
+        the oracle computed from the ORIGINAL parquet — re-laying-out
+        data can change which files a predicate reads, never the
+        answer. File-level pruning efficacy vs a single-sort layout is
+        measured separately in tests/test_maintenance.py.
+
+        Scale: the z-write is one approx-quantile aggregate + one
+        range repartition; the read back is a plain pruned scan."""
+        path = ensure_zorder_events(spark, sf_dir)
+        ev = spark.read.parquet(os.path.join(path, "events"))
+        return (
+            ev.where(
+                F.col("user_id").between(40, 80)
+                & F.col("value").between(50, 500)
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum(F.col("value"), "total_value"),
+            )
+        )
+
+
+_register()

@@ -97,6 +97,7 @@ PRIORITY: tuple[str, ...] = (
     "q_media_bmp",
     "q_ann_pq_rerank",
     "q_doc_cdc_chunks",
+    "q_zorder_scan",
     # -- tail: proven green in CORRECTNESS_r04 (round-4 window) ---------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
@@ -192,6 +193,7 @@ def load_all() -> None:
         "privacy",
         "curation",
         "skew",
+        "layout",
     ):
         try:
             __import__(f"dynamodb_streaming_datalake_spark.operators.{mod}")
