@@ -98,6 +98,7 @@ PRIORITY: tuple[str, ...] = (
     "q_ann_pq_rerank",
     "q_doc_cdc_chunks",
     "q_zorder_scan",
+    "q_mvcc_timetravel",
     # -- tail: proven green in CORRECTNESS_r04 (round-4 window) ---------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
@@ -201,6 +202,10 @@ def load_all() -> None:
             pass
     try:
         import dynamodb_streaming_datalake_spark.streaming.windows  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        import dynamodb_streaming_datalake_spark.streaming.upsert  # noqa: F401
     except ImportError:
         pass
 

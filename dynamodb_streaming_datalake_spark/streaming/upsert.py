@@ -162,3 +162,163 @@ def vacuum_snapshots(
         path = jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/v={v}")
         path.getFileSystem(conf).delete(path, True)
     return doomed
+
+
+# ---------------------------------------------------------------------------
+# driver-gated MVCC lifecycle (round 5)
+# ---------------------------------------------------------------------------
+
+_MVCC_VERSION = "v1"
+
+
+def _mvcc_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), f"mvcc_cache_{_MVCC_VERSION}_{key}"
+    )
+
+
+def _ensure_mvcc_snapshots(spark: SparkSession, sf_dir: str) -> str:
+    """Two committed snapshot versions built once per (version, sf_dir):
+    v=1 upserts day-1 CDC rows, v=2 upserts day-2 on top — the exact
+    foreachBatch kernel (`upsert_snapshot`), driven as two batches.
+    Atomic-rename build, like the CDC-zone cache."""
+    import os
+    import shutil
+    import tempfile
+
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    final = _mvcc_cache_path(sf_dir)
+    if os.path.isdir(final):
+        return final
+    tmp_root = tempfile.gettempdir()
+    keep = f"mvcc_cache_{_MVCC_VERSION}_"
+    for name in os.listdir(tmp_root):
+        if name.startswith("mvcc_cache_") and not name.startswith(keep):
+            shutil.rmtree(os.path.join(tmp_root, name), ignore_errors=True)
+    build = tempfile.mkdtemp(prefix="mvcc_build_", dir=tmp_root)
+    snap = os.path.join(build, "snapshot")
+    try:
+        ev = read_table(spark, sf_dir, "events")
+        shaped = ev.select(
+            F.col("user_id").cast("string").alias("id"),
+            F.col("event_type").alias("name"),
+            F.col("value"),
+            F.when(F.col("event_id") % 10 == 0, F.lit("REMOVE"))
+            .when(F.col("event_id") % 2 == 0, F.lit("INSERT"))
+            .otherwise(F.lit("MODIFY"))
+            .alias("Event"),
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias(
+                "event_time_s"
+            ),
+            F.format_string("ev-%010d", F.col("event_id")).alias("eventID"),
+        )
+        day1 = shaped.where(
+            F.col("event_time_s")
+            < F.unix_timestamp(F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        )
+        day2 = shaped.where(
+            (
+                F.col("event_time_s")
+                >= F.unix_timestamp(
+                    F.lit("2024-01-02 00:00:00").cast("timestamp")
+                )
+            )
+            & (
+                F.col("event_time_s")
+                < F.unix_timestamp(
+                    F.lit("2024-01-03 00:00:00").cast("timestamp")
+                )
+            )
+        )
+        keys, order = ["id", "name"], ["event_time_s", "eventID"]
+        upsert_snapshot(spark, day1, snap, keys, order, version=1)
+        upsert_snapshot(spark, day2, snap, keys, order, version=2)
+        try:
+            os.rename(build, final)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(build, ignore_errors=True)
+        raise
+    return final
+
+
+def _register() -> None:
+    from dynamodb_streaming_datalake_spark.registry import query
+
+    _RANKED = """
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY id, name
+            ORDER BY event_time_s DESC, eventID DESC) AS rn
+        FROM {src}
+    """
+
+    @query(
+        "q_mvcc_timetravel",
+        oracle=f"""
+        WITH src AS (
+            SELECT CAST(user_id AS VARCHAR) AS id,
+                   event_type AS name,
+                   value,
+                   CASE WHEN event_id % 10 = 0 THEN 'REMOVE'
+                        WHEN event_id % 2 = 0 THEN 'INSERT'
+                        ELSE 'MODIFY' END AS Event,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS event_time_s,
+                   'ev-' || lpad(CAST(event_id AS VARCHAR), 10, '0')
+                     AS eventID
+            FROM events
+            WHERE ts < TIMESTAMP '2024-01-03'
+        ),
+        d1 AS (SELECT * FROM src WHERE event_time_s <
+                   CAST(floor(epoch(TIMESTAMP '2024-01-02')) AS BIGINT)),
+        v1 AS (SELECT id, name, value, Event, event_time_s
+               FROM ({_RANKED.format(src='d1')})
+               WHERE rn = 1 AND Event <> 'REMOVE'),
+        v2 AS (SELECT id, name, value, Event, event_time_s
+               FROM ({_RANKED.format(src='src')})
+               WHERE rn = 1 AND Event <> 'REMOVE')
+        SELECT CAST(1 AS INT) AS version, * FROM v1
+        UNION ALL
+        SELECT CAST(2 AS INT) AS version, * FROM v2
+        """,
+    )
+    def q_mvcc_timetravel(spark, sf_dir):
+        """MVCC snapshot upsert + time travel under the oracle gate:
+        two committed versions are built with the REAL foreachBatch
+        merge kernel (day-1 upsert -> v=1, day-2 on top -> v=2, cached
+        per sf_dir), then BOTH versions are read back — v=1 via time
+        travel after v=2 was committed — and the oracle replays each
+        from the raw events (newest per (id,name), tombstones
+        filtered). A merge that lost a tombstone, resurrected a deleted
+        key, or mutated a committed version would hash-diverge.
+
+        Scale: each upsert shuffles (prev snapshot ∪ pre-reduced batch)
+        once on the key; committed versions are immutable directories,
+        so time travel is a plain pruned read."""
+        import os
+
+        path = _ensure_mvcc_snapshots(spark, sf_dir)
+        snap = os.path.join(path, "snapshot")
+        out = []
+        for v in (1, 2):
+            df = current_snapshot(spark, snap, live_only=True, version=v)
+            out.append(
+                df.select(
+                    F.lit(v).cast("int").alias("version"),
+                    "id",
+                    "name",
+                    "value",
+                    "Event",
+                    "event_time_s",
+                )
+            )
+        return out[0].unionByName(out[1])
+
+
+_register()
