@@ -437,3 +437,110 @@ def q_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_events",
         "user_total",
     )
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction under the driver's oracle gate (round 5)
+# ---------------------------------------------------------------------------
+
+_COMPACT_VERSION = "v1"
+
+
+def _compact_cache_path(sf_dir: str) -> str:
+    key = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), f"compact_cache_{_COMPACT_VERSION}_{key}"
+    )
+
+
+def ensure_compacted_zone(spark: SparkSession, sf_dir: str) -> str:
+    """One day of the CDC zone written deliberately FRAGMENTED
+    (coalesce_per_hour=False -> one file per shuffle task per hour),
+    then compacted with the manifest-swap `compact_partitions` — built
+    once per (version, sf_dir), atomic rename. The build asserts the
+    compaction actually rewrote multi-file partitions, so the query on
+    top is really reading post-swap files."""
+    from dynamodb_streaming_datalake_spark.sources.maintenance import (
+        compact_partitions,
+    )
+
+    final = _compact_cache_path(sf_dir)
+    if os.path.isdir(final):
+        return final
+    tmp_root = tempfile.gettempdir()
+    keep = f"compact_cache_{_COMPACT_VERSION}_"
+    for name in os.listdir(tmp_root):
+        if name.startswith("compact_cache_") and not name.startswith(keep):
+            shutil.rmtree(os.path.join(tmp_root, name), ignore_errors=True)
+    build = tempfile.mkdtemp(prefix="compact_build_", dir=tmp_root)
+    try:
+        events = read_table(spark, sf_dir, "events").where(
+            F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp_ntz")
+        )
+        raw = synth_envelopes(events)
+        ok, _err = cdc_transform(
+            raw, attributes=ZONE_ATTRIBUTES, ingestion_ts=F.col("ts")
+        )
+        # force fragmentation: spread every hour's rows over 4 round-
+        # robin tasks so each hive partition lands as ~4 small files —
+        # the state a busy Firehose prefix is in before compaction
+        write_cdc_zone(ok.repartition(4), build, coalesce_per_hour=False)
+        report = compact_partitions(
+            spark, build, fmt="json", compression="gzip", target_files=1
+        )
+        compacted = [b for b, _a in report.values() if b >= 2]
+        if not compacted:
+            raise RuntimeError(
+                "compaction build produced no multi-file partitions - "
+                "the query would not exercise the swap path"
+            )
+        try:
+            os.rename(build, final)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(build, ignore_errors=True)
+        raise
+    return final
+
+
+@query(
+    "q_compact_scan",
+    oracle="""
+    WITH src AS (
+        SELECT CASE WHEN event_id % 10 = 0 THEN 'REMOVE'
+                    WHEN event_id % 2 = 0 THEN 'INSERT'
+                    ELSE 'MODIFY' END AS Event,
+               CAST(user_id AS VARCHAR) AS id,
+               'ev-' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS eventID
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-02'
+    )
+    SELECT Event,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT id) AS n_ids,
+           MIN(eventID) AS first_event,
+           MAX(eventID) AS last_event
+    FROM src GROUP BY Event
+    """,
+)
+def q_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction result-invisibility under the oracle gate: a day of
+    CDC zone is written fragmented (one file per task per hour), the
+    manifest-swap compactor rewrites every multi-file partition down to
+    one file, and the per-Event row/key/eventID-extremum profile of the
+    COMPACTED zone must hash-match the oracle computed from the raw
+    events — one lost, duplicated, or corrupted row during the swap
+    diverges the counts or the extrema.
+
+    Scale: compaction runs per leaf partition (only recently-closed
+    hours in production); the swap is rename-based so the partition is
+    never empty mid-rewrite."""
+    path = ensure_compacted_zone(spark, sf_dir)
+    zone = read_cdc_zone(spark, path, schema=zone_row_schema())
+    return zone.groupBy("Event").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("id").alias("n_ids"),
+        F.min("eventID").alias("first_event"),
+        F.max("eventID").alias("last_event"),
+    )

@@ -99,6 +99,7 @@ PRIORITY: tuple[str, ...] = (
     "q_doc_cdc_chunks",
     "q_zorder_scan",
     "q_mvcc_timetravel",
+    "q_compact_scan",
     # -- tail: proven green in CORRECTNESS_r04 (round-4 window) ---------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
