@@ -7,7 +7,8 @@ fact's key column against it map-side, and only then run the exact
 join. Spark applies this internally as a runtime filter in some plans
 (`spark.sql.optimizer.runtime.bloomFilter.enabled`); this operator is
 the explicit, composable version — usable when the dim is far too big
-to broadcast but its BITMAP (fixed 8 KB here) never is.
+to broadcast but its BITMAP (8-128 KB, sized from the dim cardinality
+by ``bloom_m_bits``) never is.
 
 Everything is JVM-side column expressions:
 
@@ -24,10 +25,10 @@ False positives only cost work — the exact join behind the filter
 decides membership — so results are bit-identical to the plain join,
 which is exactly what the DuckDB oracle checks.
 
-Scale: the bitmap is O(m) bits regardless of |dim| (size m for the
-target FP rate: ~0.1% at m = 16 bits/key, 3 hashes); the fact side
-reads pruned. At 100 TB the win is not scanning less but SHUFFLING
-less: only surviving fact rows enter the join exchange.
+Scale: the bitmap is sized for ~16 bits/key (FP ~0.1% at 3 hashes) up
+to the literal-array ceiling documented on ``bloom_m_bits``; the fact
+side reads pruned. At 100 TB the win is not scanning less but
+SHUFFLING less: only surviving fact rows enter the join exchange.
 """
 
 from __future__ import annotations
@@ -44,15 +45,31 @@ from dynamodb_streaming_datalake_spark.operators.relational import (
 from dynamodb_streaming_datalake_spark.registry import query
 from dynamodb_streaming_datalake_spark.sources.readers import read_table
 
-BLOOM_M_BITS = 1 << 16  #: bitmap width (8 KB) — fixed, |dim|-independent
+BLOOM_MIN_BITS = 1 << 16  #: floor (8 KB bitmap)
+BLOOM_MAX_BITS = 1 << 20  #: literal-bitmap ceiling (128 KB, 16k longs)
+BLOOM_BITS_PER_KEY = 16  #: target load — ~0.1% FP at 3 hashes
 BLOOM_N_HASHES = 3
 
 
-def _positions(key: Column) -> list[Column]:
+def bloom_m_bits(n_keys: int) -> int:
+    """Bitmap width sized FROM the dim cardinality: 16 bits/key rounded
+    up to a power of two, clamped to [2^16, 2^20]. A fixed width
+    saturates as the dim grows (at fill 0.75 the 3-hash FP rate is
+    ~42% — the filter stops filtering); sizing from |keys| keeps fill
+    ≤ ~0.2 and FP under ~1% up to ~65k keys. Beyond the 2^20 ceiling
+    the literal-array distribution mechanism is the binding constraint
+    — switch to a broadcast (word -> bits) join or Spark's runtime
+    bloom filter (spark.sql.optimizer.runtime.bloomFilter.enabled)
+    at that scale."""
+    target = max(BLOOM_MIN_BITS, BLOOM_BITS_PER_KEY * max(n_keys, 1))
+    return min(1 << (target - 1).bit_length(), BLOOM_MAX_BITS)
+
+
+def _positions(key: Column, m_bits: int) -> list[Column]:
     """The n_hashes bit positions of ``key``: xxhash64 with the hash
     index as a second column (cheap seed diversification)."""
     return [
-        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(BLOOM_M_BITS))
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
         for i in range(BLOOM_N_HASHES)
     ]
 
@@ -60,9 +77,13 @@ def _positions(key: Column) -> list[Column]:
 def bloom_build(dim_keys: DataFrame, key_col: str) -> list[int]:
     """Aggregate the dim keys' bit positions into an m/64-word bitmap —
     one shuffle of (word, mask) pairs into ≤ m/64 rows, then a bounded
-    collect (the bitmap IS a broadcast-sized object by construction)."""
+    collect (the bitmap IS a broadcast-sized object by construction).
+    Width is sized from a count of the dim (parquet-metadata cheap);
+    the returned list's length encodes it (always a power of two), so
+    ``bloom_might_contain`` needs no separate width argument."""
+    m_bits = bloom_m_bits(dim_keys.count())
     pos = dim_keys.select(
-        F.explode(F.array(*_positions(F.col(key_col)))).alias("pos")
+        F.explode(F.array(*_positions(F.col(key_col), m_bits))).alias("pos")
     )
     words = (
         pos.select(
@@ -77,7 +98,7 @@ def bloom_build(dim_keys: DataFrame, key_col: str) -> list[int]:
         .agg(F.bit_or("mask").alias("bits"))
         .collect()
     )
-    bitmap = [0] * (BLOOM_M_BITS // 64)
+    bitmap = [0] * (m_bits // 64)
     for r in words:
         bitmap[r["word"]] = r["bits"]
     return bitmap
@@ -87,9 +108,10 @@ def bloom_might_contain(key: Column, bitmap: list[int]) -> Column:
     """Membership test as a pure scan filter: n_hashes element_at +
     AND probes against the literal bitmap array. No join, no shuffle —
     Catalyst fuses it into the fact scan."""
-    # one ArrayType literal (constant-folded), NOT F.array of 1024
+    # one ArrayType literal (constant-folded), NOT F.array of many
     # literal columns — CreateArray is rebuilt per row in codegen and
     # costs ~2s at sf0.1; a Literal is materialized once
+    m_bits = len(bitmap) * 64
     arr = F.lit([int(w) for w in bitmap]).cast("array<long>")
     probes = [
         F.element_at(arr, (p / 64).cast("int") + 1).bitwiseAND(
@@ -98,7 +120,7 @@ def bloom_might_contain(key: Column, bitmap: list[int]) -> Column:
             )
         )
         != 0
-        for p in _positions(key)
+        for p in _positions(key, m_bits)
     ]
     return reduce(lambda a, b: a & b, probes)
 

@@ -32,15 +32,13 @@ string tie-break is total and engine-identical.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
 from dynamodb_streaming_datalake_spark.operators.cdc import cdc_transform
 from dynamodb_streaming_datalake_spark.operators.state import reconstruct_table
 from dynamodb_streaming_datalake_spark.registry import query
@@ -153,50 +151,21 @@ def read_day_state(spark: SparkSession, path: str) -> DataFrame:
 _ZONE_VERSION = "v2"
 
 
-def _zone_cache_path(sf_dir: str) -> str:
-    key = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(
-        tempfile.gettempdir(), f"cdc_zone_cache_{_ZONE_VERSION}_{key}"
-    )
-
-
 def ensure_cdc_zone(spark: SparkSession, sf_dir: str) -> str:
     """Build the gzip NDJSON zone for ``sf_dir`` once; reuse thereafter.
 
     The zone is deterministic in (sf_dir, layout version), so bench +
     correctness + tests share one copy instead of leaking a fresh
-    168-partition write per invocation. Build lands in a unique temp dir
-    and is atomically renamed into place, so a crashed build can never be
-    mistaken for a complete zone and concurrent builders race safely
-    (loser's rename fails, winner's zone is used). Only caches from OLDER
-    layout versions are removed — the version is encoded in the dir name,
-    so same-version zones for other sf_dirs are left intact (bench/tests
-    alternating between scales no longer thrash each other's cache)."""
-    final = _zone_cache_path(sf_dir)
-    if os.path.isdir(final):
-        return final
-    # drop superseded-version caches only (current-version prefix is spared)
-    tmp_root = tempfile.gettempdir()
-    keep_prefix = f"cdc_zone_cache_{_ZONE_VERSION}_"
-    for name in os.listdir(tmp_root):
-        stale = name.startswith("cdc_zone_rt_") or (
-            name.startswith("cdc_zone_cache_")
-            and not name.startswith(keep_prefix)
-        )
-        if stale:
-            shutil.rmtree(os.path.join(tmp_root, name), ignore_errors=True)
-    build_dir = tempfile.mkdtemp(prefix="cdc_zone_build_", dir=tmp_root)
-    try:
-        build_cdc_zone(spark, sf_dir, build_dir)
-        try:
-            os.rename(build_dir, final)
-        except OSError:
-            # concurrent builder won the rename; use its zone
-            shutil.rmtree(build_dir, ignore_errors=True)
-    except BaseException:
-        shutil.rmtree(build_dir, ignore_errors=True)
-        raise
-    return final
+    168-partition write per invocation. Commit/sweep discipline is the
+    shared one (`cache.ensure_cached_build`); the legacy
+    ``cdc_zone_rt_`` layout is swept alongside older versions."""
+    return ensure_cached_build(
+        "cdc_zone",
+        _ZONE_VERSION,
+        sf_dir,
+        lambda build_dir: build_cdc_zone(spark, sf_dir, build_dir),
+        extra_stale_prefixes=("cdc_zone_rt_",),
+    )
 
 
 @query(
@@ -446,34 +415,19 @@ def q_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPACT_VERSION = "v1"
 
 
-def _compact_cache_path(sf_dir: str) -> str:
-    key = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(
-        tempfile.gettempdir(), f"compact_cache_{_COMPACT_VERSION}_{key}"
-    )
-
-
 def ensure_compacted_zone(spark: SparkSession, sf_dir: str) -> str:
     """One day of the CDC zone written deliberately FRAGMENTED
     (coalesce_per_hour=False -> one file per shuffle task per hour),
     then compacted with the manifest-swap `compact_partitions` — built
-    once per (version, sf_dir), atomic rename. The build asserts the
-    compaction actually rewrote multi-file partitions, so the query on
-    top is really reading post-swap files."""
+    once per (version, sf_dir) via the shared cache discipline. The
+    build asserts the compaction actually rewrote multi-file
+    partitions, so the query on top is really reading post-swap
+    files."""
     from dynamodb_streaming_datalake_spark.sources.maintenance import (
         compact_partitions,
     )
 
-    final = _compact_cache_path(sf_dir)
-    if os.path.isdir(final):
-        return final
-    tmp_root = tempfile.gettempdir()
-    keep = f"compact_cache_{_COMPACT_VERSION}_"
-    for name in os.listdir(tmp_root):
-        if name.startswith("compact_cache_") and not name.startswith(keep):
-            shutil.rmtree(os.path.join(tmp_root, name), ignore_errors=True)
-    build = tempfile.mkdtemp(prefix="compact_build_", dir=tmp_root)
-    try:
+    def build(build_dir: str) -> None:
         events = read_table(spark, sf_dir, "events").where(
             F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp_ntz")
         )
@@ -484,9 +438,9 @@ def ensure_compacted_zone(spark: SparkSession, sf_dir: str) -> str:
         # force fragmentation: spread every hour's rows over 4 round-
         # robin tasks so each hive partition lands as ~4 small files —
         # the state a busy Firehose prefix is in before compaction
-        write_cdc_zone(ok.repartition(4), build, coalesce_per_hour=False)
+        write_cdc_zone(ok.repartition(4), build_dir, coalesce_per_hour=False)
         report = compact_partitions(
-            spark, build, fmt="json", compression="gzip", target_files=1
+            spark, build_dir, fmt="json", compression="gzip", target_files=1
         )
         compacted = [b for b, _a in report.values() if b >= 2]
         if not compacted:
@@ -494,14 +448,8 @@ def ensure_compacted_zone(spark: SparkSession, sf_dir: str) -> str:
                 "compaction build produced no multi-file partitions - "
                 "the query would not exercise the swap path"
             )
-        try:
-            os.rename(build, final)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)
-    except BaseException:
-        shutil.rmtree(build, ignore_errors=True)
-        raise
-    return final
+
+    return ensure_cached_build("compact", _COMPACT_VERSION, sf_dir, build)
 
 
 @query(

@@ -93,50 +93,23 @@ def zorder_write(
 _ZO_VERSION = "v1"
 
 
-def _zorder_cache_path(sf_dir: str) -> str:
-    import hashlib
-    import os
-    import tempfile
-
-    key = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(
-        tempfile.gettempdir(), f"zorder_cache_{_ZO_VERSION}_{key}"
-    )
-
-
 def ensure_zorder_events(spark, sf_dir: str) -> str:
     """Z-ordered copy of ``events`` on (user_id, value), built once per
-    (version, sf_dir) with the same atomic-rename discipline as the CDC
-    zone cache."""
+    (version, sf_dir) with the shared cache discipline
+    (`cache.ensure_cached_build`)."""
     import os
-    import shutil
-    import tempfile
 
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
     from dynamodb_streaming_datalake_spark.sources.readers import read_table
 
-    final = _zorder_cache_path(sf_dir)
-    if os.path.isdir(final):
-        return final
-    tmp_root = tempfile.gettempdir()
-    keep = f"zorder_cache_{_ZO_VERSION}_"
-    for name in os.listdir(tmp_root):
-        if name.startswith("zorder_cache_") and not name.startswith(keep):
-            shutil.rmtree(os.path.join(tmp_root, name), ignore_errors=True)
-    build = tempfile.mkdtemp(prefix="zorder_build_", dir=tmp_root)
-    try:
+    def build(build_dir: str) -> None:
         zorder_write(
             read_table(spark, sf_dir, "events"),
             ("user_id", "value"),
-            os.path.join(build, "events"),
+            os.path.join(build_dir, "events"),
         )
-        try:
-            os.rename(build, final)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)
-    except BaseException:
-        shutil.rmtree(build, ignore_errors=True)
-        raise
-    return final
+
+    return ensure_cached_build("zorder", _ZO_VERSION, sf_dir, build)
 
 
 def _register() -> None:

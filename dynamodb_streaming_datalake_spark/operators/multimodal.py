@@ -51,11 +51,21 @@ REAL_CODECS = ("fake", "wav", "ppm", "bmp")
 
 
 def _require_fake(fmt: str) -> None:
-    if fmt not in REAL_CODECS:
+    """Guard for the FAKE-wire-format kernels (decode_media,
+    resize_media, sample_frames, media_features, decode_audio): they
+    parse only the ``fake`` header layout, so every other format must
+    fail loudly at plan-build time — the real container formats have
+    their own dedicated decoders (decode_wav / decode_ppm /
+    decode_bmp), and library-dependent codecs stay stubbed."""
+    if fmt != "fake":
+        hint = (
+            f"use decode_{fmt} for this format"
+            if fmt in REAL_CODECS
+            else "an image/audio library this container lacks is required"
+        )
         raise NotImplementedError(
-            f"codec '{fmt}' needs an image/audio library not present in this "
-            f"container; implemented codecs: {REAL_CODECS}. "
-            "Swap the decode kernels for PIL/av calls in production."
+            f"codec '{fmt}' is not handled by the fake-format kernels; "
+            f"{hint}. Implemented real codecs: {REAL_CODECS}."
         )
 
 
@@ -323,9 +333,10 @@ def _encode_audio(i: int) -> bytes:
 
 
 def decode_audio(df: DataFrame, id_col: str, fmt: str = "fake") -> DataFrame:
-    """Audio decode: parse header + samples into (sample_rate,
-    n_samples, duration_s, rms). Real codecs (wav/mp3) raise
-    NotImplementedError — same stub contract as images."""
+    """Audio decode for the FAKE 8-bit PCM wire format: parse header +
+    samples into (sample_rate, n_samples, duration_s, rms). Real WAV
+    goes through ``decode_wav``; library-dependent codecs (mp3) raise
+    NotImplementedError."""
     _require_fake(fmt)
     schema = (
         f"{id_col} bigint, sample_rate int, n_samples bigint,"
@@ -431,6 +442,11 @@ def parse_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
         cid = blob[pos : pos + 4]
         size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
         payload = blob[pos + 8 : pos + 8 + size]
+        if len(payload) != size:
+            # a declared size overrunning the blob must be a loud parse
+            # error, never a silently-truncated payload
+            raise ValueError(f"chunk {cid!r} declares {size} bytes, "
+                             f"only {len(payload)} present")
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", payload[:16])
         elif cid == b"data":
@@ -443,6 +459,8 @@ def parse_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
         raise NotImplementedError(f"compressed WAV (format={audio_format})")
     if bits != 16:
         raise NotImplementedError(f"{bits}-bit PCM not supported")
+    if len(data) % 2:
+        raise ValueError("odd data-chunk length for 16-bit PCM")
     samples = np.frombuffer(data, dtype="<i2")
     if channels > 1:
         samples = samples.reshape(-1, channels)

@@ -723,15 +723,27 @@ def _pq_assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
-#: per-sf_dir trained PQ codebook rows — M x K = 128 rows of 8 doubles,
-#: a broadcast-sized object; caching it across the three PQ queries
-#: (quantize / ADC / rerank) removes two redundant Lloyd passes per
-#: bench round. float64 round-trips exactly through the driver, so the
-#: recreated frame is bit-identical to the trained one.
-_PQ_TCB_CACHE: dict[str, list[tuple]] = {}
+#: per-dataset trained PQ codebook rows — M x K = 128 rows of 8
+#: doubles, a broadcast-sized object; caching it across the three PQ
+#: queries (quantize / ADC / rerank) removes two redundant Lloyd
+#: passes per bench round. float64 round-trips exactly through the
+#: driver, so the recreated frame is bit-identical to the trained one.
+#: Keys carry the source parquet's mtime (see ``_pq_cache_key``), so a
+#: dataset regenerated in place within one driver process retrains
+#: instead of silently reusing a stale codebook.
+_PQ_TCB_CACHE: dict[tuple, list[tuple]] = {}
 
 
-def _pq_trained_codebook(sub: DataFrame, cache_key: str | None = None) -> DataFrame:
+def _pq_cache_key(sf_dir: str) -> tuple:
+    path = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    return (path, mtime)
+
+
+def _pq_trained_codebook(sub: DataFrame, cache_key: tuple | None = None) -> DataFrame:
     """(s, code, c): one exact-decimal Lloyd iteration from the
     deterministic first-K init, per subspace. With ``cache_key`` the
     trained rows are collected once (bounded: M x K) and reused."""
@@ -842,7 +854,7 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the same shape FAISS's PQ trainer distributes.
     """
     sub = _pq_subvectors(read_table(spark, sf_dir, "embeddings"))
-    tcb = _pq_trained_codebook(sub, cache_key=os.path.realpath(sf_dir))
+    tcb = _pq_trained_codebook(sub, cache_key=_pq_cache_key(sf_dir))
     enc = _pq_assign(sub, tcb)
     lst = F.sort_array(F.collect_list(F.struct("s", "code", "dist")))
     return (
@@ -872,6 +884,40 @@ PQ_NQ = 10  #: query vectors (first vec_ids, like q_ann_topk)
 PQ_TOPK = 5
 
 _SQL_PQ_LUT_DIST = _sql_l2sq("q.v", "tcb.c")
+
+def _pq_adc_ranked(sub: DataFrame, tcb: DataFrame) -> DataFrame:
+    """Shared ADC stage for q_ann_pq and q_ann_pq_rerank: encode the
+    corpus against the trained codebook, build the per-query LUT of
+    exact subspace distances, join corpus codes to LUT entries on
+    (s, code), fold the s-ordered per-subspace distances, and rank per
+    query by (adist, neighbor_id). Consumers cut the ranking at their
+    own pool size."""
+    enc = _pq_assign(sub, tcb).select("vec_id", "s", "code")
+    q = sub.where(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("v").alias("qv")
+    )
+    lut = q.join(F.broadcast(tcb), "s").select(
+        "query_id", "s", "code", l2sq(F.col("qv"), F.col("c")).alias("d")
+    )
+    pairs = enc.join(F.broadcast(lut), ["s", "code"]).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    slist = F.sort_array(F.collect_list(F.struct("s", "d")))
+    approx = pairs.groupBy(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    ).agg(
+        F.aggregate(
+            F.transform(slist, lambda x: x["d"]),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("adist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    return approx.withColumn("rank", F.row_number().over(w))
+
+
 
 
 @query(
@@ -955,41 +1001,14 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     KB-sized per query batch.
     """
     sub = _pq_subvectors(read_table(spark, sf_dir, "embeddings"))
-    # two consumers (encode assign + query LUT): materialize the K x M
-    # codebook once instead of re-running the Lloyd subplan
-    # cached codebook: a local 128-row frame, no checkpoint needed
-    tcb = _pq_trained_codebook(sub, cache_key=os.path.realpath(sf_dir))
-    enc = _pq_assign(sub, tcb).select("vec_id", "s", "code")
-    q = sub.where(F.col("vec_id") < PQ_NQ).select(
-        F.col("vec_id").alias("query_id"), "s", F.col("v").alias("qv")
-    )
-    lut = q.join(F.broadcast(tcb), "s").select(
-        "query_id", "s", "code", l2sq(F.col("qv"), F.col("c")).alias("d")
-    )
-    pairs = enc.join(F.broadcast(lut), ["s", "code"]).where(
-        F.col("vec_id") != F.col("query_id")
-    )
-    slist = F.sort_array(F.collect_list(F.struct("s", "d")))
-    approx = (
-        pairs.groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(
-            F.aggregate(
-                F.transform(slist, lambda x: x["d"]),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("adist")
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id")
-    )
+    tcb = _pq_trained_codebook(sub, cache_key=_pq_cache_key(sf_dir))
     return (
-        approx.withColumn("rank", F.row_number().over(w))
+        _pq_adc_ranked(sub, tcb)
         .where(F.col("rank") <= PQ_TOPK)
         .select(
             "query_id",
             "neighbor_id",
-            "rank",
+            F.col("rank").cast("int").alias("rank"),
             F.round("adist", 6).alias("approx_dist"),
         )
     )
@@ -1091,33 +1110,9 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = read_table(spark, sf_dir, "embeddings")
     sub = _pq_subvectors(e)
-    # cached codebook: a local 128-row frame, no checkpoint needed
-    tcb = _pq_trained_codebook(sub, cache_key=os.path.realpath(sf_dir))
-    enc = _pq_assign(sub, tcb).select("vec_id", "s", "code")
-    q = sub.where(F.col("vec_id") < PQ_NQ).select(
-        F.col("vec_id").alias("query_id"), "s", F.col("v").alias("qv")
-    )
-    lut = q.join(F.broadcast(tcb), "s").select(
-        "query_id", "s", "code", l2sq(F.col("qv"), F.col("c")).alias("d")
-    )
-    slist = F.sort_array(F.collect_list(F.struct("s", "d")))
-    approx = (
-        enc.join(F.broadcast(lut), ["s", "code"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(
-            F.aggregate(
-                F.transform(slist, lambda x: x["d"]),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("adist")
-        )
-    )
-    wa = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id")
-    )
+    tcb = _pq_trained_codebook(sub, cache_key=_pq_cache_key(sf_dir))
     shortlist = (
-        approx.withColumn("rank", F.row_number().over(wa))
+        _pq_adc_ranked(sub, tcb)
         .where(F.col("rank") <= PQ_RERANK_POOL)
         .select("query_id", "neighbor_id")
     )

@@ -262,8 +262,8 @@ CHUNK_STRIDE = 48
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking — the sequence-prep step that
     turns variable-length documents into model-sized pieces
-    (64 tokens, stride 48, so consecutive
-    chunks share 16 tokens of context). The final (short) chunk is
+    ({tokens} tokens, stride {stride}, so consecutive
+    chunks share {overlap} tokens of context). The final (short) chunk is
     kept: training pipelines pad it, they don't drop it.
 
     Scale: entirely row-local — sequence + posexplode-style expansion
@@ -283,6 +283,15 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# keep the docstring's geometry tied to the constants (f-strings can't
+# be docstrings, so format after definition)
+q_doc_chunks.__doc__ = q_doc_chunks.__doc__.format(
+    tokens=CHUNK_TOKENS,
+    stride=CHUNK_STRIDE,
+    overlap=CHUNK_TOKENS - CHUNK_STRIDE,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -171,39 +171,18 @@ def vacuum_snapshots(
 _MVCC_VERSION = "v1"
 
 
-def _mvcc_cache_path(sf_dir: str) -> str:
-    import hashlib
-    import os
-    import tempfile
-
-    key = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(
-        tempfile.gettempdir(), f"mvcc_cache_{_MVCC_VERSION}_{key}"
-    )
-
-
 def _ensure_mvcc_snapshots(spark: SparkSession, sf_dir: str) -> str:
     """Two committed snapshot versions built once per (version, sf_dir):
     v=1 upserts day-1 CDC rows, v=2 upserts day-2 on top — the exact
     foreachBatch kernel (`upsert_snapshot`), driven as two batches.
-    Atomic-rename build, like the CDC-zone cache."""
+    Shared cache discipline (`cache.ensure_cached_build`)."""
     import os
-    import shutil
-    import tempfile
 
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
     from dynamodb_streaming_datalake_spark.sources.readers import read_table
 
-    final = _mvcc_cache_path(sf_dir)
-    if os.path.isdir(final):
-        return final
-    tmp_root = tempfile.gettempdir()
-    keep = f"mvcc_cache_{_MVCC_VERSION}_"
-    for name in os.listdir(tmp_root):
-        if name.startswith("mvcc_cache_") and not name.startswith(keep):
-            shutil.rmtree(os.path.join(tmp_root, name), ignore_errors=True)
-    build = tempfile.mkdtemp(prefix="mvcc_build_", dir=tmp_root)
-    snap = os.path.join(build, "snapshot")
-    try:
+    def build(build_dir: str) -> None:
+        snap = os.path.join(build_dir, "snapshot")
         ev = read_table(spark, sf_dir, "events")
         shaped = ev.select(
             F.col("user_id").cast("string").alias("id"),
@@ -218,35 +197,22 @@ def _ensure_mvcc_snapshots(spark: SparkSession, sf_dir: str) -> str:
             ),
             F.format_string("ev-%010d", F.col("event_id")).alias("eventID"),
         )
-        day1 = shaped.where(
-            F.col("event_time_s")
-            < F.unix_timestamp(F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        day2_start = F.unix_timestamp(
+            F.lit("2024-01-02 00:00:00").cast("timestamp")
         )
+        day3_start = F.unix_timestamp(
+            F.lit("2024-01-03 00:00:00").cast("timestamp")
+        )
+        day1 = shaped.where(F.col("event_time_s") < day2_start)
         day2 = shaped.where(
-            (
-                F.col("event_time_s")
-                >= F.unix_timestamp(
-                    F.lit("2024-01-02 00:00:00").cast("timestamp")
-                )
-            )
-            & (
-                F.col("event_time_s")
-                < F.unix_timestamp(
-                    F.lit("2024-01-03 00:00:00").cast("timestamp")
-                )
-            )
+            (F.col("event_time_s") >= day2_start)
+            & (F.col("event_time_s") < day3_start)
         )
         keys, order = ["id", "name"], ["event_time_s", "eventID"]
         upsert_snapshot(spark, day1, snap, keys, order, version=1)
         upsert_snapshot(spark, day2, snap, keys, order, version=2)
-        try:
-            os.rename(build, final)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)
-    except BaseException:
-        shutil.rmtree(build, ignore_errors=True)
-        raise
-    return final
+
+    return ensure_cached_build("mvcc", _MVCC_VERSION, sf_dir, build)
 
 
 def _register() -> None:
