@@ -7,8 +7,8 @@ from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.operators.bloom import (
     bloom_build,
-    bloom_might_contain,
     bloom_prejoin,
+    bloom_prune,
 )
 from dynamodb_streaming_datalake_spark.sources.readers import read_table
 
@@ -20,10 +20,8 @@ def test_bloom_has_no_false_negatives(spark, sf_smoke):
         F.col("o_orderpriority") == "1-URGENT"
     )
     bitmap = bloom_build(orders.select("o_orderkey"), "o_orderkey")
-    misses = orders.where(
-        ~bloom_might_contain(F.col("o_orderkey"), bitmap)
-    ).count()
-    assert misses == 0
+    kept = bloom_prune(orders, "o_orderkey", bitmap).count()
+    assert kept == orders.count()
 
 
 def test_bloom_prunes_most_non_members(spark, sf_smoke):
@@ -34,7 +32,7 @@ def test_bloom_prunes_most_non_members(spark, sf_smoke):
     )
     li = read_table(spark, sf_smoke, "lineitem")
     bitmap = bloom_build(orders.select("o_orderkey"), "o_orderkey")
-    pruned = li.where(bloom_might_contain(F.col("l_orderkey"), bitmap)).count()
+    pruned = bloom_prune(li, "l_orderkey", bitmap).count()
     exact = li.join(
         orders.select("o_orderkey"),
         li["l_orderkey"] == orders["o_orderkey"],
@@ -66,18 +64,21 @@ def test_bloom_prejoin_equals_plain_join(spark, sf_smoke):
     assert got == want and len(got) > 0
 
 
-def test_bloom_filter_is_map_side_only(spark, sf_smoke):
-    """The membership probe must ride the fact scan as a Filter — no
-    join or exchange between the scan and the bloom test."""
+def test_bloom_probe_never_shuffles_the_fact(spark, sf_smoke):
+    """The membership probes are broadcast word-table lookups: the fact
+    side must reach the filter with NO shuffle exchange and no
+    sort-merge join — only tiny BroadcastHashJoins."""
     li = read_table(spark, sf_smoke, "lineitem").select("l_orderkey")
     orders = read_table(spark, sf_smoke, "orders").where(
         F.col("o_orderpriority") == "1-URGENT"
     )
     bitmap = bloom_build(orders.select("o_orderkey"), "o_orderkey")
     plan = (
-        li.where(bloom_might_contain(F.col("l_orderkey"), bitmap))
+        bloom_prune(li, "l_orderkey", bitmap)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan and "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
