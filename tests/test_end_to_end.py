@@ -96,9 +96,11 @@ def test_zone_cache_versioned_cleanup(tmp_path, monkeypatch):
     zone it already has."""
     import os
 
+    from dynamodb_streaming_datalake_spark import cache
     from dynamodb_streaming_datalake_spark.operators import cdc_zone as cz
 
-    monkeypatch.setattr(cz.tempfile, "gettempdir", lambda: str(tmp_path))
+    # the cache scaffolding now lives in the shared cache module
+    monkeypatch.setattr(cache.tempfile, "gettempdir", lambda: str(tmp_path))
     keep = tmp_path / f"cdc_zone_cache_{cz._ZONE_VERSION}_deadbeefdeadbeef"
     stale_unversioned = tmp_path / "cdc_zone_cache_0123456789abcdef"
     stale_rt = tmp_path / "cdc_zone_rt_old"
