@@ -28,69 +28,15 @@ ORACLE: dict[str, str] = {}
 # twin, doc chunks, unpivot) inside the window and went 50/50 green.
 # Rotation rule: UNPROVEN first, once-proven next, twice-proven tail last —
 # rotate twice-proven window members out to make room, never the converse.
-# Round 5 therefore leads with this round's new queries (unproven), then
-# the 44 whose most recent driver row is r1/r2 (TPC-H tail, asof/range/
-# pivot/funnel, scalar/sql surface), demoting round-4's freshly-proven 50
-# to the tail. Names not listed here order after the listed ones, in
-# registration order — so a future registration can never silently eject a
-# listed query from the window.
+# Round 6 leads with the nine round-5 additions that never got a driver row
+# (the r5 window correctly spent its 50 slots on 6 new + 44 r1/r2-stale
+# re-proofs), then this round's new queries, then the 50 whose most recent
+# driver row is round 4; round 5's freshly-proven 50 demote to the tail.
+# Names not listed here order after the listed ones, in registration order —
+# so a future registration can never silently eject a listed query from the
+# window.
 PRIORITY: tuple[str, ...] = (
-    # -- new in round 5: never driver-checked (uncomment as each lands;
-    #    test_registry fails loudly on any name not actually registered) --
-    "q_enrich_stream",           # stream-static enrichment, oracle-gated
-    "q_media_wav",               # real RIFF/WAV codec round-trip
-    "q_media_ppm",               # real PPM image codec round-trip
-    "q_tfidf_terms",             # TF-IDF term ranking over documents
-    "q_heavy_hitters",           # Misra-Gries + exact-verify heavy hitters
-    "q_bloom_prejoin",           # bloom-filter pre-join reduction
-    # -- last driver-proven in rounds 1-2: re-prove this round ----------
-    "q_customers_without_orders",
-    "q_rollup_events",
-    "q_user_event_history",
-    "q_topk_orders",
-    "q_set_reconcile_customers",
-    "q_json_props",
-    "q_top_words",
-    "q_sql_entrypoint",
-    "q5_nation_revenue",
-    "q_suppliers_with_bulk_sales",
-    "q_scalar_string_math",
-    "q_scalar_datetime",
-    "q_cube_events",
-    "q_distinct_counts",
-    "q_order_lineitem_join",
-    "q_table_profile",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q_rolling_user_value",
-    "q_funnel_conversion",
-    "q_value_percentiles",
-    "q_global_sort",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q21_waiting_supplier",
-    "q22_idle_rich_customers",
-    "q11_important_parts",
-    "q12_priority_by_shipyear",
-    "q16_parts_supplier_counts",
-    "q20_dominant_part_suppliers",
-    "q_asof_join",
-    "q_range_join_clicks",
-    "q_pivot_event_matrix",
-    "q_event_moments",
-    "q_histogram_value",
-    # -- positions 51+: further round-5 queries; the window holds 6 new
-    #    + the 44 stale re-proofs, so these wait for the round-6
-    #    rotation (locally oracle-verified at sf0.001 + sf0.01) --------
+    # -- registered in round 5, never driver-checked: prove these first --
     "q_salted_join",
     "q_pq_quantize",
     "q_ann_pq",
@@ -100,7 +46,12 @@ PRIORITY: tuple[str, ...] = (
     "q_zorder_scan",
     "q_mvcc_timetravel",
     "q_compact_scan",
-    # -- tail: proven green in CORRECTNESS_r04 (round-4 window) ---------
+    # -- new in round 6: never driver-checked (added as each lands;
+    #    test_registry fails loudly on any name not actually registered) --
+    # "q_ann_ivfpq",             # IVF-pruned ADC top-k (the 100 TB PQ shape)
+    # "q_ann_pq_filtered",       # metadata pre-filter composed with ADC
+    # "q_media_png",             # real PNG codec (zlib inflate + unfilter)
+    # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash_lsh",
@@ -151,6 +102,57 @@ PRIORITY: tuple[str, ...] = (
     "q_latest_state_per_key",
     "q_merge_snapshot_cdc",
     "q_scd2_intervals",
+    # -- tail: freshly proven green in CORRECTNESS_r05 (round-5 window) --
+    "q_enrich_stream",
+    "q_media_wav",
+    "q_media_ppm",
+    "q_tfidf_terms",
+    "q_heavy_hitters",
+    "q_bloom_prejoin",
+    "q_customers_without_orders",
+    "q_rollup_events",
+    "q_user_event_history",
+    "q_topk_orders",
+    "q_set_reconcile_customers",
+    "q_json_props",
+    "q_top_words",
+    "q_sql_entrypoint",
+    "q5_nation_revenue",
+    "q_suppliers_with_bulk_sales",
+    "q_scalar_string_math",
+    "q_scalar_datetime",
+    "q_cube_events",
+    "q_distinct_counts",
+    "q_order_lineitem_join",
+    "q_table_profile",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q_rolling_user_value",
+    "q_funnel_conversion",
+    "q_value_percentiles",
+    "q_global_sort",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
+    "q22_idle_rich_customers",
+    "q11_important_parts",
+    "q12_priority_by_shipyear",
+    "q16_parts_supplier_counts",
+    "q20_dominant_part_suppliers",
+    "q_asof_join",
+    "q_range_join_clicks",
+    "q_pivot_event_matrix",
+    "q_event_moments",
+    "q_histogram_value",
 )
 
 

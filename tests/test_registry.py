@@ -26,22 +26,27 @@ def test_every_query_has_oracle_sql():
 
 
 def test_window_prefers_unproven_queries():
-    """Round-5 rotation: the 44 queries whose most recent driver row is
-    rounds 1-2 must sit inside the driver's 50-row window (their proof had
-    gone stale); round-4's freshly-proven additions rotate to the tail."""
+    """Round-6 rotation: the nine round-5 additions that never got a driver
+    row must LEAD the 50-row window, followed by the round-4-proven cohort
+    whose proof is now the stalest; round-5's freshly-proven 50 rotate to
+    the tail."""
     names = list(all_queries())[:50]
-    for n in (
-        "q2_min_cost_supplier",
-        "q9_product_profit",
-        "q18_large_volume_customers",
-        "q_asof_join",
-        "q_range_join_clicks",
-        "q_pivot_event_matrix",
-        "q_funnel_conversion",
-        "q_distinct_counts",
-        "q_sql_entrypoint",
-        "q_histogram_value",
-    ):
-        assert n in names, n
-    for n in ("q_dedup_embedding_trained", "q_corpus_curation"):
-        assert n not in names, f"{n} should have rotated out of the window"
+    never_proven = (
+        "q_salted_join",
+        "q_pq_quantize",
+        "q_ann_pq",
+        "q_media_bmp",
+        "q_ann_pq_rerank",
+        "q_doc_cdc_chunks",
+        "q_zorder_scan",
+        "q_mvcc_timetravel",
+        "q_compact_scan",
+    )
+    for i, n in enumerate(never_proven):
+        assert names[i] == n, f"position {i}: expected {n}, got {names[i]}"
+    for n in ("q_dedup_exact", "q_ann_topk", "q_corpus_curation",
+              "q_window_session"):
+        assert n in names, f"{n} (r4-proven, stalest) should be in window"
+    for n in ("q_tfidf_terms", "q_bloom_prejoin", "q_sql_entrypoint",
+              "q_histogram_value"):
+        assert n not in names, f"{n} (r5-proven) should have rotated out"
