@@ -16,10 +16,13 @@ Everything is JVM-side column expressions:
   into 64-bit words by ONE ``groupBy(word).agg(bit_or(mask))`` whose
   output is at most m/64 rows (1024 for the default 2^16 bits),
   collected like any broadcast dim;
-* test — the bitmap rides the fact-side filter as a literal
-  ``array<long>``; each of the ``n_hashes`` probes is an
-  ``element_at`` + bitwise AND, fused into the scan filter (map-only,
-  no join, no shuffle on the unpruned fact).
+* test — each of the ``n_hashes`` probes is a broadcast hash join of
+  the row's word index against a tiny (nonzero-words-only)
+  ``(word, bits)`` table, then a bitwise mask AND — O(1) per probe
+  regardless of bitmap width. (A literal ``array<long>`` +
+  ``element_at`` probe was measured and rejected: Spark re-evaluates
+  the array literal per row, making it O(m) per row — see
+  ``bloom_prune``.) The fact side is never shuffled.
 
 False positives only cost work — the exact join behind the filter
 decides membership — so results are bit-identical to the plain join,

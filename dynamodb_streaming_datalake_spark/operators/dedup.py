@@ -885,11 +885,14 @@ def _ivf_assign_distributed(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # Normalize-then-dot, the same formula as the driver path's
+            # En @ Cn.T — NOT dot/(|e||c|), whose different op order can
+            # flip near-tie centroid rankings by a ulp vs the driver.
             E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             C = np.array(pdf["ce"].tolist(), dtype=np.float64)
-            cs = np.einsum("ij,ij->i", E, C) / (
-                np.linalg.norm(E, axis=1) * np.linalg.norm(C, axis=1)
-            )
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            cs = np.einsum("ij,ij->i", En, Cn)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),

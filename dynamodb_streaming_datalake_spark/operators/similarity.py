@@ -730,8 +730,18 @@ def _pq_assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
 #: driver, so the recreated frame is bit-identical to the trained one.
 #: Keys carry the source parquet's mtime (see ``_pq_cache_key``), so a
 #: dataset regenerated in place within one driver process retrains
-#: instead of silently reusing a stale codebook.
+#: instead of silently reusing a stale codebook. Bounded: storing a new
+#: mtime for a path evicts that path's older entries (``_pq_cache_put``),
+#: so the cache holds at most one codebook per distinct dataset path for
+#: the driver's lifetime.
 _PQ_TCB_CACHE: dict[tuple, list[tuple]] = {}
+
+
+def _pq_cache_put(key: tuple, rows: list[tuple]) -> None:
+    path = key[0]
+    for stale in [k for k in _PQ_TCB_CACHE if k[0] == path and k != key]:
+        del _PQ_TCB_CACHE[stale]
+    _PQ_TCB_CACHE[key] = rows
 
 
 def _pq_cache_key(sf_dir: str) -> tuple:
@@ -778,7 +788,7 @@ def _pq_trained_codebook(sub: DataFrame, cache_key: tuple | None = None) -> Data
             (int(r["s"]), int(r["code"]), [float(x) for x in r["c"]])
             for r in tcb.collect()
         ]
-        _PQ_TCB_CACHE[cache_key] = rows
+        _pq_cache_put(cache_key, rows)
         spark = sub.sparkSession
         return spark.createDataFrame(
             rows, "s int, code long, c array<double>"

@@ -286,12 +286,14 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # keep the docstring's geometry tied to the constants (f-strings can't
-# be docstrings, so format after definition)
-q_doc_chunks.__doc__ = q_doc_chunks.__doc__.format(
-    tokens=CHUNK_TOKENS,
-    stride=CHUNK_STRIDE,
-    overlap=CHUNK_TOKENS - CHUNK_STRIDE,
-)
+# be docstrings, so format after definition; under python -OO docstrings
+# are stripped to None, so guard the rewrite)
+if q_doc_chunks.__doc__:
+    q_doc_chunks.__doc__ = q_doc_chunks.__doc__.format(
+        tokens=CHUNK_TOKENS,
+        stride=CHUNK_STRIDE,
+        overlap=CHUNK_TOKENS - CHUNK_STRIDE,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -506,7 +508,8 @@ CDC_MIN_START = 5  #: no boundary inside the first tokens (min chunk size)
 def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking — the storage-dedup primitive (LBFS/
     restic-style): a chunk boundary falls wherever the rolling hash of
-    the last {w} tokens satisfies hash % {m} == 0, so chunk edges are
+    the last CDC_WINDOW=4 tokens satisfies hash % CDC_MASK=16 == 0, so
+    chunk edges are
     ANCHORED TO CONTENT, not offsets. Insert one token at the front of
     a document and fixed-size chunking shifts every chunk; CDC re-syncs
     at the next boundary, so downstream exact-hash dedup still matches
