@@ -4,10 +4,11 @@ Media are opaque ``binary`` columns with a typed metadata struct; every
 transform is an Arrow-batched ``mapInPandas`` stage so the plumbing —
 schema, batch shape, partition-preserving narrow execution — is exactly
 what a real decoder would ride on. The container has no image/audio
-libraries, so library-dependent codecs (jpeg/png/mp3/mp4) are stubbed
+libraries, so library-dependent codecs (jpeg/webp/mp3/mp4) are stubbed
 behind a clearly-marked ``NotImplementedError``; RIFF/WAV (16-bit PCM),
-PPM (P6), and BMP (BI_RGB 24-bit) are REAL formats implemented with
-struct/numpy alone (see parse_wav / parse_ppm / parse_bmp); and the
+PPM (P6), BMP (BI_RGB 24-bit), and PNG (RGB8 — stdlib zlib needs no
+imaging lib) are REAL formats implemented with struct/numpy/zlib alone
+(see parse_wav / parse_ppm / parse_bmp / parse_png); and the
 fully-implemented ``fake`` codec packs a
 parseable header + deterministic payload, which keeps the operators
 end-to-end testable AND oracle-checkable (payload bytes are a pure
@@ -43,11 +44,12 @@ IMG_MAGIC = b"FIMG"
 VID_MAGIC = b"FVID"
 
 #: codecs still needing libraries this container lacks. ``wav`` (RIFF,
-#: 16-bit PCM), ``ppm`` (P6), and ``bmp`` (BI_RGB 24-bit) are REAL
-#: container formats implemented below with struct/numpy alone — see
-#: decode_wav / decode_ppm / decode_bmp.
-STUBBED_CODECS = ("jpeg", "png", "webp", "mp3", "mp4")
-REAL_CODECS = ("fake", "wav", "ppm", "bmp")
+#: 16-bit PCM), ``ppm`` (P6), ``bmp`` (BI_RGB 24-bit), and ``png``
+#: (RGB8, stdlib zlib inflate + filter reconstruction) are REAL
+#: container formats implemented below with struct/numpy/zlib alone —
+#: see decode_wav / decode_ppm / decode_bmp / decode_png.
+STUBBED_CODECS = ("jpeg", "webp", "mp3", "mp4")
+REAL_CODECS = ("fake", "wav", "ppm", "bmp", "png")
 
 
 def _require_fake(fmt: str) -> None:
@@ -135,8 +137,8 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
     encoders = {"image": _encode_image, "video": _encode_video}
     # audio/wav/ppm encoders are defined below this function; resolve lazily
     enc = encoders.get(kind) or globals()[f"_encode_{kind}"]
-    # wav/ppm/bmp are REAL container formats, not fakes — label honestly
-    fmt = kind if kind in ("wav", "ppm", "bmp") else f"fake-{kind}"
+    # wav/ppm/bmp/png are REAL container formats, not fakes — label honestly
+    fmt = kind if kind in ("wav", "ppm", "bmp", "png") else f"fake-{kind}"
     meta_t = StructType(
         [StructField("format", StringType()), StructField("n_bytes", LongType())]
     )
@@ -763,3 +765,256 @@ def q_media_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     bmp = synthesize_media(d, "doc_id", "bmp")
     return decode_bmp(bmp, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #4: PNG (RGB8, all five scanline filters) — round 6
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_dims(i: int) -> tuple[int, int]:
+    width = 4 + i % 19
+    height = 3 + (i // 5) % 11
+    return width, height
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(ft: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Apply PNG filter ``ft`` to one raw scanline (encoder side): the
+    stored byte is raw minus the spec predictor, mod 256."""
+    n = row.size
+    r = row.astype(np.int64)
+    p = prev.astype(np.int64)
+    out = np.empty(n, dtype=np.uint8)
+    for x in range(n):
+        a = r[x - bpp] if x >= bpp else 0  # left (raw)
+        b = p[x]  # up (raw, prior scanline)
+        c = p[x - bpp] if x >= bpp else 0  # upper-left (raw)
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) // 2
+        else:  # Paeth
+            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[x] = (r[x] - pred) % 256
+    return out
+
+
+def _png_unfilter_row(ft: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Reconstruct one scanline (decoder side) — the exact inverse of
+    ``_png_filter_row``; Sub/Average/Paeth are sequentially dependent on
+    the just-reconstructed left neighbor, hence the per-byte loop (rows
+    are one Arrow batch's image wide — tiny)."""
+    n = cur.size
+    out = np.empty(n, dtype=np.int64)
+    p = prev.astype(np.int64)
+    c64 = cur.astype(np.int64)
+    if ft == 0:
+        return cur.copy()
+    if ft == 2:
+        return ((c64 + p) % 256).astype(np.uint8)
+    for x in range(n):
+        a = out[x - bpp] if x >= bpp else 0
+        b = p[x]
+        c = p[x - bpp] if x >= bpp else 0
+        if ft == 1:
+            pred = a
+        elif ft == 3:
+            pred = (a + b) // 2
+        elif ft == 4:
+            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[x] = (c64[x] + pred) % 256
+    return out.astype(np.uint8)
+
+
+def _png_pack(
+    w: int,
+    h: int,
+    raw: np.ndarray,
+    filters: list[int],
+    idat_split: int | None = None,
+) -> bytes:
+    """Build a spec-conformant RGB8 PNG from reading-order pixel bytes
+    ``raw`` (h x w*3): per-row filtering with the given filter types,
+    zlib-compressed scanline stream, IHDR/IDAT/IEND chunks with CRCs.
+    ``idat_split`` optionally splits the compressed stream into two
+    IDAT chunks (decoders must concatenate — the spec allows any
+    split)."""
+    import zlib
+
+    stride = w * 3
+    grid = raw.reshape(h, stride)
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft = filters[r]
+        lines.append(ft)
+        lines += _png_filter_row(ft, grid[r], prev, 3).tobytes()
+        prev = grid[r]
+    z = zlib.compress(bytes(lines))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    out = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if idat_split is not None and 0 < idat_split < len(z):
+        out += _png_chunk(b"IDAT", z[:idat_split])
+        out += _png_chunk(b"IDAT", z[idat_split:])
+    else:
+        out += _png_chunk(b"IDAT", z)
+    return out + _png_chunk(b"IEND", b"")
+
+
+def _encode_png(i: int) -> bytes:
+    """Deterministic real PNG per id: pixel byte k (reading order)
+    = (i + k) % 256 — the same closed-form-mean family as PPM/BMP — with
+    row r stored under filter type (i + r) % 5, so every decode
+    exercises all five filters, and the compressed stream split across
+    two IDAT chunks whenever it is more than one byte long."""
+    w, h = _png_dims(i)
+    m = w * h * 3
+    k = np.arange(m, dtype=np.int64)
+    raw = ((i + k) % 256).astype(np.uint8)
+    filters = [(i + r) % 5 for r in range(h)]
+    return _png_pack(w, h, raw, filters, idat_split=1)
+
+
+def parse_png(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Real PNG decoder on stdlib zlib alone: signature check, chunk
+    walk with CRC verification, IHDR validation (8-bit RGB,
+    non-interlaced — other color types / depths / interlacing raise
+    NotImplementedError), multi-IDAT concatenation, zlib inflate, and
+    per-scanline filter reconstruction (None/Sub/Up/Average/Paeth).
+    Returns (w, h, rows) with rows in reading order as (h, w*3) uint8.
+    """
+    import zlib
+
+    if blob[:8] != PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    seen_end = False
+    while pos < len(blob):
+        if pos + 8 > len(blob):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(blob):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", blob[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, ctype_px, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype_px != 2:
+                raise NotImplementedError(
+                    f"only 8-bit RGB PNG supported (depth={depth},"
+                    f" color_type={ctype_px})"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid PNG compression/filter method")
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + length
+    if w is None or not seen_end:
+        raise ValueError("missing IHDR or IEND")
+    stream = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(stream) != h * (stride + 1):
+        raise ValueError("PNG scanline stream length mismatch")
+    grid = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        line = np.frombuffer(
+            stream, np.uint8, count=stride, offset=r * (stride + 1) + 1
+        )
+        ft = stream[r * (stride + 1)]
+        grid[r] = _png_unfilter_row(ft, line, prev, 3)
+        prev = grid[r]
+    return w, h, grid
+
+
+def decode_png(df: DataFrame, id_col: str) -> DataFrame:
+    """Decode a real PNG column into typed stats (width, height,
+    channels, mean_pixel, n_bytes) — same contract as decode_bmp."""
+    schema = (
+        f"{id_col} bigint, width int, height int, channels int,"
+        " mean_pixel double, n_bytes bigint"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                w, h, grid = parse_png(bytes(blob))
+                m = grid.size
+                mean = float(int(grid.astype(np.int64).sum()) / m)
+                rows.append((int(i), w, h, 3, mean, m))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "channels", "mean_pixel", "n_bytes"],
+            )
+
+    return df.mapInPandas(dec, schema=schema)
+
+
+@query(
+    "q_media_png",
+    # same modular prefix-sum closed form as q_media_ppm/bmp: pixel
+    # byte k (reading order) = (doc_id + k) % 256 over m = w*h*3 bytes;
+    # filtering + deflate must round-trip to exactly those bytes
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % 19 AS INT) AS width,
+               CAST(3 + (doc_id // 5) % 11 AS INT) AS height,
+               doc_id % 256 AS a,
+               (4 + doc_id % 19) * (3 + (doc_id // 5) % 11) * 3 AS m
+        FROM documents
+    )
+    SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+           (((a + m) // 256) * 32640 + ((a + m) % 256) * ((a + m) % 256 - 1) // 2
+            - ((a // 256) * 32640 + (a % 256) * ((a % 256) - 1) // 2)
+           ) * 1.0 / m AS mean_pixel,
+           CAST(m AS BIGINT) AS n_bytes
+    FROM dims
+    """,
+)
+def q_media_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path #4: spec-conformant 8-bit RGB PNG per document —
+    stdlib zlib deflate, per-row filters cycling through all five spec
+    types (None/Sub/Up/Average/Paeth), the compressed stream split
+    across two IDAT chunks — parsed back into typed stats. A wrong
+    predictor, a missed CRC, or a single-IDAT assumption breaks the
+    closed-form mean the oracle computes.
+
+    Scale: map-only mapInPandas, same contract as q_media_wav/ppm/bmp."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    png = synthesize_media(d, "doc_id", "png")
+    return decode_png(png, "doc_id")

@@ -50,7 +50,7 @@ PRIORITY: tuple[str, ...] = (
     #    test_registry fails loudly on any name not actually registered) --
     "q_ann_ivfpq",               # IVF-pruned ADC top-k (the 100 TB PQ shape)
     "q_ann_pq_filtered",         # metadata pre-filter composed with ADC
-    # "q_media_png",             # real PNG codec (zlib inflate + unfilter)
+    "q_media_png",               # real PNG codec (zlib inflate + unfilter)
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

@@ -295,3 +295,75 @@ def test_q_media_bmp_oracle_parity(spark, sf_smoke):
     from dynamodb_streaming_datalake_spark.operators.multimodal import q_media_bmp
 
     compare_query(spark, sf_smoke, "q_media_bmp", q_media_bmp, ORACLE["q_media_bmp"])
+
+
+def test_png_rejects_corruption_and_unsupported():
+    """CRC damage, bad signatures, unsupported color types, and
+    invalid filter bytes all fail loudly — a real decoder's guards."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        PNG_SIG,
+        _encode_png,
+        _png_chunk,
+        parse_png,
+    )
+
+    blob = bytearray(_encode_png(7))
+    with pytest.raises(ValueError, match="not a PNG"):
+        parse_png(b"IMNOTAPNG" + bytes(blob))
+    # flip one payload byte inside the first IDAT -> CRC mismatch
+    corrupted = bytearray(blob)
+    idat_at = bytes(blob).index(b"IDAT")
+    corrupted[idat_at + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        parse_png(bytes(corrupted))
+    # RGBA (color type 6) is honestly unsupported
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
+    rgba = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (2 * (2 * 4 + 1))))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="color_type=6"):
+        parse_png(rgba)
+    # filter byte 5 is out of spec
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    badf = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x05\x01\x02\x03"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filter type"):
+        parse_png(badf)
+
+
+def test_png_exercises_all_filters_and_multi_idat():
+    """The deterministic encoder must actually cover the spec surface:
+    every filter type 0-4 appears across a handful of ids, and the
+    stream is split across two IDAT chunks."""
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _encode_png,
+        _png_dims,
+    )
+
+    seen = set()
+    for i in range(10):
+        _, h = _png_dims(i)
+        seen |= {(i + r) % 5 for r in range(h)}
+        assert _encode_png(i).count(b"IDAT") == 2
+    assert seen == {0, 1, 2, 3, 4}
+
+
+def test_q_media_png_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.multimodal import q_media_png
+
+    compare_query(
+        spark, sf_smoke, "q_media_png", q_media_png, ORACLE["q_media_png"]
+    )

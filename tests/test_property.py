@@ -147,3 +147,30 @@ def test_ppm_roundtrip_arbitrary_pixels(w, h, seed, comment):
     got_w, got_h, img = parse_ppm(header + payload.tobytes())
     assert (got_w, got_h) == (w, h)
     assert np.array_equal(img.ravel(), payload)
+
+
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31),
+    split=st.integers(0, 64),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_arbitrary_pixels_and_filters(w, h, seed, split):
+    """Any RGB payload under any per-row filter assignment and any
+    IDAT split point parses back byte-exact — the five reconstruction
+    predictors and multi-IDAT concatenation under adversarial input."""
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _png_pack,
+        parse_png,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    payload = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8)
+    filters = [int(f) for f in rng.randint(0, 5, size=h)]
+    blob = _png_pack(w, h, payload, filters, idat_split=split or None)
+    got_w, got_h, img = parse_png(blob)
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(img.ravel(), payload)
