@@ -35,6 +35,24 @@ from dynamodb_streaming_datalake_spark.registry import all_queries  # noqa: E402
 from dynamodb_streaming_datalake_spark.session import get_spark  # noqa: E402
 
 
+#: flagship queries re-run once at the 10x-replicated scale — one per
+#: major operator family, chosen where a wrong plan shape would show up
+#: as a super-linear wall-clock ratio
+SF1_FLAGSHIPS = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "q_latest_state_per_key",
+    "q_dedup_minhash_lsh",
+    "q_ann_ivf",
+    "q_ann_ivfpq",
+    "q_text_stats",
+    "q_corpus_curation",
+    "q_token_budget",
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -60,6 +78,42 @@ def main() -> None:
         timings[name] = round(statistics.median(ts), 3)
 
     total = round(sum(timings.values()), 3)
+
+    # --- sf1 scaling evidence: flagship queries once at 10x the bench
+    # scale (replicated with key offsets by scripts/make_scale.py; the
+    # dataset is built once and persists under .benchdata/). A flagship
+    # whose ratio is far above the ~10x data ratio has a plan that
+    # won't survive the next 10x either — this is the empirical twin of
+    # the plan-shape tests. Skipped when benching other sf dirs or with
+    # SPARK_GRAFT_SF1=0.
+    sf1_timings: dict[str, float] = {}
+    sf1_ratio: dict[str, float] = {}
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        sf1_dir = os.environ.get(
+            "SPARK_GRAFT_SF1_DIR",
+            str(Path(__file__).resolve().parent / ".benchdata" / "sf1"),
+        )
+        try:
+            if not Path(sf1_dir, "lineitem.parquet").exists():
+                import importlib.util
+
+                ms_path = Path(__file__).resolve().parent / "scripts" / "make_scale.py"
+                spec = importlib.util.spec_from_file_location("make_scale", ms_path)
+                ms = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(ms)
+                ms.build(spark, sf_dir, sf1_dir, reps=10)
+            for name in SF1_FLAGSHIPS:
+                if name not in queries:
+                    continue
+                t0 = time.perf_counter()
+                queries[name](spark, sf1_dir).count()
+                sf1_timings[name] = round(time.perf_counter() - t0, 3)
+                if timings.get(name):
+                    sf1_ratio[name] = round(sf1_timings[name] / timings[name], 1)
+        except Exception as exc:  # never let the scale probe kill the bench
+            sf1_timings = {"error": -1.0}
+            print(f"sf1 probe failed: {exc}", file=sys.stderr)
+
     detail_path = Path(__file__).resolve().parent / "bench_detail.json"
     detail_path.write_text(
         json.dumps(
@@ -72,6 +126,8 @@ def main() -> None:
                 "reps": reps,
                 "sf": sf,
                 "n_queries": len(timings),
+                "sf1_flagships": sf1_timings,
+                "sf1_ratio": sf1_ratio,
             },
             indent=1,
             sort_keys=True,
@@ -107,6 +163,8 @@ def main() -> None:
                 "queries": {k: timings[k] for k in headline if k in timings},
                 "sf": sf,
                 "n_queries": len(timings),
+                "sf1_flagships": sf1_timings,
+                "sf1_ratio": sf1_ratio,
                 "detail": str(detail_path.name),
             },
             separators=(",", ":"),

@@ -47,6 +47,17 @@ ENGINE_DEFAULTS: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
 }
 
+#: static (JVM-launch-only) confs for sessions WE create. In local mode
+#: the "executors" are threads inside the driver JVM, whose heap
+#: defaults to 1g — 32 threads at the 10x bench scale OOM there. On a
+#: real cluster these are deploy-time settings (spark-submit / operator
+#: config) and an externally-created session keeps its own values;
+#: apply_engine_conf cannot (and does not) retrofit them.
+STATIC_DEFAULTS: dict[str, str] = {
+    "spark.driver.memory": "8g",
+    "spark.driver.maxResultSize": "2g",
+}
+
 
 def default_parallelism() -> int:
     """CPU budget for local mode: $SPARK_GRAFT_CPUS or all cores."""
@@ -71,7 +82,7 @@ def get_spark(
         master = f"local[{default_parallelism()}]"
     if master:
         builder = builder.master(master)
-    conf = dict(ENGINE_DEFAULTS)
+    conf = {**STATIC_DEFAULTS, **ENGINE_DEFAULTS}
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
