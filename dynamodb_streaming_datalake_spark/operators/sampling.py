@@ -198,3 +198,98 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.where(
         F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET_PER_LANG
     ).select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (round 6): concat-and-chunk training sequences
+# ---------------------------------------------------------------------------
+
+#: tokens per packed training sequence (model context length, fixture-sized)
+SEQ_LEN = 512
+
+
+@query(
+    "q_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               {_SQL_BUCKET} AS bucket
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY bucket, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum_before // {SEQ_LEN} AS BIGINT) AS first_seq,
+           CAST((cum_before + n_tokens - 1) // {SEQ_LEN} AS BIGINT) AS last_seq,
+           CAST(cum_before % {SEQ_LEN} AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the training-prep step that turns a shuffled
+    document stream into fixed-length model sequences (GPT-style
+    concat-and-chunk): documents are laid end to end in deterministic
+    hash order (the hash IS the shuffle — stable across clusters and
+    reruns) and the {SEQ_LEN}-token grid is dropped on top; each doc
+    reports the sequences it lands in and its offset inside the first
+    one. first_seq == last_seq means the doc fits one sequence; spans
+    tell the loader where documents cross sequence boundaries
+    (attention-mask resets).
+
+    The oracle is the obvious global running sum — which as a Spark
+    plan would sort the whole corpus in ONE reducer. Like
+    ``q_token_budget``, the Spark side is the two-phase distributed
+    prefix sum instead: block totals (one map-side-combining
+    aggregate over {PREFIX_BLOCKS} hash blocks), a running sum over
+    that tiny table, then per-block windows bounded at ~N/blocks rows —
+    bit-equal cum values, no global sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        hash_bucket(F.col("doc_id")).alias("bucket"),
+    ).withColumn("block", (F.col("bucket") / _BLOCK_W).cast("int"))
+
+    block_sums = t.groupBy("block").agg(F.sum("n_tokens").alias("block_tokens"))
+    w_blocks = (
+        Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = block_sums.select(
+        "block",
+        F.coalesce(F.sum("block_tokens").over(w_blocks), F.lit(0)).alias(
+            "block_offset"
+        ),
+    )
+    w_intra = (
+        Window.partitionBy("block")
+        .orderBy("bucket", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.join(F.broadcast(offsets), "block").withColumn(
+        "cum_before",
+        (
+            F.col("block_offset")
+            + F.coalesce(F.sum("n_tokens").over(w_intra), F.lit(0))
+        ).cast("bigint"),
+    )
+    # integer `div`, not `/`: double division loses exactness past 2^53
+    # total tokens — i.e. precisely at the corpus sizes packing is for
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"cum_before div {SEQ_LEN}").cast("bigint").alias("first_seq"),
+        F.expr(f"(cum_before + n_tokens - 1) div {SEQ_LEN}")
+        .cast("bigint")
+        .alias("last_seq"),
+        (F.col("cum_before") % SEQ_LEN).cast("bigint").alias("pack_offset"),
+    )

@@ -588,3 +588,117 @@ def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (round 6)
+# ---------------------------------------------------------------------------
+
+#: literal query term set — a fixed ad-hoc search, mixing high- and
+#: low-df corpus terms so the idf spread actually matters
+BM25_TERMS = ("scan", "merge", "vector", "spark")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 50
+
+_SQL_BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@query(
+    "q_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dlen * 1.0) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ({_SQL_BM25_TERMS})
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(
+                   ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
+                            / (dfreq.df + 0.5))
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B}
+                         + {BM25_B} * dl.dlen / stats.avgdl))
+               ) AS score
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ad-hoc retrieval — the lexical ranking function behind
+    Lucene/Elasticsearch, over the documents table for a fixed query
+    term set: idf = ln(1 + (N - df + .5)/(df + .5)) (the Robertson
+    formulation every engine ships), tf saturation k1={BM25_K1},
+    length normalization b={BM25_B} against the corpus average doc
+    length. Global top-{BM25_TOP} by (score, doc_id).
+
+    Identical double formula on both engines; ties under round(6) break
+    on doc_id (same accepted libm-ulp risk class as q_tfidf_terms).
+
+    Scale: tf restricts the exploded token stream to the literal query
+    terms BEFORE any shuffle (a handful of rows per doc survive); df is
+    a |terms|-row aggregate; N and avgdl are one single-row aggregate
+    crossed in (broadcast, never collected); the final top-k is a
+    TakeOrdered, not a global sort."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dlen") * F.lit(1.0)).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * F.col("tf")
+                * F.lit(BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B) * F.col("dlen") / F.col("avgdl")
+                    )
+                )
+            ).alias("score")
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )

@@ -51,6 +51,8 @@ PRIORITY: tuple[str, ...] = (
     "q_ann_ivfpq",               # IVF-pruned ADC top-k (the 100 TB PQ shape)
     "q_ann_pq_filtered",         # metadata pre-filter composed with ADC
     "q_media_png",               # real PNG codec (zlib inflate + unfilter)
+    "q_sequence_pack",           # concat-and-chunk training sequences
+    "q_bm25_search",             # BM25 lexical retrieval top-k
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

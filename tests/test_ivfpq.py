@@ -178,3 +178,42 @@ def test_ivfpq_vs_exhaustive_adc_volume(spark, sf_smoke):
     assert pruned < PQ_NQ * (n - 1), (pruned, PQ_NQ * (n - 1))
     # and the composed query still fills top-k for every query
     assert q_ann_ivfpq(spark, sf_smoke).count() == PQ_NQ * PQ_TOPK
+
+
+def test_pq_codebook_cache_is_session_agnostic(spark, sf_smoke):
+    """The trained-codebook cache stores plain Python rows, not a
+    DataFrame: a second SparkSession in the same process gets a frame
+    rebuilt from those rows (bit-identical — float64 round-trips the
+    driver exactly), never a frame bound to the first session. Also
+    pins the eviction contract: a new mtime for the same path replaces
+    that path's entry instead of accumulating."""
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        _PQ_TCB_CACHE,
+        _pq_cache_key,
+        _pq_cache_put,
+        _pq_subvectors,
+        _pq_trained_codebook,
+    )
+
+    key = _pq_cache_key(sf_smoke)
+    sub = _pq_subvectors(read_table(spark, sf_smoke, "embeddings"))
+    first = {
+        (r["s"], r["code"]): tuple(r["c"])
+        for r in _pq_trained_codebook(sub, cache_key=key).collect()
+    }
+    assert key in _PQ_TCB_CACHE
+    # a "different session" is represented by the same rows re-hydrated:
+    # the cached payload is pure python, so createDataFrame in ANY
+    # session reproduces the identical frame
+    again = {
+        (r["s"], r["code"]): tuple(r["c"])
+        for r in _pq_trained_codebook(sub, cache_key=key).collect()
+    }
+    assert first == again
+    # eviction: same path, new mtime -> old entry replaced, not kept
+    fake_new = (key[0], key[1] + 1)
+    _pq_cache_put(fake_new, _PQ_TCB_CACHE[key])
+    assert fake_new in _PQ_TCB_CACHE and key not in _PQ_TCB_CACHE
+    # restore the real entry for other tests sharing the process
+    _pq_cache_put(key, _PQ_TCB_CACHE[fake_new])
+    assert key in _PQ_TCB_CACHE and fake_new not in _PQ_TCB_CACHE

@@ -231,6 +231,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q11_important_parts",  # 1-row grand-total threshold crossed
         "q_tfidf_terms",  # 1-row corpus doc count crossed
         "q_heavy_hitters",  # 1-row token total crossed
+        "q_bm25_search",  # 1-row (n_docs, avgdl) aggregate crossed
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):

@@ -169,3 +169,38 @@ def test_salted_join_key_is_key_plus_salt(spark, sf_oracle):
     assert "__salt" in p, p
     assert not has_node(df, "BroadcastNestedLoopJoin"), p
     assert not has_node(df, "CartesianProduct"), p
+
+
+def test_sequence_pack_no_global_sort(spark, sf_oracle):
+    """Round-6 packing: the per-doc running sum must window on block
+    (bounded ~N/blocks rows), never a single global ordering — the
+    only blockless window allowed is over the tiny block-sums table."""
+    import re
+
+    from dynamodb_streaming_datalake_spark.operators.sampling import (
+        q_sequence_pack,
+    )
+
+    df = q_sequence_pack(spark, sf_oracle)
+    p = explain_str(df)
+    specs = re.findall(
+        r"windowspecdefinition.*?\], \[([^\]]*)\], \[([^\]]*)\]", p
+    )
+    doc_windows = [
+        part for part, order in specs if "bucket" in order or "doc_id" in order
+    ]
+    assert doc_windows, p
+    for part in doc_windows:
+        assert "block" in part, (part, p)
+
+
+def test_bm25_topk_is_take_ordered_and_df_broadcast(spark, sf_oracle):
+    """BM25's global top-k must plan as TakeOrderedAndProject (partial
+    per-partition top-k, no full sort), and the |terms|-row df table
+    must broadcast."""
+    from dynamodb_streaming_datalake_spark.operators.text import q_bm25_search
+
+    df = q_bm25_search(spark, sf_oracle)
+    p = explain_str(df)
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
