@@ -702,3 +702,86 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BM25_TOP)
         .select("doc_id", F.round("score", 6).alias("bm25"))
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed linear classifier inference (round 6)
+# ---------------------------------------------------------------------------
+
+#: hashed feature buckets (the "hashing trick" — vocabulary-free)
+QC_BUCKETS = 64
+#: weights live in integer millis so inference is EXACT integer math
+
+_SQL_QC_HASH = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH weights AS (
+        SELECT j,
+               ({_SQL_QC_HASH.format(x="'w_' || CAST(j AS VARCHAR)")}
+                % 2001 - 1000) AS w_millis
+        FROM range(0, {QC_BUCKETS}) t(j)
+    ),
+    toks AS (
+        SELECT doc_id,
+               {_SQL_QC_HASH.format(x='tok')} % {QC_BUCKETS} AS j
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w.w_millis) AS BIGINT) AS logit_millis,
+           SUM(w.w_millis) > 0 AS keep
+    FROM toks t JOIN weights w ON w.j = t.j
+    GROUP BY t.doc_id
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference with the hashing trick — the
+    fastText-shaped scorer production pipelines run over every crawl
+    document: token -> hashed feature bucket (j = h(tok) % {QC_BUCKETS},
+    vocabulary-free so unseen tokens never fail), one weight per
+    bucket, document logit = sum of its tokens' weights, keep = logit
+    > 0. The weights here are a deterministic fixture (h('w_'||j),
+    replayable by the oracle) standing in for trained parameters — the
+    part that matters at scale is the inference plumbing, which is the
+    real thing: weights broadcast ({QC_BUCKETS} rows), scoring is one
+    equi-join + map-side-combining sum, zero Python.
+
+    Exactness: weights are integer millis, the logit is an integer sum
+    — no float anywhere, so the hash comparison cannot wobble.
+
+    Scale: the only shuffle is the (doc_id) final aggregate; weight
+    lookup is a broadcast join against a constant-size table. Swapping
+    in real trained weights = replacing one small DataFrame."""
+    from dynamodb_streaming_datalake_spark.functions.texthash import (
+        portable_hash60,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    weights = (
+        spark.range(QC_BUCKETS)
+        .select(F.col("id").alias("j"))
+        .select(
+            "j",
+            (
+                portable_hash60(F.concat(F.lit("w_"), F.col("j").cast("string")))
+                % 2001
+                - 1000
+            ).alias("w_millis"),
+        )
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", (portable_hash60(F.col("tok")) % QC_BUCKETS).alias("j"))
+    return (
+        toks.join(F.broadcast(weights), "j")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_millis").alias("logit_millis"),
+            (F.sum("w_millis") > 0).alias("keep"),
+        )
+    )

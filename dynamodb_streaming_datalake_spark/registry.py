@@ -53,6 +53,8 @@ PRIORITY: tuple[str, ...] = (
     "q_media_png",               # real PNG codec (zlib inflate + unfilter)
     "q_sequence_pack",           # concat-and-chunk training sequences
     "q_bm25_search",             # BM25 lexical retrieval top-k
+    "q_stream_attribution",      # stream-stream interval join (batch twin)
+    "q_quality_classifier",      # hashed linear classifier inference
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

@@ -145,3 +145,36 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands formulation, which must agree exactly with Spark's
     session_window merging."""
     return session_counts(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_stream_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(c.ts) AS click_ts_us
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts < p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked STREAM-STREAM interval join
+    (``streaming.joins.purchase_click_attribution``): every purchase
+    paired with the same user's clicks in the preceding hour. The
+    builder is mode-agnostic; ``tests/test_streaming.py`` drains the
+    identical builder as a real two-sided streaming join
+    (state bounded by watermark + interval) and asserts it equals this
+    batch result — so the driver row proves the semantics of both.
+
+    Scale: equi-join on user_id with the band as join residual —
+    hash/SMJ, one shuffle per side; the streaming plan holds per-key
+    state only for watermark + 1 h of each side."""
+    from dynamodb_streaming_datalake_spark.streaming.joins import (
+        purchase_click_attribution,
+    )
+
+    return purchase_click_attribution(read_table(spark, sf_dir, "events"))

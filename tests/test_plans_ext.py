@@ -204,3 +204,30 @@ def test_bm25_topk_is_take_ordered_and_df_broadcast(spark, sf_oracle):
     p = explain_str(df)
     assert "TakeOrderedAndProject" in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_quality_classifier_weights_broadcast(spark, sf_oracle):
+    """The hashed-classifier weight table is constant-size and must
+    arrive as a broadcast join; the only shuffle is the doc_id
+    aggregate."""
+    from dynamodb_streaming_datalake_spark.operators.text import (
+        q_quality_classifier,
+    )
+
+    df = q_quality_classifier(spark, sf_oracle)
+    p = explain_str(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_stream_attribution_is_equi_join(spark, sf_oracle):
+    """The interval join must key on user_id (hash/SMJ) with the time
+    band as residual — never a nested-loop over the band alone."""
+    from dynamodb_streaming_datalake_spark.streaming.windows import (
+        q_stream_attribution,
+    )
+
+    df = q_stream_attribution(spark, sf_oracle)
+    p = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
