@@ -4,11 +4,13 @@ Media are opaque ``binary`` columns with a typed metadata struct; every
 transform is an Arrow-batched ``mapInPandas`` stage so the plumbing —
 schema, batch shape, partition-preserving narrow execution — is exactly
 what a real decoder would ride on. The container has no image/audio
-libraries, so library-dependent codecs (jpeg/webp/mp3/mp4) are stubbed
-behind a clearly-marked ``NotImplementedError``; RIFF/WAV (16-bit PCM),
-PPM (P6), BMP (BI_RGB 24-bit), and PNG (RGB8 — stdlib zlib needs no
-imaging lib) are REAL formats implemented with struct/numpy/zlib alone
-(see parse_wav / parse_ppm / parse_bmp / parse_png); and the
+libraries, so library-dependent codecs (jpeg/webp, and mp3/mp4 SAMPLE
+decode) are stubbed behind a clearly-marked ``NotImplementedError``;
+RIFF/WAV (16-bit PCM), PPM (P6), BMP (BI_RGB 24-bit), PNG (RGB8 —
+stdlib zlib needs no imaging lib), the ISO BMFF (MP4) box grammar, and
+the MPEG-1 Layer III frame grammar are REAL formats implemented with
+struct/numpy/zlib alone (see parse_wav / parse_ppm / parse_bmp /
+parse_png / parse_mp4 / parse_mp3); and the
 fully-implemented ``fake`` codec packs a
 parseable header + deterministic payload, which keeps the operators
 end-to-end testable AND oracle-checkable (payload bytes are a pure
@@ -47,9 +49,13 @@ VID_MAGIC = b"FVID"
 #: 16-bit PCM), ``ppm`` (P6), ``bmp`` (BI_RGB 24-bit), and ``png``
 #: (RGB8, stdlib zlib inflate + filter reconstruction) are REAL
 #: container formats implemented below with struct/numpy/zlib alone —
-#: see decode_wav / decode_ppm / decode_bmp / decode_png.
-STUBBED_CODECS = ("jpeg", "webp", "mp3", "mp4")
-REAL_CODECS = ("fake", "wav", "ppm", "bmp", "png")
+#: see decode_wav / decode_ppm / decode_bmp / decode_png. ``mp4`` and
+#: ``mp3`` have REAL container/frame-header demuxers (parse_mp4 /
+#: parse_mp3) — only their SAMPLE decode (H.264 pixels, Layer-III PCM)
+#: stays stubbed, since that genuinely needs codec libraries.
+STUBBED_CODECS = ("jpeg", "webp")
+STUBBED_SAMPLE_DECODE = ("mp3", "mp4")
+REAL_CODECS = ("fake", "wav", "ppm", "bmp", "png", "mp4", "mp3")
 
 
 def _require_fake(fmt: str) -> None:
@@ -60,11 +66,12 @@ def _require_fake(fmt: str) -> None:
     their own dedicated decoders (decode_wav / decode_ppm /
     decode_bmp), and library-dependent codecs stay stubbed."""
     if fmt != "fake":
-        hint = (
-            f"use decode_{fmt} for this format"
-            if fmt in REAL_CODECS
-            else "an image/audio library this container lacks is required"
-        )
+        if fmt in ("mp4", "mp3"):
+            hint = f"use demux_{fmt} for this format"
+        elif fmt in REAL_CODECS:
+            hint = f"use decode_{fmt} for this format"
+        else:
+            hint = "an image/audio library this container lacks is required"
         raise NotImplementedError(
             f"codec '{fmt}' is not handled by the fake-format kernels; "
             f"{hint}. Implemented real codecs: {REAL_CODECS}."
@@ -137,8 +144,12 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
     encoders = {"image": _encode_image, "video": _encode_video}
     # audio/wav/ppm encoders are defined below this function; resolve lazily
     enc = encoders.get(kind) or globals()[f"_encode_{kind}"]
-    # wav/ppm/bmp/png are REAL container formats, not fakes — label honestly
-    fmt = kind if kind in ("wav", "ppm", "bmp", "png") else f"fake-{kind}"
+    # wav/ppm/bmp/png/mp4/mp3 are REAL container formats — label honestly
+    fmt = (
+        kind
+        if kind in ("wav", "ppm", "bmp", "png", "mp4", "mp3")
+        else f"fake-{kind}"
+    )
     meta_t = StructType(
         [StructField("format", StringType()), StructField("n_bytes", LongType())]
     )
@@ -1018,3 +1029,447 @@ def q_media_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     png = synthesize_media(d, "doc_id", "png")
     return decode_png(png, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL container #5: MP4 / ISO BMFF box-tree demuxer — round 6
+# ---------------------------------------------------------------------------
+# The reference lake stores opaque payloads and their typed metadata
+# (SURVEY.md §2C multimodal); a training pipeline's first pass over video
+# is a DEMUX — walk the container, pull duration/timescale/track layout —
+# long before any codec touches a sample. ISO BMFF (MP4) box parsing
+# needs no codec library: it is length-prefixed box records, some of
+# which are pure containers. We implement the real grammar: u32
+# size + fourcc, size==1 -> u64 largesize, version 0/1 full boxes with
+# 32- vs 64-bit timestamps, recursion into container boxes, unknown
+# boxes (free/skip) skipped by size. Sample DECODE (H.264 etc.) stays
+# honestly stubbed — that genuinely needs codec libraries.
+
+#: boxes whose payload is a sequence of child boxes
+_MP4_CONTAINERS = frozenset(
+    {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta"}
+)
+_MP4_HANDLERS = ("vide", "soun", "text")
+
+
+def _mp4_params(i: int) -> tuple[int, int, int, int]:
+    """(timescale, duration_ticks, n_tracks, mdat_payload_bytes) as pure
+    functions of the row id — mirrored 1:1 in the q_media_mp4 oracle."""
+    timescale = 600 + (i % 5) * 100
+    duration = 6000 + (i * 31) % 9000
+    n_tracks = 1 + i % 3
+    mdat_bytes = 50 + (i * 17) % 200
+    return timescale, duration, n_tracks, mdat_bytes
+
+
+def _mp4_box(btype: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    """One ISO BMFF box. ``largesize=True`` writes the 64-bit size
+    escape (size field == 1 + trailing u64) the spec uses for >4 GiB
+    boxes — tiny here, but the parser must handle it."""
+    if largesize:
+        return struct.pack(">I4sQ", 1, btype, 16 + len(payload)) + payload
+    return struct.pack(">I4s", 8 + len(payload), btype) + payload
+
+
+def _mp4_full(version: int, flags: int, body: bytes) -> bytes:
+    return struct.pack(">B3s", version, flags.to_bytes(3, "big")) + body
+
+
+def _encode_mp4(i: int) -> bytes:
+    """Deterministic, spec-conformant ISO BMFF file per id:
+    ftyp + free (must be skipped) + moov(mvhd, trak*(tkhd, mdia(mdhd,
+    hdlr))) + mdat. Odd ids write version-1 mvhd/mdhd (64-bit times);
+    ids % 4 == 0 write the mdat with the u64 largesize escape — both
+    real-world variants a naive fixed-offset reader gets wrong."""
+    ts, dur, n_tracks, mdat_n = _mp4_params(i)
+    v = i % 2
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+    if v == 0:
+        mvhd_body = struct.pack(">IIII", 0, 0, ts, dur)
+    else:
+        mvhd_body = struct.pack(">QQIQ", 0, 0, ts, dur)
+    mvhd_body += (
+        struct.pack(">iH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", n_tracks + 1)
+    )
+    mvhd = _mp4_box(b"mvhd", _mp4_full(v, 0, mvhd_body))
+
+    traks = b""
+    for t in range(n_tracks):
+        tkhd_body = (
+            struct.pack(">IIIII", 0, 0, t + 1, 0, dur)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + matrix
+            + struct.pack(">II", 0, 0)
+        )
+        tkhd = _mp4_box(b"tkhd", _mp4_full(0, 7, tkhd_body))
+        mdhd_body = struct.pack(">IIII", 0, 0, ts, dur) + struct.pack(
+            ">HH", 0x55C4, 0
+        )
+        mdhd = _mp4_box(b"mdhd", _mp4_full(0, 0, mdhd_body))
+        handler = _MP4_HANDLERS[(i + t) % 3].encode()
+        hdlr_body = (
+            struct.pack(">I", 0)
+            + handler
+            + b"\x00" * 12
+            + b"trk\x00"
+        )
+        hdlr = _mp4_box(b"hdlr", _mp4_full(0, 0, hdlr_body))
+        traks += _mp4_box(b"trak", tkhd + _mp4_box(b"mdia", mdhd + hdlr))
+
+    ftyp = _mp4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41"
+    )
+    free = _mp4_box(b"free", bytes([i % 256]) * (7 + i % 9))
+    moov = _mp4_box(b"moov", mvhd + traks)
+    mdat = _mp4_box(b"mdat", bytes([i % 256]) * mdat_n, largesize=(i % 4 == 0))
+    return ftyp + free + moov + mdat
+
+
+def _mp4_walk(blob: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for each box in
+    [start, end) — the core ISO BMFF grammar: u32 size (1 -> u64
+    largesize follows the fourcc, 0 -> box extends to EOF)."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated MP4 box header")
+        (size,) = struct.unpack(">I", blob[pos : pos + 4])
+        btype = blob[pos + 4 : pos + 8]
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize header")
+            (size,) = struct.unpack(">Q", blob[pos + 8 : pos + 16])
+            payload_at = pos + 16
+        elif size == 0:
+            size = end - pos
+            payload_at = pos + 8
+        else:
+            payload_at = pos + 8
+        if size < payload_at - pos or pos + size > end:
+            raise ValueError(f"MP4 box {btype!r} overruns its parent")
+        yield btype, payload_at, pos + size
+        pos += size
+
+
+def parse_mp4(blob: bytes) -> tuple[str, int, int, int, str, int]:
+    """Real ISO BMFF demux: returns (major_brand, timescale,
+    duration_ticks, n_tracks, handlers_csv, mdat_bytes). Version-aware
+    mvhd (v0 32-bit / v1 64-bit times), recursive container descent,
+    unknown boxes skipped by size, largesize mdat handled."""
+    brand = None
+    timescale = duration = None
+    handlers: list[str] = []
+    n_tracks = 0
+    mdat_bytes = 0
+
+    def descend(start: int, end: int) -> None:
+        nonlocal brand, timescale, duration, n_tracks, mdat_bytes
+        for btype, p0, p1 in _mp4_walk(blob, start, end):
+            if btype == b"ftyp":
+                brand = blob[p0 : p0 + 4].decode("ascii")
+            elif btype == b"mvhd":
+                version = blob[p0]
+                if version == 0:
+                    _c, _m, ts, dur = struct.unpack(
+                        ">IIII", blob[p0 + 4 : p0 + 20]
+                    )
+                elif version == 1:
+                    _c, _m, ts, dur = struct.unpack(
+                        ">QQIQ", blob[p0 + 4 : p0 + 32]
+                    )
+                else:
+                    raise ValueError(f"unknown mvhd version {version}")
+                timescale, duration = ts, dur
+            elif btype == b"trak":
+                n_tracks += 1
+                descend(p0, p1)
+            elif btype == b"hdlr":
+                handlers.append(blob[p0 + 8 : p0 + 12].decode("ascii"))
+            elif btype == b"mdat":
+                mdat_bytes += p1 - p0
+            elif btype in _MP4_CONTAINERS:
+                descend(p0, p1)
+            # anything else (free/skip/tkhd/mdhd for stats purposes) is
+            # skipped by size — the defining property of the format
+
+    descend(0, len(blob))
+    if brand is None or timescale is None:
+        raise ValueError("missing ftyp or mvhd")
+    return brand, timescale, duration, n_tracks, ",".join(handlers), mdat_bytes
+
+
+def demux_mp4(df: DataFrame, id_col: str) -> DataFrame:
+    """Demux an MP4 column into typed container metadata."""
+    schema = (
+        f"{id_col} bigint, major_brand string, timescale int,"
+        " duration_ticks bigint, duration_s double, n_tracks int,"
+        " handlers string, mdat_bytes bigint"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                brand, ts, dur, nt, hdl, mb = parse_mp4(bytes(blob))
+                rows.append(
+                    (int(i), brand, ts, dur, float(dur) / float(ts), nt, hdl, mb)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "major_brand",
+                    "timescale",
+                    "duration_ticks",
+                    "duration_s",
+                    "n_tracks",
+                    "handlers",
+                    "mdat_bytes",
+                ],
+            )
+
+    return df.mapInPandas(dec, schema=schema)
+
+
+@query(
+    "q_media_mp4",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               600 + (doc_id % 5) * 100 AS ts,
+               6000 + (doc_id * 31) % 9000 AS dur,
+               1 + doc_id % 3 AS nt
+        FROM documents
+    )
+    SELECT doc_id,
+           'isom' AS major_brand,
+           CAST(ts AS INT) AS timescale,
+           CAST(dur AS BIGINT) AS duration_ticks,
+           CAST(dur AS DOUBLE) / CAST(ts AS DOUBLE) AS duration_s,
+           CAST(nt AS INT) AS n_tracks,
+           array_to_string(
+             list_transform(range(0, nt),
+               t -> ['vide','soun','text'][CAST((doc_id + t) % 3 AS INT) + 1]),
+             ',') AS handlers,
+           CAST(50 + (doc_id * 17) % 200 AS BIGINT) AS mdat_bytes
+    FROM p
+    """,
+)
+def q_media_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container path #5: a spec-conformant ISO BMFF (MP4) file per
+    document — version-0 AND version-1 mvhd, u64-largesize mdat on every
+    4th id, a free box the walker must skip — demuxed back into typed
+    container metadata (brand, timescale, duration, track layout, mdat
+    size). The oracle recomputes every field arithmetically from doc_id,
+    so one wrong offset in the box walker breaks the hash. Codec sample
+    DECODE stays honestly stubbed (needs codec libs); the demux is the
+    real, library-free first pass a video training pipeline runs.
+
+    Scale: map-only mapInPandas — the container walk touches headers
+    only, so at 100 TB the mdat payload bytes stream through untouched.
+
+    Reference parity: the reference stores opaque payloads + typed
+    metadata only (lib/dynamodb-streaming-datalake-stack.ts routes blobs
+    as-is); this operator supplies the metadata-extraction stage its
+    consumers would run next."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    mp4 = synthesize_media(d, "doc_id", "mp4")
+    return demux_mp4(mp4, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL container #6: MP3 (MPEG-1 Layer III) frame-header walk — round 6
+# ---------------------------------------------------------------------------
+# Same honesty split as MP4: decoding AUDIO SAMPLES needs a codec lib
+# (stubbed), but the frame grammar — 11-bit sync, version/layer bits,
+# bitrate/samplerate table indices, per-frame padding, frame length
+# arithmetic, ID3v2 tag skipping with synchsafe sizes — is pure spec
+# and is exactly what a corpus-audit pass computes (duration, mean
+# bitrate, CBR/VBR) without ever touching PCM.
+
+#: MPEG-1 Layer III bitrate table, kbps, index 1..14 (0=free, 15=bad)
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+#: MPEG-1 samplerate table, Hz, index 0..2 (3=reserved)
+_MP3_RATES = (44100, 48000, 32000)
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def _mp3_params(i: int) -> tuple[int, int]:
+    """(samplerate_index, n_frames) as pure functions of the row id."""
+    return i % 3, 20 + i % 30
+
+
+def _mp3_frame_fields(i: int, f: int) -> tuple[int, int]:
+    """(bitrate_index, padding_bit) for frame f of file i."""
+    return 1 + (i + f) % 14, (i + f) % 2
+
+
+def _mp3_frame_len(br_idx: int, sr_idx: int, pad: int) -> int:
+    """MPEG-1 Layer III frame length: floor(144 * bitrate / samplerate)
+    + padding — the arithmetic every frame walker depends on."""
+    return 144_000 * _MP3_BITRATES[br_idx] // _MP3_RATES[sr_idx] + pad
+
+
+def _encode_mp3(i: int) -> bytes:
+    """Deterministic MPEG-1 Layer III stream per id: an ID3v2.3 tag
+    (synchsafe size, must be skipped), then a VBR sequence of frames
+    whose bitrate index and padding bit vary per frame — so every frame
+    length must be recomputed from its own header."""
+    sr_idx, n_frames = _mp3_params(i)
+    tag_body = bytes([i % 256]) * (10 + i % 20)
+    n = len(tag_body)
+    synchsafe = bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+    out = bytearray(b"ID3\x03\x00\x00" + synchsafe + tag_body)
+    for f in range(n_frames):
+        br_idx, pad = _mp3_frame_fields(i, f)
+        flen = _mp3_frame_len(br_idx, sr_idx, pad)
+        # 0xFF 0xFB = sync(11) + MPEG1(11) + LayerIII(01) + no-CRC(1)
+        hdr = bytes(
+            [
+                0xFF,
+                0xFB,
+                (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+                (((i + f) % 4) << 6) | 0x04,
+            ]
+        )
+        out += hdr + bytes([(i + f) % 256]) * (flen - 4)
+    return bytes(out)
+
+
+def parse_mp3(blob: bytes) -> tuple[int, int, int, int]:
+    """Real MPEG-1 Layer III frame walk: skip the ID3v2 tag (synchsafe
+    size), then iterate frames by recomputing each frame's length from
+    its own header bits. Returns (samplerate_hz, n_frames,
+    bitrate_kbps_sum, audio_bytes). Rejects broken sync, reserved
+    bitrate/samplerate indices, and non-MPEG1-Layer-III streams."""
+    pos = 0
+    if blob[:3] == b"ID3":
+        if len(blob) < 10:
+            raise ValueError("truncated ID3v2 header")
+        n = (
+            (blob[6] << 21) | (blob[7] << 14) | (blob[8] << 7) | blob[9]
+        )
+        pos = 10 + n
+    samplerate = None
+    n_frames = 0
+    br_sum = 0
+    audio_bytes = 0
+    while pos < len(blob):
+        if pos + 4 > len(blob):
+            raise ValueError("truncated MP3 frame header")
+        b0, b1, b2, _b3 = blob[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MP3 sync at byte {pos}")
+        if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+            raise NotImplementedError("only MPEG-1 Layer III supported")
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        pad = (b2 >> 1) & 0x01
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free/reserved bitrate or samplerate index")
+        sr = _MP3_RATES[sr_idx]
+        if samplerate is None:
+            samplerate = sr
+        elif sr != samplerate:
+            raise ValueError("samplerate change mid-stream")
+        flen = _mp3_frame_len(br_idx, sr_idx, pad)
+        if pos + flen > len(blob):
+            raise ValueError("truncated MP3 frame body")
+        n_frames += 1
+        br_sum += _MP3_BITRATES[br_idx]
+        audio_bytes += flen
+        pos += flen
+    if samplerate is None:
+        raise ValueError("no MP3 frames found")
+    return samplerate, n_frames, br_sum, audio_bytes
+
+
+def demux_mp3(df: DataFrame, id_col: str) -> DataFrame:
+    """Walk an MP3 column into typed stream metadata (duration, mean
+    bitrate, byte counts) without decoding samples."""
+    schema = (
+        f"{id_col} bigint, sample_rate int, n_frames int,"
+        " duration_s double, mean_bitrate_kbps double, audio_bytes bigint"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                sr, nf, brs, ab = parse_mp3(bytes(blob))
+                rows.append(
+                    (
+                        int(i),
+                        sr,
+                        nf,
+                        float(nf * _MP3_SAMPLES_PER_FRAME) / float(sr),
+                        float(brs) / float(nf),
+                        ab,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "sample_rate",
+                    "n_frames",
+                    "duration_s",
+                    "mean_bitrate_kbps",
+                    "audio_bytes",
+                ],
+            )
+
+    return df.mapInPandas(dec, schema=schema)
+
+
+@query(
+    "q_media_mp3",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               [44100, 48000, 32000][CAST(doc_id % 3 AS INT) + 1] AS sr,
+               20 + doc_id % 30 AS nf
+        FROM documents
+    ), frames AS (
+        SELECT doc_id, sr, nf,
+               list_transform(range(0, nf),
+                 f -> [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                      [CAST((doc_id + f) % 14 AS INT) + 1]) AS brs,
+               list_transform(range(0, nf),
+                 f -> 144000 *
+                      [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                      [CAST((doc_id + f) % 14 AS INT) + 1] // sr
+                      + (doc_id + f) % 2) AS flens
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(nf AS INT) AS n_frames,
+           CAST(nf * 1152 AS DOUBLE) / CAST(sr AS DOUBLE) AS duration_s,
+           CAST(list_aggregate(brs, 'sum') AS DOUBLE) / CAST(nf AS DOUBLE)
+             AS mean_bitrate_kbps,
+           CAST(list_aggregate(flens, 'sum') AS BIGINT) AS audio_bytes
+    FROM frames
+    """,
+)
+def q_media_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container path #6: a VBR MPEG-1 Layer III stream per
+    document — ID3v2 tag with synchsafe size the walker must skip,
+    per-frame bitrate index and padding bit so every frame length is
+    recomputed from its own header — walked back into duration, mean
+    bitrate, and byte counts. The oracle replays the bitrate table and
+    the 144*bitrate/samplerate+padding frame-length arithmetic from
+    doc_id. Sample decode (PCM) stays honestly stubbed.
+
+    Scale: map-only mapInPandas; header walk is O(n_frames) per row."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    mp3 = synthesize_media(d, "doc_id", "mp3")
+    return demux_mp3(mp3, "doc_id")

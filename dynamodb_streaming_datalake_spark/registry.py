@@ -55,6 +55,8 @@ PRIORITY: tuple[str, ...] = (
     "q_bm25_search",             # BM25 lexical retrieval top-k
     "q_stream_attribution",      # stream-stream interval join (batch twin)
     "q_quality_classifier",      # hashed linear classifier inference
+    "q_media_mp4",               # real ISO BMFF box-tree demux
+    "q_media_mp3",               # real MPEG-1 Layer III frame walk
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

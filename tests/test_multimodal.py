@@ -367,3 +367,97 @@ def test_q_media_png_oracle_parity(spark, sf_smoke):
     compare_query(
         spark, sf_smoke, "q_media_png", q_media_png, ORACLE["q_media_png"]
     )
+
+
+def test_mp4_roundtrip_versions_and_largesize():
+    """ISO BMFF walker: version-0 and version-1 mvhd both parse, the
+    u64-largesize mdat path is exercised (ids % 4 == 0), the free box
+    is skipped, and a box overrunning its parent fails loudly."""
+    import struct as st
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _encode_mp4,
+        _mp4_params,
+        parse_mp4,
+    )
+
+    for i in (0, 1, 2, 3, 4, 7, 100, 12345):
+        blob = _encode_mp4(i)
+        brand, ts, dur, nt, handlers, mdat = parse_mp4(blob)
+        ets, edur, ent, emdat = _mp4_params(i)
+        assert (brand, ts, dur, nt, mdat) == ("isom", ets, edur, ent, emdat)
+        expected = ",".join(
+            ("vide", "soun", "text")[(i + t) % 3] for t in range(ent)
+        )
+        assert handlers == expected
+    # ids 0 and 4 use largesize, 1 does not
+    assert st.unpack(">I", _encode_mp4(4)[-_mp4_params(4)[3] - 16 : -_mp4_params(4)[3] - 12])[0] == 1
+    # corrupt: inner box size overruns its parent
+    blob = bytearray(_encode_mp4(2))
+    moov_at = bytes(blob).index(b"moov") - 4
+    blob[moov_at : moov_at + 4] = st.pack(">I", 16)  # shrink moov under mvhd
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mp4(bytes(blob))
+    # missing ftyp/mvhd
+    with pytest.raises(ValueError, match="missing ftyp"):
+        parse_mp4(st.pack(">I4s", 8, b"free"))
+
+
+def test_q_media_mp4_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.multimodal import q_media_mp4
+
+    compare_query(
+        spark, sf_smoke, "q_media_mp4", q_media_mp4, ORACLE["q_media_mp4"]
+    )
+
+
+def test_mp3_roundtrip_and_guards():
+    """MPEG-1 Layer III walker: ID3v2 synchsafe skip, per-frame VBR
+    lengths, and loud failures on lost sync / reserved indices /
+    truncation / non-MPEG1 streams."""
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _encode_mp3,
+        _mp3_frame_fields,
+        _mp3_frame_len,
+        _mp3_params,
+        _MP3_BITRATES,
+        _MP3_RATES,
+        parse_mp3,
+    )
+
+    for i in (0, 1, 2, 3, 7, 100, 12345):
+        sr_idx, nf = _mp3_params(i)
+        sr, n, br_sum, ab = parse_mp3(_encode_mp3(i))
+        assert (sr, n) == (_MP3_RATES[sr_idx], nf)
+        fields = [_mp3_frame_fields(i, f) for f in range(nf)]
+        assert br_sum == sum(_MP3_BITRATES[b] for b, _ in fields)
+        assert ab == sum(_mp3_frame_len(b, sr_idx, p) for b, p in fields)
+    blob = bytearray(_encode_mp3(5))
+    # find first frame (after the ID3 tag) and break its sync byte
+    n_tag = (blob[6] << 21) | (blob[7] << 14) | (blob[8] << 7) | blob[9]
+    first = 10 + n_tag
+    blob[first] = 0x00
+    with pytest.raises(ValueError, match="lost MP3 sync"):
+        parse_mp3(bytes(blob))
+    # reserved bitrate index 15
+    blob = bytearray(_encode_mp3(5))
+    blob[first + 2] = (15 << 4) | (blob[first + 2] & 0x0F)
+    with pytest.raises(ValueError, match="reserved"):
+        parse_mp3(bytes(blob))
+    # MPEG-2 version bits rejected
+    blob = bytearray(_encode_mp3(5))
+    blob[first + 1] = 0xF3  # version bits 01 -> not MPEG-1
+    with pytest.raises(NotImplementedError, match="MPEG-1"):
+        parse_mp3(bytes(blob))
+    # truncated final frame
+    blob = _encode_mp3(5)
+    with pytest.raises(ValueError, match="truncated MP3 frame"):
+        parse_mp3(blob[:-3])
+
+
+def test_q_media_mp3_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.multimodal import q_media_mp3
+
+    compare_query(
+        spark, sf_smoke, "q_media_mp3", q_media_mp3, ORACLE["q_media_mp3"]
+    )
