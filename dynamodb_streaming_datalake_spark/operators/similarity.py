@@ -1424,3 +1424,144 @@ def q_ann_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("adist", 6).alias("approx_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 (lexical) + dense cosine, RRF fusion — round 6
+# ---------------------------------------------------------------------------
+# Production RAG/data-curation retrieval is hybrid: a lexical ranker
+# (BM25) and a dense ranker (embedding cosine) each produce a top-L
+# list, fused by Reciprocal Rank Fusion (Cormack et al., SIGIR'09):
+# rrf(d) = sum over lists of 1/(K + rank_d). RRF needs only ranks, so
+# the two engines agree bit-exactly as long as each list's ordering
+# does — both lists tie-break on doc_id.
+
+HY_K = 60          # the standard RRF damping constant
+HY_LIST = 100      # per-ranker candidate list length
+HY_TOP = 20        # fused results returned
+HY_QVEC = 0        # the dense query: embedding of vec_id 0
+                   # (documents and embeddings share the 0..N-1 id space)
+
+
+@query(
+    "q_hybrid_search",
+    oracle=None,  # set below: composes text.SQL_BM25_SCORED lazily
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval with Reciprocal Rank Fusion.
+
+    Lexical list: the shared BM25 pipeline (text.bm25_scored), top-L by
+    (score desc, doc_id). Dense list: cosine of every corpus embedding
+    against the query vector (vec_id = 0, a one-row broadcast), top-L
+    by (cos desc, id). Fusion: 1/(K+lex_rank) + 1/(K+dense_rank), each
+    term 0 when the doc is absent from that list; absent ranks surface
+    as 0 (real ranks start at 1).
+
+    Scale: both candidate lists are produced with TakeOrdered
+    (orderBy().limit(L) — distributed partial top-k, no global sort,
+    no unbounded single-partition window); ranking then runs on the
+    L-row results, so the only global windows in the plan are over at
+    most HY_LIST=100 rows, and the fusion join is 100 x 100. At 100 TB
+    nothing beyond the two bounded lists ever crosses the network.
+    """
+    from dynamodb_streaming_datalake_spark.operators.text import bm25_scored
+
+    lex_top = (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(HY_LIST)
+    )
+    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == HY_QVEC).select(
+        F.col("embedding").alias("qe")
+    )
+    dense_top = (
+        e.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("c"),
+        )
+        .orderBy(F.col("c").desc(), "doc_id")
+        .limit(HY_LIST)
+    )
+    w_dense = Window.orderBy(F.col("c").desc(), "doc_id")
+    dense = dense_top.select(
+        "doc_id", F.row_number().over(w_dense).alias("dense_rank")
+    )
+
+    one = F.lit(1.0)
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(one / (F.lit(HY_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(one / (F.lit(HY_K) + F.col("dense_rank")), F.lit(0.0))
+        ).alias("rrf_raw"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_raw").desc(), "doc_id")
+        .limit(HY_TOP)
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+            F.coalesce("dense_rank", F.lit(0)).cast("int").alias("dense_rank"),
+            F.round("rrf_raw", 6).alias("rrf"),
+        )
+    )
+
+
+def _hybrid_oracle() -> str:
+    from dynamodb_streaming_datalake_spark.operators.text import SQL_BM25_SCORED
+
+    return f"""
+    WITH {SQL_BM25_SCORED},
+    lex AS (
+        SELECT doc_id, lex_rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+            FROM scored
+        ) WHERE lex_rank <= {HY_LIST}
+    ),
+    dense0 AS (
+        SELECT e.vec_id AS doc_id,
+               {sql_cosine('q.qe', 'e.embedding')} AS c
+        FROM embeddings e,
+             (SELECT embedding AS qe FROM embeddings
+              WHERE vec_id = {HY_QVEC}) q
+    ),
+    dense AS (
+        SELECT doc_id, dense_rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS dense_rank
+            FROM dense0
+        ) WHERE dense_rank <= {HY_LIST}
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+               lex.lex_rank AS lex_rank, dense.dense_rank AS dense_rank,
+               COALESCE(CAST(1.0 AS DOUBLE) / ({HY_K} + lex.lex_rank),
+                        CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE) / ({HY_K} + dense.dense_rank),
+                          CAST(0.0 AS DOUBLE)) AS rrf_raw
+        FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+    )
+    SELECT doc_id,
+           CAST(COALESCE(lex_rank, 0) AS INT) AS lex_rank,
+           CAST(COALESCE(dense_rank, 0) AS INT) AS dense_rank,
+           round(rrf_raw, 6) AS rrf
+    FROM fused
+    ORDER BY rrf_raw DESC, doc_id
+    LIMIT {HY_TOP}
+    """
+
+
+# late-bind the oracle (avoids a circular import at module load)
+from dynamodb_streaming_datalake_spark.registry import ORACLE as _ORACLE  # noqa: E402
+
+_ORACLE["q_hybrid_search"] = _hybrid_oracle()

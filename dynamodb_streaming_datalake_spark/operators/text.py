@@ -603,11 +603,10 @@ BM25_TOP = 50
 
 _SQL_BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-
-@query(
-    "q_bm25_search",
-    oracle=f"""
-    WITH toks AS (
+#: the shared BM25 scoring CTE chain (ends in ``scored(doc_id, score)``)
+#: — used by q_bm25_search and composed into q_hybrid_search's oracle
+SQL_BM25_SCORED = f"""
+    toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term
         FROM documents
     ),
@@ -637,28 +636,13 @@ _SQL_BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_TERMS)
         CROSS JOIN stats
         GROUP BY tf.doc_id
     )
-    SELECT doc_id, round(score, 6) AS bm25
-    FROM scored
-    ORDER BY score DESC, doc_id
-    LIMIT {BM25_TOP}
-    """,
-)
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ad-hoc retrieval — the lexical ranking function behind
-    Lucene/Elasticsearch, over the documents table for a fixed query
-    term set: idf = ln(1 + (N - df + .5)/(df + .5)) (the Robertson
-    formulation every engine ships), tf saturation k1={BM25_K1},
-    length normalization b={BM25_B} against the corpus average doc
-    length. Global top-{BM25_TOP} by (score, doc_id).
+"""
 
-    Identical double formula on both engines; ties under round(6) break
-    on doc_id (same accepted libm-ulp risk class as q_tfidf_terms).
 
-    Scale: tf restricts the exploded token stream to the literal query
-    terms BEFORE any shuffle (a handful of rows per doc survive); df is
-    a |terms|-row aggregate; N and avgdl are one single-row aggregate
-    crossed in (broadcast, never collected); the final top-k is a
-    TakeOrdered, not a global sort."""
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 scoring pipeline shared by q_bm25_search and
+    q_hybrid_search: returns ``(doc_id, score)`` for every document
+    matching at least one query term. Mirrors SQL_BM25_SCORED 1:1."""
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
@@ -672,7 +656,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
+    return (
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -697,11 +681,41 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
+
+
+@query(
+    "q_bm25_search",
+    oracle=f"""
+    WITH {SQL_BM25_SCORED}
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ad-hoc retrieval — the lexical ranking function behind
+    Lucene/Elasticsearch, over the documents table for a fixed query
+    term set: idf = ln(1 + (N - df + .5)/(df + .5)) (the Robertson
+    formulation every engine ships), tf saturation k1={BM25_K1},
+    length normalization b={BM25_B} against the corpus average doc
+    length. Global top-{BM25_TOP} by (score, doc_id).
+
+    Identical double formula on both engines; ties under round(6) break
+    on doc_id (same accepted libm-ulp risk class as q_tfidf_terms).
+
+    Scale: tf restricts the exploded token stream to the literal query
+    terms BEFORE any shuffle (a handful of rows per doc survive); df is
+    a |terms|-row aggregate; N and avgdl are one single-row aggregate
+    crossed in (broadcast, never collected); the final top-k is a
+    TakeOrdered, not a global sort."""
     return (
-        scored.orderBy(F.col("score").desc(), "doc_id")
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOP)
         .select("doc_id", F.round("score", 6).alias("bm25"))
     )
+
 
 
 # ---------------------------------------------------------------------------

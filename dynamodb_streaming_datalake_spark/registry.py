@@ -57,6 +57,7 @@ PRIORITY: tuple[str, ...] = (
     "q_quality_classifier",      # hashed linear classifier inference
     "q_media_mp4",               # real ISO BMFF box-tree demux
     "q_media_mp3",               # real MPEG-1 Layer III frame walk
+    "q_hybrid_search",           # BM25 + dense cosine, RRF fusion
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

@@ -232,6 +232,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_tfidf_terms",  # 1-row corpus doc count crossed
         "q_heavy_hitters",  # 1-row token total crossed
         "q_bm25_search",  # 1-row (n_docs, avgdl) aggregate crossed
+        "q_hybrid_search",  # 1-row stats + 1-row query vector crossed
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
