@@ -58,6 +58,7 @@ PRIORITY: tuple[str, ...] = (
     "q_media_mp4",               # real ISO BMFF box-tree demux
     "q_media_mp3",               # real MPEG-1 Layer III frame walk
     "q_hybrid_search",           # BM25 + dense cosine, RRF fusion
+    "q_pagerank",                # iterative fixed-point PageRank
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
@@ -190,6 +191,7 @@ def load_all() -> None:
     import dynamodb_streaming_datalake_spark.operators.state  # noqa: F401
 
     for mod in (
+        "graph",
         "bloom",
         "cdc_zone",
         "tpch_ext",

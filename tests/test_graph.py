@@ -1,0 +1,69 @@
+"""PageRank: fixed-point cross-engine exactness, rank-mass invariants,
+and the per-iteration join shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.operators.graph import (
+    PR_ITERS,
+    PR_SCALE,
+    PR_TOP,
+    _trade_edges,
+    pagerank,
+    q_pagerank,
+)
+from dynamodb_streaming_datalake_spark.registry import ORACLE
+from tests.oracle_utils import compare_query
+
+
+def test_q_pagerank_oracle_parity(spark, sf_smoke):
+    compare_query(
+        spark, sf_smoke, "q_pagerank", q_pagerank, ORACLE["q_pagerank"]
+    )
+
+
+def test_pagerank_mass_and_shape(spark, sf_smoke):
+    """Total fixed-point rank mass stays within the floor-division leak
+    bound of PR_SCALE, every rank is positive, and the top list is
+    exactly PR_TOP rows in strictly ordered (rank desc, node)."""
+    edges = _trade_edges(spark, sf_smoke)
+    ranks = pagerank(edges).collect()
+    n = len(ranks)
+    total = sum(r["rank_fp"] for r in ranks)
+    # each of the PR_ITERS iterations can leak < 1 unit per node per
+    # division (contrib floor + damp floor + base floor)
+    leak_bound = PR_ITERS * 3 * n + n
+    assert 0 < total <= PR_SCALE
+    assert total >= PR_SCALE - leak_bound * 10  # generous integer bound
+    assert all(r["rank_fp"] > 0 for r in ranks)
+
+    top = q_pagerank(spark, sf_smoke).collect()
+    assert len(top) == PR_TOP
+    keys = [(-r["rank_fp"], r["node"]) for r in top]
+    assert keys == sorted(keys)
+
+
+def test_pagerank_is_partitioning_invariant(spark, sf_smoke):
+    """The fixed-point claim: values are independent of physical
+    partitioning (the thing IEEE-double PageRank cannot promise)."""
+    edges = _trade_edges(spark, sf_smoke)
+    a = {r["node"]: r["rank_fp"] for r in pagerank(edges).collect()}
+    b = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(edges.repartition(7, "dst")).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_favors_high_degree_nodes(spark, sf_smoke):
+    """Sanity: the max-degree node's rank is above the mean rank."""
+    edges = _trade_edges(spark, sf_smoke)
+    deg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.col("d").desc(), "src")
+    )
+    top_node = deg.first()["src"]
+    ranks = {r["node"]: r["rank_fp"] for r in pagerank(edges).collect()}
+    mean = sum(ranks.values()) / len(ranks)
+    assert ranks[top_node] > mean

@@ -233,6 +233,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_heavy_hitters",  # 1-row token total crossed
         "q_bm25_search",  # 1-row (n_docs, avgdl) aggregate crossed
         "q_hybrid_search",  # 1-row stats + 1-row query vector crossed
+        "q_pagerank",  # 1-row node-count aggregate crossed into init
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
