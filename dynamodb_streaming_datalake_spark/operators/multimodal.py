@@ -4,13 +4,14 @@ Media are opaque ``binary`` columns with a typed metadata struct; every
 transform is an Arrow-batched ``mapInPandas`` stage so the plumbing —
 schema, batch shape, partition-preserving narrow execution — is exactly
 what a real decoder would ride on. The container has no image/audio
-libraries, so library-dependent codecs (jpeg/webp, and mp3/mp4 SAMPLE
+libraries, so library-dependent codecs (webp, and mp3/mp4 SAMPLE
 decode) are stubbed behind a clearly-marked ``NotImplementedError``;
 RIFF/WAV (16-bit PCM), PPM (P6), BMP (BI_RGB 24-bit), PNG (RGB8 —
-stdlib zlib needs no imaging lib), the ISO BMFF (MP4) box grammar, and
+stdlib zlib needs no imaging lib), baseline JPEG (grayscale — full
+DCT/Huffman, no libs at all), the ISO BMFF (MP4) box grammar, and
 the MPEG-1 Layer III frame grammar are REAL formats implemented with
 struct/numpy/zlib alone (see parse_wav / parse_ppm / parse_bmp /
-parse_png / parse_mp4 / parse_mp3); and the
+parse_png / parse_jpeg_gray / parse_mp4 / parse_mp3); and the
 fully-implemented ``fake`` codec packs a
 parseable header + deterministic payload, which keeps the operators
 end-to-end testable AND oracle-checkable (payload bytes are a pure
@@ -53,9 +54,9 @@ VID_MAGIC = b"FVID"
 #: ``mp3`` have REAL container/frame-header demuxers (parse_mp4 /
 #: parse_mp3) — only their SAMPLE decode (H.264 pixels, Layer-III PCM)
 #: stays stubbed, since that genuinely needs codec libraries.
-STUBBED_CODECS = ("jpeg", "webp")
+STUBBED_CODECS = ("webp",)
 STUBBED_SAMPLE_DECODE = ("mp3", "mp4")
-REAL_CODECS = ("fake", "wav", "ppm", "bmp", "png", "mp4", "mp3")
+REAL_CODECS = ("fake", "wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg")
 
 
 def _require_fake(fmt: str) -> None:
@@ -1473,3 +1474,420 @@ def q_media_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     mp3 = synthesize_media(d, "doc_id", "mp3")
     return demux_mp3(mp3, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #7: JPEG (baseline DCT, grayscale) — round 6
+# ---------------------------------------------------------------------------
+# A complete baseline JPEG codec in numpy + struct: JFIF marker
+# segments, Annex-K luminance quantization, canonical Huffman tables
+# (declared in DHT — JPEG files carry their own tables, so ANY valid
+# prefix code is spec-conformant), zigzag run-length entropy coding
+# with 0xFF byte stuffing, and a float DCT-II/IDCT pair. The codec is
+# lossy in general (property tests bound the reconstruction error on
+# arbitrary images); the ORACLE fixture uses constant 8x8 tiles with
+# even values, for which the quantize->dequantize->IDCT roundtrip is
+# provably exact — so the decoded stats still have a closed form DuckDB
+# can recompute from doc_id. Only webp now remains stubbed.
+
+#: ITU-T T.81 Annex K.1 luminance quantization table (public spec)
+JPEG_QTABLE = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+#: zigzag scan order: _JPEG_ZIGZAG[k] = (row, col) of the k-th coeff
+_JPEG_ZIGZAG = sorted(
+    ((r, c) for r in range(8) for c in range(8)),
+    key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
+)
+
+#: canonical Huffman tables, declared in the file's own DHT segments:
+#: DC = 12 category symbols, all 4-bit codes; AC = all 162 baseline
+#: symbols (EOB, ZRL, (run 0-15 x size 1-10)), all 8-bit codes.
+_JPEG_DC_SYMBOLS = tuple(range(12))
+_JPEG_AC_SYMBOLS = (0x00, 0xF0) + tuple(
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+)
+_JPEG_DC_BITS = tuple(12 if n == 4 else 0 for n in range(1, 17))
+_JPEG_AC_BITS = tuple(162 if n == 8 else 0 for n in range(1, 17))
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    a[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return a
+
+
+_JPEG_A = _jpeg_dct_matrix()
+
+
+def _jpeg_canonical_codes(bits, symbols) -> dict:
+    """symbol -> (code, length) per the canonical construction both
+    encoder and decoder (and every real JPEG implementation) use."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_JPEG_DC_CODES = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMBOLS)
+_JPEG_AC_CODES = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMBOLS)
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _jpeg_amplitude(v: int, size: int) -> int:
+    # JPEG "extend": negatives stored as v - 1 in `size` low bits
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _jpeg_segments(w: int, h: int) -> bytes:
+    """All marker segments up to (and including) SOS for a grayscale
+    baseline image: SOI APP0 DQT SOF0 DHTx2 SOS."""
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    zz_q = bytes(int(JPEG_QTABLE[r, c]) for r, c in _JPEG_ZIGZAG)
+    dqt = b"\x00" + zz_q
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_SYMBOLS)
+    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_SYMBOLS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, app0)
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFC4, dht_ac)
+        + seg(0xFFDA, sos)
+    )
+
+
+def encode_jpeg_gray(img: np.ndarray) -> bytes:
+    """Baseline-encode a (h, w) uint8 grayscale image; dims must be
+    multiples of 8 (the fixture guarantees it; arbitrary dims would add
+    edge padding, orthogonal to the codec itself)."""
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_gray requires multiple-of-8 dims")
+    bw = _JpegBitWriter()
+    pred = 0
+    q = JPEG_QTABLE.astype(np.float64)
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = img[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coef = _JPEG_A @ block @ _JPEG_A.T
+            scaled = coef / q
+            quant = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+                np.int32
+            )
+            zz = [int(quant[r, c]) for r, c in _JPEG_ZIGZAG]
+            diff = zz[0] - pred
+            pred = zz[0]
+            size = _jpeg_category(diff)
+            code, length = _JPEG_DC_CODES[size]
+            bw.put(code, length)
+            if size:
+                bw.put(_jpeg_amplitude(diff, size), size)
+            run = 0
+            for k in range(1, 64):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c16, l16 = _JPEG_AC_CODES[0xF0]
+                    bw.put(c16, l16)
+                    run -= 16
+                size = _jpeg_category(v)
+                code, length = _JPEG_AC_CODES[(run << 4) | size]
+                bw.put(code, length)
+                bw.put(_jpeg_amplitude(v, size), size)
+                run = 0
+            if run:
+                code, length = _JPEG_AC_CODES[0x00]
+                bw.put(code, length)
+    return _jpeg_segments(w, h) + bw.flush() + b"\xff\xd9"
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader with 0xFF00 de-stuffing."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def take(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _jpeg_decode_table(bits, symbols) -> dict:
+    """(length, code) -> symbol lookup from a DHT declaration."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _jpeg_canonical_codes(
+            bits, symbols
+        ).items()
+    }
+
+
+def _jpeg_read_symbol(br: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.take(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def parse_jpeg_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Real baseline JPEG decoder: marker walk (tables taken from the
+    file's own DQT/DHT, not assumed), Huffman entropy decode with
+    de-stuffing, dequantize, IDCT, level shift. Returns (w, h, img)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    w = h = None
+    scan_at = None
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        payload = blob[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT not supported")
+                q = np.zeros((8, 8), dtype=np.int32)
+                for k, (r, c) in enumerate(_JPEG_ZIGZAG):
+                    q[r, c] = payload[p + 1 + k]
+                qtables[tq] = q
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = tuple(payload[p + 1 : p + 17])
+                n = sum(bits)
+                syms = tuple(payload[p + 17 : p + 17 + n])
+                htables[(tc, th)] = _jpeg_decode_table(bits, syms)
+                p += 17 + n
+        elif marker == 0xC0:
+            precision = payload[0]
+            h, w = struct.unpack(">HH", payload[1:5])
+            ncomp = payload[5]
+            if precision != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "only 8-bit grayscale baseline supported"
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("only baseline (SOF0) supported")
+        elif marker == 0xDA:
+            scan_at = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if w is None or scan_at is None:
+        raise ValueError("missing SOF0 or SOS")
+    q = qtables[0]
+    dc_tab, ac_tab = htables[(0, 0)], htables[(1, 0)]
+    br = _JpegBitReader(blob, scan_at)
+    img = np.empty((h, w), dtype=np.uint8)
+    pred = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            zz = np.zeros(64, dtype=np.int32)
+            size = _jpeg_read_symbol(br, dc_tab)
+            diff = _jpeg_extend(br.take(size), size) if size else 0
+            pred += diff
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = _jpeg_read_symbol(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k >= 64:
+                    raise ValueError("AC run past end of block")
+                zz[k] = _jpeg_extend(br.take(size), size)
+                k += 1
+            coef = np.zeros((8, 8), dtype=np.float64)
+            for k, (r, c) in enumerate(_JPEG_ZIGZAG):
+                coef[r, c] = zz[k] * q[r, c]
+            block = _JPEG_A.T @ coef @ _JPEG_A + 128.0
+            img[by : by + 8, bx : bx + 8] = np.clip(
+                np.floor(block + 0.5), 0, 255
+            ).astype(np.uint8)
+    return w, h, img
+
+
+def _jpeg_dims(i: int) -> tuple[int, int]:
+    return 8 * (2 + i % 5), 8 * (2 + (i // 5) % 4)
+
+
+def _encode_jpeg(i: int) -> bytes:
+    """Oracle fixture: constant 8x8 tiles with EVEN values
+    v_b = 2*((i + b) % 128) (b = block index in raster order). For a
+    constant even-valued block the only nonzero coefficient is DC
+    = (v-128)*8, quantized by 16 to (v-128)/2 exactly, dequantized and
+    inverse-transformed back to exactly v — so the lossy pipeline is
+    EXACT on this family and the decoded mean has a closed form."""
+    w, h = _jpeg_dims(i)
+    img = np.empty((h, w), dtype=np.uint8)
+    nb_x = w // 8
+    b = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            img[by : by + 8, bx : bx + 8] = 2 * ((i + b) % 128)
+            b += 1
+    assert b == nb_x * (h // 8)
+    return encode_jpeg_gray(img)
+
+
+def decode_jpeg(df: DataFrame, id_col: str) -> DataFrame:
+    """Decode a JPEG column into typed stats (width, height, channels,
+    mean_pixel, n_bytes) — same contract as decode_png."""
+    schema = (
+        f"{id_col} bigint, width int, height int, channels int,"
+        " mean_pixel double, n_bytes bigint"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                w, h, img = parse_jpeg_gray(bytes(blob))
+                m = img.size
+                mean = float(int(img.astype(np.int64).sum()) / m)
+                rows.append((int(i), w, h, 1, mean, m))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "channels", "mean_pixel", "n_bytes"
+                ],
+            )
+
+    return df.mapInPandas(dec, schema=schema)
+
+
+@query(
+    "q_media_jpeg",
+    # decoded tile b is exactly 2*((doc_id + b) % 128); the mean over
+    # pixels is 64*sum_b(v_b) / (w*h)
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               8 * (2 + doc_id % 5) AS w,
+               8 * (2 + (doc_id // 5) % 4) AS h
+        FROM documents
+    ), tiles AS (
+        SELECT doc_id, w, h,
+               list_aggregate(
+                 list_transform(range(0, (w // 8) * (h // 8)),
+                                b -> 2 * ((doc_id + b) % 128)),
+                 'sum') AS s
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(64 * s AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_pixel,
+           CAST(w * h AS BIGINT) AS n_bytes
+    FROM tiles
+    """,
+)
+def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path #7: baseline JPEG (grayscale) — full DCT +
+    Annex-K quantization + canonical Huffman entropy coding with byte
+    stuffing, decoded by a marker-walking, table-reading baseline
+    decoder. The oracle fixture is the constant-even-tile family where
+    the lossy pipeline is provably exact (see _encode_jpeg), so the
+    decoded mean is closed-form; arbitrary-image fidelity is bounded by
+    property tests in tests/test_multimodal.py.
+
+    Scale: map-only mapInPandas, same contract as q_media_png."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    jpg = synthesize_media(d, "doc_id", "jpeg")
+    return decode_jpeg(jpg, "doc_id")

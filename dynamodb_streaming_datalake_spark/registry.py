@@ -59,6 +59,7 @@ PRIORITY: tuple[str, ...] = (
     "q_media_mp3",               # real MPEG-1 Layer III frame walk
     "q_hybrid_search",           # BM25 + dense cosine, RRF fusion
     "q_pagerank",                # iterative fixed-point PageRank
+    "q_media_jpeg",              # real baseline JPEG codec (grayscale)
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

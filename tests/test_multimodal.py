@@ -461,3 +461,97 @@ def test_q_media_mp3_oracle_parity(spark, sf_smoke):
     compare_query(
         spark, sf_smoke, "q_media_mp3", q_media_mp3, ORACLE["q_media_mp3"]
     )
+
+
+def test_jpeg_constant_tile_family_is_exact():
+    """The oracle fixture's exactness claim, verified directly: for
+    constant even-valued 8x8 tiles the quantize/dequantize/IDCT
+    pipeline reproduces every pixel bit-for-bit."""
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _encode_jpeg,
+        _jpeg_dims,
+        parse_jpeg_gray,
+    )
+
+    for i in (0, 1, 2, 3, 7, 100, 12345):
+        w, h = _jpeg_dims(i)
+        _w, _h, img = parse_jpeg_gray(_encode_jpeg(i))
+        assert (_w, _h) == (w, h)
+        b = 0
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                v = 2 * ((i + b) % 128)
+                assert (img[by : by + 8, bx : bx + 8] == v).all(), (i, b)
+                b += 1
+
+
+def test_jpeg_lossy_fidelity_on_arbitrary_images():
+    """Real-codec behavior on general content: smooth gradients
+    reconstruct tightly; uniform noise (DCT's worst case) stays within
+    the error envelope a quality-50-class table implies."""
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        encode_jpeg_gray,
+        parse_jpeg_gray,
+    )
+
+    y, x = np.mgrid[0:32, 0:48]
+    smooth = ((x * 3 + y * 2) % 256).astype(np.uint8)
+    smooth = (
+        128 + 80 * np.sin(x / 9.0) * np.cos(y / 7.0)
+    ).astype(np.uint8)
+    _, _, out = parse_jpeg_gray(encode_jpeg_gray(smooth))
+    err = np.abs(out.astype(int) - smooth.astype(int))
+    assert err.max() <= 20 and err.mean() <= 4.0
+
+    rng = np.random.RandomState(7)
+    noise = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+    _, _, out = parse_jpeg_gray(encode_jpeg_gray(noise))
+    err = np.abs(out.astype(int) - noise.astype(int))
+    assert err.max() <= 128 and err.mean() <= 32.0
+
+
+def test_jpeg_decoder_reads_tables_from_file_and_guards():
+    """The decoder must take quant + Huffman tables from the file's own
+    DQT/DHT (halving the DC quant entry visibly changes decoding), and
+    reject progressive SOF2, truncated scans, and non-JPEG bytes."""
+    import struct as st
+
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _encode_jpeg,
+        parse_jpeg_gray,
+    )
+
+    blob = _encode_jpeg(3)
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg_gray(b"notajpeg")
+    # SOF0 -> SOF2 (progressive) must be rejected, not mis-decoded
+    sof_at = blob.index(b"\xff\xc0")
+    prog = blob[:sof_at] + b"\xff\xc2" + blob[sof_at + 2 :]
+    with pytest.raises(NotImplementedError, match="baseline"):
+        parse_jpeg_gray(prog)
+    # halving the DC quant entry (zigzag slot 0) rescales decoded DC:
+    # tables genuinely come from the DHT/DQT bytes, not constants
+    dqt_at = blob.index(b"\xff\xdb")
+    q0_at = dqt_at + 5  # marker(2) len(2) pq/tq(1) -> first table byte
+    assert blob[q0_at] == 16
+    halved = blob[:q0_at] + bytes([8]) + blob[q0_at + 1 :]
+    _, _, img_h = parse_jpeg_gray(halved)
+    _, _, img = parse_jpeg_gray(blob)
+    assert not np.array_equal(img_h, img)
+    # truncated scan fails loudly
+    with pytest.raises((ValueError, IndexError)):
+        parse_jpeg_gray(blob[: len(blob) - 10])
+
+
+def test_q_media_jpeg_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.multimodal import q_media_jpeg
+
+    compare_query(
+        spark, sf_smoke, "q_media_jpeg", q_media_jpeg, ORACLE["q_media_jpeg"]
+    )
