@@ -1,0 +1,235 @@
+"""Distributed BPE (byte-pair encoding) vocabulary learning + apply.
+
+The tokenizer-training step of an LLM data pipeline, expressed entirely
+in declarative DataFrame ops — no Python in the hot path:
+
+* ``q_bpe_train`` — learn the first K merges: count adjacent token
+  pairs over the word-frequency table, take the global argmax (count
+  desc, then lexicographic — the deterministic classic), apply the
+  merge to every word with an ``aggregate`` (fold) HOF, repeat. Word
+  frequencies — not raw text — drive training, exactly like real BPE
+  trainers (the corpus collapses to its vocabulary once, up front).
+* ``q_bpe_tokenize`` — apply the learned merges corpus-wide via a
+  WORD-TABLE JOIN (tokenize each distinct word once, then join back to
+  the document->word stream): the vocabulary-memoization shape real
+  tokenizers use, and the scale path — the fold runs O(|vocab|) times,
+  not O(|corpus|) times.
+
+Exactness: pair counts and ranks are integers; the fold is
+structurally identical on both engines (Spark ``aggregate`` HOF vs
+DuckDB ``list_reduce`` — prototyped bit-equal), so every merge
+decision and every token count matches the oracle exactly.
+
+Scale: each round is one pair-explode shuffle over the VOCABULARY
+(tiny vs corpus), one 1-row TakeOrdered argmax broadcast back, and a
+map-only fold. K rounds = K such stages. The corpus itself is touched
+only in the initial word count and the final tokenize join — both
+single shuffles on the word key. At 100 TB the vocabulary table is
+millions of rows, not billions; this is the same reason production BPE
+trainers run on word histograms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.registry import query
+from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+BPE_MERGES = 4
+
+#: chars of a word (regexp, identical on both engines)
+_CHARS = "regexp_extract_all(w, '.', 0)"
+
+
+def _pairs_expr(toks: str) -> str:
+    """Adjacent-pair structs from a token-array SQL expression. The
+    single-token guard matters: Spark's sequence(1, 0) DESCENDS
+    (yields [1, 0]) where DuckDB's range(1, 1) is empty."""
+    return (
+        f"CASE WHEN size({toks}) < 2 THEN"
+        f" CAST(array() AS array<struct<a: string, b: string>>)"
+        f" ELSE transform(sequence(1, size({toks}) - 1),"
+        f" j -> struct(element_at({toks}, CAST(j AS INT)) AS a,"
+        f"             element_at({toks}, CAST(j AS INT) + 1) AS b)) END"
+    )
+
+
+def _apply_merge(toks: Column, a: Column, b: Column) -> Column:
+    """Left-to-right greedy merge of adjacent (a, b) -> a||b, as a fold.
+    The merged token becomes the accumulator tail, so 'aaa' under merge
+    (a,a) yields [aa, a] — standard non-overlapping BPE semantics."""
+    return F.aggregate(
+        toks,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (x == b),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(a, b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (merges, tokenized_vocab): ``merges`` has one row per
+    learned merge (merge_rank, left_tok, right_tok, merged,
+    pair_count); ``tokenized_vocab`` is (w, cnt, toks) after all
+    merges."""
+    words = word_freqs(spark, sf_dir).select(
+        "w", "cnt", F.expr(_CHARS).alias("toks")
+    )
+    merge_rows = []
+    for k in range(n_merges):
+        counts = (
+            words.select("cnt", F.explode(F.expr(_pairs_expr("toks"))).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = counts.orderBy(F.col("c").desc(), "a", "b").limit(1)
+        merge_rows.append(
+            best.select(
+                F.lit(k).alias("merge_rank"),
+                F.col("a").alias("left_tok"),
+                F.col("b").alias("right_tok"),
+                F.concat("a", "b").alias("merged"),
+                F.col("c").cast("bigint").alias("pair_count"),
+            )
+        )
+        m = best.select(F.col("a").alias("m_a"), F.col("b").alias("m_b"))
+        words = words.crossJoin(F.broadcast(m)).select(
+            "w",
+            "cnt",
+            _apply_merge(
+                F.col("toks"), F.col("m_a"), F.col("m_b")
+            ).alias("toks"),
+        )
+    merges = merge_rows[0]
+    for mr in merge_rows[1:]:
+        merges = merges.unionAll(mr)
+    return merges, words
+
+
+def _sql_round(k: int) -> str:
+    return f"""
+    p{k} AS (
+        SELECT u.a AS a, u.b AS b, SUM(cnt) AS c FROM (
+            SELECT cnt, unnest(list_transform(range(1, len(toks)),
+                j -> struct_pack(a := toks[CAST(j AS INT)],
+                                 b := toks[CAST(j AS INT)+1]))) AS u
+            FROM t{k}
+        ) GROUP BY u.a, u.b
+    ),
+    b{k} AS (SELECT a, b, CAST(c AS BIGINT) AS c FROM p{k}
+             ORDER BY c DESC, a, b LIMIT 1),
+    t{k + 1} AS (
+        SELECT w, cnt,
+               list_reduce(list_transform(toks, x -> [x]),
+                 (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b{k}.a
+                                       AND x[1] = b{k}.b
+                             THEN list_append(list_slice(acc, 1, len(acc)-1),
+                                              b{k}.a || b{k}.b)
+                             ELSE list_concat(acc, x) END) AS toks
+        FROM t{k} CROSS JOIN b{k}
+    )"""
+
+
+_SQL_TRAIN_CHAIN = (
+    """
+    w0 AS (
+        SELECT word AS w, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE len(word) > 0 GROUP BY word
+    ),
+    t0 AS (SELECT w, cnt, regexp_extract_all(w, '.') AS toks FROM w0)
+    """
+    + "".join("," + _sql_round(k) for k in range(BPE_MERGES))
+)
+
+_SQL_MERGE_UNION = " UNION ALL ".join(
+    f"SELECT {k} AS merge_rank, a AS left_tok, b AS right_tok,"
+    f" a || b AS merged, c AS pair_count FROM b{k}"
+    for k in range(BPE_MERGES)
+)
+
+
+@query(
+    "q_bpe_train",
+    oracle=f"""
+    WITH {_SQL_TRAIN_CHAIN}
+    SELECT CAST(merge_rank AS INT) AS merge_rank, left_tok, right_tok,
+           merged, pair_count
+    FROM ({_SQL_MERGE_UNION})
+    ORDER BY merge_rank
+    """,
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {BPE_MERGES} BPE merges from the corpus; the
+    oracle unrolls the identical count->argmax->fold recurrence, so a
+    divergent tie-break or a wrong fold in any round breaks the hash."""
+    merges, _ = bpe_train(spark, sf_dir)
+    return merges.orderBy("merge_rank")
+
+
+@query(
+    "q_bpe_tokenize",
+    oracle=f"""
+    WITH {_SQL_TRAIN_CHAIN},
+    vocab AS (
+        SELECT w, len(toks) AS n_toks, len(regexp_extract_all(w, '.'))
+                 AS n_chars_w
+        FROM t{BPE_MERGES}
+    ),
+    docwords AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.n_chars_w) AS BIGINT) AS n_char_tokens,
+           CAST(SUM(v.n_toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(v.n_chars_w) AS DOUBLE) / SUM(v.n_toks)
+             AS compression
+    FROM docwords d JOIN vocab v ON d.w = v.w
+    GROUP BY d.doc_id
+    """,
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned merges via the word-table
+    join (each distinct word folded once, then joined back to the
+    document->word stream) and report per-document token counts and
+    char->BPE compression."""
+    _, vocab = bpe_train(spark, sf_dir)
+    v = vocab.select(
+        "w",
+        F.size("toks").alias("n_toks"),
+        F.size(F.expr(_CHARS)).alias("n_chars_w"),
+    )
+    d = read_table(spark, sf_dir, "documents")
+    docwords = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") > 0)
+    return (
+        docwords.join(v, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars_w").cast("bigint").alias("n_char_tokens"),
+            F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+            (
+                F.sum("n_chars_w").cast("double") / F.sum("n_toks")
+            ).alias("compression"),
+        )
+    )

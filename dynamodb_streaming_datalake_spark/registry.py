@@ -60,6 +60,8 @@ PRIORITY: tuple[str, ...] = (
     "q_hybrid_search",           # BM25 + dense cosine, RRF fusion
     "q_pagerank",                # iterative fixed-point PageRank
     "q_media_jpeg",              # real baseline JPEG codec (grayscale)
+    "q_bpe_train",               # distributed BPE merge learning
+    "q_bpe_tokenize",            # BPE apply via word-table join
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
@@ -193,6 +195,7 @@ def load_all() -> None:
 
     for mod in (
         "graph",
+        "bpe",
         "bloom",
         "cdc_zone",
         "tpch_ext",

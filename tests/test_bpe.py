@@ -1,0 +1,74 @@
+"""Distributed BPE: oracle parity, merge semantics, and the
+greedy-fold edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.operators.bpe import (
+    BPE_MERGES,
+    _apply_merge,
+    bpe_train,
+    q_bpe_tokenize,
+    q_bpe_train,
+)
+from dynamodb_streaming_datalake_spark.registry import ORACLE
+from tests.oracle_utils import compare_query
+
+
+def test_q_bpe_train_oracle_parity(spark, sf_smoke):
+    compare_query(
+        spark, sf_smoke, "q_bpe_train", q_bpe_train, ORACLE["q_bpe_train"]
+    )
+
+
+def test_q_bpe_tokenize_oracle_parity(spark, sf_smoke):
+    compare_query(
+        spark, sf_smoke, "q_bpe_tokenize", q_bpe_tokenize,
+        ORACLE["q_bpe_tokenize"],
+    )
+
+
+def test_apply_merge_fold_semantics(spark):
+    """Greedy left-to-right, non-overlapping: 'aaa' under (a,a) is
+    [aa, a]; merged output can seed a LATER merge round but never
+    re-matches in the same pass; singletons pass through."""
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "a", "a", "a"],), (["b"],), ([],)],
+        "toks array<string>",
+    )
+    out = df.select(
+        _apply_merge(F.col("toks"), F.lit("a"), F.lit("a")).alias("m")
+    ).collect()
+    assert [r["m"] for r in out] == [
+        ["aa", "a"], ["aa", "aa"], ["b"], []
+    ]
+
+
+def test_bpe_merges_are_ordered_and_consistent(spark, sf_smoke):
+    """Merge ranks 0..K-1; pair counts non-increasing is NOT required
+    (later merges can create new frequent pairs), but each count is
+    positive and tokens non-empty; tokenize compresses: bpe tokens <=
+    char tokens with equality only for docs untouched by any merge."""
+    merges, vocab = bpe_train(spark, sf_smoke)
+    rows = merges.orderBy("merge_rank").collect()
+    assert [r["merge_rank"] for r in rows] == list(range(BPE_MERGES))
+    for r in rows:
+        assert r["pair_count"] > 0
+        assert r["merged"] == r["left_tok"] + r["right_tok"]
+
+    tok = q_bpe_tokenize(spark, sf_smoke).collect()
+    assert len(tok) > 0
+    for r in tok:
+        assert r["n_bpe_tokens"] <= r["n_char_tokens"]
+        assert r["compression"] >= 1.0
+
+
+def test_vocab_fold_round_trips_to_original_words(spark, sf_smoke):
+    """Concatenating the final tokens of every vocab word reproduces
+    the word — merges rearrange boundaries, never characters."""
+    _, vocab = bpe_train(spark, sf_smoke)
+    bad = vocab.where(
+        F.array_join(F.col("toks"), "") != F.col("w")
+    ).count()
+    assert bad == 0
