@@ -18,7 +18,7 @@ surviving columns' pruning into the scan; no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.functions.texthash import portable_hash60
@@ -292,4 +292,66 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("last_seq"),
         (F.col("cum_before") % SEQ_LEN).cast("bigint").alias("pack_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified cap: k-per-group deterministic sample — round 6
+# ---------------------------------------------------------------------------
+
+CAP_PER_STRATUM = 25
+CAP_SALTS = 8
+
+
+@query(
+    "q_stratified_cap",
+    oracle=f"""
+    SELECT lang, source, doc_id,
+           CAST(sample_rank AS INT) AS sample_rank
+    FROM (
+        SELECT lang, source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY {_SQL_BUCKET}, doc_id)
+                 AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= {CAP_PER_STRATUM}
+    """,
+)
+def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep exactly k={CAP_PER_STRATUM} documents per (lang, source)
+    stratum, selected by smallest deterministic hash — the
+    reservoir-sample-per-group of dataset curation, reproducible across
+    engines and partitionings.
+
+    Scale: a naive ROW_NUMBER over each stratum sorts the ENTIRE
+    stratum in one task — the classic grouped-top-k scale-killer when a
+    stratum has billions of rows. This runs the documented two-phase
+    shape instead: phase 1 ranks within (stratum, salt) — {CAP_SALTS}
+    sub-windows per stratum, each 1/{CAP_SALTS} of the rows, tunable to
+    the cluster — and keeps k per sub-window; phase 2 ranks the
+    surviving k*{CAP_SALTS} candidates per stratum. Every global winner
+    is necessarily a sub-window winner, so the result is EXACTLY the
+    single-window answer (the oracle computes it that way), while no
+    task ever sorts more than max(|stratum|/{CAP_SALTS}, k*{CAP_SALTS})
+    rows."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        hash_bucket(F.col("doc_id")).alias("bucket"),
+        (portable_hash60(F.concat(F.lit("salt_"), F.col("doc_id"))) % CAP_SALTS)
+        .alias("salt"),
+    )
+    w1 = Window.partitionBy("lang", "source", "salt").orderBy(
+        "bucket", "doc_id"
+    )
+    phase1 = (
+        d.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= CAP_PER_STRATUM)
+    )
+    w2 = Window.partitionBy("lang", "source").orderBy("bucket", "doc_id")
+    return (
+        phase1.withColumn("sample_rank", F.row_number().over(w2))
+        .where(F.col("sample_rank") <= CAP_PER_STRATUM)
+        .select("lang", "source", "doc_id", "sample_rank")
     )

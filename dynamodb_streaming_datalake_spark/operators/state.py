@@ -186,3 +186,81 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(nxt.cast("timestamp")).alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate (materialized-view) maintenance — round 6
+# ---------------------------------------------------------------------------
+# The lakehouse pattern behind every "refresh the dashboard from CDC"
+# job: a per-key aggregate view is maintained by MERGING partial
+# aggregates of only the new rows into the existing view — never
+# re-reading the base. COUNT/SUM/MAX are all decomposable
+# (self-merging) aggregates, so view(base) merge agg(delta) must equal
+# agg(base union delta) EXACTLY — which is precisely what the DuckDB
+# oracle (a full recompute over all events) proves. Sums ride the
+# repo-standard decimal(18,6) discipline so the merge is
+# order-independent.
+
+#: deterministic base/delta split: every 5th event is "new"
+INCR_SPLIT = 5
+
+
+@query(
+    "q_incr_agg",
+    oracle="""
+    SELECT user_id, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           MAX(ts) AS max_ts
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintain a per-(user, event_type) aggregate view:
+    aggregate the base (4/5 of events) as the pre-existing view,
+    aggregate only the delta (1/5), and MERGE the partials with a full
+    outer join — count+count, decimal sum+sum, greatest(max, max). The
+    oracle recomputes from scratch over all events; hash-equality IS
+    the proof that the incremental path loses nothing.
+
+    Scale: this is the O(|delta| + |view|) refresh that replaces an
+    O(|base|) rescan; the merge join is on the view key, and with the
+    view bucketed by key it is shuffle-free. Average-style aggregates
+    stay decomposable by carrying (sum, count); only true holistic
+    aggregates (exact median) need the rescan."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_id") % INCR_SPLIT != 0)
+    delta = ev.where(F.col("event_id") % INCR_SPLIT == 0)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+            F.max("ts").alias("max_ts"),
+        )
+
+    view = agg(base).alias("v")
+    dlt = agg(delta).alias("d")
+    merged = view.join(
+        dlt,
+        (F.col("v.user_id") == F.col("d.user_id"))
+        & (F.col("v.event_type") == F.col("d.event_type")),
+        "full_outer",
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return merged.select(
+        F.coalesce("v.user_id", "d.user_id").alias("user_id"),
+        F.coalesce("v.event_type", "d.event_type").alias("event_type"),
+        (
+            F.coalesce("v.n_events", F.lit(0))
+            + F.coalesce("d.n_events", F.lit(0))
+        ).alias("n_events"),
+        (
+            F.coalesce("v.sum_dec", zero) + F.coalesce("d.sum_dec", zero)
+        ).cast("double").alias("sum_value"),
+        F.greatest(
+            F.coalesce("v.max_ts", "d.max_ts"),
+            F.coalesce("d.max_ts", "v.max_ts"),
+        ).alias("max_ts"),
+    )

@@ -62,6 +62,8 @@ PRIORITY: tuple[str, ...] = (
     "q_media_jpeg",              # real baseline JPEG codec (grayscale)
     "q_bpe_train",               # distributed BPE merge learning
     "q_bpe_tokenize",            # BPE apply via word-table join
+    "q_stratified_cap",          # k-per-stratum sample, salted 2-phase
+    "q_incr_agg",                # incremental aggregate-view merge
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

@@ -434,3 +434,81 @@ def test_ann_pq_returns_full_topk_per_query(spark, sf_smoke):
     assert len(by_q) == PQ_NQ
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, PQ_TOPK + 1))
+
+
+def test_q_stratified_cap_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.sampling import (
+        q_stratified_cap,
+    )
+    from dynamodb_streaming_datalake_spark.registry import ORACLE
+    from tests.oracle_utils import compare_query
+
+    compare_query(
+        spark, sf_smoke, "q_stratified_cap", q_stratified_cap,
+        ORACLE["q_stratified_cap"],
+    )
+
+
+def test_stratified_cap_two_phase_equals_single_window(spark, sf_smoke):
+    """The salted pre-reduce must be result-invisible: compare against
+    a direct single-window rank."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.operators.sampling import (
+        CAP_PER_STRATUM,
+        hash_bucket,
+        q_stratified_cap,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_smoke, "documents").select(
+        "doc_id", "lang", "source", hash_bucket(F.col("doc_id")).alias("b")
+    )
+    w = Window.partitionBy("lang", "source").orderBy("b", "doc_id")
+    direct = (
+        d.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= CAP_PER_STRATUM)
+        .select("lang", "source", "doc_id", "sample_rank")
+    )
+    a = {tuple(r) for r in q_stratified_cap(spark, sf_smoke).collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a == b
+
+
+def test_q_incr_agg_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.state import q_incr_agg
+    from dynamodb_streaming_datalake_spark.registry import ORACLE
+    from tests.oracle_utils import compare_query
+
+    compare_query(
+        spark, sf_smoke, "q_incr_agg", q_incr_agg, ORACLE["q_incr_agg"]
+    )
+
+
+def test_incr_agg_merge_covers_disjoint_and_overlapping_keys(spark, sf_smoke):
+    """Keys present only in base, only in delta, and in both must all
+    survive the full-outer merge with correct combined stats."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.operators.state import (
+        INCR_SPLIT,
+        q_incr_agg,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_smoke, "events")
+    merged = {
+        (r["user_id"], r["event_type"]): r["n_events"]
+        for r in q_incr_agg(spark, sf_smoke).collect()
+    }
+    totals = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert merged == totals
+    # the split really produces two non-empty sides
+    assert ev.where(F.col("event_id") % INCR_SPLIT == 0).count() > 0
+    assert ev.where(F.col("event_id") % INCR_SPLIT != 0).count() > 0
