@@ -56,7 +56,9 @@ VID_MAGIC = b"FVID"
 #: stays stubbed, since that genuinely needs codec libraries.
 STUBBED_CODECS = ("webp",)
 STUBBED_SAMPLE_DECODE = ("mp3", "mp4")
-REAL_CODECS = ("fake", "wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg")
+REAL_CODECS = (
+    "fake", "wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg", "gif"
+)
 
 
 def _require_fake(fmt: str) -> None:
@@ -145,10 +147,10 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
     encoders = {"image": _encode_image, "video": _encode_video}
     # audio/wav/ppm encoders are defined below this function; resolve lazily
     enc = encoders.get(kind) or globals()[f"_encode_{kind}"]
-    # wav/ppm/bmp/png/mp4/mp3 are REAL container formats — label honestly
+    # these are REAL container formats, not fakes — label honestly
     fmt = (
         kind
-        if kind in ("wav", "ppm", "bmp", "png", "mp4", "mp3")
+        if kind in ("wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg", "gif")
         else f"fake-{kind}"
     )
     meta_t = StructType(
@@ -1891,3 +1893,267 @@ def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     jpg = synthesize_media(d, "doc_id", "jpeg")
     return decode_jpeg(jpg, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #8: GIF87a (LZW, grayscale palette) — round 6
+# ---------------------------------------------------------------------------
+# GIF is the remaining lossless-image format implementable with zero
+# libraries: variable-width LZW with LSB-FIRST bit packing (the
+# opposite bit order from JPEG/PNG — a real parser cannot share the
+# bit reader), dictionary growth with the classic encoder/decoder
+# width off-by-one (encoder grows at next == 2^w + 1, decoder at
+# next == 2^w), CLEAR-code resets at 4096 entries, the KwKwK
+# special case, and 255-byte sub-block framing. A 256-entry grayscale
+# global palette makes index == intensity, so the roundtrip is
+# lossless and the oracle mean stays closed-form.
+
+GIF_MAX_WIDTH = 12
+GIF_CLEAR = 256
+GIF_END = 257
+
+
+class _GifBitWriter:
+    """LSB-first variable-width code packer (GIF bit order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _gif_lzw_compress(data: bytes) -> bytes:
+    """GIF-flavor LZW, min code size 8: 9..12-bit codes, CLEAR emitted
+    up front and on dictionary overflow."""
+    bw = _GifBitWriter()
+    table = {bytes([c]): c for c in range(256)}
+    nxt, width = 258, 9
+    bw.put(GIF_CLEAR, width)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        bw.put(table[w], width)
+        if nxt < (1 << GIF_MAX_WIDTH):
+            table[wc] = nxt
+            nxt += 1
+            if nxt == (1 << width) + 1 and width < GIF_MAX_WIDTH:
+                width += 1
+        else:  # table full: reset
+            bw.put(GIF_CLEAR, width)
+            table = {bytes([c]): c for c in range(256)}
+            nxt, width = 258, 9
+        w = bytes([byte])
+    if w:
+        bw.put(table[w], width)
+    bw.put(GIF_END, width)
+    return bw.flush()
+
+
+class _GifBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def take(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated GIF LZW stream")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << width) - 1)
+        self.acc >>= width
+        self.nbits -= width
+        return v
+
+
+def _gif_lzw_decompress(data: bytes, expect: int) -> bytes:
+    """Inverse of _gif_lzw_compress; ``expect`` bounds the output (a
+    real decoder knows w*h from the image descriptor)."""
+    br = _GifBitReader(data)
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    while True:
+        code = br.take(width)
+        if code == GIF_CLEAR:
+            table = [bytes([c]) for c in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == GIF_END:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table")
+        if prev is not None and len(table) == (1 << width) and width < GIF_MAX_WIDTH:
+            width += 1
+        out += entry
+        if len(out) > expect:
+            raise ValueError("LZW output overruns image size")
+        prev = entry
+    if len(out) != expect:
+        raise ValueError("LZW output underruns image size")
+    return bytes(out)
+
+
+def _gif_dims(i: int) -> tuple[int, int]:
+    return 6 + i % 27, 5 + (i // 4) % 18
+
+
+def _encode_gif(i: int) -> bytes:
+    """Deterministic GIF87a per id: grayscale global palette, pixel k
+    (reading order) = (i + 3 * k) % 256 — stride 3 defeats trivial
+    run-length-only coding so the LZW dictionary genuinely builds."""
+    w, h = _gif_dims(i)
+    k = np.arange(w * h, dtype=np.int64)
+    pixels = ((i + 3 * k) % 256).astype(np.uint8).tobytes()
+    palette = bytes(v for c in range(256) for v in (c, c, c))
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256 entries
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    lzw = _gif_lzw_compress(pixels)
+    blocks = bytearray([8])  # LZW minimum code size
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return b"GIF87a" + lsd + palette + img_desc + bytes(blocks) + b"\x3b"
+
+
+def parse_gif(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Real GIF decoder: header/LSD/palette walk, image descriptor,
+    sub-block reassembly, LZW decompression. Returns (w, h, pixels)
+    with pixels as intensities via the grayscale palette."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    w_s, h_s, flags, _bg, _ar = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = blob[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x3B:  # trailer
+            raise ValueError("GIF trailer before any image descriptor")
+        if b == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", blob[pos + 1 : pos + 10])
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        if iflags & 0x80:
+            raise NotImplementedError("local color tables not supported")
+        pos += 10
+        min_code = blob[pos]
+        if min_code != 8:
+            raise NotImplementedError("only 8-bit LZW min code supported")
+        pos += 1
+        lzw = bytearray()
+        while blob[pos] != 0:
+            ln = blob[pos]
+            lzw += blob[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        indices = _gif_lzw_decompress(bytes(lzw), w * h)
+        if palette is None:
+            raise ValueError("no global palette")
+        # grayscale palette -> intensity = palette[3*idx]
+        pal = np.frombuffer(palette, np.uint8).reshape(-1, 3)
+        px = pal[np.frombuffer(indices, np.uint8), 0]
+        return w, h, px.reshape(h, w)
+    raise ValueError("no image data in GIF")
+
+
+def decode_gif(df: DataFrame, id_col: str) -> DataFrame:
+    """Decode a GIF column into typed stats — same contract as
+    decode_png."""
+    schema = (
+        f"{id_col} bigint, width int, height int, channels int,"
+        " mean_pixel double, n_bytes bigint"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                w, h, img = parse_gif(bytes(blob))
+                m = img.size
+                mean = float(int(img.astype(np.int64).sum()) / m)
+                rows.append((int(i), w, h, 1, mean, m))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "channels", "mean_pixel", "n_bytes"
+                ],
+            )
+
+    return df.mapInPandas(dec, schema=schema)
+
+
+@query(
+    "q_media_gif",
+    # pixel k = (doc_id + 3k) % 256 over m = w*h pixels; mean has the
+    # same modular closed form family as ppm/bmp/png via a 256-cycle:
+    # 3k % 256 cycles with period 256 (gcd(3,256)=1), so sum over a
+    # full cycle is 32640; the remainder is a short explicit sum.
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(6 + doc_id % 27 AS INT) AS w,
+               CAST(5 + (doc_id // 4) % 18 AS INT) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           w AS width, h AS height, CAST(1 AS INT) AS channels,
+           CAST(list_aggregate(
+             list_transform(range(0, CAST(w * h AS BIGINT)),
+                            k -> (doc_id + 3 * k) % 256), 'sum')
+             AS DOUBLE) / (w * h) AS mean_pixel,
+           CAST(w * h AS BIGINT) AS n_bytes
+    FROM dims
+    """,
+)
+def q_media_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path #8: GIF87a — variable-width LZW with LSB-first
+    bit packing, CLEAR/END codes, KwKwK handling, sub-block framing,
+    grayscale palette indirection — losslessly round-tripped, so the
+    decoded mean is closed-form from doc_id.
+
+    Scale: map-only mapInPandas, same contract as q_media_png."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    gif = synthesize_media(d, "doc_id", "gif")
+    return decode_gif(gif, "doc_id")

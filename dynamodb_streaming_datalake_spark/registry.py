@@ -64,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "q_bpe_tokenize",            # BPE apply via word-table join
     "q_stratified_cap",          # k-per-stratum sample, salted 2-phase
     "q_incr_agg",                # incremental aggregate-view merge
+    "q_media_gif",               # real GIF87a LZW codec
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

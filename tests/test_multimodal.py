@@ -555,3 +555,67 @@ def test_q_media_jpeg_oracle_parity(spark, sf_smoke):
     compare_query(
         spark, sf_smoke, "q_media_jpeg", q_media_jpeg, ORACLE["q_media_jpeg"]
     )
+
+
+def test_gif_lzw_edge_cases():
+    """LZW internals: KwKwK sequences, width growth at 512/1024/2048,
+    table-full CLEAR reset, and framing guards."""
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _encode_gif,
+        _gif_dims,
+        _gif_lzw_compress,
+        _gif_lzw_decompress,
+        parse_gif,
+    )
+
+    # KwKwK: aaa... emits codes referencing the just-added entry
+    for data in (b"a" * 100, b"abababab" * 50, bytes(range(256)) * 20):
+        assert _gif_lzw_decompress(_gif_lzw_compress(data), len(data)) == data
+    # random data long enough to overflow the 4096-entry table twice
+    rng = np.random.RandomState(3)
+    data = rng.randint(0, 256, 120_000).astype(np.uint8).tobytes()
+    assert _gif_lzw_decompress(_gif_lzw_compress(data), len(data)) == data
+    # wrong expected size fails loudly
+    with pytest.raises(ValueError, match="underruns"):
+        _gif_lzw_decompress(_gif_lzw_compress(b"xyz"), 5)
+    # full-file guards
+    blob = bytearray(_encode_gif(9))
+    with pytest.raises(ValueError, match="not a GIF"):
+        parse_gif(b"JIF87a" + bytes(blob[6:]))
+    # interlace flag rejected honestly (descriptor sits after the
+    # 13-byte header+LSD and the 768-byte global palette — searching
+    # for 0x2C would hit palette intensity 44 first)
+    desc_at = 13 + 768
+    assert blob[desc_at] == 0x2C
+    blob[desc_at + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        parse_gif(bytes(blob))
+
+
+def test_gif_roundtrip_against_closed_form():
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _encode_gif,
+        _gif_dims,
+        parse_gif,
+    )
+
+    for i in (0, 1, 2, 3, 7, 100, 12345):
+        w, h = _gif_dims(i)
+        _w, _h, img = parse_gif(_encode_gif(i))
+        assert (_w, _h) == (w, h)
+        k = np.arange(w * h, dtype=np.int64)
+        assert np.array_equal(
+            img, ((i + 3 * k) % 256).astype(np.uint8).reshape(h, w)
+        )
+
+
+def test_q_media_gif_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.multimodal import q_media_gif
+
+    compare_query(
+        spark, sf_smoke, "q_media_gif", q_media_gif, ORACLE["q_media_gif"]
+    )
