@@ -264,3 +264,93 @@ def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("d.max_ts", "v.max_ts"),
         ).alias("max_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff: CDC *generation* (inverse of B7's merge) — round 6
+# ---------------------------------------------------------------------------
+
+#: deterministic twin snapshots derived from orders: "old" drops every
+#: 13th key, "new" drops every 17th and reprices every 5th — so the
+#: diff contains all three change types with exactly known membership
+DIFF_OLD_DROP = 13
+DIFF_NEW_DROP = 17
+DIFF_REPRICE = 5
+
+
+@query(
+    "q_snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % {DIFF_OLD_DROP} != 0
+    ),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CASE WHEN o_orderkey % {DIFF_REPRICE} = 0
+                         THEN o_totalprice * 2 ELSE o_totalprice END
+                    AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % {DIFF_NEW_DROP} != 0
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'INSERT'
+                WHEN new.o_orderkey IS NULL THEN 'REMOVE'
+                ELSE 'MODIFY' END AS Event,
+           CAST(new.price AS DOUBLE) AS new_price,
+           CAST(old.price AS DOUBLE) AS old_price
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.o_orderstatus != new.o_orderstatus OR old.price != new.price
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC GENERATION: given two table snapshots, emit the minimal
+    change feed (INSERT / MODIFY / REMOVE, with old+new payloads) that
+    transforms one into the other — the inverse of the snapshot (+) CDC
+    merge (B7), and what a lake emits as a change-data-feed when the
+    upstream can't. Payload comparison runs in decimal so 'unchanged'
+    is exact, never a float artifact.
+
+    Scale: one full outer join on the snapshot key — with both
+    snapshots bucketed by key it is co-partitioned and shuffle-free;
+    unchanged rows (the overwhelming majority in a real diff) are
+    filtered before anything downstream sees them.
+
+    Reference parity: the reference's lake only CONSUMES Kinesis CDC
+    (lib/dynamodb-streaming-datalake-stack.ts:197-203); this supplies
+    the reverse direction its consumers need for backfills when the
+    stream has gaps."""
+    o = read_table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % DIFF_OLD_DROP != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    new = o.where(F.col("o_orderkey") % DIFF_NEW_DROP != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % DIFF_REPRICE == 0,
+            F.col("o_totalprice") * 2,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .cast("decimal(18,2)")
+        .alias("price"),
+    )
+    j = old.alias("o").join(new.alias("n"), "o_orderkey", "full_outer")
+    changed = j.where(
+        F.col("o.price").isNull()
+        | F.col("n.price").isNull()
+        | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+        | (F.col("o.price") != F.col("n.price"))
+    )
+    return changed.select(
+        "o_orderkey",
+        F.when(F.col("o.price").isNull(), F.lit("INSERT"))
+        .when(F.col("n.price").isNull(), F.lit("REMOVE"))
+        .otherwise(F.lit("MODIFY"))
+        .alias("Event"),
+        F.col("n.price").cast("double").alias("new_price"),
+        F.col("o.price").cast("double").alias("old_price"),
+    )

@@ -200,3 +200,57 @@ def test_readme_sequence_matches_checked_in_golden(spark):
         (Path(__file__).parent / "goldens" / "readme_cdc.json").read_text()
     )
     assert rows == golden
+
+
+def test_q_snapshot_diff_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.state import q_snapshot_diff
+    from dynamodb_streaming_datalake_spark.registry import ORACLE
+    from tests.oracle_utils import compare_query
+
+    compare_query(
+        spark, sf_smoke, "q_snapshot_diff", q_snapshot_diff,
+        ORACLE["q_snapshot_diff"],
+    )
+
+
+def test_snapshot_diff_replays_to_new_snapshot(spark, sf_smoke):
+    """The generated feed must actually WORK as CDC: applying it to the
+    old snapshot (insert/modify upserts, remove deletes) reproduces the
+    new snapshot exactly — diff/merge are inverses."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.operators.state import (
+        DIFF_NEW_DROP,
+        DIFF_OLD_DROP,
+        DIFF_REPRICE,
+        q_snapshot_diff,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    o = read_table(spark, sf_smoke, "orders")
+    old = o.where(F.col("o_orderkey") % DIFF_OLD_DROP != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    new = o.where(F.col("o_orderkey") % DIFF_NEW_DROP != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % DIFF_REPRICE == 0, F.col("o_totalprice") * 2
+        )
+        .otherwise(F.col("o_totalprice"))
+        .cast("decimal(18,2)")
+        .alias("price"),
+    )
+    feed = q_snapshot_diff(spark, sf_smoke)
+    upserts = feed.where(F.col("Event") != "REMOVE").select(
+        "o_orderkey", F.col("new_price").cast("decimal(18,2)").alias("price")
+    )
+    removes = feed.where(F.col("Event") == "REMOVE").select("o_orderkey")
+    replayed = (
+        old.join(feed.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(upserts)
+    )
+    assert replayed.join(removes, "o_orderkey", "inner").count() == 0
+    a = {(r["o_orderkey"], r["price"]) for r in replayed.collect()}
+    b = {(r["o_orderkey"], r["price"]) for r in new.collect()}
+    assert a == b
