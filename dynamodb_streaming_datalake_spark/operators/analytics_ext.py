@@ -660,3 +660,81 @@ def q_unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") > 0)
         .select("cohort", "event_type", F.col("n").cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA time-series smoothing (round 6)
+# ---------------------------------------------------------------------------
+
+#: smoothing factor 1/4 — an EXACT binary fraction, so every fold step
+#: (0.25*x + 0.75*acc) is two exact-constant multiplies and one add:
+#: identical IEEE-754 results on any engine that folds in the same
+#: order. An alpha like 0.3 would make cross-engine bit-equality
+#: depend on decimal-literal parsing instead.
+EWMA_ALPHA = 0.25
+
+
+@query(
+    "q_ewma_user_value",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               list_transform(
+                 list_sort(list(struct_pack(ts := ts, eid := event_id,
+                                            v := CAST(value AS DOUBLE)))),
+                 s -> s.v) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           list_reduce(vals,
+             (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc)
+             AS ewma_value,
+           vals[len(vals)] AS last_value
+    FROM seq
+    """,
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event value per user,
+    ordered by (ts, event_id) — the classic time-series smoother, as a
+    declarative fold seeded with the first observation (the
+    list_reduce convention on both engines). alpha = 1/4 keeps every
+    step exact-constant arithmetic, so the result is bit-identical to
+    the oracle with no rounding fudge.
+
+    Scale: one groupBy shuffle on user_id; the fold is row-local over
+    each user's (bounded) event list. A user with an unbounded history
+    would switch to the associative form of the linear recurrence —
+    EWMA steps compose as (mul, add) pairs — and run as a two-phase
+    prefix scan like q_token_budget; at this cardinality the direct
+    fold is the faster plan."""
+    ev = read_table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"),
+                        F.col("event_id").alias("eid"),
+                        F.col("value").cast("double").alias("v"),
+                    )
+                )
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.expr("transform(s, x -> x.v)").alias("vals"),
+        )
+    )
+    fold = F.expr(
+        f"aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)),"
+        f" element_at(vals, 1),"
+        f" (acc, x) -> {EWMA_ALPHA}D * x + {1 - EWMA_ALPHA}D * acc)"
+    )
+    return seq.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_events"),
+        fold.alias("ewma_value"),
+        F.element_at("vals", -1).alias("last_value"),
+    )

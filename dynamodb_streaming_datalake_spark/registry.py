@@ -66,6 +66,7 @@ PRIORITY: tuple[str, ...] = (
     "q_incr_agg",                # incremental aggregate-view merge
     "q_media_gif",               # real GIF87a LZW codec
     "q_snapshot_diff",           # CDC generation from twin snapshots
+    "q_ewma_user_value",         # exact-binary-fraction EWMA fold
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

@@ -45,7 +45,7 @@ def test_window_prefers_unproven_queries():
     for i, n in enumerate(never_proven):
         assert names[i] == n, f"position {i}: expected {n}, got {names[i]}"
     for n in ("q_dedup_exact", "q_ann_topk", "q_text_stats",
-              "q_udf_vector_norms"):
+              "q_doc_chunks"):
         assert n in names, f"{n} (r4-proven, stalest) should be in window"
     for n in ("q_tfidf_terms", "q_bloom_prejoin", "q_sql_entrypoint",
               "q_histogram_value"):

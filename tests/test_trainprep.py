@@ -512,3 +512,48 @@ def test_incr_agg_merge_covers_disjoint_and_overlapping_keys(spark, sf_smoke):
     # the split really produces two non-empty sides
     assert ev.where(F.col("event_id") % INCR_SPLIT == 0).count() > 0
     assert ev.where(F.col("event_id") % INCR_SPLIT != 0).count() > 0
+
+
+def test_q_ewma_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        q_ewma_user_value,
+    )
+    from dynamodb_streaming_datalake_spark.registry import ORACLE
+    from tests.oracle_utils import compare_query
+
+    compare_query(
+        spark, sf_smoke, "q_ewma_user_value", q_ewma_user_value,
+        ORACLE["q_ewma_user_value"],
+    )
+
+
+def test_ewma_fold_matches_reference_recurrence(spark, sf_smoke):
+    """The declarative fold equals the textbook sequential recurrence
+    computed driver-side (exact: alpha is a binary fraction)."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        EWMA_ALPHA,
+        q_ewma_user_value,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_smoke, "events")
+    rows = (
+        ev.select("user_id", "ts", "event_id", F.col("value").cast("double"))
+        .collect()
+    )
+    seqs: dict = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        seqs.setdefault(r["user_id"], []).append(r["value"])
+    expected = {}
+    for u, vals in seqs.items():
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc
+        expected[u] = (len(vals), acc, vals[-1])
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_value"], r["last_value"])
+        for r in q_ewma_user_value(spark, sf_smoke).collect()
+    }
+    assert got == expected  # bit-exact, not approx
