@@ -50,6 +50,9 @@ SF1_FLAGSHIPS = (
     "q_text_stats",
     "q_corpus_curation",
     "q_token_budget",
+    "q_pagerank",
+    "q_bpe_tokenize",
+    "q_hybrid_search",
 )
 
 

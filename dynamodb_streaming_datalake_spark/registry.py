@@ -67,6 +67,7 @@ PRIORITY: tuple[str, ...] = (
     "q_media_gif",               # real GIF87a LZW codec
     "q_snapshot_diff",           # CDC generation from twin snapshots
     "q_ewma_user_value",         # exact-binary-fraction EWMA fold
+    "q_data_quality_report",     # constraint checks (PK/FK/null/range)
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
@@ -201,6 +202,7 @@ def load_all() -> None:
     for mod in (
         "graph",
         "bpe",
+        "quality",
         "bloom",
         "cdc_zone",
         "tpch_ext",
