@@ -738,3 +738,83 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.alias("ewma_value"),
         F.element_at("vals", -1).alias("last_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# nested-type roundtrip: order baskets as array<struct> (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_order_baskets",
+    # the ORACLE computes every stat FLAT (plain GROUP BY aggregates);
+    # the Spark side computes them through the NESTED representation —
+    # equality proves collect/sort/fold loses nothing
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS INT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS basket_value,
+           MAX(struct_pack(p := CAST(l_extendedprice AS DECIMAL(18,2)),
+                           k := l_partkey)).k AS top_part,
+           md5(string_agg(
+                 CAST(l_linenumber AS VARCHAR) || ':'
+                 || CAST(l_partkey AS VARCHAR) || ':'
+                 || CAST(CAST(l_quantity AS INT) AS VARCHAR),
+                 '|' ORDER BY l_linenumber, l_partkey,
+                              CAST(l_quantity AS INT),
+                              CAST(l_extendedprice AS DECIMAL(18,2))))
+             AS items_hash
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type roundtrip: nest each order's line items into a
+    sorted ``array<struct>`` basket, then answer every question from
+    the NESTED form alone — size, a sequential decimal fold for the
+    basket value, lexicographic struct array_max for the top part, and
+    a canonical item-list hash. The oracle computes the same stats
+    FLAT, so the hash match proves the denormalized representation is
+    lossless (the contract every doc-store-style consumer of the lake
+    depends on).
+
+    Scale: one groupBy shuffle builds the baskets; every downstream
+    stat is a row-local HOF over the nested array — no second shuffle.
+    Baskets are bounded by order size (TPC-H max 7), the natural
+    nesting unit."""
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_partkey").alias("pk"),
+                F.col("l_quantity").cast("int").alias("qty"),
+                F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+            ).alias("item"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+    )
+    return baskets.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        F.expr(
+            "CAST(aggregate(items, CAST(0 AS DECIMAL(18,2)),"
+            " (acc, x) -> CAST(acc + x.price AS DECIMAL(18,2)),"
+            " acc -> acc) AS DOUBLE)"
+        ).alias("basket_value"),
+        F.expr(
+            "array_max(transform(items, x -> struct(x.price AS p,"
+            " x.pk AS k))).k"
+        ).alias("top_part"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(items, x -> concat(CAST(x.ln AS STRING), ':',"
+                    " CAST(x.pk AS STRING), ':', CAST(x.qty AS STRING)))"
+                ),
+                "|",
+            )
+        ).alias("items_hash"),
+    )

@@ -51,3 +51,42 @@ def test_report_is_all_green_on_driver_fixtures(spark, sf_smoke):
     assert len(rows) == 7
     assert all(r["n_violations"] == 0 for r in rows)
     assert all(r["n_checked"] > 0 for r in rows)
+
+
+def test_q_order_baskets_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        q_order_baskets,
+    )
+
+    compare_query(
+        spark, sf_smoke, "q_order_baskets", q_order_baskets,
+        ORACLE["q_order_baskets"],
+    )
+
+
+def test_basket_stats_match_flat_computation(spark, sf_smoke):
+    """Nested-vs-flat equivalence, asserted directly in Spark (the
+    oracle asserts it cross-engine): the HOF fold over the nested
+    basket equals the plain flat aggregate."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        q_order_baskets,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    li = read_table(spark, sf_smoke, "lineitem")
+    flat = {
+        r["l_orderkey"]: (r["n"], float(r["s"]))
+        for r in li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    nested = {
+        r["l_orderkey"]: (r["n_items"], r["basket_value"])
+        for r in q_order_baskets(spark, sf_smoke).collect()
+    }
+    assert nested == flat
