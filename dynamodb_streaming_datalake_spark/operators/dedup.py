@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.functions.texthash import (
@@ -1400,4 +1400,107 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
     return connected_components(edges).select(
         F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# block-level (paragraph) dedup with first-occurrence reconstruction
+# (round 6)
+# ---------------------------------------------------------------------------
+
+#: non-overlapping block size, in words (the corpus has no sentence
+#: punctuation, so fixed word blocks are the deterministic segmenter)
+PARA_BLOCK = 10
+
+
+@query(
+    "q_para_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    b AS (
+        SELECT doc_id, pos,
+               array_to_string(
+                 list_slice(toks, pos * {PARA_BLOCK} + 1,
+                            pos * {PARA_BLOCK} + {PARA_BLOCK}), ' ') AS block
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / {PARA_BLOCK}.0)
+                                        AS BIGINT))) AS pos
+            FROM t
+        )
+    ),
+    f AS (
+        SELECT doc_id, pos, block,
+               ROW_NUMBER() OVER (PARTITION BY md5(block)
+                                  ORDER BY doc_id, pos) AS rn
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(COALESCE(
+             string_agg(CASE WHEN rn = 1 THEN block END, '|' ORDER BY pos),
+             '')) AS kept_hash
+    FROM f GROUP BY doc_id
+    """,
+)
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level (paragraph-grade) dedup: segment every document into
+    fixed {PARA_BLOCK}-word blocks, keep only the corpus-wide FIRST
+    occurrence of each distinct block (ordered by doc_id then
+    position), and reconstruct each document from its surviving blocks
+    — the fine-grained dedup pass pretraining pipelines run after
+    doc-level dedup (boilerplate headers/footers repeat across
+    otherwise-unique pages). The kept-content hash makes the
+    reconstruction order part of the proof.
+
+    Scale: one shuffle on the block hash (first-occurrence window over
+    each hash's occurrence list — bounded by duplication depth, the
+    quantity being removed), one shuffle on doc_id to reassemble;
+    never all-pairs. The same shape at 100 TB shards by hash first —
+    duplicate-heavy hashes stream through a single window each."""
+    d = read_table(spark, sf_dir, "documents")
+    nb = F.expr(f"CAST(ceil(size(split(text, ' ')) / {PARA_BLOCK}.0) AS INT)")
+    blocks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(split(text, ' '))"
+                f" / {PARA_BLOCK}.0) AS INT) - 1),"
+                f" b -> array_join(slice(split(text, ' '),"
+                f" b * {PARA_BLOCK} + 1, {PARA_BLOCK}), ' '))"
+            )
+        ).alias("pos", "block"),
+    )
+    w = Window.partitionBy(F.md5("block")).orderBy("doc_id", "pos")
+    flagged = blocks.select(
+        "doc_id",
+        "pos",
+        "block",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("pos", "block"),
+                            )
+                        )
+                    ),
+                    lambda x: x["block"],
+                ),
+                "|",
+            )
+        ).alias("kept_hash"),
     )

@@ -69,6 +69,7 @@ PRIORITY: tuple[str, ...] = (
     "q_ewma_user_value",         # exact-binary-fraction EWMA fold
     "q_data_quality_report",     # constraint checks (PK/FK/null/range)
     "q_order_baskets",           # nested array<struct> roundtrip
+    "q_para_dedup",              # block-level dedup + reconstruction
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

@@ -90,3 +90,32 @@ def test_basket_stats_match_flat_computation(spark, sf_smoke):
         for r in q_order_baskets(spark, sf_smoke).collect()
     }
     assert nested == flat
+
+
+def test_q_para_dedup_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.dedup import q_para_dedup
+
+    compare_query(
+        spark, sf_smoke, "q_para_dedup", q_para_dedup, ORACLE["q_para_dedup"]
+    )
+
+
+def test_para_dedup_first_occurrence_semantics(spark, sf_smoke):
+    """Real duplicates exist in the corpus (the operator isn't a
+    no-op); every doc's removed count is bounded by its block count;
+    and the earliest document containing any duplicated block keeps
+    it (first-occurrence-wins)."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.operators.dedup import q_para_dedup
+
+    out = q_para_dedup(spark, sf_smoke)
+    stats = out.agg(
+        F.sum("n_removed").alias("rem"), F.sum("n_blocks").alias("tot")
+    ).first()
+    assert stats["rem"] > 0, "fixture should contain repeated blocks"
+    assert stats["rem"] < stats["tot"]
+    assert out.where(F.col("n_removed") > F.col("n_blocks")).count() == 0
+    # doc 0 is the global first occurrence of everything it contains
+    first_doc = out.where(F.col("doc_id") == 0).first()
+    assert first_doc["n_removed"] == 0

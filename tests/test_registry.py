@@ -44,9 +44,18 @@ def test_window_prefers_unproven_queries():
     )
     for i, n in enumerate(never_proven):
         assert names[i] == n, f"position {i}: expected {n}, got {names[i]}"
-    for n in ("q_dedup_exact", "q_ann_topk", "q_text_stats",
-              "q_doc_chunks"):
-        assert n in names, f"{n} (r4-proven, stalest) should be in window"
+    # every round-6 registration (never driver-checked) must sit inside
+    # the window, ahead of any re-proof — find them structurally: they
+    # are the PRIORITY entries between the r5 block and q_dedup_exact
+    # (the start of the r4 re-proof cohort)
+    r4_start = PRIORITY.index("q_dedup_exact")
+    r6_new = PRIORITY[len(never_proven):r4_start]
+    assert len(r6_new) >= 7
+    for n in r6_new:
+        assert n in names, f"{n} (new this round) should be in window"
+    # remaining slots go to the stalest (r4-proven) cohort, in order
+    n_left = 50 - len(never_proven) - len(r6_new)
+    assert names[-n_left:] == list(PRIORITY[r4_start:r4_start + n_left])
     for n in ("q_tfidf_terms", "q_bloom_prejoin", "q_sql_entrypoint",
               "q_histogram_value"):
         assert n not in names, f"{n} (r5-proven) should have rotated out"
