@@ -1512,6 +1512,8 @@ _JPEG_ZIGZAG = sorted(
     ((r, c) for r in range(8) for c in range(8)),
     key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
 )
+#: same order as flat row-major indices (for vectorized gather/scatter)
+_JPEG_ZIGZAG_FLAT = np.array([r * 8 + c for r, c in _JPEG_ZIGZAG])
 
 #: canonical Huffman tables, declared in the file's own DHT segments:
 #: DC = 12 category symbols, all 4-bit codes; AC = all 162 baseline
@@ -1621,40 +1623,47 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     bw = _JpegBitWriter()
     pred = 0
     q = JPEG_QTABLE.astype(np.float64)
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            block = img[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            coef = _JPEG_A @ block @ _JPEG_A.T
-            scaled = coef / q
-            quant = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
-                np.int32
-            )
-            zz = [int(quant[r, c]) for r, c in _JPEG_ZIGZAG]
-            diff = zz[0] - pred
-            pred = zz[0]
-            size = _jpeg_category(diff)
-            code, length = _JPEG_DC_CODES[size]
+    # batched forward DCT + quantize over ALL blocks at once (np.matmul
+    # broadcasts over the leading block axis — identical per-block
+    # dgemm arithmetic, ~10x less Python overhead than a block loop)
+    blocks = (
+        img.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coefs = _JPEG_A @ blocks @ _JPEG_A.T
+    scaled = coefs / q
+    quants = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int32)
+    zz_all = quants.reshape(-1, 64)[:, _JPEG_ZIGZAG_FLAT]
+    for quant_zz in zz_all:
+        zz = quant_zz.tolist()
+        diff = zz[0] - pred
+        pred = zz[0]
+        size = _jpeg_category(diff)
+        code, length = _JPEG_DC_CODES[size]
+        bw.put(code, length)
+        if size:
+            bw.put(_jpeg_amplitude(diff, size), size)
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c16, l16 = _JPEG_AC_CODES[0xF0]
+                bw.put(c16, l16)
+                run -= 16
+            size = _jpeg_category(v)
+            code, length = _JPEG_AC_CODES[(run << 4) | size]
             bw.put(code, length)
-            if size:
-                bw.put(_jpeg_amplitude(diff, size), size)
+            bw.put(_jpeg_amplitude(v, size), size)
             run = 0
-            for k in range(1, 64):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c16, l16 = _JPEG_AC_CODES[0xF0]
-                    bw.put(c16, l16)
-                    run -= 16
-                size = _jpeg_category(v)
-                code, length = _JPEG_AC_CODES[(run << 4) | size]
-                bw.put(code, length)
-                bw.put(_jpeg_amplitude(v, size), size)
-                run = 0
-            if run:
-                code, length = _JPEG_AC_CODES[0x00]
-                bw.put(code, length)
+        if run:
+            code, length = _JPEG_AC_CODES[0x00]
+            bw.put(code, length)
     return _jpeg_segments(w, h) + bw.flush() + b"\xff\xd9"
 
 
@@ -1771,36 +1780,39 @@ def parse_jpeg_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
     q = qtables[0]
     dc_tab, ac_tab = htables[(0, 0)], htables[(1, 0)]
     br = _JpegBitReader(blob, scan_at)
-    img = np.empty((h, w), dtype=np.uint8)
     pred = 0
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            zz = np.zeros(64, dtype=np.int32)
-            size = _jpeg_read_symbol(br, dc_tab)
-            diff = _jpeg_extend(br.take(size), size) if size else 0
-            pred += diff
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = _jpeg_read_symbol(br, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k >= 64:
-                    raise ValueError("AC run past end of block")
-                zz[k] = _jpeg_extend(br.take(size), size)
-                k += 1
-            coef = np.zeros((8, 8), dtype=np.float64)
-            for k, (r, c) in enumerate(_JPEG_ZIGZAG):
-                coef[r, c] = zz[k] * q[r, c]
-            block = _JPEG_A.T @ coef @ _JPEG_A + 128.0
-            img[by : by + 8, bx : bx + 8] = np.clip(
-                np.floor(block + 0.5), 0, 255
-            ).astype(np.uint8)
+    n_blocks = (h // 8) * (w // 8)
+    zz_all = np.zeros((n_blocks, 64), dtype=np.int32)
+    for zz in zz_all:  # entropy decode (inherently sequential)
+        size = _jpeg_read_symbol(br, dc_tab)
+        diff = _jpeg_extend(br.take(size), size) if size else 0
+        pred += diff
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            sym = _jpeg_read_symbol(br, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k >= 64:
+                raise ValueError("AC run past end of block")
+            zz[k] = _jpeg_extend(br.take(size), size)
+            k += 1
+    # batched dequantize + inverse-zigzag + IDCT over all blocks
+    coefs = np.zeros((n_blocks, 64), dtype=np.float64)
+    coefs[:, _JPEG_ZIGZAG_FLAT] = zz_all
+    coefs = coefs.reshape(-1, 8, 8) * q
+    blocks = _JPEG_A.T @ coefs @ _JPEG_A + 128.0
+    pix = np.clip(np.floor(blocks + 0.5), 0, 255).astype(np.uint8)
+    img = (
+        pix.reshape(h // 8, w // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(h, w)
+    )
     return w, h, img
 
 

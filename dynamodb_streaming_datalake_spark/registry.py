@@ -70,6 +70,7 @@ PRIORITY: tuple[str, ...] = (
     "q_data_quality_report",     # constraint checks (PK/FK/null/range)
     "q_order_baskets",           # nested array<struct> roundtrip
     "q_para_dedup",              # block-level dedup + reconstruction
+    "q_schema_evolution",        # mergeSchema two-generation read
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
@@ -225,6 +226,10 @@ def load_all() -> None:
             __import__(f"dynamodb_streaming_datalake_spark.operators.{mod}")
         except ImportError:
             pass
+    try:
+        import dynamodb_streaming_datalake_spark.sources.evolution  # noqa: F401
+    except ImportError:
+        pass
     try:
         import dynamodb_streaming_datalake_spark.streaming.windows  # noqa: F401
     except ImportError:

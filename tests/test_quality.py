@@ -119,3 +119,36 @@ def test_para_dedup_first_occurrence_semantics(spark, sf_smoke):
     # doc 0 is the global first occurrence of everything it contains
     first_doc = out.where(F.col("doc_id") == 0).first()
     assert first_doc["n_removed"] == 0
+
+
+def test_q_schema_evolution_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.sources.evolution import (
+        q_schema_evolution,
+    )
+
+    compare_query(
+        spark, sf_smoke, "q_schema_evolution", q_schema_evolution,
+        ORACLE["q_schema_evolution"],
+    )
+
+
+def test_schema_evolution_reads_both_generations(spark, sf_smoke):
+    """gen-1 files genuinely lack the new column on disk; the merged
+    read covers every base row exactly once and back-fills NULL (not a
+    default baked at write time)."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.sources.evolution import (
+        ensure_generations,
+        q_schema_evolution,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    path = ensure_generations(spark, sf_smoke)
+    gen1 = spark.read.parquet(f"{path}/gen=1")
+    assert "o_channel" not in gen1.columns
+    out = q_schema_evolution(spark, sf_smoke)
+    total = out.agg(F.sum("n_orders")).first()[0]
+    assert total == read_table(spark, sf_smoke, "orders").count()
+    legacy = {r["channel"]: r["n_orders"] for r in out.collect()}
+    assert legacy["legacy"] == gen1.count()
