@@ -818,3 +818,82 @@ def q_order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("items_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# closed-form linear-model training (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_linreg_train",
+    oracle="""
+    WITH sums AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(EXTRACT(hour FROM ts) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(EXTRACT(hour FROM ts) * EXTRACT(hour FROM ts)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+                 AS syy,
+               CAST(SUM(CAST(value * EXTRACT(hour FROM ts)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM sums
+    """,
+)
+def q_linreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model TRAINING with a closed-form solution: ordinary
+    least squares of value on hour-of-day, one model per event type.
+    The five power sums aggregate in exact decimal (order-independent,
+    the q_event_moments discipline), then slope / intercept / r-squared
+    evaluate in double with the identical expression tree on both
+    engines. This is the honest distributed-training shape for linear
+    models: one partial+final aggregate over the data, zero iterations,
+    nothing but five numbers per group crossing the network.
+
+    Scale: identical cost to a plain grouped aggregate at any data
+    size; a p-feature model generalizes to p^2 Gram-matrix sums per
+    group, still one shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    d38 = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(hour)).cast("double").alias("sx"),
+        F.sum(d38(F.col("value"))).cast("double").alias("sy"),
+        F.sum(d38(hour * hour)).cast("double").alias("sxx"),
+        F.sum(d38(F.col("value") * F.col("value"))).cast("double").alias("syy"),
+        F.sum(d38(F.col("value") * hour)).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col("n"),
+        F.col("sx"),
+        F.col("sy"),
+        F.col("sxx"),
+        F.col("syy"),
+        F.col("sxy"),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

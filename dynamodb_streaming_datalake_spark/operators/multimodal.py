@@ -2086,8 +2086,7 @@ def parse_gif(blob: bytes) -> tuple[int, int, np.ndarray]:
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
         left, top, w, h, iflags = struct.unpack("<HHHHB", blob[pos + 1 : pos + 10])
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF not supported")
+        interlaced = bool(iflags & 0x40)
         if iflags & 0x80:
             raise NotImplementedError("local color tables not supported")
         pos += 10
@@ -2105,9 +2104,28 @@ def parse_gif(blob: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError("no global palette")
         # grayscale palette -> intensity = palette[3*idx]
         pal = np.frombuffer(palette, np.uint8).reshape(-1, 3)
-        px = pal[np.frombuffer(indices, np.uint8), 0]
-        return w, h, px.reshape(h, w)
+        px = pal[np.frombuffer(indices, np.uint8), 0].reshape(h, w)
+        if interlaced:
+            # GIF 4-pass interlace: stored row r of the stream belongs
+            # at display row _gif_interlace_rows(h)[r]
+            grid = np.empty_like(px)
+            grid[_gif_interlace_rows(h)] = px
+            px = grid
+        return w, h, px
     raise ValueError("no image data in GIF")
+
+
+def _gif_interlace_rows(h: int) -> np.ndarray:
+    """Display-row order of GIF's four interlace passes (8/8 offset 0,
+    8/8 offset 4, 4/4 offset 2, 2/2 offset 1)."""
+    return np.concatenate(
+        [
+            np.arange(0, h, 8),
+            np.arange(4, h, 8),
+            np.arange(2, h, 4),
+            np.arange(1, h, 2),
+        ]
+    )
 
 
 def decode_gif(df: DataFrame, id_col: str) -> DataFrame:

@@ -71,6 +71,7 @@ PRIORITY: tuple[str, ...] = (
     "q_order_baskets",           # nested array<struct> roundtrip
     "q_para_dedup",              # block-level dedup + reconstruction
     "q_schema_evolution",        # mergeSchema two-generation read
+    "q_linreg_train",            # closed-form OLS per group
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

@@ -584,14 +584,33 @@ def test_gif_lzw_edge_cases():
     blob = bytearray(_encode_gif(9))
     with pytest.raises(ValueError, match="not a GIF"):
         parse_gif(b"JIF87a" + bytes(blob[6:]))
-    # interlace flag rejected honestly (descriptor sits after the
-    # 13-byte header+LSD and the 768-byte global palette — searching
-    # for 0x2C would hit palette intensity 44 first)
+    # interlaced variant decodes to the SAME image: rebuild the pixel
+    # stream in 4-pass order and set the interlace flag (descriptor
+    # sits after the 13-byte header+LSD and the 768-byte palette —
+    # searching for 0x2C would hit palette intensity 44 first)
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _gif_dims,
+        _gif_interlace_rows,
+        _gif_lzw_compress,
+    )
+
+    i = 9
+    w, h = _gif_dims(i)
+    _w, _h, straight = parse_gif(bytes(_encode_gif(i)))
     desc_at = 13 + 768
+    blob = bytearray(_encode_gif(i))
     assert blob[desc_at] == 0x2C
     blob[desc_at + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        parse_gif(bytes(blob))
+    passes = straight[_gif_interlace_rows(h)].tobytes()
+    lzw = _gif_lzw_compress(passes)
+    sub = bytearray([8])
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        sub += bytes([len(chunk)]) + chunk
+    sub += b"\x00"
+    inter = bytes(blob[: desc_at + 10]) + bytes(sub) + b"\x3b"
+    _w2, _h2, deinterlaced = parse_gif(inter)
+    assert np.array_equal(deinterlaced, straight)
 
 
 def test_gif_roundtrip_against_closed_form():

@@ -152,3 +152,41 @@ def test_schema_evolution_reads_both_generations(spark, sf_smoke):
     assert total == read_table(spark, sf_smoke, "orders").count()
     legacy = {r["channel"]: r["n_orders"] for r in out.collect()}
     assert legacy["legacy"] == gen1.count()
+
+
+def test_q_linreg_train_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        q_linreg_train,
+    )
+
+    compare_query(
+        spark, sf_smoke, "q_linreg_train", q_linreg_train,
+        ORACLE["q_linreg_train"],
+    )
+
+
+def test_linreg_recovers_planted_line(spark):
+    """Fit on synthetic y = 3x - 5 (exact): slope 3, intercept -5,
+    r2 = 1 — the closed form solves, not just aggregates."""
+    import datetime
+
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        q_linreg_train,
+    )
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, hour), "t", float(3 * hour - 5))
+        for i, hour in enumerate([1, 3, 5, 7, 11, 13, 17, 23])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # write a miniature events table and reuse the real query fn
+        df.write.parquet(f"{tmp}/events.parquet")
+        out = q_linreg_train(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["slope"], r["intercept"], r["r2"]) == (3.0, -5.0, 1.0)
