@@ -72,6 +72,8 @@ PRIORITY: tuple[str, ...] = (
     "q_para_dedup",              # block-level dedup + reconstruction
     "q_schema_evolution",        # mergeSchema two-generation read
     "q_linreg_train",            # closed-form OLS per group
+    "q_csv_roundtrip",           # quoted/escaped/multiline CSV read
+    "q_orc_roundtrip",           # ORC scan with pushdown
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
@@ -229,6 +231,10 @@ def load_all() -> None:
             pass
     try:
         import dynamodb_streaming_datalake_spark.sources.evolution  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        import dynamodb_streaming_datalake_spark.sources.formats  # noqa: F401
     except ImportError:
         pass
     try:

@@ -190,3 +190,60 @@ def test_linreg_recovers_planted_line(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["slope"], r["intercept"], r["r2"]) == (3.0, -5.0, 1.0)
+
+
+def test_q_csv_roundtrip_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.sources.formats import q_csv_roundtrip
+
+    compare_query(
+        spark, sf_smoke, "q_csv_roundtrip", q_csv_roundtrip,
+        ORACLE["q_csv_roundtrip"],
+    )
+
+
+def test_csv_hazard_fields_survive(spark, sf_smoke):
+    """The written CSV really contains embedded delimiters, doubled
+    quotes, and raw newlines, and the reader recovers every row."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.sources.formats import (
+        _csv_source,
+        ensure_csv,
+    )
+
+    path = ensure_csv(spark, sf_smoke)
+    df = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema(
+            "c_custkey bigint, c_name string, c_acctbal decimal(12,2),"
+            " c_note string"
+        )
+        .csv(f"{path}/csv")
+    )
+    src = _csv_source(spark, sf_smoke)
+    assert df.count() == src.count()
+    sample = df.orderBy("c_custkey").first()["c_note"]
+    assert '"' in sample and "," in sample and "\n" in sample
+    # byte-identical notes after the roundtrip
+    a = {r["c_custkey"]: r["c_note"] for r in df.collect()}
+    b = {r["c_custkey"]: r["c_note"] for r in src.collect()}
+    assert a == b
+
+
+def test_q_orc_roundtrip_oracle_parity_and_pushdown(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.sources.formats import q_orc_roundtrip
+
+    compare_query(
+        spark, sf_smoke, "q_orc_roundtrip", q_orc_roundtrip,
+        ORACLE["q_orc_roundtrip"],
+    )
+    plan = (
+        q_orc_roundtrip(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:200]
