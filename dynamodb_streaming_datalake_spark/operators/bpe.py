@@ -233,3 +233,8 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
+
+
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
+
+_fmt(q_bpe_train, BPE_MERGES=BPE_MERGES)

@@ -104,3 +104,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_docs = d.where(bucket < cut)
     train_docs = d.where(bucket >= cut)
     return contaminated_docs(train_docs, eval_docs, NGRAM)
+
+
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
+
+_fmt(q_decontaminate, NGRAM=NGRAM)

@@ -1504,3 +1504,8 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_hash"),
     )
+
+
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
+
+_fmt(q_para_dedup, PARA_BLOCK=PARA_BLOCK)

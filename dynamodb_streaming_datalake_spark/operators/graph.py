@@ -175,3 +175,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PR_TOP)
         .select("node", "rank_fp")
     )
+
+
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
+
+_fmt(q_pagerank, PR_ITERS=PR_ITERS, PR_TOP=PR_TOP)

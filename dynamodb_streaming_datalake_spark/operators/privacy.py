@@ -152,3 +152,8 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(text, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
         redact_pii(text).alias("redacted"),
     )
+
+
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
+
+_fmt(q_k_anonymize, ACCTBAL_BAND=ACCTBAL_BAND, K_ANON=K_ANON)

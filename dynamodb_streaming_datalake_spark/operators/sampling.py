@@ -355,3 +355,9 @@ def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sample_rank") <= CAP_PER_STRATUM)
         .select("lang", "source", "doc_id", "sample_rank")
     )
+
+
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
+
+_fmt(q_sequence_pack, SEQ_LEN=SEQ_LEN, PREFIX_BLOCKS=PREFIX_BLOCKS)
+_fmt(q_stratified_cap, CAP_PER_STRATUM=CAP_PER_STRATUM, CAP_SALTS=CAP_SALTS)

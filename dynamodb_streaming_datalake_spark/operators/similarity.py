@@ -1565,3 +1565,18 @@ def _hybrid_oracle() -> str:
 from dynamodb_streaming_datalake_spark.registry import ORACLE as _ORACLE  # noqa: E402
 
 _ORACLE["q_hybrid_search"] = _hybrid_oracle()
+
+
+_FMT_CONSTS = dict(
+    PQ_M=PQ_M,
+    PQ_K=PQ_K,
+    PQ_TOPK=PQ_TOPK,
+    PQ_RERANK_POOL=PQ_RERANK_POOL,
+    IVFPQ_CENTROIDS=IVFPQ_CENTROIDS,
+    IVFPQ_NPROBE=IVFPQ_NPROBE,
+    ADC_PREREDUCE_BUCKETS=ADC_PREREDUCE_BUCKETS,
+)
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
+
+for _q in (q_pq_quantize, q_ann_pq, q_ann_pq_rerank, q_ann_ivfpq):
+    _fmt(_q, **_FMT_CONSTS)

@@ -799,3 +799,11 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("w_millis") > 0).alias("keep"),
         )
     )
+
+
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
+
+_fmt(q_tfidf_terms, k=TFIDF_TOP_TERMS)
+_fmt(q_heavy_hitters, k=HH_K)
+_fmt(q_bm25_search, BM25_K1=BM25_K1, BM25_B=BM25_B, BM25_TOP=BM25_TOP)
+_fmt(q_quality_classifier, QC_BUCKETS=QC_BUCKETS)

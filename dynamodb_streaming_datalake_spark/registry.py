@@ -255,3 +255,11 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracle_sql() -> dict[str, str]:
     load_all()
     return _ordered(ORACLE)
+
+
+def format_doc(fn, **consts) -> None:
+    """Substitute {CONST} placeholders in a query's docstring with the
+    module's actual constants. Guarded for ``python -OO`` (docstrings
+    stripped -> None) — the q_doc_chunks lesson from round-5 ADVICE."""
+    if fn.__doc__:
+        fn.__doc__ = fn.__doc__.format(**consts)
