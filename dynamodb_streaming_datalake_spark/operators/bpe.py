@@ -238,3 +238,90 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
 
 _fmt(q_bpe_train, BPE_MERGES=BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# bigram language model training (round 6)
+# ---------------------------------------------------------------------------
+
+#: add-k smoothing constant (integer -> the smoothed probability is an
+#: exact rational, portable as one double division)
+LM_ADD_K = 1
+#: report the top-N bigrams by conditional probability
+LM_TOP = 100
+
+
+@query(
+    "q_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT ws[CAST(j AS INT)] AS w1, ws[CAST(j AS INT) + 1] AS w2
+        FROM toks, unnest(range(1, len(ws))) AS u(j)
+        WHERE len(ws) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c FROM bigrams GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c) AS n FROM c12 GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM bigrams)
+    SELECT w1, w2,
+           CAST(c12.c AS BIGINT) AS pair_count,
+           CAST(c12.c + {LM_ADD_K} AS DOUBLE)
+             / CAST(c1.n + {LM_ADD_K} * v.vocab AS DOUBLE) AS prob
+    FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+    ORDER BY prob DESC, w1, w2
+    LIMIT {LM_TOP}
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model with add-{LM_ADD_K} smoothing
+    — the classical LM-training recipe, fully distributed: bigram
+    counts (one shuffle), context totals (an aggregate OF the counts,
+    no second corpus pass), vocabulary size as a 1-row broadcast.
+    P(w2|w1) = (c12 + k) / (c1 + k*V) is an exact-integer rational
+    evaluated with one double division, so both engines agree
+    bit-for-bit; top-{LM_TOP} by probability via TakeOrdered.
+
+    Scale: everything after the corpus scan is vocabulary-sized
+    (|bigrams| distinct pairs, not corpus tokens); identical shape to
+    production count-LM training, which is one more reason n-gram LMs
+    were the original 'big data' workload."""
+    d = read_table(spark, sf_dir, "documents")
+    bigrams = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(text, ' ')) < 2 THEN"
+                    " CAST(array() AS array<struct<w1: string, w2: string>>)"
+                    " ELSE transform(sequence(1, size(split(text, ' ')) - 1),"
+                    " j -> struct(element_at(split(text, ' '), CAST(j AS INT))"
+                    " AS w1, element_at(split(text, ' '), CAST(j AS INT) + 1)"
+                    " AS w2)) END"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("n"))
+    v = bigrams.agg(F.countDistinct("w2").alias("vocab"))
+    scored = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("pair_count"),
+            (
+                (F.col("c") + F.lit(LM_ADD_K)).cast("double")
+                / (F.col("n") + F.lit(LM_ADD_K) * F.col("vocab")).cast("double")
+            ).alias("prob"),
+        )
+    )
+    return scored.orderBy(F.col("prob").desc(), "w1", "w2").limit(LM_TOP)
+
+
+_fmt(q_bigram_lm, LM_ADD_K=LM_ADD_K, LM_TOP=LM_TOP)

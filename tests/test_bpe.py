@@ -72,3 +72,52 @@ def test_vocab_fold_round_trips_to_original_words(spark, sf_smoke):
         F.array_join(F.col("toks"), "") != F.col("w")
     ).count()
     assert bad == 0
+
+
+def test_q_bigram_lm_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.bpe import q_bigram_lm
+
+    compare_query(
+        spark, sf_smoke, "q_bigram_lm", q_bigram_lm, ORACLE["q_bigram_lm"]
+    )
+
+
+def test_bigram_lm_is_a_probability_model(spark, sf_smoke):
+    """Smoothed conditionals are in (0, 1); for any reported context
+    w1, summing P(.|w1) over the FULL vocabulary (seen pairs + smoothed
+    unseen mass) equals 1 exactly in rational arithmetic."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.operators.bpe import (
+        LM_ADD_K,
+        q_bigram_lm,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    top = q_bigram_lm(spark, sf_smoke).collect()
+    assert len(top) > 0
+    assert all(0.0 < r["prob"] < 1.0 for r in top)
+
+    d = read_table(spark, sf_smoke, "documents")
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text,' '))-1),"
+                " j -> struct(element_at(split(text,' '), CAST(j AS INT)) AS w1,"
+                " element_at(split(text,' '), CAST(j AS INT)+1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    w1 = top[0]["w1"]
+    pairs = (
+        bg.where(F.col("w1") == w1)
+        .groupBy("w2").agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    vocab = bg.select("w2").distinct().count()
+    n = sum(r["c"] for r in pairs)
+    seen = sum(Fraction(r["c"] + LM_ADD_K, n + LM_ADD_K * vocab) for r in pairs)
+    unseen = (vocab - len(pairs)) * Fraction(LM_ADD_K, n + LM_ADD_K * vocab)
+    assert seen + unseen == 1
