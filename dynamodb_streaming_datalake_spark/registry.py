@@ -75,6 +75,7 @@ PRIORITY: tuple[str, ...] = (
     "q_csv_roundtrip",           # quoted/escaped/multiline CSV read
     "q_orc_roundtrip",           # ORC scan with pushdown
     "q_bigram_lm",               # add-k smoothed bigram LM training
+    "q_avro_scan",               # library-free Avro OCF ingestion
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

