@@ -897,3 +897,137 @@ def q_linreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH firstw AS (
+        SELECT user_id,
+               MIN(CAST(floor(epoch(ts) / 604800) AS BIGINT)) AS cohort_w
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_w,
+               CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_w
+                 AS week_offset
+        FROM events e JOIN firstw f ON e.user_id = f.user_id
+    )
+    SELECT cohort_w, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity GROUP BY cohort_w, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted as
+    active per week offset — the canonical product-analytics matrix.
+    Week ids are integer floor(epoch/604800), so bucketing is exact on
+    both engines.
+
+    Scale: one aggregate for first-seen, one distinct-activity shuffle
+    joined back on user_id (broadcastable when the user dimension is
+    small; co-partitioned SMJ otherwise), one final count. Nothing
+    holds more than (user, week) distinct pairs."""
+    ev = read_table(spark, sf_dir, "events")
+    week = (F.floor(F.unix_timestamp("ts") / F.lit(604800))).cast("bigint")
+    firstw = ev.groupBy("user_id").agg(F.min(week).alias("cohort_w"))
+    activity = (
+        ev.select("user_id", week.alias("w"))
+        .join(firstw, "user_id")
+        .select(
+            "user_id", "cohort_w", (F.col("w") - F.col("cohort_w")).alias("week_offset")
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_w", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence-pattern mining over session event strings (round 6)
+# ---------------------------------------------------------------------------
+
+#: ordered behavioral patterns, matched against each user-day's event
+#: sequence; literal tokens + '.*' wildcards only, so the Java and
+#: DuckDB regex engines agree by construction
+SEQ_PATTERNS = (
+    ("view_to_purchase", "view.*purchase"),
+    ("error_then_retry", "error.*click"),
+    ("signup_first", "^signup"),
+)
+
+
+def _seq_pattern_sql() -> str:
+    cases = "\n".join(
+        f"SELECT '{name}' AS pattern, seq,"
+        f" regexp_matches(seq, '{rx}') AS hit FROM seqs"
+        + ("" if i == len(SEQ_PATTERNS) - 1 else " UNION ALL")
+        for i, (name, rx) in enumerate(SEQ_PATTERNS)
+    )
+    return f"""
+    WITH ordered AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts, event_id
+        FROM events
+    ),
+    seqs AS (
+        SELECT user_id, day,
+               string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+        FROM ordered GROUP BY user_id, day
+    ),
+    matched AS ({cases})
+    SELECT pattern,
+           CAST(COUNT(*) FILTER (WHERE hit) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM matched GROUP BY pattern
+    """
+
+
+@query("q_sequence_pattern", oracle=_seq_pattern_sql())
+def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: each user-day's events collapse to
+    an ordered type string (total order: ts then event_id), matched
+    against declared patterns — the MATCH_RECOGNIZE-lite that answers
+    'how many sessions go view -> ... -> purchase'. Patterns use only
+    literals + wildcards so both regex engines agree.
+
+    Scale: one (user, day) aggregate builds the strings; pattern
+    matching is row-local; the result is |patterns| rows. Session
+    strings are bounded by per-user-day activity — the same unit
+    q_sessionize already shuffles."""
+    ev = read_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            F.struct("ts", "event_id", "event_type").alias("s"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("s")),
+                    lambda x: x["event_type"],
+                ),
+                " ",
+            ).alias("seq")
+        )
+    )
+    out = None
+    for name, rx in SEQ_PATTERNS:
+        part = seqs.select(
+            F.lit(name).alias("pattern"),
+            F.col("seq").rlike(rx).alias("hit"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.groupBy("pattern").agg(
+        F.sum(F.when(F.col("hit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_total"),
+    )

@@ -76,6 +76,8 @@ PRIORITY: tuple[str, ...] = (
     "q_orc_roundtrip",           # ORC scan with pushdown
     "q_bigram_lm",               # add-k smoothed bigram LM training
     "q_avro_scan",               # library-free Avro OCF ingestion
+    "q_cohort_retention",        # first-seen-week retention matrix
+    "q_sequence_pattern",        # session event-string pattern match
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

@@ -303,3 +303,51 @@ def test_avro_ocf_writer_reader_spec_surface():
         write_avro_ocf(p, sch2, [("fr", 7, 99)])
         _, out2 = parse_avro_ocf(open(p, "rb").read())
     assert out2 == [("fr", 7, 99)]
+
+
+def test_q_cohort_retention_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        q_cohort_retention,
+    )
+
+    compare_query(
+        spark, sf_smoke, "q_cohort_retention", q_cohort_retention,
+        ORACLE["q_cohort_retention"],
+    )
+
+
+def test_cohort_retention_offsets_are_nonnegative_and_week0_full(spark, sf_smoke):
+    """week_offset >= 0 always, and every cohort's week-0 count equals
+    its cohort size (everyone is active the week they first appear)."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        q_cohort_retention,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    out = q_cohort_retention(spark, sf_smoke)
+    assert out.where(F.col("week_offset") < 0).count() == 0
+    ev = read_table(spark, sf_smoke, "events")
+    week = (F.floor(F.unix_timestamp("ts") / F.lit(604800))).cast("bigint")
+    sizes = (
+        ev.groupBy("user_id").agg(F.min(week).alias("cohort_w"))
+        .groupBy("cohort_w").agg(F.count(F.lit(1)).alias("n"))
+    )
+    week0 = {
+        r["cohort_w"]: r["active_users"]
+        for r in out.where(F.col("week_offset") == 0).collect()
+    }
+    for r in sizes.collect():
+        assert week0[r["cohort_w"]] == r["n"]
+
+
+def test_q_sequence_pattern_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        q_sequence_pattern,
+    )
+
+    compare_query(
+        spark, sf_smoke, "q_sequence_pattern", q_sequence_pattern,
+        ORACLE["q_sequence_pattern"],
+    )
