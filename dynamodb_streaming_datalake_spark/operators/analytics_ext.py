@@ -935,14 +935,15 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds more than (user, week) distinct pairs."""
     ev = read_table(spark, sf_dir, "events")
     week = (F.floor(F.unix_timestamp("ts") / F.lit(604800))).cast("bigint")
-    firstw = ev.groupBy("user_id").agg(F.min(week).alias("cohort_w"))
-    activity = (
-        ev.select("user_id", week.alias("w"))
-        .join(firstw, "user_id")
-        .select(
-            "user_id", "cohort_w", (F.col("w") - F.col("cohort_w")).alias("week_offset")
-        )
-        .distinct()
+    # single scan: distinct (user, week) pairs first (the strongest
+    # reducer), then the cohort week via a window over each user's
+    # handful of active weeks — no second pass over raw events, no
+    # self-join
+    pairs = ev.select("user_id", week.alias("w")).distinct()
+    w_user = Window.partitionBy("user_id")
+    activity = pairs.select(
+        (F.min("w").over(w_user)).alias("cohort_w"),
+        (F.col("w") - F.min("w").over(w_user)).alias("week_offset"),
     )
     return activity.groupBy("cohort_w", "week_offset").agg(
         F.count(F.lit(1)).alias("active_users")
@@ -1018,14 +1019,23 @@ def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq")
         )
     )
-    out = None
-    for name, rx in SEQ_PATTERNS:
-        part = seqs.select(
-            F.lit(name).alias("pattern"),
-            F.col("seq").rlike(rx).alias("hit"),
-        )
-        out = part if out is None else out.unionAll(part)
-    return out.groupBy("pattern").agg(
+    # evaluate every pattern in ONE pass over the session strings — a
+    # unionAll of per-pattern selects would re-run the (user, day)
+    # aggregation subtree once per pattern
+    matches = seqs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("pattern"),
+                        F.col("seq").rlike(rx).alias("hit"),
+                    )
+                    for name, rx in SEQ_PATTERNS
+                ]
+            )
+        ).alias("m")
+    ).select("m.pattern", "m.hit")
+    return matches.groupBy("pattern").agg(
         F.sum(F.when(F.col("hit"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_sessions"),
