@@ -1041,3 +1041,47 @@ def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_sessions"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram (optimizer-stats shape) — round 6
+# ---------------------------------------------------------------------------
+
+EQD_BUCKETS = 8
+
+
+@query(
+    "q_equidepth_histogram",
+    oracle=f"""
+    WITH t AS (
+        SELECT value,
+               NTILE({EQD_BUCKETS}) OVER (ORDER BY value, event_id)
+                 AS bucket
+        FROM events
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of event value — the statistic cost-based
+    optimizers keep per column (equal row counts per bucket, variable
+    bucket widths; the complement of q_histogram_value's equi-width
+    bins). NTILE over a total order (value, event_id) makes bucket
+    assignment deterministic on both engines.
+
+    Scale: NTILE needs a global order — fine for the stats-collection
+    context this models (run per column at ANALYZE time over a sample
+    or with a range-partitioned sort), and the bucket aggregate behind
+    it is tiny. The query models the stats pass, not a per-query op."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    t = ev.select("value", F.ntile(EQD_BUCKETS).over(w).alias("bucket"))
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )

@@ -78,6 +78,7 @@ PRIORITY: tuple[str, ...] = (
     "q_avro_scan",               # library-free Avro OCF ingestion
     "q_cohort_retention",        # first-seen-week retention matrix
     "q_sequence_pattern",        # session event-string pattern match
+    "q_equidepth_histogram",     # ntile stats-collection histogram
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

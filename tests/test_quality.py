@@ -351,3 +351,33 @@ def test_q_sequence_pattern_oracle_parity(spark, sf_smoke):
         spark, sf_smoke, "q_sequence_pattern", q_sequence_pattern,
         ORACLE["q_sequence_pattern"],
     )
+
+
+def test_q_equidepth_histogram_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        q_equidepth_histogram,
+    )
+
+    compare_query(
+        spark, sf_smoke, "q_equidepth_histogram", q_equidepth_histogram,
+        ORACLE["q_equidepth_histogram"],
+    )
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark, sf_smoke):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        EQD_BUCKETS,
+        q_equidepth_histogram,
+    )
+
+    rows = sorted(
+        q_equidepth_histogram(spark, sf_smoke).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == list(range(1, EQD_BUCKETS + 1))
+    counts = [r["n"] for r in rows]
+    assert max(counts) - min(counts) <= 1  # NTILE's equi-depth promise
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]  # bucket ranges are ordered
