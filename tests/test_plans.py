@@ -237,6 +237,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_bpe_train",  # 1-row argmax merge crossed per round
         "q_bpe_tokenize",  # same chain as q_bpe_train
         "q_data_quality_report",  # 1-row check aggregates crossed
+        "q_bigram_lm",  # 1-row vocabulary-size aggregate crossed
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
