@@ -1,0 +1,84 @@
+"""Property fuzzing for the round-6 binary codecs: GIF LZW, Avro OCF,
+and the JPEG entropy layer. No Spark needed — these hammer the pure
+parsers the mapInPandas kernels ride on."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.binary(min_size=0, max_size=5000))
+@settings(max_examples=120, deadline=None)
+def test_gif_lzw_roundtrips_arbitrary_bytes(data):
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _gif_lzw_compress,
+        _gif_lzw_decompress,
+    )
+
+    if not data:
+        return
+    assert _gif_lzw_decompress(_gif_lzw_compress(data), len(data)) == data
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.text(max_size=40),
+            st.integers(min_value=-(2**62), max_value=2**62),
+        ),
+        max_size=200,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_ocf_roundtrips_arbitrary_records(recs):
+    from dynamodb_streaming_datalake_spark.sources.formats import (
+        _AVRO_SCHEMA,
+        parse_avro_ocf,
+        write_avro_ocf,
+    )
+
+    with tempfile.TemporaryDirectory() as t:
+        p = os.path.join(t, "f.avro")
+        write_avro_ocf(p, _AVRO_SCHEMA, recs)
+        _, out = parse_avro_ocf(open(p, "rb").read())
+    assert out == recs
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=300, deadline=None)
+def test_avro_zigzag_is_involutive(n):
+    from dynamodb_streaming_datalake_spark.sources.formats import (
+        _avro_read_long,
+        _avro_zigzag,
+    )
+
+    v, pos = _avro_read_long(_avro_zigzag(n), 0)
+    assert v == n
+
+
+@given(
+    st.integers(min_value=2, max_value=6),
+    st.integers(min_value=2, max_value=6),
+    st.integers(min_value=0, max_value=2**32),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_is_bounded_on_random_images(bw, bh, seed):
+    """Any multiple-of-8 image encodes to a decodable baseline JPEG
+    whose reconstruction stays within the quant-table error envelope."""
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        encode_jpeg_gray,
+        parse_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.randint(0, 256, (8 * bh, 8 * bw)).astype(np.uint8)
+    w, h, out = parse_jpeg_gray(encode_jpeg_gray(img))
+    assert (w, h) == (img.shape[1], img.shape[0])
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 160 and err.mean() <= 40.0
