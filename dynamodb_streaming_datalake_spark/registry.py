@@ -79,6 +79,7 @@ PRIORITY: tuple[str, ...] = (
     "q_cohort_retention",        # first-seen-week retention matrix
     "q_sequence_pattern",        # session event-string pattern match
     "q_equidepth_histogram",     # ntile stats-collection histogram
+    "q_warc_ingest",             # WARC crawl-corpus ingestion
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

@@ -399,3 +399,145 @@ def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC (Web ARChive) ingestion — round 6
+# ---------------------------------------------------------------------------
+# The de-facto container for crawl corpora (Common Crawl ships WARC):
+# records framed as "WARC/1.0\r\n" + headers + \r\n\r\n + exactly
+# Content-Length payload bytes + \r\n\r\n. A real reader must honor
+# Content-Length framing (payloads may contain header-looking bytes),
+# parse record headers case-insensitively, and skip non-response
+# records. Shards are read distributed via binaryFile and parsed in
+# Arrow batches — the first stage of every crawl-to-corpus pipeline.
+
+WARC_FILES = 8
+
+
+def _warc_record(doc_id: int, lang: str, text: str) -> bytes:
+    payload = text.encode("utf-8")
+    # deliberately header-looking bytes INSIDE the payload: framing
+    # must come from Content-Length, not from scanning for separators
+    payload += b"\r\nWARC-Fake-Header: inside-payload\r\n\r\n"
+    headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n"
+        f"warc-target-uri: https://example.invalid/{lang}/{doc_id}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode()
+    return headers + payload + b"\r\n\r\n"
+
+
+def _warc_info(shard: int) -> bytes:
+    payload = f"software: spark-graft shard {shard}\r\n".encode()
+    return (
+        f"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode() + payload + b"\r\n\r\n"
+
+
+def build_warc(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    import os
+
+    rows = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    os.makedirs(f"{out_dir}/warc", exist_ok=True)
+    shards: list[bytearray] = [
+        bytearray(_warc_info(i)) for i in range(WARC_FILES)
+    ]
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        shards[r["doc_id"] % WARC_FILES] += _warc_record(
+            r["doc_id"], r["lang"], r["text"]
+        )
+    for i, shard in enumerate(shards):
+        with open(f"{out_dir}/warc/part-{i:03d}.warc", "wb") as f:
+            f.write(bytes(shard))
+
+
+def ensure_warc(spark: SparkSession, sf_dir: str) -> str:
+    return ensure_cached_build(
+        "fmt_warc", _FMT_VERSION, sf_dir,
+        lambda d: build_warc(spark, sf_dir, d),
+    )
+
+
+def parse_warc(blob: bytes) -> list[tuple[int, str, str]]:
+    """Content-Length-framed WARC walk: returns (doc_id, uri, text) for
+    every response record; warcinfo records are skipped by type."""
+    pos = 0
+    out: list[tuple[int, str, str]] = []
+    while pos < len(blob):
+        if blob[pos : pos + 8] != b"WARC/1.0":
+            raise ValueError(f"bad WARC version at byte {pos}")
+        hdr_end = blob.index(b"\r\n\r\n", pos)
+        headers: dict[str, str] = {}
+        for line in blob[pos : hdr_end].decode().split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers["content-length"])
+        payload = blob[hdr_end + 4 : hdr_end + 4 + length]
+        if len(payload) != length:
+            raise ValueError("truncated WARC payload")
+        pos = hdr_end + 4 + length
+        if blob[pos : pos + 4] != b"\r\n\r\n":
+            raise ValueError("missing WARC record separator")
+        pos += 4
+        if headers.get("warc-type") != "response":
+            continue
+        rid = headers["warc-record-id"]
+        doc_id = int(rid[rid.rindex(":") + 1 : -1])
+        text = payload.decode("utf-8").rsplit(
+            "\r\nWARC-Fake-Header:", 1
+        )[0]
+        out.append((doc_id, headers["warc-target-uri"], text))
+    return out
+
+
+@query(
+    "q_warc_ingest",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(len(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-corpus ingestion: WARC shards (warcinfo + response
+    records, Content-Length framing, header-looking bytes inside
+    payloads) parsed distributed via binaryFile + mapInPandas into
+    (doc, lang-from-uri, text), then aggregated per language. The
+    oracle recomputes from the base table — a framing or header bug
+    shifts counts or characters and breaks the hash."""
+    path = ensure_warc(spark, sf_dir)
+    files = spark.read.format("binaryFile").load(f"{path}/warc")
+
+    schema = "doc_id bigint, lang string, n_tokens bigint, n_chars bigint"
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for doc_id, uri, text in parse_warc(bytes(blob)):
+                    lang = uri.rsplit("/", 2)[-2]
+                    rows.append(
+                        (doc_id, lang, len(text.split(" ")), len(text))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "lang", "n_tokens", "n_chars"]
+            )
+
+    decoded = files.select("content").mapInPandas(dec, schema=schema)
+    return decoded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -381,3 +381,38 @@ def test_equidepth_buckets_are_balanced_and_ordered(spark, sf_smoke):
     assert max(counts) - min(counts) <= 1  # NTILE's equi-depth promise
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"]  # bucket ranges are ordered
+
+
+def test_q_warc_ingest_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.sources.formats import q_warc_ingest
+
+    compare_query(
+        spark, sf_smoke, "q_warc_ingest", q_warc_ingest,
+        ORACLE["q_warc_ingest"],
+    )
+
+
+def test_warc_framing_comes_from_content_length():
+    """Payloads contain header-looking byte sequences; the walker must
+    frame on Content-Length. Also: warcinfo skipped, truncation and
+    missing separators loud."""
+    import pytest
+
+    from dynamodb_streaming_datalake_spark.sources.formats import (
+        _warc_info,
+        _warc_record,
+        parse_warc,
+    )
+
+    blob = _warc_info(0) + _warc_record(7, "en", "hello world") + _warc_record(
+        8, "fr", "bonjour"
+    )
+    recs = parse_warc(blob)
+    assert recs == [
+        (7, "https://example.invalid/en/7", "hello world"),
+        (8, "https://example.invalid/fr/8", "bonjour"),
+    ]
+    with pytest.raises(ValueError, match="bad WARC version"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(blob[:-20])
