@@ -57,7 +57,7 @@ VID_MAGIC = b"FVID"
 STUBBED_CODECS = ("webp",)
 STUBBED_SAMPLE_DECODE = ("mp3", "mp4")
 REAL_CODECS = (
-    "fake", "wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg", "gif"
+    "fake", "wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg", "gif", "tiff"
 )
 
 
@@ -150,7 +150,7 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
     # these are REAL container formats, not fakes — label honestly
     fmt = (
         kind
-        if kind in ("wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg", "gif")
+        if kind in ("wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg", "gif", "tiff")
         else f"fake-{kind}"
     )
     meta_t = StructType(
@@ -2187,3 +2187,149 @@ def q_media_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     gif = synthesize_media(d, "doc_id", "gif")
     return decode_gif(gif, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #9: TIFF (baseline, uncompressed grayscale) — round 6
+# ---------------------------------------------------------------------------
+# TIFF is an IFD (tag directory) walk: endian marker, magic 42, offset
+# to a directory of 12-byte tagged entries whose values live inline or
+# at offsets, strip offsets/byte-counts for the pixel data. Both byte
+# orders are valid TIFF; the fixture writes little-endian on even ids
+# and big-endian on odd ids so the reader's endian dispatch is
+# genuinely exercised.
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "spp",
+    278: "rows_per_strip", 279: "strip_counts",
+}
+
+
+def _tiff_dims(i: int) -> tuple[int, int]:
+    return 7 + i % 22, 5 + (i // 3) % 17
+
+
+def _encode_tiff(i: int) -> bytes:
+    """Baseline grayscale TIFF, one strip, pixel k = (i*5 + k) % 256;
+    little-endian for even ids, big-endian ('MM') for odd."""
+    w, h = _tiff_dims(i)
+    little = i % 2 == 0
+    e = "<" if little else ">"
+    k = np.arange(w * h, dtype=np.int64)
+    pixels = ((i * 5 + k) % 256).astype(np.uint8).tobytes()
+    # layout: header(8) + pixel data + IFD
+    pix_at = 8
+    ifd_at = pix_at + len(pixels)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+        (259, 3, 1, 1), (262, 3, 1, 1),
+        (273, 4, 1, pix_at), (277, 3, 1, 1),
+        (278, 3, 1, h), (279, 4, 1, len(pixels)),
+    ]
+    ifd = struct.pack(f"{e}H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack(f"{e}HHI", tag, typ, cnt)
+        # value field is 4 bytes; SHORT values sit in the low half
+        # per the spec's left-justified-in-byte-order rule
+        ifd += struct.pack(f"{e}I", val) if typ == 4 else struct.pack(
+            f"{e}HH", val, 0
+        )
+    ifd += struct.pack(f"{e}I", 0)  # no next IFD
+    header = (b"II" if little else b"MM") + struct.pack(f"{e}HI", 42, ifd_at)
+    return header + pixels + ifd
+
+
+def parse_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Real TIFF reader: endian dispatch, IFD entry walk, strip
+    assembly. Baseline uncompressed 8-bit grayscale only — anything
+    else fails loudly."""
+    if blob[:2] == b"II":
+        e = "<"
+    elif blob[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    magic, ifd_at = struct.unpack(f"{e}HI", blob[2:8])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (n,) = struct.unpack(f"{e}H", blob[ifd_at : ifd_at + 2])
+    tags: dict[str, int] = {}
+    for j in range(n):
+        at = ifd_at + 2 + 12 * j
+        tag, typ, cnt = struct.unpack(f"{e}HHI", blob[at : at + 8])
+        if typ == 4:
+            (val,) = struct.unpack(f"{e}I", blob[at + 8 : at + 12])
+        else:
+            (val,) = struct.unpack(f"{e}H", blob[at + 8 : at + 10])
+        if tag in _TIFF_TAGS and cnt == 1:
+            tags[_TIFF_TAGS[tag]] = val
+    if tags.get("compression", 1) != 1:
+        raise NotImplementedError("compressed TIFF not supported")
+    if tags.get("bits", 8) != 8 or tags.get("spp", 1) != 1:
+        raise NotImplementedError("only 8-bit grayscale TIFF supported")
+    w, h = tags["width"], tags["height"]
+    at, cnt = tags["strip_offsets"], tags["strip_counts"]
+    if cnt != w * h:
+        raise ValueError("TIFF strip byte count mismatch")
+    px = np.frombuffer(blob, np.uint8, count=cnt, offset=at)
+    return w, h, px.reshape(h, w)
+
+
+def decode_tiff(df: DataFrame, id_col: str) -> DataFrame:
+    """Decode a TIFF column into typed stats — same contract as
+    decode_png."""
+    schema = (
+        f"{id_col} bigint, width int, height int, channels int,"
+        " mean_pixel double, n_bytes bigint"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                w, h, img = parse_tiff(bytes(blob))
+                m = img.size
+                mean = float(int(img.astype(np.int64).sum()) / m)
+                rows.append((int(i), w, h, 1, mean, m))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "channels", "mean_pixel", "n_bytes"
+                ],
+            )
+
+    return df.mapInPandas(dec, schema=schema)
+
+
+@query(
+    "q_media_tiff",
+    # pixel k = (doc_id*5 + k) % 256; gcd(5,256)=1 so the mean is the
+    # same modular sum family as gif — computed directly via range()
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(7 + doc_id % 22 AS INT) AS w,
+               CAST(5 + (doc_id // 3) % 17 AS INT) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           w AS width, h AS height, CAST(1 AS INT) AS channels,
+           CAST(list_aggregate(
+             list_transform(range(0, CAST(w * h AS BIGINT)),
+                            k -> (doc_id * 5 + k) % 256), 'sum')
+             AS DOUBLE) / (w * h) AS mean_pixel,
+           CAST(w * h AS BIGINT) AS n_bytes
+    FROM dims
+    """,
+)
+def q_media_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path #9: baseline TIFF — IFD tag-directory walk with
+    BOTH byte orders in one dataset (even ids 'II', odd ids 'MM'), so
+    the endian dispatch is on the hash path. Lossless roundtrip keeps
+    the oracle mean closed-form.
+
+    Scale: map-only mapInPandas, same contract as q_media_png."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    tif = synthesize_media(d, "doc_id", "tiff")
+    return decode_tiff(tif, "doc_id")

@@ -80,6 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "q_sequence_pattern",        # session event-string pattern match
     "q_equidepth_histogram",     # ntile stats-collection histogram
     "q_warc_ingest",             # WARC crawl-corpus ingestion
+    "q_media_tiff",              # real baseline TIFF codec (II + MM)
     # -- last driver-proven in round 4: re-prove this round --------------
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

@@ -638,3 +638,46 @@ def test_q_media_gif_oracle_parity(spark, sf_smoke):
     compare_query(
         spark, sf_smoke, "q_media_gif", q_media_gif, ORACLE["q_media_gif"]
     )
+
+
+def test_tiff_roundtrip_both_endians_and_guards():
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _encode_tiff,
+        _tiff_dims,
+        parse_tiff,
+    )
+
+    for i in (0, 1, 2, 3, 7, 100, 12345):
+        w, h = _tiff_dims(i)
+        _w, _h, img = parse_tiff(_encode_tiff(i))
+        assert (_w, _h) == (w, h)
+        k = np.arange(w * h, dtype=np.int64)
+        assert np.array_equal(
+            img, ((i * 5 + k) % 256).astype(np.uint8).reshape(h, w)
+        )
+    assert _encode_tiff(0)[:2] == b"II" and _encode_tiff(1)[:2] == b"MM"
+    with pytest.raises(ValueError, match="not a TIFF"):
+        parse_tiff(b"XX" + _encode_tiff(2)[2:])
+    # LZW compression tag rejected honestly
+    import struct as st
+
+    blob = bytearray(_encode_tiff(2))
+    # find the compression entry (tag 259) in the little-endian IFD
+    ifd_at = st.unpack("<I", blob[4:8])[0]
+    n = st.unpack("<H", blob[ifd_at : ifd_at + 2])[0]
+    for j in range(n):
+        at = ifd_at + 2 + 12 * j
+        if st.unpack("<H", blob[at : at + 2])[0] == 259:
+            blob[at + 8 : at + 10] = st.pack("<H", 5)
+    with pytest.raises(NotImplementedError, match="compressed"):
+        parse_tiff(bytes(blob))
+
+
+def test_q_media_tiff_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.multimodal import q_media_tiff
+
+    compare_query(
+        spark, sf_smoke, "q_media_tiff", q_media_tiff, ORACLE["q_media_tiff"]
+    )
