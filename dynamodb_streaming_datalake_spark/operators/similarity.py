@@ -1170,7 +1170,10 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 IVFPQ_CENTROIDS = 16  #: coarse codebook size (deterministic first-K init)
-IVFPQ_NPROBE = 2  #: inverted lists probed per query
+IVFPQ_NPROBE = 2  #: probed lists per query; raising to 4 was MEASURED (r6)
+#: to cost 2x wall-clock for +0.000 recall@5 at sf0.01 - the recall
+#: limiter is the 4-bit PQ code resolution (by design at fixture
+#: scale), which the ADC+exact-rerank path (q_ann_pq_rerank) recovers
 
 _SQL_IVFPQ_COARSE = _sql_l2sq("e.embedding::DOUBLE[]", "c.ce")
 

@@ -217,3 +217,48 @@ def test_pq_codebook_cache_is_session_agnostic(spark, sf_smoke):
     # restore the real entry for other tests sharing the process
     _pq_cache_put(key, _PQ_TCB_CACHE[fake_new])
     assert key in _PQ_TCB_CACHE and fake_new not in _PQ_TCB_CACHE
+
+
+def test_pq_family_recall_floors(spark, sf_oracle):
+    """Measured quality evidence, pinned: against exact brute-force
+    top-k, the 4-byte-code PQ paths must clear recall floors at the
+    oracle scale (ivfpq >= 0.25, ADC+exact-rerank >= 0.40; measured
+    0.34 / 0.52 in round 6). Guards against a silent quality
+    regression that correctness hashing alone cannot see — the oracle
+    proves the math is AS SPECIFIED, this proves the spec is USEFUL."""
+    from dynamodb_streaming_datalake_spark.functions.texthash import cosine
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        PQ_NQ,
+        PQ_TOPK,
+        q_ann_ivfpq,
+        q_ann_pq_rerank,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_oracle, "embeddings")
+    q = e.where(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("c"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), "neighbor_id")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= PQ_TOPK)
+        .collect()
+    }
+    for fn, floor in ((q_ann_ivfpq, 0.25), (q_ann_pq_rerank, 0.40)):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in fn(spark, sf_oracle).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        assert recall >= floor, (fn.__name__, recall)
