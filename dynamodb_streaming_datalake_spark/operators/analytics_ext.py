@@ -850,6 +850,10 @@ def q_order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((n * sxy - sx * sy) * (n * sxy - sx * sy)
                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
     FROM sums
+    -- degenerate groups (single point, constant x, constant y) have a
+    -- zero denominator whose division semantics differ across engines
+    -- (Spark non-ANSI NULL vs DuckDB inf/NaN): excluded by contract
+    WHERE n >= 2 AND n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0
     """,
 )
 def q_linreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,6 +889,11 @@ def q_linreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sxy"),
     )
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # degenerate groups excluded by contract (zero denominators divide
+    # to NULL here but inf/NaN in DuckDB — see the oracle's WHERE)
+    sums = sums.where(
+        (n >= 2) & (n * sxx - sx * sx != 0) & (n * syy - sy * sy != 0)
+    )
     return sums.select(
         "event_type",
         n.cast("bigint").alias("n"),

@@ -99,27 +99,27 @@ def bpe_train(
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("c"))
         )
-        best = counts.orderBy(F.col("c").desc(), "a", "b").limit(1)
+        # materialize the 1-row argmax NOW (broadcast-analogous single
+        # row): leaving it lazy embeds round k-1's whole pair-count
+        # aggregation inside round k's plan, re-executing the corpus
+        # histogram O(K^2) times — the recomputation failure mode the
+        # pagerank bench measured as 5x (round-6 review finding)
+        best = counts.orderBy(F.col("c").desc(), "a", "b").limit(1).collect()[0]
         merge_rows.append(
-            best.select(
-                F.lit(k).alias("merge_rank"),
-                F.col("a").alias("left_tok"),
-                F.col("b").alias("right_tok"),
-                F.concat("a", "b").alias("merged"),
-                F.col("c").cast("bigint").alias("pair_count"),
-            )
+            (k, best["a"], best["b"], best["a"] + best["b"], int(best["c"]))
         )
-        m = best.select(F.col("a").alias("m_a"), F.col("b").alias("m_b"))
-        words = words.crossJoin(F.broadcast(m)).select(
+        words = words.select(
             "w",
             "cnt",
             _apply_merge(
-                F.col("toks"), F.col("m_a"), F.col("m_b")
+                F.col("toks"), F.lit(best["a"]), F.lit(best["b"])
             ).alias("toks"),
         )
-    merges = merge_rows[0]
-    for mr in merge_rows[1:]:
-        merges = merges.unionAll(mr)
+    merges = spark.createDataFrame(
+        merge_rows,
+        "merge_rank int, left_tok string, right_tok string,"
+        " merged string, pair_count bigint",
+    )
     return merges, words
 
 
@@ -290,16 +290,19 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     production count-LM training, which is one more reason n-gram LMs
     were the original 'big data' workload."""
     d = read_table(spark, sf_dir, "documents")
+    # tokenize ONCE into a column: HOF lambdas don't get subexpression
+    # elimination, so split(text) inside the transform would re-split
+    # the whole document per bigram — O(tokens^2) (round-6 review)
     bigrams = (
-        d.select(
+        d.select(F.split("text", " ").alias("ws"))
+        .select(
             F.explode(
                 F.expr(
-                    "CASE WHEN size(split(text, ' ')) < 2 THEN"
+                    "CASE WHEN size(ws) < 2 THEN"
                     " CAST(array() AS array<struct<w1: string, w2: string>>)"
-                    " ELSE transform(sequence(1, size(split(text, ' ')) - 1),"
-                    " j -> struct(element_at(split(text, ' '), CAST(j AS INT))"
-                    " AS w1, element_at(split(text, ' '), CAST(j AS INT) + 1)"
-                    " AS w2)) END"
+                    " ELSE transform(sequence(1, size(ws) - 1),"
+                    " j -> struct(element_at(ws, CAST(j AS INT)) AS w1,"
+                    " element_at(ws, CAST(j AS INT) + 1) AS w2)) END"
                 )
             ).alias("bg")
         )

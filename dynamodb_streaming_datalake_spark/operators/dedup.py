@@ -1463,14 +1463,17 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all-pairs. The same shape at 100 TB shards by hash first —
     duplicate-heavy hashes stream through a single window each."""
     d = read_table(spark, sf_dir, "documents")
-    nb = F.expr(f"CAST(ceil(size(split(text, ' ')) / {PARA_BLOCK}.0) AS INT)")
+    # tokenize ONCE into a column: the transform lambda would otherwise
+    # re-split the full document per block (round-6 review)
     blocks = d.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, CAST(ceil(size(split(text, ' '))"
+                f"transform(sequence(0, CAST(ceil(size(toks)"
                 f" / {PARA_BLOCK}.0) AS INT) - 1),"
-                f" b -> array_join(slice(split(text, ' '),"
+                f" b -> array_join(slice(toks,"
                 f" b * {PARA_BLOCK} + 1, {PARA_BLOCK}), ' '))"
             )
         ).alias("pos", "block"),

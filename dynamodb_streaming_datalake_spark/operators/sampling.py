@@ -160,7 +160,6 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     total is still under budget.
     """
     d = read_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
 
     t = d.select(
         "doc_id",
@@ -251,7 +250,6 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     that tiny table, then per-block windows bounded at ~N/blocks rows —
     bit-equal cum values, no global sort anywhere.
     """
-    from pyspark.sql import Window
 
     d = read_table(spark, sf_dir, "documents")
     t = d.select(

@@ -1469,12 +1469,18 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dynamodb_streaming_datalake_spark.operators.text import bm25_scored
 
-    lex_top = (
-        bm25_scored(spark, sf_dir)
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(HY_LIST)
+    # rank on round(score, 6): raw BM25 sums are partition-order
+    # floats, so two mathematically-tied docs could get opposite ulps
+    # on the two engines and flip ranks; rounding first collapses ulp
+    # noise (the q_bm25_search output discipline) so ties break on
+    # doc_id identically everywhere
+    lex_scored = bm25_scored(spark, sf_dir).select(
+        "doc_id", F.round("score", 6).alias("score_r")
     )
-    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex_top = lex_scored.orderBy(
+        F.col("score_r").desc(), "doc_id"
+    ).limit(HY_LIST)
+    w_lex = Window.orderBy(F.col("score_r").desc(), "doc_id")
     lex = lex_top.select(
         "doc_id", F.row_number().over(w_lex).alias("lex_rank")
     )
@@ -1527,7 +1533,8 @@ def _hybrid_oracle() -> str:
     lex AS (
         SELECT doc_id, lex_rank FROM (
             SELECT doc_id,
-                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+                   ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id)
+                     AS lex_rank
             FROM scored
         ) WHERE lex_rank <= {HY_LIST}
     ),

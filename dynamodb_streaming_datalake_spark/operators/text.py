@@ -285,15 +285,16 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# keep the docstring's geometry tied to the constants (f-strings can't
-# be docstrings, so format after definition; under python -OO docstrings
-# are stripped to None, so guard the rewrite)
-if q_doc_chunks.__doc__:
-    q_doc_chunks.__doc__ = q_doc_chunks.__doc__.format(
-        tokens=CHUNK_TOKENS,
-        stride=CHUNK_STRIDE,
-        overlap=CHUNK_TOKENS - CHUNK_STRIDE,
-    )
+# keep the docstring's geometry tied to the constants (rendered by the
+# shared guarded helper; the other _fmt calls live at module end)
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
+
+_fmt(
+    q_doc_chunks,
+    tokens=CHUNK_TOKENS,
+    stride=CHUNK_STRIDE,
+    overlap=CHUNK_TOKENS - CHUNK_STRIDE,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -801,7 +802,6 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
 
 _fmt(q_tfidf_terms, k=TFIDF_TOP_TERMS)
 _fmt(q_heavy_hitters, k=HH_K)

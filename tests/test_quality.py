@@ -116,9 +116,25 @@ def test_para_dedup_first_occurrence_semantics(spark, sf_smoke):
     assert stats["rem"] > 0, "fixture should contain repeated blocks"
     assert stats["rem"] < stats["tot"]
     assert out.where(F.col("n_removed") > F.col("n_blocks")).count() == 0
-    # doc 0 is the global first occurrence of everything it contains
+    # doc 0 keeps the first occurrence of everything it contains, so
+    # its removals are exactly its INTERNAL repeats (a later position
+    # repeating an earlier block within doc 0 itself)
+    from dynamodb_streaming_datalake_spark.operators.dedup import PARA_BLOCK
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    text0 = (
+        read_table(spark, sf_smoke, "documents")
+        .where(F.col("doc_id") == 0)
+        .first()["text"]
+    )
+    toks = text0.split(" ")
+    blocks0 = [
+        " ".join(toks[i : i + PARA_BLOCK])
+        for i in range(0, len(toks), PARA_BLOCK)
+    ]
+    internal_dups = len(blocks0) - len(set(blocks0))
     first_doc = out.where(F.col("doc_id") == 0).first()
-    assert first_doc["n_removed"] == 0
+    assert first_doc["n_removed"] == internal_dups
 
 
 def test_q_schema_evolution_oracle_parity(spark, sf_smoke):
