@@ -234,8 +234,6 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_bm25_search",  # 1-row (n_docs, avgdl) aggregate crossed
         "q_hybrid_search",  # 1-row stats + 1-row query vector crossed
         "q_pagerank",  # 1-row node-count aggregate crossed into init
-        "q_bpe_train",  # 1-row argmax merge crossed per round
-        "q_bpe_tokenize",  # same chain as q_bpe_train
         "q_data_quality_report",  # 1-row check aggregates crossed
         "q_bigram_lm",  # 1-row vocabulary-size aggregate crossed
     }
