@@ -97,24 +97,35 @@ def main() -> None:
             str(Path(__file__).resolve().parent / ".benchdata" / "sf1"),
         )
         try:
-            if not Path(sf1_dir, "lineitem.parquet").exists():
+            # completion marker, not a table probe: an interrupted build
+            # that got as far as lineitem.parquet must NOT pass for done
+            done = Path(sf1_dir, "_BUILD_COMPLETE")
+            if not done.exists():
                 import importlib.util
+                import shutil
 
+                shutil.rmtree(sf1_dir, ignore_errors=True)
                 ms_path = Path(__file__).resolve().parent / "scripts" / "make_scale.py"
                 spec = importlib.util.spec_from_file_location("make_scale", ms_path)
                 ms = importlib.util.module_from_spec(spec)
                 spec.loader.exec_module(ms)
                 ms.build(spark, sf_dir, sf1_dir, reps=10)
+                done.touch()
             for name in SF1_FLAGSHIPS:
                 if name not in queries:
                     continue
                 t0 = time.perf_counter()
                 queries[name](spark, sf1_dir).count()
                 sf1_timings[name] = round(time.perf_counter() - t0, 3)
-                if timings.get(name):
-                    sf1_ratio[name] = round(sf1_timings[name] / timings[name], 1)
+                base = timings.get(name)
+                # explicit None for un-ratioable entries (sub-ms base):
+                # silence would be indistinguishable from "didn't run"
+                sf1_ratio[name] = (
+                    round(sf1_timings[name] / base, 1) if base else None
+                )
         except Exception as exc:  # never let the scale probe kill the bench
             sf1_timings = {"error": -1.0}
+            sf1_ratio = {}  # partial ratios would contradict the marker
             print(f"sf1 probe failed: {exc}", file=sys.stderr)
 
     detail_path = Path(__file__).resolve().parent / "bench_detail.json"

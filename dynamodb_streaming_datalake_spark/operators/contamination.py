@@ -36,6 +36,7 @@ from dynamodb_streaming_datalake_spark.functions.texthash import (
     word_shingles,
 )
 from dynamodb_streaming_datalake_spark.operators.sampling import DENOM, hash_bucket
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
 from dynamodb_streaming_datalake_spark.registry import query
 from dynamodb_streaming_datalake_spark.sources.readers import read_table
 
@@ -106,6 +107,5 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contaminated_docs(train_docs, eval_docs, NGRAM)
 
 
-from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
 
 _fmt(q_decontaminate, NGRAM=NGRAM)

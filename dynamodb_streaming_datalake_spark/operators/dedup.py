@@ -49,6 +49,7 @@ from dynamodb_streaming_datalake_spark.functions.texthash import (
     sql_word_shingles,
     word_shingles,
 )
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
 from dynamodb_streaming_datalake_spark.registry import query
 from dynamodb_streaming_datalake_spark.sources.readers import read_table
 
@@ -1509,6 +1510,5 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
 
 _fmt(q_para_dedup, PARA_BLOCK=PARA_BLOCK)

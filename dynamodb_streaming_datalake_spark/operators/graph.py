@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
 from dynamodb_streaming_datalake_spark.registry import query
 from dynamodb_streaming_datalake_spark.sources.readers import read_table
 
@@ -177,6 +178,5 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
 
 _fmt(q_pagerank, PR_ITERS=PR_ITERS, PR_TOP=PR_TOP)

@@ -26,22 +26,18 @@ from dynamodb_streaming_datalake_spark.sources.readers import read_table
 
 
 def pk_unique(df: DataFrame, table: str, key: str) -> DataFrame:
-    dup = (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") > 1)
-    )
-    return (
-        df.agg(F.count(F.lit(1)).alias("n_checked"))
-        .crossJoin(
-            F.broadcast(dup.agg(F.count(F.lit(1)).alias("n_violations")))
-        )
-        .select(
-            F.lit("pk_unique").alias("check_name"),
-            F.lit(table).alias("table_name"),
-            "n_checked",
-            "n_violations",
-        )
+    """One scan: per-key counts, then both report numbers from the
+    SAME grouped frame (row total = sum of counts; violations = keys
+    appearing more than once)."""
+    g = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+    return g.agg(
+        F.sum("c").alias("n_checked"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_violations"),
+    ).select(
+        F.lit("pk_unique").alias("check_name"),
+        F.lit(table).alias("table_name"),
+        "n_checked",
+        "n_violations",
     )
 
 
@@ -49,24 +45,22 @@ def fk_contained(
     child: DataFrame, child_key: str, parent: DataFrame,
     parent_key: str, check: str, table: str,
 ) -> DataFrame:
-    orphans = child.join(
-        parent.select(parent_key),
-        child[child_key] == parent[parent_key],
-        "left_anti",
+    """One scan of the child: left-join the (deduplicated) parent key
+    set and count rows + unmatched rows in a single aggregate."""
+    pk = parent.select(parent_key).distinct()
+    joined = child.select(child_key).join(
+        pk, child[child_key] == pk[parent_key], "left"
     )
-    return (
-        child.agg(F.count(F.lit(1)).alias("n_checked"))
-        .crossJoin(
-            F.broadcast(
-                orphans.agg(F.count(F.lit(1)).alias("n_violations"))
-            )
-        )
-        .select(
-            F.lit(check).alias("check_name"),
-            F.lit(table).alias("table_name"),
-            "n_checked",
-            "n_violations",
-        )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(pk[parent_key].isNull(), 1).otherwise(0)).alias(
+            "n_violations"
+        ),
+    ).select(
+        F.lit(check).alias("check_name"),
+        F.lit(table).alias("table_name"),
+        "n_checked",
+        "n_violations",
     )
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.functions.texthash import portable_hash60
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
 from dynamodb_streaming_datalake_spark.registry import query
 from dynamodb_streaming_datalake_spark.sources.readers import read_table
 
@@ -355,7 +356,6 @@ def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
 
 _fmt(q_sequence_pack, SEQ_LEN=SEQ_LEN, PREFIX_BLOCKS=PREFIX_BLOCKS)
 _fmt(q_stratified_cap, CAP_PER_STRATUM=CAP_PER_STRATUM, CAP_SALTS=CAP_SALTS)

@@ -31,6 +31,7 @@ from dynamodb_streaming_datalake_spark.functions.texthash import (
     sql_cosine,
     sql_portable_hash60,
 )
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
 from dynamodb_streaming_datalake_spark.registry import query
 from dynamodb_streaming_datalake_spark.sources.readers import read_table
 
@@ -953,7 +954,9 @@ def _pq_lut(sub: DataFrame, tcb: DataFrame) -> DataFrame:
     )
 
 
-def _adc_fold_and_rank(pairs: DataFrame, pool: int) -> DataFrame:
+def _adc_fold_and_rank(
+    pairs: DataFrame, pool: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Fold the s-ordered per-subspace LUT distances into one adist per
     (query, neighbor) and rank per query by (adist, neighbor_id) —
     WITHOUT funnelling the whole scored set into one task per query.
@@ -970,8 +973,10 @@ def _adc_fold_and_rank(pairs: DataFrame, pool: int) -> DataFrame:
     which is exactly what the DuckDB oracle checks. Callers must not
     read ranks beyond ``pool``."""
     slist = F.sort_array(F.collect_list(F.struct("s", "d")))
+    # ``carry``: per-query constant columns (e.g. the query's metadata
+    # stratum) ride the grouped keys so callers don't need a re-join
     approx = pairs.groupBy(
-        "query_id", F.col("vec_id").alias("neighbor_id")
+        "query_id", F.col("vec_id").alias("neighbor_id"), *carry
     ).agg(
         F.aggregate(
             F.transform(slist, lambda x: x["d"]),
@@ -1347,7 +1352,7 @@ def _pq_filtered_pairs(
             & (F.col("lang") == F.col("qlang")),
         )
         .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", "s", "d")
+        .select("q_id", "vec_id", "s", "d", "qlang")
         .withColumnRenamed("q_id", "query_id")
     )
 
@@ -1416,9 +1421,8 @@ def q_ann_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = _pq_filtered_pairs(enc, lut, d, qmeta)
     return (
-        _adc_fold_and_rank(pairs, pool=PQ_TOPK)
+        _adc_fold_and_rank(pairs, pool=PQ_TOPK, carry=("qlang",))
         .where(F.col("rank") <= PQ_TOPK)
-        .join(F.broadcast(qmeta), "query_id")
         .select(
             "query_id",
             F.col("qlang").alias("lang"),
@@ -1586,7 +1590,6 @@ _FMT_CONSTS = dict(
     IVFPQ_NPROBE=IVFPQ_NPROBE,
     ADC_PREREDUCE_BUCKETS=ADC_PREREDUCE_BUCKETS,
 )
-from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
 
 for _q in (q_pq_quantize, q_ann_pq, q_ann_pq_rerank, q_ann_ivfpq):
     _fmt(_q, **_FMT_CONSTS)

@@ -20,6 +20,7 @@ from dynamodb_streaming_datalake_spark.functions.texthash import (
     sql_word_shingles,
     word_shingles,
 )
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
 from dynamodb_streaming_datalake_spark.registry import query
 from dynamodb_streaming_datalake_spark.sources.readers import read_table
 
@@ -287,7 +288,6 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # keep the docstring's geometry tied to the constants (rendered by the
 # shared guarded helper; the other _fmt calls live at module end)
-from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
 
 _fmt(
     q_doc_chunks,
