@@ -183,6 +183,10 @@ PRIORITY: tuple[str, ...] = (
     "q_pivot_event_matrix",
     "q_event_moments",
     "q_histogram_value",
+    # -- registered late in round 6, AFTER the window (the r5 precedent
+    #    for additions once the 50 slots are spoken for): locally
+    #    oracle-proven at three scales; rotates into round 7's window --
+    "q_zip_ingest",              # ZIP central-directory ingestion
 )
 
 

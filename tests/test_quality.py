@@ -432,3 +432,47 @@ def test_warc_framing_comes_from_content_length():
         parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
     with pytest.raises(ValueError, match="truncated"):
         parse_warc(blob[:-20])
+
+
+def test_q_zip_ingest_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.sources.formats import q_zip_ingest
+
+    compare_query(
+        spark, sf_smoke, "q_zip_ingest", q_zip_ingest, ORACLE["q_zip_ingest"]
+    )
+
+
+def test_zip_reader_handles_both_methods_and_guards():
+    """Spec-surface checks against stdlib-written archives: STORED and
+    DEFLATE members, EOCD behind a comment, and loud failures on
+    corruption / unsupported methods."""
+    import io
+    import zipfile
+
+    import pytest
+
+    from dynamodb_streaming_datalake_spark.sources.formats import parse_zip
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            zipfile.ZipInfo("a/1.txt"), "stored member",
+            compress_type=zipfile.ZIP_STORED,
+        )
+        zf.writestr(
+            zipfile.ZipInfo("b/2.txt"), "deflated member " * 50,
+            compress_type=zipfile.ZIP_DEFLATED,
+        )
+        zf.comment = b"trailing archive comment shifts the EOCD scan"
+    blob = buf.getvalue()
+    got = dict(parse_zip(blob))
+    assert got["a/1.txt"] == "stored member"
+    assert got["b/2.txt"] == "deflated member " * 50
+    with pytest.raises(ValueError, match="end-of-central"):
+        parse_zip(b"not an archive at all")
+    # corrupt a central-directory signature
+    bad = bytearray(blob)
+    cd_at = blob.rfind(b"PK\x01\x02")
+    bad[cd_at] = 0x00
+    with pytest.raises(ValueError, match="central-directory|end-of-central"):
+        parse_zip(bytes(bad))
