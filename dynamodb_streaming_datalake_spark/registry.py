@@ -187,6 +187,7 @@ PRIORITY: tuple[str, ...] = (
     #    for additions once the 50 slots are spoken for): locally
     #    oracle-proven at three scales; rotates into round 7's window --
     "q_zip_ingest",              # ZIP central-directory ingestion
+    "q_tgz_ingest",              # tar.gz ustar ingestion
 )
 
 

@@ -671,3 +671,115 @@ def q_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tar.gz archive ingestion — round 6
+# ---------------------------------------------------------------------------
+# The other ubiquitous distribution container. The reader implements
+# the ustar spec directly: gzip unwrap (zlib wbits=31), 512-byte
+# header blocks with octal size fields and checksum verification,
+# content padded to block boundaries, two zero blocks as terminator.
+# Fixtures are written by stdlib tarfile — an independent
+# implementation, like the ZIP fixtures.
+
+TGZ_FILES = 6
+
+
+def build_tgz(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    import io
+    import os
+    import tarfile
+
+    rows = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    os.makedirs(f"{out_dir}/tgz", exist_ok=True)
+    handles = [
+        tarfile.open(f"{out_dir}/tgz/part-{i:03d}.tar.gz", "w:gz")
+        for i in range(TGZ_FILES)
+    ]
+    try:
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            tf = handles[r["doc_id"] % TGZ_FILES]
+            data = r["text"].encode("utf-8")
+            info = tarfile.TarInfo(f"{r['lang']}/{r['doc_id']}.txt")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    finally:
+        for tf in handles:
+            tf.close()
+
+
+def ensure_tgz(spark: SparkSession, sf_dir: str) -> str:
+    return ensure_cached_build(
+        "fmt_tgz", _FMT_VERSION, sf_dir,
+        lambda d: build_tgz(spark, sf_dir, d),
+    )
+
+
+def parse_tgz(blob: bytes) -> list[tuple[str, str]]:
+    """ustar walk over the gunzipped stream: name (NUL-padded), octal
+    size, header checksum (sum of header bytes with the checksum field
+    as spaces), 512-padding, zero-block terminator. Regular files
+    only; returns (member_name, text)."""
+    tar = _zlib.decompress(blob, 31)
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos + 512 <= len(tar):
+        hdr = tar[pos : pos + 512]
+        if hdr == b"\x00" * 512:
+            break
+        # verify the checksum BEFORE trusting any header field (the
+        # spec-correct order: a corrupt header must fail as corrupt,
+        # not as a downstream decode error)
+        stored_ck = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        calc_ck = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if calc_ck != stored_ck:
+            raise ValueError(f"tar header checksum mismatch at {pos}")
+        name = hdr[0:100].split(b"\x00", 1)[0].decode("utf-8")
+        size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        typeflag = hdr[156:157]
+        data = tar[pos + 512 : pos + 512 + size]
+        if len(data) != size:
+            raise ValueError(f"truncated tar member {name}")
+        pos += 512 + ((size + 511) // 512) * 512
+        if typeflag in (b"0", b"\x00"):
+            out.append((name, data.decode("utf-8")))
+    return out
+
+
+@query(
+    "q_tgz_ingest",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(len(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_tgz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive ingestion #2: tar.gz shards decoded by a from-spec
+    ustar reader (gzip unwrap, octal fields, checksum verification,
+    block padding) over binaryFile — the standard 'dataset tarball'
+    intake. Same oracle family as q_zip_ingest."""
+    path = ensure_tgz(spark, sf_dir)
+    files = spark.read.format("binaryFile").load(f"{path}/tgz")
+
+    schema = "lang string, n_chars bigint"
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for name, text in parse_tgz(bytes(blob)):
+                    rows.append((name.split("/")[0], len(text)))
+            yield pd.DataFrame(rows, columns=["lang", "n_chars"])
+
+    decoded = files.select("content").mapInPandas(dec, schema=schema)
+    return decoded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -476,3 +476,40 @@ def test_zip_reader_handles_both_methods_and_guards():
     bad[cd_at] = 0x00
     with pytest.raises(ValueError, match="central-directory|end-of-central"):
         parse_zip(bytes(bad))
+
+
+def test_q_tgz_ingest_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.sources.formats import q_tgz_ingest
+
+    compare_query(
+        spark, sf_smoke, "q_tgz_ingest", q_tgz_ingest, ORACLE["q_tgz_ingest"]
+    )
+
+
+def test_tgz_reader_verifies_checksums_and_padding():
+    import io
+    import tarfile
+
+    import pytest
+
+    from dynamodb_streaming_datalake_spark.sources.formats import parse_tgz
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for n, t in (("a/x.txt", "x" * 700), ("b/y.txt", "short")):
+            d = t.encode()
+            info = tarfile.TarInfo(n)
+            info.size = len(d)
+            tf.addfile(info, io.BytesIO(d))
+    blob = buf.getvalue()
+    got = dict(parse_tgz(blob))
+    assert got == {"a/x.txt": "x" * 700, "b/y.txt": "short"}
+    # corrupt one header byte inside the tar stream -> checksum fails
+    import zlib
+
+    tar = bytearray(zlib.decompress(blob, 31))
+    tar[1] ^= 0xFF  # second byte of the first member's name field
+    comp = zlib.compressobj(9, zlib.DEFLATED, 31)
+    bad = comp.compress(bytes(tar)) + comp.flush()
+    with pytest.raises(ValueError, match="checksum"):
+        parse_tgz(bad)
