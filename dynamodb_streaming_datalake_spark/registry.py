@@ -20,76 +20,23 @@ ORACLE: dict[str, str] = {}
 
 # Deliberate driver-facing ordering. The driver's CORRECTNESS gate records
 # exactly the first 50 entries of ``all_queries()``, so ordering is part of
-# the proof surface, not cosmetics: rounds 1-2 proved the relational/CDC
-# core twice while the LLM-pipeline surface (dedup, ANN, text, multimodal,
-# sampling, privacy, streaming windows) sat unchecked. Round 3 put those
-# never-checked queries first; round 4 inserted its EIGHT new queries
-# (trained IVF, filtered ANN, quantize, token budget, curation, stateful
-# twin, doc chunks, unpivot) inside the window and went 50/50 green.
-# Rotation rule: UNPROVEN first, once-proven next, twice-proven tail last —
-# rotate twice-proven window members out to make room, never the converse.
-# Round 6 leads with the nine round-5 additions that never got a driver row
-# (the r5 window correctly spent its 50 slots on 6 new + 44 r1/r2-stale
-# re-proofs), then this round's new queries, then the 50 whose most recent
-# driver row is round 4; round 5's freshly-proven 50 demote to the tail.
-# Names not listed here order after the listed ones, in registration order —
-# so a future registration can never silently eject a listed query from the
-# window.
+# the proof surface, not cosmetics. Rotation rule: UNPROVEN first,
+# once-proven next, twice-proven tail last — rotate twice-proven window
+# members out to make room, never the converse. Round 7 leads with the two
+# archive readers registered after round-6's window (the only names with no
+# driver row anywhere), then the 42 queries whose most recent driver row is
+# round 4, then the 6 stalest round-5-proven names — exactly 50, closing
+# cumulative driver proof at 144/144. Round-7 additions register after the
+# window (the r5/r6 precedent) and lead round 8. Names not listed here order
+# after the listed ones, in registration order — so a future registration
+# can never silently eject a listed query from the window.
 PRIORITY: tuple[str, ...] = (
-    # -- registered in round 5, never driver-checked: prove these first --
-    "q_salted_join",
-    "q_pq_quantize",
-    "q_ann_pq",
-    "q_media_bmp",
-    "q_ann_pq_rerank",
-    "q_doc_cdc_chunks",
-    "q_zorder_scan",
-    "q_mvcc_timetravel",
-    "q_compact_scan",
-    # -- new in round 6: never driver-checked (added as each lands;
-    #    test_registry fails loudly on any name not actually registered) --
-    "q_ann_ivfpq",               # IVF-pruned ADC top-k (the 100 TB PQ shape)
-    "q_ann_pq_filtered",         # metadata pre-filter composed with ADC
-    "q_media_png",               # real PNG codec (zlib inflate + unfilter)
-    "q_sequence_pack",           # concat-and-chunk training sequences
-    "q_bm25_search",             # BM25 lexical retrieval top-k
-    "q_stream_attribution",      # stream-stream interval join (batch twin)
-    "q_quality_classifier",      # hashed linear classifier inference
-    "q_media_mp4",               # real ISO BMFF box-tree demux
-    "q_media_mp3",               # real MPEG-1 Layer III frame walk
-    "q_hybrid_search",           # BM25 + dense cosine, RRF fusion
-    "q_pagerank",                # iterative fixed-point PageRank
-    "q_media_jpeg",              # real baseline JPEG codec (grayscale)
-    "q_bpe_train",               # distributed BPE merge learning
-    "q_bpe_tokenize",            # BPE apply via word-table join
-    "q_stratified_cap",          # k-per-stratum sample, salted 2-phase
-    "q_incr_agg",                # incremental aggregate-view merge
-    "q_media_gif",               # real GIF87a LZW codec
-    "q_snapshot_diff",           # CDC generation from twin snapshots
-    "q_ewma_user_value",         # exact-binary-fraction EWMA fold
-    "q_data_quality_report",     # constraint checks (PK/FK/null/range)
-    "q_order_baskets",           # nested array<struct> roundtrip
-    "q_para_dedup",              # block-level dedup + reconstruction
-    "q_schema_evolution",        # mergeSchema two-generation read
-    "q_linreg_train",            # closed-form OLS per group
-    "q_csv_roundtrip",           # quoted/escaped/multiline CSV read
-    "q_orc_roundtrip",           # ORC scan with pushdown
-    "q_bigram_lm",               # add-k smoothed bigram LM training
-    "q_avro_scan",               # library-free Avro OCF ingestion
-    "q_cohort_retention",        # first-seen-week retention matrix
-    "q_sequence_pattern",        # session event-string pattern match
-    "q_equidepth_histogram",     # ntile stats-collection histogram
-    "q_warc_ingest",             # WARC crawl-corpus ingestion
-    "q_media_tiff",              # real baseline TIFF codec (II + MM)
-    # -- last driver-proven in round 4: re-prove this round --------------
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
-    "q_dedup_simhash_pairs",
-    "q_dedup_embedding",
-    "q_dedup_embedding_trained",
-    "q_dedup_clusters",
+    # -- round-7 window (driver records first 50): the two archive readers
+    #    registered after round-6s window (never driver-proven), then the 42
+    #    round-4-stale re-proofs, then the 6 stalest round-5-proven names.
+    #    Closes cumulative driver proof to 144/144.
+    "q_zip_ingest",
+    "q_tgz_ingest",
     "q_dedup_apply",
     "q_dedup_apply_clustered",
     "q_ann_topk",
@@ -132,13 +79,16 @@ PRIORITY: tuple[str, ...] = (
     "q_latest_state_per_key",
     "q_merge_snapshot_cdc",
     "q_scd2_intervals",
-    # -- tail: freshly proven green in CORRECTNESS_r05 (round-5 window) --
     "q_enrich_stream",
     "q_media_wav",
     "q_media_ppm",
     "q_tfidf_terms",
     "q_heavy_hitters",
     "q_bloom_prejoin",
+    # -- registered in round 7, AFTER the window (r5/r6 precedent): locally
+    #    oracle-proven; rotate into round 8s window first.
+    # (round-7 additions are appended here as they land)
+    # -- remaining round-5-proven (next-stalest; lead round 8 after r7-new) --
     "q_customers_without_orders",
     "q_rollup_events",
     "q_user_event_history",
@@ -183,11 +133,57 @@ PRIORITY: tuple[str, ...] = (
     "q_pivot_event_matrix",
     "q_event_moments",
     "q_histogram_value",
-    # -- registered late in round 6, AFTER the window (the r5 precedent
-    #    for additions once the 50 slots are spoken for): locally
-    #    oracle-proven at three scales; rotates into round 7's window --
-    "q_zip_ingest",              # ZIP central-directory ingestion
-    "q_tgz_ingest",              # tar.gz ustar ingestion
+    # -- tail: freshly proven green in CORRECTNESS_r06 (round-6 window) --
+    "q_salted_join",
+    "q_pq_quantize",
+    "q_ann_pq",
+    "q_media_bmp",
+    "q_ann_pq_rerank",
+    "q_doc_cdc_chunks",
+    "q_zorder_scan",
+    "q_mvcc_timetravel",
+    "q_compact_scan",
+    "q_ann_ivfpq",
+    "q_ann_pq_filtered",
+    "q_media_png",
+    "q_sequence_pack",
+    "q_bm25_search",
+    "q_stream_attribution",
+    "q_quality_classifier",
+    "q_media_mp4",
+    "q_media_mp3",
+    "q_hybrid_search",
+    "q_pagerank",
+    "q_media_jpeg",
+    "q_bpe_train",
+    "q_bpe_tokenize",
+    "q_stratified_cap",
+    "q_incr_agg",
+    "q_media_gif",
+    "q_snapshot_diff",
+    "q_ewma_user_value",
+    "q_data_quality_report",
+    "q_order_baskets",
+    "q_para_dedup",
+    "q_schema_evolution",
+    "q_linreg_train",
+    "q_csv_roundtrip",
+    "q_orc_roundtrip",
+    "q_bigram_lm",
+    "q_avro_scan",
+    "q_cohort_retention",
+    "q_sequence_pattern",
+    "q_equidepth_histogram",
+    "q_warc_ingest",
+    "q_media_tiff",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_dedup_embedding",
+    "q_dedup_embedding_trained",
+    "q_dedup_clusters",
 )
 
 

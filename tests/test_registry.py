@@ -26,36 +26,40 @@ def test_every_query_has_oracle_sql():
 
 
 def test_window_prefers_unproven_queries():
-    """Round-6 rotation: the nine round-5 additions that never got a driver
-    row must LEAD the 50-row window, followed by the round-4-proven cohort
-    whose proof is now the stalest; round-5's freshly-proven 50 rotate to
-    the tail."""
-    names = list(all_queries())[:50]
-    never_proven = (
-        "q_salted_join",
-        "q_pq_quantize",
-        "q_ann_pq",
-        "q_media_bmp",
-        "q_ann_pq_rerank",
-        "q_doc_cdc_chunks",
-        "q_zorder_scan",
-        "q_mvcc_timetravel",
-        "q_compact_scan",
+    """Rotation rule, checked against the actual driver artifacts: the
+    50-row window must hold (a) every registered-but-never-driver-proven
+    name, first, in PRIORITY order, then (b) re-proofs in staleness order
+    (oldest latest-proof first) — a name may only be outside the window if
+    every name inside is at most as fresh.
+
+    Derives proof rounds from CORRECTNESS_r*.json at the repo root, so
+    this test keeps working as future rounds rotate (the round-6 lesson:
+    a hand-pinned `names[-n_left:]` slice broke as blocks grew)."""
+    import json
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    proofs: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", p.stem).group(1))
+        for name in json.loads(p.read_text()):
+            proofs[name] = max(proofs.get(name, 0), rnd)
+
+    names = list(all_queries())
+    window, tail = names[:50], names[50:]
+    never_proven = [n for n in names if n not in proofs]
+    # (a) unproven names lead the window, in PRIORITY order
+    assert window[: len(never_proven)] == never_proven, (
+        "never-driver-proven queries must lead the window"
     )
-    for i, n in enumerate(never_proven):
-        assert names[i] == n, f"position {i}: expected {n}, got {names[i]}"
-    # every round-6 registration (never driver-checked) must sit inside
-    # the window, ahead of any re-proof — find them structurally: they
-    # are the PRIORITY entries between the r5 block and q_dedup_exact
-    # (the start of the r4 re-proof cohort)
-    r4_start = PRIORITY.index("q_dedup_exact")
-    r6_new = PRIORITY[len(never_proven):r4_start]
-    assert len(r6_new) >= 7
-    for n in r6_new:
-        assert n in names, f"{n} (new this round) should be in window"
-    # remaining slots go to the stalest (r4-proven) cohort, in order
-    n_left = 50 - len(never_proven) - len(r6_new)
-    assert names[-n_left:] == list(PRIORITY[r4_start:r4_start + n_left])
-    for n in ("q_tfidf_terms", "q_bloom_prejoin", "q_sql_entrypoint",
-              "q_histogram_value"):
-        assert n not in names, f"{n} (r5-proven) should have rotated out"
+    # (b) staleness monotonicity across the window boundary: nothing in
+    # the tail may be staler than anything in the window
+    freshest_in_window = max(proofs.get(n, 0) for n in window)
+    stalest_in_tail = min(proofs[n] for n in tail if n in proofs)
+    assert stalest_in_tail >= freshest_in_window or all(
+        proofs.get(n, 0) <= stalest_in_tail for n in window
+    ), (
+        f"tail holds a staler proof (r{stalest_in_tail}) than the window's "
+        f"freshest (r{freshest_in_window}) — rotate it in"
+    )
