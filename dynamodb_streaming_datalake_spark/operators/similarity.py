@@ -1493,11 +1493,14 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = e.where(F.col("vec_id") == HY_QVEC).select(
         F.col("embedding").alias("qe")
     )
+    # rank on round(c, 6) for the same reason as the lexical list: a
+    # cross-engine libm ulp in the cosine must not flip dense ranks
+    # (round-6 advice — the lex side already had this discipline)
     dense_top = (
         e.crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            cosine(F.col("qe"), F.col("embedding")).alias("c"),
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("c"),
         )
         .orderBy(F.col("c").desc(), "doc_id")
         .limit(HY_LIST)
@@ -1552,7 +1555,8 @@ def _hybrid_oracle() -> str:
     dense AS (
         SELECT doc_id, dense_rank FROM (
             SELECT doc_id,
-                   ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS dense_rank
+                   ROW_NUMBER() OVER (ORDER BY round(c, 6) DESC, doc_id)
+                     AS dense_rank
             FROM dense0
         ) WHERE dense_rank <= {HY_LIST}
     ),

@@ -416,15 +416,19 @@ WARC_FILES = 8
 
 
 def _warc_record(doc_id: int, lang: str, text: str) -> bytes:
-    payload = text.encode("utf-8")
+    body = text.encode("utf-8")
     # deliberately header-looking bytes INSIDE the payload: framing
-    # must come from Content-Length, not from scanning for separators
-    payload += b"\r\nWARC-Fake-Header: inside-payload\r\n\r\n"
+    # must come from Content-Length, not from scanning for separators.
+    # X-Text-Length carries the true body length so the reader slices
+    # by length instead of pattern-matching the trailer (a real body
+    # could legally contain any byte sequence).
+    payload = body + b"\r\nWARC-Trailer: inside-payload\r\n\r\n"
     headers = (
         f"WARC/1.0\r\n"
         f"WARC-Type: response\r\n"
         f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n"
         f"warc-target-uri: https://example.invalid/{lang}/{doc_id}\r\n"
+        f"X-Text-Length: {len(body)}\r\n"
         f"Content-Length: {len(payload)}\r\n"
         f"\r\n"
     ).encode()
@@ -462,7 +466,7 @@ def build_warc(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
 
 def ensure_warc(spark: SparkSession, sf_dir: str) -> str:
     return ensure_cached_build(
-        "fmt_warc", _FMT_VERSION, sf_dir,
+        "fmt_warc", "v2", sf_dir,  # v2: length-framed text (X-Text-Length)
         lambda d: build_warc(spark, sf_dir, d),
     )
 
@@ -492,9 +496,10 @@ def parse_warc(blob: bytes) -> list[tuple[int, str, str]]:
             continue
         rid = headers["warc-record-id"]
         doc_id = int(rid[rid.rindex(":") + 1 : -1])
-        text = payload.decode("utf-8").rsplit(
-            "\r\nWARC-Fake-Header:", 1
-        )[0]
+        # slice the body by its declared byte length — never by pattern:
+        # a genuine body may contain any bytes, including header-shaped
+        # trailers (round-6 advice: the rsplit sentinel was fixture-coupled)
+        text = payload[: int(headers["x-text-length"])].decode("utf-8")
         out.append((doc_id, headers["warc-target-uri"], text))
     return out
 
@@ -603,7 +608,20 @@ def parse_zip(blob: bytes) -> list[tuple[str, str]]:
     """Spec reader (no zipfile import on the decode path): locate EOCD,
     walk the central directory, validate each local header, inflate or
     copy the member. Returns (member_name, text) pairs."""
+    # Scan back for the EOCD signature, validating each candidate: the
+    # archive comment may itself contain PK\x05\x06, so the real EOCD is
+    # the one whose comment length reaches exactly to end-of-archive
+    # (round-6 advice: a bare rfind would pick a comment-embedded
+    # signature and unpack garbage offsets).
     eocd_at = blob.rfind(b"PK\x05\x06")
+    while eocd_at >= 0:
+        if eocd_at + 22 <= len(blob):
+            (comment_len,) = struct.unpack(
+                "<H", blob[eocd_at + 20 : eocd_at + 22]
+            )
+            if eocd_at + 22 + comment_len == len(blob):
+                break
+        eocd_at = blob.rfind(b"PK\x05\x06", 0, eocd_at)
     if eocd_at < 0:
         raise ValueError("no ZIP end-of-central-directory record")
     n_entries, cd_size, cd_at = struct.unpack(

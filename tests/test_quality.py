@@ -428,6 +428,13 @@ def test_warc_framing_comes_from_content_length():
         (7, "https://example.invalid/en/7", "hello world"),
         (8, "https://example.invalid/fr/8", "bonjour"),
     ]
+    # a body whose TEXT itself ends in trailer-shaped bytes must survive
+    # verbatim: slicing is by X-Text-Length, never by pattern (round-6
+    # advice — the old rsplit sentinel truncated such bodies)
+    hazard = "text that ends like\r\nWARC-Trailer: inside-payload\r\n\r\n"
+    assert parse_warc(_warc_record(9, "de", hazard)) == [
+        (9, "https://example.invalid/de/9", hazard)
+    ]
     with pytest.raises(ValueError, match="bad WARC version"):
         parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
     with pytest.raises(ValueError, match="truncated"):
@@ -463,7 +470,10 @@ def test_zip_reader_handles_both_methods_and_guards():
             zipfile.ZipInfo("b/2.txt"), "deflated member " * 50,
             compress_type=zipfile.ZIP_DEFLATED,
         )
-        zf.comment = b"trailing archive comment shifts the EOCD scan"
+        # comment CONTAINS the EOCD signature: a bare rfind would lock
+        # onto it and unpack garbage offsets (round-6 advice) — the scan
+        # must validate comment-length-reaches-EOF and keep looking back
+        zf.comment = b"comment with embedded PK\x05\x06 signature bytes"
     blob = buf.getvalue()
     got = dict(parse_zip(blob))
     assert got["a/1.txt"] == "stored member"
