@@ -121,3 +121,32 @@ def test_bigram_lm_is_a_probability_model(spark, sf_smoke):
     seen = sum(Fraction(r["c"] + LM_ADD_K, n + LM_ADD_K * vocab) for r in pairs)
     unseen = (vocab - len(pairs)) * Fraction(LM_ADD_K, n + LM_ADD_K * vocab)
     assert seen + unseen == 1
+
+
+def test_train_wall_time_linear_in_merge_count(spark, sf_smoke):
+    """The round-6 scale flag: training must be O(K) vocabulary passes
+    plus ONE corpus scan, not K corpus scans + O(K^2) folds. Pin it by
+    timing: 64 merges vs 16 merges is 4x the rounds — linear training
+    lands near 4x wall-clock, the old unpinned recurrence near 16x.
+    Threshold 9x splits the two regimes with slack for job-launch
+    noise (each round is argmax-collect-bound locally)."""
+    import time
+
+    from dynamodb_streaming_datalake_spark.operators.bpe import _BPE_CACHE
+
+    def train(k: int) -> float:
+        _BPE_CACHE.clear()  # force real training, not cached replay
+        t0 = time.perf_counter()
+        merges, _ = bpe_train(spark, sf_smoke, n_merges=k)
+        rows = merges.collect()
+        assert [r["merge_rank"] for r in rows] == list(range(k))
+        return time.perf_counter() - t0
+
+    train(4)  # warm-up: JVM codegen + parquet footer caches
+    t16 = train(16)
+    t64 = train(64)
+    _BPE_CACHE.clear()  # don't leave a K=64 entry for later tests
+    assert t64 / t16 < 9.0, (
+        f"training looks super-linear in merge count: "
+        f"K=16 {t16:.2f}s vs K=64 {t64:.2f}s ({t64 / t16:.1f}x for 4x rounds)"
+    )
