@@ -47,17 +47,21 @@ IMG_MAGIC = b"FIMG"
 VID_MAGIC = b"FVID"
 
 #: codecs still needing libraries this container lacks. ``wav`` (RIFF,
-#: 16-bit PCM), ``ppm`` (P6), ``bmp`` (BI_RGB 24-bit), and ``png``
-#: (RGB8, stdlib zlib inflate + filter reconstruction) are REAL
+#: 16-bit PCM), ``ppm`` (P6), ``bmp`` (BI_RGB 24-bit), ``png``
+#: (RGB8, stdlib zlib inflate + filter reconstruction), and ``webp``
+#: (lossless VP8L: prefix codes + LZ77, see parse_webp) are REAL
 #: container formats implemented below with struct/numpy/zlib alone —
-#: see decode_wav / decode_ppm / decode_bmp / decode_png. ``mp4`` and
-#: ``mp3`` have REAL container/frame-header demuxers (parse_mp4 /
-#: parse_mp3) — only their SAMPLE decode (H.264 pixels, Layer-III PCM)
-#: stays stubbed, since that genuinely needs codec libraries.
-STUBBED_CODECS = ("webp",)
+#: see decode_wav / decode_ppm / decode_bmp / decode_png /
+#: decode_webp. ``mp4`` and ``mp3`` have REAL container/frame-header
+#: demuxers (parse_mp4 / parse_mp3) — only their SAMPLE decode (H.264
+#: pixels, Layer-III PCM) stays stubbed, since that genuinely needs
+#: codec libraries; lossy WebP (VP8) is guarded inside parse_webp for
+#: the same reason.
+STUBBED_CODECS = ()
 STUBBED_SAMPLE_DECODE = ("mp3", "mp4")
 REAL_CODECS = (
-    "fake", "wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg", "gif", "tiff"
+    "fake", "wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg", "gif", "tiff",
+    "webp",
 )
 
 
@@ -150,7 +154,9 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
     # these are REAL container formats, not fakes — label honestly
     fmt = (
         kind
-        if kind in ("wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg", "gif", "tiff")
+        if kind
+        in ("wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg", "gif", "tiff",
+            "webp")
         else f"fake-{kind}"
     )
     meta_t = StructType(
@@ -1490,7 +1496,7 @@ def q_media_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arbitrary images); the ORACLE fixture uses constant 8x8 tiles with
 # even values, for which the quantize->dequantize->IDCT roundtrip is
 # provably exact — so the decoded stats still have a closed form DuckDB
-# can recompute from doc_id. Only webp now remains stubbed.
+# can recompute from doc_id.
 
 #: ITU-T T.81 Annex K.1 luminance quantization table (public spec)
 JPEG_QTABLE = np.array(
@@ -2333,3 +2339,476 @@ def q_media_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     tif = synthesize_media(d, "doc_id", "tiff")
     return decode_tiff(tif, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #10: WebP lossless (VP8L) — round 7
+# ---------------------------------------------------------------------------
+# The last named stub. VP8L (RFC 9649, "WebP lossless bitstream") is a
+# RIFF-contained ARGB format: LSB-first bit reader, canonical prefix
+# (Huffman) codes in BOTH spec forms (the 2-symbol "simple" form and
+# the "normal" form whose code lengths are themselves prefix-coded via
+# the 19-entry code-length code, with the optional max_symbol early
+# stop and 16/17/18 repeat codes), plus LZ77 backward references whose
+# lengths and distances use the spec's shared prefix-value scheme.
+#
+# Supported subset (guards, the house codec discipline): no transforms,
+# no color cache, no meta-prefix image — every one a loud
+# NotImplementedError, not a silent wrong answer — and LZ77 distances
+# only in the plain form (distance code > 120); the 120-entry 2D
+# neighbor map is guarded. Code bits are MSB-of-code-first within the
+# LSB-first byte stream, the RFC 1951 convention VP8L shares.
+#
+# Fixture honesty: unlike wav/ppm/bmp/png/gif (independent stdlib or
+# from-spec second implementations), Python's stdlib cannot write WebP,
+# so encoder and decoder here are same-author. The compensating checks:
+# the encoder is emission-only (no shared tables with the decoder
+# beyond the spec constants), property tests round-trip arbitrary
+# images, and the oracle recomputes the decoded stats from doc_id alone
+# — a self-consistent-but-wrong bit order would still have to survive
+# the independent closed-form mean.
+
+#: order in which code-length-code lengths are stored (RFC 9649)
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+#: green alphabet: 256 literals + 24 length-prefix codes (no cache)
+_VP8L_GREEN_ALPHABET = 256 + 24
+_VP8L_DIST_ALPHABET = 40
+
+
+def _vp8l_prefix_encode(v: int) -> tuple[int, int, int]:
+    """value >= 1 -> (prefix_code, n_extra_bits, extra). Inverse of the
+    spec's (offset + extra + 1) scheme shared by lengths and
+    distances."""
+    if v <= 4:
+        return v - 1, 0, 0
+    u = v - 1
+    b = u.bit_length() - 1
+    code = 2 * b + ((u >> (b - 1)) & 1)
+    extra_bits = b - 1
+    offset = (2 + (code & 1)) << extra_bits
+    return code, extra_bits, v - offset - 1
+
+
+def _vp8l_prefix_value(code: int, read) -> int:
+    """(prefix_code, extra bits from ``read``) -> value (spec 4.2.2)."""
+    if code < 4:
+        return code + 1
+    extra_bits = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra_bits
+    return offset + read(extra_bits) + 1
+
+
+def _huffman_lengths(freqs: dict[int, int], max_len: int) -> dict[int, int]:
+    """Canonical code lengths for a frequency map, depth-capped: build
+    a heapq Huffman; if any length exceeds ``max_len`` rebuild with
+    equal weights (balanced tree, depth ceil(log2 n) — always legal for
+    the spec's 15/7 caps at our alphabet sizes). Deterministic: ties
+    break on symbol order. Single-symbol maps get length 0 (callers
+    emit those via the simple code form or as 0-bit codes)."""
+    import heapq
+
+    if len(freqs) == 1:
+        return {next(iter(freqs)): 0}
+    for weights in (freqs, {s: 1 for s in freqs}):
+        heap = [(w, s, (s,)) for s, w in sorted(weights.items())]
+        heapq.heapify(heap)
+        depth: dict[int, int] = dict.fromkeys(weights, 0)
+        while len(heap) > 1:
+            w1, t1, syms1 = heapq.heappop(heap)
+            w2, t2, syms2 = heapq.heappop(heap)
+            for s in (*syms1, *syms2):
+                depth[s] += 1
+            heapq.heappush(heap, (w1 + w2, min(t1, t2), (*syms1, *syms2)))
+        if max(depth.values()) <= max_len:
+            return depth
+    raise AssertionError(f"balanced tree exceeded depth {max_len}")
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """RFC 1951 canonical assignment: symbol -> (code, length); codes
+    count upward within a length, shorter lengths first."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for sym, ln in sorted(
+        ((s, l) for s, l in lengths.items() if l > 0),
+        key=lambda t: (t[1], t[0]),
+    ):
+        code <<= ln - prev_len
+        codes[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    return codes
+
+
+def _vp8l_write_code(bw: "_GifBitWriter", lengths: dict[int, int]) -> dict:
+    """Emit one prefix code (simple form when <=2 symbols all < 256,
+    else normal form with code-length coding + max_symbol early stop).
+    Returns symbol -> (code, length) for the caller's emission."""
+    syms = sorted(lengths)
+    if len(syms) <= 2 and syms[-1] < 256:
+        bw.put(1, 1)                      # simple
+        bw.put(len(syms) - 1, 1)          # num_symbols - 1
+        if syms[0] <= 1:
+            bw.put(0, 1)                  # first symbol in 1 bit
+            bw.put(syms[0], 1)
+        else:
+            bw.put(1, 1)
+            bw.put(syms[0], 8)
+        if len(syms) == 2:
+            bw.put(syms[1], 8)
+            return {syms[0]: (0, 1), syms[1]: (1, 1)}
+        return {syms[0]: (0, 0)}
+    bw.put(0, 1)                          # normal form
+    if len(syms) == 1:
+        # a single symbol >= 256 (simple form caps at 8-bit symbols):
+        # pad with a 1-bit dummy so the code stays Kraft-complete
+        lengths = {0: 1, syms[0]: 1}
+    codes = _canonical_codes(lengths)
+    max_symbol = max(s for s, l in lengths.items() if l > 0) + 1
+    seq = [lengths.get(s, 0) for s in range(max_symbol)]
+    if len(set(seq)) == 1:
+        # one distinct code-length value: a lone CL symbol can't carry
+        # a 0-length slot in the 3-bit table, so pad with a second
+        # 1-bit CL symbol (costs 1 bit per written length)
+        v = seq[0]
+        cl_lengths = {v: 1, (0 if v != 0 else 1): 1}
+    else:
+        cl_lengths = _huffman_lengths(
+            {v: seq.count(v) for v in set(seq)}, max_len=7
+        )
+    bw.put(19 - 4, 4)                     # write all 19 CL slots
+    for pos in _VP8L_CL_ORDER:
+        bw.put(cl_lengths.get(pos, 0), 3)
+    cl_codes = _canonical_codes(cl_lengths)
+    bw.put(1, 1)                          # max_symbol early stop present
+    nbits_sel = 7                         # length_nbits = 2 + 2*7 = 16
+    bw.put(nbits_sel, 3)
+    bw.put(max_symbol - 2, 2 + 2 * nbits_sel)
+    only_cl = len(cl_codes) == 1 and next(iter(cl_codes.values()))[1] == 0
+    for v in seq:
+        if not only_cl:
+            c, ln = cl_codes[v]
+            for b in range(ln - 1, -1, -1):
+                bw.put((c >> b) & 1, 1)
+    return codes
+
+
+class _VP8LReader:
+    """LSB-first bit reader + canonical-code symbol reader."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self.data[(self.pos + i) >> 3]
+            v |= ((byte >> ((self.pos + i) & 7)) & 1) << i
+        self.pos += n
+        return v
+
+    def symbol(self, code: dict[tuple[int, int], int], zero_sym: int | None) -> int:
+        if zero_sym is not None:  # 1-symbol code: 0 bits per use
+            return zero_sym
+        c, ln = 0, 0
+        while True:
+            c = (c << 1) | self.bits(1)
+            ln += 1
+            if (ln, c) in code:
+                return code[(ln, c)]
+            if ln > 15:
+                raise ValueError("invalid VP8L prefix code stream")
+
+
+def _vp8l_read_code(r: "_VP8LReader", alphabet: int) -> tuple[dict, int | None]:
+    """Read one prefix code; returns (decode map {(len, code): sym},
+    zero_bit_symbol or None). Implements both spec forms incl. repeat
+    codes 16/17/18 and the max_symbol early stop."""
+    if r.bits(1):  # simple
+        num_symbols = r.bits(1) + 1
+        first_8 = r.bits(1)
+        s0 = r.bits(8 if first_8 else 1)
+        if num_symbols == 2:
+            s1 = r.bits(8)
+            return {(1, 0): s0, (1, 1): s1}, None
+        return {}, s0
+    cl_lengths: dict[int, int] = {}
+    num_cl = 4 + r.bits(4)
+    for i in range(num_cl):
+        ln = r.bits(3)
+        if ln:
+            cl_lengths[_VP8L_CL_ORDER[i]] = ln
+    cl_map = {
+        (ln, c): s for s, (c, ln) in _canonical_codes(cl_lengths).items()
+    }
+    cl_zero = next(iter(cl_lengths)) if len(cl_lengths) == 1 else None
+    if r.bits(1):
+        length_nbits = 2 + 2 * r.bits(3)
+        max_symbol = 2 + r.bits(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths: dict[int, int] = {}
+    sym = 0
+    prev_len = 8
+    while sym < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = r.symbol(cl_map, cl_zero)
+        if cl < 16:
+            if cl:
+                lengths[sym] = cl
+                prev_len = cl
+            sym += 1
+        elif cl == 16:
+            rep = 3 + r.bits(2)
+            for _ in range(rep):
+                lengths[sym] = prev_len
+                sym += 1
+        elif cl == 17:
+            sym += 3 + r.bits(3)
+        else:
+            sym += 11 + r.bits(7)
+    if len(lengths) == 1:
+        return {}, next(iter(lengths))
+    return {
+        (ln, c): s for s, (c, ln) in _canonical_codes(lengths).items()
+    }, None
+
+
+def _webp_dims(i: int) -> tuple[int, int]:
+    return 5 + i % 19, 4 + (i // 5) % 13
+
+
+def _webp_pixels(i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic ARGB pattern: rows come in identical PAIRS (row j
+    uses g = j - j%2), so the encoder emits every odd row as a real
+    LZ77 backreference (length=w, distance=w) — the backref path is on
+    the oracle hash path, not just in unit tests. Alpha is constant
+    255 (exercises the 0-bit simple code)."""
+    w, h = _webp_dims(i)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    j = np.arange(h, dtype=np.int64)[:, None]
+    g = j - (j % 2)
+    green = (i + 7 * x + 13 * g) % 256
+    red = (i // 2 + 5 * x + 3 * g) % 256
+    blue = (3 * i + 11 * x + g) % 256
+    return red, green, blue
+
+
+def encode_webp_rgb(
+    red: np.ndarray, green: np.ndarray, blue: np.ndarray
+) -> bytes:
+    """Emission-only VP8L writer for an arbitrary RGB image (alpha
+    255): no transforms / cache / meta-prefix; any row equal to its
+    predecessor is emitted as one plain-distance LZ77 backreference
+    (length=w, distance=w), other rows as literals; real canonical
+    prefix codes (normal or simple per alphabet)."""
+    h, w = green.shape
+    len_code, len_eb, len_extra = _vp8l_prefix_encode(w)
+    dist_code, dist_eb, dist_extra = _vp8l_prefix_encode(w + 120)
+
+    def row_is_copy(j: int) -> bool:
+        return j > 0 and all(
+            np.array_equal(ch[j], ch[j - 1]) for ch in (red, green, blue)
+        )
+
+    copies = [row_is_copy(j) for j in range(h)]
+    freq: dict[str, dict[int, int]] = {
+        "g": {}, "r": {}, "b": {}, "a": {255: 1}, "d": {}
+    }
+    for j in range(h):
+        if copies[j]:
+            freq["g"][256 + len_code] = freq["g"].get(256 + len_code, 0) + 1
+            freq["d"][dist_code] = freq["d"].get(dist_code, 0) + 1
+        else:
+            for x in range(w):
+                for key, ch in (("g", green), ("r", red), ("b", blue)):
+                    v = int(ch[j, x])
+                    freq[key][v] = freq[key].get(v, 0) + 1
+    if not freq["d"]:
+        freq["d"] = {0: 1}  # unused code still must be present
+
+    bw = _GifBitWriter()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)   # alpha hint
+    bw.put(0, 3)   # version
+    bw.put(0, 1)   # no transforms
+    bw.put(0, 1)   # no color cache
+    bw.put(0, 1)   # no meta-prefix image
+
+    def emit(codes: dict, sym: int) -> None:
+        c, ln = codes[sym]
+        for b in range(ln - 1, -1, -1):
+            bw.put((c >> b) & 1, 1)
+
+    codes = {
+        key: _vp8l_write_code(bw, _huffman_lengths(freq[key], max_len=15))
+        for key in ("g", "r", "b", "a", "d")
+    }
+    for j in range(h):
+        if copies[j]:
+            emit(codes["g"], 256 + len_code)
+            bw.put(len_extra, len_eb)
+            emit(codes["d"], dist_code)
+            bw.put(dist_extra, dist_eb)
+        else:
+            for x in range(w):
+                emit(codes["g"], int(green[j, x]))
+                emit(codes["r"], int(red[j, x]))
+                emit(codes["b"], int(blue[j, x]))
+                emit(codes["a"], 255)
+    payload = b"\x2f" + bw.flush()
+    vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        vp8l += b"\x00"  # RIFF chunks pad to even length
+    return b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l
+
+
+def _encode_webp(i: int) -> bytes:
+    red, green, blue = _webp_pixels(i)
+    return encode_webp_rgb(red, green, blue)
+
+
+def parse_webp(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Real VP8L decoder: RIFF chunk walk, LSB-first bit reader, both
+    prefix-code forms, LZ77 with plain distances. Returns (w, h,
+    pixels[h, w, 4] as RGBA). Guards: lossy/extended WebP, transforms,
+    color cache, meta-prefix, and 2D distance-map codes all raise."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF) file")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(blob):
+        fourcc = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        if fourcc == b"VP8L":
+            payload = blob[pos + 8 : pos + 8 + size]
+            break
+        if fourcc in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                "lossy / extended WebP needs a VP8 video codec; only "
+                "lossless (VP8L) is implemented"
+            )
+        pos += 8 + size + (size & 1)
+    if payload is None:
+        raise ValueError("no VP8L chunk in WebP container")
+    if payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    r = _VP8LReader(payload[1:])
+    w = r.bits(14) + 1
+    h = r.bits(14) + 1
+    r.bits(1)  # alpha hint (informational)
+    if r.bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+    if r.bits(1):
+        raise NotImplementedError("VP8L transforms not supported")
+    if r.bits(1):
+        raise NotImplementedError("VP8L color cache not supported")
+    if r.bits(1):
+        raise NotImplementedError("VP8L meta-prefix image not supported")
+    g_map = _vp8l_read_code(r, _VP8L_GREEN_ALPHABET)
+    r_map = _vp8l_read_code(r, 256)
+    b_map = _vp8l_read_code(r, 256)
+    a_map = _vp8l_read_code(r, 256)
+    d_map = _vp8l_read_code(r, _VP8L_DIST_ALPHABET)
+
+    out = np.zeros((w * h, 4), dtype=np.uint8)  # R G B A
+    pos = 0
+    while pos < w * h:
+        s = r.symbol(*g_map)
+        if s < 256:
+            out[pos, 1] = s
+            out[pos, 0] = r.symbol(*r_map)
+            out[pos, 2] = r.symbol(*b_map)
+            out[pos, 3] = r.symbol(*a_map)
+            pos += 1
+        else:
+            length = _vp8l_prefix_value(s - 256, r.bits)
+            dist_code = _vp8l_prefix_value(r.symbol(*d_map), r.bits)
+            if dist_code <= 120:
+                raise NotImplementedError(
+                    "VP8L 2D distance-map codes (<=120) not supported; "
+                    "plain distances only"
+                )
+            dist = dist_code - 120
+            if dist > pos:
+                raise ValueError("VP8L backreference before image start")
+            for _ in range(length):  # sequential: overlap is legal LZ77
+                out[pos] = out[pos - dist]
+                pos += 1
+    return w, h, out.reshape(h, w, 4)
+
+
+def decode_webp(df: DataFrame, id_col: str) -> DataFrame:
+    """Decode a WebP-lossless column into typed stats — same contract
+    as decode_png/decode_gif; mean_rgb averages the three color
+    channels (alpha reported via channels=4)."""
+    schema = (
+        f"{id_col} bigint, width int, height int, channels int,"
+        " mean_rgb double, n_pixels bigint"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                w, h, px = parse_webp(bytes(blob))
+                s = int(px[:, :, :3].astype(np.int64).sum())
+                rows.append(
+                    (int(i), w, h, 4, float(s) / (3 * w * h), w * h)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "channels", "mean_rgb",
+                    "n_pixels",
+                ],
+            )
+
+    return df.mapInPandas(dec, schema=schema)
+
+
+@query(
+    "q_media_webp",
+    # rows pair up via g = j - j%2; each channel is an affine-mod-256
+    # pattern, so the decoded mean is an exact integer sum over
+    # range(w*h) divided once — both engines do the same division of
+    # the same integers
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(5 + doc_id % 19 AS INT) AS w,
+               CAST(4 + (doc_id // 5) % 13 AS INT) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           w AS width, h AS height, CAST(4 AS INT) AS channels,
+           CAST(list_aggregate(
+             list_transform(range(0, CAST(w * h AS BIGINT)), k ->
+                 (doc_id + 7 * (k % w)
+                    + 13 * ((k // w) - (k // w) % 2)) % 256
+               + (doc_id // 2 + 5 * (k % w)
+                    + 3 * ((k // w) - (k // w) % 2)) % 256
+               + (3 * doc_id + 11 * (k % w)
+                    + ((k // w) - (k // w) % 2)) % 256), 'sum')
+             AS DOUBLE) / (3 * w * h) AS mean_rgb,
+           CAST(w * h AS BIGINT) AS n_pixels
+    FROM dims
+    """,
+)
+def q_media_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path #10: WebP lossless (VP8L) — RIFF walk, LSB-first
+    bit reader, canonical prefix codes in both spec forms (code-length
+    coding, max_symbol early stop, repeat codes on the decode side),
+    LZ77 backreferences with plain distance codes: every odd pixel row
+    is a real backref in the fixture, so the entropy AND copy paths are
+    both on the oracle hash path. Closes the last named codec stub.
+
+    Scale: map-only mapInPandas, same contract as q_media_png."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    webp = synthesize_media(d, "doc_id", "webp")
+    return decode_webp(webp, "doc_id")

@@ -87,7 +87,7 @@ PRIORITY: tuple[str, ...] = (
     "q_bloom_prejoin",
     # -- registered in round 7, AFTER the window (r5/r6 precedent): locally
     #    oracle-proven; rotate into round 8s window first.
-    # (round-7 additions are appended here as they land)
+    "q_media_webp",              # real WebP-lossless (VP8L) codec
     # -- remaining round-5-proven (next-stalest; lead round 8 after r7-new) --
     "q_customers_without_orders",
     "q_rollup_events",

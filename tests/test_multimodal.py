@@ -681,3 +681,87 @@ def test_q_media_tiff_oracle_parity(spark, sf_smoke):
     compare_query(
         spark, sf_smoke, "q_media_tiff", q_media_tiff, ORACLE["q_media_tiff"]
     )
+
+
+def test_webp_roundtrip_and_guards():
+    """VP8L: fixture ids round-trip losslessly (odd rows decode through
+    the LZ77 backref path by construction) and every unsupported
+    variant fails loudly — bad container, lossy VP8, transforms, color
+    cache, meta-prefix, 2D distance-map codes."""
+    import struct
+
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _encode_webp,
+        _webp_dims,
+        _webp_pixels,
+        parse_webp,
+    )
+
+    for i in (0, 7, 31, 12345):
+        w, h, px = parse_webp(_encode_webp(i))
+        assert (w, h) == _webp_dims(i)
+        red, green, blue = _webp_pixels(i)
+        assert np.array_equal(px[:, :, 0], red.astype(np.uint8))
+        assert np.array_equal(px[:, :, 1], green.astype(np.uint8))
+        assert np.array_equal(px[:, :, 2], blue.astype(np.uint8))
+        assert (px[:, :, 3] == 255).all()
+
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_webp(b"not a riff container at all....")
+    lossy = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(NotImplementedError, match="lossy"):
+        parse_webp(lossy)
+
+    blob = bytearray(_encode_webp(3))
+    # bitstream starts after RIFF(12) + chunk header(8) + sig byte(1);
+    # bits 0..31 are dims/alpha/version, bits 32/33/34 are the
+    # transform / color-cache / meta-prefix flags -> byte 25, bits 0-2
+    flag_byte = 12 + 8 + 1 + 4
+    for bit, msg in ((0, "transform"), (1, "color cache"), (2, "meta-prefix")):
+        bad = bytearray(blob)
+        bad[flag_byte] |= 1 << bit
+        with pytest.raises(NotImplementedError, match=msg):
+            parse_webp(bytes(bad))
+
+
+def test_webp_encoder_emits_real_backrefs():
+    """The fixture's odd rows must be LZ77 copies, not re-encoded
+    literals: an all-distinct-rows image of the same dims encodes
+    strictly larger, and a fully-duplicated image strictly smaller."""
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        encode_webp_rgb,
+        parse_webp,
+    )
+
+    rng = np.random.default_rng(11)
+    w, h = 23, 16
+    base = [rng.integers(0, 256, size=(h, w)).astype(np.int64) for _ in range(3)]
+    dup = [ch.copy() for ch in base]
+    for j in range(1, h, 2):
+        for ch in dup:
+            ch[j] = ch[j - 1]
+    n_distinct = len(encode_webp_rgb(*base))
+    n_dup = len(encode_webp_rgb(*dup))
+    assert n_dup < n_distinct
+    # and the duplicated image still round-trips exactly
+    _, _, px = parse_webp(encode_webp_rgb(*dup))
+    assert np.array_equal(px[:, :, 0], dup[0].astype(np.uint8))
+
+
+def test_q_media_webp_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        q_media_webp,
+    )
+    from dynamodb_streaming_datalake_spark.registry import ORACLE
+
+    compare_query(
+        spark, sf_smoke, "q_media_webp", q_media_webp,
+        ORACLE["q_media_webp"],
+    )

@@ -82,3 +82,39 @@ def test_jpeg_roundtrip_is_bounded_on_random_images(bw, bh, seed):
     assert (w, h) == (img.shape[1], img.shape[0])
     err = np.abs(out.astype(int) - img.astype(int))
     assert err.max() <= 160 and err.mean() <= 40.0
+
+
+@given(
+    st.integers(1, 32),
+    st.integers(1, 20),
+    st.integers(0, 2**32 - 1),
+    st.floats(0.0, 1.0),
+)
+@settings(max_examples=40, deadline=None)
+def test_webp_lossless_roundtrips_arbitrary_images(w, h, seed, dup_p):
+    """VP8L is lossless: arbitrary RGB images — including constant
+    channels (simple/0-bit codes), full-range channels (normal codes),
+    and randomly duplicated rows (LZ77 backrefs) — must decode to the
+    exact input."""
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        encode_webp_rgb,
+        parse_webp,
+    )
+
+    rng = np.random.default_rng(seed)
+    nvals = int(rng.integers(1, 257))
+    img = [
+        rng.integers(0, nvals, size=(h, w)).astype(np.int64)
+        for _ in range(3)
+    ]
+    for j in range(1, h):
+        if rng.random() < dup_p:
+            for ch in img:
+                ch[j] = ch[j - 1]
+    got_w, got_h, px = parse_webp(encode_webp_rgb(*img))
+    assert (got_w, got_h) == (w, h)
+    for c in range(3):
+        assert np.array_equal(px[:, :, c], img[c].astype(np.uint8))
+    assert (px[:, :, 3] == 255).all()
