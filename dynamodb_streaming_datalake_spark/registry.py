@@ -88,6 +88,7 @@ PRIORITY: tuple[str, ...] = (
     # -- registered in round 7, AFTER the window (r5/r6 precedent): locally
     #    oracle-proven; rotate into round 8s window first.
     "q_media_webp",              # real WebP-lossless (VP8L) codec
+    "q_media_mp4_samples",       # stbl expansion to per-sample rows
     # -- remaining round-5-proven (next-stalest; lead round 8 after r7-new) --
     "q_customers_without_orders",
     "q_rollup_events",

@@ -765,3 +765,42 @@ def test_q_media_webp_oracle_parity(spark, sf_smoke):
         spark, sf_smoke, "q_media_webp", q_media_webp,
         ORACLE["q_media_webp"],
     )
+
+
+def test_mp4_sample_table_guards():
+    """The per-sample expansion must fail loudly on inconsistent
+    tables: an stco offset pointing outside every mdat, and an stts
+    run count disagreeing with stsz."""
+    import struct as st
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _encode_mp4,
+        parse_mp4_samples,
+    )
+
+    blob = bytearray(_encode_mp4(2))
+    stco_at = bytes(blob).index(b"stco")
+    # first chunk offset lives 8 bytes after the fourcc (version/flags
+    # + entry count); point it past EOF
+    blob[stco_at + 12 : stco_at + 16] = st.pack(">I", len(blob) + 100)
+    with pytest.raises(ValueError, match="outside every mdat"):
+        parse_mp4_samples(bytes(blob))
+
+    blob = bytearray(_encode_mp4(2))
+    stts_at = bytes(blob).index(b"stts")
+    # inflate the first stts run count: dts list outgrows stsz
+    (count,) = st.unpack(">I", blob[stts_at + 12 : stts_at + 16])
+    blob[stts_at + 12 : stts_at + 16] = st.pack(">I", count + 5)
+    with pytest.raises(ValueError, match="sample count mismatch"):
+        parse_mp4_samples(bytes(blob))
+
+
+def test_q_media_mp4_samples_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        q_media_mp4_samples,
+    )
+
+    compare_query(
+        spark, sf_smoke, "q_media_mp4_samples", q_media_mp4_samples,
+        ORACLE["q_media_mp4_samples"],
+    )
