@@ -232,16 +232,27 @@ def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     base = ev.where(F.col("event_id") % INCR_SPLIT != 0)
     delta = ev.where(F.col("event_id") % INCR_SPLIT == 0)
+    return finalize_agg_view(
+        merge_agg_partials(agg_event_partials(base), agg_event_partials(delta))
+    )
 
-    def agg(df: DataFrame) -> DataFrame:
-        return df.groupBy("user_id", "event_type").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
-            F.max("ts").alias("max_ts"),
-        )
 
-    view = agg(base).alias("v")
-    dlt = agg(delta).alias("d")
+def agg_event_partials(df: DataFrame) -> DataFrame:
+    """Decomposable per-(user, event_type) partials — the shared kernel
+    of the batch refresh (q_incr_agg) and the streaming view maintainer
+    (streaming.aggview)."""
+    return df.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+def merge_agg_partials(view: DataFrame, dlt: DataFrame) -> DataFrame:
+    """Full-outer merge of two partial tables: count+count, decimal
+    sum+sum, greatest(max, max) — associative and commutative, so any
+    batch/stream interleaving converges to the full recompute."""
+    view, dlt = view.alias("v"), dlt.alias("d")
     merged = view.join(
         dlt,
         (F.col("v.user_id") == F.col("d.user_id"))
@@ -256,13 +267,24 @@ def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("v.n_events", F.lit(0))
             + F.coalesce("d.n_events", F.lit(0))
         ).alias("n_events"),
-        (
-            F.coalesce("v.sum_dec", zero) + F.coalesce("d.sum_dec", zero)
-        ).cast("double").alias("sum_value"),
+        (F.coalesce("v.sum_dec", zero) + F.coalesce("d.sum_dec", zero))
+        .cast("decimal(18,6)")
+        .alias("sum_dec"),
         F.greatest(
             F.coalesce("v.max_ts", "d.max_ts"),
             F.coalesce("d.max_ts", "v.max_ts"),
         ).alias("max_ts"),
+    )
+
+
+def finalize_agg_view(partials: DataFrame) -> DataFrame:
+    """Serving projection: decimal sum surfaces as double."""
+    return partials.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "max_ts",
     )
 
 

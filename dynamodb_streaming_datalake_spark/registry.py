@@ -89,6 +89,7 @@ PRIORITY: tuple[str, ...] = (
     #    oracle-proven; rotate into round 8s window first.
     "q_media_webp",              # real WebP-lossless (VP8L) codec
     "q_media_mp4_samples",       # stbl expansion to per-sample rows
+    "q_incr_agg_stream",         # foreachBatch-maintained agg view
     # -- remaining round-5-proven (next-stalest; lead round 8 after r7-new) --
     "q_customers_without_orders",
     "q_rollup_events",
@@ -252,6 +253,10 @@ def load_all() -> None:
         pass
     try:
         import dynamodb_streaming_datalake_spark.streaming.upsert  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        import dynamodb_streaming_datalake_spark.streaming.aggview  # noqa: F401
     except ImportError:
         pass
 

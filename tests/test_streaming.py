@@ -448,3 +448,50 @@ def test_stream_static_enrichment_matches_batch(spark, sf_smoke):
     assert len(want) > 0
     assert any(r["user_events"] is None for r in want)  # left-join survivors
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_agg_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
+    """Streaming twin of q_incr_agg (round-7 stretch): a genuine
+    readStream over event files, drained under availableNow one file
+    per micro-batch through the foreachBatch fold kernel, must
+    converge to the one-shot recompute — and a replay of an already-
+    committed version must be a no-op (the crash-recovery guard that
+    makes a non-idempotent fold safe)."""
+    from dynamodb_streaming_datalake_spark.operators.state import (
+        agg_event_partials,
+        finalize_agg_view,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.aggview import (
+        current_agg_view,
+        start_agg_view_maintenance,
+        upsert_agg_view,
+    )
+
+    ev = read_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "events_src")
+    # 3 files -> 3 micro-batches -> 3 committed view versions
+    ev.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    view_dir = str(tmp_path / "view")
+    q = start_agg_view_maintenance(stream, view_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = finalize_agg_view(current_agg_view(spark, view_dir))
+    want = finalize_agg_view(agg_event_partials(ev))
+    key = ["user_id", "event_type", "n_events", "sum_value"]
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, want.select(*key).collect())
+    )
+
+    # replaying the last committed version must not double-count
+    from dynamodb_streaming_datalake_spark.streaming.upsert import _versions
+
+    last = _versions(spark, view_dir)[-1]
+    before = sorted(map(tuple, got.select(*key).collect()))
+    upsert_agg_view(spark, ev.limit(50), view_dir, version=last)
+    after = finalize_agg_view(current_agg_view(spark, view_dir))
+    assert sorted(map(tuple, after.select(*key).collect())) == before
