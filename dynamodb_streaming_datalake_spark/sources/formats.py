@@ -30,6 +30,61 @@ from dynamodb_streaming_datalake_spark.sources.readers import read_table
 _FMT_VERSION = "v1"
 
 
+def _build_sharded_archives(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    subdir: str,
+    n_files: int,
+    suffix: str,
+    cols: tuple[str, ...],
+    write_shard,
+) -> None:
+    """Distributed fixture build shared by the four archive families
+    (round-6 verdict item 7: the builders used to collect() the whole
+    documents table to the driver). One applyInPandas task per shard
+    sorts its rows by doc_id and writes the archive file directly to
+    the build directory — the same shared-filesystem contract as any
+    Spark file sink, so fixture generation scales with n_files instead
+    of driver memory. Shards no document hashes into (possible at tiny
+    sf) are back-filled driver-side as valid empty archives, keeping
+    the on-disk layout identical to the old driver-side build.
+
+    ``write_shard(shard_idx, pdf_sorted, path)`` must be a module-level
+    (picklable) callable."""
+    import os
+
+    target = os.path.join(out_dir, subdir)
+    os.makedirs(target, exist_ok=True)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select(*cols)
+        .withColumn("shard", (F.col("doc_id") % n_files).cast("int"))
+    )
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        write_shard(
+            shard, pdf, os.path.join(target, f"part-{shard:03d}{suffix}")
+        )
+        return pd.DataFrame({"shard": [shard], "n_docs": [len(pdf)]})
+
+    written = {
+        r["shard"]
+        for r in d.groupBy("shard")
+        .applyInPandas(write_group, "shard int, n_docs long")
+        .collect()  # n_files rows — the shard manifest, not the data
+    }
+    for s in range(n_files):
+        if s not in written:
+            write_shard(
+                s,
+                pd.DataFrame(columns=list(cols) + ["shard"]),
+                os.path.join(target, f"part-{s:03d}{suffix}"),
+            )
+
+
 def _csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer rows with a synthesized free-text column that exercises
     every CSV quoting hazard: embedded delimiters, double quotes, and
@@ -329,24 +384,19 @@ _AVRO_SCHEMA = {
 }
 
 
-def build_avro(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    import os
+def _write_avro_shard(shard: int, pdf: pd.DataFrame, path: str) -> None:
+    recs = [
+        (int(r.doc_id), str(r.lang), int(r.n_chars))
+        for r in pdf.itertuples()
+    ]
+    write_avro_ocf(path, _AVRO_SCHEMA, recs)
 
-    rows = (
-        read_table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "n_chars")
-        .collect()
+
+def build_avro(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    _build_sharded_archives(
+        spark, sf_dir, out_dir, "avro", AVRO_FILES, ".avro",
+        ("doc_id", "lang", "n_chars"), _write_avro_shard,
     )
-    os.makedirs(f"{out_dir}/avro", exist_ok=True)
-    shards: list[list[tuple]] = [[] for _ in range(AVRO_FILES)]
-    for r in sorted(rows, key=lambda r: r["doc_id"]):
-        shards[r["doc_id"] % AVRO_FILES].append(
-            (r["doc_id"], r["lang"], r["n_chars"])
-        )
-    for i, shard in enumerate(shards):
-        write_avro_ocf(
-            f"{out_dir}/avro/part-{i:03d}.avro", _AVRO_SCHEMA, shard
-        )
 
 
 def ensure_avro(spark: SparkSession, sf_dir: str) -> str:
@@ -373,10 +423,9 @@ def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated. The oracle recomputes from the base table: a varint,
     codec, or sync bug surfaces as a count/char mismatch.
 
-    The fixture build collects once at vocabulary-sized volume to
-    write shards (a test fixture path, like the CDC zone builder);
-    ingestion itself — the operator under test — is fully
-    distributed."""
+    The fixture build is itself distributed (one applyInPandas task
+    per shard, `_build_sharded_archives`); ingestion — the operator
+    under test — is fully distributed too."""
     path = ensure_avro(spark, sf_dir)
     # plain directory load: a *.avro glob makes Spark's FileStreamSink
     # metadata probe log a harmless-but-noisy FileNotFound stack
@@ -443,25 +492,19 @@ def _warc_info(shard: int) -> bytes:
     ).encode() + payload + b"\r\n\r\n"
 
 
-def build_warc(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    import os
+def _write_warc_shard(shard: int, pdf: pd.DataFrame, path: str) -> None:
+    out = bytearray(_warc_info(shard))
+    for r in pdf.itertuples():
+        out += _warc_record(int(r.doc_id), str(r.lang), str(r.text))
+    with open(path, "wb") as f:
+        f.write(bytes(out))
 
-    rows = (
-        read_table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "text")
-        .collect()
+
+def build_warc(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    _build_sharded_archives(
+        spark, sf_dir, out_dir, "warc", WARC_FILES, ".warc",
+        ("doc_id", "lang", "text"), _write_warc_shard,
     )
-    os.makedirs(f"{out_dir}/warc", exist_ok=True)
-    shards: list[bytearray] = [
-        bytearray(_warc_info(i)) for i in range(WARC_FILES)
-    ]
-    for r in sorted(rows, key=lambda r: r["doc_id"]):
-        shards[r["doc_id"] % WARC_FILES] += _warc_record(
-            r["doc_id"], r["lang"], r["text"]
-        )
-    for i, shard in enumerate(shards):
-        with open(f"{out_dir}/warc/part-{i:03d}.warc", "wb") as f:
-            f.write(bytes(shard))
 
 
 def ensure_warc(spark: SparkSession, sf_dir: str) -> str:
@@ -561,40 +604,31 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 ZIP_FILES = 6
 
 
-def build_zip(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    import os
+def _write_zip_shard(shard: int, pdf: pd.DataFrame, path: str) -> None:
     import zipfile
 
-    rows = (
-        read_table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "text")
-        .collect()
-    )
-    os.makedirs(f"{out_dir}/zip", exist_ok=True)
-    handles = [
-        zipfile.ZipFile(
-            f"{out_dir}/zip/part-{i:03d}.zip", "w", zipfile.ZIP_DEFLATED
-        )
-        for i in range(ZIP_FILES)
-    ]
-    try:
-        for r in sorted(rows, key=lambda r: r["doc_id"]):
-            zf = handles[r["doc_id"] % ZIP_FILES]
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for r in pdf.itertuples():
+            doc_id = int(r.doc_id)
             # alternate compression per member: both branches on the
             # hash path
             method = (
                 zipfile.ZIP_STORED
-                if r["doc_id"] % 3 == 0
+                if doc_id % 3 == 0
                 else zipfile.ZIP_DEFLATED
             )
             zf.writestr(
-                zipfile.ZipInfo(f"{r['lang']}/{r['doc_id']}.txt"),
-                r["text"],
+                zipfile.ZipInfo(f"{r.lang}/{doc_id}.txt"),
+                str(r.text),
                 compress_type=method,
             )
-    finally:
-        for zf in handles:
-            zf.close()
+
+
+def build_zip(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    _build_sharded_archives(
+        spark, sf_dir, out_dir, "zip", ZIP_FILES, ".zip",
+        ("doc_id", "lang", "text"), _write_zip_shard,
+    )
 
 
 def ensure_zip(spark: SparkSession, sf_dir: str) -> str:
@@ -704,31 +738,23 @@ def q_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 TGZ_FILES = 6
 
 
-def build_tgz(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+def _write_tgz_shard(shard: int, pdf: pd.DataFrame, path: str) -> None:
     import io
-    import os
     import tarfile
 
-    rows = (
-        read_table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "text")
-        .collect()
-    )
-    os.makedirs(f"{out_dir}/tgz", exist_ok=True)
-    handles = [
-        tarfile.open(f"{out_dir}/tgz/part-{i:03d}.tar.gz", "w:gz")
-        for i in range(TGZ_FILES)
-    ]
-    try:
-        for r in sorted(rows, key=lambda r: r["doc_id"]):
-            tf = handles[r["doc_id"] % TGZ_FILES]
-            data = r["text"].encode("utf-8")
-            info = tarfile.TarInfo(f"{r['lang']}/{r['doc_id']}.txt")
+    with tarfile.open(path, "w:gz") as tf:
+        for r in pdf.itertuples():
+            data = str(r.text).encode("utf-8")
+            info = tarfile.TarInfo(f"{r.lang}/{int(r.doc_id)}.txt")
             info.size = len(data)
             tf.addfile(info, io.BytesIO(data))
-    finally:
-        for tf in handles:
-            tf.close()
+
+
+def build_tgz(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    _build_sharded_archives(
+        spark, sf_dir, out_dir, "tgz", TGZ_FILES, ".tar.gz",
+        ("doc_id", "lang", "text"), _write_tgz_shard,
+    )
 
 
 def ensure_tgz(spark: SparkSession, sf_dir: str) -> str:
