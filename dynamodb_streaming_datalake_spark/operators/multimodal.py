@@ -867,32 +867,69 @@ def _png_unfilter_row(ft: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> n
     return out.astype(np.uint8)
 
 
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step), spec order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int):
+    """Non-empty Adam7 passes for a w x h image: (x0, y0, dx, dy,
+    pass_w, pass_h). Empty passes (small images) are omitted, per
+    spec."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
+
 def _png_pack(
     w: int,
     h: int,
     raw: np.ndarray,
     filters: list[int],
     idat_split: int | None = None,
+    interlaced: bool = False,
 ) -> bytes:
     """Build a spec-conformant RGB8 PNG from reading-order pixel bytes
     ``raw`` (h x w*3): per-row filtering with the given filter types,
     zlib-compressed scanline stream, IHDR/IDAT/IEND chunks with CRCs.
     ``idat_split`` optionally splits the compressed stream into two
     IDAT chunks (decoders must concatenate — the spec allows any
-    split)."""
+    split). ``interlaced`` stores the image as the seven Adam7 passes,
+    each an independently-filtered sub-image (the prior-row predictor
+    resets at every pass boundary, per spec); filter types then cycle
+    per pass row in pass order."""
     import zlib
 
     stride = w * 3
-    grid = raw.reshape(h, stride)
     lines = bytearray()
-    prev = np.zeros(stride, dtype=np.uint8)
-    for r in range(h):
-        ft = filters[r]
-        lines.append(ft)
-        lines += _png_filter_row(ft, grid[r], prev, 3).tobytes()
-        prev = grid[r]
+    if interlaced:
+        grid3 = raw.reshape(h, w, 3)
+        fi = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            sub = np.ascontiguousarray(
+                grid3[y0::dy, x0::dx].reshape(ph, pw * 3)
+            )
+            prev = np.zeros(pw * 3, dtype=np.uint8)
+            for r in range(ph):
+                ft = filters[fi % len(filters)]
+                fi += 1
+                lines.append(ft)
+                lines += _png_filter_row(ft, sub[r], prev, 3).tobytes()
+                prev = sub[r]
+    else:
+        grid = raw.reshape(h, stride)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for r in range(h):
+            ft = filters[r]
+            lines.append(ft)
+            lines += _png_filter_row(ft, grid[r], prev, 3).tobytes()
+            prev = grid[r]
     z = zlib.compress(bytes(lines))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlaced))
     out = PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if idat_split is not None and 0 < idat_split < len(z):
         out += _png_chunk(b"IDAT", z[:idat_split])
@@ -907,22 +944,25 @@ def _encode_png(i: int) -> bytes:
     = (i + k) % 256 — the same closed-form-mean family as PPM/BMP — with
     row r stored under filter type (i + r) % 5, so every decode
     exercises all five filters, and the compressed stream split across
-    two IDAT chunks whenever it is more than one byte long."""
+    two IDAT chunks whenever it is more than one byte long. Every
+    third id stores the image Adam7-INTERLACED (round 7 — the former
+    stub), putting the seven-pass descatter on the oracle hash path."""
     w, h = _png_dims(i)
     m = w * h * 3
     k = np.arange(m, dtype=np.int64)
     raw = ((i + k) % 256).astype(np.uint8)
     filters = [(i + r) % 5 for r in range(h)]
-    return _png_pack(w, h, raw, filters, idat_split=1)
+    return _png_pack(w, h, raw, filters, idat_split=1, interlaced=i % 3 == 0)
 
 
 def parse_png(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Real PNG decoder on stdlib zlib alone: signature check, chunk
-    walk with CRC verification, IHDR validation (8-bit RGB,
-    non-interlaced — other color types / depths / interlacing raise
-    NotImplementedError), multi-IDAT concatenation, zlib inflate, and
-    per-scanline filter reconstruction (None/Sub/Up/Average/Paeth).
-    Returns (w, h, rows) with rows in reading order as (h, w*3) uint8.
+    walk with CRC verification, IHDR validation (8-bit RGB — other
+    color types / depths raise NotImplementedError), multi-IDAT
+    concatenation, zlib inflate, per-scanline filter reconstruction
+    (None/Sub/Up/Average/Paeth), and BOTH interlace methods (none and
+    Adam7 seven-pass descatter). Returns (w, h, rows) with rows in
+    reading order as (h, w*3) uint8.
     """
     import zlib
 
@@ -954,8 +994,8 @@ def parse_png(blob: bytes) -> tuple[int, int, np.ndarray]:
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
-            if interlace != 0:
-                raise NotImplementedError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid PNG interlace method {interlace}")
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -966,6 +1006,30 @@ def parse_png(blob: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("missing IHDR or IEND")
     stream = zlib.decompress(bytes(idat))
     stride = w * 3
+    if interlace == 1:
+        # Adam7: seven independently-filtered sub-images, descattered
+        # back onto the full grid (round 7 — the former stub)
+        expected = sum(
+            ph * (pw * 3 + 1) for _x, _y, _dx, _dy, pw, ph in
+            _adam7_passes(w, h)
+        )
+        if len(stream) != expected:
+            raise ValueError("PNG interlaced stream length mismatch")
+        grid3 = np.empty((h, w, 3), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            pstride = pw * 3
+            prev = np.zeros(pstride, dtype=np.uint8)
+            for r in range(ph):
+                ft = stream[off]
+                line = np.frombuffer(
+                    stream, np.uint8, count=pstride, offset=off + 1
+                )
+                row = _png_unfilter_row(ft, line, prev, 3)
+                grid3[y0 + r * dy, x0::dx] = row.reshape(pw, 3)
+                prev = row
+                off += pstride + 1
+        return w, h, grid3.reshape(h, stride)
     if len(stream) != h * (stride + 1):
         raise ValueError("PNG scanline stream length mismatch")
     grid = np.empty((h, stride), dtype=np.uint8)

@@ -804,3 +804,53 @@ def test_q_media_mp4_samples_oracle_parity(spark, sf_smoke):
         spark, sf_smoke, "q_media_mp4_samples", q_media_mp4_samples,
         ORACLE["q_media_mp4_samples"],
     )
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Round 7: Adam7 support (the former stub). Every third fixture id
+    is stored interlaced and must decode identically to the closed
+    form; the seven passes cover each pixel exactly once for awkward
+    dims; an invalid interlace method still fails loudly."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        PNG_SIG,
+        _adam7_passes,
+        _encode_png,
+        _png_chunk,
+        _png_pack,
+        parse_png,
+    )
+
+    for w, h in ((1, 1), (3, 2), (8, 8), (9, 17)):
+        seen = np.zeros((h, w), dtype=int)
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            seen[y0::dy, x0::dx] += 1
+        assert (seen == 1).all(), (w, h)
+
+    for i in (0, 3, 6, 12346 // 2 * 2):  # i % 3 == 0 -> interlaced
+        w, h, grid = parse_png(_encode_png(i * 3))
+        m = w * h * 3
+        exp = ((i * 3 + np.arange(m)) % 256).astype(np.uint8)
+        assert np.array_equal(grid, exp.reshape(h, w * 3))
+
+    rng = np.random.default_rng(5)
+    raw = rng.integers(0, 256, size=9 * 7 * 3).astype(np.uint8)
+    blob = _png_pack(7, 9, raw, [4, 3, 2, 1, 0], interlaced=True)
+    _, _, grid = parse_png(blob)
+    assert np.array_equal(grid, raw.reshape(9, 21))
+
+    ihdr = st.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 2)  # interlace=2
+    bad = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+        + _png_chunk(b"IEND", b"")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="interlace"):
+        parse_png(bad)
