@@ -2896,20 +2896,78 @@ def _tiff_dims(i: int) -> tuple[int, int]:
     return 7 + i % 22, 5 + (i // 3) % 17
 
 
+def _tiff_packbits_compress(data: bytes) -> bytes:
+    """Spec PackBits packer: byte runs >= 2 become repeat ops
+    (257 - n control), everything else literal ops (n - 1 control),
+    both capped at 128."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        run = 1
+        while pos + run < n and run < 128 and data[pos + run] == data[pos]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[pos]])
+            pos += run
+            continue
+        lit_start = pos
+        pos += 1
+        while (
+            pos < n
+            and pos - lit_start < 128
+            and not (pos + 1 < n and data[pos + 1] == data[pos])
+        ):
+            pos += 1
+        out += bytes([pos - lit_start - 1]) + data[lit_start:pos]
+    return bytes(out)
+
+
+def _tiff_packbits_decompress(data: bytes, expected: int) -> bytes:
+    """Spec PackBits: control 0..127 -> copy n+1 literals, 129..255 ->
+    repeat next byte 257-n times, 128 -> noop."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        ctl = data[pos]
+        pos += 1
+        if ctl < 128:
+            out += data[pos : pos + ctl + 1]
+            pos += ctl + 1
+        elif ctl > 128:
+            out += bytes([data[pos]]) * (257 - ctl)
+            pos += 1
+    if len(out) != expected:
+        raise ValueError("PackBits output length mismatch")
+    return bytes(out)
+
+
+def _tiff_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """Every third id uses a run-friendly pattern (runs of 7) stored
+    under PackBits; the rest keep the run-free stride-5 pattern stored
+    uncompressed — both patterns and both codings on the hash path."""
+    k = np.arange(w * h, dtype=np.int64)
+    if i % 3 == 0:
+        return ((i + 3 * (k // 7)) % 256).astype(np.uint8)
+    return ((i * 5 + k) % 256).astype(np.uint8)
+
+
 def _encode_tiff(i: int) -> bytes:
-    """Baseline grayscale TIFF, one strip, pixel k = (i*5 + k) % 256;
-    little-endian for even ids, big-endian ('MM') for odd."""
+    """Grayscale TIFF, one strip; little-endian for even ids,
+    big-endian ('MM') for odd; PackBits-compressed (tag 259 = 32773)
+    for every third id (round 7 — formerly a guard-only path)."""
     w, h = _tiff_dims(i)
     little = i % 2 == 0
     e = "<" if little else ">"
-    k = np.arange(w * h, dtype=np.int64)
-    pixels = ((i * 5 + k) % 256).astype(np.uint8).tobytes()
+    raw = _tiff_pixels(i, w, h).tobytes()
+    packbits = i % 3 == 0
+    pixels = _tiff_packbits_compress(raw) if packbits else raw
     # layout: header(8) + pixel data + IFD
     pix_at = 8
     ifd_at = pix_at + len(pixels)
     entries = [
         (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
-        (259, 3, 1, 1), (262, 3, 1, 1),
+        (259, 3, 1, 32773 if packbits else 1), (262, 3, 1, 1),
         (273, 4, 1, pix_at), (277, 3, 1, 1),
         (278, 3, 1, h), (279, 4, 1, len(pixels)),
     ]
@@ -2928,8 +2986,8 @@ def _encode_tiff(i: int) -> bytes:
 
 def parse_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Real TIFF reader: endian dispatch, IFD entry walk, strip
-    assembly. Baseline uncompressed 8-bit grayscale only — anything
-    else fails loudly."""
+    assembly, uncompressed or PackBits (round 7). Other compressions
+    and non-8-bit-grayscale layouts fail loudly."""
     if blob[:2] == b"II":
         e = "<"
     elif blob[:2] == b"MM":
@@ -2950,15 +3008,23 @@ def parse_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
             (val,) = struct.unpack(f"{e}H", blob[at + 8 : at + 10])
         if tag in _TIFF_TAGS and cnt == 1:
             tags[_TIFF_TAGS[tag]] = val
-    if tags.get("compression", 1) != 1:
-        raise NotImplementedError("compressed TIFF not supported")
+    compression = tags.get("compression", 1)
+    if compression not in (1, 32773):
+        raise NotImplementedError(
+            f"compressed TIFF (code {compression}) not supported; "
+            "uncompressed and PackBits only"
+        )
     if tags.get("bits", 8) != 8 or tags.get("spp", 1) != 1:
         raise NotImplementedError("only 8-bit grayscale TIFF supported")
     w, h = tags["width"], tags["height"]
     at, cnt = tags["strip_offsets"], tags["strip_counts"]
-    if cnt != w * h:
-        raise ValueError("TIFF strip byte count mismatch")
-    px = np.frombuffer(blob, np.uint8, count=cnt, offset=at)
+    if compression == 32773:
+        raw = _tiff_packbits_decompress(blob[at : at + cnt], w * h)
+        px = np.frombuffer(raw, np.uint8)
+    else:
+        if cnt != w * h:
+            raise ValueError("TIFF strip byte count mismatch")
+        px = np.frombuffer(blob, np.uint8, count=cnt, offset=at)
     return w, h, px.reshape(h, w)
 
 
@@ -2990,8 +3056,9 @@ def decode_tiff(df: DataFrame, id_col: str) -> DataFrame:
 
 @query(
     "q_media_tiff",
-    # pixel k = (doc_id*5 + k) % 256; gcd(5,256)=1 so the mean is the
-    # same modular sum family as gif — computed directly via range()
+    # every third id: run-friendly pixels (i + 3*(k//7)) % 256 stored
+    # under PackBits; the rest: run-free (i*5 + k) % 256 uncompressed —
+    # the oracle mirrors the same dispatch
     oracle="""
     WITH dims AS (
         SELECT doc_id,
@@ -3003,7 +3070,9 @@ def decode_tiff(df: DataFrame, id_col: str) -> DataFrame:
            w AS width, h AS height, CAST(1 AS INT) AS channels,
            CAST(list_aggregate(
              list_transform(range(0, CAST(w * h AS BIGINT)),
-                            k -> (doc_id * 5 + k) % 256), 'sum')
+                 k -> CASE WHEN doc_id % 3 = 0
+                      THEN (doc_id + 3 * (k // 7)) % 256
+                      ELSE (doc_id * 5 + k) % 256 END), 'sum')
              AS DOUBLE) / (w * h) AS mean_pixel,
            CAST(w * h AS BIGINT) AS n_bytes
     FROM dims
@@ -3012,8 +3081,10 @@ def decode_tiff(df: DataFrame, id_col: str) -> DataFrame:
 def q_media_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec path #9: baseline TIFF — IFD tag-directory walk with
     BOTH byte orders in one dataset (even ids 'II', odd ids 'MM'), so
-    the endian dispatch is on the hash path. Lossless roundtrip keeps
-    the oracle mean closed-form.
+    the endian dispatch is on the hash path; every third id is
+    PackBits-compressed (round 7 — formerly a guard), so both strip
+    codings are too. Lossless roundtrip keeps the oracle mean
+    closed-form.
 
     Scale: map-only mapInPandas, same contract as q_media_png."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")

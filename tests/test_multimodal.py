@@ -649,15 +649,33 @@ def test_tiff_roundtrip_both_endians_and_guards():
         parse_tiff,
     )
 
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _tiff_pixels,
+    )
+
     for i in (0, 1, 2, 3, 7, 100, 12345):
         w, h = _tiff_dims(i)
         _w, _h, img = parse_tiff(_encode_tiff(i))
         assert (_w, _h) == (w, h)
-        k = np.arange(w * h, dtype=np.int64)
-        assert np.array_equal(
-            img, ((i * 5 + k) % 256).astype(np.uint8).reshape(h, w)
-        )
+        assert np.array_equal(img, _tiff_pixels(i, w, h).reshape(h, w))
     assert _encode_tiff(0)[:2] == b"II" and _encode_tiff(1)[:2] == b"MM"
+    # every third id is PackBits-compressed and must be SMALLER than
+    # its uncompressed pixel payload (the run-friendly pattern); the
+    # run-free ids stay uncompressed
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _tiff_packbits_compress,
+        _tiff_packbits_decompress,
+    )
+
+    w, h = _tiff_dims(6)
+    strip = _tiff_packbits_compress(_tiff_pixels(6, w, h).tobytes())
+    assert len(strip) < w * h  # the runs-of-7 pattern actually packs
+    # packbits round-trips arbitrary byte strings incl. run boundaries
+
+    for data in (b"", b"a", b"ab", b"aaa", b"aab" * 100, bytes(range(256)),
+                 b"x" * 400, b"ab" + b"c" * 130 + b"de"):
+        z = _tiff_packbits_compress(data)
+        assert _tiff_packbits_decompress(z, len(data)) == data
     with pytest.raises(ValueError, match="not a TIFF"):
         parse_tiff(b"XX" + _encode_tiff(2)[2:])
     # LZW compression tag rejected honestly
