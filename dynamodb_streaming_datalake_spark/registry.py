@@ -91,6 +91,7 @@ PRIORITY: tuple[str, ...] = (
     "q_media_mp4_samples",       # stbl expansion to per-sample rows
     "q_incr_agg_stream",         # foreachBatch-maintained agg view
     "q_media_mp3_sideinfo",      # Layer-III side-info bit parse
+    "q_media_wav_adpcm",         # IMA ADPCM decode, recursive-CTE oracle
     # -- remaining round-5-proven (next-stalest; lead round 8 after r7-new) --
     "q_customers_without_orders",
     "q_rollup_events",

@@ -913,3 +913,65 @@ def test_mp3_sideinfo_bit_layout_and_guards():
         blob[off] = 0xFF
     with pytest.raises(ValueError, match="big_values"):
         parse_mp3_sideinfo(bytes(blob))
+
+
+def test_wav_adpcm_decode_and_guards():
+    """Round 7: IMA ADPCM (the 'compressed WAV' stub). The decoded
+    stats match an independent Python replay of the spec recurrence;
+    every nibble value 0-15 is on the path; PCM files are dispatched
+    away loudly; corrupt seeds and misaligned data fail."""
+    import struct as st
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _ADPCM_NIBBLES,
+        _adpcm_block_seed,
+        _adpcm_params,
+        _adpcm_step,
+        _encode_wav,
+        _encode_wav_adpcm,
+        parse_wav_adpcm,
+    )
+
+    for i in (0, 1, 5, 12345):
+        sr, n, s, mn, mx = parse_wav_adpcm(_encode_wav_adpcm(i))
+        esr, nb = _adpcm_params(i)
+        assert sr == esr and n == nb * (_ADPCM_NIBBLES + 1)
+        en = es = 0
+        emn, emx = 32767, -32768
+        for b in range(nb):
+            pred, idx = _adpcm_block_seed(i, b)
+            en, es = en + 1, es + pred
+            emn, emx = min(emn, pred), max(emx, pred)
+            for j in range(_ADPCM_NIBBLES):
+                pred, idx = _adpcm_step(pred, idx, (i + b + j) % 16)
+                en, es = en + 1, es + pred
+                emn, emx = min(emn, pred), max(emx, pred)
+        assert (n, s, mn, mx) == (en, es, emn, emx)
+
+    # a 16-bit PCM file must be dispatched away, not mis-decoded
+    with pytest.raises(NotImplementedError, match="0x1"):
+        parse_wav_adpcm(_encode_wav(3))
+    # corrupt block seed index (>88)
+    blob = bytearray(_encode_wav_adpcm(2))
+    data_at = bytes(blob).index(b"data") + 8
+    blob[data_at + 2] = 120
+    with pytest.raises(ValueError, match="index out of range"):
+        parse_wav_adpcm(bytes(blob))
+    # truncate one byte off the data chunk -> misaligned
+    blob = bytearray(_encode_wav_adpcm(2))
+    (dlen,) = st.unpack("<I", blob[data_at - 4 : data_at])
+    blob[data_at - 4 : data_at] = st.pack("<I", dlen - 1)
+    del blob[-1]
+    with pytest.raises(ValueError, match="block-aligned"):
+        parse_wav_adpcm(bytes(blob))
+
+
+def test_q_media_wav_adpcm_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        q_media_wav_adpcm,
+    )
+
+    compare_query(
+        spark, sf_smoke, "q_media_wav_adpcm", q_media_wav_adpcm,
+        ORACLE["q_media_wav_adpcm"],
+    )
