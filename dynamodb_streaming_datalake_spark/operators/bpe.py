@@ -393,3 +393,98 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_bigram_lm, LM_ADD_K=LM_ADD_K, LM_TOP=LM_TOP)
+
+
+# ---------------------------------------------------------------------------
+# LM-based document scoring (round 7): the quality-filtering pass
+# ---------------------------------------------------------------------------
+# The CCNet/KenLM recipe at bigram scale: train the count LM on the
+# corpus, then score every document by its bigrams' smoothed
+# conditional probabilities; low-scoring documents are quality-filter
+# candidates. Exactness discipline: each P(w2|w1) is ONE IEEE division
+# of exact integers (bit-equal across engines), then cast to
+# DECIMAL(18,12) so the per-document SUM is exact and
+# partition-order-independent — the float-sum nondeterminism that
+# plagues log-prob scoring never arises.
+
+
+@query(
+    "q_lm_doc_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id, ws[CAST(j AS INT)] AS w1, ws[CAST(j AS INT) + 1] AS w2
+        FROM toks, unnest(range(1, len(ws))) AS u(j)
+        WHERE len(ws) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c FROM bigrams GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c) AS n FROM c12 GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM bigrams),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(CAST(c12.c + {LM_ADD_K} AS DOUBLE)
+                    / CAST(c1.n + {LM_ADD_K} * v.vocab AS DOUBLE)
+                 AS DECIMAL(18,12)) AS p
+        FROM bigrams b
+        JOIN c12 USING (w1, w2)
+        JOIN c1 USING (w1)
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p) AS DOUBLE) / COUNT(*) AS mean_prob,
+           CAST(MIN(p) AS DOUBLE) AS min_prob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document under the corpus-trained bigram LM: for
+    each in-document bigram, P(w2|w1) = (c12+{LM_ADD_K}) /
+    (c1+{LM_ADD_K}*V) with the same counts as q_bigram_lm, aggregated
+    per document as exact-decimal mean and min probability. The oracle
+    retrains and rescores from scratch; a wrong count, join key, or
+    smoothing constant anywhere diverges the hash.
+
+    Scale: counts are vocabulary-sized; the only corpus-sized shuffle
+    is the (w1, w2) score join — the canonical distributed LM-scoring
+    shape. Docs with fewer than two tokens have no bigrams and are
+    absent, matching the oracle's inner joins."""
+    d = read_table(spark, sf_dir, "documents")
+    bigrams = (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " j -> struct(element_at(ws, CAST(j AS INT)) AS w1,"
+                    " element_at(ws, CAST(j AS INT) + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("n"))
+    v = bigrams.agg(F.countDistinct("w2").alias("vocab"))
+    p = (
+        (F.col("c") + F.lit(LM_ADD_K)).cast("double")
+        / (F.col("n") + F.lit(LM_ADD_K) * F.col("vocab")).cast("double")
+    ).cast("decimal(18,12)")
+    scored = (
+        bigrams.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", p.alias("p"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("p").cast("double") / F.count(F.lit(1))).alias("mean_prob"),
+        F.min("p").cast("double").alias("min_prob"),
+    )
+
+
+_fmt(q_lm_doc_score, LM_ADD_K=LM_ADD_K)

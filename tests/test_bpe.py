@@ -150,3 +150,27 @@ def test_train_wall_time_linear_in_merge_count(spark, sf_smoke):
         f"training looks super-linear in merge count: "
         f"K=16 {t16:.2f}s vs K=64 {t64:.2f}s ({t64 / t16:.1f}x for 4x rounds)"
     )
+
+
+def test_q_lm_doc_score_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.bpe import q_lm_doc_score
+
+    compare_query(
+        spark, sf_smoke, "q_lm_doc_score", q_lm_doc_score,
+        ORACLE["q_lm_doc_score"],
+    )
+
+
+def test_lm_doc_score_is_a_probability_and_covers_docs(spark, sf_smoke):
+    """Scores are valid probabilities; every document with >= 2 tokens
+    is scored; min <= mean."""
+    from dynamodb_streaming_datalake_spark.operators.bpe import q_lm_doc_score
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    rows = q_lm_doc_score(spark, sf_smoke).collect()
+    d = read_table(spark, sf_smoke, "documents")
+    n_eligible = d.where(F.size(F.split("text", " ")) >= 2).count()
+    assert len(rows) == n_eligible
+    for r in rows:
+        assert 0.0 < r["min_prob"] <= r["mean_prob"] < 1.0
+        assert r["n_bigrams"] >= 1
