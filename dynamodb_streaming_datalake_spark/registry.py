@@ -93,6 +93,7 @@ PRIORITY: tuple[str, ...] = (
     "q_media_mp3_sideinfo",      # Layer-III side-info bit parse
     "q_media_wav_adpcm",         # IMA ADPCM decode, recursive-CTE oracle
     "q_lm_doc_score",            # bigram-LM document quality scoring
+    "q_triangle_count",          # ordered-edge triangle enumeration
     # -- remaining round-5-proven (next-stalest; lead round 8 after r7-new) --
     "q_customers_without_orders",
     "q_rollup_events",

@@ -67,3 +67,45 @@ def test_pagerank_favors_high_degree_nodes(spark, sf_smoke):
     ranks = {r["node"]: r["rank_fp"] for r in pagerank(edges).collect()}
     mean = sum(ranks.values()) / len(ranks)
     assert ranks[top_node] > mean
+
+
+def test_q_triangle_count_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.graph import (
+        q_triangle_count,
+    )
+    from dynamodb_streaming_datalake_spark.registry import ORACLE
+
+    compare_query(
+        spark, sf_smoke, "q_triangle_count", q_triangle_count,
+        ORACLE["q_triangle_count"],
+    )
+
+
+def test_triangle_count_on_known_graph(spark, sf_smoke):
+    """Hand-checkable pin: a K4 plus a pendant edge has exactly 4
+    triangles, each K4 node in 3 of them — built as 'orders' whose
+    co-purchase pairs realize exactly that edge set."""
+    from dynamodb_streaming_datalake_spark.operators.graph import (
+        q_triangle_count,
+    )
+
+    # orders: one per K4 edge (u,v) -> co-purchase edge set = K4 (plus
+    # the pendant 4-5 edge); supplier ids 1..5
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    rows = [
+        (ok, s)
+        for ok, (u, v) in enumerate(edges)
+        for s in (u, v)
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_suppkey long")
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        # q_triangle_count reads lineitem from an sf_dir; fabricate one
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = {
+            (r["supp_key"], r["n_triangles"], r["total_triangles"])
+            for r in q_triangle_count(spark, d).collect()
+        }
+    assert got == {(1, 3, 4), (2, 3, 4), (3, 3, 4), (4, 3, 4)}
