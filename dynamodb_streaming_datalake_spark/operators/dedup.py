@@ -1552,3 +1552,89 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_para_dedup, PARA_BLOCK=PARA_BLOCK)
+
+
+# ---------------------------------------------------------------------------
+# cross-document span (substring) duplication — round 7
+# ---------------------------------------------------------------------------
+# Exact-substring duplication a la the "Deduplicating Training Data
+# Makes Language Models Better" recipe, at token-window granularity:
+# every W-token sliding window is keyed; a window whose key occurs in
+# two or more DISTINCT documents is a duplicated span. Documents with
+# high duplicated-span ratios are boilerplate/template candidates that
+# document-level dedup misses (they are not near-duplicates of any ONE
+# document — they share spans with many).
+
+SPAN_W = 8
+
+
+@query(
+    "q_dedup_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    wins AS (
+        SELECT doc_id,
+               array_to_string(
+                 list_slice(ws, CAST(j AS INT), CAST(j AS INT) + {SPAN_W - 1}),
+                 ' ') AS win
+        FROM toks, unnest(range(1, len(ws) - {SPAN_W} + 2)) AS u(j)
+        WHERE len(ws) >= {SPAN_W}
+    ),
+    cnt AS (
+        SELECT win, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY win
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_ratio
+    FROM wins w JOIN cnt c USING (win)
+    GROUP BY w.doc_id
+    """,
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span profile: count each document's
+    {SPAN_W}-token sliding windows and how many of them also occur in
+    at least one OTHER document. The oracle rebuilds the identical
+    window table, so a off-by-one in the window slicing or a wrong
+    distinct-count anywhere shifts the ratios.
+
+    Scale: one shuffle on the window key (the span group-by) and one
+    back-join to the window stream — the exact-substring-dedup shape.
+    At 100 TB you key on a fingerprint (hash) of the window rather
+    than the string to shrink shuffle width; the string key here keeps
+    the oracle equivalence exact, and swapping in ``xxhash64(win)``
+    changes bytes-on-wire, not the plan shape. Windows are linear in
+    corpus tokens (stride 1), the classic space/recall trade."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ws")).where(
+        F.size("ws") >= SPAN_W
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {SPAN_W} + 1),"
+                f" j -> concat_ws(' ', slice(ws, CAST(j AS INT), {SPAN_W})))"
+            )
+        ).alias("win"),
+    )
+    cnt = wins.groupBy("win").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        wins.join(cnt, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(dup).cast("bigint").alias("n_dup_windows"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
+_fmt(q_dedup_spans, SPAN_W=SPAN_W)

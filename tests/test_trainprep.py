@@ -585,3 +585,46 @@ def test_minhash_bucket_stats_measures_capped_candidate_volume(spark):
     # all) bands — at least 1, at most n_bands pairs, nothing from the
     # dropped clone buckets (uncapped volume would be 66 per band)
     assert 1 <= stats["candidate_pairs"] <= n_bands
+
+
+def test_q_dedup_spans_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.dedup import q_dedup_spans
+    from dynamodb_streaming_datalake_spark.registry import ORACLE
+    from tests.oracle_utils import compare_query
+
+    compare_query(
+        spark, sf_smoke, "q_dedup_spans", q_dedup_spans,
+        ORACLE["q_dedup_spans"],
+    )
+
+
+def test_dedup_spans_on_planted_corpus(spark, tmp_path):
+    """Hand-checkable span semantics: two docs sharing one 8-token
+    sentence inside otherwise-distinct text each count exactly the
+    windows that lie fully inside the shared span; a third unrelated
+    doc counts zero."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        SPAN_W,
+        q_dedup_spans,
+    )
+
+    shared = "one two three four five six seven eight"  # exactly W tokens
+    rows = [
+        (1, f"aa bb cc {shared} dd ee"),
+        (2, f"zz yy {shared} xx ww vv"),
+        (3, "totally different words with no overlap at all here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in q_dedup_spans(spark, d).collect()
+    }
+    # doc 1: 13 tokens -> 6 windows, ONE of which is the shared span
+    assert got[1] == (13 - SPAN_W + 1, 1)
+    assert got[2] == (13 - SPAN_W + 1, 1)
+    assert got[3] == (10 - SPAN_W + 1, 0)
