@@ -919,11 +919,85 @@ def _bmp_dims(i: int) -> tuple[int, int]:
     return width, height
 
 
+def _bmp_rle8_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """8-bpp pattern for the RLE ids: the first 3 pixels of each row
+    are pairwise distinct (forcing an absolute-mode segment), the rest
+    come in runs of 9 (forcing encoded runs) — both RLE op kinds on
+    every row."""
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    vals = np.where(
+        x < 3,
+        (i + 5 * y + 7 * x) % 256,
+        (i + 5 * y + 3 * ((x - 3) // 9)) % 256,
+    )
+    return vals.astype(np.uint8)
+
+
+def _bmp_rle8_compress_row(row: bytes) -> bytes:
+    """Spec RLE8 row packer: byte runs >= 2 -> encoded (count, value)
+    pairs; literal stretches of >= 3 -> absolute mode (00 count bytes,
+    word-padded); shorter literals -> count-1 encoded pairs."""
+    out = bytearray()
+    pos, n = 0, len(row)
+    while pos < n:
+        run = 1
+        while pos + run < n and run < 255 and row[pos + run] == row[pos]:
+            run += 1
+        if run >= 2:
+            out += bytes([run, row[pos]])
+            pos += run
+            continue
+        lit_start = pos
+        pos += 1
+        while (
+            pos < n
+            and pos - lit_start < 255
+            and not (pos + 1 < n and row[pos + 1] == row[pos])
+        ):
+            pos += 1
+        seg = row[lit_start:pos]
+        if len(seg) >= 3:
+            out += bytes([0, len(seg)]) + seg
+            if len(seg) % 2:
+                out += b"\x00"  # absolute runs pad to word boundary
+        else:
+            for b in seg:
+                out += bytes([1, b])
+    return bytes(out)
+
+
+def _encode_bmp_rle8(i: int) -> bytes:
+    """8-bpp BI_RLE8 BMP: grayscale 256-entry palette, bottom-up rows
+    each ending in an end-of-line escape (00 00), end-of-bitmap escape
+    (00 01) after the last stored row."""
+    w, h = _bmp_dims(i)
+    grid = _bmp_rle8_pixels(i, w, h)
+    rle = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up storage
+        rle += _bmp_rle8_compress_row(grid[r].tobytes())
+        rle += b"\x00\x00"
+    rle[-2:] = b"\x00\x01"  # last row ends the bitmap instead
+    palette = b"".join(bytes([c, c, c, 0]) for c in range(256))
+    data_offset = 14 + 40 + len(palette)
+    file_size = data_offset + len(rle)
+    file_header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, data_offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle), 2835, 2835, 256, 0
+    )
+    return file_header + info_header + palette + bytes(rle)
+
+
 def _encode_bmp(i: int) -> bytes:
     """Spec-conformant BMP: BITMAPFILEHEADER (14 bytes) +
     BITMAPINFOHEADER (40 bytes), BI_RGB 24-bit, bottom-up rows padded
     to 4-byte boundaries. Pixel byte k (in reading order, BGR within
-    pixel) = (i + k) % 256 — same closed-form-mean family as PPM."""
+    pixel) = (i + k) % 256 — same closed-form-mean family as PPM.
+    Every fourth id instead writes an 8-bpp BI_RLE8 file (round 7 —
+    the former 'compressed BMP' guard) with both RLE op kinds on every
+    row."""
+    if i % 4 == 0:
+        return _encode_bmp_rle8(i)
     w, h = _bmp_dims(i)
     row_raw = w * 3
     pad = (-row_raw) % 4
@@ -944,10 +1018,11 @@ def _encode_bmp(i: int) -> bytes:
 
 def parse_bmp(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Real BMP parser: file header, BITMAPINFOHEADER, BI_RGB 24-bit
-    only (compressed variants raise NotImplementedError), honoring the
-    pixel-data offset, 4-byte row padding, and bottom-up vs top-down
-    row order (negative height). Returns rows in reading order as
-    (h, w*3) uint8."""
+    and BI_RLE8 8-bit palette (round 7; other compressions raise
+    NotImplementedError), honoring the pixel-data offset, 4-byte row
+    padding, and bottom-up vs top-down row order (negative height).
+    Returns rows in reading order as (h, w*3) uint8 for BI_RGB, or
+    (h, w) palette intensities for BI_RLE8."""
     if blob[:2] != b"BM":
         raise ValueError("not a BMP file")
     file_size, _r1, _r2, data_offset = struct.unpack("<IHHI", blob[2:14])
@@ -959,11 +1034,52 @@ def parse_bmp(blob: bytes) -> tuple[int, int, np.ndarray]:
     w, h_signed, planes, bpp, compression = struct.unpack(
         "<iiHHI", blob[18:34]
     )
+    h = abs(h_signed)
+    if compression == 1:  # BI_RLE8 (round 7 — the former guard)
+        if bpp != 8:
+            raise ValueError("BI_RLE8 requires 8 bpp")
+        palette = np.frombuffer(
+            blob, np.uint8, count=256 * 4, offset=54
+        ).reshape(256, 4)
+        grid = np.zeros((h, w), dtype=np.uint8)
+        row, col = 0, 0  # storage order (bottom-up handled by flip)
+        pos = data_offset
+        ended = False
+        while pos + 1 < len(blob) and not ended:
+            ctl, val = blob[pos], blob[pos + 1]
+            pos += 2
+            if ctl > 0:  # encoded run
+                if row >= h or col + ctl > w:
+                    raise ValueError("RLE8 run overflows the bitmap")
+                grid[row, col : col + ctl] = val
+                col += ctl
+            elif val == 0:  # end of line
+                row += 1
+                col = 0
+            elif val == 1:  # end of bitmap
+                ended = True
+            elif val == 2:
+                raise NotImplementedError("RLE8 delta escape not supported")
+            else:  # absolute mode: val literal indices, word-padded
+                if row >= h or col + val > w:
+                    raise ValueError("RLE8 absolute run overflows")
+                grid[row, col : col + val] = np.frombuffer(
+                    blob, np.uint8, count=val, offset=pos
+                )
+                col += val
+                pos += val + (val % 2)
+        if not ended:
+            raise ValueError("RLE8 stream missing end-of-bitmap")
+        # palette indirection (grayscale palette -> intensity), then
+        # flip storage order back to reading order
+        out = palette[grid, 0]
+        if h_signed > 0:
+            out = out[::-1]
+        return w, h, np.ascontiguousarray(out)
     if compression != 0:
         raise NotImplementedError(f"compressed BMP (BI_ code {compression})")
     if bpp != 24:
         raise NotImplementedError(f"{bpp}-bpp BMP not supported")
-    h = abs(h_signed)
     row_raw = w * 3
     stride = row_raw + ((-row_raw) % 4)
     px = np.frombuffer(blob, np.uint8, offset=data_offset)
@@ -990,7 +1106,7 @@ def decode_bmp(df: DataFrame, id_col: str) -> DataFrame:
                 w, h, grid = parse_bmp(bytes(blob))
                 m = grid.size
                 mean = float(int(grid.astype(np.int64).sum()) / m)
-                rows.append((int(i), w, h, 3, mean, m))
+                rows.append((int(i), w, h, grid.shape[1] // w, mean, m))
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "width", "height", "channels", "mean_pixel", "n_bytes"],
@@ -1001,9 +1117,9 @@ def decode_bmp(df: DataFrame, id_col: str) -> DataFrame:
 
 @query(
     "q_media_bmp",
-    # same modular prefix-sum closed form as q_media_ppm: pixel byte k
-    # (reading order) = (doc_id + k) % 256 over m = w*h*3 bytes; the
-    # bottom-up storage + row padding must cancel out exactly in decode
+    # BI_RGB ids: the modular prefix-sum closed form (pixel byte k =
+    # (doc_id + k) % 256 over m = w*h*3 bytes). BI_RLE8 ids (every
+    # fourth): the 8-bpp two-zone pattern summed directly over w*h.
     oracle="""
     WITH dims AS (
         SELECT doc_id,
@@ -1013,11 +1129,26 @@ def decode_bmp(df: DataFrame, id_col: str) -> DataFrame:
                (5 + doc_id % 21) * (4 + (doc_id // 3) % 13) * 3 AS m
         FROM documents
     )
-    SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
-           (((a + m) // 256) * 32640 + ((a + m) % 256) * ((a + m) % 256 - 1) // 2
-            - ((a // 256) * 32640 + (a % 256) * ((a % 256) - 1) // 2)
-           ) * 1.0 / m AS mean_pixel,
-           CAST(m AS BIGINT) AS n_bytes
+    SELECT doc_id, width, height,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS INT)
+             AS channels,
+           CASE WHEN doc_id % 4 = 0 THEN
+             CAST(list_aggregate(
+               list_transform(range(0, CAST(width * height AS BIGINT)),
+                 k -> CASE WHEN k % width < 3
+                      THEN (doc_id + 5 * (k // width)
+                              + 7 * (k % width)) % 256
+                      ELSE (doc_id + 5 * (k // width)
+                              + 3 * ((k % width - 3) // 9)) % 256 END),
+               'sum') AS DOUBLE) / (width * height)
+           ELSE
+             (((a + m) // 256) * 32640
+               + ((a + m) % 256) * ((a + m) % 256 - 1) // 2
+              - ((a // 256) * 32640 + (a % 256) * ((a % 256) - 1) // 2)
+             ) * 1.0 / m
+           END AS mean_pixel,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN width * height ELSE m END
+             AS BIGINT) AS n_bytes
     FROM dims
     """,
 )

@@ -264,10 +264,17 @@ def test_bmp_roundtrip_padding_and_row_order():
         parse_bmp,
     )
 
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _bmp_rle8_pixels,
+    )
+
     for i in (0, 1, 2, 3, 7, 100, 12345):
         blob = _encode_bmp(i)
         w, h, grid = parse_bmp(blob)
         assert (w, h) == _bmp_dims(i)
+        if i % 4 == 0:  # BI_RLE8 ids (round 7): 8-bpp palette decode
+            assert np.array_equal(grid, _bmp_rle8_pixels(i, w, h))
+            continue
         k = np.arange(grid.size, dtype=np.int64)
         assert np.array_equal(
             grid, ((i + k) % 256).astype(np.uint8).reshape(h, w * 3)
@@ -284,11 +291,22 @@ def test_bmp_roundtrip_padding_and_row_order():
     assert np.array_equal(
         grid2, ((7 + k) % 256).astype(np.uint8).reshape(h, w * 3)
     )
-    # compressed (BI_RLE8) rejected
+    # unknown compression code still rejected (RLE8 is now real)
     bad = bytearray(_encode_bmp(3))
-    bad[30:34] = st.pack("<I", 1)
+    bad[30:34] = st.pack("<I", 5)
     with pytest.raises(NotImplementedError, match="compressed"):
         parse_bmp(bytes(bad))
+    # BI_RLE8 guards: delta escape unsupported; overflow and missing
+    # end-of-bitmap are loud
+    rle = bytearray(_encode_bmp(4))  # 4 % 4 == 0 -> RLE8 file
+    (data_at,) = st.unpack("<I", rle[10:14])
+    rle[data_at : data_at + 2] = b"\x00\x02"  # delta escape first
+    with pytest.raises(NotImplementedError, match="delta"):
+        parse_bmp(bytes(rle))
+    rle = bytearray(_encode_bmp(4))
+    rle[data_at : data_at + 2] = b"\xff\x01"  # 255-run overflows width
+    with pytest.raises(ValueError, match="overflow"):
+        parse_bmp(bytes(rle))
 
 
 def test_q_media_bmp_oracle_parity(spark, sf_smoke):
