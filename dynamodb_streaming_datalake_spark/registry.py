@@ -95,6 +95,7 @@ PRIORITY: tuple[str, ...] = (
     "q_lm_doc_score",            # bigram-LM document quality scoring
     "q_triangle_count",          # ordered-edge triangle enumeration
     "q_dedup_spans",             # cross-doc duplicated-span profile
+    "q_entity_resolution",       # blocking + edit-distance linkage
     # -- remaining round-5-proven (next-stalest; lead round 8 after r7-new) --
     "q_customers_without_orders",
     "q_rollup_events",

@@ -628,3 +628,33 @@ def test_dedup_spans_on_planted_corpus(spark, tmp_path):
     assert got[1] == (13 - SPAN_W + 1, 1)
     assert got[2] == (13 - SPAN_W + 1, 1)
     assert got[3] == (10 - SPAN_W + 1, 0)
+
+
+def test_q_entity_resolution_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.curation import (
+        q_entity_resolution,
+    )
+    from dynamodb_streaming_datalake_spark.registry import ORACLE
+    from tests.oracle_utils import compare_query
+
+    compare_query(
+        spark, sf_smoke, "q_entity_resolution", q_entity_resolution,
+        ORACLE["q_entity_resolution"],
+    )
+
+
+def test_entity_resolution_has_total_recall(spark, sf_smoke):
+    """Every corrupted record must link back to its clean original at
+    distance exactly 1 (one dropped character past the blocking
+    prefix): recall is total by construction, so a miss is a blocking
+    or scoring bug."""
+    from dynamodb_streaming_datalake_spark.operators.curation import (
+        q_entity_resolution,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    df = q_entity_resolution(spark, sf_smoke)
+    true_pairs = df.where("is_true_match").collect()
+    n_parts = read_table(spark, sf_smoke, "part").count()
+    assert len(true_pairs) == n_parts
+    assert all(r["distance"] == 1 for r in true_pairs)
