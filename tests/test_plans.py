@@ -236,6 +236,8 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_pagerank",  # 1-row node-count aggregate crossed into init
         "q_data_quality_report",  # 1-row check aggregates crossed
         "q_bigram_lm",  # 1-row vocabulary-size aggregate crossed
+        "q_lm_doc_score",  # 1-row vocabulary-size aggregate crossed
+        "q_triangle_count",  # 1-row global-triangle-count crossed
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
