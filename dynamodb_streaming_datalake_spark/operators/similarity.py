@@ -1597,3 +1597,120 @@ _FMT_CONSTS = dict(
 
 for _q in (q_pq_quantize, q_ann_pq, q_ann_pq_rerank, q_ann_ivfpq):
     _fmt(_q, **_FMT_CONSTS)
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation harness — round 7
+# ---------------------------------------------------------------------------
+# The eval half of an ANN deployment: measure the approximate index
+# against exact brute-force ground truth on a query sample, per query
+# — recall@k (overlap of top-k sets) and reciprocal rank of the true
+# nearest neighbor. Both metrics are exact rationals realized as one
+# IEEE division each, so the hash gate applies; pytest already pins
+# recall FLOORS for the PQ family, and this query makes the evaluation
+# itself a first-class, oracle-checked operator.
+
+
+@query(
+    "q_retrieval_eval",
+    oracle=f"""
+    WITH {_SQL_IVF},
+    bt_scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {sql_cosine('q.embedding', 'e.embedding')} AS c
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < {IVF_QUERIES}
+    ),
+    bt_ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, neighbor_id) AS t_rank
+        FROM bt_scored
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id, t_rank FROM bt_ranked
+        WHERE t_rank <= {IVF_TOP_K}
+    ),
+    sys AS (
+        SELECT query_id, neighbor_id, rank FROM ranked
+        WHERE rank <= {IVF_TOP_K}
+    ),
+    overlap AS (
+        SELECT t.query_id, COUNT(s.neighbor_id) AS n_overlap
+        FROM truth t
+        LEFT JOIN sys s
+          ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id
+    ),
+    nn_rank AS (
+        SELECT t.query_id, s.rank AS sys_rank
+        FROM truth t
+        LEFT JOIN sys s
+          ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+        WHERE t.t_rank = 1
+    )
+    SELECT o.query_id,
+           CAST(o.n_overlap AS INT) AS n_overlap,
+           CAST(o.n_overlap AS DOUBLE) / {IVF_TOP_K} AS recall_at_k,
+           COALESCE(1.0 / n.sys_rank, 0.0) AS reciprocal_rank
+    FROM overlap o JOIN nn_rank n USING (query_id)
+    """,
+)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation: per-query recall@{IVF_TOP_K} and the
+    reciprocal rank of the exact nearest neighbor, measuring the IVF
+    index (q_ann_ivf's exact pipeline) against brute-force cosine
+    ground truth over its {IVF_QUERIES}-query sample. Both engines
+    rank with the identical tie-break (cos desc, neighbor_id), so the
+    metric table is hash-exact.
+
+    Scale: ground truth is brute-force by design — the standard eval
+    practice of paying exact search on a bounded query SAMPLE while
+    the index serves the full corpus; the comparison joins are
+    equi-joins on (query, neighbor) over k-bounded lists."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("c"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("neighbor_id")
+    )
+    truth = (
+        scored.withColumn("t_rank", F.row_number().over(w))
+        .where(F.col("t_rank") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", "t_rank")
+    )
+    sys = q_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    joined = truth.join(
+        sys,
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    overlap = joined.groupBy("query_id").agg(
+        F.count("rank").alias("n_overlap")
+    )
+    nn_rank = joined.where(F.col("t_rank") == 1).select(
+        "query_id", F.col("rank").alias("sys_rank")
+    )
+    return overlap.join(nn_rank, "query_id").select(
+        "query_id",
+        F.col("n_overlap").cast("int").alias("n_overlap"),
+        (F.col("n_overlap").cast("double") / F.lit(IVF_TOP_K)).alias(
+            "recall_at_k"
+        ),
+        F.coalesce(
+            F.lit(1.0) / F.col("sys_rank"), F.lit(0.0)
+        ).alias("reciprocal_rank"),
+    )
+
+
+_fmt(q_retrieval_eval, IVF_TOP_K=IVF_TOP_K, IVF_QUERIES=IVF_QUERIES)

@@ -96,6 +96,7 @@ PRIORITY: tuple[str, ...] = (
     "q_triangle_count",          # ordered-edge triangle enumeration
     "q_dedup_spans",             # cross-doc duplicated-span profile
     "q_entity_resolution",       # blocking + edit-distance linkage
+    "q_retrieval_eval",          # recall@k / MRR of IVF vs brute truth
     # -- remaining round-5-proven (next-stalest; lead round 8 after r7-new) --
     "q_customers_without_orders",
     "q_rollup_events",

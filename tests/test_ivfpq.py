@@ -262,3 +262,35 @@ def test_pq_family_recall_floors(spark, sf_oracle):
         }
         recall = len(got & truth) / len(truth)
         assert recall >= floor, (fn.__name__, recall)
+
+
+def test_q_retrieval_eval_oracle_parity(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        q_retrieval_eval,
+    )
+    from dynamodb_streaming_datalake_spark.registry import ORACLE
+    from tests.oracle_utils import compare_query
+
+    compare_query(
+        spark, sf_smoke, "q_retrieval_eval", q_retrieval_eval,
+        ORACLE["q_retrieval_eval"],
+    )
+
+
+def test_retrieval_eval_metric_bounds(spark, sf_smoke):
+    """One row per sampled query; recall and MRR in [0, 1]; n_overlap
+    consistent with recall; reciprocal rank only takes values
+    {0, 1, 1/2, ..., 1/k}."""
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        IVF_QUERIES,
+        IVF_TOP_K,
+        q_retrieval_eval,
+    )
+
+    rows = q_retrieval_eval(spark, sf_smoke).collect()
+    assert len(rows) == IVF_QUERIES
+    legal_rr = {0.0} | {1.0 / r for r in range(1, IVF_TOP_K + 1)}
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= IVF_TOP_K
+        assert r["recall_at_k"] == r["n_overlap"] / IVF_TOP_K
+        assert r["reciprocal_rank"] in legal_rr
