@@ -53,6 +53,10 @@ SF1_FLAGSHIPS = (
     "q_pagerank",
     "q_bpe_tokenize",
     "q_hybrid_search",
+    # round 7: the new queries with a real shuffle surface — span
+    # dedup's window-key shuffle and triangle counting's self-joins
+    "q_dedup_spans",
+    "q_triangle_count",
 )
 
 

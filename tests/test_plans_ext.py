@@ -231,3 +231,39 @@ def test_stream_attribution_is_equi_join(spark, sf_oracle):
     p = explain_str(df)
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_round7_new_queries_plan_shapes(spark, sf_oracle):
+    """Round-7 scale claims on the real plans: the retrieval-eval
+    ground-truth scan broadcasts the bounded query sample (never
+    shuffles the corpus against it); entity resolution's candidate
+    join and the span-dedup back-join are shuffled equi-joins (no
+    nested loops); triangle counting's three joins are equi-joins;
+    the top-k outputs use TakeOrderedAndProject."""
+    from dynamodb_streaming_datalake_spark.operators.curation import (
+        q_entity_resolution,
+    )
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        q_dedup_spans,
+    )
+    from dynamodb_streaming_datalake_spark.operators.graph import (
+        q_triangle_count,
+    )
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        q_retrieval_eval,
+    )
+
+    ev = q_retrieval_eval(spark, sf_oracle)
+    p = explain_str(ev)
+    assert "BroadcastHashJoin" in p, p  # query sample broadcast
+    assert "CartesianProduct" not in p, p
+
+    for q in (q_entity_resolution, q_dedup_spans):
+        df = q(spark, sf_oracle)
+        p = explain_str(df)
+        assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+
+    tri = q_triangle_count(spark, sf_oracle)
+    p = explain_str(tri)
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p  # bounded top output
