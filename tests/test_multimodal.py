@@ -993,3 +993,25 @@ def test_q_media_wav_adpcm_oracle_parity(spark, sf_smoke):
         spark, sf_smoke, "q_media_wav_adpcm", q_media_wav_adpcm,
         ORACLE["q_media_wav_adpcm"],
     )
+
+
+def test_wav_adpcm_vectorized_kernel_matches_reference(spark, sf_smoke):
+    """The block-vectorized batch kernel in decode_wav_adpcm must agree
+    row-for-row with the scalar reference decoder."""
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _encode_wav_adpcm,
+        decode_wav_adpcm,
+        parse_wav_adpcm,
+    )
+
+    d = _docs(spark, sf_smoke, 40)
+    wav = synthesize_media(d, "doc_id", "wav_adpcm")
+    got = {
+        r["doc_id"]: (
+            r["sample_rate"], r["n_samples"], r["sum_samples"],
+            r["min_sample"], r["max_sample"],
+        )
+        for r in decode_wav_adpcm(wav, "doc_id").collect()
+    }
+    for i in got:
+        assert got[i] == parse_wav_adpcm(_encode_wav_adpcm(i))
