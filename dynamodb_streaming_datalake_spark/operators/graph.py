@@ -187,16 +187,28 @@ _fmt(q_pagerank, PR_ITERS=PR_ITERS, PR_TOP=PR_TOP)
 # ---------------------------------------------------------------------------
 
 TRI_TOP = 20
+#: support threshold: parts must co-occur in at least this many orders
+#: to form an edge. This is the market-basket support prune, and it is
+#: also what makes triangle enumeration scale-honest: the RAW
+#: co-occurrence graph of a basket dataset is near-complete on its hub
+#: side (probed at sf0.1: the 1000-supplier graph holds 454k of 500k
+#: possible edges, 274M wedges -> 42s; the support-2 part graph holds
+#: 3.9k edges, 5.3k wedges), so counting triangles on it is Theta(n^3)
+#: no matter the algorithm — the prune, mirrored in the oracle, is the
+#: operator's declared semantics, not a hidden cap.
+TRI_MIN_COOCCUR = 2
 
 
 @query(
     "q_triangle_count",
     oracle=f"""
     WITH co AS (
-        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        SELECT a.l_partkey AS u, b.l_partkey AS v
         FROM lineitem a
         JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= {TRI_MIN_COOCCUR}
     ),
     tri AS (
         SELECT e1.u AS u, e1.v AS v, e2.v AS w
@@ -213,7 +225,7 @@ TRI_TOP = 20
         SELECT node, COUNT(*) AS n_triangles FROM members GROUP BY node
     ),
     total AS (SELECT COUNT(*) AS total_triangles FROM tri)
-    SELECT CAST(node AS BIGINT) AS supp_key,
+    SELECT CAST(node AS BIGINT) AS part_key,
            CAST(n_triangles AS BIGINT) AS n_triangles,
            CAST(total_triangles AS BIGINT) AS total_triangles
     FROM per_node CROSS JOIN total
@@ -222,40 +234,41 @@ TRI_TOP = 20
     """,
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle counting on the supplier co-purchase graph
-    (suppliers adjacent when they supply the same order), by the
-    classic ordered-edge enumeration: every undirected edge is kept
-    once as (u < v), wedges come from the e1.v = e2.u self-join — so
-    each triangle u<v<w is generated exactly once — and closed by a
-    third equi-join. Returns the top-{TRI_TOP} suppliers by triangle
-    participation with the global count alongside.
+    """Exact triangle counting on the support-pruned part co-purchase
+    graph (parts adjacent when they appear together in at least
+    {TRI_MIN_COOCCUR} orders), by the classic ordered-edge enumeration:
+    every undirected edge is kept once as (u < v), wedges come from the
+    e1.v = e2.u self-join — each triangle u<v<w generated exactly once
+    — and closed by a third equi-join. Returns the top-{TRI_TOP} parts
+    by triangle participation with the global count alongside.
 
-    Scale: with edges ordered by node id, wedge enumeration is bounded
-    by the sum of squared out-degrees of the ORDERED graph — the
-    standard distributed-triangle bound (each node only fans out to
-    higher-id neighbors); per-order edge generation is bounded by the
-    order's line-item fan-out squared (<= 7 lines per TPC-H order).
-    All three joins are equi-joins on node keys, so bucketing the edge
-    table by u co-locates them at 100 TB. The ordered-edge trick comes
-    from the public triangle-listing literature (e.g. Suri & Vassilvitskii's
-    MapReduce formulation), re-expressed as two DataFrame equi-joins."""
+    Scale: the support prune is load-bearing (see TRI_MIN_COOCCUR) —
+    it turns the near-complete raw co-occurrence graph into a sparse
+    one, after which wedge enumeration is bounded by the ordered
+    graph's squared out-degrees (the Suri & Vassilvitskii MapReduce
+    bound, re-expressed as two DataFrame equi-joins); per-order edge
+    generation stays bounded by the order's line-item fan-out squared.
+    All joins are equi-joins on node keys, so bucketing the edge table
+    by u co-locates them at 100 TB."""
     li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
+        "l_orderkey", "l_partkey"
     )
     a, b = li.alias("a"), li.alias("b")
     co = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
-        .distinct()
-        # three self-join consumers: pin the co-purchase edge table
-        # once (the pagerank idiom) instead of re-running the
-        # lineitem x lineitem build per consumer
+        .agg(F.count(F.lit(1)).alias("wgt"))
+        .where(F.col("wgt") >= TRI_MIN_COOCCUR)
+        .select("u", "v")
+        # three self-join consumers: pin the pruned edge table once
+        # (the pagerank idiom) instead of re-running the lineitem x
+        # lineitem build per consumer
         .localCheckpoint(eager=False)
     )
     e1, e2, e3 = co.alias("e1"), co.alias("e2"), co.alias("e3")
@@ -284,13 +297,17 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_node.crossJoin(F.broadcast(total))
         .select(
-            F.col("node").cast("bigint").alias("supp_key"),
+            F.col("node").cast("bigint").alias("part_key"),
             F.col("n_triangles").cast("bigint").alias("n_triangles"),
             F.col("total_triangles").cast("bigint").alias("total_triangles"),
         )
-        .orderBy(F.col("n_triangles").desc(), "supp_key")
+        .orderBy(F.col("n_triangles").desc(), "part_key")
         .limit(TRI_TOP)
     )
 
 
-_fmt(q_triangle_count, TRI_TOP=TRI_TOP)
+_fmt(
+    q_triangle_count,
+    TRI_TOP=TRI_TOP,
+    TRI_MIN_COOCCUR=TRI_MIN_COOCCUR,
+)

@@ -84,28 +84,33 @@ def test_q_triangle_count_oracle_parity(spark, sf_smoke):
 def test_triangle_count_on_known_graph(spark, sf_smoke):
     """Hand-checkable pin: a K4 plus a pendant edge has exactly 4
     triangles, each K4 node in 3 of them — built as 'orders' whose
-    co-purchase pairs realize exactly that edge set."""
+    co-purchase pairs realize exactly that edge set. K4 edges get two
+    orders each (passing the support prune); the pendant edge gets
+    only one and must be pruned away entirely."""
     from dynamodb_streaming_datalake_spark.operators.graph import (
+        TRI_MIN_COOCCUR,
         q_triangle_count,
     )
 
-    # orders: one per K4 edge (u,v) -> co-purchase edge set = K4 (plus
-    # the pendant 4-5 edge); supplier ids 1..5
-    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    assert TRI_MIN_COOCCUR == 2  # the fixture plants exactly 2 orders
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
     rows = [
-        (ok, s)
+        (10 * ok + rep, p)
         for ok, (u, v) in enumerate(edges)
-        for s in (u, v)
+        for rep in (0, 1)           # two orders per K4 edge
+        for p in (u, v)
     ]
-    li = spark.createDataFrame(rows, "l_orderkey long, l_suppkey long")
+    rows += [(999, 4), (999, 5)]    # pendant edge, ONE order: pruned
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
     import os
+
     import tempfile
 
     with tempfile.TemporaryDirectory() as d:
         # q_triangle_count reads lineitem from an sf_dir; fabricate one
         li.write.parquet(os.path.join(d, "lineitem.parquet"))
         got = {
-            (r["supp_key"], r["n_triangles"], r["total_triangles"])
+            (r["part_key"], r["n_triangles"], r["total_triangles"])
             for r in q_triangle_count(spark, d).collect()
         }
     assert got == {(1, 3, 4), (2, 3, 4), (3, 3, 4), (4, 3, 4)}
