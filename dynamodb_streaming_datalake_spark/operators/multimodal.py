@@ -177,6 +177,16 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
             ]
             yield pdf
 
+    # the synth + downstream decode are Python-per-row: they scale with
+    # PARTITIONS, and the small fixture parquet arrives as ONE split —
+    # which serialized every codec onto one core (found in the round-7
+    # bench: q_media_mp3_sideinfo at 6s wall vs 0.3s of actual Python).
+    # Fan out to the session's parallelism when the input is narrower;
+    # at real scale the input already has many splits and this is a
+    # no-op. Hash on the id keeps the distribution deterministic.
+    n_target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_target:
+        df = df.repartition(n_target, id_col)
     return df.mapInPandas(gen, schema=out_schema)
 
 
@@ -2188,25 +2198,21 @@ def _mp3_frame_len(br_idx: int, sr_idx: int, pad: int) -> int:
 
 
 class _MsbBitWriter:
-    """MSB-first bit packer (MP3 side-info bit order)."""
+    """MSB-first bit packer (MP3 side-info bit order). Accumulates in
+    one Python int — O(1)-ish per FIELD instead of per bit (the
+    side-info blob is <= 256 bits, so the big-int stays tiny)."""
 
     def __init__(self) -> None:
         self.acc = 0
         self.nbits = 0
-        self.out = bytearray()
 
     def put(self, v: int, n: int) -> None:
-        for b in range(n - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((v >> b) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.acc)
-                self.acc = 0
-                self.nbits = 0
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
 
     def bytes(self) -> bytes:
-        assert self.nbits == 0, "side info must be byte-aligned"
-        return bytes(self.out)
+        assert self.nbits % 8 == 0, "side info must be byte-aligned"
+        return self.acc.to_bytes(self.nbits // 8, "big")
 
 
 def _mp3_sideinfo_fields(i: int, f: int) -> dict:
@@ -2439,18 +2445,18 @@ def q_media_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 class _MsbBitReader:
-    """MSB-first bit reader (MP3 side-info bit order)."""
+    """MSB-first bit reader (MP3 side-info bit order). The whole blob
+    is converted to one Python int up front; each FIELD is one shift +
+    mask (the side-info blob is <= 256 bits)."""
 
     def __init__(self, data: bytes) -> None:
-        self.data = data
+        self.acc = int.from_bytes(data, "big")
+        self.total = len(data) * 8
         self.pos = 0
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            byte = self.data[self.pos >> 3]
-            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
+        v = (self.acc >> (self.total - self.pos - n)) & ((1 << n) - 1)
+        self.pos += n
         return v
 
 
