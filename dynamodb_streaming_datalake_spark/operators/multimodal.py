@@ -184,9 +184,12 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
     # Fan out to the session's parallelism when the input is narrower;
     # at real scale the input already has many splits and this is a
     # no-op. Hash on the id keeps the distribution deterministic.
-    n_target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n_target:
-        df = df.repartition(n_target, id_col)
+    # (streaming inputs can't be inspected via .rdd and get their
+    # parallelism from the source's own partitioning — skip the probe)
+    if not df.isStreaming:
+        n_target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < n_target:
+            df = df.repartition(n_target, id_col)
     return df.mapInPandas(gen, schema=out_schema)
 
 
