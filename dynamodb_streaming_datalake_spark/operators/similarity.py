@@ -1624,7 +1624,8 @@ for _q in (q_pq_quantize, q_ann_pq, q_ann_pq_rerank, q_ann_ivfpq):
     bt_ranked AS (
         SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY c DESC, neighbor_id) AS t_rank
+                                  ORDER BY round(c, 6) DESC, neighbor_id
+                                 ) AS t_rank
         FROM bt_scored
     ),
     truth AS (
@@ -1661,8 +1662,9 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     reciprocal rank of the exact nearest neighbor, measuring the IVF
     index (q_ann_ivf's exact pipeline) against brute-force cosine
     ground truth over its {IVF_QUERIES}-query sample. Both engines
-    rank with the identical tie-break (cos desc, neighbor_id), so the
-    metric table is hash-exact.
+    rank with the identical tie-break (round(cos, 6) desc,
+    neighbor_id) — rounding before ranking so a cross-engine libm ulp
+    cannot flip a truth rank — so the metric table is hash-exact.
 
     Scale: ground truth is brute-force by design — the standard eval
     practice of paying exact search on a bounded query SAMPLE while
@@ -1681,8 +1683,11 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("qe"), F.col("embedding")).alias("c"),
         )
     )
+    # rank truth on round(c, 6) — same cross-engine libm-ulp guard as
+    # q_hybrid_search's dense list (round-7 ADVICE): an ulp difference
+    # between Spark's and DuckDB's cosine must not flip a truth rank.
     w = Window.partitionBy("query_id").orderBy(
-        F.col("c").desc(), F.col("neighbor_id")
+        F.round(F.col("c"), 6).desc(), F.col("neighbor_id")
     )
     truth = (
         scored.withColumn("t_rank", F.row_number().over(w))

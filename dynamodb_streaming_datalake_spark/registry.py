@@ -22,19 +22,76 @@ ORACLE: dict[str, str] = {}
 # exactly the first 50 entries of ``all_queries()``, so ordering is part of
 # the proof surface, not cosmetics. Rotation rule: UNPROVEN first,
 # once-proven next, twice-proven tail last — rotate twice-proven window
-# members out to make room, never the converse. Round 7 leads with the two
-# archive readers registered after round-6's window (the only names with no
-# driver row anywhere), then the 42 queries whose most recent driver row is
-# round 4, then the 6 stalest round-5-proven names — exactly 50, closing
-# cumulative driver proof at 144/144. Round-7 additions register after the
-# window (the r5/r6 precedent) and lead round 8. Names not listed here order
-# after the listed ones, in registration order — so a future registration
-# can never silently eject a listed query from the window.
+# members out to make room, never the converse. Round 8 leads with the ten
+# round-7 additions registered after round-7's window (the only names with
+# no driver row anywhere), then the 40 stalest round-5-proven re-proofs —
+# exactly 50. The four remaining r5-proven names head the tail and lead
+# round 9 alongside round-8 additions (which register after the window, the
+# r5/r6/r7 precedent). Names not listed here order after the listed ones,
+# in registration order — so a future registration can never silently eject
+# a listed query from the window.
 PRIORITY: tuple[str, ...] = (
-    # -- round-7 window (driver records first 50): the two archive readers
-    #    registered after round-6s window (never driver-proven), then the 42
-    #    round-4-stale re-proofs, then the 6 stalest round-5-proven names.
-    #    Closes cumulative driver proof to 144/144.
+    # -- round-8 window (driver records first 50): the ten round-7
+    #    additions registered after round-7's window (never driver-proven),
+    #    then the 40 stalest round-5-proven re-proofs.
+    "q_media_webp",              # real WebP-lossless (VP8L) codec
+    "q_media_mp4_samples",       # stbl expansion to per-sample rows
+    "q_incr_agg_stream",         # foreachBatch-maintained agg view
+    "q_media_mp3_sideinfo",      # Layer-III side-info bit parse
+    "q_media_wav_adpcm",         # IMA ADPCM decode, recursive-CTE oracle
+    "q_lm_doc_score",            # bigram-LM document quality scoring
+    "q_triangle_count",          # ordered-edge triangle enumeration
+    "q_dedup_spans",             # cross-doc duplicated-span profile
+    "q_entity_resolution",       # blocking + edit-distance linkage
+    "q_retrieval_eval",          # recall@k / MRR of IVF vs brute truth
+    # -- 40 stalest round-5-proven re-proofs --
+    "q_customers_without_orders",
+    "q_rollup_events",
+    "q_user_event_history",
+    "q_topk_orders",
+    "q_set_reconcile_customers",
+    "q_json_props",
+    "q_top_words",
+    "q_sql_entrypoint",
+    "q5_nation_revenue",
+    "q_suppliers_with_bulk_sales",
+    "q_scalar_string_math",
+    "q_scalar_datetime",
+    "q_cube_events",
+    "q_distinct_counts",
+    "q_order_lineitem_join",
+    "q_table_profile",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q_rolling_user_value",
+    "q_funnel_conversion",
+    "q_value_percentiles",
+    "q_global_sort",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
+    "q22_idle_rich_customers",
+    "q11_important_parts",
+    "q12_priority_by_shipyear",
+    "q16_parts_supplier_counts",
+    "q20_dominant_part_suppliers",
+    "q_asof_join",
+    # -- tail: the four remaining r5-proven names (stalest; lead round 9
+    #    after any round-8 additions) --
+    "q_range_join_clicks",
+    "q_pivot_event_matrix",
+    "q_event_moments",
+    "q_histogram_value",
+    # -- round-7-window names, freshly proven in CORRECTNESS_r07 --
     "q_zip_ingest",
     "q_tgz_ingest",
     "q_dedup_apply",
@@ -85,64 +142,7 @@ PRIORITY: tuple[str, ...] = (
     "q_tfidf_terms",
     "q_heavy_hitters",
     "q_bloom_prejoin",
-    # -- registered in round 7, AFTER the window (r5/r6 precedent): locally
-    #    oracle-proven; rotate into round 8s window first.
-    "q_media_webp",              # real WebP-lossless (VP8L) codec
-    "q_media_mp4_samples",       # stbl expansion to per-sample rows
-    "q_incr_agg_stream",         # foreachBatch-maintained agg view
-    "q_media_mp3_sideinfo",      # Layer-III side-info bit parse
-    "q_media_wav_adpcm",         # IMA ADPCM decode, recursive-CTE oracle
-    "q_lm_doc_score",            # bigram-LM document quality scoring
-    "q_triangle_count",          # ordered-edge triangle enumeration
-    "q_dedup_spans",             # cross-doc duplicated-span profile
-    "q_entity_resolution",       # blocking + edit-distance linkage
-    "q_retrieval_eval",          # recall@k / MRR of IVF vs brute truth
-    # -- remaining round-5-proven (next-stalest; lead round 8 after r7-new) --
-    "q_customers_without_orders",
-    "q_rollup_events",
-    "q_user_event_history",
-    "q_topk_orders",
-    "q_set_reconcile_customers",
-    "q_json_props",
-    "q_top_words",
-    "q_sql_entrypoint",
-    "q5_nation_revenue",
-    "q_suppliers_with_bulk_sales",
-    "q_scalar_string_math",
-    "q_scalar_datetime",
-    "q_cube_events",
-    "q_distinct_counts",
-    "q_order_lineitem_join",
-    "q_table_profile",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q_rolling_user_value",
-    "q_funnel_conversion",
-    "q_value_percentiles",
-    "q_global_sort",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q21_waiting_supplier",
-    "q22_idle_rich_customers",
-    "q11_important_parts",
-    "q12_priority_by_shipyear",
-    "q16_parts_supplier_counts",
-    "q20_dominant_part_suppliers",
-    "q_asof_join",
-    "q_range_join_clicks",
-    "q_pivot_event_matrix",
-    "q_event_moments",
-    "q_histogram_value",
-    # -- tail: freshly proven green in CORRECTNESS_r06 (round-6 window) --
+    # -- proven green in CORRECTNESS_r06 (round-6 window) --
     "q_salted_join",
     "q_pq_quantize",
     "q_ann_pq",

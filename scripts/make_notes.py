@@ -49,7 +49,9 @@ def main() -> None:
         print("\n### Biggest movers vs the previous round's headline record\n")
         print("| query | prev s | now s | delta |")
         print("|---|---|---|---|")
-        for delta, name, p, t in movers[:8] + [m for m in movers[-4:] if m[0] > 0.2]:
+        head = movers[:8]
+        regressors = [m for m in movers[-4:] if m[0] > 0.2 and m not in head]
+        for delta, name, p, t in head + regressors:
             print(f"| {name} | {p} | {t} | {delta:+.2f} |")
 
     slow = sorted(q.items(), key=lambda kv: -kv[1])[:8]
