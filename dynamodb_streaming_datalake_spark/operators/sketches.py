@@ -1,0 +1,318 @@
+"""Mergeable streaming sketches: Count-Min and HyperLogLog, built as
+first-class DataFrame operators with exact cross-engine oracles.
+
+The reference pipeline has no analytics at all (its Lambda is a pure
+record-shape transform, ``/root/reference/lambda/firehose_transformation.py``),
+but any 100 TB lake needs cardinality and frequency answers that don't
+cost a full shuffle of the key space. Spark ships
+``approx_count_distinct`` (HLL++) as a black box; these operators build
+the sketch *as data* — a tiny table of (register, value) rows — because
+that is what a production lake actually stores: per-partition sketch
+tables that merge across days/files with a groupBy, no raw re-scan.
+
+Design rules that make the hash gate possible:
+
+* hashing is the portable md5-based :func:`portable_hash60`, identical
+  in DuckDB;
+* every aggregate is order-independent (MIN / MAX / integer SUM), so
+  results are partitioning-invariant;
+* the HLL harmonic mean is computed as an exact *integer* sum of
+  power-of-two terms (``1 << (52 - M)``) with a single final float
+  division — no float accumulation anywhere, so the estimate is
+  bit-identical on any engine and any cluster size.
+
+Scale: both sketches are O(1)-sized regardless of input rows (CMS:
+D*W cells; HLL: m registers). Build is one map-side-combined groupBy
+over a constant explosion factor; merge across shards/days is the same
+groupBy again. Estimation joins are broadcasts of the sketch table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
+from dynamodb_streaming_datalake_spark.registry import query
+from dynamodb_streaming_datalake_spark.sources.readers import read_table
+from dynamodb_streaming_datalake_spark.functions.texthash import (
+    portable_hash60,
+    sql_portable_hash60,
+)
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+#: sketch depth (number of independent hash rows — error prob ~ e^-D)
+CMS_DEPTH = 4
+#: sketch width (columns per row — overcount ~ N/W per cell)
+CMS_WIDTH = 256
+#: Mersenne prime for the affine universal-hash family (same family the
+#: minhash signatures use, dedup.py)
+CMS_P = 2_147_483_647
+#: per-depth affine coefficients m_d(h) = (A[d]*h + B[d]) % P % W —
+#: small odd constants, pairwise distinct
+CMS_A = (131, 137, 139, 149)
+CMS_B = (17, 29, 41, 53)
+
+
+def cms_cells(keyed: DataFrame, key: str) -> DataFrame:
+    """Explode each row into its CMS_DEPTH (depth, col) cells.
+
+    One md5 per row, then D affine maps computed row-locally — the
+    constant ×D blow-up happens *before* the map-side combine, so the
+    shuffle carries at most D*W counter rows per task, not D*N.
+    """
+    h = (portable_hash60(F.col(key).cast("string")) % CMS_P).alias("h")
+    base = keyed.select(h)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                ((F.lit(a) * F.col("h") + F.lit(b)) % CMS_P % CMS_WIDTH).alias(
+                    "col"
+                ),
+            )
+            for d, (a, b) in enumerate(zip(CMS_A, CMS_B))
+        ]
+    )
+    return base.select(F.explode(pairs).alias("c")).select("c.depth", "c.col")
+
+
+def cms_build(keyed: DataFrame, key: str) -> DataFrame:
+    """The sketch itself: ≤ D*W rows of (depth, col, cnt). Mergeable:
+    union two sketches and re-groupBy-sum to combine days/shards."""
+    return (
+        cms_cells(keyed, key)
+        .groupBy("depth", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _sql_cms_cell(depth: int, expr: str) -> str:
+    a, b = CMS_A[depth], CMS_B[depth]
+    return (
+        f"(({a} * ({sql_portable_hash60(expr)} % {CMS_P}) + {b})"
+        f" % {CMS_P} % {CMS_WIDTH})"
+    )
+
+
+@query(
+    "q_cms_heavy_hitters",
+    oracle=f"""
+    WITH cells AS (
+        SELECT d.depth,
+               CASE d.depth
+                 WHEN 0 THEN {_sql_cms_cell(0, "CAST(user_id AS VARCHAR)")}
+                 WHEN 1 THEN {_sql_cms_cell(1, "CAST(user_id AS VARCHAR)")}
+                 WHEN 2 THEN {_sql_cms_cell(2, "CAST(user_id AS VARCHAR)")}
+                 WHEN 3 THEN {_sql_cms_cell(3, "CAST(user_id AS VARCHAR)")}
+               END AS col
+        FROM events, (SELECT UNNEST(range(0, {CMS_DEPTH})) AS depth) d
+    ),
+    sketch AS (
+        SELECT depth, col, COUNT(*) AS cnt FROM cells GROUP BY depth, col
+    ),
+    exact AS (
+        SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
+    ),
+    probes AS (
+        SELECT user_id, exact_cnt, d.depth,
+               CASE d.depth
+                 WHEN 0 THEN {_sql_cms_cell(0, "CAST(user_id AS VARCHAR)")}
+                 WHEN 1 THEN {_sql_cms_cell(1, "CAST(user_id AS VARCHAR)")}
+                 WHEN 2 THEN {_sql_cms_cell(2, "CAST(user_id AS VARCHAR)")}
+                 WHEN 3 THEN {_sql_cms_cell(3, "CAST(user_id AS VARCHAR)")}
+               END AS col
+        FROM exact, (SELECT UNNEST(range(0, {CMS_DEPTH})) AS depth) d
+    ),
+    est AS (
+        SELECT p.user_id, p.exact_cnt, MIN(s.cnt) AS cms_est
+        FROM probes p JOIN sketch s USING (depth, col)
+        GROUP BY p.user_id, p.exact_cnt
+    )
+    SELECT user_id, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+    FROM est
+    ORDER BY exact_cnt DESC, user_id
+    LIMIT 20
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation over the events stream:
+    build a {CMS_DEPTH}x{CMS_WIDTH} counter sketch of user_id
+    occurrences, then answer the top-20 heavy hitters from the SKETCH
+    (min over the {CMS_DEPTH} hashed counters), reporting the exact
+    count next to the estimate so the one-sided error
+    (``overcount >= 0``) is visible in the result itself.
+
+    Scale: the sketch is {CMS_DEPTH}*{CMS_WIDTH} cells no matter how
+    many events flow through — per-day shards each build their own
+    sketch with a map-side-combined groupBy and merge by summing cells;
+    estimation broadcasts the tiny sketch table. The exact column is
+    the eval harness (same pattern as q_retrieval_eval's brute-force
+    truth); a deployment keeps only the sketch."""
+    ev = read_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id")
+
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    h = (portable_hash60(F.col("user_id").cast("string")) % CMS_P).alias("h")
+    probe_pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                ((F.lit(a) * F.col("h") + F.lit(b)) % CMS_P % CMS_WIDTH).alias(
+                    "col"
+                ),
+            )
+            for d, (a, b) in enumerate(zip(CMS_A, CMS_B))
+        ]
+    )
+    probes = exact.select(
+        "user_id", "exact_cnt", h
+    ).select(
+        "user_id", "exact_cnt", F.explode(probe_pairs).alias("c")
+    ).select("user_id", "exact_cnt", "c.depth", "c.col")
+    est = (
+        probes.join(F.broadcast(sketch), ["depth", "col"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(20)
+    )
+
+
+_fmt(q_cms_heavy_hitters, CMS_DEPTH=CMS_DEPTH, CMS_WIDTH=CMS_WIDTH)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+#: register-count exponent: m = 2**HLL_P registers
+HLL_P = 9
+HLL_M = 1 << HLL_P
+#: bits of the 60-bit portable hash left after the bucket index
+HLL_W_BITS = 60 - HLL_P  # 51
+#: max rho value (all-zero remainder)
+HLL_RHO_MAX = HLL_W_BITS + 1  # 52
+
+
+@query(
+    "q_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT {sql_portable_hash60("CAST(l_orderkey AS VARCHAR)")}
+               AS hv
+        FROM lineitem
+    ),
+    reg AS (
+        SELECT hv % {HLL_M} AS bucket,
+               MAX(CASE WHEN hv // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+                        ELSE {HLL_RHO_MAX} - length(bin(hv // {HLL_M}))
+                   END) AS m
+        FROM h GROUP BY hv % {HLL_M}
+    ),
+    s AS (
+        SELECT COUNT(*) AS n_present,
+               SUM(1::BIGINT << ({HLL_RHO_MAX} - m)) AS present_sum
+        FROM reg
+    ),
+    ex AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem
+    )
+    SELECT CAST({HLL_M} AS INT) AS n_registers,
+           CAST({HLL_M} - n_present AS INT) AS n_zero_registers,
+           ex.exact_distinct,
+           (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+             * (1::BIGINT << {HLL_RHO_MAX})
+             / (present_sum + ({HLL_M} - n_present)
+                              * (1::BIGINT << {HLL_RHO_MAX}))
+             AS hll_estimate
+    FROM s, ex
+    """,
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality of distinct order keys in lineitem,
+    built as an explicit {HLL_M}-register table (bucket = low {HLL_P}
+    hash bits, rho = leading-zero rank of the remaining {HLL_W_BITS}
+    bits via the exact ``bin()``-length trick — no float log anywhere).
+
+    The harmonic mean is computed exactly: each register contributes
+    the INTEGER ``1 << (52 - M_j)``, absent registers contribute
+    ``1 << 52``, and the bigint sum feeds ONE final float division —
+    so the estimate is bit-identical across engines and partitionings
+    (a float ``sum(2^-M)`` would be neither). Raw HLL estimate (no
+    small-range linear-counting branch — that needs ln(), which is not
+    cross-engine exact; n_zero_registers is reported so a caller can
+    apply it).
+
+    Scale: the register table is m={HLL_M} rows regardless of input;
+    per-shard register tables merge with ``groupBy(bucket).max(m)`` —
+    the same union-merge a 1000-file lake runs nightly. One shuffle of
+    (bucket, rho) pairs with map-side MAX combine."""
+    li = read_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        portable_hash60(F.col("l_orderkey").cast("string")).alias("hv")
+    ).distinct()
+    reg = (
+        h.select(
+            (F.col("hv") % HLL_M).alias("bucket"),
+            F.when(
+                F.expr(f"hv div {HLL_M}") == 0, F.lit(HLL_RHO_MAX)
+            )
+            .otherwise(
+                F.lit(HLL_RHO_MAX)
+                - F.length(F.bin(F.expr(f"hv div {HLL_M}")))
+            )
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    s = reg.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m)")
+        ).alias("present_sum"),
+    )
+    ex = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
+    alpha = 0.7213 / (1.0 + 1.079 / float(HLL_M))
+    est = (
+        s.crossJoin(ex)  # 1 row x 1 row
+        .select(
+            F.lit(HLL_M).cast("int").alias("n_registers"),
+            (F.lit(HLL_M) - F.col("n_present")).cast("int").alias(
+                "n_zero_registers"
+            ),
+            "exact_distinct",
+            (
+                F.lit(alpha)
+                * F.lit(float(HLL_M))
+                * F.lit(float(HLL_M))
+                * F.shiftleft(F.lit(1).cast("bigint"), HLL_RHO_MAX)
+                / (
+                    F.col("present_sum")
+                    + (F.lit(HLL_M).cast("bigint") - F.col("n_present"))
+                    * F.shiftleft(F.lit(1).cast("bigint"), HLL_RHO_MAX)
+                )
+            ).alias("hll_estimate"),
+        )
+    )
+    return est
+
+
+_fmt(
+    q_hll_distinct,
+    HLL_M=HLL_M,
+    HLL_P=HLL_P,
+    HLL_W_BITS=HLL_W_BITS,
+)

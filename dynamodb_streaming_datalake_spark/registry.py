@@ -241,6 +241,7 @@ def load_all() -> None:
         "curation",
         "skew",
         "layout",
+        "sketches",
     ):
         try:
             __import__(f"dynamodb_streaming_datalake_spark.operators.{mod}")

@@ -238,6 +238,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_bigram_lm",  # 1-row vocabulary-size aggregate crossed
         "q_lm_doc_score",  # 1-row vocabulary-size aggregate crossed
         "q_triangle_count",  # 1-row global-triangle-count crossed
+        "q_hll_distinct",  # two 1-row aggregates (sketch sum x exact) crossed
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
