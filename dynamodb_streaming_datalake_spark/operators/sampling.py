@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dynamodb_streaming_datalake_spark.functions.texthash import portable_hash60
+from dynamodb_streaming_datalake_spark.functions.texthash import (
+    portable_hash60,
+    sql_portable_hash60,
+)
 from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
 from dynamodb_streaming_datalake_spark.registry import query
 from dynamodb_streaming_datalake_spark.sources.readers import read_table
@@ -357,5 +360,138 @@ def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# ---------------------------------------------------------------------------
+# training-shard export manifest (round 8)
+# ---------------------------------------------------------------------------
+
+#: shard fan-out for the training export; a real run uses O(10k) —
+#: the math is shard-count-free
+N_SHARDS = 16
+
+
+@query(
+    "q_train_shards",
+    oracle=f"""
+    SELECT {sql_portable_hash60("CAST(doc_id AS VARCHAR)")} % {N_SHARDS}
+             AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           bit_xor({sql_portable_hash60("text")}) AS content_xor
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard manifest: assign every document to one of
+    {N_SHARDS} shards by doc_id hash (deterministic — re-running the
+    export on any cluster produces byte-identical shard membership) and
+    emit the per-shard manifest a dataset card needs: doc count, char
+    and whitespace-token totals, and an order-independent XOR
+    fingerprint of the member texts' hashes (so two exports can be
+    compared shard-by-shard without re-reading a single document).
+
+    Scale: one hash-partitioned shuffle with map-side combine; every
+    aggregate (COUNT / integer SUM / BIT_XOR) is order-independent, so
+    the manifest is partitioning-invariant. The writer-side twin is
+    ``df.repartition(N_SHARDS, hash).write`` — the manifest doubles as
+    its integrity check."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            (portable_hash60(F.col("doc_id").cast("string")) % N_SHARDS)
+            .alias("shard"),
+            F.col("n_chars"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            portable_hash60(F.col("text")).alias("h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.expr("bit_xor(h)").alias("content_xor"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture weights (round 8)
+# ---------------------------------------------------------------------------
+# Multilingual/multi-source training mixes are rarely proportional to
+# raw counts: p_i ∝ n_i^alpha with alpha<1 upweights small sources
+# (the standard temperature trick). alpha is fixed at 1/2 here because
+# sqrt is IEEE-correctly-rounded — bit-identical in every engine —
+# while a general pow() is libm-dependent and would break the hash
+# gate. The denominator folds the per-source sqrt terms in ONE
+# deterministic order (lexicographic source), not a float SUM.
+
+#: total docs per epoch the mixture is scaled to (fixture-sized)
+MIX_BUDGET = 1_000
+
+
+@query(
+    "q_mix_temperature",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    denom AS (
+        SELECT list_reduce(
+                 list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+                 (a, b) -> a + b) AS z
+        FROM c
+    )
+    SELECT c.source, c.n_docs,
+           sqrt(CAST(c.n_docs AS DOUBLE)) / d.z AS weight,
+           sqrt(CAST(c.n_docs AS DOUBLE)) / d.z * {MIX_BUDGET} AS target_docs,
+           sqrt(CAST(c.n_docs AS DOUBLE)) / d.z * {MIX_BUDGET} / c.n_docs
+             AS epochs
+    FROM c, denom d
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (alpha = 1/2): per source,
+    weight_i = sqrt(n_i) / sum_j sqrt(n_j), the docs drawn per
+    {MIX_BUDGET}-doc epoch, and the implied epoch rate over the source
+    (>1 means oversampling). The denominator is an ordered
+    left-to-right fold over the per-source sqrt terms — identical
+    sequence of IEEE adds in both engines — because a plain float SUM
+    is partition-order-dependent and would flicker the hash.
+
+    Scale: one groupBy over the corpus, then a source-count-sized
+    (~tens of rows) aggregate folded on the driver side of the plan;
+    the 1-row denominator broadcasts back over the counts."""
+    d = read_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    denom = c.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("source"),
+                            F.sqrt(F.col("n_docs").cast("double")).alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("z")
+    )
+    s = F.sqrt(F.col("n_docs").cast("double"))
+    return c.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        (s / F.col("z")).alias("weight"),
+        (s / F.col("z") * MIX_BUDGET).alias("target_docs"),
+        (s / F.col("z") * MIX_BUDGET / F.col("n_docs")).alias("epochs"),
+    )
+
+
 _fmt(q_sequence_pack, SEQ_LEN=SEQ_LEN, PREFIX_BLOCKS=PREFIX_BLOCKS)
 _fmt(q_stratified_cap, CAP_PER_STRATUM=CAP_PER_STRATUM, CAP_SALTS=CAP_SALTS)
+_fmt(q_train_shards, N_SHARDS=N_SHARDS)
+_fmt(q_mix_temperature, MIX_BUDGET=MIX_BUDGET)

@@ -239,6 +239,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_lm_doc_score",  # 1-row vocabulary-size aggregate crossed
         "q_triangle_count",  # 1-row global-triangle-count crossed
         "q_hll_distinct",  # two 1-row aggregates (sketch sum x exact) crossed
+        "q_mix_temperature",  # 1-row denominator fold crossed into counts
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
