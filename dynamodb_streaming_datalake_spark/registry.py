@@ -242,6 +242,7 @@ def load_all() -> None:
         "skew",
         "layout",
         "sketches",
+        "geo",
     ):
         try:
             __import__(f"dynamodb_streaming_datalake_spark.operators.{mod}")
