@@ -306,6 +306,98 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# synchronized label propagation (round 8)
+# ---------------------------------------------------------------------------
+
+#: synchronized propagation rounds; label(v) after K rounds is the min
+#: node id within graph distance K of v
+LP_ITERS = 3
+LP_TOP = 20
+
+
+def _sql_lp_iter(k: int) -> str:
+    return f"""
+    l{k + 1} AS (
+        SELECT l.node,
+               LEAST(l.label, COALESCE(MIN(nl.label), l.label)) AS label
+        FROM l{k} l
+        LEFT JOIN edges e ON e.dst = l.node
+        LEFT JOIN l{k} nl ON nl.node = e.src
+        GROUP BY l.node, l.label
+    )"""
+
+
+@query(
+    "q_label_propagation",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    l0 AS (SELECT node, node AS label FROM nodes),
+    {",".join(_sql_lp_iter(k) for k in range(LP_ITERS))}
+    SELECT label AS community, COUNT(*) AS n_members
+    FROM l{LP_ITERS}
+    GROUP BY label
+    ORDER BY n_members DESC, community
+    LIMIT {LP_TOP}
+    """,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronized min-label propagation over the customer<->supplier
+    trade graph: every node starts labeled with its own id, and each of
+    the {LP_ITERS} rounds replaces a node's label with the minimum over
+    itself and its in-neighbors — so the final label is exactly the
+    lexicographically smallest node id within graph distance
+    {LP_ITERS}. Returns the top-{LP_TOP} label groups by size.
+
+    This is the bounded-round form of the standard label-propagation
+    community pass (run to convergence it degenerates to connected
+    components — the distributed path-halving CC in
+    ``dedup.py:cluster_components`` covers that endpoint); the
+    fixed round count keeps the result deterministic AND lets the
+    oracle unroll the identical recurrence as {LP_ITERS} CTE layers, so
+    any drift in a single round's join or tie-break breaks the hash.
+
+    Scale: one equi-join + one MIN aggregate per round over a
+    localCheckpoint-pinned edge table — the pagerank loop shape; MIN is
+    order-independent so the result is partitioning-invariant, and
+    bucketing edges+labels on node id makes every round co-located."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(LP_ITERS):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("label").alias("nl")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("nl").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", "label")
+                ).alias("label"),
+            )
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(LP_TOP)
+    )
+
+
+_fmt(q_label_propagation, LP_ITERS=LP_ITERS, LP_TOP=LP_TOP)
+
+
 _fmt(
     q_triangle_count,
     TRI_TOP=TRI_TOP,
