@@ -500,6 +500,133 @@ def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Time-series linear interpolation (round 8): the gap-fill spine again,
+# but silent hours get the line between their observed neighbors, not a
+# zero — the resample mode feature pipelines want for *level* signals
+# (a zero-filled gauge reads as a crash; an interpolated one doesn't).
+# --------------------------------------------------------------------------
+@query(
+    "q_interp_linear",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(hour_ts) AS mn, MAX(hour_ts) AS mx
+        FROM hourly GROUP BY 1
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+        FROM bounds
+    ),
+    joined AS (
+        SELECT s.event_type, s.hour_ts, h.sv
+        FROM spine s
+        LEFT JOIN hourly h
+          ON s.event_type = h.event_type AND s.hour_ts = h.hour_ts
+    ),
+    ctx AS (
+        SELECT event_type, hour_ts, sv,
+               last_value(sv IGNORE NULLS) OVER wp AS prev_v,
+               last_value(CASE WHEN sv IS NOT NULL THEN hour_ts END
+                          IGNORE NULLS) OVER wp AS prev_t,
+               first_value(sv IGNORE NULLS) OVER wf AS next_v,
+               first_value(CASE WHEN sv IS NOT NULL THEN hour_ts END
+                           IGNORE NULLS) OVER wf AS next_t
+        FROM joined
+        WINDOW
+          wp AS (PARTITION BY event_type ORDER BY hour_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wf AS (PARTITION BY event_type ORDER BY hour_ts
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour_ts,
+           CAST(sv IS NOT NULL AS INT) AS observed,
+           CASE WHEN sv IS NOT NULL THEN sv
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST((epoch(hour_ts) - epoch(prev_t)) // 3600
+                             AS DOUBLE)
+                        / CAST((epoch(next_t) - epoch(prev_t)) // 3600
+                               AS DOUBLE))
+           END AS value
+    FROM ctx
+    """,
+)
+def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR interpolation across silent hours:
+    every gap hour gets ``prev + (next-prev) * pos/len`` between its
+    observed neighbors (both always exist — the spine spans each
+    series' own [first, last] observed hour). The interpolation
+    fraction is a ratio of exact integer hour offsets and the
+    arithmetic shape is fixed, so Spark and DuckDB produce the
+    identical double.
+
+    Scale: same cost profile as q_gap_fill_hourly (one shuffle to the
+    hourly aggregate, spine exploded JVM-side) plus two bounded
+    windows per series for the neighbor scan — each partition is one
+    series' hours, orders of magnitude smaller than the raw events."""
+    e = read_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv")
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_ts").alias("mn"), F.max("hour_ts").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("hour_ts"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour_ts"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("sv").isNotNull(), F.col("hour_ts"))
+    ctx = joined.select(
+        "event_type",
+        "hour_ts",
+        "sv",
+        F.last("sv", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_ts, ignorenulls=True).over(wp).alias("prev_t"),
+        F.first("sv", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_ts, ignorenulls=True).over(wf).alias("next_t"),
+    )
+    pos = (
+        (F.unix_timestamp("hour_ts") - F.unix_timestamp("prev_t"))
+        / F.lit(3600)
+    ).cast("bigint").cast("double")
+    gap = (
+        (F.unix_timestamp("next_t") - F.unix_timestamp("prev_t"))
+        / F.lit(3600)
+    ).cast("bigint").cast("double")
+    return ctx.select(
+        "event_type",
+        "hour_ts",
+        F.col("sv").isNotNull().cast("int").alias("observed"),
+        F.when(F.col("sv").isNotNull(), F.col("sv"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v")) * (pos / gap)
+        )
+        .alias("value"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Per-key argmax aggregation (max_by / arg_max — top-1 without a window)
 # --------------------------------------------------------------------------
 @query(
