@@ -156,7 +156,7 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
         kind
         if kind
         in ("wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg", "gif", "tiff",
-            "webp", "wav_adpcm")
+            "webp", "wav_adpcm", "wav_g711")
         else f"fake-{kind}"
     )
     meta_t = StructType(
@@ -462,11 +462,10 @@ def _encode_wav(i: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def parse_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """Real RIFF parser: verify the RIFF/WAVE signature, then walk the
-    chunk list (id, u32-LE size, payload, odd-size pad byte) collecting
-    ``fmt `` and ``data``. Only uncompressed 16-bit PCM is decodable
-    here; compressed audio_format values raise NotImplementedError."""
+def _walk_wav_chunks(blob: bytes) -> tuple[tuple, bytes]:
+    """Shared RIFF chunk walk: verify the RIFF/WAVE signature, then walk
+    the chunk list (id, u32-LE size, payload, odd-size pad byte) and
+    return the unpacked ``fmt `` tuple and the raw ``data`` payload."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     riff_size = struct.unpack("<I", blob[4:8])[0]
@@ -489,6 +488,15 @@ def parse_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    return fmt, data
+
+
+def parse_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Real RIFF parser: chunk-walk via :func:`_walk_wav_chunks`. Only
+    uncompressed 16-bit PCM is decodable here; compressed audio_format
+    values raise NotImplementedError (IMA ADPCM has its own parser, and
+    G.711 companded WAVs decode via :func:`parse_wav_g711`)."""
+    fmt, data = _walk_wav_chunks(blob)
     audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
     if audio_format != 1:
         raise NotImplementedError(f"compressed WAV (format={audio_format})")
@@ -976,6 +984,173 @@ def q_media_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     wav = synthesize_media(d, "doc_id", "wav_adpcm")
     return decode_wav_adpcm(wav, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: G.711 companded WAV (µ-law fmt tag 7, A-law fmt tag 6) —
+# round 8. Telephony's standard 8-bit logarithmic PCM: the WAV data
+# chunk holds raw code bytes, and decode is the CCITT segment/mantissa
+# expansion — pure integer arithmetic, pinned bit-exact against the
+# stdlib ``audioop`` ground truth in tests/test_multimodal.py and
+# replayed verbatim by the oracle's list arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _g711_code(i: int, k: np.ndarray) -> np.ndarray:
+    """Code byte k of file i — covers all 256 code values cyclically."""
+    return ((i + 37 * k) % 256).astype(np.uint8)
+
+
+def _encode_wav_g711(i: int) -> bytes:
+    """Spec-layout companded WAV: fmt chunk with wFormatTag 7 (µ-law,
+    even ids) or 6 (A-law, odd ids), 8 bits/sample, block_align 1; the
+    data chunk is the raw G.711 code stream."""
+    rate, n = _wav_params(i)
+    data = _g711_code(i, np.arange(n, dtype=np.int64)).tobytes()
+    tag = 7 if i % 2 == 0 else 6
+    fmt_chunk = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, tag, 1, rate, rate, 1, 8
+    )
+    data_chunk = b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        data_chunk += b"\x00"  # word-aligned chunk padding
+    body = b"WAVE" + fmt_chunk + data_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def ulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """CCITT G.711 µ-law code byte -> 16-bit linear (the g711.c
+    reference recurrence: complement, bias-shift the mantissa by the
+    3-bit segment, re-subtract the bias, apply sign)."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    seg = (u >> 4) & 0x7
+    mant = u & 0xF
+    mag = (((mant << 3) + 0x84) << seg) - 0x84
+    return np.where(u & 0x80, -mag, mag)
+
+
+def alaw_expand(codes: np.ndarray) -> np.ndarray:
+    """CCITT G.711 A-law code byte -> 16-bit linear (xor 0x55 toggle
+    mask, segment 0 is linear, higher segments shift the biased
+    mantissa; sign bit SET means positive in A-law)."""
+    a = codes.astype(np.int64) ^ 0x55
+    seg = (a >> 4) & 0x7
+    mant = a & 0xF
+    mag = np.where(
+        seg == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(seg - 1, 0)
+    )
+    return np.where(a & 0x80, mag, -mag)
+
+
+def parse_wav_g711(blob: bytes) -> tuple[int, str, np.ndarray]:
+    """Chunk-walk a companded WAV and expand its code stream:
+    (sample_rate, codec name, int16-range linear samples)."""
+    fmt, data = _walk_wav_chunks(blob)
+    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format not in (6, 7):
+        raise NotImplementedError(
+            f"not a G.711 WAV (format={audio_format}); PCM uses parse_wav"
+        )
+    if channels != 1 or bits != 8:
+        raise NotImplementedError("mono 8-bit G.711 only")
+    codes = np.frombuffer(data, dtype=np.uint8)
+    if audio_format == 7:
+        return rate, "ulaw", ulaw_expand(codes)
+    return rate, "alaw", alaw_expand(codes)
+
+
+def decode_wav_g711(df: DataFrame, id_col: str) -> DataFrame:
+    """Decode a G.711 WAV column into (codec, sample_rate, n_samples,
+    rms, min/max linear sample) — map-only mapInPandas, vectorized
+    expansion per Arrow batch."""
+    schema = (
+        f"{id_col} bigint, codec string, sample_rate int, n_samples bigint,"
+        " rms double, min_sample int, max_sample int"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                rate, codec, x = parse_wav_g711(bytes(blob))
+                xf = x.astype(np.float64)
+                # integer samples: sum of squares exact in f64
+                rms = float(np.sqrt((xf * xf).sum() / xf.size))
+                rows.append(
+                    (int(i), codec, rate, x.size, rms, int(x.min()), int(x.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "codec", "sample_rate", "n_samples", "rms",
+                    "min_sample", "max_sample",
+                ],
+            )
+
+    return df.mapInPandas(dec, schema=schema)
+
+
+#: oracle twin of the expansion, over code byte c (bound once by the
+#: inner list_transform): µ-law for even ids, A-law for odd
+_SQL_G711_VAL = """
+    CASE WHEN doc_id % 2 = 0 THEN
+        ((((255 - c) % 16) * 8 + 132) * (1 << (((255 - c) // 16) % 8)) - 132)
+        * (CASE WHEN (255 - c) >= 128 THEN -1 ELSE 1 END)
+    ELSE
+        (CASE WHEN (xor(c, 85) // 16) % 8 = 0
+              THEN (xor(c, 85) % 16) * 16 + 8
+              ELSE ((xor(c, 85) % 16) * 16 + 264)
+                   * (1 << ((xor(c, 85) // 16) % 8 - 1)) END)
+        * (CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END)
+    END
+"""
+
+
+@query(
+    "q_media_wav_g711",
+    oracle=f"""
+    WITH vals AS (
+        SELECT doc_id,
+               list_transform(
+                 list_transform(range(0, 800 + doc_id % 800),
+                                k -> (doc_id + 37 * k) % 256),
+                 c -> {_SQL_G711_VAL}) AS v
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(800 + doc_id % 800 AS BIGINT) AS n_samples,
+           round(sqrt(list_aggregate(
+             list_transform(v, x -> CAST(x AS DOUBLE) ^ 2), 'avg')), 6)
+             AS rms,
+           CAST(list_aggregate(v, 'min') AS INT) AS min_sample,
+           CAST(list_aggregate(v, 'max') AS INT) AS max_sample
+    FROM vals
+    """,
+)
+def q_media_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec: G.711 companded WAV — µ-law (fmt tag 7) for even
+    doc ids, A-law (fmt tag 6) for odd — decoded by the CCITT integer
+    expansion, which tests pin byte-exact against the stdlib
+    ``audioop`` reference tables. The code stream cycles through all
+    256 code values, so every segment/mantissa/sign combination of
+    both laws is exercised in every file; the oracle replays the
+    identical expansion arithmetic per code byte.
+
+    Scale: map-only mapInPandas, same contract as q_media_wav."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    wav = synthesize_media(d, "doc_id", "wav_g711")
+    dec = decode_wav_g711(wav, "doc_id")
+    return dec.select(
+        "doc_id",
+        "codec",
+        "sample_rate",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        "min_sample",
+        "max_sample",
+    )
 
 
 @query(

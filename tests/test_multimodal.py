@@ -225,6 +225,59 @@ def test_wav_parser_rejects_compressed_and_garbage():
         parse_wav(bytes(blob))
 
 
+def test_g711_expansion_matches_stdlib_audioop():
+    """Spec conformance for the G.711 codec: our µ-law and A-law
+    expansions agree byte-for-byte with the stdlib audioop reference
+    tables over ALL 256 code values, and the end-to-end WAV path
+    (encode -> chunk walk -> expand) reproduces audioop on the real
+    code stream."""
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _encode_wav_g711,
+        _g711_code,
+        _wav_params,
+        alaw_expand,
+        parse_wav_g711,
+        ulaw_expand,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    ref_u = np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), "<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), "<i2")
+    assert np.array_equal(ulaw_expand(codes), ref_u.astype(np.int64))
+    assert np.array_equal(alaw_expand(codes), ref_a.astype(np.int64))
+
+    for i in (0, 1, 17, 123456):  # even = µ-law, odd = A-law
+        blob = _encode_wav_g711(i)
+        rate0, n = _wav_params(i)
+        rate, codec, samples = parse_wav_g711(blob)
+        assert rate == rate0 and samples.size == n
+        assert codec == ("ulaw" if i % 2 == 0 else "alaw")
+        raw = _g711_code(i, np.arange(n, dtype=np.int64)).tobytes()
+        fn = audioop.ulaw2lin if i % 2 == 0 else audioop.alaw2lin
+        ref = np.frombuffer(fn(raw, 2), "<i2").astype(np.int64)
+        assert np.array_equal(samples, ref)
+
+
+def test_g711_parser_rejects_pcm_and_bad_layout():
+    import struct as st
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _encode_wav,
+        _encode_wav_g711,
+        parse_wav_g711,
+    )
+
+    with pytest.raises(NotImplementedError, match="not a G.711"):
+        parse_wav_g711(_encode_wav(3))  # plain PCM rejected loudly
+    blob = bytearray(_encode_wav_g711(2))
+    blob[34:36] = st.pack("<H", 16)  # claim 16-bit G.711 (illegal)
+    with pytest.raises(NotImplementedError, match="mono 8-bit"):
+        parse_wav_g711(bytes(blob))
+
+
 def test_ppm_header_grammar_comments_and_whitespace():
     from dynamodb_streaming_datalake_spark.operators.multimodal import parse_ppm
 
