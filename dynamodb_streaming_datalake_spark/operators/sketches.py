@@ -98,9 +98,10 @@ def _sql_cms_cell(depth: int, expr: str) -> str:
     )
 
 
-@query(
-    "q_cms_heavy_hitters",
-    oracle=f"""
+#: the shared heavy-hitter oracle — the batch build here and the
+#: stream-folded build (streaming/sketchview.py, q_cms_stream) answer
+#: the identical contract, which is the mergeability proof
+SQL_CMS_HEAVY_HITTERS = f"""
     WITH cells AS (
         SELECT d.depth,
                CASE d.depth
@@ -136,8 +137,50 @@ def _sql_cms_cell(depth: int, expr: str) -> str:
     FROM est
     ORDER BY exact_cnt DESC, user_id
     LIMIT 20
-    """,
-)
+"""
+
+
+def cms_estimate(exact: DataFrame, sketch: DataFrame, key: str) -> DataFrame:
+    """Answer per-key frequency estimates from a sketch table: probe
+    each key's D cells, MIN over depths, alongside the caller-supplied
+    exact count (the eval column). Broadcast join — the sketch is tiny
+    by construction. Shared by the batch query and the streaming view
+    (streaming/sketchview.py)."""
+    h = (portable_hash60(F.col(key).cast("string")) % CMS_P).alias("h")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                ((F.lit(a) * F.col("h") + F.lit(b)) % CMS_P % CMS_WIDTH).alias(
+                    "col"
+                ),
+            )
+            for d, (a, b) in enumerate(zip(CMS_A, CMS_B))
+        ]
+    )
+    probes = (
+        exact.select(key, "exact_cnt", h)
+        .select(key, "exact_cnt", F.explode(pairs).alias("c"))
+        .select(key, "exact_cnt", "c.depth", "c.col")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["depth", "col"])
+        .groupBy(key, "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        est.select(
+            key,
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), key)
+        .limit(20)
+    )
+
+
+@query("q_cms_heavy_hitters", oracle=SQL_CMS_HEAVY_HITTERS)
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimation over the events stream:
     build a {CMS_DEPTH}x{CMS_WIDTH} counter sketch of user_id
@@ -154,43 +197,12 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth); a deployment keeps only the sketch."""
     ev = read_table(spark, sf_dir, "events")
     sketch = cms_build(ev, "user_id")
-
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    h = (portable_hash60(F.col("user_id").cast("string")) % CMS_P).alias("h")
-    probe_pairs = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("depth"),
-                ((F.lit(a) * F.col("h") + F.lit(b)) % CMS_P % CMS_WIDTH).alias(
-                    "col"
-                ),
-            )
-            for d, (a, b) in enumerate(zip(CMS_A, CMS_B))
-        ]
-    )
-    probes = exact.select(
-        "user_id", "exact_cnt", h
-    ).select(
-        "user_id", "exact_cnt", F.explode(probe_pairs).alias("c")
-    ).select("user_id", "exact_cnt", "c.depth", "c.col")
-    est = (
-        probes.join(F.broadcast(sketch), ["depth", "col"])
-        .groupBy("user_id", "exact_cnt")
-        .agg(F.min("cnt").alias("cms_est"))
-    )
-    return (
-        est.select(
-            "user_id",
-            "exact_cnt",
-            "cms_est",
-            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
-        )
-        .orderBy(F.col("exact_cnt").desc(), "user_id")
-        .limit(20)
-    )
+    return cms_estimate(exact, sketch, "user_id")
 
 
 _fmt(q_cms_heavy_hitters, CMS_DEPTH=CMS_DEPTH, CMS_WIDTH=CMS_WIDTH)
+
 
 
 # ---------------------------------------------------------------------------

@@ -268,6 +268,10 @@ def load_all() -> None:
         import dynamodb_streaming_datalake_spark.streaming.aggview  # noqa: F401
     except ImportError:
         pass
+    try:
+        import dynamodb_streaming_datalake_spark.streaming.sketchview  # noqa: F401
+    except ImportError:
+        pass
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,157 @@
+"""Continuously maintained Count-Min sketch: streaming q_cms.
+
+The batch operator (operators.sketches.cms_build) turns a keyed frame
+into a D*W-cell counter table. Because the sketch is exactly mergeable
+(cell-wise integer sum), a foreachBatch sink can fold each micro-batch's
+sketch into a versioned Parquet view and the final view is BIT-EQUAL to
+the sketch a one-shot batch build would produce over the whole history
+— that equality is this module's registered proof, and it is the whole
+reason a lake keeps sketches instead of raw keys: per-day sketch
+versions merge in O(D*W), never re-scanning the stream.
+
+Same MVCC ``v=<n>`` directory discipline and crash-replay guard as
+streaming.upsert / streaming.aggview: an already-committed version is a
+no-op, so checkpoint replays of a non-idempotent fold are safe.
+
+Scale: each refresh shuffles only the micro-batch's cell partials
+(map-side combined to <= D*W rows per task) and rewrites a D*W-row
+view — constant work per batch regardless of stream volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from dynamodb_streaming_datalake_spark.operators.sketches import cms_build
+from dynamodb_streaming_datalake_spark.streaming.upsert import (
+    _versions,
+    current_snapshot,
+)
+
+
+def merge_cms(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Cell-wise sketch merge — the CMS monoid operation."""
+    return (
+        prev.unionByName(delta)
+        .groupBy("depth", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def upsert_cms_view(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    view_dir: str,
+    version: int,
+    key: str = "user_id",
+) -> None:
+    """Fold one micro-batch into the sketch view as ``version``;
+    committed-version replays are no-ops (crash-replay guard)."""
+    if version in _versions(spark, view_dir):
+        return
+    delta = cms_build(batch_df, key)
+    prev = current_snapshot(spark, view_dir, live_only=False)
+    merged = delta if prev is None else merge_cms(prev, delta)
+    merged.write.mode("overwrite").parquet(f"{view_dir}/v={version}")
+
+
+def start_cms_maintenance(
+    events: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch sink over a raw-events stream; each micro-batch
+    advances the sketch one version."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_cms_view(
+            batch_df.sparkSession, batch_df, view_dir, version=batch_id, key=key
+        )
+
+    writer = events.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def current_cms(
+    spark: SparkSession, view_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """The committed sketch (optionally time-traveled)."""
+    return current_snapshot(spark, view_dir, live_only=False, version=version)
+
+
+# ---------------------------------------------------------------------------
+# driver-gated lifecycle: the streaming twin of q_cms_heavy_hitters
+# ---------------------------------------------------------------------------
+
+_CMSVIEW_VERSION = "v1"
+
+
+def _ensure_cms_view(spark: SparkSession, sf_dir: str) -> str:
+    """Two committed sketch versions built once per (version, sf_dir)
+    with the REAL fold kernel: v=1 folds the even event half, v=2
+    folds the odd half on top — so the final sketch must cell-equal a
+    one-shot build over all events."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    def build(build_dir: str) -> None:
+        view = os.path.join(build_dir, "view")
+        ev = read_table(spark, sf_dir, "events")
+        upsert_cms_view(
+            spark, ev.where(F.col("event_id") % 2 == 0), view, version=1
+        )
+        upsert_cms_view(
+            spark, ev.where(F.col("event_id") % 2 == 1), view, version=2
+        )
+
+    return ensure_cached_build("cmsview", _CMSVIEW_VERSION, sf_dir, build)
+
+
+def _register() -> None:
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        SQL_CMS_HEAVY_HITTERS,
+        cms_estimate,
+    )
+    from dynamodb_streaming_datalake_spark.registry import query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    # identical answer contract as the one-shot batch sketch: the oracle
+    # recomputes the heavy-hitter estimates from the raw events —
+    # hash-equality proves the incremental fold lost nothing anywhere in
+    # the stream history
+    @query("q_cms_stream", oracle=SQL_CMS_HEAVY_HITTERS)
+    def q_cms_stream(spark, sf_dir):
+        """Streaming twin of q_cms_heavy_hitters under the oracle gate:
+        the sketch view is advanced twice with the real foreachBatch
+        fold kernel (even events -> v=1, odd events folded on top ->
+        v=2, cached per sf_dir), then the heavy-hitter estimates are
+        answered from the FINAL committed sketch with the same probe
+        kernel as the batch query. The oracle recomputes the estimates
+        from a one-shot sketch over all raw events — hash-equality IS
+        the mergeability proof at the driver gate. The same fold
+        kernel drains from a genuine readStream under availableNow in
+        tests/test_streaming.py.
+
+        Scale: see module docstring — constant D*W work per refresh."""
+        import os
+
+        path = _ensure_cms_view(spark, sf_dir)
+        sketch = current_cms(spark, os.path.join(path, "view"))
+        ev = read_table(spark, sf_dir, "events")
+        exact = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("exact_cnt")
+        )
+        return cms_estimate(exact, sketch, "user_id")
+
+
+_register()

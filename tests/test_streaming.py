@@ -495,3 +495,42 @@ def test_agg_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     upsert_agg_view(spark, ev.limit(50), view_dir, version=last)
     after = finalize_agg_view(current_agg_view(spark, view_dir))
     assert sorted(map(tuple, after.select(*key).collect())) == before
+
+
+def test_cms_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
+    """Streaming CMS (round 8): a genuine readStream over event files,
+    drained one file per micro-batch through the foreachBatch sketch
+    fold, must produce a sketch CELL-EQUAL to the one-shot batch build
+    (exact mergeability, not approximate convergence) — and replaying
+    a committed version must be a no-op."""
+    from dynamodb_streaming_datalake_spark.operators.sketches import cms_build
+    from dynamodb_streaming_datalake_spark.streaming.sketchview import (
+        current_cms,
+        start_cms_maintenance,
+        upsert_cms_view,
+    )
+
+    ev = read_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "events_src")
+    ev.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    view_dir = str(tmp_path / "view")
+    q = start_cms_maintenance(stream, view_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    def cells(df):
+        return {(r["depth"], r["col"]): r["cnt"] for r in df.collect()}
+
+    got = cells(current_cms(spark, view_dir))
+    assert got == cells(cms_build(ev, "user_id"))
+
+    # replaying the last committed version must not double-count
+    from dynamodb_streaming_datalake_spark.streaming.upsert import _versions
+
+    last = _versions(spark, view_dir)[-1]
+    upsert_cms_view(spark, ev.limit(50), view_dir, version=last)
+    assert cells(current_cms(spark, view_dir)) == got
