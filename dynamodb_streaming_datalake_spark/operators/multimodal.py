@@ -3595,32 +3595,140 @@ def _tiff_packbits_decompress(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_compress(data: bytes) -> bytes:
+    """Spec TIFF-LZW packer (TIFF 6.0 §13): MSB-first bit packing,
+    9-bit initial code width, ClearCode 256 / EOI 257, first table
+    entry 258, and the spec's "early change" — the width bumps when
+    the NEXT code to be assigned is 2^width - 1. Table reset at 4094
+    per spec."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([b]): b for b in range(256)}
+    nxt, width = 258, 9
+    emit(256, width)
+    cur = b""
+    for byte in data:
+        trial = cur + bytes([byte])
+        if trial in table:
+            cur = trial
+            continue
+        emit(table[cur], width)
+        table[trial] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        if nxt == 4094:
+            emit(256, width)
+            table = {bytes([b]): b for b in range(256)}
+            nxt, width = 258, 9
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], width)
+        nxt += 1  # the encoder-side phantom entry keeps widths in sync
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decompress(data: bytes, expected: int) -> bytes:
+    """Spec TIFF-LZW expander: MSB-first reader, Clear/EOI handling,
+    the K·K·K self-referential case, and the same early-change width
+    rule as the packer."""
+    out = bytearray()
+    table: list[bytes] = [bytes([b]) for b in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before EOI")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:
+            table = table[:258]
+            width, prev = 9, None
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"LZW code {code} beyond table")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        # early change, decoder side: the decoder's table lags the
+        # packer's by one entry, so the bump lands at 510/1022/2046
+        # (2^w - 2), one entry before the packer's 2^w - 1
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+    if len(out) != expected:
+        raise ValueError("LZW output length mismatch")
+    return bytes(out)
+
+
 def _tiff_pixels(i: int, w: int, h: int) -> np.ndarray:
-    """Every third id uses a run-friendly pattern (runs of 7) stored
-    under PackBits; the rest keep the run-free stride-5 pattern stored
-    uncompressed — both patterns and both codings on the hash path."""
+    """Three patterns, one per strip coding: every third id (i%3==0)
+    uses a run-friendly pattern (runs of 7) stored under PackBits;
+    i%3==1 uses a near-incompressible prime-stride scramble stored
+    under LZW (round 8 — ~1 symbol/code, so the table outgrows 9-bit
+    codes and the early-change width logic sits on the hash path);
+    the rest keep the run-free stride-5 pattern stored uncompressed."""
     k = np.arange(w * h, dtype=np.int64)
     if i % 3 == 0:
         return ((i + 3 * (k // 7)) % 256).astype(np.uint8)
+    if i % 3 == 1:
+        return ((i * 7919 + k * 104729) % 256).astype(np.uint8)
     return ((i * 5 + k) % 256).astype(np.uint8)
 
 
 def _encode_tiff(i: int) -> bytes:
     """Grayscale TIFF, one strip; little-endian for even ids,
     big-endian ('MM') for odd; PackBits-compressed (tag 259 = 32773)
-    for every third id (round 7 — formerly a guard-only path)."""
+    for i%3==0, LZW (tag 259 = 5) for i%3==1 (round 8), uncompressed
+    otherwise."""
     w, h = _tiff_dims(i)
     little = i % 2 == 0
     e = "<" if little else ">"
     raw = _tiff_pixels(i, w, h).tobytes()
     packbits = i % 3 == 0
-    pixels = _tiff_packbits_compress(raw) if packbits else raw
+    lzw = i % 3 == 1
+    if packbits:
+        pixels = _tiff_packbits_compress(raw)
+    elif lzw:
+        pixels = _tiff_lzw_compress(raw)
+    else:
+        pixels = raw
     # layout: header(8) + pixel data + IFD
     pix_at = 8
     ifd_at = pix_at + len(pixels)
     entries = [
         (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
-        (259, 3, 1, 32773 if packbits else 1), (262, 3, 1, 1),
+        (259, 3, 1, 32773 if packbits else (5 if lzw else 1)), (262, 3, 1, 1),
         (273, 4, 1, pix_at), (277, 3, 1, 1),
         (278, 3, 1, h), (279, 4, 1, len(pixels)),
     ]
@@ -3639,8 +3747,8 @@ def _encode_tiff(i: int) -> bytes:
 
 def parse_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Real TIFF reader: endian dispatch, IFD entry walk, strip
-    assembly, uncompressed or PackBits (round 7). Other compressions
-    and non-8-bit-grayscale layouts fail loudly."""
+    assembly, uncompressed, PackBits (round 7) or LZW (round 8). Other
+    compressions and non-8-bit-grayscale layouts fail loudly."""
     if blob[:2] == b"II":
         e = "<"
     elif blob[:2] == b"MM":
@@ -3662,10 +3770,10 @@ def parse_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
         if tag in _TIFF_TAGS and cnt == 1:
             tags[_TIFF_TAGS[tag]] = val
     compression = tags.get("compression", 1)
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(
             f"compressed TIFF (code {compression}) not supported; "
-            "uncompressed and PackBits only"
+            "uncompressed, LZW and PackBits only"
         )
     if tags.get("bits", 8) != 8 or tags.get("spp", 1) != 1:
         raise NotImplementedError("only 8-bit grayscale TIFF supported")
@@ -3673,6 +3781,9 @@ def parse_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
     at, cnt = tags["strip_offsets"], tags["strip_counts"]
     if compression == 32773:
         raw = _tiff_packbits_decompress(blob[at : at + cnt], w * h)
+        px = np.frombuffer(raw, np.uint8)
+    elif compression == 5:
+        raw = _tiff_lzw_decompress(blob[at : at + cnt], w * h)
         px = np.frombuffer(raw, np.uint8)
     else:
         if cnt != w * h:
@@ -3709,9 +3820,10 @@ def decode_tiff(df: DataFrame, id_col: str) -> DataFrame:
 
 @query(
     "q_media_tiff",
-    # every third id: run-friendly pixels (i + 3*(k//7)) % 256 stored
-    # under PackBits; the rest: run-free (i*5 + k) % 256 uncompressed —
-    # the oracle mirrors the same dispatch
+    # i%3==0: run-friendly pixels (i + 3*(k//7)) % 256 under PackBits;
+    # i%3==1: prime-stride scramble (i*7919 + k*104729) % 256 under LZW
+    # (round 8); i%3==2: run-free (i*5 + k) % 256 uncompressed — the
+    # oracle mirrors the same three-way dispatch
     oracle="""
     WITH dims AS (
         SELECT doc_id,
@@ -3725,6 +3837,8 @@ def decode_tiff(df: DataFrame, id_col: str) -> DataFrame:
              list_transform(range(0, CAST(w * h AS BIGINT)),
                  k -> CASE WHEN doc_id % 3 = 0
                       THEN (doc_id + 3 * (k // 7)) % 256
+                      WHEN doc_id % 3 = 1
+                      THEN (doc_id * 7919 + k * 104729) % 256
                       ELSE (doc_id * 5 + k) % 256 END), 'sum')
              AS DOUBLE) / (w * h) AS mean_pixel,
            CAST(w * h AS BIGINT) AS n_bytes
@@ -3735,7 +3849,9 @@ def q_media_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec path #9: baseline TIFF — IFD tag-directory walk with
     BOTH byte orders in one dataset (even ids 'II', odd ids 'MM'), so
     the endian dispatch is on the hash path; every third id is
-    PackBits-compressed (round 7 — formerly a guard), so both strip
+    PackBits-compressed (round 7) and every i%3==1 id is LZW-compressed
+    with early-change code widths (round 8, near-incompressible pixels
+    so the code table provably outgrows 9 bits), so all three strip
     codings are too. Lossless roundtrip keeps the oracle mean
     closed-form.
 
