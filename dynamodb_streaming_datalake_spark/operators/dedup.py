@@ -1296,6 +1296,85 @@ def q_dedup_apply_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
 
+@query(
+    "q_dedup_keep_best",
+    oracle=None,  # set below — needs text.SQL_QC_LOGITS, imported lazily
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup (round 8): same MinHash-LSH pair
+    graph and connected components as q_dedup_apply_clustered, but the
+    survivor of each near-dup cluster is the member with the HIGHEST
+    quality-classifier logit (tie-break doc_id asc), not the smallest
+    id — the policy curation pipelines actually run, because the
+    canonical copy of a duplicated page should be its cleanest crawl,
+    not its earliest. The logit is exact integer millis
+    (text.quality_logits), so the argmax is hash-stable.
+
+    Scale: adds one equi-join of the cluster members (a reduced
+    artifact, not the corpus) against the per-doc logit aggregate and
+    one per-cluster window over member lists bounded by cluster size;
+    everything else inherits q_dedup_apply_clustered's bounds."""
+    from dynamodb_streaming_datalake_spark.operators.text import quality_logits
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, JACCARD_THRESHOLD)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    labels = connected_components(edges)
+    scored = labels.join(
+        quality_logits(d).select(
+            F.col("doc_id").alias("node"), "logit_millis"
+        ),
+        "node",
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("logit_millis").desc(), F.col("node")
+    )
+    drops = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") > 1)
+        .select(F.col("node").alias("doc_id"))
+    )
+    return d.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _register_keep_best_oracle() -> None:
+    from dynamodb_streaming_datalake_spark.operators.text import SQL_QC_LOGITS
+    from dynamodb_streaming_datalake_spark.registry import ORACLE
+
+    ORACLE["q_dedup_keep_best"] = f"""
+    WITH RECURSIVE pairs AS ({_SQL_MINHASH_PAIRS}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    members AS (
+        SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    ),
+    {SQL_QC_LOGITS},
+    ranked AS (
+        SELECT m.node,
+               ROW_NUMBER() OVER (
+                   PARTITION BY m.cluster_id
+                   ORDER BY l.logit_millis DESC, m.node
+               ) AS rk
+        FROM members m JOIN qc_logits l ON l.doc_id = m.node
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rk > 1)
+    """
+
+
+_register_keep_best_oracle()
+
+
 # ---------------------------------------------------------------------------
 # near-dup clusters: connected components over the pair graph
 # ---------------------------------------------------------------------------

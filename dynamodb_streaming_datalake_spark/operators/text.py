@@ -730,52 +730,40 @@ QC_BUCKETS = 64
 _SQL_QC_HASH = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
 
-@query(
-    "q_quality_classifier",
-    oracle=f"""
-    WITH weights AS (
+#: reusable oracle fragment: per-doc classifier logits (shared with the
+#: keep-best-of-cluster dedup, operators/dedup.py)
+SQL_QC_LOGITS = f"""
+    qc_weights AS (
         SELECT j,
                ({_SQL_QC_HASH.format(x="'w_' || CAST(j AS VARCHAR)")}
                 % 2001 - 1000) AS w_millis
         FROM range(0, {QC_BUCKETS}) t(j)
     ),
-    toks AS (
+    qc_toks AS (
         SELECT doc_id,
                {_SQL_QC_HASH.format(x='tok')} % {QC_BUCKETS} AS j
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
               FROM documents)
+    ),
+    qc_logits AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(w.w_millis) AS BIGINT) AS logit_millis
+        FROM qc_toks t JOIN qc_weights w ON w.j = t.j
+        GROUP BY t.doc_id
     )
-    SELECT t.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(w.w_millis) AS BIGINT) AS logit_millis,
-           SUM(w.w_millis) > 0 AS keep
-    FROM toks t JOIN weights w ON w.j = t.j
-    GROUP BY t.doc_id
-    """,
-)
-def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear quality-classifier inference with the hashing trick — the
-    fastText-shaped scorer production pipelines run over every crawl
-    document: token -> hashed feature bucket (j = h(tok) % {QC_BUCKETS},
-    vocabulary-free so unseen tokens never fail), one weight per
-    bucket, document logit = sum of its tokens' weights, keep = logit
-    > 0. The weights here are a deterministic fixture (h('w_'||j),
-    replayable by the oracle) standing in for trained parameters — the
-    part that matters at scale is the inference plumbing, which is the
-    real thing: weights broadcast ({QC_BUCKETS} rows), scoring is one
-    equi-join + map-side-combining sum, zero Python.
+"""
 
-    Exactness: weights are integer millis, the logit is an integer sum
-    — no float anywhere, so the hash comparison cannot wobble.
 
-    Scale: the only shuffle is the (doc_id) final aggregate; weight
-    lookup is a broadcast join against a constant-size table. Swapping
-    in real trained weights = replacing one small DataFrame."""
+def quality_logits(d: DataFrame) -> DataFrame:
+    """Per-document hashed-linear-classifier logits (integer millis):
+    (doc_id, n_tokens, logit_millis). The inference kernel behind
+    q_quality_classifier, reused by the keep-best-of-cluster dedup."""
     from dynamodb_streaming_datalake_spark.functions.texthash import (
         portable_hash60,
     )
 
-    d = read_table(spark, sf_dir, "documents")
+    spark = d.sparkSession
     weights = (
         spark.range(QC_BUCKETS)
         .select(F.col("id").alias("j"))
@@ -797,8 +785,42 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("w_millis").alias("logit_millis"),
-            (F.sum("w_millis") > 0).alias("keep"),
         )
+    )
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH {SQL_QC_LOGITS}
+    SELECT doc_id, n_tokens, logit_millis, logit_millis > 0 AS keep
+    FROM qc_logits
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference with the hashing trick — the
+    fastText-shaped scorer production pipelines run over every crawl
+    document: token -> hashed feature bucket (j = h(tok) % {QC_BUCKETS},
+    vocabulary-free so unseen tokens never fail), one weight per
+    bucket, document logit = sum of its tokens' weights, keep = logit
+    > 0. The weights here are a deterministic fixture (h('w_'||j),
+    replayable by the oracle) standing in for trained parameters — the
+    part that matters at scale is the inference plumbing, which is the
+    real thing: weights broadcast ({QC_BUCKETS} rows), scoring is one
+    equi-join + map-side-combining sum, zero Python.
+
+    Exactness: weights are integer millis, the logit is an integer sum
+    — no float anywhere, so the hash comparison cannot wobble.
+
+    Scale: the only shuffle is the (doc_id) final aggregate; weight
+    lookup is a broadcast join against a constant-size table. Swapping
+    in real trained weights = replacing one small DataFrame."""
+    d = read_table(spark, sf_dir, "documents")
+    return quality_logits(d).select(
+        "doc_id",
+        "n_tokens",
+        "logit_millis",
+        (F.col("logit_millis") > 0).alias("keep"),
     )
 
 
