@@ -222,6 +222,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
 
     INTENTIONAL_CROSS = {
         "q_ann_topk",  # broadcast N_QUERIES rows x corpus scan
+        "q_retrieval_eval",  # broadcast IVF_QUERIES rows x corpus (truth)
         "q_ann_ivf",  # broadcast 16 centroids x corpus (assignment)
         "q_ann_ivfpq",  # broadcast 16 coarse centroids x corpus (assignment)
         "q_dedup_simhash_pairs",  # broadcast 4-row band table
