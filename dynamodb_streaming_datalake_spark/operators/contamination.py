@@ -108,4 +108,157 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# ---------------------------------------------------------------------------
+# fuzzy decontamination via MinHash-LSH (round 8)
+# ---------------------------------------------------------------------------
+# Exact n-gram overlap misses paraphrased/partial contamination: a
+# benchmark item lightly reworded shares few exact shingles but still
+# leaks the answer. The fuzzy pass reuses the dedup engine's MinHash
+# signatures: train docs sharing any LSH band bucket with an eval doc
+# are candidates, verified with exact shingle Jaccard at a LOWER
+# threshold than dedup (contamination review prefers recall).
+
+#: verify threshold — deliberately below dedup's JACCARD_THRESHOLD
+FUZZY_TAU = 0.5
+#: the fuzzy pass carves a WIDER eval set than the exact pass: its
+#: whole point is catching cross-set near-dups, which a 5% carve of
+#: this synthetic corpus leaves too few of to exercise the operator
+#: (probed at sf0.01: 5% -> 0 contaminated docs, 20% -> 7)
+FUZZY_EVAL_RATE = 0.20
+
+
+@query(
+    "q_decontaminate_fuzzy",
+    oracle=None,  # set below — composed from dedup's minhash fragments
+)
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: training docs near-duplicating any eval
+    doc (deterministic {FUZZY_EVAL_RATE:.0%} hash-carved eval set) under
+    MinHash-LSH candidates + exact-Jaccard verify at tau={FUZZY_TAU}.
+    Returns each contaminated train doc with how many eval docs it
+    matches and the worst (max) Jaccard.
+
+    Scale: one signature pass over the WHOLE corpus (shared by train
+    and eval sides — signatures are subset-independent), the candidate
+    join is train-bands x eval-bands on (band, bucket) with the same
+    degenerate-bucket cap as dedup, and exact verification touches
+    candidates only. Unlike the broadcast exact pass, nothing here
+    assumes the eval set is small — both sides stream through the
+    band-bucket shuffle, which is what a cross-benchmark sweep
+    (contamination vs 100 eval sets at once) needs."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        MAX_BUCKET_SIZE,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+    from dynamodb_streaming_datalake_spark.functions.texthash import (
+        word_shingles,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    cut = int(FUZZY_EVAL_RATE * DENOM)
+    is_eval = hash_bucket(F.col("doc_id")) < cut
+
+    buckets = lsh_band_buckets(minhash_signatures(d))
+    big = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .where(F.col("sz") > MAX_BUCKET_SIZE)
+        .select("band", "bucket")
+    )
+    buckets = (
+        buckets.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+        .withColumn("is_eval", is_eval)
+        .localCheckpoint(eager=False)  # one pipeline, two join consumers
+    )
+    cand = (
+        buckets.where(~F.col("is_eval")).alias("t")
+        .join(
+            buckets.where(F.col("is_eval")).alias("e"),
+            (F.col("t.band") == F.col("e.band"))
+            & (F.col("t.bucket") == F.col("e.bucket")),
+        )
+        .select(
+            F.col("t.doc_id").alias("train_id"),
+            F.col("e.doc_id").alias("eval_id"),
+        )
+        .distinct()
+    )
+    arrs = d.select("doc_id", word_shingles("text").alias("arr"))
+    jac = (
+        F.size(F.array_intersect(F.col("pa.arr"), F.col("pb.arr")))
+        / F.size(F.array_union(F.col("pa.arr"), F.col("pb.arr")))
+    )
+    verified = (
+        cand.join(arrs.alias("pa"), F.col("train_id") == F.col("pa.doc_id"))
+        .join(arrs.alias("pb"), F.col("eval_id") == F.col("pb.doc_id"))
+        .select("train_id", "eval_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= FUZZY_TAU)
+    )
+    return verified.groupBy(F.col("train_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+
+
+def _register_fuzzy_oracle() -> None:
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        MAX_BUCKET_SIZE,
+        _SQL_MH_BANDS,
+        _SQL_MH_MINS,
+        _SQL_SHINGLE_ROWS,
+        MINHASH_P,
+    )
+    from dynamodb_streaming_datalake_spark.functions.texthash import (
+        sql_word_shingles,
+    )
+    from dynamodb_streaming_datalake_spark.registry import ORACLE
+
+    ORACLE["q_decontaminate_fuzzy"] = f"""
+    WITH {_SQL_SHINGLE_ROWS},
+    hs AS (
+        SELECT doc_id, {sql_portable_hash60('sh')} % {MINHASH_P} AS h0
+        FROM shingle_rows
+    ),
+    mh AS (SELECT doc_id, {_SQL_MH_MINS} FROM hs GROUP BY doc_id),
+    all_bands AS ({_SQL_MH_BANDS}),
+    small_buckets AS (
+        SELECT band, bucket FROM all_bands
+        GROUP BY band, bucket HAVING COUNT(*) <= {MAX_BUCKET_SIZE}
+    ),
+    bands AS (
+        SELECT b.*, ({_SQL_BUCKET.replace('doc_id', 'b.doc_id')})
+                      < {int(FUZZY_EVAL_RATE * DENOM)} AS is_eval
+        FROM all_bands b JOIN small_buckets USING (band, bucket)
+    ),
+    cand AS (
+        SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+        FROM bands t JOIN bands e
+          ON t.band = e.band AND t.bucket = e.bucket
+         AND NOT t.is_eval AND e.is_eval
+    ),
+    sh_arr AS (
+        SELECT doc_id, {sql_word_shingles('text')} AS arr FROM documents
+    ),
+    verified AS (
+        SELECT train_id, eval_id,
+               len(list_intersect(pa.arr, pb.arr)) * 1.0
+                 / len(list_distinct(list_concat(pa.arr, pb.arr))) AS jaccard
+        FROM cand
+        JOIN sh_arr pa ON pa.doc_id = train_id
+        JOIN sh_arr pb ON pb.doc_id = eval_id
+        WHERE len(list_intersect(pa.arr, pb.arr)) * 1.0
+                / len(list_distinct(list_concat(pa.arr, pb.arr)))
+              >= {FUZZY_TAU}
+    )
+    SELECT train_id AS doc_id,
+           COUNT(*) AS n_eval_matches,
+           round(MAX(jaccard), 6) AS max_jaccard
+    FROM verified GROUP BY train_id
+    """
+
+
+_register_fuzzy_oracle()
+
 _fmt(q_decontaminate, NGRAM=NGRAM)
+_fmt(q_decontaminate_fuzzy, FUZZY_TAU=FUZZY_TAU, FUZZY_EVAL_RATE=FUZZY_EVAL_RATE)
