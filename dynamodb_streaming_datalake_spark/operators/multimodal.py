@@ -156,7 +156,7 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
         kind
         if kind
         in ("wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg", "gif", "tiff",
-            "webp", "wav_adpcm", "wav_g711")
+            "webp", "wav_adpcm", "wav_g711", "jpeg_prog")
         else f"fake-{kind}"
     )
     meta_t = StructType(
@@ -2952,15 +2952,14 @@ def _jpeg_segments(w: int, h: int) -> bytes:
     )
 
 
-def encode_jpeg_gray(img: np.ndarray) -> bytes:
-    """Baseline-encode a (h, w) uint8 grayscale image; dims must be
-    multiples of 8 (the fixture guarantees it; arbitrary dims would add
-    edge padding, orthogonal to the codec itself)."""
+def _jpeg_quantized_zz(img: np.ndarray) -> np.ndarray:
+    """(n_blocks, 64) zigzag-ordered quantized coefficients — the
+    shared front half of both the baseline and progressive encoders.
+    Dims must be multiples of 8 (the fixtures guarantee it; arbitrary
+    dims would add edge padding, orthogonal to the codec itself)."""
     h, w = img.shape
     if h % 8 or w % 8:
-        raise ValueError("encode_jpeg_gray requires multiple-of-8 dims")
-    bw = _JpegBitWriter()
-    pred = 0
+        raise ValueError("JPEG encoders require multiple-of-8 dims")
     q = JPEG_QTABLE.astype(np.float64)
     # batched forward DCT + quantize over ALL blocks at once (np.matmul
     # broadcasts over the leading block axis — identical per-block
@@ -2975,7 +2974,15 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     coefs = _JPEG_A @ blocks @ _JPEG_A.T
     scaled = coefs / q
     quants = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int32)
-    zz_all = quants.reshape(-1, 64)[:, _JPEG_ZIGZAG_FLAT]
+    return quants.reshape(-1, 64)[:, _JPEG_ZIGZAG_FLAT]
+
+
+def encode_jpeg_gray(img: np.ndarray) -> bytes:
+    """Baseline-encode a (h, w) uint8 grayscale image."""
+    h, w = img.shape
+    bw = _JpegBitWriter()
+    pred = 0
+    zz_all = _jpeg_quantized_zz(img)
     for quant_zz in zz_all:
         zz = quant_zz.tolist()
         diff = zz[0] - pred
@@ -3004,6 +3011,122 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
             code, length = _JPEG_AC_CODES[0x00]
             bw.put(code, length)
     return _jpeg_segments(w, h) + bw.flush() + b"\xff\xd9"
+
+
+# --- progressive (SOF2) encoding — round 8 -------------------------------
+# Progressive AC scans need EOBn symbols (run-of-EOB categories,
+# RRRR<<4 with SSSS=0), which the baseline AC alphabet lacks; files
+# carry their own tables, so the progressive encoder declares this
+# wider alphabet in its DHT. EOBRUN max is 2^14..2^15-1 (n <= 14).
+_JPEG_PROG_AC_SYMBOLS = (
+    tuple(n << 4 for n in range(15))
+    + (0xF0,)
+    + tuple((run << 4) | size for run in range(16) for size in range(1, 11))
+)
+_JPEG_PROG_AC_BITS = tuple(
+    len(_JPEG_PROG_AC_SYMBOLS) if n == 8 else 0 for n in range(1, 17)
+)
+_JPEG_PROG_AC_CODES = _jpeg_canonical_codes(
+    _JPEG_PROG_AC_BITS, _JPEG_PROG_AC_SYMBOLS
+)
+
+#: the scan script: DC first pass at Al=1, DC refinement bit, then the
+#: AC spectrum split into two spectral-selection bands
+_JPEG_PROG_SCANS = ((0, 0, 0, 1), (0, 0, 1, 0), (1, 5, 0, 0), (6, 63, 0, 0))
+
+
+def encode_jpeg_gray_progressive(img: np.ndarray) -> bytes:
+    """Progressive-encode (SOF2) a grayscale image: spectral selection
+    (DC scan, then AC bands 1-5 and 6-63) plus DC successive
+    approximation (first pass sends DC>>1, a refinement scan sends the
+    low bit raw). Coefficients are the SAME quantized values the
+    baseline encoder produces, so a correct decoder reconstructs
+    pixel-identical output to the baseline file — pinned in tests."""
+    h, w = img.shape
+    zz_all = _jpeg_quantized_zz(img)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    zz_q = bytes(int(JPEG_QTABLE[r, c]) for r, c in _JPEG_ZIGZAG)
+    sof2 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_SYMBOLS)
+    dht_ac = (
+        bytes([0x10])
+        + bytes(_JPEG_PROG_AC_BITS)
+        + bytes(_JPEG_PROG_AC_SYMBOLS)
+    )
+    out = bytearray(
+        b"\xff\xd8"
+        + seg(0xFFE0, app0)
+        + seg(0xFFDB, b"\x00" + zz_q)
+        + seg(0xFFC2, sof2)
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFC4, dht_ac)
+    )
+    for ss, se, ah, al in _JPEG_PROG_SCANS:
+        out += seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        bw = _JpegBitWriter()
+        if ss == 0 and ah == 0:  # DC first pass (at Al precision)
+            pred = 0
+            for zz in zz_all:
+                v = int(zz[0]) >> al  # arithmetic shift per G.1.2.1
+                diff, pred = v - pred, v
+                size = _jpeg_category(diff)
+                code, length = _JPEG_DC_CODES[size]
+                bw.put(code, length)
+                if size:
+                    bw.put(_jpeg_amplitude(diff, size), size)
+        elif ss == 0:  # DC refinement: one raw bit per block
+            for zz in zz_all:
+                bw.put((int(zz[0]) >> al) & 1, 1)
+        else:  # AC first pass over band [ss, se] with EOBRUN coding
+            if al:
+                raise NotImplementedError(
+                    "AC successive approximation not supported"
+                )
+            eobrun = 0
+
+            def flush_eob(bw=bw):
+                nonlocal eobrun
+                n = eobrun.bit_length() - 1
+                code, length = _JPEG_PROG_AC_CODES[n << 4]
+                bw.put(code, length)
+                if n:
+                    bw.put(eobrun - (1 << n), n)
+                eobrun = 0
+
+            for zz in zz_all:
+                band = zz[ss : se + 1].tolist()
+                run = 0
+                wrote = False
+                for v in band:
+                    if v == 0:
+                        run += 1
+                        continue
+                    if eobrun:
+                        flush_eob()
+                    while run > 15:
+                        c16, l16 = _JPEG_PROG_AC_CODES[0xF0]
+                        bw.put(c16, l16)
+                        run -= 16
+                    size = _jpeg_category(v)
+                    code, length = _JPEG_PROG_AC_CODES[(run << 4) | size]
+                    bw.put(code, length)
+                    bw.put(_jpeg_amplitude(v, size), size)
+                    run = 0
+                    wrote = True
+                if run or not wrote:
+                    # trailing zeros (or an all-zero band) end the
+                    # block early: extend the end-of-band run
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush_eob()
+            if eobrun:
+                flush_eob()
+        out += bw.flush()
+    return bytes(out + b"\xff\xd9")
 
 
 class _JpegBitReader:
@@ -3061,17 +3184,95 @@ def _jpeg_extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _jpeg_decode_baseline_scan(br, zz_all, dc_tab, ac_tab) -> None:
+    """One interleaved baseline scan: DC + all 63 AC per block."""
+    pred = 0
+    for zz in zz_all:  # entropy decode (inherently sequential)
+        size = _jpeg_read_symbol(br, dc_tab)
+        diff = _jpeg_extend(br.take(size), size) if size else 0
+        pred += diff
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            sym = _jpeg_read_symbol(br, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k >= 64:
+                raise ValueError("AC run past end of block")
+            zz[k] = _jpeg_extend(br.take(size), size)
+            k += 1
+
+
+def _jpeg_decode_progressive_scan(
+    br, zz_all, dc_tab, ac_tab, ss: int, se: int, ah: int, al: int
+) -> None:
+    """One progressive scan: DC first pass / DC refinement bit / AC
+    spectral band with EOBRUN. AC successive-approximation refinement
+    (ss > 0 with ah > 0) is the one progressive mode left unsupported,
+    loudly."""
+    if ss == 0 and se == 0 and ah == 0:  # DC first pass at Al precision
+        pred = 0
+        for zz in zz_all:
+            size = _jpeg_read_symbol(br, dc_tab)
+            diff = _jpeg_extend(br.take(size), size) if size else 0
+            pred += diff
+            zz[0] = pred << al
+        return
+    if ss == 0 and se == 0:  # DC refinement: one raw bit per block
+        for zz in zz_all:
+            if br.take(1):
+                zz[0] |= 1 << al
+        return
+    if ss == 0 or se < ss:
+        raise ValueError(f"bad progressive band [{ss}, {se}]")
+    if ah != 0:
+        raise NotImplementedError(
+            "AC successive-approximation refinement not supported"
+        )
+    eobrun = 0
+    for zz in zz_all:
+        if eobrun:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = _jpeg_read_symbol(br, ac_tab)
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL inside the band
+                    k += 16
+                    continue
+                # EOBn: run of (2^run + extra) end-of-bands, this
+                # block included
+                eobrun = (1 << run) + (br.take(run) if run else 0) - 1
+                break
+            k += run
+            if k > se:
+                raise ValueError("AC run past end of band")
+            zz[k] = _jpeg_extend(br.take(size), size) << al
+            k += 1
+
+
 def parse_jpeg_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """Real baseline JPEG decoder: marker walk (tables taken from the
-    file's own DQT/DHT, not assumed), Huffman entropy decode with
-    de-stuffing, dequantize, IDCT, level shift. Returns (w, h, img)."""
+    """Real JPEG decoder: marker walk (tables taken from the file's own
+    DQT/DHT, not assumed), Huffman entropy decode with de-stuffing over
+    one baseline (SOF0) scan or multiple progressive (SOF2) scans —
+    spectral selection, EOBRUN, and DC successive approximation —
+    then dequantize, IDCT, level shift. Returns (w, h, img)."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     w = h = None
-    scan_at = None
+    mode = None
+    zz_all = None
+    saw_scan = False
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -3100,49 +3301,53 @@ def parse_jpeg_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
                 syms = tuple(payload[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _jpeg_decode_table(bits, syms)
                 p += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
             precision = payload[0]
             h, w = struct.unpack(">HH", payload[1:5])
             ncomp = payload[5]
             if precision != 8 or ncomp != 1:
-                raise NotImplementedError(
-                    "only 8-bit grayscale baseline supported"
-                )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-            raise NotImplementedError("only baseline (SOF0) supported")
+                raise NotImplementedError("only 8-bit grayscale supported")
+            mode = "baseline" if marker == 0xC0 else "progressive"
+            zz_all = np.zeros(((h // 8) * (w // 8), 64), dtype=np.int32)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) supported"
+            )
         elif marker == 0xDA:
-            scan_at = pos + 2 + seglen
-            break
+            if mode is None:
+                raise ValueError("SOS before SOF")
+            if payload[0] != 1:
+                raise NotImplementedError("only single-component scans")
+            dc_id, ac_id = payload[2] >> 4, payload[2] & 0x0F
+            ss, se = payload[3], payload[4]
+            ah, al = payload[5] >> 4, payload[5] & 0x0F
+            br = _JpegBitReader(blob, pos + 2 + seglen)
+            if mode == "baseline":
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("baseline scan must cover 0..63")
+                _jpeg_decode_baseline_scan(
+                    br, zz_all, htables[(0, dc_id)], htables[(1, ac_id)]
+                )
+            else:
+                _jpeg_decode_progressive_scan(
+                    br,
+                    zz_all,
+                    htables.get((0, dc_id)),
+                    htables.get((1, ac_id)),
+                    ss,
+                    se,
+                    ah,
+                    al,
+                )
+            saw_scan = True
+            pos = br.pos  # entropy data ends byte-aligned at next marker
+            continue
         pos += 2 + seglen
-    if w is None or scan_at is None:
-        raise ValueError("missing SOF0 or SOS")
-    q = qtables[0]
-    dc_tab, ac_tab = htables[(0, 0)], htables[(1, 0)]
-    br = _JpegBitReader(blob, scan_at)
-    pred = 0
-    n_blocks = (h // 8) * (w // 8)
-    zz_all = np.zeros((n_blocks, 64), dtype=np.int32)
-    for zz in zz_all:  # entropy decode (inherently sequential)
-        size = _jpeg_read_symbol(br, dc_tab)
-        diff = _jpeg_extend(br.take(size), size) if size else 0
-        pred += diff
-        zz[0] = pred
-        k = 1
-        while k < 64:
-            sym = _jpeg_read_symbol(br, ac_tab)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, size = sym >> 4, sym & 0x0F
-            k += run
-            if k >= 64:
-                raise ValueError("AC run past end of block")
-            zz[k] = _jpeg_extend(br.take(size), size)
-            k += 1
+    if w is None or not saw_scan:
+        raise ValueError("missing SOF or SOS")
     # batched dequantize + inverse-zigzag + IDCT over all blocks
-    coefs = np.zeros((n_blocks, 64), dtype=np.float64)
+    q = qtables[0]
+    coefs = np.zeros((len(zz_all), 64), dtype=np.float64)
     coefs[:, _JPEG_ZIGZAG_FLAT] = zz_all
     coefs = coefs.reshape(-1, 8, 8) * q
     blocks = _JPEG_A.T @ coefs @ _JPEG_A + 128.0
@@ -3176,6 +3381,23 @@ def _encode_jpeg(i: int) -> bytes:
             b += 1
     assert b == nb_x * (h // 8)
     return encode_jpeg_gray(img)
+
+
+def _encode_jpeg_prog(i: int) -> bytes:
+    """Progressive twin of _encode_jpeg: the same constant-even-tile
+    family (same dims, same tile values), SOF2-encoded across four
+    scans. Constant tiles make every AC band a pure EOBRUN and give the
+    DC scans odd/even values in both SA passes, so the refinement bit
+    is live; full-AC progressive fidelity is pinned by the
+    equals-baseline property test."""
+    w, h = _jpeg_dims(i)
+    img = np.empty((h, w), dtype=np.uint8)
+    b = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            img[by : by + 8, bx : bx + 8] = 2 * ((i + b) % 128)
+            b += 1
+    return encode_jpeg_gray_progressive(img)
 
 
 def decode_jpeg(df: DataFrame, id_col: str) -> DataFrame:
@@ -3243,6 +3465,52 @@ def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-only mapInPandas, same contract as q_media_png."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     jpg = synthesize_media(d, "doc_id", "jpeg")
+    return decode_jpeg(jpg, "doc_id")
+
+
+@query(
+    "q_media_jpeg_prog",
+    # the same constant-even-tile family as q_media_jpeg — progressive
+    # re-coding of identical quantized coefficients decodes to identical
+    # pixels, so the closed form carries over unchanged
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               8 * (2 + doc_id % 5) AS w,
+               8 * (2 + (doc_id // 5) % 4) AS h
+        FROM documents
+    ), tiles AS (
+        SELECT doc_id, w, h,
+               list_aggregate(
+                 list_transform(range(0, (w // 8) * (h // 8)),
+                                b -> 2 * ((doc_id + b) % 128)),
+                 'sum') AS s
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(64 * s AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_pixel,
+           CAST(w * h AS BIGINT) AS n_bytes
+    FROM tiles
+    """,
+)
+def q_media_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec (round 8): PROGRESSIVE JPEG (SOF2, grayscale) — the
+    former 'only baseline supported' guard. Four scans per file:
+    DC first pass at Al=1, a DC successive-approximation refinement
+    scan (raw bits), and two AC spectral-selection bands (1-5, 6-63)
+    with EOBRUN end-of-band run coding over the wider progressive AC
+    alphabet the file's own DHT declares. The decoder accumulates all
+    four scans into one coefficient array before a single IDCT; on
+    arbitrary images it reconstructs pixel-identically to the baseline
+    file (pinned in tests — both code the same quantized
+    coefficients). AC successive approximation remains a loud guard.
+
+    Scale: map-only mapInPandas, same contract as q_media_jpeg."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    jpg = synthesize_media(d, "doc_id", "jpeg_prog")
     return decode_jpeg(jpg, "doc_id")
 
 

@@ -588,7 +588,8 @@ def test_jpeg_lossy_fidelity_on_arbitrary_images():
 def test_jpeg_decoder_reads_tables_from_file_and_guards():
     """The decoder must take quant + Huffman tables from the file's own
     DQT/DHT (halving the DC quant entry visibly changes decoding), and
-    reject progressive SOF2, truncated scans, and non-JPEG bytes."""
+    reject unsupported SOFs, illegal progressive bands, truncated
+    scans, and non-JPEG bytes."""
     import struct as st
 
     import numpy as np
@@ -601,11 +602,18 @@ def test_jpeg_decoder_reads_tables_from_file_and_guards():
     blob = _encode_jpeg(3)
     with pytest.raises(ValueError, match="SOI"):
         parse_jpeg_gray(b"notajpeg")
-    # SOF0 -> SOF2 (progressive) must be rejected, not mis-decoded
+    # SOF0 -> SOF2: the scan is now parsed under progressive rules, and
+    # a baseline-style full 0..63 interleaved scan is ILLEGAL there
+    # (T.81: a progressive DC scan must have Se=0) — rejected loudly,
+    # not mis-decoded (round 8: SOF2 itself became a real decode path)
     sof_at = blob.index(b"\xff\xc0")
     prog = blob[:sof_at] + b"\xff\xc2" + blob[sof_at + 2 :]
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="progressive band"):
         parse_jpeg_gray(prog)
+    # lossless SOF3 stays an honest guard
+    lossless = blob[:sof_at] + b"\xff\xc3" + blob[sof_at + 2 :]
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        parse_jpeg_gray(lossless)
     # halving the DC quant entry (zigzag slot 0) rescales decoded DC:
     # tables genuinely come from the DHT/DQT bytes, not constants
     dqt_at = blob.index(b"\xff\xdb")
@@ -1156,3 +1164,85 @@ def test_tiff_lzw_roundtrip_through_width_growth_and_reset():
     # and the full container path agrees byte-for-byte
     _, _, px = parse_tiff(_encode_tiff(i))
     assert np.array_equal(px.ravel(), _tiff_pixels(i, w, h))
+
+
+def test_progressive_jpeg_equals_baseline_decode():
+    """SOF2 and SOF0 encode the SAME quantized coefficients, so a
+    correct progressive decoder (spectral selection + EOBRUN + DC
+    successive approximation) must reconstruct pixel-identical output
+    to the baseline file — on arbitrary images, where the AC bands are
+    dense and EOBRUNs span blocks."""
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+        parse_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(7)
+    for _ in range(4):
+        h, w = 8 * rng.randint(1, 6), 8 * rng.randint(1, 6)
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        _, _, base = parse_jpeg_gray(encode_jpeg_gray(img))
+        _, _, prog = parse_jpeg_gray(encode_jpeg_gray_progressive(img))
+        assert np.array_equal(base, prog)
+    # smooth gradient: long zero runs exercise ZRL-in-band + EOBn>0
+    grad = np.tile(np.arange(64, dtype=np.uint8).repeat(2), (16, 1))
+    _, _, base = parse_jpeg_gray(encode_jpeg_gray(grad))
+    _, _, prog = parse_jpeg_gray(encode_jpeg_gray_progressive(grad))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_jpeg_scan_structure_and_guards():
+    """The SOF2 file really contains four scans with the declared
+    spectral/SA parameters, and the decoder's remaining honest guard
+    (AC successive-approximation refinement) fires loudly."""
+    import struct as st
+
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _JPEG_PROG_SCANS,
+        encode_jpeg_gray_progressive,
+        parse_jpeg_gray,
+    )
+
+    img = np.full((16, 16), 100, dtype=np.uint8)
+    blob = encode_jpeg_gray_progressive(img)
+    assert blob[2:4] != b"\xff\xc0"
+    # walk the markers, collecting each SOS header's (Ss, Se, Ah, Al)
+    scans = []
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            pos += 1  # entropy data — skip to next marker candidate
+            continue
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker in (0x00, 0xFF):
+            pos += 1
+            continue
+        (seglen,) = st.unpack(">H", blob[pos + 2 : pos + 4])
+        if marker == 0xDA:
+            p = blob[pos + 4 : pos + 2 + seglen]
+            scans.append((p[3], p[4], p[5] >> 4, p[5] & 0x0F))
+        pos += 2 + seglen
+    assert tuple(scans) == _JPEG_PROG_SCANS
+
+    # flip one AC scan header to claim an SA refinement (Ah=1) — the
+    # decoder must refuse rather than mis-decode
+    mut = bytearray(blob)
+    pos = 2
+    while pos + 4 <= len(mut):
+        if mut[pos] == 0xFF and mut[pos + 1] == 0xDA:
+            (seglen,) = st.unpack(">H", mut[pos + 2 : pos + 4])
+            if mut[pos + 4 + 3] > 0:  # an AC scan (Ss > 0)
+                mut[pos + 4 + 5] = 0x10  # Ah=1, Al=0
+                break
+            pos += 2 + seglen
+        else:
+            pos += 1
+    with pytest.raises(NotImplementedError, match="successive"):
+        parse_jpeg_gray(bytes(mut))
