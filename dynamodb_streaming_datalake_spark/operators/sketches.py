@@ -328,3 +328,78 @@ _fmt(
     HLL_P=HLL_P,
     HLL_W_BITS=HLL_W_BITS,
 )
+
+
+# ---------------------------------------------------------------------------
+# hash-sampled quantile estimation (round 8)
+# ---------------------------------------------------------------------------
+# The deterministic alternative to t-digest when reproducibility is the
+# constraint: estimate quantiles from the deterministic 10% hash sample
+# (operators.sampling's cutoff idiom — same rows on any cluster, any
+# engine) and report the error against the exact full-data percentile
+# in the same row. approx_percentile stays engine-specific (tested in
+# test_plans); this estimator is portable enough to sit under the hash
+# gate, eval harness included.
+
+#: sample rate numerator over sampling.DENOM
+QSK_RATE = 100_000  # 10%
+QSK_PS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "q_quantile_sketch",
+    oracle=f"""
+    WITH s AS (
+        SELECT value FROM events
+        WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT)
+              % 1000000 < {QSK_RATE}
+    ),
+    agg AS (
+        SELECT quantile_cont(value, [0.5, 0.9, 0.99]) AS ex,
+               (SELECT quantile_cont(value, [0.5, 0.9, 0.99]) FROM s) AS sa
+        FROM events
+    )
+    SELECT p.p AS percentile,
+           round(agg.ex[p.i], 6) AS exact_v,
+           round(agg.sa[p.i], 6) AS sample_v,
+           round(abs(agg.ex[p.i] - agg.sa[p.i]), 6) AS abs_err
+    FROM agg, (VALUES (1, 0.5), (2, 0.9), (3, 0.99)) p(i, p)
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from the deterministic 10% hash sample of
+    events, with per-percentile error against the exact full-data
+    quantile in the same row (p50/p90/p99). Both quantiles are the
+    linear-interpolated exact form (Spark ``percentile`` == DuckDB
+    ``quantile_cont``); the SAMPLE is what makes it cheap at scale —
+    and because membership is a hash cutoff, the estimate is
+    bit-reproducible on any cluster, unlike ``df.sample``.
+
+    Scale: the sample filter is a row-local hash predicate fused into
+    the scan; both aggregates buffer only percentile state. For
+    single groups beyond executor memory, approx_percentile is the
+    fallback (engine-specific, pinned in tests instead)."""
+    from dynamodb_streaming_datalake_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    ps = list(QSK_PS)
+    full = e.agg(
+        F.percentile("value", F.array(*[F.lit(p) for p in ps])).alias("ex")
+    )
+    samp = e.where(hash_bucket(F.col("event_id")) < QSK_RATE).agg(
+        F.percentile("value", F.array(*[F.lit(p) for p in ps])).alias("sa")
+    )
+    pframe = spark.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(ps)], "i int, p double"
+    )
+    j = full.crossJoin(samp).crossJoin(F.broadcast(pframe))
+    ex = F.element_at("ex", F.col("i"))
+    sa = F.element_at("sa", F.col("i"))
+    return j.select(
+        F.col("p").alias("percentile"),
+        F.round(ex, 6).alias("exact_v"),
+        F.round(sa, 6).alias("sample_v"),
+        F.round(F.abs(ex - sa), 6).alias("abs_err"),
+    )

@@ -130,3 +130,88 @@ def _register() -> None:
 
 
 _register()
+
+
+# ---------------------------------------------------------------------------
+# skew diagnosis (round 8): measure before you salt
+# ---------------------------------------------------------------------------
+# Salting costs a build-side blow-up, so the first step of every skew
+# fix is quantifying WHICH keys are hot and how many salts they need.
+# This report is the operator form of that step.
+
+#: rows one task should carry — the salting target (fixture-sized; the
+#: production knob is executor-memory / row-width)
+SKEW_TARGET_ROWS = 500
+SKEW_TOP = 20
+
+
+def _register_diagnose() -> None:
+    from pyspark.sql import Window
+
+    from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
+    from dynamodb_streaming_datalake_spark.registry import query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    @query(
+        "q_skew_diagnose",
+        oracle=f"""
+        WITH c AS (
+            SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+        ),
+        t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c)
+        SELECT c.user_id,
+               CAST(c.n_rows AS BIGINT) AS n_rows,
+               CAST(c.n_rows AS DOUBLE) / t.total AS row_share,
+               CAST(c.n_rows AS DOUBLE) * t.n_keys / t.total
+                 AS hotness,
+               CAST(CEIL(CAST(c.n_rows AS DOUBLE) / {SKEW_TARGET_ROWS})
+                    AS BIGINT) AS suggested_salts
+        FROM c, t
+        ORDER BY c.n_rows DESC, c.user_id
+        LIMIT {SKEW_TOP}
+        """,
+    )
+    def q_skew_diagnose(spark, sf_dir):
+        """Join-key skew report over events.user_id: the top-{SKEW_TOP}
+        hottest keys with their row share, hotness (multiple of the
+        uniform per-key average — AQE splits partitions, so >1 here
+        flags the per-KEY skew only salting fixes), and the salt count
+        that would cap each key's per-task rows at {SKEW_TARGET_ROWS}.
+        The output feeds ``salted_join(n_salts=max(suggested_salts))``
+        directly.
+
+        Scale: one map-side-combined groupBy to |keys| rows, a 1-row
+        total broadcast back over it, and a top-k TakeOrdered — the
+        diagnostic never touches raw rows twice."""
+        from pyspark.sql import functions as F
+
+        e = read_table(spark, sf_dir, "events")
+        c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+        t = c.agg(
+            F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("n_keys")
+        )
+        return (
+            c.crossJoin(F.broadcast(t))
+            .select(
+                "user_id",
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                (F.col("n_rows").cast("double") / F.col("total")).alias(
+                    "row_share"
+                ),
+                (
+                    F.col("n_rows").cast("double")
+                    * F.col("n_keys")
+                    / F.col("total")
+                ).alias("hotness"),
+                F.ceil(
+                    F.col("n_rows").cast("double") / F.lit(SKEW_TARGET_ROWS)
+                ).cast("bigint").alias("suggested_salts"),
+            )
+            .orderBy(F.col("n_rows").desc(), "user_id")
+            .limit(SKEW_TOP)
+        )
+
+    _fmt(q_skew_diagnose, SKEW_TOP=SKEW_TOP, SKEW_TARGET_ROWS=SKEW_TARGET_ROWS)
+
+
+_register_diagnose()

@@ -241,6 +241,8 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_triangle_count",  # 1-row global-triangle-count crossed
         "q_hll_distinct",  # two 1-row aggregates (sketch sum x exact) crossed
         "q_mix_temperature",  # 1-row denominator fold crossed into counts
+        "q_quantile_sketch",  # two 1-row percentile aggs x 3-row p table
+        "q_skew_diagnose",  # 1-row total/key-count aggregate crossed
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
