@@ -3030,9 +3030,19 @@ _JPEG_PROG_AC_CODES = _jpeg_canonical_codes(
     _JPEG_PROG_AC_BITS, _JPEG_PROG_AC_SYMBOLS
 )
 
-#: the scan script: DC first pass at Al=1, DC refinement bit, then the
-#: AC spectrum split into two spectral-selection bands
-_JPEG_PROG_SCANS = ((0, 0, 0, 1), (0, 0, 1, 0), (1, 5, 0, 0), (6, 63, 0, 0))
+#: the scan script: DC first pass at Al=1 + DC refinement bit, then the
+#: AC spectrum split into two spectral-selection bands, each sent as a
+#: successive-approximation first pass at Al=1 followed by a
+#: refinement scan (Ah=1 -> Al=0) — all four progressive coding modes
+#: of T.81 Annex G on the hash path
+_JPEG_PROG_SCANS = (
+    (0, 0, 0, 1),
+    (0, 0, 1, 0),
+    (1, 5, 0, 1),
+    (6, 63, 0, 1),
+    (1, 5, 1, 0),
+    (6, 63, 1, 0),
+)
 
 
 def encode_jpeg_gray_progressive(img: np.ndarray) -> bytes:
@@ -3081,11 +3091,7 @@ def encode_jpeg_gray_progressive(img: np.ndarray) -> bytes:
         elif ss == 0:  # DC refinement: one raw bit per block
             for zz in zz_all:
                 bw.put((int(zz[0]) >> al) & 1, 1)
-        else:  # AC first pass over band [ss, se] with EOBRUN coding
-            if al:
-                raise NotImplementedError(
-                    "AC successive approximation not supported"
-                )
+        elif ah == 0:  # AC first pass over band [ss, se] at Al precision
             eobrun = 0
 
             def flush_eob(bw=bw):
@@ -3098,7 +3104,13 @@ def encode_jpeg_gray_progressive(img: np.ndarray) -> bytes:
                 eobrun = 0
 
             for zz in zz_all:
-                band = zz[ss : se + 1].tolist()
+                # G.1.2.1: the AC point transform shifts the MAGNITUDE
+                # (sign(v) * (|v| >> Al)) — an arithmetic shift would
+                # leave every -1 visible forever
+                band = [
+                    (1 if v > 0 else -1) * (abs(int(v)) >> al)
+                    for v in zz[ss : se + 1].tolist()
+                ]
                 run = 0
                 wrote = False
                 for v in band:
@@ -3125,6 +3137,78 @@ def encode_jpeg_gray_progressive(img: np.ndarray) -> bytes:
                         flush_eob()
             if eobrun:
                 flush_eob()
+        else:  # AC refinement (Ah = Al + 1): correction bits + news
+            if ah != al + 1:
+                raise ValueError("AC refinement requires Ah == Al + 1")
+            eobrun = 0
+            be: list[int] = []  # corrections owed to the pending EOB run
+
+            def flush_eob_refine(bw=bw):
+                nonlocal eobrun, be
+                n = eobrun.bit_length() - 1
+                code, length = _JPEG_PROG_AC_CODES[n << 4]
+                bw.put(code, length)
+                if n:
+                    bw.put(eobrun - (1 << n), n)
+                for bit in be:
+                    bw.put(bit, 1)
+                eobrun, be = 0, []
+
+            for zz in zz_all:
+                vals = zz[ss : se + 1].tolist()
+                ab = [abs(int(v)) >> al for v in vals]
+                # EOB position: past the LAST newly-significant coeff
+                # (ab == 1); everything after it is end-of-band
+                # territory whose history corrections ride with the
+                # EOB run
+                eobpos = -1
+                for j, t in enumerate(ab):
+                    if t == 1:
+                        eobpos = j
+                run = 0
+                br: list[int] = []  # corrections owed to the next symbol
+                for j, (v, t) in enumerate(zip(vals, ab)):
+                    if j > eobpos:
+                        break
+                    if t == 0:
+                        run += 1
+                        continue
+                    # any visible coefficient folds pending ZRLs first,
+                    # so buffered corrections stay positionally ahead
+                    # of the symbol they ride with (the jcphuff rule)
+                    while run > 15:
+                        if eobrun or be:
+                            flush_eob_refine()
+                        c16, l16 = _JPEG_PROG_AC_CODES[0xF0]
+                        bw.put(c16, l16)
+                        for bit in br:
+                            bw.put(bit, 1)
+                        run -= 16
+                        br = []
+                    if t > 1:  # already significant: one correction bit
+                        br.append(t & 1)
+                        continue
+                    # t == 1: newly significant at this precision
+                    if eobrun or be:
+                        flush_eob_refine()
+                    code, length = _JPEG_PROG_AC_CODES[(run << 4) | 1]
+                    bw.put(code, length)
+                    bw.put(1 if v > 0 else 0, 1)  # sign: 1 = positive
+                    for bit in br:
+                        bw.put(bit, 1)
+                    run, br = 0, []
+                if eobpos < len(ab) - 1:
+                    # end-of-band territory exists: its history
+                    # corrections join the EOB run (a block whose last
+                    # band slot is newly significant needs no EOB)
+                    for j in range(eobpos + 1, len(ab)):
+                        if ab[j] > 1:
+                            be.append(ab[j] & 1)
+                    eobrun += 1
+                    if eobrun == 32767 or len(be) >= 936:
+                        flush_eob_refine()
+            if eobrun or be:
+                flush_eob_refine()
         out += bw.flush()
     return bytes(out + b"\xff\xd9")
 
@@ -3230,32 +3314,80 @@ def _jpeg_decode_progressive_scan(
         return
     if ss == 0 or se < ss:
         raise ValueError(f"bad progressive band [{ss}, {se}]")
-    if ah != 0:
-        raise NotImplementedError(
-            "AC successive-approximation refinement not supported"
-        )
+    if ah == 0:  # AC first pass (spectral selection at Al precision)
+        eobrun = 0
+        for zz in zz_all:
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = _jpeg_read_symbol(br, ac_tab)
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL inside the band
+                        k += 16
+                        continue
+                    # EOBn: run of (2^run + extra) end-of-bands, this
+                    # block included
+                    eobrun = (1 << run) + (br.take(run) if run else 0) - 1
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("AC run past end of band")
+                zz[k] = _jpeg_extend(br.take(size), size) << al
+                k += 1
+        return
+    # AC refinement (Ah = Al + 1): newly-significant coefficients carry
+    # (run, 1) symbols + a sign bit; every already-nonzero coefficient
+    # encountered along the way consumes one correction bit; EOB runs
+    # carry the correction bits of the blocks they cover
+    if ah != al + 1:
+        raise ValueError("AC refinement requires Ah == Al + 1")
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(zz, k):
+        """One correction bit for an already-nonzero coefficient."""
+        if br.take(1) and not (int(zz[k]) & p1):
+            zz[k] += p1 if zz[k] >= 0 else m1
+
     eobrun = 0
     for zz in zz_all:
-        if eobrun:
-            eobrun -= 1
-            continue
         k = ss
-        while k <= se:
-            sym = _jpeg_read_symbol(br, ac_tab)
-            run, size = sym >> 4, sym & 0x0F
-            if size == 0:
-                if run == 15:  # ZRL inside the band
-                    k += 16
-                    continue
-                # EOBn: run of (2^run + extra) end-of-bands, this
-                # block included
-                eobrun = (1 << run) + (br.take(run) if run else 0) - 1
-                break
-            k += run
-            if k > se:
-                raise ValueError("AC run past end of band")
-            zz[k] = _jpeg_extend(br.take(size), size) << al
-            k += 1
+        if eobrun == 0:
+            while k <= se:
+                sym = _jpeg_read_symbol(br, ac_tab)
+                run, size = sym >> 4, sym & 0x0F
+                val = None
+                if size == 0:
+                    if run != 15:  # EOBn: this block joins the run
+                        eobrun = (1 << run) + (br.take(run) if run else 0)
+                        break
+                    # ZRL: skip 16 zero-history positions
+                else:
+                    if size != 1:
+                        raise ValueError(
+                            "refinement symbols carry exactly one new bit"
+                        )
+                    val = p1 if br.take(1) else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        correct(zz, k)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if val is not None and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun:
+            # end-of-band coverage: only correction bits remain
+            while k <= se:
+                if zz[k] != 0:
+                    correct(zz, k)
+                k += 1
+            eobrun -= 1
 
 
 def parse_jpeg_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
@@ -3498,15 +3630,18 @@ def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_media_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec (round 8): PROGRESSIVE JPEG (SOF2, grayscale) — the
-    former 'only baseline supported' guard. Four scans per file:
-    DC first pass at Al=1, a DC successive-approximation refinement
-    scan (raw bits), and two AC spectral-selection bands (1-5, 6-63)
-    with EOBRUN end-of-band run coding over the wider progressive AC
-    alphabet the file's own DHT declares. The decoder accumulates all
-    four scans into one coefficient array before a single IDCT; on
-    arbitrary images it reconstructs pixel-identically to the baseline
-    file (pinned in tests — both code the same quantized
-    coefficients). AC successive approximation remains a loud guard.
+    former 'only baseline supported' guard, with ALL FOUR progressive
+    coding modes of T.81 Annex G per file: DC first pass at Al=1, a DC
+    refinement scan (raw bits), AC spectral-selection bands (1-5,
+    6-63) first-coded at Al=1 with magnitude point transform + EOBRUN
+    end-of-band runs, then AC successive-approximation refinement
+    scans whose newly-significant (run,1)+sign symbols interleave with
+    per-coefficient correction bits (including the corrections that
+    ride on EOB runs) over the wider progressive AC alphabet the
+    file's own DHT declares. The decoder accumulates all six scans
+    into one coefficient array before a single IDCT; on arbitrary
+    images it reconstructs pixel-identically to the baseline file
+    (pinned in tests — both code the same quantized coefficients).
 
     Scale: map-only mapInPandas, same contract as q_media_jpeg."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")

@@ -1195,9 +1195,9 @@ def test_progressive_jpeg_equals_baseline_decode():
 
 
 def test_progressive_jpeg_scan_structure_and_guards():
-    """The SOF2 file really contains four scans with the declared
-    spectral/SA parameters, and the decoder's remaining honest guard
-    (AC successive-approximation refinement) fires loudly."""
+    """The SOF2 file really contains the declared scan script
+    (DC first + DC refine + per-band AC first and AC refine), and an
+    inconsistent SA ladder (Ah != Al + 1) is rejected loudly."""
     import struct as st
 
     import numpy as np
@@ -1231,18 +1231,20 @@ def test_progressive_jpeg_scan_structure_and_guards():
         pos += 2 + seglen
     assert tuple(scans) == _JPEG_PROG_SCANS
 
-    # flip one AC scan header to claim an SA refinement (Ah=1) — the
-    # decoder must refuse rather than mis-decode
+    # flip an AC first-pass header (Ah=0, Al=1) to claim a refinement
+    # with a broken SA ladder (Ah=2, Al=1 requires a prior Ah=0 pass at
+    # Al=2... our ladder is 1->0) — the decoder must refuse an
+    # inconsistent Ah != Al + 1 rather than mis-decode
     mut = bytearray(blob)
     pos = 2
     while pos + 4 <= len(mut):
         if mut[pos] == 0xFF and mut[pos + 1] == 0xDA:
             (seglen,) = st.unpack(">H", mut[pos + 2 : pos + 4])
             if mut[pos + 4 + 3] > 0:  # an AC scan (Ss > 0)
-                mut[pos + 4 + 5] = 0x10  # Ah=1, Al=0
+                mut[pos + 4 + 5] = 0x31  # Ah=3, Al=1: not Al + 1
                 break
             pos += 2 + seglen
         else:
             pos += 1
-    with pytest.raises(NotImplementedError, match="successive"):
+    with pytest.raises(ValueError, match="Ah == Al"):
         parse_jpeg_gray(bytes(mut))
