@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
 from dynamodb_streaming_datalake_spark.registry import query
 from dynamodb_streaming_datalake_spark.sources.readers import read_table
 
@@ -1221,3 +1222,218 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Row-level z-score anomaly flagging (round 8)
+# --------------------------------------------------------------------------
+#: flag threshold in population standard deviations
+ZSCORE_SIGMA = 3.0
+ZSCORE_TOP = 50
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle=f"""
+    WITH sums AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sxx
+        FROM events GROUP BY event_type
+    ),
+    stats AS (
+        SELECT event_type, sx / n AS mean_v,
+               SQRT((sxx - sx * sx / n) / n) AS sd_v
+        FROM sums
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mean_v) / s.sd_v, 6) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs((e.value - s.mean_v) / s.sd_v) > {ZSCORE_SIGMA}
+    ORDER BY abs(round((e.value - s.mean_v) / s.sd_v, 6)) DESC, e.event_id
+    LIMIT {ZSCORE_TOP}
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level anomaly flags: events whose value sits more than
+    {ZSCORE_SIGMA} population standard deviations from their event
+    type's mean, top-{ZSCORE_TOP} by |z| — the first-pass outlier
+    screen every metrics pipeline runs. Same engine-portable numerics
+    as q_event_moments: exact decimal(38,6) power sums feed one fixed
+    closed-form double expression (never a streaming VAR_POP, whose
+    per-engine accumulation order differs in the last ulps).
+
+    Scale: one map-side-combined aggregate to |types| rows, broadcast
+    back over the stream — the raw table is scanned once and never
+    shuffled; the top-k is a TakeOrdered."""
+    e = read_table(spark, sf_dir, "events")
+    x = F.col("value")
+    sums = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC38)).cast("double").alias("sx"),
+        F.sum((x * x).cast(DEC38)).cast("double").alias("sxx"),
+    )
+    stats = sums.select(
+        "event_type",
+        (F.col("sx") / F.col("n")).alias("mean_v"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / F.col("n")
+        ).alias("sd_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("sd_v")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > ZSCORE_SIGMA)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+        .orderBy(F.abs(F.col("zscore")).desc(), "event_id")
+        .limit(ZSCORE_TOP)
+    )
+
+
+_fmt(q_anomaly_zscore, ZSCORE_SIGMA=ZSCORE_SIGMA, ZSCORE_TOP=ZSCORE_TOP)
+
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap confidence intervals (round 8)
+# --------------------------------------------------------------------------
+# THE scale-out bootstrap: classic resampling needs the whole dataset
+# per replica; the Poisson approximation gives every row an independent
+# Poisson(1) weight per replica, so all B replicas stream through ONE
+# pass as weighted partial aggregates. Weights here are drawn from the
+# deterministic row hash (integer cutoffs at the Poisson(1) CDF), so
+# the interval is bit-reproducible on any cluster — a dataset card can
+# quote it.
+
+#: bootstrap replicas
+BOOT_B = 32
+#: Poisson(1) CDF cutoffs in millionths: P(0)=.3679, P(<=1)=.7358,
+#: P(<=2)=.9197 — weights capped at 3 (P(>3) ~ 1.9%)
+BOOT_CUT = (367879, 735759, 919699)
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_type, b.b,
+               CASE
+                 WHEN (('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                         || '_' || CAST(b.b AS VARCHAR)), 1, 15))::BIGINT)
+                      % 1000000 < {BOOT_CUT[0]} THEN 0
+                 WHEN (('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                         || '_' || CAST(b.b AS VARCHAR)), 1, 15))::BIGINT)
+                      % 1000000 < {BOOT_CUT[1]} THEN 1
+                 WHEN (('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                         || '_' || CAST(b.b AS VARCHAR)), 1, 15))::BIGINT)
+                      % 1000000 < {BOOT_CUT[2]} THEN 2
+                 ELSE 3
+               END AS wt,
+               value
+        FROM events, (SELECT UNNEST(range(0, {BOOT_B})) AS b) b
+    ),
+    reps AS (
+        SELECT event_type, b,
+               CAST(SUM(CAST(wt * value AS DECIMAL(38,6))) AS DOUBLE)
+                 / SUM(wt) AS mean_b
+        FROM w GROUP BY event_type, b
+    ),
+    point AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*) AS mean_v
+        FROM events GROUP BY event_type
+    )
+    SELECT p.event_type,
+           round(p.mean_v, 6) AS point_mean,
+           round(quantile_cont(r.mean_b, 0.025), 6) AS ci_lo,
+           round(quantile_cont(r.mean_b, 0.975), 6) AS ci_hi,
+           CAST({BOOT_B} AS INT) AS n_replicas
+    FROM reps r JOIN point p USING (event_type)
+    GROUP BY p.event_type, p.mean_v
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap confidence interval for the mean event
+    value per event type, from {BOOT_B} replicas: every (row, replica)
+    gets a Poisson(1) weight drawn by integer cutoffs on the portable
+    row hash, replica means are exact-decimal weighted sums, and the
+    interval is the interpolated 2.5/97.5 percentile of the replica
+    means. Deterministic end to end — rerunning on 1 or 1000 executors
+    yields the identical interval.
+
+    Scale: the x{BOOT_B} explode happens BEFORE the map-side combine,
+    so the shuffle carries |types| x {BOOT_B} partials, not B copies
+    of the data — the one-pass property that makes Poisson bootstrap
+    the standard at terabyte scale (vs. resampling, which re-reads the
+    corpus per replica)."""
+    from dynamodb_streaming_datalake_spark.functions.texthash import (
+        portable_hash60,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    reps = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    mm = (
+        portable_hash60(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit("_"),
+                F.col("b").cast("string"),
+            )
+        )
+        % 1_000_000
+    )
+    wt = (
+        F.when(mm < BOOT_CUT[0], 0)
+        .when(mm < BOOT_CUT[1], 1)
+        .when(mm < BOOT_CUT[2], 2)
+        .otherwise(3)
+    )
+    rep_means = (
+        reps.withColumn("wt", wt)
+        .groupBy("event_type", "b")
+        .agg(
+            (
+                F.sum((F.col("wt") * F.col("value")).cast(DEC38)).cast(
+                    "double"
+                )
+                / F.sum("wt")
+            ).alias("mean_b")
+        )
+    )
+    point = e.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast(DEC38)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_v")
+    )
+    return (
+        rep_means.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("mean_b", F.lit(0.025)), 6).alias("ci_lo"),
+            F.round(F.percentile("mean_b", F.lit(0.975)), 6).alias("ci_hi"),
+        )
+        .join(F.broadcast(point), "event_type")
+        .select(
+            "event_type",
+            F.round("mean_v", 6).alias("point_mean"),
+            "ci_lo",
+            "ci_hi",
+            F.lit(BOOT_B).cast("int").alias("n_replicas"),
+        )
+    )
+
+
+_fmt(q_bootstrap_ci, BOOT_B=BOOT_B)
