@@ -1717,3 +1717,71 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_dedup_spans, SPAN_W=SPAN_W)
+
+
+# ---------------------------------------------------------------------------
+# dedup eval harness (round 8): measure the LSH path against the
+# exact-Jaccard baseline, the way q_retrieval_eval measures ANN
+# ---------------------------------------------------------------------------
+@query(
+    "q_dedup_eval",
+    oracle=f"""
+    WITH truth AS ({_SQL_JACCARD_PAIRS}),
+    found AS ({_SQL_MINHASH_PAIRS})
+    SELECT CAST(COUNT(t.doc_a) AS BIGINT) AS n_truth,
+           CAST(COUNT(f.doc_a) AS BIGINT) AS n_lsh,
+           CAST(COUNT(CASE WHEN t.doc_a IS NOT NULL
+                            AND f.doc_a IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_hit,
+           CASE WHEN COUNT(t.doc_a) = 0 THEN 1.0
+                ELSE COUNT(CASE WHEN t.doc_a IS NOT NULL
+                                 AND f.doc_a IS NOT NULL THEN 1 END)
+                     * 1.0 / COUNT(t.doc_a) END AS recall,
+           CASE WHEN COUNT(f.doc_a) = 0 THEN 1.0
+                ELSE COUNT(CASE WHEN t.doc_a IS NOT NULL
+                                 AND f.doc_a IS NOT NULL THEN 1 END)
+                     * 1.0 / COUNT(f.doc_a) END AS precision
+    FROM truth t
+    FULL JOIN found f ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+    """,
+)
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup eval harness: pair-level recall and precision of the
+    MinHash-LSH candidate path against the exact posting-list Jaccard
+    baseline, as one full-outer pair join + a single aggregate — the
+    same eval-as-operator pattern as q_retrieval_eval (ANN) and the
+    exact/estimate columns of the sketches. Run it after any cap,
+    band-count, or threshold change to see what the approximation
+    trades away; counts of both sides make a silent pair-set drift
+    visible even while recall stays 1.0.
+
+    Scale: both pair generators are the bounded candidate paths
+    audited in their own queries; the comparison itself joins two
+    pair-sized (not corpus-sized) frames on the pair key."""
+    d = read_table(spark, sf_dir, "documents")
+    truth = jaccard_pairs(d, JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_t")
+    )
+    found = minhash_lsh_pairs(d).select(
+        F.col("doc_a").alias("f_a"), F.col("doc_b").alias("f_b"),
+        F.lit(1).alias("in_f"),
+    )
+    m = truth.join(
+        found,
+        (F.col("doc_a") == F.col("f_a")) & (F.col("doc_b") == F.col("f_b")),
+        "full_outer",
+    )
+    n_truth = F.count("in_t")
+    n_lsh = F.count("in_f")
+    n_hit = F.count(F.when(F.col("in_t").isNotNull() & F.col("in_f").isNotNull(), 1))
+    return m.agg(
+        n_truth.cast("bigint").alias("n_truth"),
+        n_lsh.cast("bigint").alias("n_lsh"),
+        n_hit.cast("bigint").alias("n_hit"),
+        F.when(n_truth == 0, F.lit(1.0))
+        .otherwise(n_hit * F.lit(1.0) / n_truth)
+        .alias("recall"),
+        F.when(n_lsh == 0, F.lit(1.0))
+        .otherwise(n_hit * F.lit(1.0) / n_lsh)
+        .alias("precision"),
+    )
