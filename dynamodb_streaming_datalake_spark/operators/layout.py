@@ -160,3 +160,180 @@ def _register() -> None:
 
 
 _register()
+
+
+# ---------------------------------------------------------------------------
+# columnar encoding advisor (round 8)
+# ---------------------------------------------------------------------------
+# The decision every Parquet/ORC writer makes per column chunk —
+# RLE vs dictionary vs delta vs plain — surfaced as an operator, so a
+# lake owner can audit WHY a table compresses badly and which sort key
+# would fix it. Stats are computed over the deterministic event_id
+# order (the insertion-order proxy); in a real writer the same pass
+# runs per file/row-group, embarrassingly parallel.
+
+#: run length that makes RLE win
+ENC_RLE_MIN_RUN = 4
+#: distinct-value count that fits a 1-byte dictionary
+ENC_DICT_MAX = 256
+#: delta width that makes delta encoding worthwhile for 64-bit ints
+ENC_DELTA_MAX_BITS = 20
+
+
+def _register_advisor() -> None:
+    from pyspark.sql import SparkSession, Window
+
+    from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
+    from dynamodb_streaming_datalake_spark.registry import query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    # one subquery per audited column (string / int / epoch-seconds)
+    sub_type = f"""
+        SELECT 'event_type' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+               CAST(SUM(CASE WHEN rn = 1 OR v IS DISTINCT FROM prev
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+               CAST(NULL AS BIGINT) AS max_delta_bits
+        FROM (SELECT event_type AS v,
+                     LAG(event_type) OVER (ORDER BY event_id) AS prev,
+                     ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+              FROM events)
+    """
+    sub_user = f"""
+        SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT v) AS BIGINT),
+               CAST(SUM(CASE WHEN rn = 1 OR v IS DISTINCT FROM prev
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(MAX(CASE WHEN rn > 1 THEN
+                    CASE WHEN v = prev THEN 1
+                         ELSE length(bin(abs(v - prev))) END END) AS BIGINT)
+        FROM (SELECT user_id AS v,
+                     LAG(user_id) OVER (ORDER BY event_id) AS prev,
+                     ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+              FROM events)
+    """
+    sub_ts = f"""
+        SELECT 'ts_epoch', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT v) AS BIGINT),
+               CAST(SUM(CASE WHEN rn = 1 OR v IS DISTINCT FROM prev
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(MAX(CASE WHEN rn > 1 THEN
+                    CASE WHEN v = prev THEN 1
+                         ELSE length(bin(abs(v - prev))) END END) AS BIGINT)
+        FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS v,
+                     LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (ORDER BY event_id) AS prev,
+                     ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+              FROM events)
+    """
+
+    @query(
+        "q_encoding_advisor",
+        oracle=f"""
+        WITH stats AS (
+            {sub_type} UNION ALL {sub_user} UNION ALL {sub_ts}
+        )
+        SELECT col_name, n_values, n_distinct, n_runs, max_delta_bits,
+               CASE
+                 WHEN n_values >= n_runs * {ENC_RLE_MIN_RUN} THEN 'rle'
+                 WHEN n_distinct <= {ENC_DICT_MAX} THEN 'dict'
+                 WHEN max_delta_bits IS NOT NULL
+                      AND max_delta_bits <= {ENC_DELTA_MAX_BITS}
+                   THEN 'delta'
+                 ELSE 'plain'
+               END AS recommendation
+        FROM stats
+        ORDER BY col_name
+        """,
+    )
+    def q_encoding_advisor(spark: SparkSession, sf_dir: str):
+        """Per-column encoding advisor over events in event_id order:
+        run count (RLE), distinct count (dictionary), and the max
+        delta bit-width between neighbors (delta encoding), folded
+        into the writer rule RLE if avg run >= {ENC_RLE_MIN_RUN},
+        else dict if <= {ENC_DICT_MAX} distincts, else delta if
+        neighbors fit {ENC_DELTA_MAX_BITS} bits, else plain. The
+        bit-width uses the exact ``bin()``-length trick (no float
+        log2), so the report is hash-stable.
+
+        Scale: the ordered window here is a single global sort at
+        fixture scale; a production writer runs the identical pass per
+        row group (bounded sort, embarrassingly parallel) — the
+        per-block generalization is mechanical. Everything else is
+        one aggregate per column."""
+        e = read_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        w = Window.orderBy("event_id")
+        rows = []
+        for name, is_num in (
+            ("event_type", False),
+            ("user_id", True),
+            ("ts_epoch", True),
+        ):
+            v = F.col(name)
+            d = e.select(
+                v.alias("v"),
+                F.lag(v).over(w).alias("prev"),
+                F.row_number().over(w).alias("rn"),
+            )
+            new_run = (F.col("rn") == 1) | ~F.col("v").eqNullSafe(
+                F.col("prev")
+            )
+            if is_num:
+                delta_bits = F.max(
+                    F.when(
+                        F.col("rn") > 1,
+                        F.when(F.col("v") == F.col("prev"), F.lit(1)).otherwise(
+                            F.length(
+                                F.bin(F.abs(F.col("v") - F.col("prev")))
+                            )
+                        ),
+                    )
+                ).cast("bigint")
+            else:
+                delta_bits = F.lit(None).cast("bigint")
+            rows.append(
+                d.agg(
+                    F.lit(name).alias("col_name"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_values"),
+                    F.countDistinct("v").cast("bigint").alias("n_distinct"),
+                    F.sum(new_run.cast("int")).cast("bigint").alias("n_runs"),
+                    delta_bits.alias("max_delta_bits"),
+                )
+            )
+        stats = rows[0].unionByName(rows[1]).unionByName(rows[2])
+        rec = (
+            F.when(
+                F.col("n_values") >= F.col("n_runs") * ENC_RLE_MIN_RUN,
+                F.lit("rle"),
+            )
+            .when(F.col("n_distinct") <= ENC_DICT_MAX, F.lit("dict"))
+            .when(
+                F.col("max_delta_bits").isNotNull()
+                & (F.col("max_delta_bits") <= ENC_DELTA_MAX_BITS),
+                F.lit("delta"),
+            )
+            .otherwise(F.lit("plain"))
+        )
+        return stats.select(
+            "col_name",
+            "n_values",
+            "n_distinct",
+            "n_runs",
+            "max_delta_bits",
+            rec.alias("recommendation"),
+        ).orderBy("col_name")
+
+    _fmt(
+        q_encoding_advisor,
+        ENC_RLE_MIN_RUN=ENC_RLE_MIN_RUN,
+        ENC_DICT_MAX=ENC_DICT_MAX,
+        ENC_DELTA_MAX_BITS=ENC_DELTA_MAX_BITS,
+    )
+
+
+_register_advisor()
