@@ -488,3 +488,208 @@ def q_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_lm_doc_score, LM_ADD_K=LM_ADD_K)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM (SentencePiece-style) Viterbi tokenizer — round 8
+# ---------------------------------------------------------------------------
+# The OTHER mainstream subword algorithm next to BPE: score candidate
+# pieces by corpus frequency, then segment each word into the
+# minimum-cost piece sequence by dynamic programming. The DP is the
+# novel Spark shape here — shortest path over character positions,
+# expressed as K bounded rounds of (dp join vocab) exactly like the
+# pagerank/label-propagation loop, with the oracle unrolling the
+# identical recurrence as K CTE layers.
+#
+# Numerics: piece costs are INTEGER surrogates for -log p
+# (cost = 4000 - 800*len - 10*bitlen(freq): longer and more frequent
+# pieces are cheaper), and the DP state packs (total_cost, n_tokens)
+# into one integer `32*cost + n` — exact lexicographic minimization,
+# no floats anywhere, so the hash gate applies to the full DP table.
+
+#: max piece length considered by the segmenter
+UNI_PIECE_LEN = 4
+#: corpus frequency floor for multi-char pieces (single chars always
+#: survive, guaranteeing every word segments)
+UNI_MIN_FREQ = 100
+#: max word length the DP covers (corpus max is 8 at every sf; longer
+#: words would just add layers)
+UNI_MAX_LEN = 12
+
+_SQL_UNI_VOCAB = f"""
+    wf AS MATERIALIZED (
+        SELECT w AS word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t(w)
+        WHERE len(w) <= {UNI_MAX_LEN}
+        GROUP BY 1
+    ),
+    pieces AS (
+        SELECT substr(word, i, L) AS piece, SUM(freq) AS pfreq
+        FROM wf,
+             generate_series(1, {UNI_MAX_LEN}) s(i),
+             generate_series(1, {UNI_PIECE_LEN}) g(L)
+        WHERE i + L - 1 <= len(word)
+        GROUP BY 1
+    ),
+    vocab AS MATERIALIZED (
+        SELECT piece,
+               4000 - 800 * len(piece) - 10 * length(bin(pfreq)) AS cost
+        FROM pieces
+        WHERE pfreq >= {UNI_MIN_FREQ} OR len(piece) = 1
+    )
+"""
+
+
+def _sql_uni_layer(k: int) -> str:
+    branches = " UNION ALL ".join(
+        f"""
+        SELECT d.word, d.comb + 32 * v.cost + 1 AS comb
+        FROM dp{k - L} d JOIN vocab v
+          ON v.piece = substr(d.word, {k - L + 1}, {L})
+        WHERE len(d.word) >= {k}
+        """
+        for L in range(1, min(UNI_PIECE_LEN, k) + 1)
+    )
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at
+    # every reference, and each layer references up to 4 prior layers —
+    # unmaterialized, the 12-layer recurrence re-expands ~4^12 times
+    return f"""
+    dp{k} AS MATERIALIZED (
+        SELECT word, MIN(comb) AS comb FROM ({branches}) GROUP BY word
+    )"""
+
+
+@query(
+    "q_unigram_tokenize",
+    oracle=f"""
+    WITH {_SQL_UNI_VOCAB},
+    dp0 AS MATERIALIZED (SELECT word, 0 AS comb FROM wf),
+    {",".join(_sql_uni_layer(k) for k in range(1, UNI_MAX_LEN + 1))},
+    final AS (
+        {" UNION ALL ".join(
+            f"SELECT word, comb FROM dp{k} WHERE len(word) = {k}"
+            for k in range(1, UNI_MAX_LEN + 1)
+        )}
+    )
+    SELECT f.word,
+           CAST(len(f.word) AS INT) AS n_chars,
+           CAST(w.freq AS BIGINT) AS freq,
+           CAST(f.comb // 32 AS BIGINT) AS min_cost,
+           CAST(f.comb % 32 AS INT) AS n_tokens
+    FROM final f JOIN wf w USING (word)
+    ORDER BY f.word
+    """,
+)
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM subword segmentation (the SentencePiece family, next
+    to BPE): candidate pieces up to {UNI_PIECE_LEN} chars are scored by
+    integer-quantized corpus frequency, and every distinct word is
+    segmented into its minimum-cost piece sequence by a Viterbi DP over
+    character positions — {UNI_MAX_LEN} synchronized rounds, each one
+    equi-join of the previous DP frontier against the broadcast piece
+    vocabulary plus a MIN aggregate (the pagerank loop shape applied to
+    shortest path). The packed integer state makes (cost, n_tokens)
+    minimization exact; the oracle unrolls all {UNI_MAX_LEN} layers as
+    CTEs, so one wrong substring offset or tie-break anywhere breaks
+    the hash.
+
+    Scale: the DP is over DISTINCT words (vocabulary-sized, not
+    corpus-sized — the same word-histogram trick as q_bpe_train);
+    the piece vocabulary is bounded and broadcast; each round touches
+    only words long enough to still be active. Tokenizing the corpus
+    afterwards is a word-table join, exactly like q_bpe_tokenize."""
+    d = read_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") <= UNI_MAX_LEN)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    pos = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.transform(
+                        F.sequence(F.lit(1), F.lit(UNI_PIECE_LEN)),
+                        lambda L: F.struct(i.alias("i"), L.alias("L")),
+                    ),
+                )
+            ),
+            lambda s: s["i"] + s["L"] - 1 <= F.length("word"),
+        )
+    ).alias("p")
+    pieces = (
+        wf.select("word", "freq", pos)
+        .select(
+            F.expr("substr(word, p.i, p.L)").alias("piece"),
+            F.col("freq"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("pfreq"))
+    )
+    vocab = (
+        pieces.where(
+            (F.col("pfreq") >= UNI_MIN_FREQ) | (F.length("piece") == 1)
+        )
+        .select(
+            "piece",
+            (
+                F.lit(4000)
+                - F.lit(800) * F.length("piece")
+                - F.lit(10) * F.length(F.bin(F.col("pfreq")))
+            ).alias("cost"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dp = {0: wf.select("word", F.lit(0).alias("comb"))}
+    for k in range(1, UNI_MAX_LEN + 1):
+        branches = None
+        for L in range(1, min(UNI_PIECE_LEN, k) + 1):
+            b = (
+                dp[k - L]
+                .where(F.length("word") >= k)
+                .join(
+                    F.broadcast(vocab),
+                    F.expr(f"substr(word, {k - L + 1}, {L})")
+                    == F.col("piece"),
+                )
+                .select(
+                    "word",
+                    (
+                        F.col("comb") + F.lit(32) * F.col("cost") + F.lit(1)
+                    ).alias("comb"),
+                )
+            )
+            branches = b if branches is None else branches.unionByName(b)
+        # EAGER checkpoint each round: the frontier is vocabulary-sized
+        # (31 rows here), and pinning it keeps round k+1's analyzed plan
+        # flat instead of re-expanding k rounds x 4 branches of lineage
+        dp[k] = (
+            branches.groupBy("word")
+            .agg(F.min("comb").alias("comb"))
+            .localCheckpoint(eager=True)
+        )
+    final = None
+    for k in range(1, UNI_MAX_LEN + 1):
+        f_k = dp[k].where(F.length("word") == k)
+        final = f_k if final is None else final.unionByName(f_k)
+    return (
+        final.join(wf, "word")
+        .select(
+            "word",
+            F.length("word").cast("int").alias("n_chars"),
+            F.col("freq").cast("bigint").alias("freq"),
+            F.expr("comb div 32").cast("bigint").alias("min_cost"),
+            (F.col("comb") % 32).cast("int").alias("n_tokens"),
+        )
+        .orderBy("word")
+    )
+
+
+_fmt(
+    q_unigram_tokenize,
+    UNI_PIECE_LEN=UNI_PIECE_LEN,
+    UNI_MAX_LEN=UNI_MAX_LEN,
+)
