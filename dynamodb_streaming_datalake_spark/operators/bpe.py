@@ -512,9 +512,10 @@ UNI_PIECE_LEN = 4
 #: corpus frequency floor for multi-char pieces (single chars always
 #: survive, guaranteeing every word segments)
 UNI_MIN_FREQ = 100
-#: max word length the DP covers (corpus max is 8 at every sf; longer
-#: words would just add layers)
-UNI_MAX_LEN = 12
+#: max word length the DP covers — the corpus max at every sf; words
+#: beyond it are filtered out of the histogram (adding layers is
+#: mechanical, each one job)
+UNI_MAX_LEN = 8
 
 _SQL_UNI_VOCAB = f"""
     wf AS MATERIALIZED (
