@@ -156,7 +156,7 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
         kind
         if kind
         in ("wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg", "gif", "tiff",
-            "webp", "wav_adpcm", "wav_g711", "jpeg_prog")
+            "webp", "wav_adpcm", "wav_g711", "jpeg_prog", "jpeg_color")
         else f"fake-{kind}"
     )
     meta_t = StructType(
@@ -3647,6 +3647,344 @@ def q_media_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     jpg = synthesize_media(d, "doc_id", "jpeg_prog")
     return decode_jpeg(jpg, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: baseline COLOR JPEG (YCbCr 4:2:0, interleaved MCUs) —
+# round 8. The "color JPEG" stub: three components with 2x2 luma
+# sampling, per-component quant tables (Annex K.1 luma / K.2 chroma)
+# and Huffman table slots, interleaved MCU entropy coding with
+# per-component DC predictors, chroma box upsampling, and the BT.601
+# YCbCr->RGB transform. The oracle fixture paints each 16x16 MCU a
+# constant YCbCr chosen so every quantization divides exactly (Y even
+# -> DC/16 integral; chroma offset a multiple of 17 -> DC/17
+# integral), making the lossy pipeline provably exact and the decoded
+# RGB means closed-form.
+
+#: ITU-T T.81 Annex K.2 chrominance quantization table (public spec)
+JPEG_QTABLE_C = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+
+def _jpeg_color_dims(i: int) -> tuple[int, int]:
+    """(w, h), multiples of the 16x16 4:2:0 MCU."""
+    return 16 * (1 + i % 4), 16 * (1 + (i // 4) % 3)
+
+
+def _jpeg_color_mcu(i: int, m: int) -> tuple[int, int, int]:
+    """(Y, Cb, Cr) of MCU m in file i — exact-quantization family:
+    Y even, chroma = 128 + 17k with k in [-2, 2]."""
+    y = 2 * ((i + m) % 128)
+    cb = 128 + 17 * ((i + m) % 5 - 2)
+    cr = 128 + 17 * ((i // 3 + m) % 5 - 2)
+    return y, cb, cr
+
+
+def _encode_jpeg_color(i: int) -> bytes:
+    """Spec-layout baseline color JPEG: SOF0 with components
+    Y(0x22, qt0) Cb(0x11, qt1) Cr(0x11, qt1), four DHT slots, one
+    interleaved scan. Each MCU is painted one constant YCbCr, so each
+    of its 4+1+1 blocks is DC-only."""
+    w, h = _jpeg_color_dims(i)
+    mx, my = w // 16, h // 16
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_q0 = bytes(int(JPEG_QTABLE[r, c]) for r, c in _JPEG_ZIGZAG)
+    zz_q1 = bytes(int(JPEG_QTABLE_C[r, c]) for r, c in _JPEG_ZIGZAG)
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_SYMBOLS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_SYMBOLS)
+        + bytes([0x01]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_SYMBOLS)
+        + bytes([0x11]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_SYMBOLS)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    head = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + zz_q0)
+        + seg(0xFFDB, b"\x01" + zz_q1)
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, dht)
+        + seg(0xFFDA, sos)
+    )
+    bw = _JpegBitWriter()
+    pred = [0, 0, 0]  # per-component DC predictors
+
+    def put_dc(comp: int, dc: int) -> None:
+        diff = dc - pred[comp]
+        pred[comp] = dc
+        size = _jpeg_category(diff)
+        code, length = _JPEG_DC_CODES[size]
+        bw.put(code, length)
+        if size:
+            bw.put(_jpeg_amplitude(diff, size), size)
+        ceob, leob = _JPEG_AC_CODES[0x00]
+        bw.put(ceob, leob)
+
+    for m in range(mx * my):
+        y, cb, cr = _jpeg_color_mcu(i, m)
+        dc_y = (y - 128) * 8 // 16   # exact: y even
+        dc_cb = (cb - 128) * 8 // 17  # exact: cb-128 multiple of 17
+        dc_cr = (cr - 128) * 8 // 17
+        for _ in range(4):  # 4 luma blocks, identical constants
+            put_dc(0, dc_y)
+        put_dc(1, dc_cb)
+        put_dc(2, dc_cr)
+    return head + bw.flush() + b"\xff\xd9"
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    """BT.601 inverse transform, floor(x + 0.5) rounding, clipped —
+    the exact arithmetic the oracle replays."""
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    out = []
+    for ch in (r, g, b):
+        out.append(
+            np.clip(np.floor(ch + 0.5), 0, 255).astype(np.uint8)
+        )
+    return out
+
+
+def parse_jpeg_color(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Real baseline COLOR decoder: 3-component SOF0 with 2x1x1
+    sampling (4:2:0), four Huffman table slots, interleaved MCU
+    entropy decode with per-component predictors, dequantize + IDCT
+    per block, box chroma upsampling, BT.601 conversion. Returns
+    (w, h, rgb[h, w, 3]). Other samplings/modes fail loudly."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    comps = None  # [(cid, h_samp, v_samp, tq)]
+    w = h = None
+    scan = None
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        payload = blob[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT not supported")
+                q = np.zeros((8, 8), dtype=np.int32)
+                for k, (r, c) in enumerate(_JPEG_ZIGZAG):
+                    q[r, c] = payload[p + 1 + k]
+                qtables[tq] = q
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = tuple(payload[p + 1 : p + 17])
+                n = sum(bits)
+                syms = tuple(payload[p + 17 : p + 17 + n])
+                htables[(tc, th)] = _jpeg_decode_table(bits, syms)
+                p += 17 + n
+        elif marker == 0xC0:
+            precision = payload[0]
+            h, w = struct.unpack(">HH", payload[1:5])
+            ncomp = payload[5]
+            if precision != 8 or ncomp != 3:
+                raise NotImplementedError("color path expects 8-bit, 3 comps")
+            comps = []
+            for c in range(3):
+                cid = payload[6 + 3 * c]
+                samp = payload[7 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, payload[8 + 3 * c]))
+            if [(c[1], c[2]) for c in comps] != [(2, 2), (1, 1), (1, 1)]:
+                raise NotImplementedError("only 4:2:0 sampling supported")
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive color not supported")
+        elif marker == 0xDA:
+            if payload[0] != 3:
+                raise NotImplementedError("color scan must be interleaved")
+            scan = {payload[1 + 2 * c]: payload[2 + 2 * c] for c in range(3)}
+            scan_at = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if comps is None or scan is None:
+        raise ValueError("missing SOF0 or SOS")
+    if w % 16 or h % 16:
+        raise NotImplementedError("dims must be MCU-aligned (no edge pad)")
+    mx, my = w // 16, h // 16
+    br = _JpegBitReader(blob, scan_at)
+    pred = {cid: 0 for cid, *_ in comps}
+    yplane = np.zeros((h, w), dtype=np.float64)
+    cbp = np.zeros((h // 2, w // 2), dtype=np.float64)
+    crp = np.zeros((h // 2, w // 2), dtype=np.float64)
+
+    def read_block(cid: int, tq: int) -> np.ndarray:
+        tabs = scan[cid]
+        dc_tab = htables[(0, tabs >> 4)]
+        ac_tab = htables[(1, tabs & 0x0F)]
+        zz = np.zeros(64, dtype=np.int32)
+        size = _jpeg_read_symbol(br, dc_tab)
+        diff = _jpeg_extend(br.take(size), size) if size else 0
+        pred[cid] += diff
+        zz[0] = pred[cid]
+        k = 1
+        while k < 64:
+            sym = _jpeg_read_symbol(br, ac_tab)
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k >= 64:
+                raise ValueError("AC run past end of block")
+            zz[k] = _jpeg_extend(br.take(size), size)
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[_JPEG_ZIGZAG_FLAT] = zz
+        coef = coef.reshape(8, 8) * qtables[tq]
+        return _JPEG_A.T @ coef @ _JPEG_A + 128.0
+
+    for mcu in range(mx * my):
+        bx, by = (mcu % mx) * 16, (mcu // mx) * 16
+        for sub in range(4):  # Y blocks in raster order within the MCU
+            blk = read_block(comps[0][0], comps[0][3])
+            oy, ox = by + 8 * (sub // 2), bx + 8 * (sub % 2)
+            yplane[oy : oy + 8, ox : ox + 8] = blk
+        cbp[by // 2 : by // 2 + 8, bx // 2 : bx // 2 + 8] = read_block(
+            comps[1][0], comps[1][3]
+        )
+        crp[by // 2 : by // 2 + 8, bx // 2 : bx // 2 + 8] = read_block(
+            comps[2][0], comps[2][3]
+        )
+    cb_up = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)
+    cr_up = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
+    r, g, b = _ycbcr_to_rgb(yplane, cb_up, cr_up)
+    return w, h, np.stack([r, g, b], axis=-1)
+
+
+def decode_jpeg_color(df: DataFrame, id_col: str) -> DataFrame:
+    """Decode a color-JPEG column into per-channel means — map-only
+    mapInPandas, same contract as decode_jpeg."""
+    schema = (
+        f"{id_col} bigint, width int, height int, channels int,"
+        " mean_r double, mean_g double, mean_b double"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                w, h, img = parse_jpeg_color(bytes(blob))
+                px = img.astype(np.int64)
+                n = w * h
+                rows.append(
+                    (
+                        int(i), w, h, 3,
+                        float(px[..., 0].sum() / n),
+                        float(px[..., 1].sum() / n),
+                        float(px[..., 2].sum() / n),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "channels",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return df.mapInPandas(dec, schema=schema)
+
+
+@query(
+    "q_media_jpeg_color",
+    # per-MCU constants: Y = 2*((i+m)%128), Cb = 128+17*((i+m)%5-2),
+    # Cr = 128+17*((i//3+m)%5-2); every MCU contributes 256 pixels, so
+    # each channel mean is the plain average of the per-MCU constants
+    # pushed through the identical BT.601 + floor(x+0.5) + clip math
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               16 * (1 + doc_id % 4) AS w,
+               16 * (1 + (doc_id // 4) % 3) AS h
+        FROM documents
+    ), mcus AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (w // 16) * (h // 16)), m -> [
+                   CAST(2 * ((doc_id + m) % 128) AS DOUBLE),
+                   CAST(17 * ((doc_id + m) % 5 - 2) AS DOUBLE),
+                   CAST(17 * ((doc_id // 3 + m) % 5 - 2) AS DOUBLE)
+               ]) AS t
+        FROM dims
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(t, v ->
+                   LEAST(GREATEST(floor(v[1] + 1.402 * v[3] + 0.5),
+                                  0), 255)) AS r,
+               list_transform(t, v ->
+                   LEAST(GREATEST(floor(v[1] - 0.344136 * v[2]
+                                        - 0.714136 * v[3] + 0.5),
+                                  0), 255)) AS g,
+               list_transform(t, v ->
+                   LEAST(GREATEST(floor(v[1] + 1.772 * v[2] + 0.5),
+                                  0), 255)) AS b
+        FROM mcus
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(list_aggregate(r, 'sum') AS DOUBLE)
+             / ((w // 16) * (h // 16)) AS mean_r,
+           CAST(list_aggregate(g, 'sum') AS DOUBLE)
+             / ((w // 16) * (h // 16)) AS mean_g,
+           CAST(list_aggregate(b, 'sum') AS DOUBLE)
+             / ((w // 16) * (h // 16)) AS mean_b
+    FROM px
+    """,
+)
+def q_media_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec (round 8): baseline COLOR JPEG — YCbCr 4:2:0 with
+    2x2 luma sampling, per-component quantization (Annex K.1 luma /
+    K.2 chroma) and Huffman slots, interleaved MCU entropy coding with
+    per-component DC predictors, box chroma upsampling, and the BT.601
+    inverse transform — closing the last named JPEG guard. The oracle
+    fixture paints each MCU a constant YCbCr from the
+    exact-quantization family (Y even, chroma offsets multiples of
+    17), so the full lossy pipeline reproduces the input exactly and
+    the decoded per-channel RGB means replay in closed form; both
+    engines apply the identical conversion arithmetic, whose
+    floor(x+0.5) outputs are provably ulp-insensitive for this
+    constant family.
+
+    Scale: map-only mapInPandas, same contract as q_media_jpeg."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    jpg = synthesize_media(d, "doc_id", "jpeg_color")
+    dec = decode_jpeg_color(jpg, "doc_id")
+    return dec.select(
+        "doc_id", "width", "height", "channels",
+        "mean_r", "mean_g", "mean_b",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1248,3 +1248,53 @@ def test_progressive_jpeg_scan_structure_and_guards():
             pos += 1
     with pytest.raises(ValueError, match="Ah == Al"):
         parse_jpeg_gray(bytes(mut))
+
+
+def test_color_jpeg_mcu_roundtrip_and_guards():
+    """Baseline color JPEG: every 16x16 MCU decodes to exactly the
+    closed-form constant RGB of its painted YCbCr (the
+    exact-quantization family), per-component DC predictors included;
+    non-4:2:0 sampling and progressive color are honest guards."""
+    import struct as st
+
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _encode_jpeg_color,
+        _jpeg_color_dims,
+        _jpeg_color_mcu,
+        _ycbcr_to_rgb,
+        parse_jpeg_color,
+    )
+
+    for i in (0, 1, 5, 17, 100):
+        w, h = _jpeg_color_dims(i)
+        ww, hh, img = parse_jpeg_color(_encode_jpeg_color(i))
+        assert (ww, hh) == (w, h) and img.shape == (h, w, 3)
+        mx = w // 16
+        for m in range(mx * (h // 16)):
+            y, cb, cr = _jpeg_color_mcu(i, m)
+            r, g, b = _ycbcr_to_rgb(
+                np.array([[float(y)]]),
+                np.array([[float(cb)]]),
+                np.array([[float(cr)]]),
+            )
+            bx, by = (m % mx) * 16, (m // mx) * 16
+            tile = img[by : by + 16, bx : bx + 16]
+            assert (tile[..., 0] == r[0, 0]).all()
+            assert (tile[..., 1] == g[0, 0]).all()
+            assert (tile[..., 2] == b[0, 0]).all()
+
+    blob = bytearray(_encode_jpeg_color(2))
+    # SOF0 component 1's sampling byte: claim 4:2:2 (0x21) -> guard
+    sof_at = bytes(blob).index(b"\xff\xc0")
+    blob[sof_at + 11] = 0x21
+    with pytest.raises(NotImplementedError, match="4:2:0"):
+        parse_jpeg_color(bytes(blob))
+    # grayscale file into the color path -> loud, not a mis-decode
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _encode_jpeg,
+    )
+
+    with pytest.raises(NotImplementedError, match="3 comps"):
+        parse_jpeg_color(_encode_jpeg(2))
