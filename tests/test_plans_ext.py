@@ -267,3 +267,72 @@ def test_round7_new_queries_plan_shapes(spark, sf_oracle):
     p = explain_str(tri)
     assert "CartesianProduct" not in p, p
     assert "TakeOrderedAndProject" in p, p  # bounded top output
+
+
+# ---------------------------------------------------------------------------
+# round-8 operators: each scale claim pinned on the real physical plan
+# ---------------------------------------------------------------------------
+
+
+def test_geo_join_is_broadcast_equi_with_residual(spark, sf_oracle):
+    """The spatial join must plan as a broadcast HASH join on the grid
+    cell keys with the exact-distance refine as the join residual —
+    never a nested-loop over the raw distance predicate."""
+    from dynamodb_streaming_datalake_spark.operators.geo import q_geo_join
+
+    df = q_geo_join(spark, sf_oracle)
+    p = explain_str(df)
+    assert has_node(df, "BroadcastHashJoin"), p
+    assert not has_node(df, "BroadcastNestedLoopJoin"), p
+    assert not has_node(df, "CartesianProduct"), p
+
+
+def test_cms_estimation_broadcasts_the_sketch(spark, sf_oracle):
+    """The D*W sketch table is broadcast into the probe join; the raw
+    events shuffle only into the map-side-combined cell/exact aggs."""
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        q_cms_heavy_hitters,
+    )
+
+    df = q_cms_heavy_hitters(spark, sf_oracle)
+    p = explain_str(df)
+    assert has_node(df, "BroadcastHashJoin"), p
+    assert has_node(df, "TakeOrderedAndProject"), p
+
+
+def test_skew_diagnose_is_takeordered_over_one_agg(spark, sf_oracle):
+    """The report is a partial+final aggregate + top-k — never a global
+    sort of the key space."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    df = all_queries()["q_skew_diagnose"](spark, sf_oracle)
+    p = explain_str(df)
+    assert has_node(df, "TakeOrderedAndProject"), p
+    assert "partial" in p.lower(), p
+
+
+def test_anomaly_zscore_scans_events_once_broadcast_stats(spark, sf_oracle):
+    """Per-type stats broadcast back over the stream: a single events
+    scan feeds the flag filter; the top-k is a TakeOrdered."""
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        q_anomaly_zscore,
+    )
+
+    df = q_anomaly_zscore(spark, sf_oracle)
+    p = explain_str(df)
+    assert has_node(df, "BroadcastHashJoin"), p
+    assert has_node(df, "TakeOrderedAndProject"), p
+
+
+def test_unigram_dp_joins_broadcast_the_vocab(spark, sf_oracle):
+    """Every DP round joins the frontier against the BROADCAST piece
+    vocabulary — a shuffled join per round would serialize the loop on
+    exchange latency."""
+    from dynamodb_streaming_datalake_spark.operators.bpe import (
+        q_unigram_tokenize,
+    )
+
+    df = q_unigram_tokenize(spark, sf_oracle)
+    p = explain_str(df)
+    assert has_node(df, "BroadcastHashJoin"), p
+    assert not has_node(df, "CartesianProduct"), p

@@ -51,3 +51,82 @@ def test_hll_estimate_within_tolerance(spark, sf_smoke):
     assert row["n_registers"] == HLL_M
     rel = abs(row["hll_estimate"] - row["exact_distinct"]) / row["exact_distinct"]
     assert rel < 0.15, (row["hll_estimate"], row["exact_distinct"])
+
+
+def test_hll_registers_are_mergeable(spark, sf_smoke):
+    """Per-shard HLL register tables merge with groupBy(bucket).MAX —
+    the union-merge a sharded lake runs; exact equality with the
+    one-shot build, not approximate."""
+    from dynamodb_streaming_datalake_spark.functions.texthash import (
+        portable_hash60,
+    )
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        HLL_M,
+        HLL_RHO_MAX,
+    )
+
+    li = read_table(spark, sf_smoke, "lineitem")
+
+    def registers(df):
+        h = df.select(
+            portable_hash60(F.col("l_orderkey").cast("string")).alias("hv")
+        ).distinct()
+        return (
+            h.select(
+                (F.col("hv") % HLL_M).alias("bucket"),
+                F.when(
+                    F.expr(f"hv div {HLL_M}") == 0, F.lit(HLL_RHO_MAX)
+                )
+                .otherwise(
+                    F.lit(HLL_RHO_MAX)
+                    - F.length(F.bin(F.expr(f"hv div {HLL_M}")))
+                )
+                .alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("m"))
+        )
+
+    def cells(df):
+        return {(r["bucket"]): r["m"] for r in df.collect()}
+
+    a = registers(li.where(F.col("l_orderkey") % 2 == 0))
+    b = registers(li.where(F.col("l_orderkey") % 2 == 1))
+    merged = (
+        a.unionByName(b).groupBy("bucket").agg(F.max("m").alias("m"))
+    )
+    assert cells(merged) == cells(registers(li))
+
+
+def test_interp_linear_honors_observed_and_bounds(spark, sf_smoke):
+    """Interpolation invariants the hash can't articulate: observed
+    hours keep their exact aggregate value, and every filled hour lies
+    strictly between its neighbors' values (linear => monotone within
+    the gap)."""
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        q_interp_linear,
+    )
+
+    rows = q_interp_linear(spark, sf_smoke).orderBy(
+        "event_type", "hour_ts"
+    ).collect()
+    assert rows and any(r["observed"] == 0 for r in rows)
+    by_series: dict = {}
+    for r in rows:
+        by_series.setdefault(r["event_type"], []).append(r)
+    for series in by_series.values():
+        # first/last rows of each series are observed by construction
+        assert series[0]["observed"] == 1 and series[-1]["observed"] == 1
+        for i, r in enumerate(series):
+            if r["observed"]:
+                continue
+            lo = next(
+                series[j] for j in range(i - 1, -1, -1) if series[j]["observed"]
+            )
+            hi = next(
+                series[j]
+                for j in range(i + 1, len(series))
+                if series[j]["observed"]
+            )
+            a, b = sorted((lo["value"], hi["value"]))
+            assert a - 1e-9 <= r["value"] <= b + 1e-9
