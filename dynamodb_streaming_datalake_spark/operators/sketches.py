@@ -218,6 +218,60 @@ HLL_W_BITS = 60 - HLL_P  # 51
 HLL_RHO_MAX = HLL_W_BITS + 1  # 52
 
 
+def hll_registers(keyed: DataFrame, key: str) -> DataFrame:
+    """(bucket, m) register table: bucket = low HLL_P hash bits, m =
+    max leading-zero rank of the remaining bits (exact bin()-length
+    trick). Shared by the batch query and the streaming view
+    (streaming/sketchview.py); merges with groupBy(bucket).MAX."""
+    h = keyed.select(
+        portable_hash60(F.col(key).cast("string")).alias("hv")
+    ).distinct()
+    return (
+        h.select(
+            (F.col("hv") % HLL_M).alias("bucket"),
+            F.when(F.expr(f"hv div {HLL_M}") == 0, F.lit(HLL_RHO_MAX))
+            .otherwise(
+                F.lit(HLL_RHO_MAX)
+                - F.length(F.bin(F.expr(f"hv div {HLL_M}")))
+            )
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_estimate(reg: DataFrame, exact: DataFrame) -> DataFrame:
+    """One-row estimate from a register table (+ the caller's exact
+    count as the eval column): integer power-of-two harmonic sum, one
+    final float division — bit-identical on any engine/partitioning."""
+    s = reg.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m)")
+        ).alias("present_sum"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / float(HLL_M))
+    return s.crossJoin(exact).select(
+        F.lit(HLL_M).cast("int").alias("n_registers"),
+        (F.lit(HLL_M) - F.col("n_present")).cast("int").alias(
+            "n_zero_registers"
+        ),
+        "exact_distinct",
+        (
+            F.lit(alpha)
+            * F.lit(float(HLL_M))
+            * F.lit(float(HLL_M))
+            * F.shiftleft(F.lit(1).cast("bigint"), HLL_RHO_MAX)
+            / (
+                F.col("present_sum")
+                + (F.lit(HLL_M).cast("bigint") - F.col("n_present"))
+                * F.shiftleft(F.lit(1).cast("bigint"), HLL_RHO_MAX)
+            )
+        ).alias("hll_estimate"),
+    )
+
+
 @query(
     "q_hll_distinct",
     oracle=f"""
@@ -272,54 +326,9 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same union-merge a 1000-file lake runs nightly. One shuffle of
     (bucket, rho) pairs with map-side MAX combine."""
     li = read_table(spark, sf_dir, "lineitem")
-    h = li.select(
-        portable_hash60(F.col("l_orderkey").cast("string")).alias("hv")
-    ).distinct()
-    reg = (
-        h.select(
-            (F.col("hv") % HLL_M).alias("bucket"),
-            F.when(
-                F.expr(f"hv div {HLL_M}") == 0, F.lit(HLL_RHO_MAX)
-            )
-            .otherwise(
-                F.lit(HLL_RHO_MAX)
-                - F.length(F.bin(F.expr(f"hv div {HLL_M}")))
-            )
-            .alias("rho"),
-        )
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("m"))
-    )
-    s = reg.agg(
-        F.count(F.lit(1)).alias("n_present"),
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m)")
-        ).alias("present_sum"),
-    )
+    reg = hll_registers(li, "l_orderkey")
     ex = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
-    alpha = 0.7213 / (1.0 + 1.079 / float(HLL_M))
-    est = (
-        s.crossJoin(ex)  # 1 row x 1 row
-        .select(
-            F.lit(HLL_M).cast("int").alias("n_registers"),
-            (F.lit(HLL_M) - F.col("n_present")).cast("int").alias(
-                "n_zero_registers"
-            ),
-            "exact_distinct",
-            (
-                F.lit(alpha)
-                * F.lit(float(HLL_M))
-                * F.lit(float(HLL_M))
-                * F.shiftleft(F.lit(1).cast("bigint"), HLL_RHO_MAX)
-                / (
-                    F.col("present_sum")
-                    + (F.lit(HLL_M).cast("bigint") - F.col("n_present"))
-                    * F.shiftleft(F.lit(1).cast("bigint"), HLL_RHO_MAX)
-                )
-            ).alias("hll_estimate"),
-        )
-    )
-    return est
+    return hll_estimate(reg, ex)
 
 
 _fmt(

@@ -155,3 +155,126 @@ def _register() -> None:
 
 
 _register()
+
+
+# ---------------------------------------------------------------------------
+# streaming HyperLogLog view (round 8): same MVCC fold, MAX monoid
+# ---------------------------------------------------------------------------
+# The register table merges with groupBy(bucket).MAX — idempotent as
+# well as commutative/associative, so unlike the CMS counter view this
+# fold would even tolerate double-application. Together the two views
+# pin the pattern: ANY monoid-valued sketch maintains continuously
+# with the identical versioned-directory kernel.
+
+
+def merge_hll(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Register-wise MAX — the HLL monoid operation."""
+    return (
+        prev.unionByName(delta).groupBy("bucket").agg(F.max("m").alias("m"))
+    )
+
+
+def upsert_hll_view(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    view_dir: str,
+    version: int,
+    key: str = "l_orderkey",
+) -> None:
+    """Fold one micro-batch into the register view as ``version``;
+    committed-version replays are no-ops."""
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    if version in _versions(spark, view_dir):
+        return
+    delta = hll_registers(batch_df, key)
+    prev = current_snapshot(spark, view_dir, live_only=False)
+    merged = delta if prev is None else merge_hll(prev, delta)
+    merged.write.mode("overwrite").parquet(f"{view_dir}/v={version}")
+
+
+def start_hll_maintenance(
+    rows: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    key: str = "l_orderkey",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch sink advancing the register view per micro-batch."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_hll_view(
+            batch_df.sparkSession, batch_df, view_dir, version=batch_id, key=key
+        )
+
+    writer = rows.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+_HLLVIEW_VERSION = "v1"
+
+
+def _ensure_hll_view(spark: SparkSession, sf_dir: str) -> str:
+    """Two committed register versions, built with the real fold: even
+    orderkeys -> v=1, odd folded on top -> v=2."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    def build(build_dir: str) -> None:
+        view = os.path.join(build_dir, "view")
+        li = read_table(spark, sf_dir, "lineitem")
+        upsert_hll_view(
+            spark, li.where(F.col("l_orderkey") % 2 == 0), view, version=1
+        )
+        upsert_hll_view(
+            spark, li.where(F.col("l_orderkey") % 2 == 1), view, version=2
+        )
+
+    return ensure_cached_build("hllview", _HLLVIEW_VERSION, sf_dir, build)
+
+
+def _register_hll() -> None:
+    from dynamodb_streaming_datalake_spark.registry import ORACLE, query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    # identical answer contract as the one-shot q_hll_distinct build:
+    # the oracle recomputes from the raw table, so hash-equality proves
+    # the stream fold reached the same registers
+    @query("q_hll_stream", oracle=None)
+    def q_hll_stream(spark, sf_dir):
+        """Streaming twin of q_hll_distinct: the register view is
+        advanced twice with the real foreachBatch MAX-fold kernel
+        (even orderkeys -> v=1, odd on top -> v=2, cached per sf_dir),
+        then the cardinality estimate is answered from the FINAL
+        committed registers. The oracle recomputes from raw lineitem —
+        hash-equality IS the merge proof. MAX is idempotent, so this
+        view also tolerates double-folds, pinned in tests.
+
+        Scale: constant m-register work per refresh."""
+        import os
+
+        path = _ensure_hll_view(spark, sf_dir)
+        # current_cms is just the committed-version reader; the view
+        # schema here is (bucket, m) registers
+        reg = current_cms(spark, os.path.join(path, "view"))
+        li = read_table(spark, sf_dir, "lineitem")
+        ex = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
+        from dynamodb_streaming_datalake_spark.operators.sketches import (
+            hll_estimate,
+        )
+
+        return hll_estimate(reg, ex)
+
+    # share the batch query's oracle verbatim — same answer contract
+    ORACLE["q_hll_stream"] = ORACLE["q_hll_distinct"]
+
+
+_register_hll()

@@ -534,3 +534,45 @@ def test_cms_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     last = _versions(spark, view_dir)[-1]
     upsert_cms_view(spark, ev.limit(50), view_dir, version=last)
     assert cells(current_cms(spark, view_dir)) == got
+
+
+def test_hll_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
+    """Streaming HLL (round 8): a readStream over lineitem files,
+    drained through the foreachBatch MAX-fold, reaches registers
+    CELL-EQUAL to the one-shot build — and because MAX is idempotent,
+    even a stale re-fold of already-seen rows cannot move the view."""
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        hll_registers,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.sketchview import (
+        current_cms,
+        start_hll_maintenance,
+        upsert_hll_view,
+    )
+
+    li = read_table(spark, sf_smoke, "lineitem")
+    src = str(tmp_path / "li_src")
+    li.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    view_dir = str(tmp_path / "view")
+    q = start_hll_maintenance(stream, view_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    def cells(df):
+        return {r["bucket"]: r["m"] for r in df.collect()}
+
+    got = cells(current_cms(spark, view_dir))
+    assert got == cells(hll_registers(li, "l_orderkey"))
+
+    # idempotence: folding the WHOLE table again as a new version is a
+    # no-op on the registers (MAX monoid) — stronger than the replay
+    # guard, which merely skips committed versions
+    from dynamodb_streaming_datalake_spark.streaming.upsert import _versions
+
+    last = _versions(spark, view_dir)[-1]
+    upsert_hll_view(spark, li, view_dir, version=last + 1)
+    assert cells(current_cms(spark, view_dir)) == got
