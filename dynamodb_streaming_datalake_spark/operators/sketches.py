@@ -412,3 +412,88 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sa, 6).alias("sample_v"),
         F.round(F.abs(ex - sa), 6).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style NDV statistics (round 8)
+# ---------------------------------------------------------------------------
+# The catalog-statistics pass every optimizer depends on (ANALYZE TABLE
+# ... COMPUTE STATISTICS): per-column distinct-value estimates. Here
+# each column runs through the SAME portable HLL register kernel the
+# cardinality query uses, with the exact NDV alongside — the stats
+# table a CBO would consume, as an oracle-checked operator.
+
+NDV_COLUMNS = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+
+
+def _sql_ndv_one(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS col_name,
+           (SELECT COUNT(DISTINCT {col}) FROM lineitem) AS exact_ndv,
+           CAST({HLL_M} - n_present AS INT) AS n_zero_registers,
+           (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+             * (1::BIGINT << {HLL_RHO_MAX})
+             / (present_sum + ({HLL_M} - n_present)
+                              * (1::BIGINT << {HLL_RHO_MAX}))
+             AS hll_ndv
+    FROM (
+        SELECT COUNT(*) AS n_present,
+               SUM(1::BIGINT << ({HLL_RHO_MAX} - m)) AS present_sum
+        FROM (
+            SELECT hv % {HLL_M} AS bucket,
+                   MAX(CASE WHEN hv // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+                            ELSE {HLL_RHO_MAX} - length(bin(hv // {HLL_M}))
+                       END) AS m
+            FROM (
+                SELECT DISTINCT
+                       {sql_portable_hash60(f"CAST({col} AS VARCHAR)")} AS hv
+                FROM lineitem
+            )
+            GROUP BY hv % {HLL_M}
+        )
+    )
+    """
+
+
+@query(
+    "q_analyze_ndv",
+    oracle=f"""
+    SELECT col_name, CAST(exact_ndv AS BIGINT) AS exact_ndv,
+           n_zero_registers, hll_ndv
+    FROM ({" UNION ALL ".join(_sql_ndv_one(c) for c in NDV_COLUMNS)})
+    ORDER BY col_name
+    """,
+)
+def q_analyze_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics: per-column HLL NDV estimates
+    for lineitem's key columns with the exact distinct count alongside
+    — the stats table a cost-based optimizer consumes for join
+    ordering and broadcast decisions, produced by the same portable
+    register kernel as q_hll_distinct (one pass per column here; a
+    production sweep fuses all columns into one scan with per-column
+    register states, the same mergeable shape).
+
+    The low-cardinality columns (l_linenumber: 7 exact vs ~371
+    estimated) deliberately EXPOSE raw HLL's known small-range bias —
+    the regime where the linear-counting correction applies (skipped
+    here because ln() is not cross-engine exact; see q_hll_distinct).
+    A consumer applies it from the reported n_zero_registers; the
+    exact column keeps the bias measurable instead of hidden.
+
+    Scale: per column, one (bucket, rho) shuffle with map-side MAX
+    combine into a 512-row register table; estimates are single-row
+    integer-sum folds. NDVs for every column of a 100 TB table cost a
+    constant-size sketch each, not a COUNT(DISTINCT) sort."""
+    li = read_table(spark, sf_dir, "lineitem")
+    out = None
+    for col in NDV_COLUMNS:
+        reg = hll_registers(li, col)
+        ex = li.agg(F.countDistinct(col).alias("exact_distinct"))
+        one = hll_estimate(reg, ex).select(
+            F.lit(col).alias("col_name"),
+            F.col("exact_distinct").cast("bigint").alias("exact_ndv"),
+            "n_zero_registers",
+            F.col("hll_estimate").alias("hll_ndv"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("col_name")
