@@ -240,6 +240,8 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_lm_doc_score",  # 1-row vocabulary-size aggregate crossed
         "q_triangle_count",  # 1-row global-triangle-count crossed
         "q_hll_distinct",  # two 1-row aggregates (sketch sum x exact) crossed
+        "q_hll_stream",  # same 1-row estimate cross, streamed registers
+        "q_analyze_ndv",  # per-column 1-row estimate crosses (HLL kernel)
         "q_mix_temperature",  # 1-row denominator fold crossed into counts
         "q_quantile_sketch",  # two 1-row percentile aggs x 3-row p table
         "q_skew_diagnose",  # 1-row total/key-count aggregate crossed
