@@ -118,3 +118,66 @@ def test_webp_lossless_roundtrips_arbitrary_images(w, h, seed, dup_p):
     for c in range(3):
         assert np.array_equal(px[:, :, c], img[c].astype(np.uint8))
     assert (px[:, :, 3] == 255).all()
+
+
+@given(st.binary(min_size=1, max_size=6000))
+@settings(max_examples=120, deadline=None)
+def test_tiff_lzw_roundtrips_arbitrary_bytes(data):
+    """TIFF-LZW (MSB-first, early-change widths) must roundtrip any
+    byte string — hypothesis shrinks to minimal counterexamples around
+    the 510/1022/2046 width boundaries and the 4094 table reset."""
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _tiff_lzw_compress,
+        _tiff_lzw_decompress,
+    )
+
+    assert _tiff_lzw_decompress(_tiff_lzw_compress(data), len(data)) == data
+
+
+@given(
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_progressive_jpeg_equals_baseline_on_arbitrary_images(bw, bh, seed):
+    """The strongest progressive pin: SOF2 (all four Annex-G coding
+    modes, incl. AC successive approximation) decodes PIXEL-IDENTICAL
+    to the baseline encoding of the same image, for arbitrary images —
+    every EOBRUN split, correction bit, and ZRL fold is on this path."""
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+        parse_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (8 * bh, 8 * bw)).astype(np.uint8)
+    _, _, base = parse_jpeg_gray(encode_jpeg_gray(img))
+    _, _, prog = parse_jpeg_gray(encode_jpeg_gray_progressive(img))
+    assert np.array_equal(base, prog)
+
+
+@given(st.binary(min_size=1, max_size=2000))
+@settings(max_examples=80, deadline=None)
+def test_g711_both_laws_match_audioop_on_arbitrary_codes(data):
+    """µ-law and A-law expansion equals the stdlib audioop reference on
+    arbitrary code streams (the all-256 exhaustive test pins the
+    tables; this pins the vectorized path on arbitrary lengths)."""
+    import pytest as _pytest
+
+    audioop = _pytest.importorskip("audioop")
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        alaw_expand,
+        ulaw_expand,
+    )
+
+    codes = np.frombuffer(data, np.uint8)
+    assert np.array_equal(
+        ulaw_expand(codes),
+        np.frombuffer(audioop.ulaw2lin(data, 2), "<i2").astype(np.int64),
+    )
+    assert np.array_equal(
+        alaw_expand(codes),
+        np.frombuffer(audioop.alaw2lin(data, 2), "<i2").astype(np.int64),
+    )
