@@ -215,3 +215,75 @@ def _register_diagnose() -> None:
 
 
 _register_diagnose()
+
+
+# ---------------------------------------------------------------------------
+# salted aggregation (round 8): two-phase exact COUNT(DISTINCT) for
+# hot keys
+# ---------------------------------------------------------------------------
+# Plain sums/counts don't need salting — Spark's map-side partial
+# aggregation already spreads them. The aggregation that DOES melt a
+# task is per-key DISTINCT state: one hot key holding millions of
+# distinct items builds its whole hash set in a single task. The fix
+# partitions the ITEM space: salt = hash(item) % S makes the per-salt
+# distinct sets DISJOINT, so per-(key, salt) distinct counts simply
+# SUM to the exact answer — each task now holds at most 1/S of any
+# key's state. Result-invisible: the oracle is the plain one-phase
+# COUNT(DISTINCT), like q_salted_join's.
+
+#: item-space salt fan-out
+AGG_SALTS = 8
+
+
+def _register_salted_agg() -> None:
+    from dynamodb_streaming_datalake_spark.functions.texthash import (
+        portable_hash60,
+    )
+    from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
+    from dynamodb_streaming_datalake_spark.registry import query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    @query(
+        "q_salted_agg",
+        oracle="""
+        SELECT user_id,
+               CAST(COUNT(DISTINCT props) AS BIGINT) AS n_distinct_props,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY user_id
+        """,
+    )
+    def q_salted_agg(spark, sf_dir):
+        """Exact per-user COUNT(DISTINCT props) computed the hot-key-safe
+        way: items are salted by hash(item) % {AGG_SALTS} so the
+        per-salt distinct sets are DISJOINT, per-(user, salt) partial
+        distinct counts are summed, and the result provably equals the
+        one-phase COUNT(DISTINCT) — which is exactly what the oracle
+        computes (the salted-join idiom applied to aggregation state).
+
+        Scale: no single task ever materializes more than ~1/{AGG_SALTS}
+        of any key's distinct set; the extra shuffle carries (user,
+        salt) partials, which map-side combine bounds at keys x salts
+        rows per task. S is the knob: size it so hot_key_distincts/S
+        fits executor memory."""
+        from pyspark.sql import functions as F
+
+        e = read_table(spark, sf_dir, "events")
+        salted = e.select(
+            "user_id",
+            "props",
+            (portable_hash60(F.col("props")) % AGG_SALTS).alias("salt"),
+        )
+        p1 = salted.groupBy("user_id", "salt").agg(
+            F.countDistinct("props").alias("nd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        return p1.groupBy("user_id").agg(
+            F.sum("nd").cast("bigint").alias("n_distinct_props"),
+            F.sum("n").cast("bigint").alias("n_events"),
+        )
+
+    _fmt(q_salted_agg, AGG_SALTS=AGG_SALTS)
+
+
+_register_salted_agg()
