@@ -188,6 +188,97 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pit_join",
+    oracle="""
+    WITH scd2 AS (
+        SELECT user_id, event_id,
+               CAST(ROW_NUMBER() OVER w AS INT) AS version_no,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(LEAD(ts) OVER w) AS valid_to_us
+        FROM events
+        WHERE event_type IN ('signup', 'purchase')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT f.event_id, f.user_id,
+           CAST(epoch_us(f.ts) AS BIGINT) AS ts_us,
+           v.version_no,
+           v.event_id AS version_event_id
+    FROM events f
+    LEFT JOIN scd2 v
+      ON v.user_id = f.user_id
+     AND epoch_us(f.ts) >= v.valid_from_us
+     AND (v.valid_to_us IS NULL OR epoch_us(f.ts) < v.valid_to_us)
+    WHERE f.event_type = 'view'
+    """,
+)
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join — the warehouse query
+    SCD2 intervals exist to serve: every 'view' fact is joined to the
+    user's dimension version that was valid AT the fact's timestamp
+    (NULL before the first version). The oracle states it declaratively
+    as interval containment over q_scd2_intervals' reconstruction.
+
+    The Spark plan is NOT that theta join (which would plan as a
+    nested loop): it is the as-of composition — version-start rows and
+    facts union into one per-user timeline, one sorted window carries
+    the latest version forward, facts read it. One shuffle on the key,
+    one sort per user history; boundary semantics (a fact exactly at a
+    version start sees the NEW version, zero-length versions are
+    skipped) fall out of ordering version rows before facts at equal
+    timestamps and carrying the LAST version-start.
+
+    Scale: identical cost profile to q_asof_join — linear in history
+    per user, no interval explosion; at 100 TB you bucket both inputs
+    by user_id so the union needs no extra shuffle."""
+    e = read_table(spark, sf_dir, "events")
+    dim = (
+        e.where(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.col("event_id").alias("version_event_id"),
+        )
+    )
+    w0 = Window.partitionBy("user_id").orderBy("ts_us", "version_event_id")
+    dim = dim.withColumn("version_no", F.row_number().over(w0)).select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("kind"),
+        F.col("version_no"),
+        "version_event_id",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    facts = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("int").alias("version_no"),
+        F.lit(None).cast("long").alias("version_event_id"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "kind", "version_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = dim.unionByName(facts).select(
+        "user_id",
+        "ts_us",
+        "kind",
+        "event_id",
+        F.last("version_no", ignorenulls=True).over(w).alias("v_no"),
+        F.last("version_event_id", ignorenulls=True).over(w).alias("v_eid"),
+    )
+    return merged.where(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("v_no").alias("version_no"),
+        F.col("v_eid").alias("version_event_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # incremental aggregate (materialized-view) maintenance — round 6
 # ---------------------------------------------------------------------------
