@@ -403,3 +403,93 @@ _fmt(
     TRI_TOP=TRI_TOP,
     TRI_MIN_COOCCUR=TRI_MIN_COOCCUR,
 )
+
+
+# ---------------------------------------------------------------------------
+# item-item co-occurrence similarity (round 8)
+# ---------------------------------------------------------------------------
+# The collaborative-filtering prep step: score part pairs by cosine
+# over order co-occurrence, c_uv / sqrt(n_u * n_v) — the same
+# support-pruned co-purchase pairs the triangle counter builds, kept
+# weighted and normalized by per-item order frequency. sqrt is
+# IEEE-correctly-rounded, so one fixed-shape expression is hash-exact.
+
+SIM_TOP = 30
+
+
+@query(
+    "q_item_similarity",
+    oracle=f"""
+    WITH co AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRI_MIN_COOCCUR}
+    ),
+    freq AS (
+        SELECT l_partkey AS k, COUNT(DISTINCT l_orderkey) AS n
+        FROM lineitem GROUP BY 1
+    )
+    SELECT co.u AS part_a, co.v AS part_b,
+           CAST(co.c AS BIGINT) AS n_cooccur,
+           round(co.c / (sqrt(CAST(fa.n AS DOUBLE))
+                         * sqrt(CAST(fb.n AS DOUBLE))), 6) AS cosine
+    FROM co JOIN freq fa ON fa.k = co.u JOIN freq fb ON fb.k = co.v
+    ORDER BY round(co.c / (sqrt(CAST(fa.n AS DOUBLE))
+                           * sqrt(CAST(fb.n AS DOUBLE))), 6) DESC,
+             co.u, co.v
+    LIMIT {SIM_TOP}
+    """,
+)
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity over order co-occurrence — the
+    classic neighborhood-method prep for 'customers also bought':
+    support-pruned co-purchase pairs (the triangle counter's edge
+    build, weights kept) normalized by each part's order frequency,
+    top-{SIM_TOP} by rounded cosine (rank-stabilized before the
+    tie-break, the repo's cross-engine ulp guard).
+
+    Scale: pair generation is bounded by per-order line-item fan-out
+    squared plus the support prune (see TRI_MIN_COOCCUR); frequencies
+    are one aggregate; the normalizing joins are equi-joins on the
+    part key against a |parts|-sized table."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= TRI_MIN_COOCCUR)
+    )
+    freq = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    cos = F.col("c") / (
+        F.sqrt(F.col("fa.n").cast("double"))
+        * F.sqrt(F.col("fb.n").cast("double"))
+    )
+    return (
+        co.join(freq.alias("fa"), F.col("u") == F.col("fa.k"))
+        .join(freq.alias("fb"), F.col("v") == F.col("fb.k"))
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("c").cast("bigint").alias("n_cooccur"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "part_a", "part_b")
+        .limit(SIM_TOP)
+    )
+
+
+_fmt(q_item_similarity, SIM_TOP=SIM_TOP)

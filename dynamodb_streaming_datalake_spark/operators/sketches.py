@@ -497,3 +497,122 @@ def q_analyze_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out.orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# CBO-style join cardinality estimation (round 8)
+# ---------------------------------------------------------------------------
+# What an optimizer DOES with q_analyze_ndv's stats: estimate a join's
+# output size as |L| * |R| / max(ndv_L, ndv_R) (the textbook
+# uniform-containment formula) — surfaced with the actual join count
+# alongside, the eval-harness pattern once more. At 100 TB this row is
+# the difference between planning a broadcast and melting an exchange.
+
+
+@query(
+    "q_join_estimate",
+    oracle=f"""
+    WITH lh AS (
+        SELECT t.n_l,
+               (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                 * (1::BIGINT << {HLL_RHO_MAX})
+                 / (present_sum + ({HLL_M} - n_present)
+                                  * (1::BIGINT << {HLL_RHO_MAX}))
+                 AS ndv_l
+        FROM (SELECT COUNT(*) AS n_present,
+                     SUM(1::BIGINT << ({HLL_RHO_MAX} - m)) AS present_sum
+              FROM (SELECT hv % {HLL_M} AS bucket,
+                           MAX(CASE WHEN hv // {HLL_M} = 0
+                                    THEN {HLL_RHO_MAX}
+                                    ELSE {HLL_RHO_MAX}
+                                         - length(bin(hv // {HLL_M})) END)
+                             AS m
+                    FROM (SELECT DISTINCT
+                                 {sql_portable_hash60("CAST(l_orderkey AS VARCHAR)")}
+                                   AS hv
+                          FROM lineitem)
+                    GROUP BY hv % {HLL_M})) s,
+             (SELECT COUNT(*) AS n_l FROM lineitem) t
+    ),
+    rh AS (
+        SELECT t.n_r,
+               (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                 * (1::BIGINT << {HLL_RHO_MAX})
+                 / (present_sum + ({HLL_M} - n_present)
+                                  * (1::BIGINT << {HLL_RHO_MAX}))
+                 AS ndv_r
+        FROM (SELECT COUNT(*) AS n_present,
+                     SUM(1::BIGINT << ({HLL_RHO_MAX} - m)) AS present_sum
+              FROM (SELECT hv % {HLL_M} AS bucket,
+                           MAX(CASE WHEN hv // {HLL_M} = 0
+                                    THEN {HLL_RHO_MAX}
+                                    ELSE {HLL_RHO_MAX}
+                                         - length(bin(hv // {HLL_M})) END)
+                             AS m
+                    FROM (SELECT DISTINCT
+                                 {sql_portable_hash60("CAST(o_orderkey AS VARCHAR)")}
+                                   AS hv
+                          FROM orders)
+                    GROUP BY hv % {HLL_M})) s,
+             (SELECT COUNT(*) AS n_r FROM orders) t
+    ),
+    act AS (
+        SELECT COUNT(*) AS actual_rows
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(lh.n_l AS BIGINT) AS n_left,
+           CAST(rh.n_r AS BIGINT) AS n_right,
+           lh.ndv_l AS ndv_left,
+           rh.ndv_r AS ndv_right,
+           lh.n_l * rh.n_r / GREATEST(lh.ndv_l, rh.ndv_r) AS est_rows,
+           CAST(act.actual_rows AS BIGINT) AS actual_rows,
+           lh.n_l * rh.n_r / GREATEST(lh.ndv_l, rh.ndv_r)
+             / act.actual_rows AS est_over_actual
+    FROM lh, rh, act
+    """,
+)
+def q_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBO-style join cardinality estimation for lineitem ⋈ orders on
+    the order key: est = |L| x |R| / max(ndv_L, ndv_R), NDVs from the
+    portable HLL register kernel (q_analyze_ndv's stats put to their
+    actual use), with the TRUE join count and the over/under ratio in
+    the same row — the eval-harness discipline applied to the
+    optimizer's own arithmetic.
+
+    Scale: two constant-size register sketches + three single-row
+    aggregates; the actual-count column is the eval side (a deployment
+    estimates precisely to AVOID running the join first)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    lh = hll_estimate(
+        hll_registers(li, "l_orderkey"),
+        li.agg(F.count(F.lit(1)).alias("exact_distinct")),
+    ).select(
+        F.col("exact_distinct").alias("n_l"),
+        F.col("hll_estimate").alias("ndv_l"),
+    )
+    rh = hll_estimate(
+        hll_registers(orders, "o_orderkey"),
+        orders.agg(F.count(F.lit(1)).alias("exact_distinct")),
+    ).select(
+        F.col("exact_distinct").alias("n_r"),
+        F.col("hll_estimate").alias("ndv_r"),
+    )
+    act = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    est = F.col("n_l") * F.col("n_r") / F.greatest("ndv_l", "ndv_r")
+    return (
+        lh.crossJoin(rh)
+        .crossJoin(act)
+        .select(
+            F.col("n_l").cast("bigint").alias("n_left"),
+            F.col("n_r").cast("bigint").alias("n_right"),
+            F.col("ndv_l").alias("ndv_left"),
+            F.col("ndv_r").alias("ndv_right"),
+            est.alias("est_rows"),
+            F.col("actual_rows").cast("bigint").alias("actual_rows"),
+            (est / F.col("actual_rows")).alias("est_over_actual"),
+        )
+    )

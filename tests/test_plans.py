@@ -242,6 +242,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_hll_distinct",  # two 1-row aggregates (sketch sum x exact) crossed
         "q_hll_stream",  # same 1-row estimate cross, streamed registers
         "q_analyze_ndv",  # per-column 1-row estimate crosses (HLL kernel)
+        "q_join_estimate",  # three 1-row stat aggregates crossed
         "q_mix_temperature",  # 1-row denominator fold crossed into counts
         "q_quantile_sketch",  # two 1-row percentile aggs x 3-row p table
         "q_skew_diagnose",  # 1-row total/key-count aggregate crossed
