@@ -156,7 +156,8 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
         kind
         if kind
         in ("wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg", "gif", "tiff",
-            "webp", "wav_adpcm", "wav_g711", "jpeg_prog", "jpeg_color")
+            "webp", "wav_adpcm", "wav_g711", "jpeg_prog", "jpeg_color",
+            "flac")
         else f"fake-{kind}"
     )
     meta_t = StructType(
@@ -1150,6 +1151,394 @@ def q_media_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "min_sample",
         "max_sample",
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: FLAC subset (Rice-coded lossless audio) — round 8
+# ---------------------------------------------------------------------------
+# The missing audio coding family next to PCM/ADPCM/G.711: entropy-
+# coded lossless compression. This is a from-spec FLAC subset: fLaC
+# marker + STREAMINFO metadata block, per-frame headers with sync
+# code, coded block-size/rate/channel/bps fields, a UTF-8 frame
+# number and a verified CRC-8; subframes of all three non-LPC types
+# (CONSTANT, VERBATIM, FIXED predictors order 0-2) with zigzag
+# Golomb-Rice residuals (4-bit parameter, partition order 0); a
+# verified CRC-16 frame footer. LPC subframes, stereo decorrelation
+# and >16-bit samples are loud NotImplementedError guards. Bit
+# packing is MSB-first WITHOUT byte stuffing (unlike JPEG), so the
+# codec carries its own bit IO.
+
+FLAC_BLOCK = 256        # fixed block size (header code 0b1000)
+FLAC_RATE = 8000        # fixed sample rate (header code 0b0100)
+
+
+class _FlacBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, width: int) -> None:
+        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def put_unary(self, q: int) -> None:
+        for _ in range(q):
+            self.put(0, 1)
+        self.put(1, 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+
+
+class _FlacBitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def take(self, n: int) -> int:
+        while self.nbits < n:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def take_unary(self) -> int:
+        q = 0
+        while self.take(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — the FLAC frame
+    header checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — the FLAC
+    frame footer checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _flac_params(i: int) -> int:
+    """number of frames for file i."""
+    return 2 + i % 3
+
+
+def _flac_block_type(i: int, b: int) -> int:
+    """0 CONSTANT, 1 VERBATIM, 2 FIXED order 1, 3 FIXED order 2."""
+    return (i + b) % 4
+
+
+def _flac_samples(i: int, b: int) -> np.ndarray:
+    """Closed-form samples of frame b: constant blocks hold one value,
+    the rest a prime-stride ramp (all within 16-bit range)."""
+    if _flac_block_type(i, b) == 0:
+        v = (i + 7 * b) % 2001 - 1000
+        return np.full(FLAC_BLOCK, v, dtype=np.int64)
+    k = np.arange(FLAC_BLOCK, dtype=np.int64) + b * FLAC_BLOCK
+    return (i * 13 + k * 29) % 2001 - 1000
+
+
+def _rice_write(bw: _FlacBitWriter, residuals, k: int) -> None:
+    for r in residuals:
+        z = int(r << 1) if r >= 0 else int((-r << 1) - 1)  # zigzag
+        bw.put_unary(z >> k)
+        if k:
+            bw.put(z & ((1 << k) - 1), k)
+
+
+def _rice_read(br: _FlacBitReader, n: int, k: int) -> list:
+    out = []
+    for _ in range(n):
+        q = br.take_unary()
+        z = (q << k) | (br.take(k) if k else 0)
+        out.append((z >> 1) ^ -(z & 1))  # un-zigzag
+    return out
+
+
+def _encode_flac(i: int) -> bytes:
+    """fLaC container: STREAMINFO (last-metadata flag set), then
+    _flac_params(i) frames of FLAC_BLOCK 16-bit mono samples, each
+    with a spec frame header (sync, coded sizes, UTF-8 frame number,
+    CRC-8), one subframe, and a CRC-16 footer."""
+    n_frames = _flac_params(i)
+    total = n_frames * FLAC_BLOCK
+    # STREAMINFO: min/max blocksize(16+16), min/max framesize(24+24)=0,
+    # rate(20), channels-1(3), bps-1(5), total samples(36), md5(128)=0
+    si = _FlacBitWriter()
+    si.put(FLAC_BLOCK, 16)
+    si.put(FLAC_BLOCK, 16)
+    si.put(0, 24)
+    si.put(0, 24)
+    si.put(FLAC_RATE, 20)
+    si.put(0, 3)     # 1 channel
+    si.put(15, 5)    # 16 bps
+    si.put(total, 36)
+    si.put(0, 128)
+    streaminfo = b"\x80\x00\x00\x22" + bytes(si.out)  # last-block, type 0, len 34
+    out = bytearray(b"fLaC" + streaminfo)
+    for b in range(n_frames):
+        samples = _flac_samples(i, b)
+        hdr = _FlacBitWriter()
+        hdr.put(0b11111111111110, 14)  # sync
+        hdr.put(0, 1)                  # reserved
+        hdr.put(0, 1)                  # fixed blocksize strategy
+        hdr.put(0b1000, 4)             # blocksize 256
+        hdr.put(0b0100, 4)             # rate 8 kHz
+        hdr.put(0b0000, 4)             # mono
+        hdr.put(0b100, 3)              # 16 bps
+        hdr.put(0, 1)                  # reserved
+        hdr.align()
+        header = bytes(hdr.out) + bytes([b])  # UTF-8 frame number < 128
+        header += bytes([_crc8(header)])
+        body = _FlacBitWriter()
+        t = _flac_block_type(i, b)
+        if t == 0:      # CONSTANT
+            body.put(0b000000 << 1, 8)  # pad0 | type 000000 | wasted 0
+            body.put(int(samples[0]), 16)
+        elif t == 1:    # VERBATIM
+            body.put(0b000001 << 1, 8)
+            for s in samples:
+                body.put(int(s), 16)
+        else:           # FIXED order 1 or 2
+            order = t - 1
+            body.put((0b001000 | order) << 1, 8)
+            for s in samples[:order]:
+                body.put(int(s), 16)
+            if order == 1:
+                res = samples[1:] - samples[:-1]
+            else:
+                res = samples[2:] - 2 * samples[1:-1] + samples[:-2]
+            zmax = int(np.abs(res).max()) * 2 + 1
+            k = max(0, zmax.bit_length() - 1)
+            body.put(0b00, 2)       # Rice method, 4-bit params
+            body.put(0, 4)          # partition order 0
+            body.put(k, 4)          # Rice parameter
+            _rice_write(body, [int(r) for r in res], k)
+        body.align()
+        frame = header + bytes(body.out)
+        frame += struct.pack(">H", _crc16(frame))
+        out += frame
+    return bytes(out)
+
+
+def parse_flac(blob: bytes) -> tuple[int, np.ndarray]:
+    """Real FLAC-subset decoder: STREAMINFO walk, per-frame sync +
+    coded-field parse with CRC-8 verification, subframe dispatch
+    (CONSTANT / VERBATIM / FIXED 0-2 with Rice residuals), prediction
+    reconstruction, CRC-16 verification. Returns (rate, samples)."""
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC file")
+    pos = 4
+    rate = None
+    total = None
+    while True:  # metadata blocks
+        flags = blob[pos]
+        btype = flags & 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + blob[pos + 1 : pos + 4])
+        payload = blob[pos + 4 : pos + 4 + blen]
+        if btype == 0:  # STREAMINFO
+            br = _FlacBitReader(payload)
+            bs_min, bs_max = br.take(16), br.take(16)
+            br.take(24), br.take(24)
+            rate = br.take(20)
+            channels = br.take(3) + 1
+            bps = br.take(5) + 1
+            total = br.take(36)
+            if channels != 1 or bps != 16:
+                raise NotImplementedError("mono 16-bit FLAC only")
+            if bs_min != bs_max:
+                raise NotImplementedError("variable blocksize not supported")
+        pos += 4 + blen
+        if flags & 0x80:
+            break
+    if rate is None:
+        raise ValueError("missing STREAMINFO")
+    out: list = []
+    while len(out) < total:
+        frame_at = pos
+        br = _FlacBitReader(blob, pos)
+        if br.take(14) != 0b11111111111110:
+            raise ValueError("bad frame sync")
+        br.take(1)
+        if br.take(1) != 0:
+            raise NotImplementedError("variable-blocksize frames")
+        bs_code = br.take(4)
+        if bs_code != 0b1000:
+            raise NotImplementedError(f"blocksize code {bs_code:#06b}")
+        if br.take(4) != 0b0100:
+            raise NotImplementedError("only the 8 kHz rate code")
+        if br.take(4) != 0:
+            raise NotImplementedError("mono only (no stereo decorrelation)")
+        if br.take(3) != 0b100:
+            raise NotImplementedError("16-bit samples only")
+        br.take(1)
+        frame_no = blob[br.pos]  # UTF-8, single byte for < 128
+        if frame_no & 0x80:
+            raise NotImplementedError("multi-byte frame numbers")
+        br.pos += 1
+        crc8 = blob[br.pos]
+        if _crc8(blob[frame_at : br.pos]) != crc8:
+            raise ValueError("frame header CRC-8 mismatch")
+        br.pos += 1
+        br.align()
+        sub = _FlacBitReader(blob, br.pos)
+        hdr = sub.take(8)
+        if hdr & 0x81:
+            raise NotImplementedError("padding/wasted-bits not supported")
+        stype = (hdr >> 1) & 0x3F
+        n = FLAC_BLOCK
+        if stype == 0:  # CONSTANT
+            v = sub.take(16)
+            v = v - (1 << 16) if v & 0x8000 else v
+            samples = [v] * n
+        elif stype == 1:  # VERBATIM
+            samples = []
+            for _ in range(n):
+                v = sub.take(16)
+                samples.append(v - (1 << 16) if v & 0x8000 else v)
+        elif 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
+            order = stype & 0x07
+            if order > 2:
+                raise NotImplementedError("FIXED orders 3-4 not supported")
+            warm = []
+            for _ in range(order):
+                v = sub.take(16)
+                warm.append(v - (1 << 16) if v & 0x8000 else v)
+            if sub.take(2) != 0:
+                raise NotImplementedError("5-bit Rice params not supported")
+            if sub.take(4) != 0:
+                raise NotImplementedError("partitioned residuals")
+            k = sub.take(4)
+            res = _rice_read(sub, n - order, k)
+            samples = list(warm)
+            for r in res:
+                if order == 0:
+                    samples.append(r)
+                elif order == 1:
+                    samples.append(samples[-1] + r)
+                else:
+                    samples.append(2 * samples[-1] - samples[-2] + r)
+        elif stype >= 0b100000:
+            raise NotImplementedError("LPC subframes not supported")
+        else:
+            raise ValueError(f"reserved subframe type {stype:#08b}")
+        sub.align()
+        (crc16,) = struct.unpack(">H", blob[sub.pos : sub.pos + 2])
+        if _crc16(blob[frame_at : sub.pos]) != crc16:
+            raise ValueError("frame CRC-16 mismatch")
+        pos = sub.pos + 2
+        out.extend(samples)
+    return rate, np.array(out, dtype=np.int64)
+
+
+def decode_flac(df: DataFrame, id_col: str) -> DataFrame:
+    """Decode a FLAC column into integer sample stats — map-only
+    mapInPandas, same contract as decode_wav_adpcm."""
+    schema = (
+        f"{id_col} bigint, sample_rate int, n_samples bigint,"
+        " sum_samples bigint, min_sample int, max_sample int,"
+        " compressed_bytes bigint"
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                blob = bytes(blob)
+                rate, x = parse_flac(blob)
+                rows.append(
+                    (
+                        int(i), rate, x.size, int(x.sum()),
+                        int(x.min()), int(x.max()), len(blob),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "n_samples", "sum_samples",
+                    "min_sample", "max_sample", "compressed_bytes",
+                ],
+            )
+
+    return df.mapInPandas(dec, schema=schema)
+
+
+@query(
+    "q_media_flac",
+    # closed-form sample stats: constant frames hold (i+7b)%2001-1000,
+    # ramp frames (i*13 + (b*256+k)*29)%2001-1000 — the decoder must
+    # reproduce them exactly through Rice decode + prediction + CRCs
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, 2 + doc_id % 3 AS n_frames FROM documents
+    ), vals AS (
+        SELECT doc_id, n_frames,
+               flatten(list_transform(range(0, n_frames), b ->
+                   CASE WHEN (doc_id + b) % 4 = 0
+                   THEN list_transform(range(0, 256),
+                        k -> (doc_id + 7 * b) % 2001 - 1000)
+                   ELSE list_transform(range(0, 256),
+                        k -> (doc_id * 13 + (b * 256 + k) * 29) % 2001
+                             - 1000)
+                   END)) AS v
+        FROM f
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(n_frames * 256 AS BIGINT) AS n_samples,
+           CAST(list_aggregate(v, 'sum') AS BIGINT) AS sum_samples,
+           CAST(list_aggregate(v, 'min') AS INT) AS min_sample,
+           CAST(list_aggregate(v, 'max') AS INT) AS max_sample
+    FROM vals
+    """,
+)
+def q_media_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec (round 8): FLAC subset — the entropy-coded lossless
+    audio family next to PCM/ADPCM/G.711. Every file carries a
+    STREAMINFO block and frames exercising all three non-LPC subframe
+    types (CONSTANT, VERBATIM, FIXED predictors order 1-2 with zigzag
+    Golomb-Rice residuals); the decoder VERIFIES the CRC-8 frame
+    header and CRC-16 frame checksums, so one flipped bit anywhere is
+    a loud parse error, not a wrong sample. The oracle recomputes the
+    integer sample stats from the closed form — exact because the
+    codec is lossless. LPC, stereo decorrelation, partitioned
+    residuals and escape codes remain honest guards.
+
+    Scale: map-only mapInPandas, same contract as q_media_wav_adpcm."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    flac = synthesize_media(d, "doc_id", "flac")
+    return decode_flac(flac, "doc_id").select(
+        "doc_id", "sample_rate", "n_samples", "sum_samples",
+        "min_sample", "max_sample",
     )
 
 

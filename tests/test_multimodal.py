@@ -1298,3 +1298,36 @@ def test_color_jpeg_mcu_roundtrip_and_guards():
 
     with pytest.raises(NotImplementedError, match="3 comps"):
         parse_jpeg_color(_encode_jpeg(2))
+
+
+def test_flac_roundtrip_compression_and_crc_guards():
+    """FLAC subset: every fixture id roundtrips sample-exact through
+    Rice decode + prediction with verified CRCs; the Rice-coded frames
+    genuinely COMPRESS (below 16-bit raw) — entropy coding, not a
+    container; and a single flipped payload bit is a loud CRC error."""
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        FLAC_BLOCK,
+        _encode_flac,
+        _flac_params,
+        _flac_samples,
+        parse_flac,
+    )
+
+    for i in range(12):
+        blob = _encode_flac(i)
+        rate, x = parse_flac(blob)
+        want = np.concatenate(
+            [_flac_samples(i, b) for b in range(_flac_params(i))]
+        )
+        assert rate == 8000 and np.array_equal(x, want), i
+        raw = _flac_params(i) * FLAC_BLOCK * 2
+        assert len(blob) < raw, (i, len(blob), raw)
+
+    blob = bytearray(_encode_flac(1))
+    blob[100] ^= 0x40  # flip one residual bit
+    with pytest.raises(ValueError, match="CRC"):
+        parse_flac(bytes(blob))
+    with pytest.raises(ValueError, match="not a FLAC"):
+        parse_flac(b"OggS" + bytes(blob)[4:])
