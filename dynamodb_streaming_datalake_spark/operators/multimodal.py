@@ -1188,9 +1188,10 @@ class _FlacBitWriter:
         self.acc &= (1 << self.nbits) - 1
 
     def put_unary(self, q: int) -> None:
-        for _ in range(q):
-            self.put(0, 1)
-        self.put(1, 1)
+        while q >= 32:  # chunked zero emission — unary can be long
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)  # q zeros then the terminating 1
 
     def align(self) -> None:
         if self.nbits:

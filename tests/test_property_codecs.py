@@ -181,3 +181,30 @@ def test_g711_both_laws_match_audioop_on_arbitrary_codes(data):
         alaw_expand(codes),
         np.frombuffer(audioop.alaw2lin(data, 2), "<i2").astype(np.int64),
     )
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**12), max_value=2**12),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=2, max_value=14),
+)
+@settings(max_examples=100, deadline=None)
+def test_flac_rice_layer_roundtrips_arbitrary_residuals(res, k):
+    """The Golomb-Rice entropy layer roundtrips arbitrary signed
+    residuals at any parameter k — zigzag, unary quotients and k-bit
+    remainders all on the shrink path."""
+    from dynamodb_streaming_datalake_spark.operators.multimodal import (
+        _FlacBitReader,
+        _FlacBitWriter,
+        _rice_read,
+        _rice_write,
+    )
+
+    bw = _FlacBitWriter()
+    _rice_write(bw, res, k)
+    bw.align()
+    got = _rice_read(_FlacBitReader(bytes(bw.out)), len(res), k)
+    assert got == res
