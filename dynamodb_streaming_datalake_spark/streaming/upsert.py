@@ -288,3 +288,154 @@ def _register() -> None:
 
 
 _register()
+
+
+# ---------------------------------------------------------------------------
+# VACUUM: version retention for MVCC directories (round 8)
+# ---------------------------------------------------------------------------
+# Committed versions are immutable and keep every past state readable —
+# and therefore grow without bound. VACUUM is the retention half of the
+# MVCC contract: delete all but the newest ``keep_last`` committed
+# versions. Readers of surviving versions are untouched (versions are
+# whole immutable directories, so deletion is per-version atomic from
+# a reader's perspective: a version is either fully there or gone);
+# time travel to a vacuumed version fails loudly.
+
+
+def vacuum_snapshots(
+    spark: SparkSession, snapshot_dir: str, keep_last: int
+) -> list[int]:
+    """Delete all but the newest ``keep_last`` committed versions;
+    returns the version numbers removed. ``keep_last`` must be >= 1 —
+    the current version is never vacuumable."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (cannot vacuum the head)")
+    vs = _versions(spark, snapshot_dir)
+    doomed = vs[:-keep_last] if len(vs) > keep_last else []
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for v in doomed:
+        path = jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/v={v}")
+        path.getFileSystem(conf).delete(path, True)
+    return doomed
+
+
+_VACUUM_VERSION = "v1"
+
+
+def _ensure_vacuumed_snapshots(spark: SparkSession, sf_dir: str) -> str:
+    """Three committed versions built with the real upsert kernel
+    (day-1 -> v=1, day-2 -> v=2, the rest -> v=3), then VACUUMed to
+    keep_last=2 — so v=1 is genuinely gone from disk while v=2 and
+    v=3 still serve. Cached per (version, sf_dir)."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    def build(build_dir: str) -> None:
+        snap = os.path.join(build_dir, "snapshot")
+        ev = read_table(spark, sf_dir, "events")
+        shaped = ev.select(
+            F.col("user_id").cast("string").alias("id"),
+            F.col("event_type").alias("name"),
+            F.col("value"),
+            F.when(F.col("event_id") % 10 == 0, F.lit("REMOVE"))
+            .when(F.col("event_id") % 2 == 0, F.lit("INSERT"))
+            .otherwise(F.lit("MODIFY"))
+            .alias("Event"),
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias(
+                "event_time_s"
+            ),
+            F.format_string("ev-%010d", F.col("event_id")).alias("eventID"),
+        )
+        day2 = F.unix_timestamp(F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        day3 = F.unix_timestamp(F.lit("2024-01-03 00:00:00").cast("timestamp"))
+        keys, order = ["id", "name"], ["event_time_s", "eventID"]
+        upsert_snapshot(
+            spark, shaped.where(F.col("event_time_s") < day2), snap,
+            keys, order, version=1,
+        )
+        upsert_snapshot(
+            spark,
+            shaped.where(
+                (F.col("event_time_s") >= day2) & (F.col("event_time_s") < day3)
+            ),
+            snap, keys, order, version=2,
+        )
+        upsert_snapshot(
+            spark, shaped.where(F.col("event_time_s") >= day3), snap,
+            keys, order, version=3,
+        )
+        deleted = vacuum_snapshots(spark, snap, keep_last=2)
+        assert deleted == [1], deleted
+
+    return ensure_cached_build("mvccvac", _VACUUM_VERSION, sf_dir, build)
+
+
+def _register_vacuum() -> None:
+    from dynamodb_streaming_datalake_spark.registry import query
+
+    _RANKED_V = """
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY id, name
+            ORDER BY event_time_s DESC, eventID DESC) AS rn
+        FROM {src}
+    """
+
+    @query(
+        "q_mvcc_vacuum",
+        oracle=f"""
+        WITH src AS (
+            SELECT CAST(user_id AS VARCHAR) AS id,
+                   event_type AS name,
+                   value,
+                   CASE WHEN event_id % 10 = 0 THEN 'REMOVE'
+                        WHEN event_id % 2 = 0 THEN 'INSERT'
+                        ELSE 'MODIFY' END AS Event,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS event_time_s,
+                   'ev-' || lpad(CAST(event_id AS VARCHAR), 10, '0')
+                     AS eventID
+            FROM events
+        ),
+        d12 AS (SELECT * FROM src WHERE event_time_s <
+                    CAST(floor(epoch(TIMESTAMP '2024-01-03')) AS BIGINT)),
+        v2 AS (SELECT id, name, value, Event, event_time_s
+               FROM ({_RANKED_V.format(src='d12')})
+               WHERE rn = 1 AND Event <> 'REMOVE'),
+        v3 AS (SELECT id, name, value, Event, event_time_s
+               FROM ({_RANKED_V.format(src='src')})
+               WHERE rn = 1 AND Event <> 'REMOVE')
+        SELECT CAST(2 AS INT) AS version, * FROM v2
+        UNION ALL
+        SELECT CAST(3 AS INT) AS version, * FROM v3
+        """,
+    )
+    def q_mvcc_vacuum(spark, sf_dir):
+        """VACUUM under the oracle gate — the retention half of the
+        MVCC contract: three versions are committed with the real
+        upsert kernel, then all but the newest two are deleted from
+        disk (the build asserts v=1 is what went). The query reads the
+        two SURVIVORS — v=2 via time travel, v=3 as current — and the
+        oracle replays both from the raw events: hash-equality proves
+        vacuuming old versions disturbs neither the head nor the
+        surviving history, while reading the vacuumed v=1 raises
+        (pinned in tests/test_streaming.py).
+
+        Scale: vacuum is pure namespace work — one directory delete
+        per expired version, no data read or rewritten; cost is
+        O(versions), independent of table size."""
+        import os
+
+        path = _ensure_vacuumed_snapshots(spark, sf_dir)
+        snap = os.path.join(path, "snapshot")
+        out = []
+        for v in (2, 3):
+            df = current_snapshot(spark, snap, version=v).select(
+                "id", "name", "value", "Event", "event_time_s"
+            )
+            out.append(df.select(F.lit(v).cast("int").alias("version"), "*"))
+        return out[0].unionByName(out[1])
+
+
+_register_vacuum()

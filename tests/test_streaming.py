@@ -576,3 +576,49 @@ def test_hll_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     last = _versions(spark, view_dir)[-1]
     upsert_hll_view(spark, li, view_dir, version=last + 1)
     assert cells(current_cms(spark, view_dir)) == got
+
+
+def test_vacuum_deletes_old_versions_and_guards_time_travel(
+    spark, tmp_path, sf_smoke
+):
+    """VACUUM semantics the hash can't articulate: expired version
+    directories are REALLY gone from disk, reading a vacuumed version
+    raises, the survivors still serve byte-identically, and keep_last
+    < 1 (vacuuming the head) is refused."""
+    import pytest as _pytest
+
+    from dynamodb_streaming_datalake_spark.streaming.upsert import (
+        _versions,
+        current_snapshot,
+        upsert_snapshot,
+        vacuum_snapshots,
+    )
+
+    ev = read_table(spark, sf_smoke, "events")
+    shaped = ev.select(
+        F.col("user_id").cast("string").alias("id"),
+        F.col("event_type").alias("name"),
+        F.col("value"),
+        F.lit("INSERT").alias("Event"),
+        F.col("event_id").alias("event_time_s"),
+        F.col("event_id").cast("string").alias("eventID"),
+    )
+    snap = str(tmp_path / "snap")
+    keys, order = ["id", "name"], ["event_time_s", "eventID"]
+    for v in (1, 2, 3, 4):
+        upsert_snapshot(
+            spark, shaped.where(F.col("event_id") % 4 == v - 1), snap,
+            keys, order, version=v,
+        )
+    before = sorted(map(tuple, current_snapshot(spark, snap).collect()))
+    assert vacuum_snapshots(spark, snap, keep_last=2) == [1, 2]
+    assert _versions(spark, snap) == [3, 4]
+    # survivors unchanged; vacuumed versions raise; head protected
+    assert sorted(map(tuple, current_snapshot(spark, snap).collect())) == before
+    current_snapshot(spark, snap, version=3)
+    with _pytest.raises(ValueError, match="not committed"):
+        current_snapshot(spark, snap, version=1)
+    with _pytest.raises(ValueError, match="keep_last"):
+        vacuum_snapshots(spark, snap, keep_last=0)
+    # idempotent: vacuuming again removes nothing
+    assert vacuum_snapshots(spark, snap, keep_last=2) == []
