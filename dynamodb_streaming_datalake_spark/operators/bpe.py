@@ -553,7 +553,7 @@ def _sql_uni_layer(k: int) -> str:
     )
     # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at
     # every reference, and each layer references up to 4 prior layers —
-    # unmaterialized, the 12-layer recurrence re-expands ~4^12 times
+    # unmaterialized, the UNI_MAX_LEN-layer recurrence re-expands ~4^UNI_MAX_LEN times
     return f"""
     dp{k} AS MATERIALIZED (
         SELECT word, MIN(comb) AS comb FROM ({branches}) GROUP BY word

@@ -2,7 +2,7 @@
 first-class DataFrame operators with exact cross-engine oracles.
 
 The reference pipeline has no analytics at all (its Lambda is a pure
-record-shape transform, ``/root/reference/lambda/firehose_transformation.py``),
+record-shape transform, ``/root/reference/resources/firehose_transformation.py``),
 but any 100 TB lake needs cardinality and frequency answers that don't
 cost a full shuffle of the key space. Spark ships
 ``approx_count_distinct`` (HLL++) as a black box; these operators build

@@ -20,43 +20,168 @@ ORACLE: dict[str, str] = {}
 
 # Deliberate driver-facing ordering. The driver's CORRECTNESS gate records
 # exactly the first 50 entries of ``all_queries()``, so ordering is part of
-# the proof surface, not cosmetics. Rotation rule: UNPROVEN first,
-# once-proven next, twice-proven tail last — rotate twice-proven window
-# members out to make room, never the converse. Round 8 leads with the ten
-# round-7 additions registered after round-7's window (the only names with
-# no driver row anywhere), then the 40 stalest round-5-proven re-proofs —
-# exactly 50. The four remaining r5-proven names head the tail and lead
-# round 9 alongside round-8 additions (which register after the window, the
-# r5/r6/r7 precedent). Names not listed here order after the listed ones,
-# in registration order — so a future registration can never silently eject
-# a listed query from the window.
+# the proof surface, not cosmetics. Rotation rule: never-driver-proven
+# names first, then re-proofs in staleness order — ascending latest-proof
+# round, stable tie-break (scripts/rotate_window.py derives and checks
+# this mechanically). Names not listed here (mid-round
+# registrations) order after the listed ones, behind the window, and join
+# the derivation at the next rotation — so a future registration can never
+# silently eject a listed query from the window.
+#
+# PRIORITY derived by scripts/rotate_window.py from
+# CORRECTNESS_r*.json (latest: r8).  Do not hand-order;
+# regenerate after each driver round.  Derivation: the
+# 28 never-driver-proven names lead (registration
+# order), then proofs ascending by (round, registration).
 PRIORITY: tuple[str, ...] = (
-    # -- round-8 window (driver records first 50): the ten round-7
-    #    additions registered after round-7's window (never driver-proven),
-    #    then the 40 stalest round-5-proven re-proofs.
-    "q_media_webp",              # real WebP-lossless (VP8L) codec
-    "q_media_mp4_samples",       # stbl expansion to per-sample rows
-    "q_incr_agg_stream",         # foreachBatch-maintained agg view
-    "q_media_mp3_sideinfo",      # Layer-III side-info bit parse
-    "q_media_wav_adpcm",         # IMA ADPCM decode, recursive-CTE oracle
-    "q_lm_doc_score",            # bigram-LM document quality scoring
-    "q_triangle_count",          # ordered-edge triangle enumeration
-    "q_dedup_spans",             # cross-doc duplicated-span profile
-    "q_entity_resolution",       # blocking + edit-distance linkage
-    "q_retrieval_eval",          # recall@k / MRR of IVF vs brute truth
-    # -- 40 stalest round-5-proven re-proofs --
+    # -- never driver-proven --
+    "q_pit_join",
+    "q_label_propagation",
+    "q_item_similarity",
+    "q_unigram_tokenize",
+    "q_interp_linear",
+    "q_anomaly_zscore",
+    "q_bootstrap_ci",
+    "q_dedup_keep_best",
+    "q_dedup_eval",
+    "q_media_wav_g711",
+    "q_media_flac",
+    "q_media_jpeg_prog",
+    "q_media_jpeg_color",
+    "q_train_shards",
+    "q_mix_temperature",
+    "q_decontaminate_fuzzy",
+    "q_skew_diagnose",
+    "q_salted_agg",
+    "q_encoding_advisor",
+    "q_cms_heavy_hitters",
+    "q_hll_distinct",
+    "q_quantile_sketch",
+    "q_analyze_ndv",
+    "q_join_estimate",
+    "q_geo_join",
+    "q_mvcc_vacuum",
+    "q_cms_stream",
+    "q_hll_stream",
+    # -- proven r5 --
+    "q_range_join_clicks",
+    "q_pivot_event_matrix",
+    "q_event_moments",
+    "q_histogram_value",
+    # -- proven r6 --
+    "q_incr_agg",
+    "q_snapshot_diff",
+    "q_pagerank",
+    "q_bpe_train",
+    "q_bpe_tokenize",
+    "q_bigram_lm",
+    "q_data_quality_report",
+    "q_compact_scan",
+    "q_ewma_user_value",
+    "q_order_baskets",
+    "q_linreg_train",
+    "q_cohort_retention",
+    "q_sequence_pattern",
+    "q_equidepth_histogram",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_dedup_embedding",
+    "q_dedup_embedding_trained",
+    "q_doc_cdc_chunks",
+    "q_bm25_search",
+    "q_quality_classifier",
+    "q_dedup_clusters",
+    "q_para_dedup",
+    "q_pq_quantize",
+    "q_ann_pq",
+    "q_ann_pq_rerank",
+    "q_ann_ivfpq",
+    "q_ann_pq_filtered",
+    "q_hybrid_search",
+    "q_media_bmp",
+    "q_media_png",
+    "q_media_mp4",
+    "q_media_mp3",
+    "q_media_jpeg",
+    "q_media_gif",
+    "q_media_tiff",
+    "q_sequence_pack",
+    "q_stratified_cap",
+    "q_salted_join",
+    "q_zorder_scan",
+    "q_schema_evolution",
+    "q_csv_roundtrip",
+    "q_orc_roundtrip",
+    "q_avro_scan",
+    "q_warc_ingest",
+    "q_stream_attribution",
+    "q_mvcc_timetravel",
+    # -- proven r7 --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_latest_state_per_key",
+    "q_merge_snapshot_cdc",
+    "q_scd2_intervals",
+    "q_bloom_prejoin",
+    "q_cdc_zone_roundtrip",
+    "q_stateful_latest_state",
+    "q_enrich_stream",
+    "q_grouping_sets",
+    "q_window_time_range",
+    "q_user_value_deciles",
+    "q_gap_fill_hourly",
+    "q_user_last_event",
+    "q_sessionize",
+    "q_unpivot_event_matrix",
+    "q_dedup_apply",
+    "q_dedup_apply_clustered",
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_lang_distribution",
+    "q_text_repetition",
+    "q_doc_chunks",
+    "q_tfidf_terms",
+    "q_heavy_hitters",
+    "q_ann_topk",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_kmeans",
+    "q_embedding_quantize",
+    "q_ann_filtered",
+    "q_media_decode",
+    "q_media_frame_stats",
+    "q_media_audio_stats",
+    "q_media_wav",
+    "q_media_ppm",
+    "q_udf_vector_norms",
+    "q_sample_deterministic",
+    "q_training_mix",
+    "q_token_budget",
+    "q_decontaminate",
+    "q_k_anonymize",
+    "q_pii_redact",
+    "q_corpus_curation",
+    "q_zip_ingest",
+    "q_tgz_ingest",
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_window_session",
+    # -- proven r8 --
+    "q5_nation_revenue",
     "q_customers_without_orders",
+    "q_suppliers_with_bulk_sales",
     "q_rollup_events",
     "q_user_event_history",
     "q_topk_orders",
     "q_set_reconcile_customers",
-    "q_json_props",
-    "q_top_words",
-    "q_sql_entrypoint",
-    "q5_nation_revenue",
-    "q_suppliers_with_bulk_sales",
     "q_scalar_string_math",
     "q_scalar_datetime",
+    "q_json_props",
+    "q_top_words",
     "q_cube_events",
     "q_distinct_counts",
     "q_order_lineitem_join",
@@ -69,6 +194,9 @@ PRIORITY: tuple[str, ...] = (
     "q_funnel_conversion",
     "q_value_percentiles",
     "q_global_sort",
+    "q_sql_entrypoint",
+    "q_triangle_count",
+    "q_lm_doc_score",
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q8_market_share",
@@ -85,114 +213,14 @@ PRIORITY: tuple[str, ...] = (
     "q16_parts_supplier_counts",
     "q20_dominant_part_suppliers",
     "q_asof_join",
-    # -- tail: the four remaining r5-proven names (stalest; lead round 9
-    #    after any round-8 additions) --
-    "q_range_join_clicks",
-    "q_pivot_event_matrix",
-    "q_event_moments",
-    "q_histogram_value",
-    # -- round-7-window names, freshly proven in CORRECTNESS_r07 --
-    "q_zip_ingest",
-    "q_tgz_ingest",
-    "q_dedup_apply",
-    "q_dedup_apply_clustered",
-    "q_ann_topk",
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_ann_filtered",
-    "q_kmeans",
-    "q_text_stats",
-    "q_text_langid",
-    "q_text_fingerprint",
-    "q_text_repetition",
-    "q_doc_chunks",
-    "q_lang_distribution",
-    "q_media_decode",
-    "q_media_frame_stats",
-    "q_media_audio_stats",
-    "q_udf_vector_norms",
-    "q_embedding_quantize",
-    "q_sample_deterministic",
-    "q_training_mix",
-    "q_token_budget",
-    "q_decontaminate",
-    "q_corpus_curation",
-    "q_k_anonymize",
-    "q_pii_redact",
-    "q_window_tumbling",
-    "q_window_sliding",
-    "q_window_session",
-    "q_window_time_range",
-    "q_grouping_sets",
-    "q_unpivot_event_matrix",
-    "q_sessionize",
-    "q_user_last_event",
-    "q_user_value_deciles",
-    "q_gap_fill_hourly",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q_cdc_zone_roundtrip",
-    "q_stateful_latest_state",
-    "q_latest_state_per_key",
-    "q_merge_snapshot_cdc",
-    "q_scd2_intervals",
-    "q_enrich_stream",
-    "q_media_wav",
-    "q_media_ppm",
-    "q_tfidf_terms",
-    "q_heavy_hitters",
-    "q_bloom_prejoin",
-    # -- proven green in CORRECTNESS_r06 (round-6 window) --
-    "q_salted_join",
-    "q_pq_quantize",
-    "q_ann_pq",
-    "q_media_bmp",
-    "q_ann_pq_rerank",
-    "q_doc_cdc_chunks",
-    "q_zorder_scan",
-    "q_mvcc_timetravel",
-    "q_compact_scan",
-    "q_ann_ivfpq",
-    "q_ann_pq_filtered",
-    "q_media_png",
-    "q_sequence_pack",
-    "q_bm25_search",
-    "q_stream_attribution",
-    "q_quality_classifier",
-    "q_media_mp4",
-    "q_media_mp3",
-    "q_hybrid_search",
-    "q_pagerank",
-    "q_media_jpeg",
-    "q_bpe_train",
-    "q_bpe_tokenize",
-    "q_stratified_cap",
-    "q_incr_agg",
-    "q_media_gif",
-    "q_snapshot_diff",
-    "q_ewma_user_value",
-    "q_data_quality_report",
-    "q_order_baskets",
-    "q_para_dedup",
-    "q_schema_evolution",
-    "q_linreg_train",
-    "q_csv_roundtrip",
-    "q_orc_roundtrip",
-    "q_bigram_lm",
-    "q_avro_scan",
-    "q_cohort_retention",
-    "q_sequence_pattern",
-    "q_equidepth_histogram",
-    "q_warc_ingest",
-    "q_media_tiff",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
-    "q_dedup_simhash_pairs",
-    "q_dedup_embedding",
-    "q_dedup_embedding_trained",
-    "q_dedup_clusters",
+    "q_dedup_spans",
+    "q_retrieval_eval",
+    "q_media_wav_adpcm",
+    "q_media_mp4_samples",
+    "q_media_mp3_sideinfo",
+    "q_media_webp",
+    "q_entity_resolution",
+    "q_incr_agg_stream",
 )
 
 

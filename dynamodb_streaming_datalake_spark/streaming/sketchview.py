@@ -80,11 +80,18 @@ def start_cms_maintenance(
     return writer.start()
 
 
-def current_cms(
+def current_sketch_view(
     spark: SparkSession, view_dir: str, version: int | None = None
 ) -> DataFrame | None:
-    """The committed sketch (optionally time-traveled)."""
+    """The committed sketch rows, whatever their shape — CMS (d, w,
+    cnt) cells and HLL (bucket, m) registers both read through here
+    (optionally time-traveled)."""
     return current_snapshot(spark, view_dir, live_only=False, version=version)
+
+
+#: backwards-compatible alias (pre-round-9 name; the reader was never
+#: CMS-specific — round-8 ADVICE asked for a sketch-neutral name)
+current_cms = current_sketch_view
 
 
 # ---------------------------------------------------------------------------
@@ -146,7 +153,7 @@ def _register() -> None:
         import os
 
         path = _ensure_cms_view(spark, sf_dir)
-        sketch = current_cms(spark, os.path.join(path, "view"))
+        sketch = current_sketch_view(spark, os.path.join(path, "view"))
         ev = read_table(spark, sf_dir, "events")
         exact = ev.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("exact_cnt")
@@ -262,9 +269,9 @@ def _register_hll() -> None:
         import os
 
         path = _ensure_hll_view(spark, sf_dir)
-        # current_cms is just the committed-version reader; the view
+        # current_sketch_view is just the committed-version reader; the view
         # schema here is (bucket, m) registers
-        reg = current_cms(spark, os.path.join(path, "view"))
+        reg = current_sketch_view(spark, os.path.join(path, "view"))
         li = read_table(spark, sf_dir, "lineitem")
         ex = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
         from dynamodb_streaming_datalake_spark.operators.sketches import (

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Derive the registry PRIORITY tuple from the driver's CORRECTNESS
+artifacts — mechanizing the rotation rule so it can never be violated
+by hand again (round-8 VERDICT "Next round" #2).
+
+Rule (documented at ``registry.py:PRIORITY`` since round 6):
+
+1. names with NO driver row in any ``CORRECTNESS_r*.json`` lead —
+   the driver's 50-slot window must prove them first;
+2. proven names follow in staleness order — ascending latest-proof
+   round — so the stalest re-proof is always nearest the window and
+   nothing in the tail is ever staler than anything inside it (the
+   ``tests/test_registry.py`` ratchet).
+
+The sort is STABLE with the previously committed tuple as the
+baseline, so ties keep their existing order and the derivation does
+not depend on Python import order.
+
+``python scripts/rotate_window.py`` prints the derived tuple as Python
+source ready to paste into ``registry.py``.  ``--check`` instead
+compares the committed PRIORITY against the derivation and exits 1 on
+drift — the same comparison ``tests/test_registry.py::
+test_priority_matches_derivation`` runs in CI.  When a new
+``CORRECTNESS_r{N}.json`` lands, the derivation shifts and the check
+goes red until the regenerated tuple is committed: red means "run me",
+not "debug me".
+
+Names registered AFTER a rotation (mid-round additions) are deliberately
+absent from PRIORITY — ``registry._ordered`` orders them after every
+listed name, behind the window, per the r5–r8 precedent; they join the
+derivation at the next rotation.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+
+def load_proofs(root: Path = ROOT) -> dict[str, int]:
+    """name -> latest round with a driver CORRECTNESS row (any verdict:
+    a recorded row is a driver visit; failures still count as fresher
+    than never-visited)."""
+    proofs: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", p.stem).group(1))
+        for name in json.loads(p.read_text()):
+            proofs[name] = max(proofs.get(name, 0), rnd)
+    return proofs
+
+
+def derive_priority(
+    baseline: list[str], proofs: dict[str, int]
+) -> list[str]:
+    """Pure derivation: a STABLE sort of ``baseline`` by latest proof
+    round, never-proven names keyed below every round so they lead.
+    Stability makes the tie-break the baseline's own order — for
+    ``--check`` the baseline is the committed PRIORITY itself (so the
+    check asserts exactly the invariant: already-sorted by staleness),
+    which keeps the derivation independent of Python import order
+    (QUERIES insertion order shifts when a test imports an operator
+    module before ``load_all()`` — the round-9 lesson)."""
+    return sorted(baseline, key=lambda n: proofs.get(n, -1))
+
+
+def generation_baseline() -> list[str]:
+    """Committed PRIORITY first (preserves prior tie-breaks), then any
+    names registered since the last rotation, in registration order."""
+    from dynamodb_streaming_datalake_spark import registry
+
+    registry.load_all()
+    listed = set(registry.PRIORITY)
+    return list(registry.PRIORITY) + [
+        n for n in registry.QUERIES if n not in listed
+    ]
+
+
+def main(argv: list[str]) -> int:
+    proofs = load_proofs()
+    if "--check" in argv:
+        from dynamodb_streaming_datalake_spark.registry import PRIORITY
+
+        # Mid-round registrations are allowed to be absent from
+        # PRIORITY (they queue behind the window); the committed tuple
+        # must already be staleness-sorted on its own members.
+        expect = derive_priority(list(PRIORITY), proofs)
+        if list(PRIORITY) != expect:
+            diffs = [
+                (i, a, b)
+                for i, (a, b) in enumerate(zip(PRIORITY, expect))
+                if a != b
+            ]
+            print(
+                f"PRIORITY drift at {len(diffs)} positions; first: "
+                f"{diffs[0] if diffs else (len(PRIORITY), len(expect))}"
+            )
+            print("regenerate with: python scripts/rotate_window.py")
+            return 1
+        print(f"PRIORITY matches derivation ({len(PRIORITY)} names)")
+        return 0
+    derived = derive_priority(generation_baseline(), proofs)
+    latest = max(proofs.values(), default=0)
+    n_unproven = sum(1 for n in derived if n not in proofs)
+    print(f"# PRIORITY derived by scripts/rotate_window.py from")
+    print(f"# CORRECTNESS_r*.json (latest: r{latest}).  Do not hand-order;")
+    print(f"# regenerate after each driver round.  Derivation: the")
+    print(f"# {n_unproven} never-driver-proven names lead, then proofs")
+    print(f"# ascending by round (stable tie-break: prior order).")
+    print("PRIORITY: tuple[str, ...] = (")
+    prev: object = ...
+    for n in derived:
+        tag = proofs.get(n)
+        if tag != prev:
+            label = "never driver-proven" if tag is None else f"proven r{tag}"
+            print(f"    # -- {label} --")
+            prev = tag
+        print(f'    "{n}",')
+    print(")")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -85,3 +85,27 @@ def test_window_prefers_unproven_queries():
         f"tail holds a staler proof (r{stalest_in_tail}) than the window's "
         f"freshest (r{freshest_in_window}) — rotate it in"
     )
+
+
+def test_priority_matches_derivation():
+    """Mechanized rotation (round-8 VERDICT #2): the committed PRIORITY
+    must equal scripts/rotate_window.py's derivation from the
+    CORRECTNESS_r*.json artifacts — unproven first, then proofs
+    ascending by staleness (stable sort, so ties keep committed order).
+    Mid-round registrations may be absent (they queue behind the
+    window until the next rotation), so the derivation runs over
+    PRIORITY's own members. When the
+    driver drops a new artifact this goes red until the regenerated
+    tuple is committed: red means `python scripts/rotate_window.py`."""
+    import pathlib
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "scripts"))
+    from rotate_window import derive_priority, load_proofs
+
+    derived = derive_priority(list(PRIORITY), load_proofs(root))
+    assert list(PRIORITY) == derived, (
+        "PRIORITY drifted from derivation — regenerate with "
+        "`python scripts/rotate_window.py`"
+    )

@@ -505,7 +505,7 @@ def test_cms_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     a committed version must be a no-op."""
     from dynamodb_streaming_datalake_spark.operators.sketches import cms_build
     from dynamodb_streaming_datalake_spark.streaming.sketchview import (
-        current_cms,
+        current_sketch_view,
         start_cms_maintenance,
         upsert_cms_view,
     )
@@ -525,7 +525,7 @@ def test_cms_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     def cells(df):
         return {(r["depth"], r["col"]): r["cnt"] for r in df.collect()}
 
-    got = cells(current_cms(spark, view_dir))
+    got = cells(current_sketch_view(spark, view_dir))
     assert got == cells(cms_build(ev, "user_id"))
 
     # replaying the last committed version must not double-count
@@ -533,7 +533,7 @@ def test_cms_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
 
     last = _versions(spark, view_dir)[-1]
     upsert_cms_view(spark, ev.limit(50), view_dir, version=last)
-    assert cells(current_cms(spark, view_dir)) == got
+    assert cells(current_sketch_view(spark, view_dir)) == got
 
 
 def test_hll_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
@@ -545,7 +545,7 @@ def test_hll_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
         hll_registers,
     )
     from dynamodb_streaming_datalake_spark.streaming.sketchview import (
-        current_cms,
+        current_sketch_view,
         start_hll_maintenance,
         upsert_hll_view,
     )
@@ -565,7 +565,7 @@ def test_hll_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     def cells(df):
         return {r["bucket"]: r["m"] for r in df.collect()}
 
-    got = cells(current_cms(spark, view_dir))
+    got = cells(current_sketch_view(spark, view_dir))
     assert got == cells(hll_registers(li, "l_orderkey"))
 
     # idempotence: folding the WHOLE table again as a new version is a
@@ -575,7 +575,7 @@ def test_hll_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
 
     last = _versions(spark, view_dir)[-1]
     upsert_hll_view(spark, li, view_dir, version=last + 1)
-    assert cells(current_cms(spark, view_dir)) == got
+    assert cells(current_sketch_view(spark, view_dir)) == got
 
 
 def test_vacuum_deletes_old_versions_and_guards_time_travel(
