@@ -94,6 +94,8 @@ def main() -> None:
     # the plan-shape tests. Skipped when benching other sf dirs or with
     # SPARK_GRAFT_SF1=0.
     sf1_timings: dict[str, float] = {}
+    sf1_ann_samples: dict[str, list[float]] = {}
+    sf1_ann_diag: dict = {}
     sf1_ratio: dict[str, float] = {}
     minhash_probe: dict[str, dict] = {}
     if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
@@ -102,11 +104,12 @@ def main() -> None:
             str(Path(__file__).resolve().parent / ".benchdata" / "sf1"),
         )
         try:
+            import importlib.util
+
             # completion marker, not a table probe: an interrupted build
             # that got as far as lineitem.parquet must NOT pass for done
             done = Path(sf1_dir, "_BUILD_COMPLETE")
             if not done.exists():
-                import importlib.util
                 import shutil
 
                 shutil.rmtree(sf1_dir, ignore_errors=True)
@@ -119,15 +122,41 @@ def main() -> None:
             for name in SF1_FLAGSHIPS:
                 if name not in queries:
                     continue
-                t0 = time.perf_counter()
-                queries[name](spark, sf1_dir).count()
-                sf1_timings[name] = round(time.perf_counter() - t0, 3)
+                # the ANN pair gets medians-of-5 with every sample kept:
+                # BENCH_r08's single sf1 shot read 2x the builder probe on
+                # untouched code (host contention; scripts/ann_probe.py is
+                # the full reconciliation probe), and a single shot also
+                # charges q_ann_ivfpq's one-time PQ codebook training to
+                # whichever round has a cold cache. Medians make a real
+                # regression distinguishable from either.
+                ann_reps = 5 if name in ("q_ann_ivf", "q_ann_ivfpq") else 1
+                ts1 = []
+                for _ in range(ann_reps):
+                    t0 = time.perf_counter()
+                    queries[name](spark, sf1_dir).count()
+                    ts1.append(round(time.perf_counter() - t0, 3))
+                sf1_timings[name] = round(statistics.median(ts1), 3)
+                if ann_reps > 1:
+                    sf1_ann_samples[name] = ts1
                 base = timings.get(name)
                 # explicit None for un-ratioable entries (sub-ms base):
                 # silence would be indistinguishable from "didn't run"
                 sf1_ratio[name] = (
                     round(sf1_timings[name] / base, 1) if base else None
                 )
+            # data-side invariants for the ANN pair, recorded NEXT to the
+            # wall times: candidate volumes are deterministic functions of
+            # the sf1 build — if wall doubles while these hold, the cause
+            # is host/JVM state, not the plan (round-8 VERDICT item 2)
+            ap_path = (
+                Path(__file__).resolve().parent / "scripts" / "ann_probe.py"
+            )
+            ap_spec = importlib.util.spec_from_file_location(
+                "ann_probe", ap_path
+            )
+            ap = importlib.util.module_from_spec(ap_spec)
+            ap_spec.loader.exec_module(ap)
+            sf1_ann_diag = ap.ivf_diagnostics(spark, sf1_dir)
             # minhash scale evidence (round-6 verdict item 3): measure
             # the CAPPED candidate-pair volume and bucket fill at both
             # scales — on the verbatim-replicated sf1 set the true pair
@@ -151,6 +180,8 @@ def main() -> None:
             sf1_timings = {"error": -1.0}
             sf1_ratio = {}  # partial ratios would contradict the marker
             minhash_probe = {}
+            sf1_ann_samples = {}
+            sf1_ann_diag = {}
             print(f"sf1 probe failed: {exc}", file=sys.stderr)
 
     detail_path = Path(__file__).resolve().parent / "bench_detail.json"
@@ -167,6 +198,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf1_flagships": sf1_timings,
                 "sf1_ratio": sf1_ratio,
+                "sf1_ann_samples": sf1_ann_samples,
+                "sf1_ann_diag": sf1_ann_diag,
                 "minhash_probe": minhash_probe,
             },
             indent=1,

@@ -42,6 +42,13 @@ PR_ITERS = 5
 PR_TOP = 30
 
 
+#: rank vectors at or below this many nodes broadcast into the
+#: per-iteration join (the vector is |V| x 16 bytes — 5M nodes is
+#: ~100 MB, the practical broadcast ceiling); larger graphs keep the
+#: shuffle join, which bucketing/AQE co-partitions on a cluster
+PR_BROADCAST_MAX_NODES = 5_000_000
+
+
 def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     """Fixed-point PageRank over an ``(src, dst)`` string-keyed edge
     table. Returns ``(node, rank_fp)`` for every node with at least one
@@ -62,14 +69,23 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     nodes = edges_w.select(F.col("src").alias("node")).distinct()
     # N and the teleport base are 1-row aggregates, crossed in broadcast
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # size dispatch (same idiom as connected components): the rank
+    # vector is O(|V|) — when it fits a broadcast, ship IT to the
+    # checkpointed edges each round so the EDGE table never moves and
+    # each iteration costs exactly one shuffle (the dst aggregate)
+    # instead of two (join repartition + aggregate). The |V| probe is
+    # a 1-scalar collect off an aggregate, not a data collect.
+    n_nodes = n.collect()[0]["n_nodes"]
+    small = n_nodes <= PR_BROADCAST_MAX_NODES
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "node",
         F.expr(f"CAST({PR_SCALE} AS BIGINT) div n_nodes").alias("rank_fp"),
         "n_nodes",
     )
     for _ in range(iters):
+        rhs = F.broadcast(ranks) if small else ranks
         gathered = (
-            edges_w.join(ranks, edges_w["src"] == ranks["node"])
+            edges_w.join(rhs, edges_w["src"] == rhs["node"])
             .groupBy(F.col("dst"))
             .agg(
                 F.sum(F.expr("rank_fp div outdeg")).alias("s"),

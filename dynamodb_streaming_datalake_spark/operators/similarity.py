@@ -271,6 +271,37 @@ _SQL_IVF = f"""
 """
 
 
+def _ivf_candidates(e: DataFrame) -> DataFrame:
+    """The IVF candidate set (query_id, neighbor_id) — assignment,
+    probe, list join, self-pair drop, distinct. Factored out of
+    ``q_ann_ivf`` so ``scripts/ann_probe.py`` can count candidates
+    independently of ranking (the round-8 sf1 discrepancy probe)."""
+    cents = e.where(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored_assign = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        cosine(F.col("embedding"), F.col("ce")).alias("ac"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ac").desc(), F.col("cid")
+    )
+    ranked_assign = scored_assign.withColumn(
+        "r", F.row_number().over(w_assign)
+    )
+    lists = ranked_assign.where(F.col("r") == 1).select("vec_id", "cid")
+    probes = ranked_assign.where(
+        (F.col("r") <= IVF_NPROBE) & (F.col("vec_id") < IVF_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    return (
+        probes.join(lists, "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+
+
 @query(
     "q_ann_ivf",
     oracle=f"""
@@ -295,26 +326,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the layout FAISS-style IVF uses, expressed as DataFrame ops.
     """
     e = read_table(spark, sf_dir, "embeddings")
-    cents = e.where(F.col("vec_id") < IVF_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    scored_assign = e.join(F.broadcast(cents)).select(
-        "vec_id",
-        "cid",
-        cosine(F.col("embedding"), F.col("ce")).alias("ac"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ac").desc(), F.col("cid"))
-    ranked_assign = scored_assign.withColumn("r", F.row_number().over(w_assign))
-    lists = ranked_assign.where(F.col("r") == 1).select("vec_id", "cid")
-    probes = ranked_assign.where(
-        (F.col("r") <= IVF_NPROBE) & (F.col("vec_id") < IVF_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), "cid")
-    cand = (
-        probes.join(lists, "cid")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
-    )
+    cand = _ivf_candidates(e)
     scored = (
         cand.join(
             e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
