@@ -616,3 +616,247 @@ def q_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est / F.col("actual_rows")).alias("est_over_actual"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta / KMV distinct sketch (round 9)
+# ---------------------------------------------------------------------------
+# Completes the mergeable-sketch family with the one answer CMS/HLL
+# cannot give: SET-INTERSECTION estimates (audience overlap, join-key
+# intersection sizing before a join). A KMV (k-minimum-values) sketch
+# keeps the K smallest distinct hash values of a set; theta = the K-th
+# smallest acts as the sampling threshold, so any two sketches compare
+# below min(theta_a, theta_b) — the Theta-sketch set algebra
+# (Dasgupta et al., "Theta-Sketch Framework", and the DataSketches
+# library design). Everything below is integer (top-k by hash, MIN /
+# MAX, set membership) until one final float division per estimate, so
+# the DuckDB oracle replays it bit-exactly.
+
+#: sketch size (minimum hash values kept per set)
+THETA_K = 256
+#: 60-bit hash space of portable_hash60 (exactly representable as a
+#: double: a single power of two)
+THETA_HSPACE = 1 << 60
+
+
+def kmv_sketch(keyed: DataFrame, key: str, k: int = THETA_K) -> DataFrame:
+    """The K smallest distinct hashes of ``keyed[key]`` — a 1-column
+    ``h`` table of at most K rows. Plan shape: distinct + orderBy.limit
+    = TakeOrderedAndProject (distributed per-partition partial top-k,
+    no global sort). Mergeable: the KMV of a union is the K smallest of
+    the unioned sketches — an associative, commutative, idempotent
+    monoid, which is what the streaming view folds
+    (streaming/sketchview.py)."""
+    h = keyed.select(
+        portable_hash60(F.col(key).cast("string")).alias("h")
+    ).distinct()
+    return h.orderBy("h").limit(k)
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = THETA_K) -> DataFrame:
+    """Union two KMV sketch tables and keep the K smallest — the monoid
+    op. Inputs are <=K rows each, so the union is bounded."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def theta_overlap(
+    sa: DataFrame, sb: DataFrame, exact: DataFrame, k: int = THETA_K
+) -> DataFrame:
+    """One-row overlap report from two KMV sketches plus a caller-built
+    1-row ``exact`` frame (exact_a, exact_b, exact_intersection — the
+    eval columns). All sketch-side arithmetic is integer; each estimate
+    is count * 2^60 / theta with exactly one float division, identical
+    in the oracle."""
+    ta = sa.agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(THETA_HSPACE))
+        .otherwise(F.max("h"))
+        .alias("theta_a")
+    )
+    tb = sb.agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(THETA_HSPACE))
+        .otherwise(F.max("h"))
+        .alias("theta_b")
+    )
+    th = ta.crossJoin(tb).select(
+        "theta_a", "theta_b", F.least("theta_a", "theta_b").alias("theta")
+    )
+    both = sa.select("h", F.lit("a").alias("side")).unionByName(
+        sb.select("h", F.lit("b").alias("side"))
+    )
+    # per-side sample sizes under each side's own theta (for the
+    # per-set estimates), and the cross-set counts under the shared
+    # theta (for intersection / union / jaccard)
+    samp = both.crossJoin(F.broadcast(th)).agg(
+        F.sum(
+            F.when(
+                (F.col("side") == "a") & (F.col("h") < F.col("theta_a")), 1
+            ).otherwise(0)
+        ).alias("na_sample"),
+        F.sum(
+            F.when(
+                (F.col("side") == "b") & (F.col("h") < F.col("theta_b")), 1
+            ).otherwise(0)
+        ).alias("nb_sample"),
+    )
+    below = (
+        both.crossJoin(F.broadcast(th))
+        .where(F.col("h") < F.col("theta"))
+        .groupBy("h")
+        .agg(F.countDistinct("side").alias("ns"))
+    )
+    cnts = below.agg(
+        F.count(F.lit(1)).alias("union_cnt"),
+        F.sum(F.when(F.col("ns") == 2, 1).otherwise(0)).alias("inter_cnt"),
+    )
+    hs = F.lit(float(THETA_HSPACE))
+
+    def est(cnt, theta):
+        return F.round(
+            F.col(cnt).cast("double") * hs / F.col(theta).cast("double"), 6
+        )
+
+    return (
+        th.crossJoin(samp)
+        .crossJoin(cnts)
+        .crossJoin(exact)
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            F.col("theta").cast("bigint").alias("theta"),
+            F.col("exact_a").cast("bigint").alias("exact_a"),
+            est("na_sample", "theta_a").alias("est_a"),
+            F.col("exact_b").cast("bigint").alias("exact_b"),
+            est("nb_sample", "theta_b").alias("est_b"),
+            F.col("exact_intersection").cast("bigint").alias(
+                "exact_intersection"
+            ),
+            est("inter_cnt", "theta").alias("est_intersection"),
+            est("union_cnt", "theta").alias("est_union"),
+            F.round(
+                F.col("inter_cnt").cast("double")
+                / F.col("union_cnt").cast("double"),
+                6,
+            ).alias("jaccard_est"),
+        )
+    )
+
+
+def _sql_kmv(name: str, pred: str) -> str:
+    h = sql_portable_hash60("CAST(o_custkey AS VARCHAR)")
+    return f"""
+    {name} AS (
+        SELECT h FROM (
+            SELECT DISTINCT {h} AS h FROM orders WHERE {pred}
+        ) ORDER BY h LIMIT {THETA_K}
+    )"""
+
+
+SQL_THETA_OVERLAP = f"""
+    WITH {_sql_kmv("sa", "o_orderstatus = 'F'")},
+    {_sql_kmv("sb", "o_orderstatus = 'O'")},
+    ta AS (
+        SELECT CASE WHEN COUNT(*) < {THETA_K} THEN {THETA_HSPACE}
+                    ELSE MAX(h) END AS theta_a FROM sa
+    ),
+    tb AS (
+        SELECT CASE WHEN COUNT(*) < {THETA_K} THEN {THETA_HSPACE}
+                    ELSE MAX(h) END AS theta_b FROM sb
+    ),
+    th AS (
+        SELECT theta_a, theta_b, LEAST(theta_a, theta_b) AS theta
+        FROM ta, tb
+    ),
+    both_s AS (
+        SELECT h, 'a' AS side FROM sa
+        UNION ALL SELECT h, 'b' FROM sb
+    ),
+    samp AS (
+        SELECT CAST(SUM(CASE WHEN side = 'a' AND h < theta_a
+                             THEN 1 ELSE 0 END) AS BIGINT) AS na_sample,
+               CAST(SUM(CASE WHEN side = 'b' AND h < theta_b
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nb_sample
+        FROM both_s, th
+    ),
+    below AS (
+        SELECT h, COUNT(DISTINCT side) AS ns
+        FROM both_s, th WHERE h < theta GROUP BY h
+    ),
+    cnts AS (
+        SELECT COUNT(*) AS union_cnt,
+               CAST(SUM(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS inter_cnt
+        FROM below
+    ),
+    exact AS (
+        SELECT
+          (SELECT COUNT(DISTINCT o_custkey) FROM orders
+           WHERE o_orderstatus = 'F') AS exact_a,
+          (SELECT COUNT(DISTINCT o_custkey) FROM orders
+           WHERE o_orderstatus = 'O') AS exact_b,
+          (SELECT COUNT(*) FROM
+             (SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderstatus = 'F') x
+           JOIN
+             (SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderstatus = 'O') y
+           USING (o_custkey)) AS exact_intersection
+    )
+    SELECT CAST({THETA_K} AS INT) AS k,
+           CAST(theta AS BIGINT) AS theta,
+           exact_a,
+           round(CAST(na_sample AS DOUBLE) * {float(THETA_HSPACE)!r}
+                 / CAST(theta_a AS DOUBLE), 6) AS est_a,
+           exact_b,
+           round(CAST(nb_sample AS DOUBLE) * {float(THETA_HSPACE)!r}
+                 / CAST(theta_b AS DOUBLE), 6) AS est_b,
+           exact_intersection,
+           round(CAST(inter_cnt AS DOUBLE) * {float(THETA_HSPACE)!r}
+                 / CAST(theta AS DOUBLE), 6) AS est_intersection,
+           round(CAST(union_cnt AS DOUBLE) * {float(THETA_HSPACE)!r}
+                 / CAST(theta AS DOUBLE), 6) AS est_union,
+           round(CAST(inter_cnt AS DOUBLE) / CAST(union_cnt AS DOUBLE), 6)
+             AS jaccard_est
+    FROM th, samp, cnts, exact
+"""
+
+
+@query("q_theta_distinct", oracle=SQL_THETA_OVERLAP)
+def q_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via Theta/KMV sketches: the customers holding
+    finished ('F') orders vs those holding open ('O') orders, each
+    summarized as its {THETA_K} minimum distinct hash values. The one
+    row reports, for each audience and for their intersection/union,
+    the sketch estimate NEXT to the exact count (the eval columns —
+    same harness pattern as q_cms_heavy_hitters / q_retrieval_eval),
+    plus the Jaccard estimate.
+
+    Set algebra: theta = min of the per-side K-th-smallest hashes;
+    every estimate is |sample below theta| * 2^60 / theta — integers
+    end to end with one final float division, so the DuckDB oracle
+    replays the sketch bit-exactly (2^60 is a single power of two,
+    exactly representable as a double; bigint->double casts are IEEE
+    round-half-even on both engines).
+
+    Scale: each sketch is <=K rows regardless of input (built as a
+    distributed partial top-k, TakeOrderedAndProject — no global
+    sort); per-shard sketches merge with union + re-top-k (the monoid
+    ``kmv_merge``, folded incrementally by q_theta_stream's view);
+    the overlap report touches only the <=2K sketch rows."""
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "F")
+    b = orders.where(F.col("o_orderstatus") == "O")
+    sa = kmv_sketch(a, "o_custkey")
+    sb = kmv_sketch(b, "o_custkey")
+    exact = (
+        a.agg(F.countDistinct("o_custkey").alias("exact_a"))
+        .crossJoin(b.agg(F.countDistinct("o_custkey").alias("exact_b")))
+        .crossJoin(
+            a.select("o_custkey")
+            .distinct()
+            .join(b.select("o_custkey").distinct(), "o_custkey")
+            .agg(F.count(F.lit(1)).alias("exact_intersection"))
+        )
+    )
+    return theta_overlap(sa, sb, exact)
+
+
+_fmt(q_theta_distinct, THETA_K=THETA_K)

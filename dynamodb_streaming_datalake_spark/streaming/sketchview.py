@@ -285,3 +285,171 @@ def _register_hll() -> None:
 
 
 _register_hll()
+
+
+# ---------------------------------------------------------------------------
+# streaming Theta/KMV view (round 9): same MVCC fold, k-smallest monoid
+# ---------------------------------------------------------------------------
+# The KMV sketch merges with union + re-take-K-smallest per side —
+# associative, commutative AND idempotent (re-folding the same hashes
+# changes nothing), like the HLL MAX view. The view rows are
+# (side, h): two audiences' sketches maintained in one table, so the
+# overlap report (operators.sketches.theta_overlap) reads a single
+# committed version.
+
+
+def merge_theta(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Per-side k-smallest of the union — the KMV monoid operation.
+    Inputs are <=2K rows each (two sides), so the window is over a
+    bounded frame; per-batch deltas are pre-reduced to <=K per side by
+    ``_theta_delta`` before they reach this merge."""
+    from pyspark.sql import Window
+
+    from dynamodb_streaming_datalake_spark.operators.sketches import THETA_K
+
+    w = Window.partitionBy("side").orderBy("h")
+    return (
+        prev.unionByName(delta)
+        .distinct()
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= THETA_K)
+        .drop("r")
+    )
+
+
+def _theta_delta(batch_df: DataFrame) -> DataFrame:
+    """Per-side KMV of one micro-batch of orders rows: side 'a' =
+    finished orders' customers, 'b' = open orders' customers. Each
+    side is an independent TakeOrderedAndProject top-k (bounded,
+    distributed), unioned into <=2K (side, h) rows."""
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    a = kmv_sketch(
+        batch_df.where(F.col("o_orderstatus") == "F"), "o_custkey"
+    ).select(F.lit("a").alias("side"), "h")
+    b = kmv_sketch(
+        batch_df.where(F.col("o_orderstatus") == "O"), "o_custkey"
+    ).select(F.lit("b").alias("side"), "h")
+    return a.unionByName(b)
+
+
+def upsert_theta_view(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    view_dir: str,
+    version: int,
+) -> None:
+    """Fold one micro-batch of orders into the (side, h) sketch view as
+    ``version``; committed-version replays are no-ops."""
+    if version in _versions(spark, view_dir):
+        return
+    delta = _theta_delta(batch_df)
+    prev = current_snapshot(spark, view_dir, live_only=False)
+    merged = delta if prev is None else merge_theta(prev, delta)
+    merged.write.mode("overwrite").parquet(f"{view_dir}/v={version}")
+
+
+def start_theta_maintenance(
+    orders: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch sink advancing the audience sketch per micro-batch."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_theta_view(
+            batch_df.sparkSession, batch_df, view_dir, version=batch_id
+        )
+
+    writer = orders.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+_THETAVIEW_VERSION = "v1"
+
+
+def _ensure_theta_view(spark: SparkSession, sf_dir: str) -> str:
+    """Two committed sketch versions built with the real fold: even
+    orderkeys -> v=1, odd folded on top -> v=2. Because the KMV merge
+    is exact (k smallest of a union), the final view EQUALS the
+    one-shot batch sketch over all orders — which is why the batch
+    oracle transfers verbatim."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    def build(build_dir: str) -> None:
+        view = os.path.join(build_dir, "view")
+        orders = read_table(spark, sf_dir, "orders")
+        upsert_theta_view(
+            spark, orders.where(F.col("o_orderkey") % 2 == 0), view, version=1
+        )
+        upsert_theta_view(
+            spark, orders.where(F.col("o_orderkey") % 2 == 1), view, version=2
+        )
+
+    return ensure_cached_build("thetaview", _THETAVIEW_VERSION, sf_dir, build)
+
+
+def _register_theta() -> None:
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        SQL_THETA_OVERLAP,
+        theta_overlap,
+    )
+    from dynamodb_streaming_datalake_spark.registry import query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    # identical answer contract as the one-shot q_theta_distinct build:
+    # the oracle recomputes both sketches from raw orders, so
+    # hash-equality proves the incremental per-side k-smallest fold
+    # reached exactly the one-shot sketch
+    @query("q_theta_stream", oracle=SQL_THETA_OVERLAP)
+    def q_theta_stream(spark, sf_dir):
+        """Streaming twin of q_theta_distinct: the (side, h) audience
+        sketch view is advanced twice with the real foreachBatch KMV
+        fold (even orderkeys -> v=1, odd on top -> v=2, cached per
+        sf_dir), then the overlap report is answered from the FINAL
+        committed version with the same ``theta_overlap`` kernel as
+        the batch query. The KMV merge is exact — k smallest of a
+        union — so the folded view equals the one-shot sketch and the
+        batch oracle transfers verbatim; the fold is also idempotent
+        (re-folding the same hashes is a no-op), pinned in
+        tests/test_streaming.py alongside the HLL view.
+
+        Scale: <=2K-row view rewritten per refresh; each delta is a
+        bounded distributed top-k of the micro-batch."""
+        import os
+
+        from pyspark.sql import functions as SF
+
+        path = _ensure_theta_view(spark, sf_dir)
+        view = current_sketch_view(spark, os.path.join(path, "view"))
+        sa = view.where(SF.col("side") == "a").select("h")
+        sb = view.where(SF.col("side") == "b").select("h")
+        orders = read_table(spark, sf_dir, "orders")
+        a = orders.where(SF.col("o_orderstatus") == "F")
+        b = orders.where(SF.col("o_orderstatus") == "O")
+        exact = (
+            a.agg(SF.countDistinct("o_custkey").alias("exact_a"))
+            .crossJoin(
+                b.agg(SF.countDistinct("o_custkey").alias("exact_b"))
+            )
+            .crossJoin(
+                a.select("o_custkey")
+                .distinct()
+                .join(b.select("o_custkey").distinct(), "o_custkey")
+                .agg(SF.count(SF.lit(1)).alias("exact_intersection"))
+            )
+        )
+        return theta_overlap(sa, sb, exact)
+
+
+_register_theta()

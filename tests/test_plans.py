@@ -246,6 +246,8 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_mix_temperature",  # 1-row denominator fold crossed into counts
         "q_quantile_sketch",  # two 1-row percentile aggs x 3-row p table
         "q_skew_diagnose",  # 1-row total/key-count aggregate crossed
+        "q_theta_distinct",  # 1-row theta/sample/exact aggregates crossed
+        "q_theta_stream",  # same 1-row crosses, streamed sketch view
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):

@@ -130,3 +130,48 @@ def test_interp_linear_honors_observed_and_bounds(spark, sf_smoke):
             )
             a, b = sorted((lo["value"], hi["value"]))
             assert a - 1e-9 <= r["value"] <= b + 1e-9
+
+
+def test_kmv_sketch_is_mergeable(spark, sf_smoke):
+    """The KMV monoid: merging per-partition sketches equals the
+    one-shot sketch of the union — exactly (set equality, not
+    estimate closeness)."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_smoke, "orders")
+    whole = {r["h"] for r in kmv_sketch(orders, "o_custkey").collect()}
+    even = kmv_sketch(orders.where(F.col("o_orderkey") % 2 == 0), "o_custkey")
+    odd = kmv_sketch(orders.where(F.col("o_orderkey") % 2 == 1), "o_custkey")
+    merged = {r["h"] for r in kmv_merge(even, odd).collect()}
+    assert merged == whole
+
+
+def test_theta_overlap_estimates_are_sane(spark, sf_smoke):
+    """est_intersection tracks the exact intersection within the
+    standard KMV relative error (~1/sqrt(K-1) per set, generously
+    bounded at 4 sigma here), and jaccard_est is in [0, 1]."""
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        THETA_K,
+    )
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    row = all_queries()["q_theta_distinct"](spark, sf_smoke).collect()[0]
+    assert 0.0 <= row["jaccard_est"] <= 1.0
+    tol = 4.0 / (THETA_K - 1) ** 0.5
+    for est, exact in (
+        ("est_a", "exact_a"),
+        ("est_b", "exact_b"),
+        ("est_intersection", "exact_intersection"),
+    ):
+        if row[exact]:
+            assert abs(row[est] - row[exact]) / row[exact] <= tol, (
+                est,
+                row[est],
+                row[exact],
+            )

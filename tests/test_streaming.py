@@ -622,3 +622,59 @@ def test_vacuum_deletes_old_versions_and_guards_time_travel(
         vacuum_snapshots(spark, snap, keep_last=0)
     # idempotent: vacuuming again removes nothing
     assert vacuum_snapshots(spark, snap, keep_last=2) == []
+
+
+def test_theta_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
+    """Streaming Theta/KMV (round 9): a readStream over orders files,
+    drained through the foreachBatch k-smallest fold, reaches a
+    (side, h) sketch SET-EQUAL to the one-shot per-side KMV build —
+    the KMV merge is exact, not approximate — and because k-smallest
+    of a union is idempotent, a stale re-fold of already-seen rows
+    cannot move the view."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        kmv_sketch,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.sketchview import (
+        current_sketch_view,
+        start_theta_maintenance,
+        upsert_theta_view,
+    )
+
+    orders = read_table(spark, sf_smoke, "orders")
+    src = str(tmp_path / "orders_src")
+    orders.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    view_dir = str(tmp_path / "view")
+    q = start_theta_maintenance(stream, view_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    def rows(df):
+        return {(r["side"], r["h"]) for r in df.collect()}
+
+    got = rows(current_sketch_view(spark, view_dir))
+    want = rows(
+        kmv_sketch(
+            orders.where(F.col("o_orderstatus") == "F"), "o_custkey"
+        )
+        .select(F.lit("a").alias("side"), "h")
+        .unionByName(
+            kmv_sketch(
+                orders.where(F.col("o_orderstatus") == "O"), "o_custkey"
+            ).select(F.lit("b").alias("side"), "h")
+        )
+    )
+    assert got == want
+
+    # idempotence: folding the WHOLE table again as a new version is a
+    # no-op (k smallest of a union monoid)
+    from dynamodb_streaming_datalake_spark.streaming.upsert import _versions
+
+    last = _versions(spark, view_dir)[-1]
+    upsert_theta_view(spark, orders, view_dir, version=last + 1)
+    assert rows(current_sketch_view(spark, view_dir)) == got
