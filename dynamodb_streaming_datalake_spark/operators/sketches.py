@@ -29,7 +29,7 @@ groupBy again. Estimation joins are broadcasts of the sketch table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
@@ -860,3 +860,226 @@ def q_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_theta_distinct, THETA_K=THETA_K)
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable quantile sketch (round 9)
+# ---------------------------------------------------------------------------
+# The production shape for per-shard percentile merging that
+# q_quantile_sketch's hash sample is not: every shard compacts its
+# values to a BOUNDED weighted summary, summaries union into one
+# bounded sketch table, and quantiles come from weighted ranks over
+# that sketch — with a deterministic worst-case rank-error bound
+# carried in the result row. The compactor is the KLL/MRL idea
+# (Karnin-Lang-Liberty compaction = keep every 2nd item of a sorted
+# buffer, double its weight) run to its batch fixed point: a shard of
+# n values fully compacts to the items at sorted ranks 1, 1+s, 1+2s,
+# ... with s the smallest power of two such that ceil(n/s) fits the
+# capacity — each surviving item carrying weight s. Deterministic (no
+# KLL random offset — we need the oracle to replay it), exact-integer
+# throughout: ranks, strides, weights, cumulative weights are all
+# integers; the only floats are the final value columns and the
+# interpolated-exact eval column (F.percentile == quantile_cont,
+# proven portable by q_value_percentiles).
+
+#: shards (parallel compactors); a cluster raises this with input size
+KLL_P = 8
+#: per-shard survivor capacity
+KLL_C = 128
+#: answered percentiles
+KLL_PS = (0.5, 0.9, 0.99)
+
+
+def kll_sketch(
+    ev: DataFrame, n_shards: int = KLL_P, cap: int = KLL_C
+) -> DataFrame:
+    """(shard, value, event_id, weight) — the merged bounded summary:
+    <= n_shards * cap rows no matter the input size. Per-shard local
+    sort (window partitioned by shard — each shard sorts
+    independently, the distributed-quantile shape), stride selection
+    by integer bit-length (the ``bin()``-length trick, no float log),
+    strided survivor pick."""
+    t = ev.select(
+        (portable_hash60(F.col("event_id").cast("string")) % n_shards).alias(
+            "shard"
+        ),
+        "value",
+        "event_id",
+    )
+    w = Window.partitionBy("shard").orderBy("value", "event_id")
+    ranked = t.withColumn("r", F.row_number().over(w))
+    # smallest power of two s with ceil(cnt/cap) <= s, by integer
+    # bit-length (shiftleft needs an expr — its Python wrapper only
+    # accepts a literal shift amount)
+    strides = (
+        t.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "shard",
+            "cnt",
+            F.expr(
+                f"CASE WHEN (cnt + {cap - 1}) div {cap} <= 1"
+                f" THEN CAST(1 AS BIGINT)"
+                f" ELSE shiftleft(CAST(1 AS BIGINT),"
+                f"   length(bin((cnt + {cap - 1}) div {cap} - 1)))"
+                f" END"
+            ).alias("stride"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(strides), "shard")
+        .where((F.col("r") - 1) % F.col("stride") == 0)
+        .select("shard", "value", "event_id", F.col("stride").alias("weight"))
+    )
+
+
+SQL_KLL_QUANTILES = f"""
+    WITH t AS (
+        SELECT {sql_portable_hash60("CAST(event_id AS VARCHAR)")} % {KLL_P}
+                 AS shard,
+               value, event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT shard, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY shard
+                                  ORDER BY value, event_id) AS r
+        FROM t
+    ),
+    strides AS (
+        SELECT shard, cnt,
+               CASE WHEN (cnt + {KLL_C - 1}) // {KLL_C} <= 1 THEN 1
+                    ELSE (1::BIGINT << length(bin(
+                           (cnt + {KLL_C - 1}) // {KLL_C} - 1)))
+               END AS stride
+        FROM (SELECT shard, COUNT(*) AS cnt FROM t GROUP BY shard)
+    ),
+    sk AS (
+        SELECT ranked.shard, value, event_id, stride AS weight
+        FROM ranked JOIN strides USING (shard)
+        WHERE (r - 1) % stride = 0
+    ),
+    tot AS (
+        SELECT CAST(SUM(weight) AS BIGINT) AS total_w,
+               CAST(COUNT(*) AS BIGINT) AS sketch_rows
+        FROM sk
+    ),
+    bnd AS (
+        SELECT CAST(SUM(stride) AS BIGINT) AS rank_err_bound,
+               CAST(SUM(cnt) AS BIGINT) AS exact_n
+        FROM strides
+    ),
+    cum AS (
+        SELECT value,
+               CAST(SUM(weight) OVER (ORDER BY value, event_id) AS BIGINT)
+                 AS cumw
+        FROM sk
+    ),
+    ex AS (
+        SELECT p.p, e.x AS exact_cont
+        FROM (SELECT quantile_cont(value, [{", ".join(str(p) for p in KLL_PS)}])
+                AS xs FROM events) q,
+             (VALUES {", ".join(f"({i + 1}, {p})" for i, p in enumerate(KLL_PS))})
+               p(i, p),
+             LATERAL (SELECT q.xs[p.i] AS x) e
+    ),
+    est AS (
+        SELECT ex.p, ex.exact_cont, MIN(cum.value) AS est_value
+        FROM ex, tot, cum
+        WHERE cum.cumw >= CEIL(ex.p * tot.total_w)
+        GROUP BY ex.p, ex.exact_cont
+    )
+    SELECT est.p AS percentile,
+           round(est.est_value, 6) AS est_value,
+           round(est.exact_cont, 6) AS exact_cont,
+           round(abs(est.est_value - est.exact_cont), 6) AS abs_err,
+           tot.total_w AS total_weight,
+           bnd.exact_n,
+           bnd.rank_err_bound
+    FROM est, tot, bnd
+    ORDER BY percentile
+"""
+
+
+@query("q_kll_quantiles", oracle=SQL_KLL_QUANTILES)
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch over events.value: {KLL_P} parallel
+    compactors each reduce their shard to <= {KLL_C} weighted
+    survivors (KLL-style deterministic compaction — every s-th item of
+    the shard-sorted run, weight s, s a power of two), the summaries
+    MERGE by plain union into a <= {KLL_P}*{KLL_C}-row sketch, and
+    each percentile is answered as the first sketch value whose
+    cumulative weight reaches ceil(p * W). The per-shard-build +
+    union-merge IS the cross-partition merge a 1000-file lake runs —
+    and the row carries the sketch's own a-priori worst-case rank
+    error (sum of shard strides) next to the observed error against
+    the exact interpolated percentile.
+
+    Scale: shard compaction is a partitioned window (each shard sorts
+    locally, in parallel — raise {KLL_P} with input size); the merged
+    sketch is bounded, so the final weighted-rank window runs over a
+    constant-size frame. Everything except the eval column is exact
+    integer arithmetic, replayed verbatim by the DuckDB oracle."""
+    ev = read_table(spark, sf_dir, "events")
+    sk = kll_sketch(ev)
+    tot = sk.agg(
+        F.sum("weight").cast("bigint").alias("total_w"),
+        F.count(F.lit(1)).cast("bigint").alias("sketch_rows"),
+    )
+    bnd = (
+        sk.groupBy("shard")
+        .agg(F.max("weight").alias("stride"), F.sum("weight").alias("wsum"))
+        .agg(
+            F.sum("stride").cast("bigint").alias("rank_err_bound"),
+        )
+    )
+    exact_n = ev.agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    wcum = Window.orderBy("value", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = sk.select(
+        "value", F.sum("weight").over(wcum).cast("bigint").alias("cumw")
+    )
+    exact = ev.agg(
+        *[
+            F.percentile("value", F.lit(p)).alias(f"x{i}")
+            for i, p in enumerate(KLL_PS)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("p"), F.col(f"x{i}").alias("exact_cont")
+                    )
+                    for i, p in enumerate(KLL_PS)
+                ]
+            )
+        ).alias("e")
+    ).select("e.p", "e.exact_cont")
+    est = (
+        exact.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(cum))
+        .where(F.col("cumw") >= F.ceil(F.col("p") * F.col("total_w")))
+        .groupBy("p", "exact_cont", "total_w")
+        .agg(F.min("value").alias("est_value"))
+    )
+    return (
+        est.crossJoin(F.broadcast(bnd))
+        .crossJoin(F.broadcast(exact_n))
+        .select(
+            F.col("p").alias("percentile"),
+            F.round("est_value", 6).alias("est_value"),
+            F.round("exact_cont", 6).alias("exact_cont"),
+            F.round(F.abs(F.col("est_value") - F.col("exact_cont")), 6).alias(
+                "abs_err"
+            ),
+            F.col("total_w").alias("total_weight"),
+            "exact_n",
+            "rank_err_bound",
+        )
+        .orderBy("percentile")
+    )
+
+
+_fmt(q_kll_quantiles, KLL_P=KLL_P, KLL_C=KLL_C)

@@ -248,6 +248,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_skew_diagnose",  # 1-row total/key-count aggregate crossed
         "q_theta_distinct",  # 1-row theta/sample/exact aggregates crossed
         "q_theta_stream",  # same 1-row crosses, streamed sketch view
+        "q_kll_quantiles",  # bounded sketch x 1-row totals crossed
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):

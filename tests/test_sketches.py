@@ -175,3 +175,53 @@ def test_theta_overlap_estimates_are_sane(spark, sf_smoke):
                 row[est],
                 row[exact],
             )
+
+
+def test_kll_rank_error_within_bound(spark, sf_smoke):
+    """The sketch's a-priori bound is REAL: for each percentile, the
+    true rank window of the returned estimate must contain the target
+    weighted rank to within rank_err_bound."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    rows = all_queries()["q_kll_quantiles"](spark, sf_smoke).collect()
+    ev = read_table(spark, sf_smoke, "events")
+    for row in rows:
+        target = math.ceil(row["percentile"] * row["total_weight"])
+        below, at_or_below = ev.agg(
+            F.sum((F.col("value") < row["est_value"]).cast("long")),
+            F.sum((F.col("value") <= row["est_value"]).cast("long")),
+        ).first()
+        b = row["rank_err_bound"]
+        assert below <= target + b and at_or_below >= target - b, (
+            row["percentile"], below, at_or_below, target, b,
+        )
+
+
+def test_kll_sketch_is_bounded_and_merge_is_union(spark, sf_smoke):
+    """Sketch size is bounded by P*C regardless of input, and the
+    merged sketch literally IS the union of the per-shard summaries —
+    re-deriving any one shard's summary from the merged table matches
+    building it alone (the mergeability property)."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        KLL_C,
+        KLL_P,
+        kll_sketch,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_smoke, "events")
+    sk = kll_sketch(ev)
+    assert sk.count() <= KLL_P * KLL_C
+    shard0_alone = kll_sketch(ev).where(F.col("shard") == 0)
+    got = {tuple(r) for r in shard0_alone.collect()}
+    merged_shard0 = {
+        tuple(r) for r in sk.where(F.col("shard") == 0).collect()
+    }
+    assert got == merged_shard0
