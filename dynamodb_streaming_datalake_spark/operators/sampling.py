@@ -495,3 +495,95 @@ _fmt(q_sequence_pack, SEQ_LEN=SEQ_LEN, PREFIX_BLOCKS=PREFIX_BLOCKS)
 _fmt(q_stratified_cap, CAP_PER_STRATUM=CAP_PER_STRATUM, CAP_SALTS=CAP_SALTS)
 _fmt(q_train_shards, N_SHARDS=N_SHARDS)
 _fmt(q_mix_temperature, MIX_BUDGET=MIX_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe grouped split (round 9)
+# ---------------------------------------------------------------------------
+# The GroupShuffleSplit of a training pipeline: train/eval membership is
+# decided per GROUP (here: a document's crawl source), never per row, so
+# near-duplicate rows from one origin can never straddle the split and
+# leak eval content into training. Same deterministic hash-cutoff idiom
+# as every sampler in this module — the split is identical on any
+# cluster, any partitioning, any engine with md5.
+
+#: eval share of the group-hash space (10%)
+GSPLIT_EVAL = 100_000
+
+
+@query(
+    "q_group_split",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, source, n_chars,
+               CASE WHEN {sql_portable_hash60("source")} % {DENOM}
+                         < {GSPLIT_EVAL}
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM documents
+    ),
+    leak AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN sides > 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS leaked_sources
+        FROM (
+            SELECT source, COUNT(DISTINCT split) AS sides
+            FROM tagged GROUP BY source
+        )
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           leak.leaked_sources
+    FROM tagged, leak
+    GROUP BY split, leak.leaked_sources
+    ORDER BY split
+    """,
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split of the documents corpus, grouped
+    by crawl ``source``: a source hashes into the eval side iff its
+    bucket falls under {GSPLIT_EVAL}/{DENOM} (10%), and every document
+    follows its source. One row per split with document/source/char
+    totals, plus the leakage audit in-row: ``leaked_sources`` counts
+    sources seen on both sides — structurally zero, and the oracle
+    recomputes the audit rather than trusting it.
+
+    Scale: membership is one row-local md5 on the group key — no join
+    against a group table, no shuffle for the split itself; the audit
+    is one groupBy(source) aggregate crossed as a 1-row frame."""
+    d = read_table(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(hash_bucket(F.col("source")) < GSPLIT_EVAL, "eval")
+        .otherwise("train")
+        .alias("split"),
+    )
+    leak = (
+        tagged.groupBy("source")
+        .agg(F.countDistinct("split").alias("sides"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("sides") > 1, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("leaked_sources")
+        )
+    )
+    return (
+        tagged.crossJoin(F.broadcast(leak))
+        .groupBy("split", "leaked_sources")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "split", "n_docs", "n_sources", "total_chars", "leaked_sources"
+        )
+        .orderBy("split")
+    )
+
+
+_fmt(q_group_split, GSPLIT_EVAL=GSPLIT_EVAL, DENOM=DENOM)

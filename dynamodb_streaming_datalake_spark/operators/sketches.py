@@ -933,8 +933,10 @@ def kll_sketch(
     )
 
 
-SQL_KLL_QUANTILES = f"""
-    WITH t AS (
+#: the sketch-construction CTEs (t/ranked/strides/sk/tot/cum) shared by
+#: q_kll_quantiles and q_kll_binning — one sketch definition, two
+#: consumers, so the binning oracle replays the identical compaction
+_SQL_KLL_CORE = f"""t AS (
         SELECT {sql_portable_hash60("CAST(event_id AS VARCHAR)")} % {KLL_P}
                  AS shard,
                value, event_id
@@ -974,7 +976,11 @@ SQL_KLL_QUANTILES = f"""
                CAST(SUM(weight) OVER (ORDER BY value, event_id) AS BIGINT)
                  AS cumw
         FROM sk
-    ),
+    )"""
+
+
+SQL_KLL_QUANTILES = f"""
+    WITH {_SQL_KLL_CORE},
     ex AS (
         SELECT p.p, e.x AS exact_cont
         FROM (SELECT quantile_cont(value, [{", ".join(str(p) for p in KLL_PS)}])
@@ -1083,3 +1089,112 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_kll_quantiles, KLL_P=KLL_P, KLL_C=KLL_C)
+
+
+# ---------------------------------------------------------------------------
+# equal-frequency binning from the KLL sketch (round 9)
+# ---------------------------------------------------------------------------
+# The feature-engineering consumer of q_kll_quantiles: quartile bin
+# edges come from the SKETCH (weighted ranks), not from a full sort,
+# then every event is assigned a bin by three comparisons against the
+# broadcast edges. On equal-frequency edges the bins should hold ~25%
+# each — the per-bin occupancy (with its deviation from the ideal
+# quarter) is the result, so the sketch's rank error is visible as
+# data.
+
+KLLBIN_PS = (0.25, 0.5, 0.75)
+
+
+@query(
+    "q_kll_binning",
+    oracle=f"""
+    WITH {_SQL_KLL_CORE},
+    edges AS (
+        SELECT
+          MIN(CASE WHEN cumw >= CEIL(0.25 * total_w) THEN value END) AS e1,
+          MIN(CASE WHEN cumw >= CEIL(0.5 * total_w) THEN value END) AS e2,
+          MIN(CASE WHEN cumw >= CEIL(0.75 * total_w) THEN value END) AS e3
+        FROM cum, tot
+    ),
+    assigned AS (
+        SELECT CASE WHEN value < e1 THEN 0
+                    WHEN value < e2 THEN 1
+                    WHEN value < e3 THEN 2
+                    ELSE 3 END AS bin
+        FROM events, edges
+    ),
+    n AS (SELECT COUNT(*) AS total FROM events)
+    SELECT bin,
+           CASE bin WHEN 0 THEN NULL
+                    WHEN 1 THEN round(e1, 6)
+                    WHEN 2 THEN round(e2, 6)
+                    ELSE round(e3, 6) END AS lo_edge,
+           COUNT(*) AS n_rows,
+           round(CAST(COUNT(*) AS DOUBLE) / total, 6) AS frac,
+           round(abs(CAST(COUNT(*) AS DOUBLE) / total - 0.25), 6)
+             AS dev_from_ideal
+    FROM assigned, edges, n
+    GROUP BY bin, e1, e2, e3, total
+    ORDER BY bin
+    """,
+)
+def q_kll_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quartile binning of events.value with bin edges
+    taken from the KLL sketch (``kll_sketch``'s weighted ranks — no
+    full-data sort anywhere): one row per bin with its lower edge,
+    occupancy, fraction, and deviation from the ideal 25%. This is the
+    feature-discretization pass of a training pipeline, and the demo
+    that the sketch composes — the same bounded summary that answers
+    percentiles also drives the binning map.
+
+    Scale: sketch build as in q_kll_quantiles; the 1-row edge frame
+    broadcasts into a row-local CASE over the scan — binning itself is
+    shuffle-free except the final 4-group count."""
+    ev = read_table(spark, sf_dir, "events")
+    sk = kll_sketch(ev)
+    tot = sk.agg(F.sum("weight").cast("bigint").alias("total_w"))
+    wcum = Window.orderBy("value", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = sk.select(
+        "value", F.sum("weight").over(wcum).cast("bigint").alias("cumw")
+    )
+    edges = cum.crossJoin(F.broadcast(tot)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cumw") >= F.ceil(F.lit(p) * F.col("total_w")),
+                    F.col("value"),
+                )
+            ).alias(f"e{i + 1}")
+            for i, p in enumerate(KLLBIN_PS)
+        ]
+    )
+    n = ev.agg(F.count(F.lit(1)).alias("total"))
+    assigned = ev.crossJoin(F.broadcast(edges)).select(
+        F.when(F.col("value") < F.col("e1"), 0)
+        .when(F.col("value") < F.col("e2"), 1)
+        .when(F.col("value") < F.col("e3"), 2)
+        .otherwise(3)
+        .alias("bin"),
+        "e1",
+        "e2",
+        "e3",
+    )
+    frac = F.col("n_rows").cast("double") / F.col("total")
+    return (
+        assigned.crossJoin(F.broadcast(n))
+        .groupBy("bin", "e1", "e2", "e3", "total")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bin",
+            F.when(F.col("bin") == 1, F.round("e1", 6))
+            .when(F.col("bin") == 2, F.round("e2", 6))
+            .when(F.col("bin") == 3, F.round("e3", 6))
+            .alias("lo_edge"),
+            "n_rows",
+            F.round(frac, 6).alias("frac"),
+            F.round(F.abs(frac - 0.25), 6).alias("dev_from_ideal"),
+        )
+        .orderBy("bin")
+    )

@@ -249,6 +249,8 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_theta_distinct",  # 1-row theta/sample/exact aggregates crossed
         "q_theta_stream",  # same 1-row crosses, streamed sketch view
         "q_kll_quantiles",  # bounded sketch x 1-row totals crossed
+        "q_kll_binning",  # 1-row sketch-edge frame crossed into the scan
+        "q_group_split",  # 1-row leakage-audit aggregate crossed
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
