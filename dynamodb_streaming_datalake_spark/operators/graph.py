@@ -376,18 +376,31 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one equi-join + one MIN aggregate per round over a
     localCheckpoint-pinned edge table — the pagerank loop shape; MIN is
     order-independent so the result is partitioning-invariant, and
-    bucketing edges+labels on node id makes every round co-located."""
+    bucketing edges+labels on node id makes every round co-located.
+    Like pagerank, the O(|V|) label vector broadcasts into both
+    per-round joins when it fits (size dispatch at
+    {PR_BROADCAST_MAX_NODES} nodes via the same 1-scalar probe), so
+    the edge table never moves and each round costs exactly one
+    shuffle; larger graphs keep the shuffle joins for bucketed
+    co-location."""
     edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    small = (
+        labels.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        <= PR_BROADCAST_MAX_NODES
+    )
+    bc = F.broadcast if small else (lambda df: df)
     for _ in range(LP_ITERS):
         nbr = (
             edges.join(
-                labels.select(
-                    F.col("node").alias("src"), F.col("label").alias("nl")
+                bc(
+                    labels.select(
+                        F.col("node").alias("src"), F.col("label").alias("nl")
+                    )
                 ),
                 "src",
             )
@@ -395,7 +408,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("nl").alias("nbr_min"))
         )
         labels = (
-            labels.join(nbr, "node", "left")
+            labels.join(bc(nbr), "node", "left")
             .select(
                 "node",
                 F.least(
@@ -411,7 +424,8 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_fmt(q_label_propagation, LP_ITERS=LP_ITERS, LP_TOP=LP_TOP)
+_fmt(q_label_propagation, LP_ITERS=LP_ITERS, LP_TOP=LP_TOP,
+     PR_BROADCAST_MAX_NODES=PR_BROADCAST_MAX_NODES)
 
 
 _fmt(
