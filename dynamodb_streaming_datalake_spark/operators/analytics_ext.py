@@ -1437,3 +1437,190 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_bootstrap_ci, BOOT_B=BOOT_B)
+
+
+# --------------------------------------------------------------------------
+# Winsorization (round 9): percentile clipping for robust features
+# --------------------------------------------------------------------------
+WINS_LO, WINS_HI = 0.01, 0.99
+
+
+@query(
+    "q_winsorize",
+    oracle=f"""
+    WITH pct AS (
+        SELECT event_type,
+               quantile_cont(value, {WINS_LO}) AS p_lo,
+               quantile_cont(value, {WINS_HI}) AS p_hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(p.p_lo, 6) AS p_lo,
+           round(p.p_hi, 6) AS p_hi,
+           CAST(SUM(CASE WHEN e.value < p.p_lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_lo,
+           CAST(SUM(CASE WHEN e.value > p.p_hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_hi,
+           round(CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_raw,
+           round(CAST(SUM(CAST(GREATEST(p.p_lo, LEAST(p.p_hi, e.value))
+                               AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_winsorized
+    FROM events e JOIN pct p USING (event_type)
+    GROUP BY e.event_type, p.p_lo, p.p_hi
+    ORDER BY e.event_type
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (percentile-clipped) value statistics per event
+    type: clip at the exact interpolated p1/p99 (``F.percentile`` ==
+    ``quantile_cont``, the proven-portable pair), report clip counts
+    and the raw vs winsorized mean — the robust-feature pass of a
+    training pipeline, where heavy-tailed raw aggregates would
+    otherwise be dominated by outliers.
+
+    Numerics: means go through exact decimal(38,6) sums with one final
+    float division (the q_event_moments discipline); the clip itself
+    is GREATEST/LEAST over doubles — deterministic on both engines.
+
+    Scale: one percentile aggregate per group (bounded group count),
+    broadcast back over one scan — two passes, no extra shuffle."""
+    e = read_table(spark, sf_dir, "events")
+    pct = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(WINS_LO)).alias("p_lo"),
+        F.percentile("value", F.lit(WINS_HI)).alias("p_hi"),
+    )
+    clipped = F.greatest("p_lo", F.least("p_hi", F.col("value")))
+    return (
+        e.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type", "p_lo", "p_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("p_lo")).cast("long")).alias(
+                "n_clip_lo"
+            ),
+            F.sum((F.col("value") > F.col("p_hi")).cast("long")).alias(
+                "n_clip_hi"
+            ),
+            F.sum(F.col("value").cast(DEC38)).cast("double").alias("sraw"),
+            F.sum(clipped.cast(DEC38)).cast("double").alias("swins"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("p_lo", 6).alias("p_lo"),
+            F.round("p_hi", 6).alias("p_hi"),
+            "n_clip_lo",
+            "n_clip_hi",
+            F.round(F.col("sraw") / F.col("n"), 6).alias("mean_raw"),
+            F.round(F.col("swins") / F.col("n"), 6).alias(
+                "mean_winsorized"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal decomposition (round 9): trend / hour-of-day seasonal split
+# --------------------------------------------------------------------------
+#: centered moving-average half-width in observed hours (25-row window)
+SEAS_HALF = 12
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT event_type, hour_ts, sv,
+               CASE WHEN COUNT(*) OVER w = {2 * SEAS_HALF + 1}
+                    THEN CAST(SUM(CAST(sv AS DECIMAL(38,6))) OVER w
+                              AS DOUBLE) / {2 * SEAS_HALF + 1}
+               END AS trend
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                     ROWS BETWEEN {SEAS_HALF} PRECEDING
+                              AND {SEAS_HALF} FOLLOWING)
+    )
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM hour_ts) AS INT) AS hod,
+           CAST(COUNT(trend) AS BIGINT) AS n_obs,
+           round(CAST(SUM(CAST(sv - trend AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(trend), 6) AS seasonal,
+           round(CAST(SUM(CAST(trend AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(trend), 6) AS mean_trend
+    FROM trended
+    WHERE trend IS NOT NULL
+    GROUP BY event_type, EXTRACT(hour FROM hour_ts)
+    ORDER BY event_type, hod
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of each event type's hourly
+    value series: trend = centered {SEAS_WIN}-hour moving average
+    (full windows only — edges excluded), seasonal = per hour-of-day
+    mean of the detrended series. One row per (event_type, hour-of-
+    day) with the seasonal index and the mean trend level — the
+    seasonality profile a forecasting pipeline feeds from.
+
+    Numerics: every cross-row sum (the moving-average window AND the
+    per-bucket means) goes through exact decimal(38,6) accumulation
+    with one float division at the end — window sums over doubles
+    would be association-order-dependent across engines (DuckDB's
+    segment-tree window vs Spark's sliding aggregation), which is
+    precisely the trap the decimal cast removes.
+
+    Scale: one shuffle to the hourly grain (tiny — series-hours, not
+    events), then per-series windows partitioned by event_type; at a
+    1000x series count the same plan holds since each partition is one
+    series."""
+    e = read_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-SEAS_HALF, SEAS_HALF)
+    )
+    win = 2 * SEAS_HALF + 1
+    trended = hourly.select(
+        "event_type",
+        "hour_ts",
+        "sv",
+        F.when(
+            F.count(F.lit(1)).over(w) == win,
+            F.sum(F.col("sv").cast(DEC38)).over(w).cast("double") / win,
+        ).alias("trend"),
+    ).where(F.col("trend").isNotNull())
+    return (
+        trended.groupBy(
+            "event_type", F.hour("hour_ts").cast("int").alias("hod")
+        )
+        .agg(
+            F.count("trend").alias("n_obs"),
+            F.sum((F.col("sv") - F.col("trend")).cast(DEC38))
+            .cast("double")
+            .alias("sdet"),
+            F.sum(F.col("trend").cast(DEC38)).cast("double").alias("str_"),
+        )
+        .select(
+            "event_type",
+            "hod",
+            "n_obs",
+            F.round(F.col("sdet") / F.col("n_obs"), 6).alias("seasonal"),
+            F.round(F.col("str_") / F.col("n_obs"), 6).alias("mean_trend"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+_fmt(q_seasonal_decompose, SEAS_WIN=2 * SEAS_HALF + 1)
