@@ -1731,3 +1731,241 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_retrieval_eval, IVF_TOP_K=IVF_TOP_K, IVF_QUERIES=IVF_QUERIES)
+
+
+# --------------------------------------------------------------------------
+# IVF tuning curve (round 9): recall / MRR / candidate volume vs nprobe
+# --------------------------------------------------------------------------
+# The index-tuning harness a production ANN deployment runs before
+# picking nprobe: one row per probed-list count with aggregate
+# recall@k, MRR, and the candidate volume actually scored — the
+# recall-vs-cost curve. Reuses the exact IVF assignment the serving
+# path uses (q_ann_ivf) and the ulp-guarded brute-force truth of
+# q_retrieval_eval.
+
+ANN_TUNE_NPROBES = (1, 2, 4)
+
+
+def _sql_tune_branch(np: int) -> str:
+    """Per-nprobe CTE chain: probes -> candidates -> top-k -> one
+    aggregate row. Integer sums everywhere; MRR terms are rounded to
+    6dp then decimal-summed (float accumulation would be
+    association-order-dependent)."""
+    return f"""
+    probes{np} AS (
+        SELECT vec_id AS query_id, cid FROM assign
+        WHERE r <= {np} AND vec_id < {IVF_QUERIES}
+    ),
+    cand{np} AS (
+        SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id
+        FROM probes{np} p JOIN lists l ON l.cid = p.cid
+        WHERE l.vec_id <> p.query_id
+    ),
+    sys{np} AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY {sql_cosine('q.embedding', 'n.embedding')}
+                                DESC, c.neighbor_id) AS rank
+            FROM cand{np} c
+            JOIN embeddings q ON q.vec_id = c.query_id
+            JOIN embeddings n ON n.vec_id = c.neighbor_id
+        ) WHERE rank <= {IVF_TOP_K}
+    ),
+    row{np} AS (
+        SELECT {np} AS nprobe,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{np})
+                 AS n_candidates,
+               (SELECT round(CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL
+                                           THEN 1 ELSE 0 END) AS DOUBLE)
+                             / ({IVF_TOP_K} * {IVF_QUERIES}), 6)
+                FROM truth t LEFT JOIN sys{np} s
+                  ON s.query_id = t.query_id
+                 AND s.neighbor_id = t.neighbor_id) AS mean_recall_at_k,
+               (SELECT round(CAST(SUM(CAST(COALESCE(
+                           round(1.0 / s.rank, 6), 0.0)
+                           AS DECIMAL(38,6))) AS DOUBLE)
+                             / {IVF_QUERIES}, 6)
+                FROM truth t LEFT JOIN sys{np} s
+                  ON s.query_id = t.query_id
+                 AND s.neighbor_id = t.neighbor_id
+                WHERE t.t_rank = 1) AS mrr
+    )"""
+
+
+@query(
+    "q_ann_tuning",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS ce
+        FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+    ),
+    assign AS (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sql_cosine('e.embedding', 'c.ce')}
+                                           DESC, c.cid) AS r
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    lists AS (SELECT vec_id, cid FROM assign WHERE r = 1),
+    bt_scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {sql_cosine('q.embedding', 'e.embedding')} AS c
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < {IVF_QUERIES}
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id, t_rank FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY round(c, 6) DESC, neighbor_id
+                                     ) AS t_rank
+            FROM bt_scored
+        ) WHERE t_rank <= {IVF_TOP_K}
+    ),
+    {",".join(_sql_tune_branch(np) for np in ANN_TUNE_NPROBES)}
+    SELECT nprobe, n_candidates, mean_recall_at_k, mrr FROM (
+        {" UNION ALL ".join(f"SELECT * FROM row{np}" for np in ANN_TUNE_NPROBES)}
+    ) ORDER BY nprobe
+    """,
+)
+def q_ann_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall-vs-cost tuning curve: for nprobe in
+    {ANN_TUNE_NPROBES}, aggregate recall@{IVF_TOP_K} and MRR of the
+    probed search against the ulp-guarded brute-force truth, next to
+    the candidate volume each setting actually scores. This is the
+    harness that justifies a production nprobe choice — recall rises
+    with probed lists, candidate volume (the cost) rises with it, and
+    the curve makes the trade explicit as data.
+
+    Numerics: recall is pure integer counting over a fixed query set;
+    MRR terms 1/rank are rounded to 6dp then summed as exact decimals
+    (a float accumulation would be association-order-dependent).
+
+    Scale: assignment is computed once (broadcast {IVF_CENTROIDS}
+    centroids, map-only) and shared by all branches; each branch's
+    candidate join is equi on cluster id; the truth cross is bounded
+    by the {IVF_QUERIES}-query panel exactly as in q_retrieval_eval."""
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ac").desc(), F.col("cid")
+    )
+    ranked_assign = (
+        e.join(F.broadcast(cents))
+        .select(
+            "vec_id", "cid", cosine(F.col("embedding"), F.col("ce")).alias("ac")
+        )
+        .withColumn("r", F.row_number().over(w_assign))
+    )
+    lists = ranked_assign.where(F.col("r") == 1).select("vec_id", "cid")
+    # ulp-guarded truth (round(c,6) before ranking, as q_retrieval_eval)
+    qs = e.where(F.col("vec_id") < IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    w_t = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("c"), 6).desc(), F.col("neighbor_id")
+    )
+    truth = (
+        qs.crossJoin(
+            e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("embedding")).alias("c"),
+        )
+        .withColumn("t_rank", F.row_number().over(w_t))
+        .where(F.col("t_rank") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", "t_rank")
+    )
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id")
+    )
+    rows = []
+    for np in ANN_TUNE_NPROBES:
+        probes = ranked_assign.where(
+            (F.col("r") <= np) & (F.col("vec_id") < IVF_QUERIES)
+        ).select(F.col("vec_id").alias("query_id"), "cid")
+        cand = (
+            probes.join(lists, "cid")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct()
+        )
+        sys_k = (
+            cand.join(
+                e.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qe"),
+                ),
+                "query_id",
+            )
+            .join(
+                e.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("ne"),
+                ),
+                "neighbor_id",
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("qe"), F.col("ne")).alias("cs"),
+            )
+            .withColumn("rank", F.row_number().over(w_s))
+            .where(F.col("rank") <= IVF_TOP_K)
+        )
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        )
+        joined = truth.join(
+            sys_k.select("query_id", "neighbor_id", "rank"),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        recall = joined.agg(
+            F.round(
+                F.sum(F.col("rank").isNotNull().cast("long")).cast("double")
+                / F.lit(IVF_TOP_K * IVF_QUERIES),
+                6,
+            ).alias("mean_recall_at_k")
+        )
+        mrr = joined.where(F.col("t_rank") == 1).agg(
+            F.round(
+                F.sum(
+                    F.coalesce(
+                        F.round(F.lit(1.0) / F.col("rank"), 6), F.lit(0.0)
+                    ).cast("decimal(38,6)")
+                ).cast("double")
+                / F.lit(IVF_QUERIES),
+                6,
+            ).alias("mrr")
+        )
+        rows.append(
+            n_cand.crossJoin(recall)
+            .crossJoin(mrr)
+            .select(
+                F.lit(np).cast("int").alias("nprobe"),
+                "n_candidates",
+                "mean_recall_at_k",
+                "mrr",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("nprobe")
+
+
+_fmt(
+    q_ann_tuning,
+    ANN_TUNE_NPROBES=ANN_TUNE_NPROBES,
+    IVF_TOP_K=IVF_TOP_K,
+    IVF_QUERIES=IVF_QUERIES,
+    IVF_CENTROIDS=IVF_CENTROIDS,
+)
