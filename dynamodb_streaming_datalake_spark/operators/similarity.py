@@ -1969,3 +1969,160 @@ _fmt(
     IVF_QUERIES=IVF_QUERIES,
     IVF_CENTROIDS=IVF_CENTROIDS,
 )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation eval (round 9): retrieval quality vs prefix dims
+# --------------------------------------------------------------------------
+# The production question behind MRL-style embeddings: how much recall
+# survives if we store/search only the first d of 64 dimensions (4x-8x
+# cheaper index and bandwidth)? One row per prefix length with
+# recall@k and MRR against the full-dimension truth — the quality-vs-
+# cost curve for dimension truncation, sibling of q_ann_tuning's
+# nprobe curve.
+
+MRL_DIMS = (8, 16, 32, 64)
+MRL_QUERIES = 50
+MRL_TOP_K = 3
+
+
+def _sql_mrl_branch(d: int) -> str:
+    a = f"q.embedding[1:{d}]"
+    b = f"e.embedding[1:{d}]"
+    return f"""
+    sys{d} AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({sql_cosine(a, b)}, 6) DESC,
+                                e.vec_id) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < {MRL_QUERIES}
+        ) WHERE rank <= {MRL_TOP_K}
+    ),
+    row{d} AS (
+        SELECT {d} AS dims,
+               (SELECT round(CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL
+                                           THEN 1 ELSE 0 END) AS DOUBLE)
+                             / ({MRL_TOP_K} * {MRL_QUERIES}), 6)
+                FROM mtruth t LEFT JOIN sys{d} s
+                  ON s.query_id = t.query_id
+                 AND s.neighbor_id = t.neighbor_id) AS mean_recall_at_k,
+               (SELECT round(CAST(SUM(CAST(COALESCE(
+                           round(1.0 / s.rank, 6), 0.0)
+                           AS DECIMAL(38,6))) AS DOUBLE)
+                             / {MRL_QUERIES}, 6)
+                FROM mtruth t LEFT JOIN sys{d} s
+                  ON s.query_id = t.query_id
+                 AND s.neighbor_id = t.neighbor_id
+                WHERE t.t_rank = 1) AS mrr
+    )"""
+
+
+@query(
+    "q_matryoshka_eval",
+    oracle=f"""
+    WITH mtruth AS (
+        SELECT query_id, neighbor_id, t_rank FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({sql_cosine("q.embedding", "e.embedding")}, 6)
+                                DESC, e.vec_id) AS t_rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < {MRL_QUERIES}
+        ) WHERE t_rank <= {MRL_TOP_K}
+    ),
+    {",".join(_sql_mrl_branch(d) for d in MRL_DIMS)}
+    SELECT dims, mean_recall_at_k, mrr FROM (
+        {" UNION ALL ".join(f"SELECT * FROM row{d}" for d in MRL_DIMS)}
+    ) ORDER BY dims
+    """,
+)
+def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation retrieval eval: for prefix lengths
+    {MRL_DIMS} of the 64-dim embeddings, recall@{MRL_TOP_K} and MRR of
+    brute-force search on the TRUNCATED vectors against the
+    full-dimension truth — the quality-vs-cost curve that justifies
+    storing a shorter prefix (a d-dim index is 64/d times cheaper in
+    memory and bandwidth). The 64-dim row is the self-check (recall
+    1.0 by construction). Rankings on both sides are ulp-guarded
+    (round to 6dp before ordering); MRR terms are rounded then
+    decimal-summed, recall is integer counting.
+
+    Scale: each branch is a bounded panel cross ({MRL_QUERIES} queries
+    x corpus — the same shape as q_retrieval_eval's truth); at
+    production scale the panel is a sample and the per-branch search
+    would run through the IVF path instead of brute force, with this
+    harness unchanged as the evaluator."""
+    e = read_table(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < MRL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        qs.crossJoin(
+            e.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("embedding").alias("ne"))
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+
+    def ranked(d: int, name: str):
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("c"), 6).desc(), F.col("neighbor_id")
+        )
+        return (
+            pairs.select(
+                "query_id",
+                "neighbor_id",
+                cosine(
+                    F.slice(F.col("qe"), 1, d), F.slice(F.col("ne"), 1, d)
+                ).alias("c"),
+            )
+            .withColumn(name, F.row_number().over(w))
+            .where(F.col(name) <= MRL_TOP_K)
+            .select("query_id", "neighbor_id", name)
+        )
+
+    truth = ranked(64, "t_rank")
+    rows = []
+    for d in MRL_DIMS:
+        joined = truth.join(
+            ranked(d, "rank"), ["query_id", "neighbor_id"], "left"
+        )
+        recall = joined.agg(
+            F.round(
+                F.sum(F.col("rank").isNotNull().cast("long")).cast("double")
+                / F.lit(MRL_TOP_K * MRL_QUERIES),
+                6,
+            ).alias("mean_recall_at_k")
+        )
+        mrr = joined.where(F.col("t_rank") == 1).agg(
+            F.round(
+                F.sum(
+                    F.coalesce(
+                        F.round(F.lit(1.0) / F.col("rank"), 6), F.lit(0.0)
+                    ).cast("decimal(38,6)")
+                ).cast("double")
+                / F.lit(MRL_QUERIES),
+                6,
+            ).alias("mrr")
+        )
+        rows.append(
+            recall.crossJoin(mrr).select(
+                F.lit(d).cast("int").alias("dims"),
+                "mean_recall_at_k",
+                "mrr",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("dims")
+
+
+_fmt(
+    q_matryoshka_eval,
+    MRL_DIMS=MRL_DIMS,
+    MRL_QUERIES=MRL_QUERIES,
+    MRL_TOP_K=MRL_TOP_K,
+)
