@@ -107,8 +107,10 @@ _SQL_SHINGLE_ROWS = f"""
     )
 """
 
-_SQL_JACCARD_PAIRS = f"""
-    WITH {_SQL_SHINGLE_ROWS},
+#: the un-thresholded pair CTEs (shared by the thresholded baseline and
+#: the round-9 threshold sweep): every overlapping pair with its exact
+#: capped-set Jaccard
+_SQL_JACCARD_CORE = f"""{_SQL_SHINGLE_ROWS},
     cool AS (
         SELECT sh FROM shingle_rows
         GROUP BY sh HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}
@@ -124,13 +126,20 @@ _SQL_JACCARD_PAIRS = f"""
         FROM capped a
         JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           c * 1.0 / (sa.n + sb.n - c) AS jaccard
-    FROM common
-    JOIN capped_sizes sa ON sa.doc_id = doc_a
-    JOIN capped_sizes sb ON sb.doc_id = doc_b
-    WHERE c * 1.0 / (sa.n + sb.n - c) > {JACCARD_THRESHOLD}
+    ),
+    jpairs AS (
+        SELECT doc_a, doc_b,
+               c * 1.0 / (sa.n + sb.n - c) AS jaccard
+        FROM common
+        JOIN capped_sizes sa ON sa.doc_id = doc_a
+        JOIN capped_sizes sb ON sb.doc_id = doc_b
+    )"""
+
+_SQL_JACCARD_PAIRS = f"""
+    WITH {_SQL_JACCARD_CORE}
+    SELECT doc_a, doc_b, jaccard
+    FROM jpairs
+    WHERE jaccard > {JACCARD_THRESHOLD}
 """
 
 
@@ -1785,3 +1794,108 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(n_hit * F.lit(1.0) / n_lsh)
         .alias("precision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup threshold sweep (round 9)
+# ---------------------------------------------------------------------------
+# The tuning curve for the Jaccard threshold itself, sibling of
+# q_ann_tuning (nprobe) and q_matryoshka_eval (dims): one row per
+# candidate threshold with the pair volume, the number of documents
+# touched, and the fraction of the corpus that would be flagged — the
+# aggressiveness-vs-threshold trade a corpus owner reads before
+# committing to a dedup policy.
+
+DEDUP_SWEEP_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+
+
+@query(
+    "q_dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_SQL_JACCARD_CORE},
+    th AS (SELECT UNNEST([{", ".join(str(t) for t in DEDUP_SWEEP_THRESHOLDS)}])
+             AS threshold),
+    above AS (
+        SELECT th.threshold, j.doc_a, j.doc_b
+        FROM jpairs j JOIN th ON j.jaccard > th.threshold
+    ),
+    pair_stats AS (
+        SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM above GROUP BY threshold
+    ),
+    doc_stats AS (
+        SELECT threshold, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                 AS n_dup_docs
+        FROM (
+            SELECT threshold, doc_a AS doc_id FROM above
+            UNION ALL SELECT threshold, doc_b FROM above
+        ) GROUP BY threshold
+    ),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT th.threshold,
+           COALESCE(p.n_pairs, 0) AS n_pairs,
+           COALESCE(d.n_dup_docs, 0) AS n_dup_docs,
+           round(CAST(COALESCE(d.n_dup_docs, 0) AS DOUBLE) / c.n_docs, 6)
+             AS frac_corpus_flagged
+    FROM th
+    LEFT JOIN pair_stats p USING (threshold)
+    LEFT JOIN doc_stats d USING (threshold)
+    CROSS JOIN corpus c
+    ORDER BY th.threshold
+    """,
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold tuning sweep: exact capped-set pair Jaccard is
+    computed ONCE (the q_dedup_ngram_jaccard kernel, threshold-free),
+    then each candidate threshold in {DEDUP_SWEEP_THRESHOLDS} reports
+    its surviving pair count, the documents those pairs touch, and the
+    fraction of the corpus flagged. All counting is integer; the only
+    float is the exact pair Jaccard itself (one double division,
+    engine-identical) and the final fraction.
+
+    Scale: the pair table is the capped posting-list expansion audited
+    in its own query — the sweep adds one bounded pairs x thresholds
+    join and two aggregates over pair-sized (not corpus-sized)
+    frames."""
+    d = read_table(spark, sf_dir, "documents")
+    jpairs = jaccard_pairs(d, 0.0).localCheckpoint(eager=False)
+    th = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in DEDUP_SWEEP_THRESHOLDS])
+        ).alias("threshold")
+    )
+    above = th.join(jpairs, F.col("jaccard") > F.col("threshold"))
+    pair_stats = above.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    doc_stats = (
+        above.select(
+            "threshold",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_dup_docs"))
+    )
+    corpus = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        th.join(pair_stats, "threshold", "left")
+        .join(doc_stats, "threshold", "left")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_dup_docs", F.lit(0)).alias("n_dup_docs"),
+            F.round(
+                F.coalesce("n_dup_docs", F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("frac_corpus_flagged"),
+        )
+        .orderBy("threshold")
+    )
+
+
+_fmt(
+    q_dedup_threshold_sweep,
+    DEDUP_SWEEP_THRESHOLDS=DEDUP_SWEEP_THRESHOLDS,
+)

@@ -253,6 +253,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_group_split",  # 1-row leakage-audit aggregate crossed
         "q_ann_tuning",  # bounded query-panel truth cross + 1-row aggs
         "q_matryoshka_eval",  # bounded query-panel cross per prefix dim
+        "q_dedup_threshold_sweep",  # 4-row threshold table theta-joined
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
