@@ -2126,3 +2126,130 @@ _fmt(
     MRL_QUERIES=MRL_QUERIES,
     MRL_TOP_K=MRL_TOP_K,
 )
+
+
+# --------------------------------------------------------------------------
+# embedding drift monitor (round 9)
+# --------------------------------------------------------------------------
+# The production health check between two corpus snapshots: has the
+# embedding distribution moved? Compares the per-dimension centroid of
+# the even-id half (the "before" snapshot) against the odd-id half
+# ("after"): cosine of the two mean vectors, L2 of the shift, and the
+# largest per-dimension move. Per-dimension means go through exact
+# decimal sums (order-invariant) with one float division; the vector
+# metrics are fixed-shape folds over the 64 dims in dimension order —
+# deterministic on both engines.
+
+
+@query(
+    "q_embedding_drift",
+    oracle=f"""
+    WITH vals AS (
+        SELECT vec_id % 2 AS half, d.i AS dim,
+               embedding[d.i + 1] AS v
+        FROM embeddings,
+             (SELECT UNNEST(range(0, 64)) AS i) d
+    ),
+    per_dim AS (
+        SELECT dim,
+               CAST(SUM(CASE WHEN half = 0
+                        THEN CAST(v AS DECIMAL(38,6)) END) AS DOUBLE)
+                 / SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS m_old,
+               CAST(SUM(CASE WHEN half = 1
+                        THEN CAST(v AS DECIMAL(38,6)) END) AS DOUBLE)
+                 / SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS m_new
+        FROM vals GROUP BY dim
+    ),
+    vecs AS (
+        SELECT list(m_old ORDER BY dim) AS vo,
+               list(m_new ORDER BY dim) AS vn,
+               list(m_new - m_old ORDER BY dim) AS dv
+        FROM per_dim
+    ),
+    ns AS (
+        SELECT CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_old,
+               CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new
+        FROM embeddings
+    )
+    SELECT ns.n_old, ns.n_new,
+           round({sql_cosine('v.vo', 'v.vn')}, 6) AS cos_means,
+           round(sqrt(list_dot_product(v.dv::DOUBLE[], v.dv::DOUBLE[])), 6)
+             AS l2_shift,
+           round(list_max(list_transform(v.dv, x -> abs(x))), 6)
+             AS max_abs_shift
+    FROM vecs v, ns
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between the even-id and odd-id
+    halves of the corpus (the two-snapshot comparison a retrieval
+    deployment runs on re-embedding or data refresh): cosine between
+    the per-dimension centroids, L2 norm of the centroid shift, and
+    the largest single-dimension move. Means are exact decimal sums
+    per (half, dimension) — order-invariant — finished with one float
+    division; the three metrics are fixed-shape folds over the
+    64-dim mean vectors in dimension order.
+
+    Scale: one explode to (row, dim) values with map-side-combined
+    decimal partial sums — the shuffle carries 2 x 64 accumulators per
+    task, not the data; everything after is a 64-row frame."""
+    e = read_table(spark, sf_dir, "embeddings")
+    vals = e.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    per_dim = vals.groupBy("dim").agg(
+        (
+            F.sum(F.when(F.col("half") == 0, F.col("v").cast("decimal(38,6)")))
+            .cast("double")
+            / F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        ).alias("m_old"),
+        (
+            F.sum(F.when(F.col("half") == 1, F.col("v").cast("decimal(38,6)")))
+            .cast("double")
+            / F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        ).alias("m_new"),
+    )
+    vecs = per_dim.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "m_old"))
+        ).alias("so"),
+        F.array_sort(
+            F.collect_list(F.struct("dim", "m_new"))
+        ).alias("sn"),
+    ).select(
+        F.transform("so", lambda s: s["m_old"]).alias("vo"),
+        F.transform("sn", lambda s: s["m_new"]).alias("vn"),
+        F.zip_with(
+            F.transform("sn", lambda s: s["m_new"]),
+            F.transform("so", lambda s: s["m_old"]),
+            lambda a, b: a - b,
+        ).alias("dv"),
+    )
+    ns = e.agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("long"))
+        .cast("bigint")
+        .alias("n_old"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("long"))
+        .cast("bigint")
+        .alias("n_new"),
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("dv"), F.col("dv"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    mx = F.array_max(F.transform("dv", lambda x: F.abs(x)))
+    return vecs.crossJoin(F.broadcast(ns)).select(
+        "n_old",
+        "n_new",
+        F.round(cosine(F.col("vo"), F.col("vn")), 6).alias("cos_means"),
+        F.round(l2, 6).alias("l2_shift"),
+        F.round(mx, 6).alias("max_abs_shift"),
+    )

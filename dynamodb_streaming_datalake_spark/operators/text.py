@@ -829,3 +829,122 @@ _fmt(q_tfidf_terms, k=TFIDF_TOP_TERMS)
 _fmt(q_heavy_hitters, k=HH_K)
 _fmt(q_bm25_search, BM25_K1=BM25_K1, BM25_B=BM25_B, BM25_TOP=BM25_TOP)
 _fmt(q_quality_classifier, QC_BUCKETS=QC_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# distinctive terms per source (round 9)
+# ---------------------------------------------------------------------------
+# The corpus-exploration pass behind topic labeling (the c-TF-IDF idea,
+# log-free): a term is distinctive for a source when its in-source
+# frequency share beats its corpus-wide share. lift = (tf_s / n_s) /
+# (tf / n) is a ratio of exact integer counts — one fixed-shape double
+# expression, so it sits under the hash gate where IDF's log() (not
+# cross-engine correctly-rounded) could not.
+
+DIST_TOP_PER_SOURCE = 5
+#: terms must appear at least this often corpus-wide to be rankable
+#: (rare-term lifts are noise and would dominate otherwise)
+DIST_MIN_CORPUS_TF = 20
+
+
+@query(
+    "q_distinctive_terms",
+    oracle=f"""
+    WITH words AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    w AS (SELECT source, word FROM words WHERE word <> ''),
+    per_source AS (
+        SELECT source, word, COUNT(*) AS tf_s FROM w GROUP BY source, word
+    ),
+    source_tot AS (
+        SELECT source, COUNT(*) AS n_s FROM w GROUP BY source
+    ),
+    corpus AS (
+        SELECT word, COUNT(*) AS tf FROM w GROUP BY word
+        HAVING COUNT(*) >= {DIST_MIN_CORPUS_TF}
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM w),
+    lifted AS (
+        SELECT p.source, p.word,
+               CAST(p.tf_s AS BIGINT) AS tf_source,
+               CAST(c.tf AS BIGINT) AS tf_corpus,
+               round((CAST(p.tf_s AS DOUBLE) / s.n_s)
+                     / (CAST(c.tf AS DOUBLE) / t.n), 6) AS lift
+        FROM per_source p
+        JOIN source_tot s USING (source)
+        JOIN corpus c USING (word)
+        CROSS JOIN tot t
+    )
+    SELECT source, word, tf_source, tf_corpus, lift,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY lift DESC, word) AS rnk
+        FROM lifted
+    )
+    WHERE rnk <= {DIST_TOP_PER_SOURCE}
+    ORDER BY source, rnk
+    """,
+)
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{DIST_TOP_PER_SOURCE} distinctive terms per crawl source by
+    frequency lift — (in-source term share) / (corpus term share) —
+    over terms with at least {DIST_MIN_CORPUS_TF} corpus occurrences.
+    The log-free c-TF-IDF: a pure ratio of integer counts (one double
+    expression, rounded), so it is hash-exact where an IDF log() would
+    not be cross-engine reproducible.
+
+    Scale: one explode + two map-side-combined aggregates (per-source
+    and corpus term counts), a broadcast of the per-source totals, and
+    a per-source top-k window — the same profile as q_tfidf_terms."""
+    d = read_table(spark, sf_dir, "documents")
+    w = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+    ).localCheckpoint(eager=False)
+    per_source = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("tf_s")
+    )
+    source_tot = w.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    corpus = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .where(F.col("tf") >= DIST_MIN_CORPUS_TF)
+    )
+    tot = w.agg(F.count(F.lit(1)).alias("n"))
+    lift = F.round(
+        (F.col("tf_s").cast("double") / F.col("n_s"))
+        / (F.col("tf").cast("double") / F.col("n")),
+        6,
+    )
+    lifted = (
+        per_source.join(F.broadcast(source_tot), "source")
+        .join(corpus, "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "word",
+            F.col("tf_s").cast("bigint").alias("tf_source"),
+            F.col("tf").cast("bigint").alias("tf_corpus"),
+            lift.alias("lift"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("lift").desc(), "word")
+    )
+    return (
+        lifted.withColumn("rnk", rnk.cast("int"))
+        .where(F.col("rnk") <= DIST_TOP_PER_SOURCE)
+        .orderBy("source", "rnk")
+    )
+
+
+_fmt(
+    q_distinctive_terms,
+    DIST_TOP_PER_SOURCE=DIST_TOP_PER_SOURCE,
+    DIST_MIN_CORPUS_TF=DIST_MIN_CORPUS_TF,
+)
