@@ -255,6 +255,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_matryoshka_eval",  # bounded query-panel cross per prefix dim
         "q_dedup_threshold_sweep",  # 4-row threshold table theta-joined
         "q_embedding_drift",  # 1-row mean-vector frame x 1-row counts
+        "q_distinctive_terms",  # 1-row corpus-total aggregate crossed
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
