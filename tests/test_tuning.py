@@ -1,0 +1,65 @@
+"""Invariant tests for the round-9 tuning harnesses — properties the
+hash gate can't articulate (monotonicity, self-checks, conservation),
+on top of each query's oracle parity row."""
+
+from __future__ import annotations
+
+from dynamodb_streaming_datalake_spark.registry import all_queries
+
+
+def test_ann_tuning_curve_is_monotone(spark, sf_smoke):
+    """More probed lists can only widen the candidate set, so the
+    candidate volume is strictly increasing and recall non-decreasing
+    in nprobe — the shape that makes the curve a tuning instrument."""
+    rows = sorted(
+        all_queries()["q_ann_tuning"](spark, sf_smoke).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_candidates"] > a["n_candidates"]
+        assert b["mean_recall_at_k"] >= a["mean_recall_at_k"]
+
+
+def test_matryoshka_full_dim_is_self_check(spark, sf_smoke):
+    """Searching with all 64 dims IS the truth — recall and MRR must
+    both be exactly 1.0 on that row."""
+    rows = {
+        r["dims"]: r
+        for r in all_queries()["q_matryoshka_eval"](spark, sf_smoke).collect()
+    }
+    assert rows[64]["mean_recall_at_k"] == 1.0
+    assert rows[64]["mrr"] == 1.0
+
+
+def test_dedup_threshold_sweep_is_monotone(spark, sf_smoke):
+    """Raising the Jaccard threshold can only drop pairs and the
+    documents they touch."""
+    rows = sorted(
+        all_queries()["q_dedup_threshold_sweep"](spark, sf_smoke).collect(),
+        key=lambda r: r["threshold"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_pairs"] <= a["n_pairs"]
+        assert b["n_dup_docs"] <= a["n_dup_docs"]
+
+
+def test_kll_binning_fracs_partition_the_corpus(spark, sf_smoke):
+    """Bins partition events exactly: counts sum to the corpus and the
+    fractions to ~1 (rounding only); equal-frequency edges keep every
+    bin within the sketch's rank tolerance of 25%."""
+    rows = all_queries()["q_kll_binning"](spark, sf_smoke).collect()
+    assert len(rows) == 4
+    assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-5
+    for r in rows:
+        assert r["dev_from_ideal"] <= 0.05, (r["bin"], r["dev_from_ideal"])
+
+
+def test_group_split_has_no_leakage(spark, sf_smoke):
+    """The in-row audit column is structurally zero on every row, and
+    the two splits cover the whole corpus."""
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    rows = all_queries()["q_group_split"](spark, sf_smoke).collect()
+    assert all(r["leaked_sources"] == 0 for r in rows)
+    n_docs = read_table(spark, sf_smoke, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
