@@ -529,3 +529,104 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_item_similarity, SIM_TOP=SIM_TOP)
+
+
+# ---------------------------------------------------------------------------
+# bounded k-core peel (round 9)
+# ---------------------------------------------------------------------------
+# The graph-curation filter: repeatedly remove nodes of degree < k and
+# their incident edges — survivors form (an over-approximation
+# converging to) the k-core, the densely connected region spam/noise
+# filtering keeps. A FIXED number of synchronized peel rounds keeps
+# the operator deterministic and lets the oracle unroll the identical
+# recurrence as CTE layers (the pagerank/label-propagation pattern);
+# run to fixpoint it is the exact k-core.
+
+KCORE_K = 4
+KCORE_ROUNDS = 4
+KCORE_TOP = 20
+
+
+def _sql_kcore_round(r: int) -> str:
+    """One unrolled peel: edges{r} -> edges{r+1} (keep only edges whose
+    BOTH endpoints had degree >= k in edges{r})."""
+    return f"""
+    deg{r} AS (
+        SELECT src, COUNT(*) AS d FROM edges{r} GROUP BY src
+    ),
+    keep{r} AS (SELECT src AS node FROM deg{r} WHERE d >= {KCORE_K}),
+    edges{r + 1} AS (
+        SELECT e.src, e.dst FROM edges{r} e
+        JOIN keep{r} a ON a.node = e.src
+        JOIN keep{r} b ON b.node = e.dst
+    )"""
+
+
+@query(
+    "q_kcore",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    edges0 AS (SELECT src, dst FROM edges),
+    {",".join(_sql_kcore_round(r) for r in range(KCORE_ROUNDS))},
+    fdeg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM edges{KCORE_ROUNDS} GROUP BY src
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+               CAST(COALESCE(SUM(degree), 0) AS BIGINT) AS n_core_edges
+        FROM fdeg
+    )
+    SELECT f.node, f.degree, t.n_core_nodes, t.n_core_edges
+    FROM fdeg f, tot t
+    ORDER BY f.degree DESC, f.node
+    LIMIT {KCORE_TOP}
+    """,
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_ROUNDS} synchronized peel rounds toward the
+    {KCORE_K}-core of the customer<->supplier trade graph: each round
+    drops nodes whose CURRENT degree is below {KCORE_K}, and every
+    edge whose either endpoint dropped. Returns the top-{KCORE_TOP}
+    surviving nodes by final degree with the core's node/edge totals
+    in-row (directed-edge count — the graph stores both directions).
+
+    The oracle unrolls the same recurrence as {KCORE_ROUNDS} CTE
+    layers, so one wrong join in any round breaks the hash — the
+    iterative-algorithm proof pattern shared with q_pagerank and
+    q_label_propagation.
+
+    Scale: per round one degree aggregate + two semi-join-shaped
+    equi-joins against the (tiny) surviving-node set over a
+    localCheckpoint-bounded edge table; bucketing edges on node id
+    co-locates every round."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    for _ in range(KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= KCORE_K).select(
+            F.col("src").alias("node")
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "src"), "src")
+            .join(keep.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    fdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    tot = fdeg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_core_nodes"),
+        F.coalesce(F.sum("degree"), F.lit(0))
+        .cast("bigint")
+        .alias("n_core_edges"),
+    )
+    return (
+        fdeg.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("degree").desc(), "node")
+        .limit(KCORE_TOP)
+        .select("node", "degree", "n_core_nodes", "n_core_edges")
+    )
+
+
+_fmt(q_kcore, KCORE_K=KCORE_K, KCORE_ROUNDS=KCORE_ROUNDS, KCORE_TOP=KCORE_TOP)

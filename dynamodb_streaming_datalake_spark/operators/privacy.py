@@ -157,3 +157,89 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_k_anonymize, ACCTBAL_BAND=ACCTBAL_BAND, K_ANON=K_ANON)
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (round 9)
+# ---------------------------------------------------------------------------
+# k-anonymity's known gap: a group can be large yet carry only one
+# sensitive value, so membership alone reveals it (the homogeneity
+# attack). The l-diversity audit scores every released
+# quasi-identifier group by its count of DISTINCT sensitive values —
+# here the customer's nation — and flags groups below l.
+
+L_DIVERSITY = 3
+
+
+@query(
+    "q_l_diversity",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_mktsegment,
+               CAST(floor(c_acctbal / {ACCTBAL_BAND}) AS BIGINT)
+                 * {ACCTBAL_BAND} AS acctbal_band,
+               c_nationkey
+        FROM customer
+    ),
+    stats AS (
+        SELECT c_mktsegment, acctbal_band,
+               CAST(COUNT(*) AS BIGINT) AS group_size,
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT)
+                 AS n_distinct_sensitive
+        FROM g GROUP BY c_mktsegment, acctbal_band
+        HAVING COUNT(*) >= {K_ANON}
+    )
+    SELECT c_mktsegment, acctbal_band, group_size, n_distinct_sensitive,
+           CAST(n_distinct_sensitive < {L_DIVERSITY} AS INT)
+             AS l_violation
+    FROM stats
+    ORDER BY c_mktsegment, acctbal_band
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of the k-anonymized release: for every
+    quasi-identifier group q_k_anonymize would publish (same
+    generalization: market segment x {ACCTBAL_BAND}-balance band,
+    size >= k={K_ANON}), the number of DISTINCT sensitive values
+    (nation) and a flag for groups below l={L_DIVERSITY} — the
+    homogeneity-attack check k-anonymity alone misses.
+
+    Scale: one groupBy over the generalized keys with a distinct
+    aggregate — the same shuffle as the release itself."""
+    c = read_table(spark, sf_dir, "customer")
+    g = c.select(
+        "c_mktsegment",
+        (
+            F.floor(F.col("c_acctbal") / ACCTBAL_BAND).cast("bigint")
+            * ACCTBAL_BAND
+        ).alias("acctbal_band"),
+        "c_nationkey",
+    )
+    return (
+        g.groupBy("c_mktsegment", "acctbal_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.countDistinct("c_nationkey")
+            .cast("bigint")
+            .alias("n_distinct_sensitive"),
+        )
+        .where(F.col("group_size") >= K_ANON)
+        .select(
+            "c_mktsegment",
+            "acctbal_band",
+            "group_size",
+            "n_distinct_sensitive",
+            (F.col("n_distinct_sensitive") < L_DIVERSITY)
+            .cast("int")
+            .alias("l_violation"),
+        )
+        .orderBy("c_mktsegment", "acctbal_band")
+    )
+
+
+_fmt(
+    q_l_diversity,
+    K_ANON=K_ANON,
+    ACCTBAL_BAND=ACCTBAL_BAND,
+    L_DIVERSITY=L_DIVERSITY,
+)

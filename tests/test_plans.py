@@ -256,6 +256,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_dedup_threshold_sweep",  # 4-row threshold table theta-joined
         "q_embedding_drift",  # 1-row mean-vector frame x 1-row counts
         "q_distinctive_terms",  # 1-row corpus-total aggregate crossed
+        "q_kcore",  # 1-row core-totals aggregate crossed
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
