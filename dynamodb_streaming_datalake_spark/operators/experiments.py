@@ -1,0 +1,481 @@
+"""Decision harnesses: experimentation and model-selection as queries.
+
+The round-9 theme (q_ann_tuning, q_dedup_threshold_sweep) extended to
+the classic product/ML decisions a lakehouse answers: did the A/B arm
+move the metric (two-sample z), does the model generalize (k-fold CV),
+where did the series shift (changepoint scan), and what happens next
+(Markov transitions). Each one is a plain grouped/windowed aggregate —
+no iteration, no collect — so every harness costs what a report query
+costs and scales the same way.
+
+Numerics follow the house discipline (q_event_moments /
+q_linreg_train): every cross-row sum accumulates in DECIMAL(38,6)
+(order-independent, partitioning-invariant), and doubles appear only in
+final per-row expressions evaluated with the identical tree on both
+engines, then ``round(_, 6)``.
+
+Reference parity: the reference pipeline (an 84-line Glue snapshot job,
+``/root/reference/resources/ddb_full_load.py:56-82``) ends at "write
+the table"; these are the analyses a consumer of that table runs next.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dynamodb_streaming_datalake_spark.functions.texthash import (
+    portable_hash60,
+    sql_portable_hash60,
+)
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
+from dynamodb_streaming_datalake_spark.registry import query
+from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+#: experiment salt: prefixed into the unit hash so re-running the
+#: "experiment" under a new name re-randomizes assignment — the
+#: standard hash-based bucketing contract (unit never flips arms
+#: mid-experiment, different experiments are independent).
+AB_SALT = "exp-events-v1"
+AB_ARMS = 2
+
+#: k-fold cross-validation fold count (hash of the row id, so folds
+#: are stable under any partitioning / ordering).
+CV_FOLDS = 4
+
+#: changepoint scan: top candidate split points reported.
+CP_TOP = 5
+
+#: virtual state for "first event of a user" in the transition matrix.
+TRANS_START = "^start"
+
+
+def _d38(c: F.Column) -> F.Column:
+    return c.cast("decimal(38,6)")
+
+
+# ---------------------------------------------------------------------------
+# A/B test analysis: hash-bucketed arms, two-sample z per metric slice
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ab_test",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               event_type,
+               {sql_portable_hash60(f"'{AB_SALT}:' || CAST(user_id AS VARCHAR)")}
+                 % {AB_ARMS} AS arm,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS metric
+        FROM events
+        GROUP BY user_id, event_type
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) FILTER (WHERE arm = 0) AS n_a,
+               COUNT(*) FILTER (WHERE arm = 1) AS n_b,
+               CAST(SUM(CAST(metric AS DECIMAL(38,6)))
+                      FILTER (WHERE arm = 0) AS DOUBLE) AS s_a,
+               CAST(SUM(CAST(metric AS DECIMAL(38,6)))
+                      FILTER (WHERE arm = 1) AS DOUBLE) AS s_b,
+               CAST(SUM(CAST(metric * metric AS DECIMAL(38,6)))
+                      FILTER (WHERE arm = 0) AS DOUBLE) AS ss_a,
+               CAST(SUM(CAST(metric * metric AS DECIMAL(38,6)))
+                      FILTER (WHERE arm = 1) AS DOUBLE) AS ss_b
+        FROM per_user
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(s_a / n_a, 6) AS mean_a,
+           round(s_b / n_b, 6) AS mean_b,
+           round(s_b / n_b - s_a / n_a, 6) AS lift,
+           round((s_b / n_b - s_a / n_a)
+                 / sqrt((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+                        + (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b),
+                 6) AS z_score
+    FROM stats
+    WHERE n_a >= 2 AND n_b >= 2
+      AND (ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+          + (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b > 0
+    ORDER BY event_type
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash into {AB_ARMS} stable arms
+    (md5 of '{AB_SALT}:<user>' — the portable 60-bit hash, so
+    assignment is deterministic, uniform, and identical on any engine),
+    the per-user metric is total event value, and each event-type slice
+    gets a two-sample Welch z: arm means, lift, and
+    ``lift / sqrt(var_a/n_a + var_b/n_b)``. Variances come from the
+    same exact-decimal power-sum discipline as q_linreg_train, so the
+    z-score is reproducible to the last ulp, not merely close.
+
+    Slices where either arm has <2 users or the pooled standard error
+    is zero are excluded by contract (division semantics diverge across
+    engines there).
+
+    Scale: two grouped aggregates — (user, type) then (type) — each one
+    shuffle with map-side partials; per-slice state is six numbers.
+    This is the production experiment-analysis shape: no per-user data
+    ever reaches the driver, adding metrics adds columns, not passes."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.sum(_d38(F.col("value"))).cast("double").alias("metric")
+    )
+    arm = (
+        portable_hash60(
+            F.concat(F.lit(f"{AB_SALT}:"), F.col("user_id").cast("string"))
+        )
+        % AB_ARMS
+    )
+    per_user = per_user.withColumn("arm", arm)
+    m = F.col("metric")
+    is_a, is_b = F.col("arm") == 0, F.col("arm") == 1
+    stats = per_user.groupBy("event_type").agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.count(F.when(is_b, 1)).alias("n_b"),
+        F.sum(F.when(is_a, _d38(m))).cast("double").alias("s_a"),
+        F.sum(F.when(is_b, _d38(m))).cast("double").alias("s_b"),
+        F.sum(F.when(is_a, _d38(m * m))).cast("double").alias("ss_a"),
+        F.sum(F.when(is_b, _d38(m * m))).cast("double").alias("ss_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    s_a, s_b = F.col("s_a"), F.col("s_b")
+    ss_a, ss_b = F.col("ss_a"), F.col("ss_b")
+    lift = s_b / n_b - s_a / n_a
+    se2 = (ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a + (
+        ss_b - s_b * s_b / n_b
+    ) / (n_b - 1) / n_b
+    return (
+        stats.where((n_a >= 2) & (n_b >= 2) & (se2 > 0))
+        .select(
+            "event_type",
+            n_a.cast("bigint").alias("n_a"),
+            n_b.cast("bigint").alias("n_b"),
+            F.round(s_a / n_a, 6).alias("mean_a"),
+            F.round(s_b / n_b, 6).alias("mean_b"),
+            F.round(lift, 6).alias("lift"),
+            F.round(lift / F.sqrt(se2), 6).alias("z_score"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_fmt(q_ab_test, AB_ARMS=AB_ARMS, AB_SALT=AB_SALT)
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation of the closed-form OLS model
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_linreg_cv",
+    oracle=f"""
+    WITH rows_f AS (
+        SELECT CAST({sql_portable_hash60("'cv:' || CAST(event_id AS VARCHAR)")}
+                 % {CV_FOLDS} AS INTEGER) AS fold,
+               CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x,
+               CAST(value AS DOUBLE) AS y
+        FROM events
+    ),
+    fold_sums AS (
+        SELECT fold,
+               COUNT(*) AS n,
+               SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+               SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+               SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+               SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy
+        FROM rows_f GROUP BY fold
+    ),
+    train AS (
+        SELECT fold,
+               CAST(SUM(n) OVER () - n AS BIGINT) AS n_t,
+               CAST(CAST(SUM(sx) OVER () - sx AS DECIMAL(38,6)) AS DOUBLE) AS sx_t,
+               CAST(CAST(SUM(sy) OVER () - sy AS DECIMAL(38,6)) AS DOUBLE) AS sy_t,
+               CAST(CAST(SUM(sxx) OVER () - sxx AS DECIMAL(38,6)) AS DOUBLE) AS sxx_t,
+               CAST(CAST(SUM(sxy) OVER () - sxy AS DECIMAL(38,6)) AS DOUBLE) AS sxy_t,
+               CAST(n AS BIGINT) AS n_test
+        FROM fold_sums
+    ),
+    coefs AS (
+        SELECT fold, n_t, n_test,
+               (n_t * sxy_t - sx_t * sy_t) / (n_t * sxx_t - sx_t * sx_t)
+                 AS slope,
+               (sy_t - (n_t * sxy_t - sx_t * sy_t)
+                         / (n_t * sxx_t - sx_t * sx_t) * sx_t) / n_t
+                 AS intercept
+        FROM train
+        WHERE n_t * sxx_t - sx_t * sx_t != 0
+    ),
+    holdout AS (
+        SELECT c.fold, c.n_t, c.n_test, c.slope, c.intercept,
+               CAST(SUM(CAST((r.y - (c.intercept + c.slope * r.x))
+                             * (r.y - (c.intercept + c.slope * r.x))
+                             AS DECIMAL(38,6))) AS DOUBLE) AS ssr
+        FROM rows_f r JOIN coefs c ON r.fold = c.fold
+        GROUP BY c.fold, c.n_t, c.n_test, c.slope, c.intercept
+    )
+    SELECT fold,
+           n_t AS n_train,
+           n_test,
+           round(slope, 6) AS slope,
+           round(intercept, 6) AS intercept,
+           round(sqrt(ssr / n_test), 6) AS rmse
+    FROM holdout
+    ORDER BY fold
+    """,
+)
+def q_linreg_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{CV_FOLDS}-fold cross-validation of the q_linreg_train model
+    (OLS of event value on hour-of-day) without {CV_FOLDS} passes over
+    the data: fold membership is a stable hash of the row id, ONE
+    grouped aggregate produces per-fold power sums, and each fold's
+    TRAINING sums are ``total - own_fold`` — exact, because the sums
+    subtract in DECIMAL before ever becoming doubles (the
+    leave-one-out-at-the-aggregate-level trick; sufficient statistics
+    are additive, so complement-training is subtraction, not a rescan).
+    A second pass joins the {CV_FOLDS}-row coefficient table back to
+    score each row's own holdout fold, accumulating squared residuals
+    in decimal for an exact per-fold RMSE.
+
+    Scale: pass 1 is a {CV_FOLDS}-group aggregate; pass 2 is a
+    broadcast join of a {CV_FOLDS}-row frame against the scan plus one
+    more grouped aggregate. Cost is ~2 report queries regardless of
+    fold count — the window-over-folds runs on {CV_FOLDS} rows, not
+    the data."""
+    ev = read_table(spark, sf_dir, "events")
+    rows_f = ev.select(
+        (
+            portable_hash60(
+                F.concat(F.lit("cv:"), F.col("event_id").cast("string"))
+            )
+            % CV_FOLDS
+        )
+        .cast("int")
+        .alias("fold"),
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").cast("double").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    fold_sums = rows_f.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_d38(x)).alias("sx"),
+        F.sum(_d38(y)).alias("sy"),
+        F.sum(_d38(x * x)).alias("sxx"),
+        F.sum(_d38(x * y)).alias("sxy"),
+    )
+    # complement-training sums via a window over the K-row fold frame:
+    # the decimal subtraction happens BEFORE the double cast, so each
+    # fold's training statistics are exactly the 3-fold aggregate
+    w = Window.partitionBy()
+    dec = "decimal(38,6)"
+    train = fold_sums.select(
+        "fold",
+        (F.sum("n").over(w) - F.col("n")).cast("bigint").alias("n_t"),
+        (F.sum("sx").over(w) - F.col("sx")).cast(dec).cast("double").alias("sx_t"),
+        (F.sum("sy").over(w) - F.col("sy")).cast(dec).cast("double").alias("sy_t"),
+        (F.sum("sxx").over(w) - F.col("sxx")).cast(dec).cast("double").alias("sxx_t"),
+        (F.sum("sxy").over(w) - F.col("sxy")).cast(dec).cast("double").alias("sxy_t"),
+        F.col("n").cast("bigint").alias("n_test"),
+    )
+    n_t = F.col("n_t")
+    sx_t, sy_t = F.col("sx_t"), F.col("sy_t")
+    sxx_t, sxy_t = F.col("sxx_t"), F.col("sxy_t")
+    slope = (n_t * sxy_t - sx_t * sy_t) / (n_t * sxx_t - sx_t * sx_t)
+    coefs = train.where(n_t * sxx_t - sx_t * sx_t != 0).select(
+        "fold",
+        "n_t",
+        "n_test",
+        slope.alias("slope"),
+        ((sy_t - slope * sx_t) / n_t).alias("intercept"),
+    )
+    resid = y - (F.col("intercept") + F.col("slope") * x)
+    holdout = (
+        rows_f.join(F.broadcast(coefs), "fold")
+        .groupBy("fold", "n_t", "n_test", "slope", "intercept")
+        .agg(F.sum(_d38(resid * resid)).cast("double").alias("ssr"))
+    )
+    return holdout.select(
+        "fold",
+        F.col("n_t").alias("n_train"),
+        "n_test",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round(F.sqrt(F.col("ssr") / F.col("n_test")), 6).alias("rmse"),
+    ).orderBy("fold")
+
+
+_fmt(q_linreg_cv, CV_FOLDS=CV_FOLDS)
+
+
+# ---------------------------------------------------------------------------
+# changepoint scan: best mean-shift split of the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_changepoint",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+        FROM orders GROUP BY day
+    ),
+    pre AS (
+        SELECT day,
+               CAST(SUM(rev) OVER (ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS cum,
+               ROW_NUMBER() OVER (ORDER BY day) AS t,
+               COUNT(*) OVER () AS n_days,
+               CAST(SUM(rev) OVER () AS DECIMAL(38,6)) AS total
+        FROM daily
+    ),
+    scored AS (
+        SELECT day,
+               CAST(t AS BIGINT) AS n_before,
+               CAST(n_days - t AS BIGINT) AS n_after,
+               CAST(cum AS DOUBLE) / t AS mean_before,
+               CAST(total - cum AS DOUBLE) / (n_days - t) AS mean_after
+        FROM pre WHERE t < n_days
+    )
+    -- VARCHAR day: pandas renders DuckDB DATE as midnight timestamps,
+    -- so the portable output type for a calendar day is its ISO string
+    SELECT CAST(day AS VARCHAR) AS split_day, n_before, n_after,
+           round(mean_before, 6) AS mean_before,
+           round(mean_after, 6) AS mean_after,
+           round(abs(mean_after - mean_before), 6) AS abs_shift
+    FROM scored
+    ORDER BY abs(mean_after - mean_before) DESC, day
+    LIMIT {CP_TOP}
+    """,
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint scan over the daily order-revenue series: every day
+    is a candidate split, scored by the absolute difference between the
+    mean revenue before and after it (the single-changepoint
+    mean-shift statistic — the CUSUM-family scan evaluated exactly via
+    prefix sums instead of recursively). Top-{CP_TOP} candidates
+    returned.
+
+    The cumulative and total sums stay DECIMAL through the subtraction
+    ``total - cum`` (exact, order-independent); the only doubles are
+    the two final divisions per candidate — one fixed expression tree,
+    so the ranking is identical on any engine.
+
+    Scale: the series is |days| rows after one grouped aggregate —
+    tiny forever (36,500 rows per century). The window scan is a
+    single-partition pass over that tiny frame, and the heavy input
+    scan is the same one every daily report already does."""
+    orders = read_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(_d38(F.col("o_totalprice"))).alias("rev"))
+    )
+    wday = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    pre = daily.select(
+        "day",
+        F.sum("rev").over(wday).cast("decimal(38,6)").alias("cum"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+        F.sum("rev").over(wall).cast("decimal(38,6)").alias("total"),
+    )
+    t, n_days = F.col("t"), F.col("n_days")
+    mean_before = F.col("cum").cast("double") / t
+    mean_after = (F.col("total") - F.col("cum")).cast("double") / (n_days - t)
+    scored = pre.where(t < n_days).select(
+        F.col("day").alias("split_day"),
+        t.cast("bigint").alias("n_before"),
+        (n_days - t).cast("bigint").alias("n_after"),
+        mean_before.alias("mb"),
+        mean_after.alias("ma"),
+    )
+    return (
+        scored.orderBy(
+            F.abs(F.col("ma") - F.col("mb")).desc(), "split_day"
+        )
+        .limit(CP_TOP)
+        .select(
+            F.col("split_day").cast("string").alias("split_day"),
+            "n_before",
+            "n_after",
+            F.round("mb", 6).alias("mean_before"),
+            F.round("ma", 6).alias("mean_after"),
+            F.round(F.abs(F.col("ma") - F.col("mb")), 6).alias("abs_shift"),
+        )
+    )
+
+
+_fmt(q_changepoint, CP_TOP=CP_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_event_transitions",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id), '{TRANS_START}')
+                 AS prev_type,
+               event_type AS next_type
+        FROM events
+    ),
+    counts AS (
+        SELECT prev_type, next_type, COUNT(*) AS n
+        FROM ordered GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type,
+           CAST(n AS BIGINT) AS n_transitions,
+           round(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+                 6) AS p_next
+    FROM counts
+    ORDER BY prev_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: each
+    user's events order totally by (ts, event_id), LAG yields the
+    previous event type ('{TRANS_START}' for a user's first event),
+    and the (prev, next) counts normalize into transition
+    probabilities — the model behind next-action prediction and
+    funnel-drop analysis. The probability is one integer/integer
+    division per output row, so the matrix is engine-exact.
+
+    Scale: one shuffle to order each user's events (the q_sessionize
+    partitioning), one grouped aggregate to |types|^2 + |types| rows,
+    then a window over that tiny matrix. User history length never
+    accumulates in memory — LAG streams each partition."""
+    ev = read_table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.coalesce(
+            F.lag("event_type").over(wlag), F.lit(TRANS_START)
+        ).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wprev = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wprev).cast("double"),
+            6,
+        ).alias("p_next"),
+    ).orderBy("prev_type", "next_type")
+
+
+_fmt(q_event_transitions, TRANS_START=TRANS_START)

@@ -630,3 +630,127 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_kcore, KCORE_K=KCORE_K, KCORE_ROUNDS=KCORE_ROUNDS, KCORE_TOP=KCORE_TOP)
+
+
+# ---------------------------------------------------------------------------
+# bounded-round BFS single-source shortest paths (round 9)
+# ---------------------------------------------------------------------------
+
+#: synchronized BFS relaxation rounds; nodes farther than this many
+#: hops from the source report as unreached.
+BFS_ITERS = 4
+#: "infinity" sentinel — any value > BFS_ITERS works; using an int
+#: keeps the whole relaxation in exact integer arithmetic.
+BFS_INF = 9999
+
+
+def _sql_bfs_round(k: int) -> str:
+    """One unrolled relaxation: d{k} -> d{k+1}."""
+    return f"""
+    d{k + 1} AS (
+        SELECT d.node,
+               LEAST(d.dist, COALESCE(MIN(nd.dist) + 1, {BFS_INF})) AS dist
+        FROM d{k} d
+        LEFT JOIN edges e ON e.dst = d.node
+        LEFT JOIN d{k} nd ON nd.node = e.src
+        GROUP BY d.node, d.dist
+    )"""
+
+
+@query(
+    "q_shortest_paths",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    srcn AS (SELECT MIN(node) AS s FROM nodes),
+    d0 AS (
+        SELECT node,
+               CASE WHEN node = (SELECT s FROM srcn)
+                    THEN 0 ELSE {BFS_INF} END AS dist
+        FROM nodes
+    ),
+    {",".join(_sql_bfs_round(k) for k in range(BFS_ITERS))}
+    SELECT dist AS n_hops,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS first_node,
+           MAX(node) AS last_node
+    FROM d{BFS_ITERS}
+    WHERE dist < {BFS_INF}
+    GROUP BY dist
+    ORDER BY dist
+    """,
+)
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths by {BFS_ITERS} synchronized BFS
+    relaxation rounds over the customer<->supplier trade graph, from a
+    deterministic source (the lexicographically smallest node id).
+    Each round sets ``dist(v) = min(dist(v), min over in-neighbors(u)
+    of dist(u) + 1)`` — Bellman-Ford restricted to unit weights, so
+    after K rounds every node within K hops holds its exact hop
+    distance. Output: the BFS frontier profile — per-distance node
+    count with the min/max node id at each ring (2 x {BFS_ITERS} hops
+    covers the whole bipartite graph's typical diameter shells).
+
+    The oracle unrolls the identical recurrence as {BFS_ITERS} CTE
+    layers over the same edge CTE (the q_pagerank /
+    q_label_propagation proof pattern); distances stay exact integers
+    throughout, with {BFS_INF} as infinity.
+
+    Scale: one equi-join + one MIN aggregate per round against a
+    localCheckpoint-pinned edge table — identical per-round cost to
+    label propagation, and like it the O(|V|) distance vector
+    broadcasts into the per-round join when it fits
+    ({PR_BROADCAST_MAX_NODES}-node dispatch), so the edge table never
+    moves; larger graphs keep the shuffle join for bucketed
+    co-location. MIN is order-independent, so the result is
+    partitioning-invariant."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    srcn = nodes.agg(F.min("node").alias("s"))
+    dist = nodes.crossJoin(F.broadcast(srcn)).select(
+        "node",
+        F.when(F.col("node") == F.col("s"), F.lit(0))
+        .otherwise(F.lit(BFS_INF))
+        .alias("dist"),
+    )
+    small = (
+        nodes.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        <= PR_BROADCAST_MAX_NODES
+    )
+    bc = F.broadcast if small else (lambda df: df)
+    for _ in range(BFS_ITERS):
+        nbr = (
+            edges.join(
+                bc(
+                    dist.select(
+                        F.col("node").alias("src"), F.col("dist").alias("sd")
+                    )
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("sd").alias("m"))
+        )
+        dist = dist.join(bc(nbr), "node", "left").select(
+            "node",
+            F.least(
+                F.col("dist"), F.coalesce(F.col("m") + 1, F.lit(BFS_INF))
+            ).alias("dist"),
+        )
+    return (
+        dist.where(F.col("dist") < BFS_INF)
+        .groupBy(F.col("dist").alias("n_hops"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").alias("first_node"),
+            F.max("node").alias("last_node"),
+        )
+        .orderBy("n_hops")
+    )
+
+
+_fmt(
+    q_shortest_paths,
+    BFS_ITERS=BFS_ITERS,
+    BFS_INF=BFS_INF,
+    PR_BROADCAST_MAX_NODES=PR_BROADCAST_MAX_NODES,
+)

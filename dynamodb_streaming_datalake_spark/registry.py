@@ -271,6 +271,7 @@ def load_all() -> None:
         "layout",
         "sketches",
         "geo",
+        "experiments",
     ):
         try:
             __import__(f"dynamodb_streaming_datalake_spark.operators.{mod}")

@@ -1,0 +1,94 @@
+"""Invariant tests for the decision harnesses (experiments.py) and the
+BFS shortest-paths operator — properties beyond each query's oracle
+parity row."""
+
+from __future__ import annotations
+
+import math
+
+from dynamodb_streaming_datalake_spark.registry import all_queries
+
+
+def test_ab_test_arms_partition_users(spark, sf_smoke):
+    """lift must equal mean_b - mean_a to rounding, and the z-score's
+    sign must agree with the lift's — the readout is internally
+    consistent, not just hash-stable."""
+    rows = all_queries()["q_ab_test"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert math.isclose(
+            r["lift"], r["mean_b"] - r["mean_a"], abs_tol=2e-6
+        )
+        if r["lift"] != 0:
+            assert (r["z_score"] > 0) == (r["lift"] > 0)
+        assert r["n_a"] >= 2 and r["n_b"] >= 2
+
+
+def test_linreg_cv_folds_cover_all_rows(spark, sf_smoke):
+    """Every fold appears, train+test always sums to the same grand
+    total (the folds partition the data), and RMSE is finite and
+    non-negative."""
+    rows = all_queries()["q_linreg_cv"](spark, sf_smoke).collect()
+    assert {r["fold"] for r in rows} == {0, 1, 2, 3}
+    totals = {r["n_train"] + r["n_test"] for r in rows}
+    assert len(totals) == 1
+    for r in rows:
+        assert r["rmse"] >= 0 and math.isfinite(r["rmse"])
+
+
+def test_changepoint_split_sides_partition_days(spark, sf_smoke):
+    """Every candidate's before+after day counts agree across rows
+    (they all split the same series) and abs_shift matches the two
+    means it claims to compare."""
+    rows = all_queries()["q_changepoint"](spark, sf_smoke).collect()
+    assert rows
+    n_days = {r["n_before"] + r["n_after"] for r in rows}
+    assert len(n_days) == 1
+    shifts = [r["abs_shift"] for r in rows]
+    assert shifts == sorted(shifts, reverse=True)
+    for r in rows:
+        assert math.isclose(
+            r["abs_shift"],
+            abs(r["mean_after"] - r["mean_before"]),
+            abs_tol=2e-6,
+        )
+
+
+def test_event_transitions_rows_are_distributions(spark, sf_smoke):
+    """Per prev-state, the transition probabilities sum to ~1 and the
+    start-state row count equals the number of distinct users (every
+    user has exactly one first event)."""
+    rows = all_queries()["q_event_transitions"](spark, sf_smoke).collect()
+    by_prev: dict[str, float] = {}
+    start_n = 0
+    for r in rows:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["p_next"]
+        if r["prev_type"] == "^start":
+            start_n += r["n_transitions"]
+    for prev, total in by_prev.items():
+        assert math.isclose(total, 1.0, abs_tol=1e-4), (prev, total)
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    n_users = (
+        read_table(spark, sf_smoke, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert start_n == n_users
+
+
+def test_shortest_paths_frontier_profile(spark, sf_smoke):
+    """Ring 0 is exactly the source; rings alternate node type on the
+    bipartite trade graph (customers at even hops, suppliers at odd);
+    hop counts are contiguous from 0."""
+    rows = sorted(
+        all_queries()["q_shortest_paths"](spark, sf_smoke).collect(),
+        key=lambda r: r["n_hops"],
+    )
+    assert rows[0]["n_hops"] == 0 and rows[0]["n_nodes"] == 1
+    assert [r["n_hops"] for r in rows] == list(range(len(rows)))
+    for r in rows:
+        prefix = "c" if r["n_hops"] % 2 == 0 else "s"
+        assert r["first_node"].startswith(prefix)
+        assert r["last_node"].startswith(prefix)

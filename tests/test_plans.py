@@ -257,6 +257,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_embedding_drift",  # 1-row mean-vector frame x 1-row counts
         "q_distinctive_terms",  # 1-row corpus-total aggregate crossed
         "q_kcore",  # 1-row core-totals aggregate crossed
+        "q_shortest_paths",  # 1-row BFS-source aggregate crossed into init
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
