@@ -479,3 +479,188 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_event_transitions, TRANS_START=TRANS_START)
+
+
+# ---------------------------------------------------------------------------
+# session gap-threshold tuning sweep
+# ---------------------------------------------------------------------------
+
+#: candidate inactivity gaps (seconds) that end a session
+GAP_THRESHOLDS = (900, 1800, 3600)
+
+
+@query(
+    "q_session_gap_sweep",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+               - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS gap_s
+        FROM events
+    ),
+    agg AS MATERIALIZED (
+        SELECT COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               {",".join(f"COUNT(*) FILTER (WHERE gap_s > {t}) AS b{t}" for t in GAP_THRESHOLDS)}
+        FROM gaps
+    )
+    {" UNION ALL ".join(
+        f'''SELECT {t} AS gap_threshold_s,
+               CAST(n_users + b{t} AS BIGINT) AS n_sessions,
+               CAST(n_events AS BIGINT) AS n_events,
+               round(CAST(n_events AS DOUBLE) / (n_users + b{t}), 6)
+                 AS events_per_session
+            FROM agg'''
+        for t in GAP_THRESHOLDS
+    )}
+    ORDER BY gap_threshold_s
+    """,
+)
+def q_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-boundary tuning: how many sessions (and how many events
+    per session) each candidate inactivity threshold
+    {GAP_THRESHOLDS} s would produce — from ONE pass over the
+    inter-event gaps. A session starts at a user's first event or
+    after a gap strictly greater than the threshold, so
+    ``n_sessions(T) = n_users + |gaps > T|`` — counting, not
+    re-sessionizing per candidate (the q_dedup_threshold_sweep
+    one-pass discipline applied to q_sessionize's parameter).
+
+    Gap seconds come from floor(epoch) on both engines (DuckDB's
+    ``epoch()::BIGINT`` rounds, Spark's ``unix_timestamp`` truncates —
+    floor reconciles them), so every count is integer-exact.
+
+    Scale: the same single (user)-partitioned LAG shuffle q_sessionize
+    already runs, then one global aggregate carrying one counter per
+    candidate threshold. Adding thresholds adds counters, not passes."""
+    ev = read_table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    gaps = ev.select(
+        "user_id", (sec - F.lag(sec).over(wlag)).alias("gap_s")
+    )
+    agg = gaps.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        *[
+            F.count(F.when(F.col("gap_s") > t, 1)).alias(f"b{t}")
+            for t in GAP_THRESHOLDS
+        ],
+    )
+    stack = F.expr(
+        "stack({n}, {args}) AS (gap_threshold_s, n_breaks)".format(
+            n=len(GAP_THRESHOLDS),
+            args=", ".join(
+                f"{t}, b{t}" for t in GAP_THRESHOLDS
+            ),
+        )
+    )
+    rows = agg.select("n_events", "n_users", stack)
+    sessions = F.col("n_users") + F.col("n_breaks")
+    return rows.select(
+        F.col("gap_threshold_s").cast("int").alias("gap_threshold_s"),
+        sessions.cast("bigint").alias("n_sessions"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("n_events").cast("double") / sessions, 6).alias(
+            "events_per_session"
+        ),
+    ).orderBy("gap_threshold_s")
+
+
+_fmt(q_session_gap_sweep, GAP_THRESHOLDS=GAP_THRESHOLDS)
+
+
+# ---------------------------------------------------------------------------
+# experiment power analysis: minimum detectable effect vs sample size
+# ---------------------------------------------------------------------------
+
+#: two-sided alpha=0.05 and power=0.80 normal quantiles, fixed to 6 dp
+#: so both engines use the identical literals (no inverse-CDF calls)
+Z_ALPHA = 1.959964
+Z_BETA = 0.841621
+#: candidate per-arm sample sizes
+POWER_NS = (1_000, 10_000, 100_000)
+
+
+@query(
+    "q_power_mde",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS metric
+        FROM events GROUP BY user_id, event_type
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(metric * metric AS DECIMAL(38,6))) AS DOUBLE)
+                 AS ss
+        FROM per_user GROUP BY event_type
+    )
+    SELECT s.event_type,
+           ns.n_per_arm,
+           round(s.s / s.n, 6) AS metric_mean,
+           round(({Z_ALPHA} + {Z_BETA})
+                 * sqrt(2.0 * ((s.ss - s.s * s.s / s.n) / (s.n - 1))
+                        / ns.n_per_arm), 6) AS mde_abs,
+           round(({Z_ALPHA} + {Z_BETA})
+                 * sqrt(2.0 * ((s.ss - s.s * s.s / s.n) / (s.n - 1))
+                        / ns.n_per_arm) / (s.s / s.n), 6) AS mde_rel
+    FROM stats s
+    CROSS JOIN (VALUES {", ".join(f"({n})" for n in POWER_NS)})
+         ns(n_per_arm)
+    WHERE s.n >= 2 AND s.s != 0
+    ORDER BY s.event_type, ns.n_per_arm
+    """,
+)
+def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing for q_ab_test: the minimum detectable effect
+    (two-sided alpha 0.05, power 0.80) at each candidate per-arm
+    sample size {POWER_NS}, per event-type metric slice —
+    ``MDE = (z_a + z_b) * sqrt(2 * var / n)`` with the metric variance
+    measured from the data via the exact-decimal power sums. The z
+    quantiles are fixed 6-dp literals, so no inverse-CDF (or any
+    transcendental beyond one sqrt) crosses the engines.
+
+    This is the "how long must the experiment run" answer computed
+    from the lake itself; the companion q_ab_test reads the result out
+    once the experiment finishes.
+
+    Scale: the q_ab_test aggregate minus the arm split — two grouped
+    aggregates, then a |types| x {POWER_NS}-row expansion via
+    per-row explode (no cross join on the Spark side)."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.sum(_d38(F.col("value"))).cast("double").alias("metric")
+    )
+    m = F.col("metric")
+    stats = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_d38(m)).cast("double").alias("s"),
+        F.sum(_d38(m * m)).cast("double").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    var = (ss - s * s / n) / (n - 1)
+    expanded = stats.where((n >= 2) & (s != 0)).select(
+        "event_type",
+        "n",
+        "s",
+        var.alias("var"),
+        F.explode(F.array(*[F.lit(x) for x in POWER_NS])).alias("n_per_arm"),
+    )
+    mde = F.lit(Z_ALPHA + Z_BETA) * F.sqrt(
+        F.lit(2.0) * F.col("var") / F.col("n_per_arm")
+    )
+    return expanded.select(
+        "event_type",
+        "n_per_arm",
+        F.round(s / n, 6).alias("metric_mean"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / (s / n), 6).alias("mde_rel"),
+    ).orderBy("event_type", "n_per_arm")
+
+
+_fmt(q_power_mde, POWER_NS=POWER_NS)

@@ -1198,3 +1198,171 @@ def q_kll_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling-window distinct via daily HLL register merge (round 9)
+# ---------------------------------------------------------------------------
+# The production rolling-MAU/DAU shape: per-day register tables are
+# tiny (<= HLL_M rows each), never rescanned, and a k-day sliding
+# distinct is a bucket-wise MAX over the k daily sketches — the
+# mergeability that makes HLL the right structure when COUNT(DISTINCT)
+# over every sliding window would rescan k days of raw data per day.
+
+#: sliding window length in days (window = [day - ROLL_DAYS + 1, day])
+ROLL_DAYS = 7
+
+
+@query(
+    "q_hll_rolling",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT
+               CAST(ts AS DATE) - DATE '1970-01-01' AS day_i,
+               {sql_portable_hash60("CAST(user_id AS VARCHAR)")} AS hv
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day_i FROM h),
+    reg AS (
+        SELECT day_i, hv % {HLL_M} AS bucket,
+               MAX(CASE WHEN hv // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+                        ELSE {HLL_RHO_MAX} - length(bin(hv // {HLL_M}))
+                   END) AS m
+        FROM h GROUP BY day_i, hv % {HLL_M}
+    ),
+    contrib AS (
+        SELECT r.day_i + i.i AS day_i, r.bucket, r.m
+        FROM reg r CROSS JOIN generate_series(0, {ROLL_DAYS - 1}) i(i)
+    ),
+    merged AS (
+        SELECT c.day_i, c.bucket, MAX(c.m) AS m
+        FROM contrib c JOIN days d ON d.day_i = c.day_i
+        GROUP BY c.day_i, c.bucket
+    ),
+    est AS (
+        SELECT day_i, COUNT(*) AS n_present,
+               SUM(1::BIGINT << ({HLL_RHO_MAX} - m)) AS present_sum
+        FROM merged GROUP BY day_i
+    ),
+    upairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) - DATE '1970-01-01' AS day_i,
+               user_id
+        FROM events
+    ),
+    exact AS (
+        SELECT p.day_i + i.i AS day_i, COUNT(DISTINCT p.user_id) AS ex
+        FROM upairs p CROSS JOIN generate_series(0, {ROLL_DAYS - 1}) i(i)
+        JOIN days d ON d.day_i = p.day_i + i.i
+        GROUP BY p.day_i + i.i
+    )
+    SELECT strftime(DATE '1970-01-01' + e.day_i * INTERVAL 1 DAY,
+                    '%Y-%m-%d') AS day,
+           CAST(x.ex AS BIGINT) AS exact_users_{ROLL_DAYS}d,
+           (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+             * (1::BIGINT << {HLL_RHO_MAX})
+             / (e.present_sum + ({HLL_M} - e.n_present)
+                                * (1::BIGINT << {HLL_RHO_MAX}))
+             AS hll_estimate,
+           CAST({HLL_M} - e.n_present AS INT) AS n_zero_registers
+    FROM est e JOIN exact x ON x.day_i = e.day_i
+    ORDER BY day
+    """,
+)
+def q_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {ROLL_DAYS}-day distinct active users from MERGED daily
+    HyperLogLog sketches: each day folds to its own {HLL_M}-register
+    table once, every register row then contributes to the
+    {ROLL_DAYS} sliding windows it belongs to (an explode by window
+    offset — the contribute-to-k-windows expansion), and each window's
+    sketch is the bucket-wise MAX of its member days. The per-window
+    exact COUNT(DISTINCT) rides along as the eval column via the same
+    expansion over distinct (day, user) pairs.
+
+    Same integer-exact register/harmonic-sum discipline as
+    q_hll_distinct (no float log, one final division per window), so
+    every window's estimate is engine- and partitioning-exact.
+
+    Scale: THE argument for sketches over raw recounts — daily
+    registers are <= {HLL_M} rows/day forever, so the rolling merge
+    touches {ROLL_DAYS} x {HLL_M} rows per day regardless of traffic,
+    while the exact recount rescans {ROLL_DAYS} days of raw events
+    per day. Register tables persist per day and merge associatively,
+    so backfills and late days just re-MAX one day's sketch. Windows
+    land on observed days only (equi-join against the day set — no
+    cross, no calendar spine needed)."""
+    ev = read_table(spark, sf_dir, "events")
+    day_i = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+    h = ev.select(
+        day_i.alias("day_i"),
+        portable_hash60(F.col("user_id").cast("string")).alias("hv"),
+    ).distinct()
+    days = h.select("day_i").distinct()
+    reg = (
+        h.select(
+            "day_i",
+            (F.col("hv") % HLL_M).alias("bucket"),
+            F.when(F.expr(f"hv div {HLL_M}") == 0, F.lit(HLL_RHO_MAX))
+            .otherwise(
+                F.lit(HLL_RHO_MAX)
+                - F.length(F.bin(F.expr(f"hv div {HLL_M}")))
+            )
+            .alias("rho"),
+        )
+        .groupBy("day_i", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    offsets = F.explode(F.sequence(F.lit(0), F.lit(ROLL_DAYS - 1))).alias("i")
+    contrib = reg.select("day_i", "bucket", "m", offsets).select(
+        (F.col("day_i") + F.col("i")).alias("day_i"), "bucket", "m"
+    )
+    merged = (
+        contrib.join(days, "day_i")
+        .groupBy("day_i", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    est = merged.groupBy("day_i").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m)")
+        ).alias("present_sum"),
+    )
+    upairs = ev.select(day_i.alias("day_i"), "user_id").distinct()
+    exact = (
+        upairs.select("day_i", "user_id", offsets)
+        .select((F.col("day_i") + F.col("i")).alias("day_i"), "user_id")
+        .join(days, "day_i")
+        .groupBy("day_i")
+        .agg(F.countDistinct("user_id").alias("ex"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / float(HLL_M))
+    return (
+        est.join(exact, "day_i")
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01"), F.col("day_i")), "yyyy-MM-dd"
+            ).alias("day"),
+            F.col("ex").cast("bigint").alias(f"exact_users_{ROLL_DAYS}d"),
+            (
+                F.lit(alpha)
+                * F.lit(float(HLL_M))
+                * F.lit(float(HLL_M))
+                * F.shiftleft(F.lit(1).cast("bigint"), HLL_RHO_MAX)
+                / (
+                    F.col("present_sum")
+                    + (F.lit(HLL_M).cast("bigint") - F.col("n_present"))
+                    * F.shiftleft(F.lit(1).cast("bigint"), HLL_RHO_MAX)
+                )
+            ).alias("hll_estimate"),
+            (F.lit(HLL_M) - F.col("n_present"))
+            .cast("int")
+            .alias("n_zero_registers"),
+        )
+        .orderBy("day")
+    )
+
+
+_fmt(
+    q_hll_rolling,
+    ROLL_DAYS=ROLL_DAYS,
+    HLL_M=HLL_M,
+)

@@ -92,3 +92,39 @@ def test_shortest_paths_frontier_profile(spark, sf_smoke):
         prefix = "c" if r["n_hops"] % 2 == 0 else "s"
         assert r["first_node"].startswith(prefix)
         assert r["last_node"].startswith(prefix)
+
+
+def test_session_gap_sweep_monotone(spark, sf_smoke):
+    """A larger gap threshold can only merge sessions: n_sessions is
+    non-increasing and events_per_session non-decreasing in the
+    threshold; every count stays >= the user count."""
+    rows = sorted(
+        all_queries()["q_session_gap_sweep"](spark, sf_smoke).collect(),
+        key=lambda r: r["gap_threshold_s"],
+    )
+    assert len(rows) == 3
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_sessions"] <= a["n_sessions"]
+        assert b["events_per_session"] >= a["events_per_session"]
+        assert a["n_events"] == b["n_events"]
+
+
+def test_power_mde_shrinks_with_n(spark, sf_smoke):
+    """MDE scales as 1/sqrt(n): per event type it must be strictly
+    decreasing in the per-arm sample size, and the relative MDE must
+    be mde_abs / mean to rounding."""
+    import math
+
+    rows = all_queries()["q_power_mde"](spark, sf_smoke).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for _, rs in by_type.items():
+        rs.sort(key=lambda r: r["n_per_arm"])
+        assert [r["n_per_arm"] for r in rs] == [1_000, 10_000, 100_000]
+        for a, b in zip(rs, rs[1:]):
+            assert b["mde_abs"] < a["mde_abs"]
+        for r in rs:
+            assert math.isclose(
+                r["mde_rel"], r["mde_abs"] / r["metric_mean"], rel_tol=1e-3
+            )

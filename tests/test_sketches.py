@@ -225,3 +225,31 @@ def test_kll_sketch_is_bounded_and_merge_is_union(spark, sf_smoke):
         tuple(r) for r in sk.where(F.col("shard") == 0).collect()
     }
     assert got == merged_shard0
+
+
+def test_hll_rolling_windows_nest_daily_counts(spark, sf_smoke):
+    """The first ROLL_DAYS windows nest ([start..t] grows with t), so
+    both the exact count and the HLL estimate must be non-decreasing
+    there (registers only ever MAX upward under merge); every exact
+    count stays within [1, global distinct]. No error-envelope check at
+    smoke scale — the raw estimator's small-range bias is deliberately
+    exposed (no linear-counting branch, see q_hll_distinct)."""
+    from dynamodb_streaming_datalake_spark.operators.sketches import ROLL_DAYS
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    rows = sorted(
+        all_queries()["q_hll_rolling"](spark, sf_smoke).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    ev = read_table(spark, sf_smoke, "events")
+    total = ev.select("user_id").distinct().count()
+    col = [c for c in rows[0].asDict() if c.startswith("exact_users")][0]
+    for r in rows:
+        assert 1 <= r[col] <= total
+        assert r["hll_estimate"] > 0
+    nested = rows[: ROLL_DAYS]
+    for a, b in zip(nested, nested[1:]):
+        assert b[col] >= a[col]
+        assert b["hll_estimate"] >= a["hll_estimate"]
