@@ -45,6 +45,11 @@ from dynamodb_streaming_datalake_spark.operators.relational import (
     _sql_dsum,
     dsum,
 )
+from dynamodb_streaming_datalake_spark.functions.texthash import (
+    portable_hash60,
+    sql_portable_hash60,
+)
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
 from dynamodb_streaming_datalake_spark.registry import query
 from dynamodb_streaming_datalake_spark.sources.readers import read_table
 
@@ -193,3 +198,179 @@ def q_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom sizing sweep: measured false-positive rate vs bitmap width
+# ---------------------------------------------------------------------------
+# The tuning curve behind BLOOM_BITS_PER_KEY: build the same member set
+# at several bitmap widths and MEASURE the false-positive rate against
+# known non-members, instead of trusting the (1 - e^{-kn/m})^k formula.
+# Positions use the md5-based portable hash (not the production
+# xxhash64 path) so the DuckDB oracle replicates the filter bit-for-bit
+# and the measured FPR itself sits under the hash gate.
+
+#: candidate bitmap widths (bits); spans under- to over-provisioned
+#: for the qualifying-partkey member set at test scales
+BLOOM_SWEEP_BITS = (4096, 16384, 65536)
+#: member predicate: near-full-quantity lineitems
+BLOOM_SWEEP_MIN_QTY = 48
+
+
+@query(
+    "q_bloom_fpr_sweep",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT l_partkey AS key FROM lineitem
+        WHERE l_quantity >= {BLOOM_SWEEP_MIN_QTY}
+    ),
+    probes AS (SELECT DISTINCT p_partkey AS key FROM part),
+    ms AS (SELECT m FROM (VALUES {", ".join(f"({m})" for m in BLOOM_SWEEP_BITS)}) v(m)),
+    hs AS (SELECT i FROM (VALUES (0), (1), (2)) v(i)),
+    setbits AS (
+        SELECT DISTINCT ms.m,
+               {sql_portable_hash60("CAST(hs.i AS VARCHAR) || ':' || CAST(members.key AS VARCHAR)")}
+                 % ms.m AS pos
+        FROM members, ms, hs
+    ),
+    probebits AS (
+        SELECT probes.key, ms.m, hs.i,
+               {sql_portable_hash60("CAST(hs.i AS VARCHAR) || ':' || CAST(probes.key AS VARCHAR)")}
+                 % ms.m AS pos
+        FROM probes, ms, hs
+    ),
+    hits AS (
+        SELECT p.key, p.m, COUNT(s.pos) AS n_set
+        FROM probebits p
+        LEFT JOIN setbits s ON s.m = p.m AND s.pos = p.pos
+        GROUP BY p.key, p.m
+    ),
+    judged AS (
+        SELECT h.m, h.n_set = 3 AS claimed, mem.key IS NOT NULL AS is_member
+        FROM hits h LEFT JOIN members mem ON mem.key = h.key
+    )
+    SELECT m AS m_bits,
+           CAST(COUNT(*) FILTER (WHERE is_member) AS BIGINT) AS n_members,
+           CAST(COUNT(*) FILTER (WHERE NOT is_member) AS BIGINT)
+             AS n_nonmembers,
+           CAST(COUNT(*) FILTER (WHERE claimed AND NOT is_member) AS BIGINT)
+             AS n_false_positives,
+           CAST(COUNT(*) FILTER (WHERE is_member AND NOT claimed) AS BIGINT)
+             AS n_false_negatives,
+           round(CAST(COUNT(*) FILTER (WHERE claimed AND NOT is_member)
+                      AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE NOT is_member), 6) AS fpr
+    FROM judged
+    GROUP BY m
+    ORDER BY m
+    """,
+)
+def q_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing as measured data: the member set (partkeys
+    with a >= {BLOOM_SWEEP_MIN_QTY}-quantity lineitem) is folded into
+    a 3-hash bloom filter at each candidate width {BLOOM_SWEEP_BITS},
+    every partkey then probes all three filters, and each width
+    reports its OBSERVED false-positive rate over the known
+    non-members — plus the false-negative count, which the bloom
+    contract requires to be exactly zero (pinned by test).
+
+    The filter is expressed relationally — set bits as a distinct
+    (width, position) table, a probe claims membership when all 3 of
+    its positions join — so no bitmap is ever collected and the DuckDB
+    oracle rebuilds the identical filter from the same md5 positions.
+
+    Scale: position tables are <= 3x|members| and <= 3x|probes| rows
+    per width; everything joins on (width, position) or key —
+    equi-joins with map-side combine, no cross. This is the
+    measure-then-size discipline of q_skew_diagnose applied to
+    q_bloom_prejoin's sizing constant."""
+    li = read_table(spark, sf_dir, "lineitem")
+    members = (
+        li.where(F.col("l_quantity") >= BLOOM_SWEEP_MIN_QTY)
+        .select(F.col("l_partkey").alias("key"))
+        .distinct()
+    )
+    probes = (
+        read_table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("key"))
+        .distinct()
+    )
+    mi = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(m).alias("m"), F.lit(i).alias("i"))
+                for m in BLOOM_SWEEP_BITS
+                for i in range(3)
+            ]
+        )
+    ).alias("mi")
+
+    def pos(key: Column) -> Column:
+        return (
+            portable_hash60(
+                F.concat(
+                    F.col("mi.i").cast("string"),
+                    F.lit(":"),
+                    key.cast("string"),
+                )
+            )
+            % F.col("mi.m")
+        )
+
+    setbits = (
+        members.select("key", mi)
+        .select(F.col("mi.m").alias("m"), pos(F.col("key")).alias("pos"))
+        .distinct()
+    )
+    probebits = probes.select("key", mi).select(
+        "key",
+        F.col("mi.m").alias("m"),
+        F.col("mi.i").alias("i"),
+        pos(F.col("key")).alias("pos"),
+    )
+    hits = (
+        probebits.alias("p")
+        .join(
+            setbits.alias("s"),
+            (F.col("p.m") == F.col("s.m")) & (F.col("p.pos") == F.col("s.pos")),
+            "left",
+        )
+        .groupBy(F.col("p.key").alias("key"), F.col("p.m").alias("m"))
+        .agg(F.count(F.col("s.pos")).alias("n_set"))
+    )
+    judged = hits.join(
+        members.withColumnRenamed("key", "mkey"),
+        F.col("key") == F.col("mkey"),
+        "left",
+    ).select(
+        "m",
+        (F.col("n_set") == 3).alias("claimed"),
+        F.col("mkey").isNotNull().alias("is_member"),
+    )
+    c, mem = F.col("claimed"), F.col("is_member")
+    return (
+        judged.groupBy(F.col("m").alias("m_bits"))
+        .agg(
+            F.count(F.when(mem, 1)).cast("bigint").alias("n_members"),
+            F.count(F.when(~mem, 1)).cast("bigint").alias("n_nonmembers"),
+            F.count(F.when(c & ~mem, 1))
+            .cast("bigint")
+            .alias("n_false_positives"),
+            F.count(F.when(mem & ~c, 1))
+            .cast("bigint")
+            .alias("n_false_negatives"),
+            F.round(
+                F.count(F.when(c & ~mem, 1)).cast("double")
+                / F.count(F.when(~mem, 1)),
+                6,
+            ).alias("fpr"),
+        )
+        .orderBy("m_bits")
+    )
+
+
+_fmt(
+    q_bloom_fpr_sweep,
+    BLOOM_SWEEP_BITS=BLOOM_SWEEP_BITS,
+    BLOOM_SWEEP_MIN_QTY=BLOOM_SWEEP_MIN_QTY,
+)

@@ -754,3 +754,104 @@ _fmt(
     BFS_INF=BFS_INF,
     PR_BROADCAST_MAX_NODES=PR_BROADCAST_MAX_NODES,
 )
+
+
+# ---------------------------------------------------------------------------
+# degree distribution + assortativity report (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_degree_stats",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    d AS (SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY src),
+    ed AS (
+        SELECT ds.degree AS sd, dd.degree AS dd
+        FROM edges e
+        JOIN d ds ON ds.node = e.src
+        JOIN d dd ON dd.node = e.dst
+    ),
+    corr AS (
+        SELECT COUNT(*) AS n_edges,
+               CAST(SUM(CAST(sd AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(dd AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(sd * sd AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(dd * dd AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(sd * dd AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM ed
+    ),
+    hist AS (
+        SELECT length(bin(degree)) AS degree_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MIN(degree) AS BIGINT) AS min_degree,
+               CAST(MAX(degree) AS BIGINT) AS max_degree
+        FROM d GROUP BY length(bin(degree))
+    )
+    SELECT h.degree_bin, h.n_nodes, h.min_degree, h.max_degree,
+           CAST(c.n_edges AS BIGINT) AS n_edges,
+           round((c.n_edges * c.sxy - c.sx * c.sy)
+                 / sqrt((c.n_edges * c.sxx - c.sx * c.sx)
+                        * (c.n_edges * c.syy - c.sy * c.sy)),
+                 6) AS assortativity
+    FROM hist h, corr c
+    ORDER BY h.degree_bin
+    """,
+)
+def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution report for the trade graph: nodes binned by
+    log2 degree (``length(bin(degree))`` — the exact integer log trick
+    shared with the HLL rho computation) with per-bin node counts and
+    degree ranges, plus the graph's degree assortativity in-row — the
+    Pearson correlation between source and destination degree over
+    every directed edge, computed from exact-decimal power sums
+    (negative = hubs attach to leaves, the typical bipartite
+    trade-graph shape).
+
+    Scale: one degree aggregate, two equi-joins of the edge table
+    against the O(|V|) degree vector (broadcastable / bucketable), one
+    global six-number aggregate, and a histogram over |V| rows. The
+    1-row correlation frame crosses into the histogram (whitelisted
+    constant-size broadcast, the q_kcore pattern)."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    d = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    ds = d.select(F.col("node").alias("src"), F.col("degree").alias("sd"))
+    dd = d.select(F.col("node").alias("dst"), F.col("degree").alias("dd"))
+    ed = edges.join(ds, "src").join(dd, "dst")
+    d38 = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    sd, ddc = F.col("sd"), F.col("dd")
+    corr = ed.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(d38(sd)).cast("double").alias("sx"),
+        F.sum(d38(ddc)).cast("double").alias("sy"),
+        F.sum(d38(sd * sd)).cast("double").alias("sxx"),
+        F.sum(d38(ddc * ddc)).cast("double").alias("syy"),
+        F.sum(d38(sd * ddc)).cast("double").alias("sxy"),
+    )
+    hist = d.groupBy(
+        F.length(F.bin("degree")).alias("degree_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("degree").cast("bigint").alias("min_degree"),
+        F.max("degree").cast("bigint").alias("max_degree"),
+    )
+    n = F.col("n_edges")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    r = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return (
+        hist.crossJoin(F.broadcast(corr))
+        .select(
+            "degree_bin",
+            "n_nodes",
+            "min_degree",
+            "max_degree",
+            n.cast("bigint").alias("n_edges"),
+            F.round(r, 6).alias("assortativity"),
+        )
+        .orderBy("degree_bin")
+    )

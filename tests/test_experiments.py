@@ -128,3 +128,35 @@ def test_power_mde_shrinks_with_n(spark, sf_smoke):
             assert math.isclose(
                 r["mde_rel"], r["mde_abs"] / r["metric_mean"], rel_tol=1e-3
             )
+
+
+def test_degree_stats_bins_partition_nodes(spark, sf_smoke):
+    """Log2 bins cover every node exactly once (bin ranges nest), the
+    assortativity is a single value in [-1, 1], and each bin's degree
+    range sits inside its power-of-two bracket."""
+    rows = sorted(
+        all_queries()["q_degree_stats"](spark, sf_smoke).collect(),
+        key=lambda r: r["degree_bin"],
+    )
+    assert rows
+    assert len({r["assortativity"] for r in rows}) == 1
+    assert -1.0 <= rows[0]["assortativity"] <= 1.0
+    for r in rows:
+        b = r["degree_bin"]
+        assert 2 ** (b - 1) <= r["min_degree"] <= r["max_degree"] < 2 ** b
+
+
+def test_bloom_fpr_sweep_contract(spark, sf_smoke):
+    """Zero false negatives at every width (the bloom contract), and
+    the false-positive rate is non-increasing as the bitmap widens."""
+    rows = sorted(
+        all_queries()["q_bloom_fpr_sweep"](spark, sf_smoke).collect(),
+        key=lambda r: r["m_bits"],
+    )
+    assert [r["m_bits"] for r in rows] == [4096, 16384, 65536]
+    for r in rows:
+        assert r["n_false_negatives"] == 0
+        assert 0.0 <= r["fpr"] <= 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b["fpr"] <= a["fpr"]
+        assert a["n_members"] == b["n_members"]

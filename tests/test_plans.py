@@ -258,6 +258,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_distinctive_terms",  # 1-row corpus-total aggregate crossed
         "q_kcore",  # 1-row core-totals aggregate crossed
         "q_shortest_paths",  # 1-row BFS-source aggregate crossed into init
+        "q_degree_stats",  # 1-row assortativity aggregate crossed
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
