@@ -599,6 +599,28 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the piece vocabulary is bounded and broadcast; each round touches
     only words long enough to still be active. Tokenizing the corpus
     afterwards is a word-table join, exactly like q_bpe_tokenize."""
+    wf, _vocab, final = unigram_dp(spark, sf_dir)
+    return (
+        final.join(wf, "word")
+        .select(
+            "word",
+            F.length("word").cast("int").alias("n_chars"),
+            F.col("freq").cast("bigint").alias("freq"),
+            F.expr("comb div 32").cast("bigint").alias("min_cost"),
+            (F.col("comb") % 32).cast("int").alias("n_tokens"),
+        )
+        .orderBy("word")
+    )
+
+
+def unigram_dp(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The unigram-LM Viterbi kernel, shared by q_unigram_tokenize and
+    q_tokenizer_eval: returns ``(wf, vocab, final)`` — the word
+    histogram (word, freq) over words of length <= UNI_MAX_LEN, the
+    scored piece vocabulary (piece, cost), and the solved DP frontier
+    (word, comb) where ``comb`` packs (min_cost * 32 + n_tokens)."""
     d = read_table(spark, sf_dir, "documents")
     wf = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -676,21 +698,169 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(1, UNI_MAX_LEN + 1):
         f_k = dp[k].where(F.length("word") == k)
         final = f_k if final is None else final.unionByName(f_k)
-    return (
-        final.join(wf, "word")
-        .select(
-            "word",
-            F.length("word").cast("int").alias("n_chars"),
-            F.col("freq").cast("bigint").alias("freq"),
-            F.expr("comb div 32").cast("bigint").alias("min_cost"),
-            (F.col("comb") % 32).cast("int").alias("n_tokens"),
-        )
-        .orderBy("word")
-    )
+    return wf, vocab, final
 
 
 _fmt(
     q_unigram_tokenize,
     UNI_PIECE_LEN=UNI_PIECE_LEN,
+    UNI_MAX_LEN=UNI_MAX_LEN,
+)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer selection harness: fertility across tokenizer families
+# ---------------------------------------------------------------------------
+
+_SQL_UNI_LAYERS = ",".join(_sql_uni_layer(k) for k in range(1, UNI_MAX_LEN + 1))
+_SQL_UNI_FINAL = " UNION ALL ".join(
+    f"SELECT word, comb FROM dp{k} WHERE len(word) = {k}"
+    for k in range(1, UNI_MAX_LEN + 1)
+)
+
+
+@query(
+    "q_tokenizer_eval",
+    oracle=f"""
+    WITH {_SQL_TRAIN_CHAIN},
+    {_SQL_UNI_VOCAB},
+    dp0 AS MATERIALIZED (SELECT word, 0 AS comb FROM wf),
+    {_SQL_UNI_LAYERS},
+    ufinal AS ({_SQL_UNI_FINAL}),
+    w8 AS MATERIALIZED (
+        SELECT w, cnt FROM w0 WHERE len(w) <= {UNI_MAX_LEN}
+    ),
+    base AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_words,
+               CAST(SUM(cnt * len(w)) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_word_types
+        FROM w8
+    ),
+    ctypes AS (
+        SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n_char_types
+        FROM (SELECT unnest(regexp_extract_all(w, '.')) AS c FROM w8)
+    ),
+    bpe AS (
+        SELECT CAST(SUM(cnt * len(toks)) AS BIGINT) AS n_tokens
+        FROM t{BPE_MERGES} WHERE len(w) <= {UNI_MAX_LEN}
+    ),
+    bpev AS (
+        SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_tok_types
+        FROM (SELECT unnest(toks) AS t FROM t{BPE_MERGES}
+              WHERE len(w) <= {UNI_MAX_LEN})
+    ),
+    uni AS (
+        SELECT CAST(SUM(w.freq * (f.comb % 32)) AS BIGINT) AS n_tokens
+        FROM ufinal f JOIN wf w USING (word)
+    ),
+    univ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pieces FROM vocab)
+    SELECT 'bpe' AS tokenizer, bpev.n_tok_types AS vocab_size,
+           base.n_words, base.n_chars, bpe.n_tokens,
+           round(CAST(base.n_chars AS DOUBLE) / bpe.n_tokens, 6)
+             AS chars_per_token
+    FROM base, bpe, bpev
+    UNION ALL
+    SELECT 'char', ctypes.n_char_types, base.n_words, base.n_chars,
+           base.n_chars,
+           round(CAST(base.n_chars AS DOUBLE) / base.n_chars, 6)
+    FROM base, ctypes
+    UNION ALL
+    SELECT 'unigram', univ.n_pieces, base.n_words, base.n_chars,
+           uni.n_tokens,
+           round(CAST(base.n_chars AS DOUBLE) / uni.n_tokens, 6)
+    FROM base, uni, univ
+    UNION ALL
+    SELECT 'whitespace', base.n_word_types, base.n_words, base.n_chars,
+           base.n_words,
+           round(CAST(base.n_chars AS DOUBLE) / base.n_words, 6)
+    FROM base
+    ORDER BY tokenizer
+    """,
+)
+def q_tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer selection as measured data: the four tokenizer
+    families this engine implements — whitespace words, characters,
+    BPE ({BPE_MERGES} merges), and the unigram-LM Viterbi segmenter —
+    each tokenize the SHARED word domain (words of length <=
+    {UNI_MAX_LEN}, the unigram DP's contract) and report corpus token
+    counts and fertility (chars per token), the compression metric a
+    tokenizer choice is made on. ``vocab_size`` is the family's type
+    inventory: distinct words / distinct characters / distinct BPE
+    tokens emitted / unigram pieces available.
+
+    Everything is integer counting over the already-proven q_bpe_train
+    and q_unigram_tokenize kernels (trained once per dataset via their
+    caches/checkpoints) — no new tokenize pass; the eval is four 1-row
+    aggregates crossed into four rows (whitelisted constant-size
+    broadcasts).
+
+    Scale: the word histogram is vocabulary-sized; both subword
+    kernels already run their training bounded; the eval adds only
+    histogram-sized aggregates on top."""
+    w8 = (
+        word_freqs(spark, sf_dir)
+        .where(F.length("w") <= UNI_MAX_LEN)
+        .localCheckpoint(eager=True)
+    )
+    base = w8.agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.col("cnt") * F.length("w")).cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+    )
+    ctypes = (
+        w8.select(F.explode(F.expr(_CHARS)).alias("c"))
+        .agg(F.countDistinct("c").cast("bigint").alias("n_char_types"))
+    )
+    _, tokenized = bpe_train(spark, sf_dir)
+    t8 = tokenized.where(F.length("w") <= UNI_MAX_LEN)
+    bpe = t8.agg(
+        F.sum(F.col("cnt") * F.size("toks")).cast("bigint").alias("n_tokens")
+    )
+    bpev = t8.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").cast("bigint").alias("n_tok_types")
+    )
+    wf, vocab, final = unigram_dp(spark, sf_dir)
+    uni = final.join(wf, "word").agg(
+        F.sum(F.col("freq") * (F.col("comb") % 32))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    univ = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("n_pieces"))
+
+    def row(name, vocab_col, tok_col, *frames):
+        out = base
+        for fr in frames:
+            out = out.crossJoin(F.broadcast(fr))
+        return out.select(
+            F.lit(name).alias("tokenizer"),
+            vocab_col.alias("vocab_size"),
+            "n_words",
+            "n_chars",
+            tok_col.alias("n_tokens"),
+            F.round(
+                F.col("n_chars").cast("double") / tok_col, 6
+            ).alias("chars_per_token"),
+        )
+
+    return (
+        row("bpe", F.col("n_tok_types"), F.col("bpe_tokens"),
+            bpe.withColumnRenamed("n_tokens", "bpe_tokens"), bpev)
+        .unionByName(
+            row("char", F.col("n_char_types"), F.col("n_chars"), ctypes)
+        )
+        .unionByName(
+            row("unigram", F.col("n_pieces"), F.col("uni_tokens"),
+                uni.withColumnRenamed("n_tokens", "uni_tokens"), univ)
+        )
+        .unionByName(
+            row("whitespace", F.col("n_word_types"), F.col("n_words"))
+        )
+        .orderBy("tokenizer")
+    )
+
+
+_fmt(
+    q_tokenizer_eval,
+    BPE_MERGES=BPE_MERGES,
     UNI_MAX_LEN=UNI_MAX_LEN,
 )

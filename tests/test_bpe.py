@@ -174,3 +174,22 @@ def test_lm_doc_score_is_a_probability_and_covers_docs(spark, sf_smoke):
     for r in rows:
         assert 0.0 < r["min_prob"] <= r["mean_prob"] < 1.0
         assert r["n_bigrams"] >= 1
+
+
+def test_tokenizer_eval_family_ordering(spark, sf_smoke):
+    """Fertility must order char <= subword <= whitespace (a subword
+    scheme can never beat one-token-per-word, nor lose to
+    one-token-per-char), every family reports the same corpus, and the
+    char row is the exact 1.0 fixed point."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    rows = {
+        r["tokenizer"]: r
+        for r in all_queries()["q_tokenizer_eval"](spark, sf_smoke).collect()
+    }
+    assert set(rows) == {"whitespace", "char", "bpe", "unigram"}
+    assert len({(r["n_words"], r["n_chars"]) for r in rows.values()}) == 1
+    assert rows["char"]["chars_per_token"] == 1.0
+    for fam in ("bpe", "unigram"):
+        assert 1.0 <= rows[fam]["chars_per_token"] <= rows["whitespace"]["chars_per_token"]
+        assert rows["whitespace"]["n_tokens"] <= rows[fam]["n_tokens"] <= rows["char"]["n_tokens"]

@@ -259,6 +259,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_kcore",  # 1-row core-totals aggregate crossed
         "q_shortest_paths",  # 1-row BFS-source aggregate crossed into init
         "q_degree_stats",  # 1-row assortativity aggregate crossed
+        "q_tokenizer_eval",  # four 1-row family aggregates crossed
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
