@@ -1212,10 +1212,10 @@ def q_kll_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sliding window length in days (window = [day - ROLL_DAYS + 1, day])
 ROLL_DAYS = 7
 
-
-@query(
-    "q_hll_rolling",
-    oracle=f"""
+#: shared with the streaming twin (streaming/sketchview.py): the
+#: stream-maintained daily register view must answer the identical
+#: oracle, because the (day, bucket) MAX monoid merge is exact
+SQL_HLL_ROLLING = f"""
     WITH h AS (
         SELECT DISTINCT
                CAST(ts AS DATE) - DATE '1970-01-01' AS day_i,
@@ -1266,38 +1266,22 @@ ROLL_DAYS = 7
            CAST({HLL_M} - e.n_present AS INT) AS n_zero_registers
     FROM est e JOIN exact x ON x.day_i = e.day_i
     ORDER BY day
-    """,
-)
-def q_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling {ROLL_DAYS}-day distinct active users from MERGED daily
-    HyperLogLog sketches: each day folds to its own {HLL_M}-register
-    table once, every register row then contributes to the
-    {ROLL_DAYS} sliding windows it belongs to (an explode by window
-    offset — the contribute-to-k-windows expansion), and each window's
-    sketch is the bucket-wise MAX of its member days. The per-window
-    exact COUNT(DISTINCT) rides along as the eval column via the same
-    expansion over distinct (day, user) pairs.
+    """
 
-    Same integer-exact register/harmonic-sum discipline as
-    q_hll_distinct (no float log, one final division per window), so
-    every window's estimate is engine- and partitioning-exact.
 
-    Scale: THE argument for sketches over raw recounts — daily
-    registers are <= {HLL_M} rows/day forever, so the rolling merge
-    touches {ROLL_DAYS} x {HLL_M} rows per day regardless of traffic,
-    while the exact recount rescans {ROLL_DAYS} days of raw events
-    per day. Register tables persist per day and merge associatively,
-    so backfills and late days just re-MAX one day's sketch. Windows
-    land on observed days only (equi-join against the day set — no
-    cross, no calendar spine needed)."""
-    ev = read_table(spark, sf_dir, "events")
-    day_i = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+def _event_day(col: str = "ts") -> Column:
+    return F.datediff(F.col(col).cast("date"), F.lit("1970-01-01"))
+
+
+def daily_hll_registers(ev: DataFrame) -> DataFrame:
+    """Per-day HLL register table (day_i, bucket, m) over user ids —
+    the persistable daily sketch; merges with
+    ``groupBy(day_i, bucket).MAX`` (shared with the streaming view)."""
     h = ev.select(
-        day_i.alias("day_i"),
+        _event_day().alias("day_i"),
         portable_hash60(F.col("user_id").cast("string")).alias("hv"),
     ).distinct()
-    days = h.select("day_i").distinct()
-    reg = (
+    return (
         h.select(
             "day_i",
             (F.col("hv") % HLL_M).alias("bucket"),
@@ -1311,6 +1295,14 @@ def q_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_i", "bucket")
         .agg(F.max("rho").alias("m"))
     )
+
+
+def hll_rolling_from_registers(reg: DataFrame, ev: DataFrame) -> DataFrame:
+    """Rolling ROLL_DAYS-window estimates from a daily register table,
+    with the exact per-window COUNT(DISTINCT) recomputed from raw
+    events as the eval column. Shared by q_hll_rolling (one-shot
+    registers) and q_hll_rolling_stream (stream-maintained view)."""
+    days = reg.select("day_i").distinct()
     offsets = F.explode(F.sequence(F.lit(0), F.lit(ROLL_DAYS - 1))).alias("i")
     contrib = reg.select("day_i", "bucket", "m", offsets).select(
         (F.col("day_i") + F.col("i")).alias("day_i"), "bucket", "m"
@@ -1326,7 +1318,7 @@ def q_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m)")
         ).alias("present_sum"),
     )
-    upairs = ev.select(day_i.alias("day_i"), "user_id").distinct()
+    upairs = ev.select(_event_day().alias("day_i"), "user_id").distinct()
     exact = (
         upairs.select("day_i", "user_id", offsets)
         .select((F.col("day_i") + F.col("i")).alias("day_i"), "user_id")
@@ -1359,6 +1351,33 @@ def q_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query("q_hll_rolling", oracle=SQL_HLL_ROLLING)
+def q_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {ROLL_DAYS}-day distinct active users from MERGED daily
+    HyperLogLog sketches: each day folds to its own {HLL_M}-register
+    table once, every register row then contributes to the
+    {ROLL_DAYS} sliding windows it belongs to (an explode by window
+    offset — the contribute-to-k-windows expansion), and each window's
+    sketch is the bucket-wise MAX of its member days. The per-window
+    exact COUNT(DISTINCT) rides along as the eval column via the same
+    expansion over distinct (day, user) pairs.
+
+    Same integer-exact register/harmonic-sum discipline as
+    q_hll_distinct (no float log, one final division per window), so
+    every window's estimate is engine- and partitioning-exact.
+
+    Scale: THE argument for sketches over raw recounts — daily
+    registers are <= {HLL_M} rows/day forever, so the rolling merge
+    touches {ROLL_DAYS} x {HLL_M} rows per day regardless of traffic,
+    while the exact recount rescans {ROLL_DAYS} days of raw events
+    per day. Register tables persist per day and merge associatively,
+    so backfills and late days just re-MAX one day's sketch. Windows
+    land on observed days only (equi-join against the day set — no
+    cross, no calendar spine needed)."""
+    ev = read_table(spark, sf_dir, "events")
+    return hll_rolling_from_registers(daily_hll_registers(ev), ev)
 
 
 _fmt(

@@ -453,3 +453,130 @@ def _register_theta() -> None:
 
 
 _register_theta()
+
+
+# ---------------------------------------------------------------------------
+# streaming daily-HLL register view (round 9): rolling-window distinct
+# ---------------------------------------------------------------------------
+# The production rolling-MAU dashboard: the stream maintains a PER-DAY
+# register table keyed (day_i, bucket) — still the MAX monoid, still
+# idempotent — and any k-day sliding distinct is answered from the view
+# alone by the q_hll_rolling merge, never re-scanning history. Late or
+# replayed events for an old day just re-MAX that day's registers.
+
+
+def merge_daily_hll(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """(day, register)-wise MAX — the per-day HLL monoid operation."""
+    return (
+        prev.unionByName(delta)
+        .groupBy("day_i", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+
+
+def upsert_daily_hll_view(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    view_dir: str,
+    version: int,
+) -> None:
+    """Fold one micro-batch of raw events into the daily register view
+    as ``version``; committed-version replays are no-ops."""
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        daily_hll_registers,
+    )
+
+    if version in _versions(spark, view_dir):
+        return
+    delta = daily_hll_registers(batch_df)
+    prev = current_snapshot(spark, view_dir, live_only=False)
+    merged = delta if prev is None else merge_daily_hll(prev, delta)
+    merged.write.mode("overwrite").parquet(f"{view_dir}/v={version}")
+
+
+def start_daily_hll_maintenance(
+    events: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch sink advancing the daily register view per
+    micro-batch."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_daily_hll_view(
+            batch_df.sparkSession, batch_df, view_dir, version=batch_id
+        )
+
+    writer = events.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+_DAILYHLL_VERSION = "v1"
+
+
+def _ensure_daily_hll_view(spark: SparkSession, sf_dir: str) -> str:
+    """Two committed daily-register versions built with the real fold:
+    even event ids -> v=1, odd folded on top -> v=2."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    def build(build_dir: str) -> None:
+        view = os.path.join(build_dir, "view")
+        ev = read_table(spark, sf_dir, "events")
+        upsert_daily_hll_view(
+            spark, ev.where(F.col("event_id") % 2 == 0), view, version=1
+        )
+        upsert_daily_hll_view(
+            spark, ev.where(F.col("event_id") % 2 == 1), view, version=2
+        )
+
+    return ensure_cached_build("dailyhllview", _DAILYHLL_VERSION, sf_dir, build)
+
+
+def _register_daily_hll() -> None:
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        SQL_HLL_ROLLING,
+        hll_rolling_from_registers,
+    )
+    from dynamodb_streaming_datalake_spark.registry import query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    @query("q_hll_rolling_stream", oracle=SQL_HLL_ROLLING)
+    def q_hll_rolling_stream(spark, sf_dir):
+        """Streaming twin of q_hll_rolling: the per-day register view
+        is advanced twice with the real foreachBatch fold (even event
+        ids -> v=1, odd folded on top -> v=2, cached per sf_dir), then
+        every rolling window is answered from the FINAL committed view
+        with the same merge/estimate kernel as the batch query. The
+        (day, bucket) MAX monoid merge is exact AND idempotent, so the
+        folded view register-equals the one-shot daily build and the
+        batch oracle transfers verbatim — hash-equality across every
+        window is the mergeability proof. The same fold drains from a
+        genuine readStream under availableNow in
+        tests/test_streaming.py.
+
+        Scale: the view is <= |days| x 512 rows regardless of stream
+        volume; each refresh shuffles only the micro-batch's register
+        partials and answers arrive without touching raw history (the
+        exact eval column here rescans raw by design — it is the
+        verification, not the serving path)."""
+        import os
+
+        from dynamodb_streaming_datalake_spark.sources.readers import (
+            read_table as rt,
+        )
+
+        path = _ensure_daily_hll_view(spark, sf_dir)
+        reg = current_sketch_view(spark, os.path.join(path, "view"))
+        ev = rt(spark, sf_dir, "events")
+        return hll_rolling_from_registers(reg, ev)
+
+
+_register_daily_hll()

@@ -678,3 +678,43 @@ def test_theta_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     last = _versions(spark, view_dir)[-1]
     upsert_theta_view(spark, orders, view_dir, version=last + 1)
     assert rows(current_sketch_view(spark, view_dir)) == got
+
+
+def test_daily_hll_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
+    """Streaming daily-HLL (round 9): a readStream over event files,
+    drained through the foreachBatch (day, bucket) MAX-fold, reaches a
+    daily register table CELL-EQUAL to the one-shot build — and the
+    idempotent monoid means re-folding already-seen events (a late /
+    replayed day) cannot move the view."""
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        daily_hll_registers,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.sketchview import (
+        current_sketch_view,
+        start_daily_hll_maintenance,
+        upsert_daily_hll_view,
+    )
+
+    ev = read_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "ev_src")
+    ev.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    view_dir = str(tmp_path / "view")
+    q = start_daily_hll_maintenance(stream, view_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    def cells(df):
+        return {(r["day_i"], r["bucket"]): r["m"] for r in df.collect()}
+
+    got = cells(current_sketch_view(spark, view_dir))
+    assert got == cells(daily_hll_registers(ev))
+
+    from dynamodb_streaming_datalake_spark.streaming.upsert import _versions
+
+    last = _versions(spark, view_dir)[-1]
+    upsert_daily_hll_view(spark, ev, view_dir, version=last + 1)
+    assert cells(current_sketch_view(spark, view_dir)) == got
