@@ -664,3 +664,147 @@ def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_power_mde, POWER_NS=POWER_NS)
+
+
+# ---------------------------------------------------------------------------
+# watermark delay tuning: disorder under a deterministic delivery model
+# ---------------------------------------------------------------------------
+
+#: candidate watermark delays (seconds) for the streaming windows
+WM_DELAYS = (60, 300, 900)
+#: delivery-delay model: each event arrives hash(event_id) % WM_MAX_DELAY
+#: seconds after its event time — deterministic, uniform, portable. The
+#: events table carries no ingest timestamp (it is perfectly time-
+#: ordered), so disorder must be modeled to measure anything; the model
+#: is explicit in the result's contract.
+WM_MAX_DELAY = 600
+#: per-shard ordered delivery (Kinesis semantics): arrival order is a
+#: total order WITHIN a shard, interleaved across shards
+WM_SHARDS = 8
+
+
+@query(
+    "q_watermark_sweep",
+    oracle=f"""
+    WITH arr AS (
+        SELECT user_id % {WM_SHARDS} AS shard,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               CAST(floor(epoch(ts)) AS BIGINT)
+               + {sql_portable_hash60("'wm:' || CAST(event_id AS VARCHAR)")}
+                 % {WM_MAX_DELAY} AS arrival_s,
+               event_id
+        FROM events
+    ),
+    hw AS (
+        SELECT sec,
+               MAX(sec) OVER (
+                   PARTITION BY shard ORDER BY arrival_s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS hwm
+        FROM arr
+    ),
+    late AS (
+        SELECT CASE WHEN hwm IS NULL OR hwm <= sec THEN 0
+                    ELSE hwm - sec END AS lateness_s
+        FROM hw
+    ),
+    agg AS MATERIALIZED (
+        SELECT COUNT(*) AS n_events,
+               CAST(MAX(lateness_s) AS BIGINT) AS max_lateness_s,
+               {",".join(f"COUNT(*) FILTER (WHERE lateness_s > {d}) AS d{d}" for d in WM_DELAYS)}
+        FROM late
+    )
+    {" UNION ALL ".join(
+        f'''SELECT {d} AS watermark_delay_s,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(d{d} AS BIGINT) AS n_dropped,
+               round(CAST(d{d} AS DOUBLE) / n_events, 6) AS drop_rate,
+               max_lateness_s
+            FROM agg'''
+        for d in WM_DELAYS
+    )}
+    ORDER BY watermark_delay_s
+    """,
+)
+def q_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark tuning as a measured curve: events reach the engine
+    through {WM_SHARDS} shards (shard = user % {WM_SHARDS}, ordered
+    within a shard, interleaved across shards — Kinesis delivery
+    semantics, matching the reference's shard model in
+    ``dynamodb-streaming-datalake-stack.ts:199``) after a deterministic
+    transit delay of ``hash(event_id) % {WM_MAX_DELAY}`` seconds; an
+    event's LATENESS is how far its event time sits behind its shard's
+    running event-time high-water mark at arrival — the quantity a
+    ``withWatermark`` delay (B18) must absorb. Each candidate delay
+    {WM_DELAYS} s reports the events a watermark that tight would drop
+    from windowed aggregation, from ONE pass over the lateness column.
+
+    The events table is perfectly time-ordered (measured: zero native
+    disorder), so the delivery model is the explicit part of this
+    query's contract: deterministic per-event hash delay, not
+    randomness, which is what keeps the whole curve under the hash
+    gate.
+
+    Scale: one shard-partitioned window shuffle (running MAX, streamed
+    per partition) + one global aggregate with a counter per candidate
+    delay; no global ordering anywhere. The engine's actual watermark
+    is the min over shards of these high-water marks, so per-shard
+    lateness upper-bounds what the delay must absorb."""
+    ev = read_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    delay = (
+        portable_hash60(
+            F.concat(F.lit("wm:"), F.col("event_id").cast("string"))
+        )
+        % WM_MAX_DELAY
+    )
+    arr = ev.select(
+        (F.col("user_id") % WM_SHARDS).alias("shard"),
+        sec.alias("sec"),
+        (sec + delay).alias("arrival_s"),
+        "event_id",
+    )
+    whw = (
+        Window.partitionBy("shard")
+        .orderBy("arrival_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = arr.select(F.max("sec").over(whw).alias("hwm"), "sec").select(
+        F.when(
+            F.col("hwm").isNull() | (F.col("hwm") <= F.col("sec")), F.lit(0)
+        )
+        .otherwise(F.col("hwm") - F.col("sec"))
+        .alias("lateness_s")
+    )
+    agg = late.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("lateness_s").cast("bigint").alias("max_lateness_s"),
+        *[
+            F.count(F.when(F.col("lateness_s") > d, 1)).alias(f"d{d}")
+            for d in WM_DELAYS
+        ],
+    )
+    stack = F.expr(
+        "stack({n}, {args}) AS (watermark_delay_s, n_dropped)".format(
+            n=len(WM_DELAYS),
+            args=", ".join(f"{d}, d{d}" for d in WM_DELAYS),
+        )
+    )
+    rows = agg.select("n_events", "max_lateness_s", stack)
+    return rows.select(
+        F.col("watermark_delay_s").cast("int").alias("watermark_delay_s"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        F.round(
+            F.col("n_dropped").cast("double") / F.col("n_events"), 6
+        ).alias("drop_rate"),
+        "max_lateness_s",
+    ).orderBy("watermark_delay_s")
+
+
+_fmt(
+    q_watermark_sweep,
+    WM_DELAYS=WM_DELAYS,
+    WM_MAX_DELAY=WM_MAX_DELAY,
+    WM_SHARDS=WM_SHARDS,
+)

@@ -160,3 +160,25 @@ def test_bloom_fpr_sweep_contract(spark, sf_smoke):
     for a, b in zip(rows, rows[1:]):
         assert b["fpr"] <= a["fpr"]
         assert a["n_members"] == b["n_members"]
+
+
+def test_watermark_sweep_curve(spark, sf_smoke):
+    """Drop counts are non-increasing in the delay, the delay >= the
+    model's max transit bound drops nothing, and max lateness is below
+    the delivery-model ceiling."""
+    from dynamodb_streaming_datalake_spark.operators.experiments import (
+        WM_MAX_DELAY,
+    )
+
+    rows = sorted(
+        all_queries()["q_watermark_sweep"](spark, sf_smoke).collect(),
+        key=lambda r: r["watermark_delay_s"],
+    )
+    assert len(rows) == 3
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_dropped"] <= a["n_dropped"]
+        assert a["n_events"] == b["n_events"]
+    for r in rows:
+        assert r["max_lateness_s"] < WM_MAX_DELAY
+        if r["watermark_delay_s"] >= WM_MAX_DELAY:
+            assert r["n_dropped"] == 0
