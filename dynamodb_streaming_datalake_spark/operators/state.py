@@ -467,3 +467,93 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n.price").cast("double").alias("new_price"),
         F.col("o.price").cast("double").alias("old_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental maintenance of a JOIN-aggregate view (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _nation_order_partials(orders: DataFrame, cust: DataFrame) -> DataFrame:
+    """Per-nation partials of the orders x customer join view."""
+    return (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+                "rev_dec"
+            ),
+        )
+    )
+
+
+@query(
+    "q_ivm_join",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN-aggregate view — the step past
+    q_incr_agg's single-table view: the materialized view is per-nation
+    order count + revenue over orders x customer, the delta is every
+    INCR_SPLIT-th order, and the refresh computes ONLY
+    ``agg(delta JOIN dim)`` and merges it into the existing view by key
+    (count+count, decimal sum+sum). This is the ΔA ⋈ B term of join
+    IVM with a static dimension — the common warehouse case; a
+    fact-fact join view needs the symmetric ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB over
+    MVCC snapshots (streaming/upsert.py holds those versions). The
+    oracle recomputes the view from scratch over all orders —
+    hash-equality proves the incremental path loses nothing.
+
+    Distinct-style measures are deliberately absent: COUNT(DISTINCT)
+    does not decompose into mergeable per-delta state — that is exactly
+    what the theta/HLL register views (q_theta_stream,
+    q_hll_rolling_stream) exist for.
+
+    Scale: the refresh is O(|delta| + |view|) — the delta joins a
+    broadcast dim and pre-reduces map-side to |nations| partials; the
+    merge is a full-outer join on the tiny view key. The base fact
+    table is never rescanned."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    base = orders.where(F.col("o_orderkey") % INCR_SPLIT != 0)
+    delta = orders.where(F.col("o_orderkey") % INCR_SPLIT == 0)
+    view = _nation_order_partials(base, cust).alias("v")
+    dlt = _nation_order_partials(delta, cust).alias("d")
+    zero = F.lit(0).cast("decimal(38,6)")
+    merged = view.join(dlt, ["c_nationkey"], "full_outer").select(
+        "c_nationkey",
+        (
+            F.coalesce("v.n_orders", F.lit(0))
+            + F.coalesce("d.n_orders", F.lit(0))
+        ).alias("n_orders"),
+        (F.coalesce("v.rev_dec", zero) + F.coalesce("d.rev_dec", zero))
+        .cast("decimal(38,6)")
+        .alias("rev_dec"),
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    return (
+        merged.join(F.broadcast(nation), "c_nationkey")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+        .orderBy("nation")
+    )

@@ -214,3 +214,37 @@ def test_compaction_recovery_committed_tmp_completes_swap(spark, tmp_path):
         if s.isFile() and not s.getPath().getName().startswith(("_", "."))
     ]
     assert not set(remaining) & set(old_names)  # old files gone
+
+
+def test_ivm_join_equals_full_recompute(spark, sf_smoke):
+    """The incrementally merged join view must equal the from-scratch
+    join-aggregate, key for key (the oracle proves it cross-engine;
+    this pins it in-engine against an independently built frame)."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    got = {
+        r["nation"]: (r["n_orders"], r["revenue"])
+        for r in all_queries()["q_ivm_join"](spark, sf_smoke).collect()
+    }
+    orders = read_table(spark, sf_smoke, "orders")
+    cust = read_table(spark, sf_smoke, "customer")
+    nation = read_table(spark, sf_smoke, "nation")
+    want = {
+        r["n_name"]: (r["n"], r["rev"])
+        for r in orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"]
+        )
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .collect()
+    }
+    assert got == want
