@@ -167,3 +167,133 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_checked").cast("bigint").alias("n_checked"),
         F.col("n_violations").cast("bigint").alias("n_violations"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ingestion freshness / completeness monitor (round 9)
+# ---------------------------------------------------------------------------
+
+#: volume anomaly threshold in population standard deviations
+FRESH_SIGMA = 2.0
+
+
+@query(
+    "q_freshness_monitor",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(ts AS DATE) - DATE '1970-01-01' AS day_i,
+               COUNT(*) AS n_rows
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n_days,
+               CAST(MAX(day_i) - MIN(day_i) + 1 AS BIGINT) AS span_days,
+               MAX(day_i) AS latest_i,
+               CAST(SUM(CAST(n_rows AS DECIMAL(38,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(n_rows * n_rows AS DECIMAL(38,6))) AS DOUBLE)
+                 AS ss
+        FROM daily GROUP BY event_type
+    ),
+    anom AS (
+        SELECT d.event_type,
+               COUNT(*) FILTER (
+                   WHERE abs(d.n_rows - st.s / st.n_days)
+                         > {FRESH_SIGMA}
+                           * sqrt((st.ss - st.s * st.s / st.n_days)
+                                  / st.n_days)
+               ) AS n_anomalous_days
+        FROM daily d JOIN stats st USING (event_type)
+        WHERE st.ss - st.s * st.s / st.n_days > 0
+        GROUP BY d.event_type
+    )
+    SELECT st.event_type,
+           CAST(st.n_days AS BIGINT) AS n_days,
+           st.span_days,
+           CAST(st.span_days - st.n_days AS BIGINT) AS n_gap_days,
+           strftime(DATE '1970-01-01' + st.latest_i * INTERVAL 1 DAY,
+                    '%Y-%m-%d') AS latest_day,
+           round(st.s / st.n_days, 6) AS mean_daily_rows,
+           round(sqrt((st.ss - st.s * st.s / st.n_days) / st.n_days), 6)
+             AS sd_daily_rows,
+           CAST(COALESCE(a.n_anomalous_days, 0) AS BIGINT)
+             AS n_anomalous_days
+    FROM stats st LEFT JOIN anom a USING (event_type)
+    ORDER BY st.event_type
+    """,
+)
+def q_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion health per event-type slice: daily row volumes roll up
+    to days-observed vs calendar span (gap days = silently missing
+    partitions), the latest landed day (staleness), and the count of
+    days whose volume sits more than {FRESH_SIGMA} population standard
+    deviations from the slice's mean — the monitor that catches a
+    stuck producer or a double-delivered day before consumers do.
+    Complements q_data_quality_report (row-level constraints) with
+    partition-level arrival health.
+
+    Daily counts are integers, their power sums accumulate in exact
+    decimal, and the z-threshold compares with one fixed double
+    expression per day — the q_anomaly_zscore numerics applied to
+    volume instead of value.
+
+    Scale: one (type, day) aggregate — map-side combined, output is
+    |types| x |days| rows — then |types|-sized frames; the raw table
+    is scanned once. On a partitioned lake the daily counts come from
+    partition metadata and the scan disappears entirely."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias(
+            "day_i"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    d38 = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    n_rows = F.col("n_rows")
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.max("day_i") - F.min("day_i") + 1)
+        .cast("bigint")
+        .alias("span_days"),
+        F.max("day_i").alias("latest_i"),
+        F.sum(d38(n_rows)).cast("double").alias("s"),
+        F.sum(d38(n_rows * n_rows)).cast("double").alias("ss"),
+    )
+    s, ss, n_days = F.col("s"), F.col("ss"), F.col("n_days")
+    var = (ss - s * s / n_days) / n_days
+    anom = (
+        daily.join(
+            F.broadcast(stats.where(ss - s * s / n_days > 0)), "event_type"
+        )
+        .where(
+            F.abs(n_rows - s / n_days)
+            > FRESH_SIGMA * F.sqrt((ss - s * s / n_days) / n_days)
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_anomalous_days"))
+    )
+    return (
+        stats.join(anom, "event_type", "left")
+        .select(
+            "event_type",
+            n_days.cast("bigint").alias("n_days"),
+            "span_days",
+            (F.col("span_days") - n_days).cast("bigint").alias("n_gap_days"),
+            F.date_format(
+                F.date_add(F.lit("1970-01-01"), F.col("latest_i")),
+                "yyyy-MM-dd",
+            ).alias("latest_day"),
+            F.round(s / n_days, 6).alias("mean_daily_rows"),
+            F.round(F.sqrt(var), 6).alias("sd_daily_rows"),
+            F.coalesce("n_anomalous_days", F.lit(0))
+            .cast("bigint")
+            .alias("n_anomalous_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
+
+_fmt(q_freshness_monitor, FRESH_SIGMA=FRESH_SIGMA)

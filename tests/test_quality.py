@@ -523,3 +523,25 @@ def test_tgz_reader_verifies_checksums_and_padding():
     bad = comp.compress(bytes(tar)) + comp.flush()
     with pytest.raises(ValueError, match="checksum"):
         parse_tgz(bad)
+
+
+def test_freshness_monitor_consistency(spark, sf_smoke):
+    """Gap days = span - observed >= 0, the latest day matches the raw
+    max, and anomalous days never exceed observed days."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    rows = all_queries()["q_freshness_monitor"](spark, sf_smoke).collect()
+    assert rows
+    raw_latest = (
+        read_table(spark, sf_smoke, "events")
+        .agg(F.date_format(F.max(F.col("ts").cast("date")), "yyyy-MM-dd"))
+        .first()[0]
+    )
+    assert max(r["latest_day"] for r in rows) == raw_latest
+    for r in rows:
+        assert r["n_gap_days"] == r["span_days"] - r["n_days"] >= 0
+        assert 0 <= r["n_anomalous_days"] <= r["n_days"]
+        assert r["sd_daily_rows"] >= 0
