@@ -613,6 +613,13 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: solved DP per (documents path, mtime): the three frames are all
+#: eagerly checkpointed (vocabulary-sized), so caching the HANDLES —
+#: not driver rows — lets q_unigram_tokenize and q_tokenizer_eval in
+#: one sweep solve the DP once (the _BPE_CACHE discipline)
+_UNI_CACHE: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
 def unigram_dp(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -621,6 +628,10 @@ def unigram_dp(
     histogram (word, freq) over words of length <= UNI_MAX_LEN, the
     scored piece vocabulary (piece, cost), and the solved DP frontier
     (word, comb) where ``comb`` packs (min_cost * 32 + n_tokens)."""
+    key = _bpe_cache_key(sf_dir, -1)
+    cached = _UNI_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = read_table(spark, sf_dir, "documents")
     wf = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -698,6 +709,10 @@ def unigram_dp(
     for k in range(1, UNI_MAX_LEN + 1):
         f_k = dp[k].where(F.length("word") == k)
         final = f_k if final is None else final.unionByName(f_k)
+    final = final.localCheckpoint(eager=True)
+    for stale in [s for s in _UNI_CACHE if s[0] == key[0] and s != key]:
+        del _UNI_CACHE[stale]
+    _UNI_CACHE[key] = (wf, vocab, final)
     return wf, vocab, final
 
 

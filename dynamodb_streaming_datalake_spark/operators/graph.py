@@ -703,14 +703,24 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves; larger graphs keep the shuffle join for bucketed
     co-location. MIN is order-independent, so the result is
     partitioning-invariant."""
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    # EAGER pins, measured at sf0.1 (medians-of-3): edges + per-round
+    # distance vector pinned 4.6 s -> 3.8 s steady-state (and first
+    # run 10 s -> 4.2 s) — the per-round broadcast otherwise re-plans
+    # the accumulated two-join-per-round lineage each time. The pinned
+    # frame is O(|V|) — the same bounded-materialization budget as the
+    # unigram DP frontier.
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     srcn = nodes.agg(F.min("node").alias("s"))
-    dist = nodes.crossJoin(F.broadcast(srcn)).select(
-        "node",
-        F.when(F.col("node") == F.col("s"), F.lit(0))
-        .otherwise(F.lit(BFS_INF))
-        .alias("dist"),
+    dist = (
+        nodes.crossJoin(F.broadcast(srcn))
+        .select(
+            "node",
+            F.when(F.col("node") == F.col("s"), F.lit(0))
+            .otherwise(F.lit(BFS_INF))
+            .alias("dist"),
+        )
+        .localCheckpoint(eager=True)
     )
     small = (
         nodes.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
@@ -730,11 +740,15 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("sd").alias("m"))
         )
-        dist = dist.join(bc(nbr), "node", "left").select(
-            "node",
-            F.least(
-                F.col("dist"), F.coalesce(F.col("m") + 1, F.lit(BFS_INF))
-            ).alias("dist"),
+        dist = (
+            dist.join(bc(nbr), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("dist"), F.coalesce(F.col("m") + 1, F.lit(BFS_INF))
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
         )
     return (
         dist.where(F.col("dist") < BFS_INF)
