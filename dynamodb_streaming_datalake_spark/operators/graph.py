@@ -110,9 +110,33 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     return ranks.select("node", "rank_fp")
 
 
+#: checkpointed edge frame per (orders path, mtime): six graph queries
+#: build the same orders x lineitem distinct edge table — caching the
+#: HANDLE to one eagerly-pinned frame (the unigram-DP cache
+#: discipline) makes a registry sweep build it once, not six times
+_EDGE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _edge_cache_key(sf_dir: str) -> tuple:
+    import os
+
+    path = os.path.join(os.path.realpath(sf_dir), "orders.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    return (path, mtime)
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct customer<->supplier pairs through orders x lineitem,
-    in both directions, with typed node keys ('c<id>' / 's<id>')."""
+    in both directions, with typed node keys ('c<id>' / 's<id>').
+    Returns an eagerly-pinned frame, cached per dataset — every
+    consumer loops over it, so the pin is shared, not per-query."""
+    key = _edge_cache_key(sf_dir)
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -124,7 +148,11 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.concat(F.lit("s"), F.col("l_suppkey"))
     fwd = pairs.select(c.alias("src"), s.alias("dst"))
     rev = pairs.select(s.alias("src"), c.alias("dst"))
-    return fwd.unionAll(rev)
+    edges = fwd.unionAll(rev).localCheckpoint(eager=True)
+    for stale in [k for k in _EDGE_CACHE if k[0] == key[0] and k != key]:
+        del _EDGE_CACHE[stale]
+    _EDGE_CACHE[key] = edges
+    return edges
 
 
 _SQL_EDGES = """
@@ -389,7 +417,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge table never moves and each round costs exactly one
     shuffle; larger graphs keep the shuffle joins for bucketed
     co-location."""
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _trade_edges(spark, sf_dir)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -600,7 +628,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins against the (tiny) surviving-node set over a
     localCheckpoint-bounded edge table; bucketing edges on node id
     co-locates every round."""
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _trade_edges(spark, sf_dir)
     for _ in range(KCORE_ROUNDS):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.where(F.col("d") >= KCORE_K).select(
@@ -709,7 +737,7 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the accumulated two-join-per-round lineage each time. The pinned
     # frame is O(|V|) — the same bounded-materialization budget as the
     # unigram DP frontier.
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _trade_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     srcn = nodes.agg(F.min("node").alias("s"))
     dist = (
@@ -827,7 +855,7 @@ def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     global six-number aggregate, and a histogram over |V| rows. The
     1-row correlation frame crosses into the histogram (whitelisted
     constant-size broadcast, the q_kcore pattern)."""
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _trade_edges(spark, sf_dir)
     d = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
