@@ -272,6 +272,7 @@ def load_all() -> None:
         "sketches",
         "geo",
         "experiments",
+        "contrastive",
     ):
         try:
             __import__(f"dynamodb_streaming_datalake_spark.operators.{mod}")

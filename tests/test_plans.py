@@ -260,6 +260,9 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_shortest_paths",  # 1-row BFS-source aggregate crossed into init
         "q_degree_stats",  # 1-row assortativity aggregate crossed
         "q_tokenizer_eval",  # four 1-row family aggregates crossed
+        "q_hard_negatives",  # broadcast N_ANCHORS rows x corpus scan
+        "q_negative_sampling",  # broadcast N_ANCHORS rows x corpus scan
+        "q_semdedup",  # broadcast SEM_K centroids x corpus (assignment)
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
