@@ -474,3 +474,185 @@ def _register_partition_advisor() -> None:
 
 
 _register_partition_advisor()
+
+
+def _register_zonemap() -> None:
+    from pyspark.sql import Window
+
+    from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
+    from dynamodb_streaming_datalake_spark.registry import query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    #: simulated file count for the zone-map model (one parquet file
+    #: per ntile bucket).
+    ZM_FILES = 64
+
+    #: calendar months probed by the predicate panel (one-month range
+    #: scans, the canonical time-filter shape of the CDC zone).
+    ZM_MONTHS = (
+        "1995-03-01",
+        "1996-06-01",
+        "1997-09-01",
+        "1998-12-01",
+        "2000-03-01",
+        "2001-06-01",
+    )
+
+    _pred_values = ", ".join(f"(TIMESTAMP '{m}')" for m in ZM_MONTHS)
+    _overlap = (
+        "z.mx >= p.pred_month "
+        "AND z.mn < p.pred_month + INTERVAL 1 MONTH"
+    )
+
+    @query(
+        "q_zonemap_prune",
+        oracle=f"""
+        WITH nat AS (
+            SELECT 'natural' AS layout,
+                   ntile({ZM_FILES}) OVER (ORDER BY o_orderkey) AS file_id,
+                   o_orderdate
+            FROM orders
+        ),
+        srt AS (
+            SELECT 'date_sorted' AS layout,
+                   ntile({ZM_FILES}) OVER (
+                       ORDER BY o_orderdate, o_orderkey) AS file_id,
+                   o_orderdate
+            FROM orders
+        ),
+        files AS (SELECT * FROM nat UNION ALL SELECT * FROM srt),
+        zmaps AS (
+            SELECT layout, file_id,
+                   MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx,
+                   COUNT(*) AS n
+            FROM files GROUP BY layout, file_id
+        ),
+        preds AS (SELECT * FROM (VALUES {_pred_values}) p(pred_month)),
+        scan AS (
+            SELECT z.layout, p.pred_month,
+                   COUNT(*) FILTER (WHERE {_overlap}) AS files_scanned,
+                   SUM(z.n) FILTER (WHERE {_overlap}) AS rows_scanned
+            FROM zmaps z CROSS JOIN preds p
+            GROUP BY z.layout, p.pred_month
+        ),
+        m AS (
+            SELECT p.pred_month, COUNT(o.o_orderkey) AS rows_matching
+            FROM preds p
+            LEFT JOIN orders o
+              ON date_trunc('month', o.o_orderdate) = p.pred_month
+            GROUP BY p.pred_month
+        )
+        SELECT s.layout, s.pred_month,
+               CAST({ZM_FILES} AS INT) AS files_total,
+               CAST(s.files_scanned AS BIGINT) AS files_scanned,
+               CAST(COALESCE(s.rows_scanned, 0) AS BIGINT) AS rows_scanned,
+               CAST(m.rows_matching AS BIGINT) AS rows_matching,
+               round(1.0 - s.files_scanned / {ZM_FILES}.0, 6) AS skip_frac,
+               CASE WHEN m.rows_matching > 0
+                    THEN round(COALESCE(s.rows_scanned, 0)
+                               / CAST(m.rows_matching AS DOUBLE), 6)
+               END AS read_amp
+        FROM scan s JOIN m USING (pred_month)
+        ORDER BY s.layout, s.pred_month
+        """,
+    )
+    def q_zonemap_prune(spark, sf_dir):
+        """Zone-map (file min-max) pruning simulator: orders split into
+        {ZM_FILES} equal files under two writer layouts — 'natural'
+        (o_orderkey order: arrival order, date-uncorrelated) and
+        'date_sorted' — then a panel of one-month predicates is
+        evaluated against each layout's per-file min/max o_orderdate.
+        Per (layout, month): files/rows a stats-pruning scan must
+        read, exact matching rows, the skipped-file fraction, and read
+        amplification (rows scanned per matching row). The pair of
+        rows per month IS the case for sorting on the filter column:
+        natural scans ~every file, date_sorted a handful.
+
+        Scale shape: ntile = the range partition a sorted writer
+        performs anyway; zone maps are one groupBy; the predicate
+        panel is a {ZM_FILES}x|panel| constant-size cross
+        (whitelisted). Models parquet row-group stats pruning —
+        `PushedFilters` made quantitative."""
+        o = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate"
+        )
+        nat = o.select(
+            F.lit("natural").alias("layout"),
+            F.ntile(ZM_FILES)
+            .over(Window.orderBy("o_orderkey"))
+            .alias("file_id"),
+            "o_orderdate",
+        )
+        srt = o.select(
+            F.lit("date_sorted").alias("layout"),
+            F.ntile(ZM_FILES)
+            .over(Window.orderBy("o_orderdate", "o_orderkey"))
+            .alias("file_id"),
+            "o_orderdate",
+        )
+        zmaps = (
+            nat.unionAll(srt)
+            .groupBy("layout", "file_id")
+            .agg(
+                F.min("o_orderdate").alias("mn"),
+                F.max("o_orderdate").alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        preds = spark.createDataFrame(
+            [(m,) for m in ZM_MONTHS], "pred_month string"
+        ).select(F.col("pred_month").cast("timestamp"))
+        month_end = F.col("pred_month") + F.expr("INTERVAL 1 MONTH")
+        overlap = (F.col("mx") >= F.col("pred_month")) & (
+            F.col("mn") < month_end
+        )
+        scan = (
+            zmaps.crossJoin(F.broadcast(preds))
+            .groupBy("layout", "pred_month")
+            .agg(
+                F.count(F.when(overlap, 1)).alias("files_scanned"),
+                F.sum(F.when(overlap, F.col("n"))).alias("rows_scanned"),
+            )
+        )
+        # aggregate to month grain first (bounded rows), then join the
+        # panel; coalesce keeps empty months at 0 instead of dropping
+        by_month = (
+            o.groupBy(
+                F.date_trunc("month", "o_orderdate").alias("pred_month")
+            )
+            .agg(F.count(F.lit(1)).alias("n_month"))
+        )
+        m = preds.join(by_month, "pred_month", "left").select(
+            "pred_month",
+            F.coalesce("n_month", F.lit(0)).alias("rows_matching"),
+        )
+        return (
+            scan.join(m, "pred_month")
+            .select(
+                "layout",
+                "pred_month",
+                F.lit(ZM_FILES).cast("int").alias("files_total"),
+                F.col("files_scanned").cast("long").alias("files_scanned"),
+                F.coalesce("rows_scanned", F.lit(0))
+                .cast("long")
+                .alias("rows_scanned"),
+                F.col("rows_matching").cast("long").alias("rows_matching"),
+                F.round(
+                    1.0 - F.col("files_scanned") / float(ZM_FILES), 6
+                ).alias("skip_frac"),
+                F.when(
+                    F.col("rows_matching") > 0,
+                    F.round(
+                        F.coalesce("rows_scanned", F.lit(0))
+                        / F.col("rows_matching").cast("double"),
+                        6,
+                    ),
+                ).alias("read_amp"),
+            )
+            .orderBy("layout", "pred_month")
+        )
+
+    _fmt(q_zonemap_prune, ZM_FILES=ZM_FILES)
+
+
+_register_zonemap()
