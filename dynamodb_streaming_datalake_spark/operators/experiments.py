@@ -808,3 +808,164 @@ _fmt(
     WM_MAX_DELAY=WM_MAX_DELAY,
     WM_SHARDS=WM_SHARDS,
 )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival: customer churn retention curve
+# ---------------------------------------------------------------------------
+
+#: censoring horizon: a customer whose last order is within this many
+#: days of the study end is censored (still alive), not churned.
+KM_HORIZON_DAYS = 90
+
+#: duration grain: observed lifetime in 30-day "months".
+KM_MONTH_DAYS = 30
+
+
+@query(
+    "q_survival_km",
+    oracle=f"""
+    WITH RECURSIVE bounds AS (
+        SELECT MAX(o_orderdate) AS study_end FROM orders
+    ),
+    life AS (
+        SELECT o_custkey,
+               CAST(FLOOR(datediff('day', MIN(o_orderdate),
+                                   MAX(o_orderdate))
+                          / {KM_MONTH_DAYS}) AS INT) AS t,
+               CAST(MAX(o_orderdate)
+                    < (SELECT study_end FROM bounds)
+                      - INTERVAL {KM_HORIZON_DAYS} DAY AS INT) AS churned
+        FROM orders GROUP BY o_custkey
+    ),
+    per_t AS MATERIALIZED (
+        SELECT t,
+               CAST(SUM(churned) AS BIGINT) AS d,
+               CAST(SUM(1 - churned) AS BIGINT) AS c,
+               ROW_NUMBER() OVER (ORDER BY t) AS rn
+        FROM life GROUP BY t
+    ),
+    at_risk AS MATERIALIZED (
+        SELECT rn, t, d, c,
+               SUM(d + c) OVER (ORDER BY t DESC) AS n
+        FROM per_t
+    ),
+    rec AS (
+        SELECT rn, t, d, c, n,
+               round(1.0 * (1.0 - d / CAST(n AS DOUBLE)), 9) AS s
+        FROM at_risk WHERE rn = 1
+        UNION ALL
+        SELECT k.rn, k.t, k.d, k.c, k.n,
+               round(r.s * (1.0 - k.d / CAST(k.n AS DOUBLE)), 9)
+        FROM rec r JOIN at_risk k ON k.rn = r.rn + 1
+    )
+    SELECT CAST(t AS INT) AS t_months,
+           CAST(n AS BIGINT) AS n_at_risk,
+           d AS n_events, c AS n_censored,
+           round(s, 6) AS survival
+    FROM rec ORDER BY t_months
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer retention: each customer's observed
+    lifetime runs from first to last order ({KM_MONTH_DAYS}-day
+    months); a customer whose last order predates the study end by
+    more than {KM_HORIZON_DAYS} days churned at that duration, anyone
+    still ordering near the end is right-censored. Per duration t the
+    curve multiplies the classic (1 - d_t/n_t) risk-set factor, every
+    step rounded to 9 dp so the sequential product is bit-identical to
+    the oracle's recursive CTE (cumulative float products are
+    association-order-dependent; the per-step round pins ONE order).
+
+    Scale shape: lifetimes are one groupBy over orders; the curve
+    domain is bounded by distinct month durations (<= decades * 12
+    rows at ANY corpus size), so the sorted fold runs over a
+    constant-size array — the heavy lifting stays distributed, the
+    recursion never touches more than the per-t table."""
+    o = read_table(spark, sf_dir, "orders")
+    bounds = o.agg(F.max("o_orderdate").alias("study_end"))
+    life = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_o"),
+            F.max("o_orderdate").alias("last_o"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.floor(
+                F.datediff("last_o", "first_o") / KM_MONTH_DAYS
+            )
+            .cast("int")
+            .alias("t"),
+            (
+                F.col("last_o")
+                < F.col("study_end")
+                - F.expr(f"INTERVAL {KM_HORIZON_DAYS} DAY")
+            )
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    per_t = life.groupBy("t").agg(
+        F.sum("churned").alias("d"),
+        F.sum(F.lit(1) - F.col("churned")).alias("c"),
+    )
+    w_risk = Window.orderBy(F.col("t").desc()).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = per_t.withColumn("n", F.sum(F.col("d") + F.col("c")).over(w_risk))
+    # fold the bounded per-t table in t order, rounding each step:
+    # acc = (s, rows); emit (t, s) per step, then join stats back on t
+    folded = at_risk.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "d", "n"))
+        ).alias("steps")
+    )
+    step = F.aggregate(
+        F.col("steps"),
+        F.struct(
+            F.lit(1.0).alias("s"),
+            F.array().cast("array<struct<t:int,s:double>>").alias("out"),
+        ),
+        lambda acc, x: F.struct(
+            F.round(
+                acc["s"] * (F.lit(1.0) - x["d"] / x["n"].cast("double")), 9
+            ).alias("s"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["t"].alias("t"),
+                        F.round(
+                            acc["s"]
+                            * (F.lit(1.0) - x["d"] / x["n"].cast("double")),
+                            9,
+                        ).alias("s"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc["out"],
+    )
+    curve = (
+        folded.select(F.explode(step).alias("p"))
+        .select(F.col("p.t").alias("t"), F.col("p.s").alias("s"))
+    )
+    return (
+        curve.join(at_risk, "t")
+        .select(
+            F.col("t").cast("int").alias("t_months"),
+            F.col("n").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.col("c").cast("long").alias("n_censored"),
+            F.round("s", 6).alias("survival"),
+        )
+        .orderBy("t_months")
+    )
+
+
+_fmt(
+    q_survival_km,
+    KM_HORIZON_DAYS=KM_HORIZON_DAYS,
+    KM_MONTH_DAYS=KM_MONTH_DAYS,
+)
