@@ -29,64 +29,48 @@ ORACLE: dict[str, str] = {}
 # silently eject a listed query from the window.
 #
 # PRIORITY derived by scripts/rotate_window.py from
-# CORRECTNESS_r*.json (latest: r8).  Do not hand-order;
+# CORRECTNESS_r*.json (latest: r9).  Do not hand-order;
 # regenerate after each driver round.  Derivation: the
-# 28 never-driver-proven names lead (registration
-# order), then proofs ascending by (round, registration).
+# 35 never-driver-proven names lead, then proofs
+# ascending by round (stable tie-break: prior order).
 PRIORITY: tuple[str, ...] = (
     # -- never driver-proven --
-    "q_pit_join",
-    "q_label_propagation",
-    "q_item_similarity",
-    "q_unigram_tokenize",
-    "q_interp_linear",
-    "q_anomaly_zscore",
-    "q_bootstrap_ci",
-    "q_dedup_keep_best",
-    "q_dedup_eval",
-    "q_media_wav_g711",
-    "q_media_flac",
-    "q_media_jpeg_prog",
-    "q_media_jpeg_color",
-    "q_train_shards",
-    "q_mix_temperature",
-    "q_decontaminate_fuzzy",
-    "q_skew_diagnose",
-    "q_salted_agg",
-    "q_encoding_advisor",
-    "q_cms_heavy_hitters",
-    "q_hll_distinct",
-    "q_quantile_sketch",
-    "q_analyze_ndv",
-    "q_join_estimate",
-    "q_geo_join",
-    "q_mvcc_vacuum",
-    "q_cms_stream",
-    "q_hll_stream",
-    # -- proven r5 --
-    "q_range_join_clicks",
-    "q_pivot_event_matrix",
-    "q_event_moments",
-    "q_histogram_value",
+    "q_ivm_join",
+    "q_kcore",
+    "q_shortest_paths",
+    "q_degree_stats",
+    "q_tokenizer_eval",
+    "q_freshness_monitor",
+    "q_bloom_fpr_sweep",
+    "q_winsorize",
+    "q_seasonal_decompose",
+    "q_distinctive_terms",
+    "q_dedup_threshold_sweep",
+    "q_ann_tuning",
+    "q_matryoshka_eval",
+    "q_embedding_drift",
+    "q_group_split",
+    "q_l_diversity",
+    "q_partition_advisor",
+    "q_zonemap_prune",
+    "q_theta_distinct",
+    "q_kll_quantiles",
+    "q_kll_binning",
+    "q_hll_rolling",
+    "q_ab_test",
+    "q_linreg_cv",
+    "q_changepoint",
+    "q_event_transitions",
+    "q_session_gap_sweep",
+    "q_power_mde",
+    "q_watermark_sweep",
+    "q_survival_km",
+    "q_hard_negatives",
+    "q_negative_sampling",
+    "q_semdedup",
+    "q_theta_stream",
+    "q_hll_rolling_stream",
     # -- proven r6 --
-    "q_incr_agg",
-    "q_snapshot_diff",
-    "q_pagerank",
-    "q_bpe_train",
-    "q_bpe_tokenize",
-    "q_bigram_lm",
-    "q_data_quality_report",
-    "q_compact_scan",
-    "q_ewma_user_value",
-    "q_order_baskets",
-    "q_linreg_train",
-    "q_cohort_retention",
-    "q_sequence_pattern",
-    "q_equidepth_histogram",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
     "q_dedup_simhash_pairs",
     "q_dedup_embedding",
     "q_dedup_embedding_trained",
@@ -221,6 +205,57 @@ PRIORITY: tuple[str, ...] = (
     "q_media_webp",
     "q_entity_resolution",
     "q_incr_agg_stream",
+    # -- proven r9 --
+    "q_pit_join",
+    "q_label_propagation",
+    "q_item_similarity",
+    "q_unigram_tokenize",
+    "q_interp_linear",
+    "q_anomaly_zscore",
+    "q_bootstrap_ci",
+    "q_dedup_keep_best",
+    "q_dedup_eval",
+    "q_media_wav_g711",
+    "q_media_flac",
+    "q_media_jpeg_prog",
+    "q_media_jpeg_color",
+    "q_train_shards",
+    "q_mix_temperature",
+    "q_decontaminate_fuzzy",
+    "q_skew_diagnose",
+    "q_salted_agg",
+    "q_encoding_advisor",
+    "q_cms_heavy_hitters",
+    "q_hll_distinct",
+    "q_quantile_sketch",
+    "q_analyze_ndv",
+    "q_join_estimate",
+    "q_geo_join",
+    "q_mvcc_vacuum",
+    "q_cms_stream",
+    "q_hll_stream",
+    "q_range_join_clicks",
+    "q_pivot_event_matrix",
+    "q_event_moments",
+    "q_histogram_value",
+    "q_incr_agg",
+    "q_snapshot_diff",
+    "q_pagerank",
+    "q_bpe_train",
+    "q_bpe_tokenize",
+    "q_bigram_lm",
+    "q_data_quality_report",
+    "q_compact_scan",
+    "q_ewma_user_value",
+    "q_order_baskets",
+    "q_linreg_train",
+    "q_cohort_retention",
+    "q_sequence_pattern",
+    "q_equidepth_histogram",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
 )
 
 
