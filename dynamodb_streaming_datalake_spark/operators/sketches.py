@@ -1385,3 +1385,166 @@ _fmt(
     ROLL_DAYS=ROLL_DAYS,
     HLL_M=HLL_M,
 )
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon–Matias–Szegedy) F2 moment sketch
+# ---------------------------------------------------------------------------
+# The second frequency moment F2 = sum_v f_v^2 is the self-join size of
+# a key column — the quantity a planner needs to cost a join or detect
+# a skewed key space, and the one moment CMS/HLL cannot answer. The
+# AMS sketch keeps R signed counters Z_r = sum_v sign_r(v) * f_v; each
+# Z_r^2 is an unbiased estimate of F2, and the counters are an exact
+# SUM monoid (shard sketches merge by adding Z row-wise), so per-day
+# sketch tables merge without raw re-scans exactly like the CMS/HLL
+# views. Reference scope note: the reference pipeline
+# (/root/reference/resources/firehose_transformation.py) has no
+# analytics; this is lake-side capability the Spark engine adds.
+
+#: number of independent sign rows (estimate variance ~ 2*F2^2 / R)
+AMS_R = 8
+#: affine sign-hash coefficients sign_r(h) = 1 - 2*((A*h + B) % P % 2);
+#: pairwise-distinct small primes, same universal family as CMS/minhash
+#: (2-wise independence — the textbook bound wants 4-wise; the eval
+#: column in the registered query makes the realized error visible)
+AMS_A = (163, 167, 173, 179, 181, 191, 193, 197)
+AMS_B = (7, 11, 13, 19, 23, 31, 37, 43)
+
+
+def ams_sketch(keyed: DataFrame, key: str, group: str) -> DataFrame:
+    """Per-``group`` AMS sketch table: AMS_R rows (group, r, z).
+
+    One md5 per input row, R sign flips computed row-locally before the
+    map-side combine — the shuffle carries <= |groups|*R partial sums
+    per task, never R*N rows. Merge across shards/days: groupBy(group,
+    r).SUM(z) — exact, order-independent integer addition.
+    """
+    h = (portable_hash60(F.col(key).cast("string")) % CMS_P).alias("h")
+    base = keyed.select(F.col(group), h)
+    signs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    F.lit(1)
+                    - F.lit(2)
+                    * ((F.lit(a) * F.col("h") + F.lit(b)) % CMS_P % 2)
+                ).cast("bigint").alias("s"),
+            )
+            for r, (a, b) in enumerate(zip(AMS_A, AMS_B))
+        ]
+    )
+    return (
+        base.select(group, F.explode(signs).alias("c"))
+        .groupBy(group, F.col("c.r").alias("r"))
+        .agg(F.sum("c.s").alias("z"))
+    )
+
+
+def ams_estimate(sketch: DataFrame, group: str) -> DataFrame:
+    """F2 estimates from a sketch table: mean and median of the R
+    squared counters. Median is the average of the two middle order
+    statistics computed explicitly (row_number over (z_sq, r)) so both
+    engines evaluate the identical integer expression — never an
+    engine's interpolating median()."""
+    zsq = sketch.select(
+        group, "r", (F.col("z") * F.col("z")).alias("z_sq")
+    )
+    w = Window.partitionBy(group).orderBy("z_sq", "r")
+    ranked = zsq.withColumn("rn", F.row_number().over(w))
+    lo, hi = AMS_R // 2, AMS_R // 2 + 1
+    return (
+        ranked.groupBy(group)
+        .agg(
+            (F.sum("z_sq") / F.lit(float(AMS_R))).alias("est_mean"),
+            (
+                F.sum(F.when(F.col("rn").isin(lo, hi), F.col("z_sq")))
+                / F.lit(2.0)
+            ).alias("est_median"),
+        )
+    )
+
+
+def _sql_ams_case(coeffs: tuple[int, ...]) -> str:
+    whens = " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(coeffs))
+    return f"CASE r {whens} END"
+
+
+SQL_AMS_F2 = f"""
+    WITH h AS (
+        SELECT event_type,
+               ({sql_portable_hash60("CAST(user_id AS VARCHAR)")} % {CMS_P}) AS h
+        FROM events
+    ),
+    signs AS (
+        SELECT event_type, rr.r,
+               1 - 2 * ((({_sql_ams_case(AMS_A)}) * h
+                         + ({_sql_ams_case(AMS_B)})) % {CMS_P} % 2) AS s
+        FROM h, (SELECT UNNEST(range(0, {AMS_R})) AS r) rr
+    ),
+    sketch AS (
+        SELECT event_type, r, SUM(s) AS z FROM signs GROUP BY event_type, r
+    ),
+    ranked AS (
+        SELECT event_type, r, z * z AS z_sq,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY z * z, r) AS rn
+        FROM sketch
+    ),
+    est AS (
+        SELECT event_type,
+               SUM(z_sq) / {float(AMS_R)} AS est_mean,
+               SUM(CASE WHEN rn IN ({AMS_R // 2}, {AMS_R // 2 + 1})
+                        THEN z_sq END) / 2.0 AS est_median
+        FROM ranked GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact
+        FROM (
+            SELECT event_type, user_id, COUNT(*) AS cnt
+            FROM events GROUP BY event_type, user_id
+        ) GROUP BY event_type
+    )
+    SELECT e.event_type, x.f2_exact, e.est_mean, e.est_median
+    FROM est e JOIN exact x USING (event_type)
+    ORDER BY e.event_type
+"""
+
+
+@query("q_ams_f2", oracle=SQL_AMS_F2)
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 (self-join size) sketch per event_type: {AMS_R} signed
+    counters of user_id frequencies per segment, answering the
+    segment's self-join size from the SKETCH (mean and median of the
+    squared counters) with the exact F2 in-row as the eval column —
+    the join-cost / key-skew signal CMS (point frequencies) and HLL
+    (distinct count) cannot give.
+
+    Every aggregate is an exact integer SUM (sign flips are ±1
+    bigints), the two estimates are single final divisions of exact
+    integers, and the explicit order-statistic median avoids engine
+    median() interpolation — partitioning- and engine-exact, hence the
+    hash gate.
+
+    Scale: the sketch is |segments| * {AMS_R} rows no matter how many
+    events flow through; per-day shards build map-side-combined
+    partials and merge by row-wise integer SUM (the monoid the
+    streaming twin q_ams_stream folds). The exact column is the eval
+    harness; a deployment keeps only the sketch."""
+    ev = read_table(spark, sf_dir, "events")
+    sketch = ams_sketch(ev, "user_id", "event_type")
+    est = ams_estimate(sketch, "event_type")
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2_exact"))
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "f2_exact", "est_mean", "est_median")
+        .orderBy("event_type")
+    )
+
+
+_fmt(q_ams_f2, AMS_R=AMS_R)

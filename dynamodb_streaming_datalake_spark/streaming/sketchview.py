@@ -580,3 +580,148 @@ def _register_daily_hll() -> None:
 
 
 _register_daily_hll()
+
+
+# ---------------------------------------------------------------------------
+# streaming AMS F2 view (round 10): same MVCC fold, integer SUM monoid
+# ---------------------------------------------------------------------------
+# Signed counters add exactly across micro-batches (Z is linear in the
+# input multiset), so the folded view row-equals a one-shot sketch over
+# the whole history — the strongest of the three monoids to verify
+# because the counters are signed: any double-application or loss
+# shifts Z and the estimate hash diverges.
+
+
+def merge_ams(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Row-wise signed-counter SUM — the AMS monoid operation."""
+    return (
+        prev.unionByName(delta)
+        .groupBy("event_type", "r")
+        .agg(F.sum("z").alias("z"))
+    )
+
+
+def upsert_ams_view(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    view_dir: str,
+    version: int,
+    key: str = "user_id",
+    group: str = "event_type",
+) -> None:
+    """Fold one micro-batch into the counter view as ``version``;
+    committed-version replays are no-ops (NOT idempotent per-row —
+    signed sums double-count — which is exactly why the guard must
+    hold and why the test replays a committed version)."""
+    from dynamodb_streaming_datalake_spark.operators.sketches import ams_sketch
+
+    if version in _versions(spark, view_dir):
+        return
+    delta = ams_sketch(batch_df, key, group)
+    prev = current_snapshot(spark, view_dir, live_only=False)
+    merged = delta if prev is None else merge_ams(prev, delta)
+    merged.write.mode("overwrite").parquet(f"{view_dir}/v={version}")
+
+
+def start_ams_maintenance(
+    events: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    group: str = "event_type",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch sink advancing the signed-counter view per
+    micro-batch."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_ams_view(
+            batch_df.sparkSession,
+            batch_df,
+            view_dir,
+            version=batch_id,
+            key=key,
+            group=group,
+        )
+
+    writer = events.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+_AMSVIEW_VERSION = "v1"
+
+
+def _ensure_ams_view(spark: SparkSession, sf_dir: str) -> str:
+    """Two committed counter versions built with the real fold: even
+    event ids -> v=1, odd folded on top -> v=2."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    def build(build_dir: str) -> None:
+        view = os.path.join(build_dir, "view")
+        ev = read_table(spark, sf_dir, "events")
+        upsert_ams_view(
+            spark, ev.where(F.col("event_id") % 2 == 0), view, version=1
+        )
+        upsert_ams_view(
+            spark, ev.where(F.col("event_id") % 2 == 1), view, version=2
+        )
+
+    return ensure_cached_build("amsview", _AMSVIEW_VERSION, sf_dir, build)
+
+
+def _register_ams() -> None:
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        SQL_AMS_F2,
+        ams_estimate,
+    )
+    from dynamodb_streaming_datalake_spark.registry import query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    @query("q_ams_stream", oracle=SQL_AMS_F2)
+    def q_ams_stream(spark, sf_dir):
+        """Streaming twin of q_ams_f2: the signed-counter view is
+        advanced twice with the real foreachBatch fold (even event ids
+        -> v=1, odd folded on top -> v=2, cached per sf_dir), then the
+        per-segment F2 estimates are answered from the FINAL committed
+        view with the same estimate kernel as the batch query. Z is
+        linear in the input multiset so the folded counters must
+        EQUAL the one-shot sketch exactly and the batch oracle
+        transfers verbatim — and because the counters are signed, any
+        replay double-application would shift them, so hash-equality
+        here also exercises the committed-version crash-replay guard.
+        The same fold drains from a genuine readStream under
+        availableNow in tests/test_streaming.py.
+
+        Scale: the view is |segments| x AMS_R rows regardless of
+        stream volume; each refresh shuffles only the micro-batch's
+        map-side-combined partials (the exact eval column rescans raw
+        by design — verification, not the serving path)."""
+        import os
+
+        from pyspark.sql import functions as SF
+
+        path = _ensure_ams_view(spark, sf_dir)
+        sketch = current_sketch_view(spark, os.path.join(path, "view"))
+        ev = read_table(spark, sf_dir, "events")
+        est = ams_estimate(sketch, "event_type")
+        exact = (
+            ev.groupBy("event_type", "user_id")
+            .agg(SF.count(SF.lit(1)).alias("cnt"))
+            .groupBy("event_type")
+            .agg(SF.sum(SF.col("cnt") * SF.col("cnt")).alias("f2_exact"))
+        )
+        return (
+            est.join(exact, "event_type")
+            .select("event_type", "f2_exact", "est_mean", "est_median")
+            .orderBy("event_type")
+        )
+
+
+_register_ams()

@@ -253,3 +253,45 @@ def test_hll_rolling_windows_nest_daily_counts(spark, sf_smoke):
     for a, b in zip(nested, nested[1:]):
         assert b[col] >= a[col]
         assert b["hll_estimate"] >= a["hll_estimate"]
+
+
+def test_ams_sketch_is_mergeable_and_linear(spark, sf_smoke):
+    """Sharded build: counters(A) + counters(B) row-summed ==
+    counters(A∪B) — Z is linear in the input multiset, exactly, which
+    is what lets per-day AMS tables merge without raw re-scans."""
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        AMS_R,
+        ams_sketch,
+    )
+
+    ev = read_table(spark, sf_smoke, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+
+    def rows(df):
+        return {(r["event_type"], r["r"]): r["z"] for r in df.collect()}
+
+    merged = (
+        ams_sketch(a, "user_id", "event_type")
+        .unionByName(ams_sketch(b, "user_id", "event_type"))
+        .groupBy("event_type", "r")
+        .agg(F.sum("z").alias("z"))
+    )
+    whole = rows(ams_sketch(ev, "user_id", "event_type"))
+    assert rows(merged) == whole
+    # every segment carries exactly AMS_R counters
+    per_seg = {}
+    for (seg, _r) in whole:
+        per_seg[seg] = per_seg.get(seg, 0) + 1
+    assert set(per_seg.values()) == {AMS_R}
+
+
+def test_ams_estimate_tracks_exact_f2(spark, sf_smoke):
+    """The mean-of-squares estimator is unbiased with stddev
+    ~ sqrt(2/R)*F2; assert the realized estimates sit within a loose
+    factor of exact on the fixture — a sanity band, not the bound."""
+    from dynamodb_streaming_datalake_spark.operators.sketches import q_ams_f2
+
+    for r in q_ams_f2(spark, sf_smoke).collect():
+        assert r["est_mean"] > 0
+        assert r["f2_exact"] / 10 <= r["est_mean"] <= r["f2_exact"] * 10

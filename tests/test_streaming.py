@@ -718,3 +718,45 @@ def test_daily_hll_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     last = _versions(spark, view_dir)[-1]
     upsert_daily_hll_view(spark, ev, view_dir, version=last + 1)
     assert cells(current_sketch_view(spark, view_dir)) == got
+
+
+def test_ams_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
+    """Streaming AMS (round 10): a genuine readStream over event
+    files, drained one file per micro-batch through the foreachBatch
+    signed-counter fold, must reach counters ROW-EQUAL to the one-shot
+    batch sketch (Z is linear, so equality is exact) — and replaying a
+    committed version must be a no-op, which matters more here than
+    for CMS/HLL because a double-applied signed sum silently shifts
+    the estimate rather than merely overcounting."""
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        ams_sketch,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.sketchview import (
+        current_sketch_view,
+        start_ams_maintenance,
+        upsert_ams_view,
+    )
+
+    ev = read_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "events_src")
+    ev.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    view_dir = str(tmp_path / "view")
+    q = start_ams_maintenance(stream, view_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    def rows(df):
+        return {(r["event_type"], r["r"]): r["z"] for r in df.collect()}
+
+    got = rows(current_sketch_view(spark, view_dir))
+    assert got == rows(ams_sketch(ev, "user_id", "event_type"))
+
+    from dynamodb_streaming_datalake_spark.streaming.upsert import _versions
+
+    last = _versions(spark, view_dir)[-1]
+    upsert_ams_view(spark, ev.limit(50), view_dir, version=last)
+    assert rows(current_sketch_view(spark, view_dir)) == got
