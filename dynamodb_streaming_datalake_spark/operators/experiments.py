@@ -969,3 +969,205 @@ _fmt(
     KM_HORIZON_DAYS=KM_HORIZON_DAYS,
     KM_MONTH_DAYS=KM_MONTH_DAYS,
 )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction: pre-period covariate adjustment
+# ---------------------------------------------------------------------------
+# The production follow-up to q_ab_test: the experiment metric Y is
+# adjusted by the unit's PRE-period metric X (Y' = Y - theta*(X -
+# mean(X)), theta = cov(X,Y)/var(X)), which shrinks metric variance by
+# the squared X-Y correlation without moving the expected lift —
+# smaller confidence intervals from the data already in the lake.
+# Everything reduces to per-arm exact-decimal power sums (n, Sx, Sy,
+# Sxx, Syy, Sxy): var(Y') per arm is var(Y) - 2*theta*cov + theta^2 *
+# var(X), so no second pass over units and no float accumulation
+# anywhere — doubles appear only in the final per-row expression.
+
+#: period split: the observed time range's integer-epoch midpoint;
+#: events strictly before it are the pre-period.
+
+
+@query(
+    "q_cuped",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT (MIN(CAST(floor(epoch(ts)) AS BIGINT))
+                + MAX(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS mid
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               {sql_portable_hash60(f"'{AB_SALT}:' || CAST(user_id AS VARCHAR)")}
+                 % {AB_ARMS} AS arm,
+               CAST(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < b.mid
+                             THEN CAST(value AS DECIMAL(38,6))
+                             ELSE CAST(0 AS DECIMAL(38,6)) END)
+                    AS DOUBLE) AS x,
+               CAST(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= b.mid
+                             THEN CAST(value AS DECIMAL(38,6))
+                             ELSE CAST(0 AS DECIMAL(38,6)) END)
+                    AS DOUBLE) AS y
+        FROM events, bounds b
+        GROUP BY user_id, arm
+    ),
+    arm_sums AS (
+        SELECT arm,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM per_user
+        GROUP BY arm
+    ),
+    pooled AS (
+        SELECT arm, n, sx, sy, sxx, syy, sxy,
+               SUM(n)   OVER () AS np,
+               SUM(sx)  OVER () AS sxp,
+               SUM(sy)  OVER () AS syp,
+               SUM(sxx) OVER () AS sxxp,
+               SUM(sxy) OVER () AS sxyp
+        FROM arm_sums
+    ),
+    calc AS (
+        SELECT arm, n, sx, sy, sxx, syy, sxy, np, sxp,
+               (sxyp - sxp * syp / np) / (sxxp - sxp * sxp / np) AS theta
+        FROM pooled
+    )
+    SELECT CAST(arm AS INT) AS arm,
+           CAST(n AS BIGINT) AS n_users,
+           round(theta, 6) AS theta,
+           round(mean_raw, 6) AS mean_raw,
+           round(mean_cuped, 6) AS mean_cuped,
+           round(v_raw, 6) AS var_raw,
+           round(v_cuped, 6) AS var_cuped,
+           round(100 * (1 - v_cuped / v_raw), 6) AS var_reduction_pct
+    FROM (
+        SELECT arm, n, theta,
+               sy / n AS mean_raw,
+               sy / n - theta * (sx / n - sxp / np) AS mean_cuped,
+               (syy - sy * sy / n) / (n - 1) AS v_raw,
+               (syy - sy * sy / n) / (n - 1)
+                 - 2 * theta * (sxy - sx * sy / n) / (n - 1)
+                 + theta * theta * (sxx - sx * sx / n) / (n - 1) AS v_cuped
+        FROM calc
+    )
+    ORDER BY arm
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout: the observed time range
+    splits at its integer-epoch midpoint into pre-period (covariate X
+    = per-user value sum before the midpoint) and experiment period
+    (metric Y after it); arms are the same stable '{AB_SALT}' hash
+    buckets as q_ab_test. theta = cov(X,Y)/var(X) is estimated pooled
+    across arms (the standard, lift-unbiased choice), and each arm
+    reports raw vs CUPED mean and variance plus the realized variance
+    reduction — the percentage by which the pre-period covariate
+    shrinks the experiment's error bars for free.
+
+    Per-arm adjusted variance expands algebraically to power sums
+    (var(Y') = var(Y) - 2*theta*cov(X,Y) + theta^2*var(X)), so one
+    grouped aggregate over users computes everything; every cross-row
+    sum is exact DECIMAL(38,6) and doubles appear only in the final
+    identical-tree expressions, hence the hash gate.
+
+    Scale: one groupBy(user) + one groupBy(arm) over |users| rows; the
+    pooled fold is a window over {AB_ARMS} rows. Nothing here grows
+    with event volume past the first aggregate, and the period split
+    is a scan-local predicate against a broadcast 1-row bound."""
+    ev = read_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    bounds = ev.agg(
+        ((F.min(epoch) + F.max(epoch)) / 2).cast("bigint").alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id",
+            (
+                portable_hash60(
+                    F.concat(F.lit(f"{AB_SALT}:"), F.col("user_id").cast("string"))
+                )
+                % AB_ARMS
+            ).alias("arm"),
+        )
+        .agg(
+            F.sum(
+                F.when(epoch < F.col("mid"), _d38(F.col("value"))).otherwise(
+                    _d38(F.lit(0))
+                )
+            )
+            .cast("double")
+            .alias("x"),
+            F.sum(
+                F.when(epoch >= F.col("mid"), _d38(F.col("value"))).otherwise(
+                    _d38(F.lit(0))
+                )
+            )
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    arm_sums = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_d38(F.col("x"))).cast("double").alias("sx"),
+        F.sum(_d38(F.col("y"))).cast("double").alias("sy"),
+        F.sum(_d38(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(_d38(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(_d38(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+    )
+    w = Window.partitionBy()
+    pooled = arm_sums.select(
+        "*",
+        F.sum("n").over(w).alias("np"),
+        F.sum("sx").over(w).alias("sxp"),
+        F.sum("sy").over(w).alias("syp"),
+        F.sum("sxx").over(w).alias("sxxp"),
+        F.sum("sxy").over(w).alias("sxyp"),
+    )
+    theta = (
+        F.col("sxyp") - F.col("sxp") * F.col("syp") / F.col("np")
+    ) / (F.col("sxxp") - F.col("sxp") * F.col("sxp") / F.col("np"))
+    calc = pooled.withColumn("theta", theta)
+    # every tree below mirrors the oracle's association order exactly —
+    # a*(b)/(c) parses ((a*b)/c), and float *// are association-sensitive
+    var_raw = (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    var_cuped = (
+        var_raw
+        - F.lit(2)
+        * F.col("theta")
+        * (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+        / (F.col("n") - 1)
+        + F.col("theta")
+        * F.col("theta")
+        * (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        calc.select(
+            F.col("arm").cast("int").alias("arm"),
+            F.col("n").cast("long").alias("n_users"),
+            F.round("theta", 6).alias("theta"),
+            F.round(F.col("sy") / F.col("n"), 6).alias("mean_raw"),
+            F.round(
+                F.col("sy") / F.col("n")
+                - F.col("theta")
+                * (F.col("sx") / F.col("n") - F.col("sxp") / F.col("np")),
+                6,
+            ).alias("mean_cuped"),
+            F.round(var_raw, 6).alias("var_raw"),
+            F.round(var_cuped, 6).alias("var_cuped"),
+            F.round(F.lit(100) * (F.lit(1) - var_cuped / var_raw), 6).alias(
+                "var_reduction_pct"
+            ),
+        )
+        .orderBy("arm")
+    )
+
+
+_fmt(q_cuped, AB_SALT=AB_SALT, AB_ARMS=AB_ARMS)

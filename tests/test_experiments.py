@@ -182,3 +182,23 @@ def test_watermark_sweep_curve(spark, sf_smoke):
         assert r["max_lateness_s"] < WM_MAX_DELAY
         if r["watermark_delay_s"] >= WM_MAX_DELAY:
             assert r["n_dropped"] == 0
+
+
+def test_cuped_preserves_pooled_mean_and_shares_theta(spark, sf_smoke):
+    """CUPED's contract: the adjustment is mean-zero POOLED (theta is
+    fit pooled, so sum_a n_a*(mean_raw_a - mean_cuped_a) == 0 exactly
+    up to rounding), theta is a single pooled scalar identical on both
+    rows, and the realized per-arm variance must not blow up (the
+    whole point is |var_cuped| <= var_raw within noise)."""
+    from dynamodb_streaming_datalake_spark.operators.experiments import (
+        q_cuped,
+    )
+
+    rows = q_cuped(spark, sf_smoke).collect()
+    assert len(rows) == 2
+    assert rows[0]["theta"] == rows[1]["theta"]
+    drift = sum(r["n_users"] * (r["mean_raw"] - r["mean_cuped"]) for r in rows)
+    total = sum(r["n_users"] * r["mean_raw"] for r in rows)
+    assert abs(drift) <= max(1e-6 * abs(total), 1e-3)
+    for r in rows:
+        assert r["var_cuped"] <= r["var_raw"] * 1.05
