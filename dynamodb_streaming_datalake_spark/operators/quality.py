@@ -297,3 +297,182 @@ def q_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt  # noqa: E402
 
 _fmt(q_freshness_monitor, FRESH_SIGMA=FRESH_SIGMA)
+
+
+# ---------------------------------------------------------------------------
+# distribution drift monitor: reference vs current histogram distance
+# ---------------------------------------------------------------------------
+# The monitoring companion to q_freshness_monitor: freshness says rows
+# keep ARRIVING; drift says the VALUES still look like the reference
+# period. The observed time range splits at its integer-epoch midpoint
+# (same convention as q_cuped); the reference half fixes DRIFT_BINS
+# equal-width bin edges over its own [min, max], the current half is
+# clamped into those edges, and the report carries per-bin shares plus
+# two whole-distribution distances in-row: total variation (the
+# fraction of probability mass that moved) and Pearson chi-square
+# against expected-from-reference counts.
+#
+# Hash-gate discipline: TVD's numerator is the exact INTEGER sum
+# |cp_i*nq - cq_i*np| over bins with ONE final division by np*nq, and
+# each chi-square contribution is rounded to 6 dp then accumulated in
+# DECIMAL(38,6) — no float sum crosses rows on either engine.
+
+DRIFT_BINS = 16
+
+
+@query(
+    "q_histogram_drift",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT (MIN(CAST(floor(epoch(ts)) AS BIGINT))
+                + MAX(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS mid
+        FROM events
+    ),
+    flagged AS (
+        SELECT value,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < b.mid
+                    THEN 0 ELSE 1 END AS period
+        FROM events, bounds b
+    ),
+    refstats AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi
+        FROM flagged WHERE period = 0
+    ),
+    binned AS (
+        SELECT period,
+               LEAST({DRIFT_BINS - 1}, GREATEST(0, CAST(floor(
+                   (value - r.lo) / ((r.hi - r.lo) / {DRIFT_BINS})
+               ) AS INT))) AS bin
+        FROM flagged, refstats r
+    ),
+    counts AS (
+        SELECT bin,
+               COUNT(*) FILTER (WHERE period = 0) AS cp,
+               COUNT(*) FILTER (WHERE period = 1) AS cq
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT bin, cp, cq,
+               SUM(cp) OVER () AS np,
+               SUM(cq) OVER () AS nq
+        FROM counts
+    ),
+    dist AS (
+        SELECT bin, cp, cq, np, nq,
+               SUM(abs(cp * nq - cq * np)) OVER () AS tvd_num,
+               SUM(CASE WHEN cp > 0 THEN CAST(round(
+                   (cq - cp * (CAST(nq AS DOUBLE) / np))
+                   * (cq - cp * (CAST(nq AS DOUBLE) / np))
+                   / (cp * (CAST(nq AS DOUBLE) / np)), 6) AS DECIMAL(38,6))
+                   ELSE CAST(0 AS DECIMAL(38,6)) END) OVER () AS chi2
+        FROM tot
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(cp AS BIGINT) AS ref_cnt,
+           CAST(cq AS BIGINT) AS cur_cnt,
+           round(CAST(cp AS DOUBLE) / np, 6) AS ref_share,
+           round(CAST(cq AS DOUBLE) / nq, 6) AS cur_share,
+           round(CAST(tvd_num AS DOUBLE) / (2.0 * np * nq), 6) AS tvd,
+           CAST(chi2 AS DOUBLE) AS chi2
+    FROM dist
+    ORDER BY bin
+    """,
+)
+def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution drift between the reference (first) and
+    current (second) half of the observed time range: {DRIFT_BINS}
+    equal-width bins fixed by the REFERENCE half's [min, max] (current
+    values clamp into the edge bins, so novel out-of-range mass is
+    visible at bin 0 / bin {DRIFT_BINS_MINUS_1}), per-bin shares, and
+    two in-row whole-distribution distances — total variation
+    (integer-exact numerator, one final division) and Pearson
+    chi-square vs expected-from-reference counts (per-bin terms
+    rounded to 6 dp, decimal-accumulated; bins unseen in the reference
+    are excluded from chi-square by contract and show in TVD).
+
+    Scale: one scan flags periods against a broadcast 1-row midpoint,
+    one map-side-combined groupBy(bin) produces a {DRIFT_BINS}-row
+    frame, and every distance folds over that constant-size frame —
+    drift on 100 TB costs one scan, the report is bytes."""
+    ev = read_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    bounds = ev.agg(
+        ((F.min(epoch) + F.max(epoch)) / 2).cast("bigint").alias("mid")
+    )
+    flagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        F.when(epoch < F.col("mid"), F.lit(0)).otherwise(F.lit(1)).alias(
+            "period"
+        ),
+    )
+    refstats = (
+        flagged.where(F.col("period") == 0)
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    binned = flagged.crossJoin(F.broadcast(refstats)).select(
+        "period",
+        F.least(
+            F.lit(DRIFT_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / DRIFT_BINS)
+                ).cast("int"),
+            ),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("period") == 0, 1)).alias("cp"),
+        F.count(F.when(F.col("period") == 1, 1)).alias("cq"),
+    )
+    w = Window.partitionBy()
+    tot = counts.select(
+        "*",
+        F.sum("cp").over(w).alias("np"),
+        F.sum("cq").over(w).alias("nq"),
+    )
+    exp_cur = F.col("cp") * (F.col("nq").cast("double") / F.col("np"))
+    chi_term = (
+        (F.col("cq") - exp_cur) * (F.col("cq") - exp_cur) / exp_cur
+    )
+    dist = tot.select(
+        "*",
+        F.sum(F.abs(F.col("cp") * F.col("nq") - F.col("cq") * F.col("np")))
+        .over(w)
+        .alias("tvd_num"),
+        F.sum(
+            F.when(
+                F.col("cp") > 0,
+                F.round(chi_term, 6).cast("decimal(38,6)"),
+            ).otherwise(F.lit(0).cast("decimal(38,6)"))
+        )
+        .over(w)
+        .alias("chi2"),
+    )
+    return dist.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("cp").cast("long").alias("ref_cnt"),
+        F.col("cq").cast("long").alias("cur_cnt"),
+        F.round(F.col("cp").cast("double") / F.col("np"), 6).alias(
+            "ref_share"
+        ),
+        F.round(F.col("cq").cast("double") / F.col("nq"), 6).alias(
+            "cur_share"
+        ),
+        F.round(
+            F.col("tvd_num").cast("double")
+            / (F.lit(2.0) * F.col("np") * F.col("nq")),
+            6,
+        ).alias("tvd"),
+        F.col("chi2").cast("double").alias("chi2"),
+    ).orderBy("bin")
+
+
+from pyspark.sql.window import Window  # noqa: E402
+
+_fmt(
+    q_histogram_drift,
+    DRIFT_BINS=DRIFT_BINS,
+    DRIFT_BINS_MINUS_1=DRIFT_BINS - 1,
+)

@@ -545,3 +545,23 @@ def test_freshness_monitor_consistency(spark, sf_smoke):
         assert r["n_gap_days"] == r["span_days"] - r["n_days"] >= 0
         assert 0 <= r["n_anomalous_days"] <= r["n_days"]
         assert r["sd_daily_rows"] >= 0
+
+
+def test_histogram_drift_invariants(spark, sf_smoke):
+    """Shares each sum to 1, TVD is a [0,1] distance equal to half the
+    L1 between the share vectors, chi-square is non-negative, and the
+    distances are identical on every row (in-row summary contract)."""
+    from dynamodb_streaming_datalake_spark.operators.quality import (
+        DRIFT_BINS,
+        q_histogram_drift,
+    )
+
+    rows = q_histogram_drift(spark, sf_smoke).collect()
+    assert 0 < len(rows) <= DRIFT_BINS
+    assert abs(sum(r["ref_share"] for r in rows) - 1) < 1e-3
+    assert abs(sum(r["cur_share"] for r in rows) - 1) < 1e-3
+    tvd = rows[0]["tvd"]
+    assert all(r["tvd"] == tvd and r["chi2"] == rows[0]["chi2"] for r in rows)
+    l1 = sum(abs(r["ref_share"] - r["cur_share"]) for r in rows)
+    assert abs(tvd - l1 / 2) < 1e-3
+    assert 0 <= tvd <= 1 and rows[0]["chi2"] >= 0
