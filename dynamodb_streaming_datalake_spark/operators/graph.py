@@ -897,3 +897,134 @@ def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# link prediction: common-neighbor / Jaccard scores on non-edges
+# ---------------------------------------------------------------------------
+# The recommender-prep twin of q_item_similarity: instead of ranking
+# EXISTING co-purchase pairs, rank pairs that have never co-occurred
+# but share many co-purchase partners — the classic common-neighbors /
+# Jaccard link-prediction baseline, and the candidate-generation stage
+# of a "customers also bought" model. Pure relational shape: one
+# wedge join (edge ⋈ edge through the shared partner) + an anti-join
+# against the existing edge set.
+
+LP_TOP = 30
+LP_MIN_CN = 2
+
+
+@query(
+    "q_link_prediction",
+    oracle=f"""
+    WITH co AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRI_MIN_COOCCUR}
+    ),
+    und AS (
+        SELECT u, v FROM co UNION ALL SELECT v AS u, u AS v FROM co
+    ),
+    deg AS (SELECT u AS k, COUNT(*) AS d FROM und GROUP BY u),
+    wedges AS (
+        SELECT e1.u AS a, e2.v AS b, COUNT(*) AS cn
+        FROM und e1 JOIN und e2
+          ON e1.v = e2.u AND e1.u < e2.v
+        GROUP BY e1.u, e2.v
+        HAVING COUNT(*) >= {LP_MIN_CN}
+    ),
+    nonedges AS (
+        SELECT w.a, w.b, w.cn
+        FROM wedges w
+        LEFT JOIN co ON co.u = w.a AND co.v = w.b
+        WHERE co.u IS NULL
+    )
+    SELECT n.a AS part_a, n.b AS part_b,
+           CAST(n.cn AS BIGINT) AS common_neighbors,
+           CAST(da.d AS BIGINT) AS deg_a,
+           CAST(db.d AS BIGINT) AS deg_b,
+           round(CAST(n.cn AS DOUBLE) / (da.d + db.d - n.cn), 6) AS jaccard
+    FROM nonedges n
+    JOIN deg da ON da.k = n.a
+    JOIN deg db ON db.k = n.b
+    ORDER BY round(CAST(n.cn AS DOUBLE) / (da.d + db.d - n.cn), 6) DESC,
+             n.a, n.b
+    LIMIT {LP_TOP}
+    """,
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the support-pruned co-purchase graph: for
+    every part pair that is NOT an edge, count common co-purchase
+    partners through a wedge join (edge ⋈ edge on the shared
+    neighbor, >= {LP_MIN_CN} to bound the candidate set), anti-join
+    the existing edge set away, and rank by neighborhood Jaccard
+    cn / (deg_a + deg_b - cn) — the standard common-neighbors
+    baseline that feeds recommender candidate generation.
+
+    Scores are exact-integer ratios with one final rounded division
+    (the repo's ulp guard: rank by the ROUNDED score before the key
+    tie-break), so ordering is engine-exact.
+
+    Scale: the wedge join's fan-out is sum-of-degrees-squared over the
+    SUPPORT-PRUNED edge set (TRI_MIN_COOCCUR floors edge weight, the
+    same bound the triangle counter rides); degrees and the anti-join
+    are equi-joins on part keys. No similarity matrix is ever
+    materialized — only wedges that actually exist flow through."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= TRI_MIN_COOCCUR)
+        .select("u", "v")
+    )
+    und = co.unionAll(co.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("k")).agg(F.count(F.lit(1)).alias("d"))
+    e1, e2 = und.alias("e1"), und.alias("e2")
+    wedges = (
+        e1.join(
+            e2,
+            (F.col("e1.v") == F.col("e2.u"))
+            & (F.col("e1.u") < F.col("e2.v")),
+        )
+        .groupBy(F.col("e1.u").alias("a"), F.col("e2.v").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .where(F.col("cn") >= LP_MIN_CN)
+    )
+    nonedges = wedges.join(
+        co,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left_anti",
+    )
+    jac = F.col("cn").cast("double") / (
+        F.col("da.d") + F.col("db.d") - F.col("cn")
+    )
+    return (
+        nonedges.join(deg.alias("da"), F.col("a") == F.col("da.k"))
+        .join(deg.alias("db"), F.col("b") == F.col("db.k"))
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.col("da.d").cast("bigint").alias("deg_a"),
+            F.col("db.d").cast("bigint").alias("deg_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "part_a", "part_b")
+        .limit(LP_TOP)
+    )
+
+
+_fmt(q_link_prediction, LP_TOP=LP_TOP, LP_MIN_CN=LP_MIN_CN)

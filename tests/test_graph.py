@@ -114,3 +114,41 @@ def test_triangle_count_on_known_graph(spark, sf_smoke):
             for r in q_triangle_count(spark, d).collect()
         }
     assert got == {(1, 3, 4), (2, 3, 4), (3, 3, 4), (4, 3, 4)}
+
+
+def test_link_prediction_returns_only_nonedges(spark, sf_smoke):
+    """Every predicted pair must be absent from the support-pruned
+    edge set (in either orientation), meet the common-neighbor floor,
+    and carry a Jaccard in (0, 1]."""
+    from dynamodb_streaming_datalake_spark.operators.graph import (
+        LP_MIN_CN,
+        TRI_MIN_COOCCUR,
+        q_link_prediction,
+    )
+
+    li = read_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = {
+        (r["u"], r["v"])
+        for r in (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= TRI_MIN_COOCCUR)
+            .collect()
+        )
+    }
+    for r in q_link_prediction(spark, sf_smoke).collect():
+        pair = (r["part_a"], r["part_b"])
+        assert pair not in edges and pair[::-1] not in edges
+        assert r["common_neighbors"] >= LP_MIN_CN
+        assert 0 < r["jaccard"] <= 1
