@@ -125,6 +125,7 @@ def test_link_prediction_returns_only_nonedges(spark, sf_smoke):
         TRI_MIN_COOCCUR,
         q_link_prediction,
     )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
 
     li = read_table(spark, sf_smoke, "lineitem").select(
         "l_orderkey", "l_partkey"
