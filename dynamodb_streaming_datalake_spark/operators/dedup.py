@@ -1899,3 +1899,142 @@ _fmt(
     q_dedup_threshold_sweep,
     DEDUP_SWEEP_THRESHOLDS=DEDUP_SWEEP_THRESHOLDS,
 )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment: near-subset / boilerplate-inclusion detection
+# ---------------------------------------------------------------------------
+# Symmetric Jaccard misses the most common real-corpus duplication
+# shape: a SHORT document embedded nearly whole inside a LONG one
+# (quoted articles, boilerplate wrappers, chunk-of-a-doc re-crawls) —
+# the pair's Jaccard is tiny because the union is dominated by the
+# long side, but containment(sub -> super) = |A ∩ B| / |A| is ~1. This
+# operator reports exactly those pairs: high containment, low Jaccard,
+# so it is by construction DISJOINT from what q_dedup_ngram_jaccard
+# flags — the two queries together cover both duplication geometries.
+
+#: corpus-calibrated floor: the synthetic fixture's only >= 0.8
+#: containments are FULL near-dups (Jaccard ~0.9, already flagged by
+#: the symmetric query and excluded here); partial-inclusion geometry
+#: in it tops out near ~0.35, so the demo floor sits at 0.25. A web
+#: corpus would run 0.8+ — the plan does not change with the knob.
+CONTAIN_THRESHOLD = 0.25
+
+_SQL_CONTAINMENT = f"""
+    WITH {_SQL_JACCARD_CORE},
+    oriented AS (
+        SELECT doc_a AS doc_sub, doc_b AS doc_super, c,
+               sa.n AS n_sub, sb.n AS n_super
+        FROM common
+        JOIN capped_sizes sa ON sa.doc_id = doc_a
+        JOIN capped_sizes sb ON sb.doc_id = doc_b
+        UNION ALL
+        SELECT doc_b AS doc_sub, doc_a AS doc_super, c,
+               sb.n AS n_sub, sa.n AS n_super
+        FROM common
+        JOIN capped_sizes sa ON sa.doc_id = doc_a
+        JOIN capped_sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_sub, doc_super,
+           CAST(n_sub AS BIGINT) AS n_sub,
+           CAST(n_super AS BIGINT) AS n_super,
+           round(c * 1.0 / n_sub, 6) AS containment,
+           round(c * 1.0 / (n_sub + n_super - c), 6) AS jaccard
+    FROM oriented
+    WHERE c * 1.0 / n_sub >= {CONTAIN_THRESHOLD}
+      AND c * 1.0 / (n_sub + n_super - c) <= {JACCARD_THRESHOLD}
+    ORDER BY doc_sub, doc_super
+"""
+
+
+@query("q_dedup_containment", oracle=_SQL_CONTAINMENT)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-subset detection: ordered pairs where >= {CONTAIN_THRESHOLD}
+    (corpus-calibrated; see CONTAIN_THRESHOLD note)
+    of the SUB document's capped 3-shingles appear in the SUPER
+    document, yet the symmetric Jaccard stays <= {JACCARD_THRESHOLD} —
+    the boilerplate-inclusion / quoted-document geometry symmetric
+    dedup cannot flag. Both orientations of every overlapping pair are
+    scored from ONE unordered intersect count (c is symmetric; only
+    the normalizer changes), so this costs the same single
+    posting-list shuffle as q_dedup_ngram_jaccard.
+
+    Containment and Jaccard are integer ratios with one rounded final
+    division each — engine-exact.
+
+    Scale: identical candidate bound to the Jaccard baseline —
+    MAX_SHINGLE_FREQ caps every posting list before expansion, so pair
+    volume is sum over shingles of cap^2, never corpus^2; orientation
+    is a row-local union over the pair table."""
+    d = read_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d)
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") > MAX_SHINGLE_FREQ)
+        .select("sh")
+    )
+    capped = sh.join(F.broadcast(hot), "sh", "left_anti").localCheckpoint(
+        eager=False
+    )
+    sizes = (
+        capped.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    postings = capped.groupBy("sh").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    pair_structs = F.expr(
+        """
+        flatten(transform(ids, (x, i) ->
+            transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))
+        """
+    )
+    common = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    joined = common.join(
+        sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id")
+    ).join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+    fwd = joined.select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_super"),
+        "c",
+        F.col("sa.n").alias("n_sub"),
+        F.col("sb.n").alias("n_super"),
+    )
+    rev = joined.select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_super"),
+        "c",
+        F.col("sb.n").alias("n_sub"),
+        F.col("sa.n").alias("n_super"),
+    )
+    oriented = fwd.unionAll(rev)
+    containment = F.col("c") / F.col("n_sub")
+    jaccard = F.col("c") / (F.col("n_sub") + F.col("n_super") - F.col("c"))
+    return (
+        oriented.where(
+            (containment >= CONTAIN_THRESHOLD)
+            & (jaccard <= JACCARD_THRESHOLD)
+        )
+        .select(
+            "doc_sub",
+            "doc_super",
+            F.col("n_sub").cast("bigint").alias("n_sub"),
+            F.col("n_super").cast("bigint").alias("n_super"),
+            F.round(containment, 6).alias("containment"),
+            F.round(jaccard, 6).alias("jaccard"),
+        )
+        .orderBy("doc_sub", "doc_super")
+    )
+
+
+_fmt(
+    q_dedup_containment,
+    CONTAIN_THRESHOLD=CONTAIN_THRESHOLD,
+    JACCARD_THRESHOLD=JACCARD_THRESHOLD,
+)

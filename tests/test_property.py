@@ -174,3 +174,38 @@ def test_png_roundtrip_arbitrary_pixels_and_filters(w, h, seed, split):
     got_w, got_h, img = parse_png(blob)
     assert (got_w, got_h) == (w, h)
     assert np.array_equal(img.ravel(), payload)
+
+
+def test_containment_flags_planted_subset(spark):
+    """Plant a short doc whose text is a verbatim slice of a long doc:
+    containment(sub -> super) must flag it (near 1.0) while symmetric
+    Jaccard stays low — and the pair must NOT appear oriented the
+    other way at the demo threshold."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        q_dedup_containment,
+    )
+    import os
+    import tempfile
+
+    words = [f"w{i}" for i in range(400)]
+    long_text = " ".join(words)
+    sub_text = " ".join(words[50:90])  # 10% slice -> jaccard ~0.1
+    other = " ".join(f"z{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [
+            (1, long_text, "en", "crawl", len(long_text)),
+            (2, sub_text, "en", "crawl", len(sub_text)),
+            (3, other, "en", "crawl", len(other)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {
+            (r["doc_sub"], r["doc_super"]): r
+            for r in q_dedup_containment(spark, d).collect()
+        }
+    assert (2, 1) in rows
+    assert rows[(2, 1)]["containment"] > 0.9
+    assert rows[(2, 1)]["jaccard"] < 0.2
+    assert (1, 2) not in rows
