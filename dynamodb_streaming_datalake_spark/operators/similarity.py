@@ -2253,3 +2253,254 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2, 6).alias("l2_shift"),
         F.round(mx, 6).alias("max_abs_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse retrieval (round 10)
+# ---------------------------------------------------------------------------
+# Pure relevance top-k returns near-duplicates of each other; maximal
+# marginal relevance re-ranks a candidate pool by
+# score(d) = λ*rel(d) - (1-λ)*max_{s∈selected} sim(d, s), greedily —
+# the standard diversity pass between ANN retrieval and a RAG prompt
+# (or between nearest-neighbor mining and a training batch). The
+# greedy recurrence is bounded (MMR_K rounds over an MMR_CAND-row
+# pool per query), so both engines unroll the IDENTICAL selection:
+# every comparison happens on 6-dp-rounded scores with the doc-id
+# tie-break (the repo's cross-engine ulp guard).
+
+MMR_QUERIES = 3
+MMR_CAND = 15
+MMR_K = 5
+MMR_LAMBDA = 0.7
+MMR_MU = round(1 - MMR_LAMBDA, 6)
+
+
+def _sql_mmr_layer(k: int) -> str:
+    """Greedy layer k: max-sim penalty against sel{k-1}, pick the
+    rounded-score argmax among unselected candidates."""
+    return f"""
+    pen{k} AS MATERIALIZED (
+        SELECT p.query_id, p.b AS neighbor_id, MAX(p.sim) AS pen
+        FROM mmr_pairs p
+        JOIN sel{k - 1} s
+          ON p.query_id = s.query_id AND p.a = s.neighbor_id
+        GROUP BY p.query_id, p.b
+    ),
+    pick{k} AS MATERIALIZED (
+        SELECT query_id, neighbor_id, rel, score, {k} AS rank
+        FROM (
+            SELECT c.query_id, c.neighbor_id, c.rel,
+                   CAST(CAST({MMR_LAMBDA} AS DECIMAL(2,1))
+                        * CAST(c.rel AS DECIMAL(18,6))
+                        - CAST({MMR_MU} AS DECIMAL(2,1)) * pen.pen
+                        AS DECIMAL(38,7)) AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY CAST({MMR_LAMBDA} AS DECIMAL(2,1))
+                                * CAST(c.rel AS DECIMAL(18,6))
+                                - CAST({MMR_MU} AS DECIMAL(2,1)) * pen.pen
+                                  DESC,
+                                c.neighbor_id) AS rn
+            FROM mmr_cands c
+            JOIN pen{k} pen
+              ON pen.query_id = c.query_id
+             AND pen.neighbor_id = c.neighbor_id
+            LEFT JOIN sel{k - 1} s
+              ON s.query_id = c.query_id
+             AND s.neighbor_id = c.neighbor_id
+            WHERE s.neighbor_id IS NULL
+        ) WHERE rn = 1
+    ),
+    sel{k} AS MATERIALIZED (
+        SELECT * FROM sel{k - 1} UNION ALL SELECT * FROM pick{k}
+    )"""
+
+
+_SQL_MMR = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < {MMR_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round({sql_cosine('q.qe', 'e.embedding')}, 6) AS rel,
+               e.embedding
+        FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    ),
+    mmr_cands AS MATERIALIZED (
+        SELECT query_id, neighbor_id, rel, embedding
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {MMR_CAND}
+    ),
+    mmr_pairs AS MATERIALIZED (
+        SELECT a.query_id, a.neighbor_id AS a, b.neighbor_id AS b,
+               CAST(round({sql_cosine('a.embedding', 'b.embedding')}, 6)
+                    AS DECIMAL(18,6)) AS sim
+        FROM mmr_cands a
+        JOIN mmr_cands b
+          ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT query_id, neighbor_id, rel,
+               CAST(CAST({MMR_LAMBDA} AS DECIMAL(2,1))
+                    * CAST(rel AS DECIMAL(18,6)) AS DECIMAL(38,7))
+                 AS score, 1 AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+            FROM mmr_cands
+        ) WHERE rn = 1
+    ),
+    {','.join(_sql_mmr_layer(k) for k in range(2, MMR_K + 1))}
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+           rel AS relevance, CAST(score AS DOUBLE) AS mmr_score
+    FROM sel{MMR_K}
+    ORDER BY query_id, rank
+"""
+
+
+@query("q_mmr_diverse", oracle=_SQL_MMR)
+def q_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-{MMR_K}: for each of
+    {MMR_QUERIES} query vectors, take the {MMR_CAND}-candidate cosine
+    pool, then greedily select {MMR_K} documents maximizing
+    {MMR_LAMBDA}*relevance - {MMR_MU}*max-similarity-to-already-
+    selected — relevance-only top-k's diversity fix. Greedy
+    comparisons run in EXACT DECIMAL arithmetic over the 6-dp-rounded
+    inputs (λ*rel - μ*pen hits exact .5e-7 boundaries where
+    double-rounding diverges across engines — measured, not
+    hypothetical), with the id tie-break, so the selection sequence
+    is engine- and partitioning-exact (the oracle unrolls the
+    identical {MMR_K} layers as materialized CTEs).
+
+    Scale: the expensive part is candidate generation (one broadcast
+    pass, any ANN query here can feed it); the greedy itself touches
+    {MMR_CAND} rows x {MMR_K} rounds per query — per-query constant
+    work, embarrassingly parallel across queries, and the pairwise
+    sim table is {MMR_CAND}^2 rows per query, built once."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("rel"),
+            "embedding",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MMR_CAND)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    a, b = cands.alias("a"), cands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.neighbor_id").alias("pa"),
+            F.col("b.neighbor_id").alias("pb"),
+            F.round(
+                cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sel = (
+        cands.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rel",
+            (
+                F.lit(MMR_LAMBDA).cast("decimal(2,1)")
+                * F.col("rel").cast("decimal(18,6)")
+            )
+            .cast("decimal(38,7)")
+            .alias("score"),
+            F.lit(1).alias("rank"),
+        )
+    )
+    for k in range(2, MMR_K + 1):
+        pen = (
+            pairs.join(
+                sel.select(
+                    F.col("query_id").alias("s_qid"),
+                    F.col("neighbor_id").alias("s_id"),
+                ),
+                (F.col("query_id") == F.col("s_qid"))
+                & (F.col("pa") == F.col("s_id")),
+            )
+            .groupBy("query_id", F.col("pb").alias("neighbor_id"))
+            .agg(F.max("sim").alias("pen"))
+        )
+        unsel = cands.join(
+            sel.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        scored_k = unsel.join(pen, ["query_id", "neighbor_id"]).select(
+            "query_id",
+            "neighbor_id",
+            "rel",
+            (
+                F.lit(MMR_LAMBDA).cast("decimal(2,1)")
+                * F.col("rel").cast("decimal(18,6)")
+                - F.lit(MMR_MU).cast("decimal(2,1)") * F.col("pen")
+            )
+            .cast("decimal(38,7)")
+            .alias("score"),
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id")
+        )
+        pick = (
+            scored_k.withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rel",
+                "score",
+                F.lit(k).alias("rank"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return (
+        sel.select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.col("rel").alias("relevance"),
+            F.col("score").cast("double").alias("mmr_score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_fmt(
+    q_mmr_diverse,
+    MMR_QUERIES=MMR_QUERIES,
+    MMR_CAND=MMR_CAND,
+    MMR_K=MMR_K,
+    MMR_LAMBDA=MMR_LAMBDA,
+    MMR_MU=MMR_MU,
+)

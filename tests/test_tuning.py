@@ -63,3 +63,54 @@ def test_group_split_has_no_leakage(spark, sf_smoke):
     assert all(r["leaked_sources"] == 0 for r in rows)
     n_docs = read_table(spark, sf_smoke, "documents").count()
     assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_mmr_is_more_diverse_than_pure_relevance(spark, sf_smoke):
+    """The operator's reason to exist: for each query, the average
+    pairwise cosine among MMR's selection must not exceed the average
+    pairwise cosine among the pure-relevance top-K — and rank 1 must
+    be the relevance argmax (MMR never sacrifices the first pick)."""
+    import itertools
+
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        MMR_K,
+        MMR_QUERIES,
+        q_mmr_diverse,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in read_table(spark, sf_smoke, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        return float(emb[a] @ emb[b] / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b])))
+
+    def avg_pair(ids):
+        return float(
+            np.mean([cos(a, b) for a, b in itertools.combinations(ids, 2)])
+        )
+
+    rows = q_mmr_diverse(spark, sf_smoke).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == MMR_QUERIES
+    for qid, sel in by_q.items():
+        assert [r["rank"] for r in sorted(sel, key=lambda r: r["rank"])] == list(
+            range(1, MMR_K + 1)
+        )
+        qv = emb[qid]
+        rel_top = sorted(
+            (v for v in emb if v != qid),
+            key=lambda v: (
+                -float(qv @ emb[v] / (np.linalg.norm(qv) * np.linalg.norm(emb[v]))),
+                v,
+            ),
+        )[:MMR_K]
+        mmr_ids = [r["neighbor_id"] for r in sel]
+        assert sorted(sel, key=lambda r: r["rank"])[0]["neighbor_id"] == rel_top[0]
+        assert avg_pair(mmr_ids) <= avg_pair(rel_top) + 1e-9
