@@ -283,3 +283,116 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_entity_resolution, ER_PREFIX=ER_PREFIX, ER_MAX_DIST=ER_MAX_DIST)
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering (round 10): staged difficulty, source-interleaved
+# ---------------------------------------------------------------------------
+# Training-order prep: serve easy documents first, harder ones later
+# (curriculum), while round-robin-interleaving sources inside every
+# difficulty stage so no stage is a single-source run (source runs are
+# the classic curriculum failure mode — gradient updates see one
+# domain for thousands of steps). Difficulty proxy: token count
+# (short = easy); stages: NTILE quartiles over the deterministic
+# (n_tokens, doc_id) order. Everything is window functions over
+# integers — the manifest is engine-exact by construction.
+
+CURR_STAGES = 4
+CURR_MANIFEST = 100
+
+
+@query(
+    "q_curriculum_order",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    staged AS (
+        SELECT doc_id, source, n_tokens,
+               NTILE({CURR_STAGES}) OVER (ORDER BY n_tokens, doc_id) AS stage
+        FROM toks
+    ),
+    rr AS (
+        SELECT doc_id, source, n_tokens, stage,
+               ROW_NUMBER() OVER (
+                   PARTITION BY stage, source
+                   ORDER BY n_tokens, doc_id) AS rr_rank
+        FROM staged
+    )
+    SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY stage, rr_rank, source, doc_id) AS BIGINT)
+             AS position,
+           doc_id,
+           source,
+           CAST(stage AS INT) AS stage,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM rr
+    ORDER BY position
+    LIMIT {CURR_MANIFEST}
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training manifest: documents bucket into
+    {CURR_STAGES} difficulty stages (NTILE over token count with the
+    doc-id tie-break), and within each stage sources interleave
+    round-robin (rank within (stage, source), then order by that rank
+    before source) — easy-to-hard progression without single-source
+    runs. First {CURR_MANIFEST} positions returned as the manifest
+    sample; the full ordering is the same window spec without the
+    LIMIT.
+
+    All ordering keys are integers with total tie-breaks, so the
+    manifest is byte-stable across engines and partitionings.
+
+    Scale: two window passes — NTILE over a global sort (at 100 TB
+    you'd replace it with quantile-sketch stage edges, the
+    q_kll_binning kernel, to avoid the total order) and a
+    per-(stage, source) rank, which partitions cleanly. The global
+    interleave sort is the final write ordering a shard writer would
+    apply per output partition."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    staged = toks.withColumn(
+        "stage",
+        F.ntile(CURR_STAGES).over(
+            Window.orderBy("n_tokens", "doc_id")
+        ),
+    )
+    rr = staged.withColumn(
+        "rr_rank",
+        F.row_number().over(
+            Window.partitionBy("stage", "source").orderBy(
+                "n_tokens", "doc_id"
+            )
+        ),
+    )
+    return (
+        rr.withColumn(
+            "position",
+            F.row_number()
+            .over(Window.orderBy("stage", "rr_rank", "source", "doc_id"))
+            .cast("bigint"),
+        )
+        .select(
+            "position",
+            "doc_id",
+            "source",
+            F.col("stage").cast("int").alias("stage"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("position")
+        .limit(CURR_MANIFEST)
+    )
+
+
+_fmt(
+    q_curriculum_order,
+    CURR_STAGES=CURR_STAGES,
+    CURR_MANIFEST=CURR_MANIFEST,
+)

@@ -658,3 +658,27 @@ def test_entity_resolution_has_total_recall(spark, sf_smoke):
     n_parts = read_table(spark, sf_smoke, "part").count()
     assert len(true_pairs) == n_parts
     assert all(r["distance"] == 1 for r in true_pairs)
+
+
+def test_curriculum_is_monotone_and_interleaved(spark, sf_smoke):
+    """Stages are non-decreasing along the manifest, and inside any
+    stage window the head of the ordering cycles through sources
+    (round-robin rank is the primary within-stage key) rather than
+    running one source to exhaustion."""
+    from dynamodb_streaming_datalake_spark.operators.curation import (
+        CURR_MANIFEST,
+        CURR_STAGES,
+        q_curriculum_order,
+    )
+
+    rows = q_curriculum_order(spark, sf_smoke).collect()
+    assert len(rows) == min(CURR_MANIFEST, len(rows))
+    stages = [r["stage"] for r in rows]
+    assert stages == sorted(stages)
+    assert all(1 <= s <= CURR_STAGES for s in stages)
+    # within the first stage, the first len(sources) rows must all be
+    # distinct sources (round-robin head)
+    first_stage = [r for r in rows if r["stage"] == stages[0]]
+    n_src = len({r["source"] for r in first_stage})
+    head = [r["source"] for r in first_stage[:n_src]]
+    assert len(set(head)) == n_src
