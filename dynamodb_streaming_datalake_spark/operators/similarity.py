@@ -2504,3 +2504,111 @@ _fmt(
     MMR_LAMBDA=MMR_LAMBDA,
     MMR_MU=MMR_MU,
 )
+
+
+# ---------------------------------------------------------------------------
+# embedding covariance audit (round 10)
+# ---------------------------------------------------------------------------
+# Dimension-redundancy report over the embedding matrix: the top
+# covarying dimension pairs (and variances — the diagonal ranks in
+# the same listing). High off-diagonal covariance means the embedding
+# spends capacity on correlated axes — the signal behind PCA/
+# matryoshka truncation decisions (q_matryoshka_eval measures quality
+# AFTER truncation; this explains WHY truncation is cheap). Power
+# sums accumulate in exact decimal; covariance appears as one final
+# double expression per pair.
+
+COV_TOP = 20
+
+
+@query(
+    "q_embedding_covariance",
+    oracle=f"""
+    WITH comps AS (
+        SELECT e.vec_id, d.d AS d,
+               CAST(CAST(e.embedding[d.d + 1] AS DOUBLE) AS DECIMAL(18,9))
+                 AS val
+        FROM embeddings e,
+             (SELECT unnest(generate_series(0, {DIM - 1})) AS d) d
+    ),
+    sums AS (
+        SELECT a.d AS dim_a, b.d AS dim_b,
+               COUNT(*) AS n,
+               SUM(a.val) AS s1,
+               SUM(b.val) AS s2,
+               SUM(a.val * b.val) AS s12
+        FROM comps a JOIN comps b
+          ON a.vec_id = b.vec_id AND a.d <= b.d
+        GROUP BY a.d, b.d
+    ),
+    cov AS (
+        SELECT CAST(dim_a AS INT) AS dim_a,
+               CAST(dim_b AS INT) AS dim_b,
+               CAST(n AS BIGINT) AS n,
+               round((CAST(s12 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / n)
+                     / (n - 1), 6) AS cov
+        FROM sums
+    )
+    SELECT dim_a, dim_b, n, cov
+    FROM cov
+    ORDER BY round(abs(cov), 6) DESC, dim_a, dim_b
+    LIMIT {COV_TOP}
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{COV_TOP} covarying embedding-dimension pairs (diagonal =
+    variances, ranked in the same listing by |cov|): the capacity-
+    redundancy audit behind dimension-truncation decisions. Power
+    sums (S1, S2, S12) accumulate in DECIMAL(18,9) products —
+    order-independent, partitioning-invariant — and the covariance is
+    one final double expression, rounded before the rank (the
+    cross-engine ulp guard).
+
+    Scale: the pair explosion is rows x {DIM}*({DIM}+1)/2 into ONE
+    map-side-combined groupBy — the relational Gram-matrix build. At
+    100 TB you'd swap the self-join for a mapInPandas per-partition
+    outer-product accumulator (same {DIM}x{DIM} result, no pair-row
+    shuffle) — the declared aggregate here is the semantics contract
+    that kernel must match."""
+    e = read_table(spark, sf_dir, "embeddings")
+    comps = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("d", "v"),
+    ).select(
+        "vec_id",
+        "d",
+        F.col("v").cast("double").cast("decimal(18,9)").alias("val"),
+    )
+    a, b = comps.alias("a"), comps.alias("b")
+    sums = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.d") <= F.col("b.d")),
+        )
+        .groupBy(F.col("a.d").alias("dim_a"), F.col("b.d").alias("dim_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.val").alias("s1"),
+            F.sum("b.val").alias("s2"),
+            F.sum(F.col("a.val") * F.col("b.val")).alias("s12"),
+        )
+    )
+    cov = (
+        F.col("s12").cast("double")
+        - F.col("s1").cast("double") * F.col("s2").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return (
+        sums.select(
+            F.col("dim_a").cast("int").alias("dim_a"),
+            F.col("dim_b").cast("int").alias("dim_b"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(cov, 6).alias("cov"),
+        )
+        .orderBy(F.round(F.abs(F.col("cov")), 6).desc(), "dim_a", "dim_b")
+        .limit(COV_TOP)
+    )
+
+
+_fmt(q_embedding_covariance, COV_TOP=COV_TOP, DIM=DIM)

@@ -114,3 +114,32 @@ def test_mmr_is_more_diverse_than_pure_relevance(spark, sf_smoke):
         mmr_ids = [r["neighbor_id"] for r in sel]
         assert sorted(sel, key=lambda r: r["rank"])[0]["neighbor_id"] == rel_top[0]
         assert avg_pair(mmr_ids) <= avg_pair(rel_top) + 1e-9
+
+
+def test_embedding_covariance_matches_numpy(spark, sf_smoke):
+    """The reported covariances must match numpy's sample covariance
+    on the same matrix to 6 dp, and the listing must rank by |cov|."""
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        q_embedding_covariance,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    mat = np.array(
+        [
+            r["embedding"]
+            for r in read_table(spark, sf_smoke, "embeddings")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    full = np.cov(mat, rowvar=False, ddof=1)
+    rows = q_embedding_covariance(spark, sf_smoke).collect()
+    assert rows
+    covs = [abs(r["cov"]) for r in rows]
+    assert covs == sorted(covs, reverse=True)
+    for r in rows:
+        assert abs(r["cov"] - full[r["dim_a"], r["dim_b"]]) < 5e-6
+        assert r["n"] == mat.shape[0]
