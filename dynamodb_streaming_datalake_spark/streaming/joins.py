@@ -84,3 +84,47 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, keys: list[str]) -> DataFra
     semantics. Left join keeps un-matched stream rows (an event whose
     dimension row is late must not be dropped)."""
     return stream.join(F.broadcast(dim), keys, "left")
+
+
+def purchase_click_attribution_outer(events: DataFrame) -> DataFrame:
+    """LEFT OUTER interval join: every purchase, with its preceding-
+    hour same-user clicks when they exist and a NULL click row when
+    none do — the attribution report that must also show the
+    UN-attributed purchases (organic conversions). Semantically
+    distinct state machine from the inner join: Structured Streaming
+    can only emit the null-extended row once the watermark proves no
+    matching click can still arrive, so unmatched results trail the
+    matched ones by the watermark delay — which is why the outer
+    variant is its own operator, not a flag.
+
+    Scale: same shuffle and state bound as the inner join (state is
+    watermark + interval per side); the null-extension adds no state,
+    only an emit-on-eviction rule."""
+    p = _prep(
+        events.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        ),
+        "p_ts",
+    )
+    c = _prep(
+        events.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        ),
+        "c_ts",
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(INTERVAL))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "leftOuter",
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.unix_micros(F.col("c_ts").cast("timestamp")).alias("click_ts_us"),
+    )

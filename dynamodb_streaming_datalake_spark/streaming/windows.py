@@ -178,3 +178,39 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return purchase_click_attribution(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_stream_attribution_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(c.ts) AS click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts < p.ts
+    """,
+)
+def q_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked LEFT OUTER stream-stream interval
+    join (``streaming.joins.purchase_click_attribution_outer``):
+    q_stream_attribution keeps only attributed purchases; this keeps
+    every purchase, null-extending the organic ones — and in streaming
+    that null extension is a different state machine (the row may only
+    emit once the watermark proves no click can still arrive), which
+    is why the outer variant registers separately.
+    ``tests/test_streaming.py`` drains the same builder as a genuine
+    two-sided outer streaming join and asserts set-equality with this
+    batch result.
+
+    Scale: identical shuffle/state bound to the inner join; the
+    unmatched side adds only an emit-on-watermark-eviction rule."""
+    from dynamodb_streaming_datalake_spark.streaming.joins import (
+        purchase_click_attribution_outer,
+    )
+
+    return purchase_click_attribution_outer(
+        read_table(spark, sf_dir, "events")
+    )

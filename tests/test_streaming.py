@@ -760,3 +760,88 @@ def test_ams_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     last = _versions(spark, view_dir)[-1]
     upsert_ams_view(spark, ev.limit(50), view_dir, version=last)
     assert rows(current_sketch_view(spark, view_dir)) == got
+
+
+def test_stream_stream_outer_join_matches_batch(spark, sf_smoke):
+    """LEFT OUTER stream-stream interval join: after the availableNow
+    drain completes (watermark has passed everything), the emitted
+    set — matched pairs PLUS null-extended organic purchases — must
+    equal the batch left join exactly, and must strictly contain the
+    inner join's rows."""
+    from dynamodb_streaming_datalake_spark.streaming.joins import (
+        purchase_click_attribution,
+        purchase_click_attribution_outer,
+    )
+
+    # Outer rows emit only once the watermark PROVES no match can
+    # arrive — purchases inside the final watermark window would stay
+    # pending forever in a drained availableNow run. Appending one
+    # far-future sentinel click (to a copy of the source) advances the
+    # watermark past every real row, which is exactly how a production
+    # stream closes its books (time moves on); the sentinel can match
+    # nothing (its ts is beyond every purchase's window).
+    import tempfile
+
+    ev = read_table(spark, sf_smoke, "events")
+    src = tempfile.mkdtemp(prefix="ssj_outer_src")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    # sentinels on BOTH types: each side's watermark is computed
+    # after its event-type filter, so a click-only sentinel would
+    # leave the purchase side's watermark (and the global minimum)
+    # pinned at the last real purchase
+    sentinel = (
+        ev.groupBy()
+        .agg((F.max("ts") + F.expr("INTERVAL 3 HOUR")).alias("ts"))
+        .join(
+            ev.sparkSession.createDataFrame(
+                [("click",), ("purchase",)], "event_type string"
+            )
+        )
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            "ts",
+            F.lit(-1).cast("long").alias("user_id"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    # two sentinel FILES: the first raises the watermark, the second
+    # gives the evictor a batch to run in (state flushes on the batch
+    # AFTER the raise) — maxFilesPerTrigger=1 keeps them separate
+    for _ in range(2):
+        sentinel.select([c for c in ev.columns]).write.mode(
+            "append"
+        ).parquet(src)
+    stream_src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream = purchase_click_attribution_outer(stream_src)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ssj_outer_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ssj_outer_stream").collect()
+    want = purchase_click_attribution_outer(
+        read_table(spark, sf_smoke, "events")
+    ).collect()
+    inner = purchase_click_attribution(
+        read_table(spark, sf_smoke, "events")
+    ).collect()
+
+    def key(rows):
+        return sorted(
+            (r["purchase_id"], r["click_id"], r["click_ts_us"])
+            for r in rows
+            if r["purchase_id"] != -1  # the flush sentinel itself
+        )
+
+    assert len(want) > len(inner) > 0  # some organic purchases exist
+    assert key(got) == key(want)
+    assert set(key(inner)) <= set(key(got))
