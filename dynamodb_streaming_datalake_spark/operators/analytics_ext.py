@@ -1624,3 +1624,133 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_seasonal_decompose, SEAS_WIN=2 * SEAS_HALF + 1)
+
+
+# --------------------------------------------------------------------------
+# autocorrelation function (round 10): lag structure of the hourly series
+# --------------------------------------------------------------------------
+# q_seasonal_decompose reports the daily cycle assuming you already
+# know the period; the ACF is how you FIND the period (and whether a
+# series is forecastable at all): Pearson correlation between the
+# hourly revenue series and its own k-hour lag, for k = 1..ACF_MAX_LAG.
+# Contract: the series is the dense hourly spine from the first to
+# the last observed hour, missing hours as exact 0 (gaps are real
+# zeros for revenue, and without the spine each lag pair-set would
+# silently skip them). Per-lag Pearson over the overlapping pairs,
+# every cross-row sum an exact DECIMAL(38,6)/(38,12) power sum — the
+# q_cuped discipline — so the ACF is engine- and partitioning-exact.
+
+ACF_MAX_LAG = 24
+
+
+@query(
+    "q_autocorrelation",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+               SUM(CAST(value AS DECIMAL(38,6))) AS v
+        FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    spine AS (
+        SELECT UNNEST(range(b.h0, b.h1 + 3600, 3600)) AS h FROM bounds b
+    ),
+    series AS (
+        SELECT s.h, COALESCE(hy.v, CAST(0 AS DECIMAL(38,6))) AS v
+        FROM spine s LEFT JOIN hourly hy ON hy.h = s.h
+    ),
+    lags AS (SELECT UNNEST(range(1, {ACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+        SELECT l.lag, a.v AS x, b.v AS y
+        FROM lags l
+        JOIN series a ON TRUE
+        JOIN series b ON b.h = a.h + l.lag * 3600
+    ),
+    sums AS (
+        SELECT lag, COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           round((sxy - sx * sy / n)
+                 / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)),
+                 6) AS acf
+    FROM sums
+    WHERE sxx - sx * sx / n > 0 AND syy - sy * sy / n > 0
+    ORDER BY lag
+    """,
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of hourly revenue, lags 1..{ACF_MAX_LAG}: Pearson r between
+    the dense hourly series (missing hours = exact 0) and its k-hour
+    lag — the period-detection diagnostic upstream of
+    q_seasonal_decompose's fixed daily cycle. A 24-lag peak confirms
+    the daily period; a flat ACF says don't bother forecasting.
+
+    Per-lag power sums accumulate in exact decimal (products at scale
+    12), and each r is one final double expression rounded to 6 dp;
+    degenerate lags (zero variance on either side) are excluded by
+    contract.
+
+    Scale: the hourly aggregate is one map-side-combined shuffle of
+    the raw events; everything after runs on |hours| rows x
+    {ACF_MAX_LAG} lag replicas — constant work per lag regardless of
+    event volume, and the spine join is an equi-join on the hour
+    key."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h")
+    ).agg(F.sum(F.col("value").cast(DEC38)).alias("v"))
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.lit(3600))
+        ).alias("h")
+    )
+    series = spine.join(hourly, "h", "left").select(
+        "h", F.coalesce(F.col("v"), F.lit(0).cast(DEC38)).alias("v")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = series.alias("a")
+    b = series.alias("b")
+    pairs = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(
+            b,
+            F.col("b.h") == F.col("a.h") + F.col("lag") * F.lit(3600),
+        )
+        .select("lag", F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    var_x = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    var_y = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    acf = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.sqrt(var_x) * F.sqrt(var_y)
+    )
+    return (
+        sums.where((var_x > 0) & (var_y > 0))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.round(acf, 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+_fmt(q_autocorrelation, ACF_MAX_LAG=ACF_MAX_LAG)

@@ -202,3 +202,22 @@ def test_cuped_preserves_pooled_mean_and_shares_theta(spark, sf_smoke):
     assert abs(drift) <= max(1e-6 * abs(total), 1e-3)
     for r in rows:
         assert r["var_cuped"] <= r["var_raw"] * 1.05
+
+
+def test_autocorrelation_bounds_and_pair_counts(spark, sf_smoke):
+    """Each ACF value is a correlation in [-1, 1]; the overlap count
+    shrinks by exactly one hour per extra lag on a dense spine."""
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        ACF_MAX_LAG,
+        q_autocorrelation,
+    )
+
+    rows = q_autocorrelation(spark, sf_smoke).collect()
+    assert rows and len(rows) <= ACF_MAX_LAG
+    by_lag = {r["lag"]: r for r in rows}
+    for r in rows:
+        assert -1 <= r["acf"] <= 1
+    lags = sorted(by_lag)
+    for a, b in zip(lags, lags[1:]):
+        if b == a + 1:
+            assert by_lag[a]["n_pairs"] - by_lag[b]["n_pairs"] == 1

@@ -265,6 +265,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_cuped",  # 1-row epoch-midpoint bound crossed into the scan
         "q_histogram_drift",  # 1-row midpoint + 1-row ref-range crosses
         "q_mmr_diverse",  # broadcast MMR_QUERIES rows x corpus scan
+        "q_autocorrelation",  # broadcast 24-row lag table x hourly series
         "q_negative_sampling",  # broadcast N_ANCHORS rows x corpus scan
         "q_semdedup",  # broadcast SEM_K centroids x corpus (assignment)
         "q_zonemap_prune",  # 6-row predicate panel x 128 zone-map rows
