@@ -29,63 +29,24 @@ ORACLE: dict[str, str] = {}
 # silently eject a listed query from the window.
 #
 # PRIORITY derived by scripts/rotate_window.py from
-# CORRECTNESS_r*.json (latest: r9).  Do not hand-order;
+# CORRECTNESS_r*.json (latest: r10).  Do not hand-order;
 # regenerate after each driver round.  Derivation: the
-# 35 never-driver-proven names lead, then proofs
+# 11 never-driver-proven names lead, then proofs
 # ascending by round (stable tie-break: prior order).
 PRIORITY: tuple[str, ...] = (
     # -- never driver-proven --
-    "q_ivm_join",
-    "q_kcore",
-    "q_shortest_paths",
-    "q_degree_stats",
-    "q_tokenizer_eval",
-    "q_freshness_monitor",
-    "q_bloom_fpr_sweep",
-    "q_winsorize",
-    "q_seasonal_decompose",
-    "q_distinctive_terms",
-    "q_dedup_threshold_sweep",
-    "q_ann_tuning",
-    "q_matryoshka_eval",
-    "q_embedding_drift",
-    "q_group_split",
-    "q_l_diversity",
-    "q_partition_advisor",
-    "q_zonemap_prune",
-    "q_theta_distinct",
-    "q_kll_quantiles",
-    "q_kll_binning",
-    "q_hll_rolling",
-    "q_ab_test",
-    "q_linreg_cv",
-    "q_changepoint",
-    "q_event_transitions",
-    "q_session_gap_sweep",
-    "q_power_mde",
-    "q_watermark_sweep",
-    "q_survival_km",
-    "q_hard_negatives",
-    "q_negative_sampling",
-    "q_semdedup",
-    "q_theta_stream",
-    "q_hll_rolling_stream",
+    "q_link_prediction",
+    "q_histogram_drift",
+    "q_autocorrelation",
+    "q_dedup_containment",
+    "q_mmr_diverse",
+    "q_embedding_covariance",
+    "q_curriculum_order",
+    "q_ams_f2",
+    "q_cuped",
+    "q_stream_attribution_outer",
+    "q_ams_stream",
     # -- proven r6 --
-    "q_dedup_simhash_pairs",
-    "q_dedup_embedding",
-    "q_dedup_embedding_trained",
-    "q_doc_cdc_chunks",
-    "q_bm25_search",
-    "q_quality_classifier",
-    "q_dedup_clusters",
-    "q_para_dedup",
-    "q_pq_quantize",
-    "q_ann_pq",
-    "q_ann_pq_rerank",
-    "q_ann_ivfpq",
-    "q_ann_pq_filtered",
-    "q_hybrid_search",
-    "q_media_bmp",
     "q_media_png",
     "q_media_mp4",
     "q_media_mp3",
@@ -256,6 +217,57 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
+    # -- proven r10 --
+    "q_ivm_join",
+    "q_kcore",
+    "q_shortest_paths",
+    "q_degree_stats",
+    "q_tokenizer_eval",
+    "q_freshness_monitor",
+    "q_bloom_fpr_sweep",
+    "q_winsorize",
+    "q_seasonal_decompose",
+    "q_distinctive_terms",
+    "q_dedup_threshold_sweep",
+    "q_ann_tuning",
+    "q_matryoshka_eval",
+    "q_embedding_drift",
+    "q_group_split",
+    "q_l_diversity",
+    "q_partition_advisor",
+    "q_zonemap_prune",
+    "q_theta_distinct",
+    "q_kll_quantiles",
+    "q_kll_binning",
+    "q_hll_rolling",
+    "q_ab_test",
+    "q_linreg_cv",
+    "q_changepoint",
+    "q_event_transitions",
+    "q_session_gap_sweep",
+    "q_power_mde",
+    "q_watermark_sweep",
+    "q_survival_km",
+    "q_hard_negatives",
+    "q_negative_sampling",
+    "q_semdedup",
+    "q_theta_stream",
+    "q_hll_rolling_stream",
+    "q_dedup_simhash_pairs",
+    "q_dedup_embedding",
+    "q_dedup_embedding_trained",
+    "q_doc_cdc_chunks",
+    "q_bm25_search",
+    "q_quality_classifier",
+    "q_dedup_clusters",
+    "q_para_dedup",
+    "q_pq_quantize",
+    "q_ann_pq",
+    "q_ann_pq_rerank",
+    "q_ann_ivfpq",
+    "q_ann_pq_filtered",
+    "q_hybrid_search",
+    "q_media_bmp",
 )
 
 
