@@ -1637,8 +1637,10 @@ _fmt(q_seasonal_decompose, SEAS_WIN=2 * SEAS_HALF + 1)
 # the last observed hour, missing hours as exact 0 (gaps are real
 # zeros for revenue, and without the spine each lag pair-set would
 # silently skip them). Per-lag Pearson over the overlapping pairs,
-# every cross-row sum an exact DECIMAL(38,6)/(38,12) power sum — the
-# q_cuped discipline — so the ACF is engine- and partitioning-exact.
+# series values held at DECIMAL(18,6) so every product is an exact
+# DECIMAL(37,12) and every power sum an exact DECIMAL(38,12) in BOTH
+# engines — the q_cuped discipline — so the ACF is engine- and
+# partitioning-exact.
 
 ACF_MAX_LAG = 24
 
@@ -1656,7 +1658,15 @@ ACF_MAX_LAG = 24
         SELECT UNNEST(range(b.h0, b.h1 + 3600, 3600)) AS h FROM bounds b
     ),
     series AS (
-        SELECT s.h, COALESCE(hy.v, CAST(0 AS DECIMAL(38,6))) AS v
+        -- Narrow, not (38,6): the pair products below must stay EXACT
+        -- in BOTH engines.  Spark's (38,6)x(38,6) overflows its
+        -- 38-digit cap and precision-loss-rounds every product to 6 dp
+        -- — a data-dependent hash divergence vs this oracle.  Spark
+        -- uses (18,6) (product = exact (37,12)); here (19,6) forces
+        -- DuckDB onto hugeint physical ((18,6)x(18,6) would overflow
+        -- its int64 kernel) — both exact, hence identical.
+        SELECT s.h,
+               CAST(COALESCE(hy.v, 0) AS DECIMAL(19,6)) AS v
         FROM spine s LEFT JOIN hourly hy ON hy.h = s.h
     ),
     lags AS (SELECT UNNEST(range(1, {ACF_MAX_LAG + 1})) AS lag),
@@ -1712,8 +1722,14 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.col("h0"), F.col("h1"), F.lit(3600))
         ).alias("h")
     )
+    # decimal(18,6) so x*x / x*y are exact decimal(37,12) — Spark's
+    # (38,6)x(38,6) would overflow the 38-digit cap and round each
+    # product to 6 dp, diverging from DuckDB's exact arithmetic.
     series = spine.join(hourly, "h", "left").select(
-        "h", F.coalesce(F.col("v"), F.lit(0).cast(DEC38)).alias("v")
+        "h",
+        F.coalesce(F.col("v"), F.lit(0))
+        .cast("decimal(18,6)")
+        .alias("v"),
     )
     lags = spark.range(1, ACF_MAX_LAG + 1).select(
         F.col("id").cast("int").alias("lag")

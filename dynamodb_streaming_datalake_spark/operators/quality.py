@@ -339,10 +339,14 @@ DRIFT_BINS = 16
         FROM flagged WHERE period = 0
     ),
     binned AS (
+        -- hi = lo (constant-valued reference half) would make the bin
+        -- width 0 and the division NaN/Inf, where Spark's non-ANSI int
+        -- cast and DuckDB diverge; by contract everything bins to 0.
         SELECT period,
-               LEAST({DRIFT_BINS - 1}, GREATEST(0, CAST(floor(
-                   (value - r.lo) / ((r.hi - r.lo) / {DRIFT_BINS})
-               ) AS INT))) AS bin
+               CASE WHEN r.hi = r.lo THEN 0
+                    ELSE LEAST({DRIFT_BINS - 1}, GREATEST(0, CAST(floor(
+                        (value - r.lo) / ((r.hi - r.lo) / {DRIFT_BINS})
+                    ) AS INT))) END AS bin
         FROM flagged, refstats r
     ),
     counts AS (
@@ -409,18 +413,25 @@ def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.where(F.col("period") == 0)
         .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     )
+    # hi == lo (constant reference half) would zero the bin width and
+    # NaN the division; by contract the degenerate case bins to 0,
+    # guarded identically in the oracle.
     binned = flagged.crossJoin(F.broadcast(refstats)).select(
         "period",
-        F.least(
-            F.lit(DRIFT_BINS - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col("value") - F.col("lo"))
-                    / ((F.col("hi") - F.col("lo")) / DRIFT_BINS)
-                ).cast("int"),
-            ),
-        ).alias("bin"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(DRIFT_BINS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / DRIFT_BINS)
+                    ).cast("int"),
+                ),
+            )
+        )
+        .alias("bin"),
     )
     counts = binned.groupBy("bin").agg(
         F.count(F.when(F.col("period") == 0, 1)).alias("cp"),

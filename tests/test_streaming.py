@@ -762,7 +762,7 @@ def test_ams_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     assert rows(current_sketch_view(spark, view_dir)) == got
 
 
-def test_stream_stream_outer_join_matches_batch(spark, sf_smoke):
+def test_stream_stream_outer_join_matches_batch(spark, sf_smoke, tmp_path):
     """LEFT OUTER stream-stream interval join: after the availableNow
     drain completes (watermark has passed everything), the emitted
     set — matched pairs PLUS null-extended organic purchases — must
@@ -780,10 +780,8 @@ def test_stream_stream_outer_join_matches_batch(spark, sf_smoke):
     # watermark past every real row, which is exactly how a production
     # stream closes its books (time moves on); the sentinel can match
     # nothing (its ts is beyond every purchase's window).
-    import tempfile
-
     ev = read_table(spark, sf_smoke, "events")
-    src = tempfile.mkdtemp(prefix="ssj_outer_src")
+    src = str(tmp_path / "ssj_outer_src")
     ev.repartition(2).write.mode("overwrite").parquet(src)
     # sentinels on BOTH types: each side's watermark is computed
     # after its event-type filter, so a click-only sentinel would
