@@ -2507,7 +2507,7 @@ _fmt(
 
 
 # ---------------------------------------------------------------------------
-# embedding covariance audit (round 10)
+# embedding covariance audit (round 10; Gram kernel round 11)
 # ---------------------------------------------------------------------------
 # Dimension-redundancy report over the embedding matrix: the top
 # covarying dimension pairs (and variances — the diagonal ranks in
@@ -2517,8 +2517,152 @@ _fmt(
 # AFTER truncation; this explains WHY truncation is cheap). Power
 # sums accumulate in exact decimal; covariance appears as one final
 # double expression per pair.
+#
+# Two physical strategies produce the SAME (dim_a, dim_b, n, s1, s2,
+# s12) power sums, and a test pins them bit-equal:
+#   * `_gram_sums_pairjoin` — the declarative semantics twin: explode
+#     each row into DIM*(DIM+1)/2 pair rows, one groupBy. Readable,
+#     engine-checkable (it IS the oracle's shape), but inflates every
+#     row 2,080x before the shuffle.
+#   * `_gram_sums_kernel` — the shipped plan: a per-partition
+#     `mapInPandas` outer-product accumulator emitting 2,080 partial
+#     rows PER PARTITION (not per row), merged by one tiny groupBy.
+#     The arithmetic is exact: Spark casts each component to
+#     decimal(18,9) BEFORE the kernel (so the rounding is the engine's
+#     own, identical to the pair-join path), the kernel works on the
+#     scaled int64 mantissas split hi/lo at 16 bits, and the four
+#     int64 matmuls recombine as arbitrary-precision Python ints —
+#     no float ever touches a power sum.
 
 COV_TOP = 20
+
+
+def _gram_sums_pairjoin(e: DataFrame) -> DataFrame:
+    """Semantics twin: per-pair power sums via posexplode + self-join
+    (the oracle's own shape). Output normalized to decimal(38,9)/(38,18)
+    so the kernel path is comparable column-for-column."""
+    comps = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("d", "v"),
+    ).select(
+        "vec_id",
+        "d",
+        F.col("v").cast("double").cast("decimal(18,9)").alias("val"),
+    )
+    a, b = comps.alias("a"), comps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.d") <= F.col("b.d")),
+        )
+        .groupBy(F.col("a.d").alias("dim_a"), F.col("b.d").alias("dim_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.val").cast("decimal(38,9)").alias("s1"),
+            F.sum("b.val").cast("decimal(38,9)").alias("s2"),
+            F.sum(F.col("a.val") * F.col("b.val"))
+            .cast("decimal(38,18)")
+            .alias("s12"),
+        )
+    )
+
+
+def _gram_sums_kernel(e: DataFrame) -> DataFrame:
+    """Shipped plan: per-partition Gram accumulator over Arrow batches.
+
+    Spark performs the double -> decimal(18,9) component cast (so the
+    rounding is identical to the pair-join path), the kernel receives
+    decimal arrays, and accumulates on the scale-9 integer mantissas:
+    each mantissa m splits as m = (m >> 16) * 2^16 + (m & 0xffff), so
+    sum(m_a * m_b) = 2^32*HH + 2^16*(HL + LH) + LL where each of the
+    four terms is an int64 matmul whose per-partition sum cannot
+    overflow (|m| < 2^35 for |component| < 32768, so each term is
+    < rows * 2^38 — safe past 2^24 rows per partition, and partitions
+    are bounded by maxPartitionBytes long before that); the recombine
+    happens in arbitrary-precision Python ints. Emits DIM*(DIM+1)/2
+    partial rows per PARTITION — the pair-row inflation of the
+    self-join (2,080x per data row) never exists — merged by one tiny
+    decimal groupBy.
+    """
+    import pandas as pd
+
+    dec = e.select(
+        F.transform(
+            "embedding", lambda x: x.cast("double").cast("decimal(18,9)")
+        ).alias("vec")
+    ).where(F.col("vec").isNotNull())
+
+    def gram(batches):
+        import numpy as np
+        from decimal import Decimal
+
+        n_rows = 0
+        s1 = np.zeros(DIM, dtype=np.int64)
+        hh = np.zeros((DIM, DIM), dtype=np.int64)
+        hl = np.zeros((DIM, DIM), dtype=np.int64)
+        lh = np.zeros((DIM, DIM), dtype=np.int64)
+        ll = np.zeros((DIM, DIM), dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = pdf["vec"].to_numpy()
+            mat = np.empty((len(rows), DIM), dtype=np.int64)
+            for i, row in enumerate(rows):
+                if len(row) != DIM:
+                    raise ValueError(
+                        f"embedding length {len(row)} != DIM={DIM}; the "
+                        "Gram kernel's fixed-dim contract is violated — "
+                        "fall back to _gram_sums_pairjoin for ragged data"
+                    )
+                # scale-9 mantissa of the already-rounded decimal; the
+                # scaleb is exact (exponent is -9 by construction)
+                mat[i, :] = [int(x.scaleb(9)) for x in row]
+            n_rows += len(rows)
+            s1 += mat.sum(axis=0)
+            hi = mat >> 16
+            lo = mat & 0xFFFF
+            hh += hi.T @ hi
+            hl += hi.T @ lo
+            lh += lo.T @ hi
+            ll += lo.T @ lo
+        if n_rows == 0:
+            return
+        g = (
+            (hh.astype(object) << 32)
+            + ((hl + lh).astype(object) << 16)
+            + ll.astype(object)
+        )
+        out_a, out_b, out_s1, out_s2, out_s12 = [], [], [], [], []
+        for a in range(DIM):
+            for b in range(a, DIM):
+                out_a.append(a)
+                out_b.append(b)
+                out_s1.append(Decimal(int(s1[a])).scaleb(-9))
+                out_s2.append(Decimal(int(s1[b])).scaleb(-9))
+                out_s12.append(Decimal(int(g[a, b])).scaleb(-18))
+        yield pd.DataFrame(
+            {
+                "dim_a": pd.array(out_a, dtype="int32"),
+                "dim_b": pd.array(out_b, dtype="int32"),
+                "n": pd.array([n_rows] * len(out_a), dtype="int64"),
+                "s1": out_s1,
+                "s2": out_s2,
+                "s12": out_s12,
+            }
+        )
+
+    partials = dec.mapInPandas(
+        gram,
+        "dim_a int, dim_b int, n long, s1 decimal(28,9), "
+        "s2 decimal(28,9), s12 decimal(38,18)",
+    )
+    return partials.groupBy("dim_a", "dim_b").agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").cast("decimal(38,9)").alias("s1"),
+        F.sum("s2").cast("decimal(38,9)").alias("s2"),
+        F.sum("s12").cast("decimal(38,18)").alias("s12"),
+    )
 
 
 @query(
@@ -2560,41 +2704,19 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{COV_TOP} covarying embedding-dimension pairs (diagonal =
     variances, ranked in the same listing by |cov|): the capacity-
     redundancy audit behind dimension-truncation decisions. Power
-    sums (S1, S2, S12) accumulate in DECIMAL(18,9) products —
-    order-independent, partitioning-invariant — and the covariance is
-    one final double expression, rounded before the rank (the
-    cross-engine ulp guard).
+    sums (S1, S2, S12) accumulate exactly (decimal components, integer
+    Gram arithmetic) — order-independent, partitioning-invariant — and
+    the covariance is one final double expression, rounded before the
+    rank (the cross-engine ulp guard).
 
-    Scale: the pair explosion is rows x {DIM}*({DIM}+1)/2 into ONE
-    map-side-combined groupBy — the relational Gram-matrix build. At
-    100 TB you'd swap the self-join for a mapInPandas per-partition
-    outer-product accumulator (same {DIM}x{DIM} result, no pair-row
-    shuffle) — the declared aggregate here is the semantics contract
-    that kernel must match."""
+    Scale: `_gram_sums_kernel` — a per-partition mapInPandas
+    outer-product accumulator emitting {DIM}*({DIM}+1)/2 partial rows
+    per PARTITION, merged by one tiny groupBy. The oracle's pair-join
+    shape (each data row exploded 2,080x before the shuffle) exists as
+    `_gram_sums_pairjoin`, and `tests/test_tuning.py` pins the two
+    bit-equal — the q_zorder_scan result-invisibility pattern."""
     e = read_table(spark, sf_dir, "embeddings")
-    comps = e.select(
-        "vec_id",
-        F.posexplode("embedding").alias("d", "v"),
-    ).select(
-        "vec_id",
-        "d",
-        F.col("v").cast("double").cast("decimal(18,9)").alias("val"),
-    )
-    a, b = comps.alias("a"), comps.alias("b")
-    sums = (
-        a.join(
-            b,
-            (F.col("a.vec_id") == F.col("b.vec_id"))
-            & (F.col("a.d") <= F.col("b.d")),
-        )
-        .groupBy(F.col("a.d").alias("dim_a"), F.col("b.d").alias("dim_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("a.val").alias("s1"),
-            F.sum("b.val").alias("s2"),
-            F.sum(F.col("a.val") * F.col("b.val")).alias("s12"),
-        )
-    )
+    sums = _gram_sums_kernel(e)
     cov = (
         F.col("s12").cast("double")
         - F.col("s1").cast("double") * F.col("s2").cast("double") / F.col("n")

@@ -143,3 +143,30 @@ def test_embedding_covariance_matches_numpy(spark, sf_smoke):
     for r in rows:
         assert abs(r["cov"] - full[r["dim_a"], r["dim_b"]]) < 5e-6
         assert r["n"] == mat.shape[0]
+
+
+def test_embedding_gram_kernel_is_result_invisible(spark, sf_smoke):
+    """The shipped mapInPandas Gram kernel must be BIT-equal — every
+    (n, s1, s2, s12) power sum, not just the rounded covariances — to
+    the declarative pair-join twin (the oracle's shape), across a
+    repartition so multi-partition merge is exercised."""
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        _gram_sums_kernel,
+        _gram_sums_pairjoin,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_smoke, "embeddings")
+
+    def snap(df):
+        return {
+            (r["dim_a"], r["dim_b"]): (r["n"], r["s1"], r["s2"], r["s12"])
+            for r in df.collect()
+        }
+
+    want = snap(_gram_sums_pairjoin(e))
+    assert len(want) == 64 * 65 // 2
+    assert snap(_gram_sums_kernel(e)) == want
+    # partition-count invariance: the per-partition partials merge to
+    # the same exact sums regardless of layout
+    assert snap(_gram_sums_kernel(e.repartition(7))) == want
