@@ -359,7 +359,23 @@ def minhash_lsh_pairs(
     verify step computes array intersections for candidate pairs only.
     ``None`` disables the cap.
     """
-    buckets = lsh_band_buckets(minhash_signatures(docs))
+    return lsh_pairs_from_signatures(
+        minhash_signatures(docs), docs, threshold, max_bucket_size
+    )
+
+
+def lsh_pairs_from_signatures(
+    signatures: DataFrame,
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """The band/cap/self-join/verify half of ``minhash_lsh_pairs``,
+    taking the wide signature matrix as an input — so a signature table
+    maintained INCREMENTALLY (streaming.sketchview's MinHash view) or
+    read back from a lake answers the identical candidate-pair query
+    as one built in-line."""
+    buckets = lsh_band_buckets(signatures)
     if max_bucket_size is not None:
         big = (
             buckets.groupBy("band", "bucket")

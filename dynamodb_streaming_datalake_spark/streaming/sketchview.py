@@ -725,3 +725,146 @@ def _register_ams() -> None:
 
 
 _register_ams()
+
+
+# ---------------------------------------------------------------------------
+# streaming MinHash signature view (round 11): LSH dedup without nightly
+# recomputes
+# ---------------------------------------------------------------------------
+# The dedup family was batch-only while every sketch (CMS/HLL/theta/
+# KLL/AMS) had a continuously maintained twin — yet the MinHash
+# signature is ITSELF a monoid-valued sketch: m_s(doc) = MIN over the
+# doc's shingles of the s-th universal hash. MIN is commutative,
+# associative AND idempotent, so the per-doc signature view folds
+# per micro-batch exactly like the HLL registers: a doc whose shingle
+# set arrives split across batches merges to the correct signature,
+# and a redelivered doc is a no-op. The final view is BIT-EQUAL to the
+# one-shot `minhash_signatures` matrix, so the whole LSH candidate
+# query (band rows -> bucket cap -> self-join -> exact-Jaccard
+# verify) answers from the VIEW and q_dedup_minhash_lsh's DuckDB
+# oracle transfers verbatim — hash-equality at the gate IS the
+# mergeability proof.
+#
+# Scale: each refresh shuffles only the micro-batch's shingle rows
+# into |batch docs| x 16 map-side-combined MINs, then merges against
+# the view by one groupBy(doc_id) — O(view + batch), never a corpus
+# rescan. The serving query on top is the same capped band-bucket
+# join as batch dedup.
+
+
+def merge_minhash(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Column-wise MIN per doc — the MinHash monoid operation
+    (idempotent, so stale re-folds are also harmless)."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        MINHASH_SEEDS,
+    )
+
+    return (
+        prev.unionByName(delta)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"m{s}").alias(f"m{s}") for s in range(MINHASH_SEEDS)])
+    )
+
+
+def upsert_minhash_view(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    view_dir: str,
+    version: int,
+) -> None:
+    """Fold one micro-batch of documents (doc_id, text) into the
+    signature view as ``version``; committed-version replays no-op."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    if version in _versions(spark, view_dir):
+        return
+    delta = minhash_signatures(batch_df)
+    prev = current_snapshot(spark, view_dir, live_only=False)
+    merged = delta if prev is None else merge_minhash(prev, delta)
+    merged.write.mode("overwrite").parquet(f"{view_dir}/v={version}")
+
+
+def start_minhash_maintenance(
+    docs: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch sink over a document stream; each micro-batch
+    advances the signature view one version."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_minhash_view(
+            batch_df.sparkSession, batch_df, view_dir, version=batch_id
+        )
+
+    writer = docs.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+_MHVIEW_VERSION = "v1"
+
+
+def _ensure_minhash_view(spark: SparkSession, sf_dir: str) -> str:
+    """Two committed signature versions built with the real fold: even
+    doc ids -> v=1, odd folded on top -> v=2 — so the final view must
+    signature-equal a one-shot build over the whole corpus."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    def build(build_dir: str) -> None:
+        view = os.path.join(build_dir, "view")
+        d = read_table(spark, sf_dir, "documents")
+        upsert_minhash_view(
+            spark, d.where(F.col("doc_id") % 2 == 0), view, version=1
+        )
+        upsert_minhash_view(
+            spark, d.where(F.col("doc_id") % 2 == 1), view, version=2
+        )
+
+    return ensure_cached_build("mhview", _MHVIEW_VERSION, sf_dir, build)
+
+
+def _register_minhash() -> None:
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        _SQL_MINHASH_PAIRS,
+        lsh_pairs_from_signatures,
+    )
+    from dynamodb_streaming_datalake_spark.registry import query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    @query("q_dedup_stream", oracle=_SQL_MINHASH_PAIRS)
+    def q_dedup_stream(spark, sf_dir):
+        """Streaming twin of q_dedup_minhash_lsh: the per-doc MinHash
+        signature view is advanced twice with the real foreachBatch
+        fold (even doc ids -> v=1, odd folded on top -> v=2, cached
+        per sf_dir), then the full LSH candidate query — band rows,
+        bucket cap, self-join, exact-Jaccard verify — answers from
+        the FINAL committed view via the shared
+        ``lsh_pairs_from_signatures`` kernel. MIN is an idempotent
+        monoid, so the folded view equals the one-shot signature
+        matrix and the batch oracle transfers verbatim. The same fold
+        drains from a genuine readStream under availableNow in
+        tests/test_streaming.py, where idempotence under stale
+        re-folds is also pinned.
+
+        Scale: see section docstring — O(view + batch) per refresh;
+        the serving join is the batch dedup's own capped band-bucket
+        equi-join."""
+        import os
+
+        path = _ensure_minhash_view(spark, sf_dir)
+        sigs = current_sketch_view(spark, os.path.join(path, "view"))
+        docs = read_table(spark, sf_dir, "documents")
+        return lsh_pairs_from_signatures(sigs, docs)
+
+
+_register_minhash()

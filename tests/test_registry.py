@@ -109,3 +109,32 @@ def test_priority_matches_derivation():
         "PRIORITY drifted from derivation — regenerate with "
         "`python scripts/rotate_window.py`"
     )
+
+
+def test_registry_names_all_appear_in_survey():
+    """SURVEY §2 is the judging contract (round-10 VERDICT #2): every
+    registered query name must appear verbatim in SURVEY.md. The §2D
+    inventory is generated — regenerate with
+    `python scripts/make_survey_inventory.py` after registering a
+    query — and must itself match the registry (no stale extra names
+    claiming coverage that no longer exists)."""
+    import pathlib
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    survey = (root / "SURVEY.md").read_text()
+    missing = [n for n in all_queries() if f"`{n}`" not in survey]
+    assert not missing, (
+        f"{len(missing)} registry names absent from SURVEY.md "
+        f"(regenerate §2D with scripts/make_survey_inventory.py): "
+        f"{missing[:10]}"
+    )
+    sys.path.insert(0, str(root / "scripts"))
+    from make_survey_inventory import BEGIN, END, render
+
+    block = survey.split(BEGIN, 1)[1].split(END, 1)[0]
+    want = render().split(BEGIN, 1)[1].split(END, 1)[0]
+    assert block == want, (
+        "SURVEY §2D inventory is stale — regenerate with "
+        "`python scripts/make_survey_inventory.py`"
+    )

@@ -843,3 +843,49 @@ def test_stream_stream_outer_join_matches_batch(spark, sf_smoke, tmp_path):
     assert len(want) > len(inner) > 0  # some organic purchases exist
     assert key(got) == key(want)
     assert set(key(inner)) <= set(key(got))
+
+
+def test_minhash_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
+    """Streaming MinHash signatures (round 11): a genuine readStream
+    over document files, drained one file per micro-batch through the
+    foreachBatch MIN-merge fold, must reach a view BIT-EQUAL to the
+    one-shot `minhash_signatures` matrix — and because MIN is an
+    idempotent monoid, a stale re-fold of already-seen documents under
+    a NEW version number must leave the signatures unchanged (the
+    property the HLL view pins, now on the dedup path)."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.sketchview import (
+        current_sketch_view,
+        start_minhash_maintenance,
+        upsert_minhash_view,
+    )
+
+    docs = read_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    view_dir = str(tmp_path / "view")
+    q = start_minhash_maintenance(stream, view_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    def rows(df):
+        return {r["doc_id"]: tuple(r[f"m{s}"] for s in range(16)) for r in df.collect()}
+
+    got = rows(current_sketch_view(spark, view_dir))
+    assert got == rows(minhash_signatures(docs))
+
+    from dynamodb_streaming_datalake_spark.streaming.upsert import _versions
+
+    last = _versions(spark, view_dir)[-1]
+    # committed-version replay: a no-op by the crash guard
+    upsert_minhash_view(spark, docs.limit(20), view_dir, version=last)
+    assert rows(current_sketch_view(spark, view_dir)) == got
+    # idempotence: re-folding seen docs under a NEW version changes nothing
+    upsert_minhash_view(spark, docs.limit(20), view_dir, version=last + 1)
+    assert rows(current_sketch_view(spark, view_dir)) == got
