@@ -90,3 +90,54 @@ def start_error_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_dual_lake_streams(
+    spark: SparkSession,
+    src_dir: str,
+    primary_dir: str,
+    secondary_dir: str,
+    primary_checkpoint: str,
+    secondary_checkpoint: str,
+    attributes: tuple[str, ...] | None = None,
+    ingestion_ts: Column | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+) -> tuple[StreamingQuery, StreamingQuery]:
+    """Dual-destination delivery: the SAME transformed stream lands in
+    two lakes, each behind its own checkpoint.
+
+    Reference behavior: the stack duplicates the Firehose delivery to
+    a second, cross-account bucket
+    (``/root/reference/lib/dynamodb-streaming-datalake-stack.ts:250,
+    424-461``) — two delivery streams fed from one source, so the DR /
+    consumer-isolation copy is a full lake, not a sync job. The Spark
+    twin is two independent checkpointed ``start_lake_stream``s over
+    the same source: independent checkpoints mean one destination
+    stalling, failing, or being replayed never blocks or duplicates
+    the other (the same isolation the second Firehose stream buys),
+    and each sink keeps its own exactly-once guarantee. The cost model
+    also matches the reference: the source is read twice — cheap for
+    a replayable stream/file source — rather than fanning one write
+    out through a single process that would couple the destinations'
+    failure domains.
+
+    Returns ``(primary_query, secondary_query)``.
+    """
+    qs = tuple(
+        start_lake_stream(
+            spark,
+            src_dir,
+            lake_dir,
+            ck,
+            attributes=attributes,
+            ingestion_ts=ingestion_ts,
+            available_now=available_now,
+            processing_time=processing_time,
+        )
+        for lake_dir, ck in (
+            (primary_dir, primary_checkpoint),
+            (secondary_dir, secondary_checkpoint),
+        )
+    )
+    return qs[0], qs[1]

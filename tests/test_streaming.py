@@ -889,3 +889,58 @@ def test_minhash_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     # idempotence: re-folding seen docs under a NEW version changes nothing
     upsert_minhash_view(spark, docs.limit(20), view_dir, version=last + 1)
     assert rows(current_sketch_view(spark, view_dir)) == got
+
+
+def test_dual_lake_delivery_reconstructs_identical_state(spark, tmp_path):
+    """Dual-destination delivery (reference stack.ts:424-461, the
+    cross-account Firehose duplicate): one source drained into two
+    lakes behind independent checkpoints must (a) land identical row
+    sets, (b) reconstruct identical latest-state tables, and (c) keep
+    the destinations' failure domains independent — replaying ONE
+    destination's checkpoint adds nothing to it and never touches the
+    other."""
+    from dynamodb_streaming_datalake_spark.streaming.pipeline import (
+        start_dual_lake_streams,
+        start_lake_stream,
+    )
+
+    fx = generate_fixture(n_keys=25, n_events=200, unknown_rate=0.05)
+    src = tmp_path / "src"
+    _write_source_files(fx, src, n_files=3)
+    primary, secondary = str(tmp_path / "lake_a"), str(tmp_path / "lake_b")
+    ck_a, ck_b = str(tmp_path / "ck_a"), str(tmp_path / "ck_b")
+
+    qa, qb = start_dual_lake_streams(
+        spark, str(src), primary, secondary, ck_a, ck_b,
+        attributes=ATTRS, ingestion_ts=EVENT_TS(),
+    )
+    qa.awaitTermination(120)
+    qb.awaitTermination(120)
+
+    def lake_rows(path):
+        df = spark.read.json(path)
+        rows = map(tuple, df.select(sorted(df.columns)).collect())
+        return sorted(rows, key=repr)  # None-safe ordering
+
+    assert lake_rows(primary) == lake_rows(secondary)
+
+    def latest(path):
+        df = spark.read.json(path)
+        got = reconstruct_table(
+            df, ["id", "name"], ["ingestion_timestamp", "eventID"]
+        )
+        rows = map(tuple, got.select(sorted(got.columns)).collect())
+        return sorted(rows, key=repr)
+
+    state_a = latest(primary)
+    assert state_a == latest(secondary)
+    assert len(state_a) > 0
+
+    # replay ONLY the primary's checkpoint: exactly-once holds per
+    # destination, and the secondary is untouched
+    before_b = lake_rows(secondary)
+    q2 = start_lake_stream(
+        spark, str(src), primary, ck_a, attributes=ATTRS, ingestion_ts=EVENT_TS()
+    )
+    q2.awaitTermination(120)
+    assert lake_rows(primary) == lake_rows(secondary) == before_b
