@@ -826,8 +826,15 @@ def q_tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         w8.select(F.explode(F.expr(_CHARS)).alias("c"))
         .agg(F.countDistinct("c").cast("bigint").alias("n_char_types"))
     )
+    # lazy localCheckpoint: `tokenized`'s toks column is the 64-merge
+    # fold EXPRESSION; the explode+countDistinct branch below falls out
+    # of whole-stage codegen and re-evaluates that fold interpreted,
+    # per row — 4.7 s at sf0.1 vs 0.4 s reading it back materialized.
+    # One vocabulary-sized pin, shared by both BPE aggregates.
     _, tokenized = bpe_train(spark, sf_dir)
-    t8 = tokenized.where(F.length("w") <= UNI_MAX_LEN)
+    t8 = tokenized.where(F.length("w") <= UNI_MAX_LEN).localCheckpoint(
+        eager=False
+    )
     bpe = t8.agg(
         F.sum(F.col("cnt") * F.size("toks")).cast("bigint").alias("n_tokens")
     )
