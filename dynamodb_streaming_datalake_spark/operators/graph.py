@@ -1028,3 +1028,157 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_link_prediction, LP_TOP=LP_TOP, LP_MIN_CN=LP_MIN_CN)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (round 11)
+# ---------------------------------------------------------------------------
+# PageRank answers "who is central in the whole trade graph"; HITS
+# answers the bipartite question the customer->supplier direction
+# actually poses: a good HUB is a customer who buys from good
+# suppliers, a good AUTHORITY is a supplier bought from by good hubs —
+# mutual recursion, alternating gather steps. Same proof discipline as
+# q_pagerank: fixed-point integers (scores are non-negative, so the
+# max-normalization's integral division is engine-exact), fixed
+# iteration count, oracle unrolls the identical recurrence as
+# MATERIALIZED CTE layers — one off-by-one anywhere breaks the hash.
+
+HITS_SCALE = 10**12
+HITS_ITERS = 4
+HITS_TOP = 20
+
+
+def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """Alternating hub/authority fixed-point iteration over a DIRECTED
+    (src, dst) edge table. Each half-step is one equi-join + one MAX
+    aggregate + one max-normalization to HITS_SCALE (integral division
+    — exact, and safe because scores stay non-negative). Returns
+    ``(side, node, score_fp)`` for 'hub' (src side) and 'authority'
+    (dst side).
+
+    Scale: the per-half-step shuffle is the gather aggregate on the
+    join key; the score vectors are O(|V|) and broadcast under the
+    same size dispatch as ``pagerank`` (the |V| probe is one 1-row
+    collect), so below the threshold each half-step moves only the
+    vector, never the checkpointed edge table."""
+    edges = edges.localCheckpoint(eager=False)
+    hubs = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = hubs.count()
+    small = n_nodes <= PR_BROADCAST_MAX_NODES
+    h = hubs.select("node", F.lit(HITS_SCALE).cast("bigint").alias("score"))
+
+    def gather(vec: DataFrame, key: str, out: str) -> DataFrame:
+        """out-side score = sum of the key-side vector along edges,
+        max-normalized back to HITS_SCALE."""
+        rhs = F.broadcast(vec) if small else vec
+        raw = (
+            edges.join(rhs, edges[key] == rhs["node"])
+            .groupBy(F.col(out).alias("node"))
+            .agg(F.sum("score").cast("decimal(38,0)").alias("raw"))
+        )
+        m = raw.agg(F.max("raw").alias("m"))
+        return raw.crossJoin(F.broadcast(m)).select(
+            "node",
+            F.expr(f"CAST(raw * {HITS_SCALE} div m AS BIGINT)").alias(
+                "score"
+            ),
+        )
+
+    a = None
+    for _ in range(iters):
+        a = gather(h, "src", "dst").localCheckpoint(eager=False)
+        h = gather(a, "dst", "src").localCheckpoint(eager=False)
+    return h.select(
+        F.lit("hub").alias("side"), "node", F.col("score").alias("score_fp")
+    ).unionByName(
+        a.select(
+            F.lit("authority").alias("side"),
+            "node",
+            F.col("score").alias("score_fp"),
+        )
+    )
+
+
+def _sql_hits_iter(k: int) -> str:
+    """One unrolled oracle iteration: h{k} -> a{k+1} -> h{k+1}."""
+    return f"""
+    araw{k + 1} AS MATERIALIZED (
+        SELECT e.dst AS node, CAST(SUM(h{k}.score) AS HUGEINT) AS raw
+        FROM fedges e JOIN h{k} ON h{k}.node = e.src GROUP BY e.dst
+    ),
+    a{k + 1} AS MATERIALIZED (
+        SELECT node,
+               CAST(raw * {HITS_SCALE}
+                    // (SELECT MAX(raw) FROM araw{k + 1}) AS BIGINT)
+                 AS score
+        FROM araw{k + 1}
+    ),
+    hraw{k + 1} AS MATERIALIZED (
+        SELECT e.src AS node, CAST(SUM(a{k + 1}.score) AS HUGEINT) AS raw
+        FROM fedges e JOIN a{k + 1} ON a{k + 1}.node = e.dst GROUP BY e.src
+    ),
+    h{k + 1} AS MATERIALIZED (
+        SELECT node,
+               CAST(raw * {HITS_SCALE}
+                    // (SELECT MAX(raw) FROM hraw{k + 1}) AS BIGINT)
+                 AS score
+        FROM hraw{k + 1}
+    )"""
+
+
+_SQL_HITS_ITERS = ",".join(_sql_hits_iter(k) for k in range(HITS_ITERS))
+
+
+@query(
+    "q_hits",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    fedges AS MATERIALIZED (
+        SELECT src, dst FROM edges WHERE src LIKE 'c%'
+    ),
+    h0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, CAST({HITS_SCALE} AS BIGINT) AS score
+        FROM fedges
+    ),
+    {_SQL_HITS_ITERS},
+    sides AS (
+        SELECT 'hub' AS side, node, score AS score_fp FROM h{HITS_ITERS}
+        UNION ALL
+        SELECT 'authority', node, score FROM a{HITS_ITERS}
+    ),
+    ranked AS (
+        SELECT side, node, score_fp,
+               ROW_NUMBER() OVER (
+                   PARTITION BY side ORDER BY score_fp DESC, node
+               ) AS rk
+        FROM sides
+    )
+    SELECT side, node, score_fp FROM ranked WHERE rk <= {HITS_TOP}
+    ORDER BY side, score_fp DESC, node
+    """,
+)
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the DIRECTED customer->supplier trade graph
+    ({HITS_ITERS} alternating fixed-point iterations, max-normalized
+    to {HITS_SCALE}): top-{HITS_TOP} hub customers and authority
+    suppliers. Scores stay non-negative so the normalization's
+    integral division is engine-exact; the oracle unrolls the
+    identical recurrence as MATERIALIZED CTE layers — the q_pagerank
+    proof pattern on the mutual-recursion shape PageRank's single
+    vector cannot express."""
+    fwd = _trade_edges(spark, sf_dir).where(F.col("src").startswith("c"))
+    scores = hits(fwd)
+    w = Window.partitionBy("side").orderBy(
+        F.col("score_fp").desc(), "node"
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= HITS_TOP)
+        .select("side", "node", "score_fp")
+        .orderBy("side", F.col("score_fp").desc(), "node")
+    )
+
+
+from pyspark.sql.window import Window  # noqa: E402
+
+_fmt(q_hits, HITS_ITERS=HITS_ITERS, HITS_TOP=HITS_TOP, HITS_SCALE=HITS_SCALE)

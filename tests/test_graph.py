@@ -153,3 +153,34 @@ def test_link_prediction_returns_only_nonedges(spark, sf_smoke):
         assert pair not in edges and pair[::-1] not in edges
         assert r["common_neighbors"] >= LP_MIN_CN
         assert 0 < r["jaccard"] <= 1
+
+
+def test_hits_fixture_and_invariants(spark, sf_smoke):
+    """HITS semantics on a hand-checkable fixture plus corpus
+    invariants. Fixture: c1 buys from s1 and s2, c2 buys only from s1
+    — s1 must out-rank s2 (bought by both), c1 must out-rank c2 (buys
+    from more/better suppliers), and each side's maximum sits exactly
+    at HITS_SCALE (the normalization contract)."""
+    from dynamodb_streaming_datalake_spark.operators.graph import (
+        HITS_SCALE,
+        hits,
+    )
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    edges = spark.createDataFrame(
+        [("c1", "s1"), ("c1", "s2"), ("c2", "s1")], "src string, dst string"
+    )
+    got = {(r["side"], r["node"]): r["score_fp"] for r in hits(edges).collect()}
+    assert got[("authority", "s1")] == HITS_SCALE
+    assert got[("hub", "c1")] == HITS_SCALE
+    assert got[("authority", "s2")] < got[("authority", "s1")]
+    assert got[("hub", "c2")] < got[("hub", "c1")]
+
+    rows = all_queries()["q_hits"](spark, sf_smoke).collect()
+    sides = {r["side"] for r in rows}
+    assert sides == {"hub", "authority"}
+    for side in sides:
+        scores = [r["score_fp"] for r in rows if r["side"] == side]
+        assert max(scores) == HITS_SCALE
+        assert all(0 <= s <= HITS_SCALE for s in scores)
+        assert scores == sorted(scores, reverse=True)
