@@ -170,3 +170,68 @@ def test_embedding_gram_kernel_is_result_invisible(spark, sf_smoke):
     # partition-count invariance: the per-partition partials merge to
     # the same exact sums regardless of layout
     assert snap(_gram_sums_kernel(e.repartition(7))) == want
+
+
+def test_pca_power_recovers_planted_component(spark):
+    """Convergence semantics proven where they are well-posed: on data
+    with a PLANTED dominant direction (big eigengap) the fixed-point
+    power iteration must land on numpy\'s leading eigenpair — lambda
+    within 1%, loadings parallel (|cos| > 0.999), explained ratio
+    consistent. (On the near-isotropic corpus embeddings the operator
+    is still deterministic and oracle-gated, but "the" top component
+    is ill-posed there, so the accuracy pin lives on spiked data.)"""
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        pca_power,
+    )
+
+    rng = np.random.RandomState(7)
+    u = rng.randn(64)
+    u /= np.linalg.norm(u)
+    mat = rng.randn(400, 64) * 0.2 + np.outer(rng.randn(400) * 2.0, u)
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+    # the kernel quantizes float32 components like the real table
+    cov = np.cov(
+        np.array(mat, dtype=np.float32), rowvar=False, ddof=1
+    )
+    evals, evecs = np.linalg.eigh(cov)
+    lam_true, vec_true = evals[-1], evecs[:, -1]
+
+    rows = sorted(pca_power(e).collect(), key=lambda r: r["dim"])
+    assert len(rows) == 64
+    lam = rows[0]["lambda1"]
+    assert abs(lam - lam_true) / lam_true < 0.01
+    v = np.array([r["loading"] for r in rows])
+    cos = abs(v @ vec_true) / (np.linalg.norm(v) * np.linalg.norm(vec_true))
+    assert cos > 0.999
+    assert abs(
+        rows[0]["explained_ratio"] - lam / rows[0]["total_var"]
+    ) < 1e-4
+
+
+def test_pca_power_corpus_invariants(spark, sf_smoke):
+    """On the real embeddings: lambda1 bounded by [mean eig, max eig]
+    (Rayleigh quotient property), trace matches numpy, ratio in-row
+    consistent."""
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    mat = np.array(
+        [
+            r["embedding"]
+            for r in read_table(spark, sf_smoke, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    cov = np.cov(mat, rowvar=False, ddof=1)
+    evals = np.linalg.eigvalsh(cov)
+    rows = all_queries()["q_pca_power"](spark, sf_smoke).collect()
+    lam = rows[0]["lambda1"]
+    assert evals.mean() <= lam <= evals[-1] * 1.001
+    assert abs(rows[0]["total_var"] - np.trace(cov)) < 0.05 * np.trace(cov)
