@@ -1770,3 +1770,144 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_autocorrelation, ACF_MAX_LAG=ACF_MAX_LAG)
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing + forecast (round 11)
+# ---------------------------------------------------------------------------
+# q_ewma_user_value smooths a LEVEL; q_seasonal_decompose explains a
+# CYCLE; neither can answer "where is this series heading" — Holt's
+# double exponential smoothing tracks level AND trend and forecasts
+# h steps out as level + h*trend. alpha = 1/2 and beta = 1/4 are exact
+# binary fractions, so with the daily revenue held as scale-6 integers
+# every smoothing step is two integral divisions — and Spark's `div`
+# and DuckDB's `//` BOTH truncate toward zero (probed: -7 div 2 = -3
+# in each), so the whole recurrence is engine-exact with no rounding
+# discipline needed beyond the fold itself. The oracle replays the
+# identical fold with list_reduce over the identical [level, trend]
+# integer pairs.
+
+HOLT_H = 7
+
+
+@query(
+    "q_holt_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+                 AS d,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+                 AS y6
+        FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    spine AS (
+        SELECT UNNEST(range(b.d0, b.d1 + 1)) AS d FROM bounds b
+    ),
+    series AS (
+        SELECT s.d, COALESCE(dy.y6, 0) AS y6
+        FROM spine s LEFT JOIN daily dy ON dy.d = s.d
+    ),
+    arr AS (
+        SELECT list_transform(list(y6 ORDER BY d), y -> [y, 0::BIGINT])
+                 AS ys,
+               COUNT(*) AS n_days
+        FROM series
+    ),
+    st AS (
+        SELECT list_reduce(ys, (acc, x) -> [
+                   (x[1] + acc[1] + acc[2]) // 2,
+                   (((x[1] + acc[1] + acc[2]) // 2) - acc[1] + 3 * acc[2])
+                     // 4
+               ]) AS s,
+               n_days
+        FROM arr
+    )
+    SELECT CAST(h.h AS INT) AS h,
+           round(CAST(st.s[1] + h.h * st.s[2] AS DOUBLE) / 1000000, 6)
+             AS forecast,
+           round(CAST(st.s[1] AS DOUBLE) / 1000000, 6) AS level,
+           round(CAST(st.s[2] AS DOUBLE) / 1000000, 6) AS trend,
+           CAST(st.n_days AS BIGINT) AS n_days
+    FROM st, (SELECT UNNEST(range(1, {HOLT_H + 1})) AS h) h
+    ORDER BY h
+    """,
+)
+def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of the dense daily revenue
+    series (missing days = exact 0): level and trend folded with
+    alpha = 1/2, beta = 1/4 over scale-6 integers — each step two
+    truncating integral divisions, identical in both engines — then
+    {HOLT_H} daily forecasts as level + h * trend. Seed: level = the
+    first day's revenue, trend = 0 (the fold's own first element).
+
+    Scale: one map-side-combined daily aggregate over the raw events;
+    the fold runs on the |days|-row series collected into ONE array
+    cell — bounded by the calendar, not the data (a year is 365
+    elements), the same contract as q_changepoint's |days|-row scan.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (
+            F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+            / F.lit(86400)
+        )
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(38,6)")) * 1000000)
+        .cast("bigint")
+        .alias("y6")
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    series = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("y6", F.lit(0)).cast("bigint").alias("y6")
+    )
+    folded = series.agg(
+        F.expr(
+            """
+            aggregate(
+                slice(ts_arr, 2, size(ts_arr) - 1),
+                ts_arr[0],
+                (acc, x) -> array(
+                    (x[0] + acc[0] + acc[1]) div 2,
+                    (((x[0] + acc[0] + acc[1]) div 2) - acc[0]
+                       + 3 * acc[1]) div 4
+                )
+            )
+            """.replace(
+                "ts_arr",
+                "transform(array_sort(collect_list(struct(d, y6))),"
+                " s -> array(s.y6, 0L))",
+            )
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    horizons = spark.range(1, HOLT_H + 1).select(
+        F.col("id").cast("int").alias("h")
+    )
+    return (
+        folded.crossJoin(F.broadcast(horizons))
+        .select(
+            "h",
+            F.round(
+                (F.col("s")[0] + F.col("h") * F.col("s")[1]).cast("double")
+                / 1000000,
+                6,
+            ).alias("forecast"),
+            F.round(F.col("s")[0].cast("double") / 1000000, 6).alias(
+                "level"
+            ),
+            F.round(F.col("s")[1].cast("double") / 1000000, 6).alias(
+                "trend"
+            ),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+        .orderBy("h")
+    )
+
+
+_fmt(q_holt_trend, HOLT_H=HOLT_H)

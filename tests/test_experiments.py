@@ -221,3 +221,44 @@ def test_autocorrelation_bounds_and_pair_counts(spark, sf_smoke):
     for a, b in zip(lags, lags[1:]):
         if b == a + 1:
             assert by_lag[a]["n_pairs"] - by_lag[b]["n_pairs"] == 1
+
+
+def test_holt_trend_recovers_planted_line(spark, tmp_path):
+    """On an exactly-linear daily series y_t = a + b*t the Holt fold's
+    level must track the line and the trend must converge to b, so the
+    h-step forecast continues the line; asserted against a pure-Python
+    replay of the identical integer recurrence (the engine-independent
+    truth), and the linear-data convergence property on top."""
+    import datetime
+
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        q_holt_trend,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=t), 100.0 + 5.0 * t)
+        for t, i in enumerate(range(40))
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    ).write.parquet(f"{sf}/events.parquet")
+
+    got = {r["h"]: r for r in q_holt_trend(spark, sf).collect()}
+    assert len(got) == 7
+
+    # pure-Python replay of the recurrence on the same scale-6 ints
+    ys = [int((100.0 + 5.0 * t) * 1_000_000) for t in range(40)]
+    l, b = ys[0], 0
+    for y in ys[1:]:
+        l2 = int((y + l + b) / 2) if (y + l + b) >= 0 else -((-(y + l + b)) // 2)
+        b = (l2 - l + 3 * b) // 4 if (l2 - l + 3 * b) >= 0 else -(-(l2 - l + 3 * b) // 4)
+        l = l2
+    for h in range(1, 8):
+        assert got[h]["forecast"] == round((l + h * b) / 1_000_000, 6)
+    # convergence on exactly-linear data: trend ~ 5/day, forecasts
+    # continue the line within the fold's startup transient
+    assert abs(got[1]["trend"] - 5.0) < 0.2
+    last_day_value = 100.0 + 5.0 * 39
+    assert abs(got[7]["forecast"] - (last_day_value + 7 * 5.0)) < 2.0

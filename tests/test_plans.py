@@ -221,6 +221,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
     from dynamodb_streaming_datalake_spark.registry import all_queries
 
     INTENTIONAL_CROSS = {
+        "q_holt_trend",  # 1-row folded (level, trend) state x 7 horizons
         "q_ann_topk",  # broadcast N_QUERIES rows x corpus scan
         "q_retrieval_eval",  # broadcast IVF_QUERIES rows x corpus (truth)
         "q_ann_ivf",  # broadcast 16 centroids x corpus (assignment)
