@@ -948,3 +948,265 @@ _fmt(
     DIST_TOP_PER_SOURCE=DIST_TOP_PER_SOURCE,
     DIST_MIN_CORPUS_TF=DIST_MIN_CORPUS_TF,
 )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth curve — Heaps'-law audit (round 11)
+# ---------------------------------------------------------------------------
+# "How much NEW vocabulary does each additional quarter of the corpus
+# buy" — the corpus-expansion question behind dedup thresholds and
+# tokenizer vocab sizing: a healthy crawl keeps minting types
+# (Heaps-law growth); a heavily duplicated or templated corpus
+# flatlines. Prefixes are quarters of the doc_id RANGE (1-row
+# min/max arithmetic — no global sort, no window), per-word first
+# appearance is one MIN aggregate, and every curve point is a
+# conditional integer count — engine-exact throughout.
+
+VG_QUARTERS = 4
+
+
+@query(
+    "q_vocab_growth",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+    ),
+    docs AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents
+    ),
+    firsts AS (
+        SELECT w, MIN(doc_id) AS f
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    cuts AS (
+        SELECT k, b.lo + (b.hi - b.lo + 1) * k // {VG_QUARTERS} AS cut
+        FROM (SELECT UNNEST(range(1, {VG_QUARTERS + 1})) AS k), bounds b
+    ),
+    vocab AS (
+        SELECT c.k,
+               CAST(COUNT(*) FILTER (WHERE fs.f < c.cut) AS BIGINT)
+                 AS vocab
+        FROM cuts c, firsts fs GROUP BY c.k
+    ),
+    vol AS (
+        SELECT c.k,
+               CAST(COUNT(*) FILTER (WHERE d.doc_id < c.cut) AS BIGINT)
+                 AS n_docs,
+               CAST(SUM(CASE WHEN d.doc_id < c.cut THEN d.n_toks
+                             ELSE 0 END) AS BIGINT) AS n_tokens
+        FROM cuts c, docs d GROUP BY c.k
+    )
+    SELECT CAST(v.k AS INT) AS quarter,
+           vol.n_docs, vol.n_tokens, v.vocab,
+           CAST(v.vocab - COALESCE(LAG(v.vocab) OVER (ORDER BY v.k), 0)
+                AS BIGINT) AS new_types,
+           round(CAST(v.vocab AS DOUBLE) / vol.n_tokens, 6)
+             AS type_token_ratio
+    FROM vocab v JOIN vol ON vol.k = v.k
+    ORDER BY quarter
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth over corpus prefixes: distinct word types,
+    token volume, NEW types minted, and type-token ratio at each
+    quarter of the doc_id range — the Heaps'-law curve that says
+    whether more crawl keeps buying new vocabulary (healthy) or the
+    corpus has gone templated/duplicated (flat). Prefix cutoffs are
+    pure 1-row min/max arithmetic, per-word first appearance is one
+    MIN aggregate, every curve point a conditional integer count.
+
+    Scale: one token explode into a map-side-combined MIN per word
+    (vocabulary-sized result), one doc-level aggregate — no global
+    sort, no window over data-sized frames; the curve itself is
+    {VG_QUARTERS} rows."""
+    d = read_table(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    firsts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("f"))
+    )
+    cuts = (
+        spark.range(1, VG_QUARTERS + 1)
+        .select(F.col("id").cast("int").alias("k"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "k",
+            F.expr(
+                f"lo + (hi - lo + 1) * k div {VG_QUARTERS}"
+            ).alias("cut"),
+        )
+    )
+    vocab = (
+        firsts.crossJoin(F.broadcast(cuts))
+        .groupBy("k")
+        .agg(
+            F.count(F.when(F.col("f") < F.col("cut"), 1))
+            .cast("bigint")
+            .alias("vocab")
+        )
+    )
+    vol = (
+        d.select("doc_id", F.size(F.split("text", " ")).alias("n_toks"))
+        .crossJoin(F.broadcast(cuts))
+        .groupBy("k")
+        .agg(
+            F.count(F.when(F.col("doc_id") < F.col("cut"), 1))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") < F.col("cut"), F.col("n_toks"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = F.lag("vocab").over(Window.orderBy("k"))
+    return (
+        vocab.join(vol, "k")
+        .select(
+            F.col("k").cast("int").alias("quarter"),
+            "n_docs",
+            "n_tokens",
+            "vocab",
+            (F.col("vocab") - F.coalesce(w, F.lit(0)))
+            .cast("bigint")
+            .alias("new_types"),
+            F.round(
+                F.col("vocab").cast("double") / F.col("n_tokens"), 6
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("quarter")
+    )
+
+
+_fmt(q_vocab_growth, VG_QUARTERS=VG_QUARTERS)
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty between corpus halves (round 11)
+# ---------------------------------------------------------------------------
+# The continual-pretraining freshness question: of the 3-gram shingles
+# in the NEWER half of the corpus, what fraction was never seen in the
+# older half? High novelty = the new crawl carries new content worth
+# training on; novelty near zero = it is re-crawling what the model
+# already saw (and the dedup pipeline's problem, not the trainer's).
+# Same doc_id-range split arithmetic as q_vocab_growth, same shingle
+# contract as the dedup family, and the novelty check is one anti-style
+# LEFT JOIN on the shingle key — the decontamination shape pointed at
+# freshness instead of leakage.
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(doc_id) AS lo,
+               MIN(doc_id) + (MAX(doc_id) - MIN(doc_id) + 1) // 2 AS mid
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest({sql_word_shingles('text')}) AS s
+        FROM documents
+    ),
+    ref AS (
+        SELECT DISTINCT s FROM sh, bounds b WHERE sh.doc_id < b.mid
+    ),
+    cur AS (
+        SELECT DISTINCT d.source, sh.s
+        FROM sh JOIN documents d ON d.doc_id = sh.doc_id, bounds b
+        WHERE sh.doc_id >= b.mid
+    ),
+    curdocs AS (
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents d, bounds b WHERE d.doc_id >= b.mid
+        GROUP BY d.source
+    ),
+    flagged AS (
+        SELECT c.source, c.s, r.s IS NOT NULL AS seen
+        FROM cur c LEFT JOIN ref r ON r.s = c.s
+    ),
+    nov AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS distinct_shingles,
+               CAST(COUNT(*) FILTER (WHERE NOT seen) AS BIGINT)
+                 AS novel_shingles
+        FROM flagged GROUP BY source
+    )
+    SELECT n.source, cd.n_docs, n.distinct_shingles, n.novel_shingles,
+           round(CAST(n.novel_shingles AS DOUBLE) / n.distinct_shingles, 6)
+             AS novelty_rate
+    FROM nov n JOIN curdocs cd ON cd.source = n.source
+    ORDER BY n.source
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 3-gram novelty of the newer corpus half against the
+    older half (halves = doc_id-range split, 1-row arithmetic): the
+    fraction of the new half's distinct shingles never seen before.
+    The freshness signal continual pretraining decisions rest on —
+    near-zero novelty means the crawl is re-collecting known content.
+
+    Scale: two distinct-shingle projections and ONE equi-join on the
+    shingle key (the decontamination join shape); per-source counts
+    are map-side-combined."""
+    d = read_table(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.min("doc_id").alias("lo"),
+        (
+            F.min("doc_id")
+            + F.expr("(max(doc_id) - min(doc_id) + 1) div 2")
+        ).alias("mid"),
+    )
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles("text")).alias("s"),
+    ).crossJoin(F.broadcast(bounds))
+    ref = (
+        sh.where(F.col("doc_id") < F.col("mid")).select("s").distinct()
+    )
+    cur = (
+        sh.where(F.col("doc_id") >= F.col("mid"))
+        .select("source", "s")
+        .distinct()
+    )
+    curdocs = (
+        d.crossJoin(F.broadcast(bounds))
+        .where(F.col("doc_id") >= F.col("mid"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    flagged = cur.join(
+        ref.withColumn("seen", F.lit(1)), "s", "left"
+    )
+    nov = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("distinct_shingles"),
+        F.count(F.when(F.col("seen").isNull(), 1))
+        .cast("bigint")
+        .alias("novel_shingles"),
+    )
+    return (
+        nov.join(curdocs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "distinct_shingles",
+            "novel_shingles",
+            F.round(
+                F.col("novel_shingles").cast("double")
+                / F.col("distinct_shingles"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )

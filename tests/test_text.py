@@ -142,3 +142,48 @@ def test_cdc_chunking_resyncs_after_prefix_insert(spark):
     shared = h1 & h2
     # all but the first chunk(s) must re-sync and hash-match
     assert len(shared) >= len(h1) - 2, (len(shared), len(h1))
+
+
+def test_vocab_growth_is_monotone_and_exact(spark, sf_smoke):
+    """Vocabulary and token volume are cumulative, so every column is
+    non-decreasing in the quarter index, new_types telescopes to the
+    final vocabulary, and the final row covers the whole corpus."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    rows = sorted(
+        all_queries()["q_vocab_growth"](spark, sf_smoke).collect(),
+        key=lambda r: r["quarter"],
+    )
+    assert [r["quarter"] for r in rows] == [1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert b["vocab"] >= a["vocab"]
+        assert b["n_tokens"] >= a["n_tokens"]
+        assert b["n_docs"] >= a["n_docs"]
+    assert sum(r["new_types"] for r in rows) == rows[-1]["vocab"]
+    d = read_table(spark, sf_smoke, "documents")
+    assert rows[-1]["n_docs"] == d.count()
+
+
+def test_ngram_novelty_extremes(spark, tmp_path):
+    """Novelty semantics at the poles: a second half that verbatim
+    repeats the first scores 0.0; a second half with entirely fresh
+    shingles scores 1.0."""
+    from dynamodb_streaming_datalake_spark.operators.text import (
+        q_ngram_novelty,
+    )
+
+    old = "alpha beta gamma delta epsilon zeta"
+    fresh = "omicron pi rho sigma tau upsilon"
+    for texts, want in [
+        ([old, old], 0.0),          # copy: nothing novel
+        ([old, fresh], 1.0),        # disjoint: everything novel
+    ]:
+        sf = str(tmp_path / f"sf_{want}")
+        spark.createDataFrame(
+            [(i, t, "web", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, source string, n_chars int",
+        ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+        rows = q_ngram_novelty(spark, sf).collect()
+        assert len(rows) == 1
+        assert rows[0]["novelty_rate"] == want
