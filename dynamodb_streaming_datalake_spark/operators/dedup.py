@@ -2054,3 +2054,160 @@ _fmt(
     CONTAIN_THRESHOLD=CONTAIN_THRESHOLD,
     JACCARD_THRESHOLD=JACCARD_THRESHOLD,
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: probe incoming docs against the existing lake
+# (round 11)
+# ---------------------------------------------------------------------------
+# Every pair query above is SYMMETRIC (corpus against itself); the
+# query a production ingest actually runs is asymmetric — "which of
+# today's arrivals near-duplicate something ALREADY IN the lake" —
+# and its join is a PROBE of the small incoming side against the lake
+# signature table, never a self-join of the whole corpus. That lake
+# signature table is exactly what streaming.sketchview's MinHash view
+# maintains continuously; here the two halves of the doc_id range
+# stand in for (lake, incoming) so the DuckDB oracle can replay the
+# split verbatim.
+
+
+def lsh_probe_pairs(
+    incoming_sigs: DataFrame,
+    lake_sigs: DataFrame,
+    incoming_docs: DataFrame,
+    lake_docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Asymmetric LSH candidate probe: incoming band rows equi-join the
+    LAKE's band rows (capped on the lake posting-list size — the side
+    that can degenerate), verified with exact Jaccard. Output one row
+    per verified (incoming, lake) duplicate pair."""
+    inc = lsh_band_buckets(incoming_sigs)
+    lake = lsh_band_buckets(lake_sigs)
+    if max_bucket_size is not None:
+        big = (
+            lake.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .where(F.col("sz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        lake = lake.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+    cand = (
+        inc.alias("x")
+        .join(
+            lake.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id"),
+            F.col("y.doc_id").alias("lake_doc_id"),
+        )
+        .distinct()
+    )
+    ia = incoming_docs.select("doc_id", word_shingles("text").alias("arr"))
+    la = lake_docs.select("doc_id", word_shingles("text").alias("arr"))
+    jac = (
+        F.size(F.array_intersect(F.col("pa.arr"), F.col("pb.arr")))
+        / F.size(F.array_union(F.col("pa.arr"), F.col("pb.arr")))
+    )
+    return (
+        cand.join(ia.alias("pa"), cand["doc_id"] == F.col("pa.doc_id"))
+        .join(la.alias("pb"), cand["lake_doc_id"] == F.col("pb.doc_id"))
+        .select(
+            cand["doc_id"], cand["lake_doc_id"], jac.alias("jaccard")
+        )
+        .where(F.col("jaccard") > threshold)
+    )
+
+
+_SQL_INCR_MH_MINS = ", ".join(
+    f"MIN(({MINHASH_A[s]} * h0 + {MINHASH_B[s]}) % {MINHASH_P}) AS m{s}"
+    for s in range(MINHASH_SEEDS)
+)
+_SQL_INCR_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, concat_ws('|', "
+    + ", ".join(
+        f"m{s}" for s in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+    )
+    + ") AS bucket FROM mh"
+    for b in range(MINHASH_BANDS)
+)
+
+_SQL_INCR_PAIRS = f"""
+    WITH bounds AS (
+        SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id) + 1) // 2 AS mid
+        FROM documents
+    ),
+    shingle_rows AS (
+        SELECT DISTINCT doc_id, unnest({sql_word_shingles('text')}) AS sh
+        FROM documents
+    ),
+    hs AS (
+        SELECT doc_id, {sql_portable_hash60('sh')} % {MINHASH_P} AS h0
+        FROM shingle_rows
+    ),
+    mh AS (SELECT doc_id, {_SQL_INCR_MH_MINS} FROM hs GROUP BY doc_id),
+    all_bands AS ({_SQL_INCR_BANDS}),
+    inc AS (
+        SELECT b.* FROM all_bands b, bounds WHERE b.doc_id >= bounds.mid
+    ),
+    lake_all AS (
+        SELECT b.* FROM all_bands b, bounds WHERE b.doc_id < bounds.mid
+    ),
+    small_buckets AS (
+        SELECT band, bucket FROM lake_all
+        GROUP BY band, bucket HAVING COUNT(*) <= {MAX_BUCKET_SIZE}
+    ),
+    lake AS (
+        SELECT l.* FROM lake_all l JOIN small_buckets USING (band, bucket)
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS lake_doc_id
+        FROM inc x JOIN lake y
+          ON x.band = y.band AND x.bucket = y.bucket
+    ),
+    sh_arr AS (SELECT doc_id, {sql_word_shingles('text')} AS arr
+               FROM documents)
+    SELECT c.doc_id, c.lake_doc_id,
+           len(list_intersect(pa.arr, pb.arr)) * 1.0
+             / len(list_distinct(list_concat(pa.arr, pb.arr))) AS jaccard
+    FROM cand c
+    JOIN sh_arr pa ON pa.doc_id = c.doc_id
+    JOIN sh_arr pb ON pb.doc_id = c.lake_doc_id
+    WHERE len(list_intersect(pa.arr, pb.arr)) * 1.0
+            / len(list_distinct(list_concat(pa.arr, pb.arr)))
+          > {JACCARD_THRESHOLD}
+"""
+
+
+@query("q_dedup_incremental", oracle=_SQL_INCR_PAIRS)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest: which docs of the newer half of the doc_id
+    range near-duplicate something already in the older half (the
+    'lake'). Asymmetric LSH probe — incoming band rows equi-join the
+    lake's capped band table, exact-Jaccard verify on candidates only
+    — the production shape whose lake side the streaming MinHash view
+    (q_dedup_stream) maintains continuously.
+
+    Scale: the join output is bounded by incoming x per-bucket lake
+    collisions (the cap bounds the lake side); the incoming corpus is
+    typically days, the lake years — this probe never self-joins the
+    lake."""
+    d = read_table(spark, sf_dir, "documents")
+    bounds = d.agg(
+        (
+            F.min("doc_id")
+            + F.expr("(max(doc_id) - min(doc_id) + 1) div 2")
+        ).alias("mid")
+    )
+    flagged = d.crossJoin(F.broadcast(bounds))
+    lake_docs = flagged.where(F.col("doc_id") < F.col("mid")).drop("mid")
+    inc_docs = flagged.where(F.col("doc_id") >= F.col("mid")).drop("mid")
+    return lsh_probe_pairs(
+        minhash_signatures(inc_docs),
+        minhash_signatures(lake_docs),
+        inc_docs,
+        lake_docs,
+    )

@@ -187,3 +187,32 @@ def test_ngram_novelty_extremes(spark, tmp_path):
         rows = q_ngram_novelty(spark, sf).collect()
         assert len(rows) == 1
         assert rows[0]["novelty_rate"] == want
+
+
+def test_dedup_incremental_finds_planted_lake_duplicates(spark, tmp_path):
+    """Dedup-on-ingest semantics: incoming docs that verbatim-copy a
+    lake doc are matched to exactly that doc at jaccard 1.0; fresh
+    incoming docs produce no pair."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        q_dedup_incremental,
+    )
+
+    lake = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "red orange yellow green blue indigo violet colors",
+        "north south east west compass rose navigation map",
+    ]
+    incoming = [lake[0], lake[2], "totally fresh words nobody wrote before now"]
+    rows = [(i, t, "web", len(t)) for i, t in enumerate(lake + incoming)]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars int"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        (r["doc_id"], r["lake_doc_id"]): r["jaccard"]
+        for r in q_dedup_incremental(spark, sf).collect()
+    }
+    # mid = 0 + (7-0+1)//2 = 4 -> lake = 0..3, incoming = 4..6
+    assert got == {(4, 0): 1.0, (5, 2): 1.0}
