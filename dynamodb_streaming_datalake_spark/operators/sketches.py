@@ -1548,3 +1548,117 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_ams_f2, AMS_R=AMS_R)
+
+
+# ---------------------------------------------------------------------------
+# numeric column correlation matrix (round 11)
+# ---------------------------------------------------------------------------
+# The third leg of the catalog-statistics family: q_analyze_ndv gives a
+# CBO cardinalities, q_join_estimate prices a join — this gives the
+# COLUMN DEPENDENCE a selectivity model needs (independent-predicate
+# multiplication is wrong exactly when |r| is high) and the feature
+# audit an ML pipeline runs before training on tabular columns.
+# Pearson r for every pair of lineitem's numeric measure columns from
+# ONE scan of exact decimal power sums — the q_cuped discipline: no
+# float crosses rows, each r is a single final double expression.
+
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(CORR_COLS)
+    for b in CORR_COLS[i + 1 :]
+]
+
+# Oracle casts to DECIMAL(19,6): same exact values as Spark's (18,6),
+# but (18,6) squares overflow DuckDB's int64 decimal kernel — (19,6)
+# forces hugeint physical (the q_autocorrelation precedent).
+_SQL_CORR_SUMS = ", ".join(
+    [f"CAST(COUNT(*) AS BIGINT) AS n"]
+    + [
+        f"SUM(CAST(CAST({c} AS DOUBLE) AS DECIMAL(19,6))) AS s_{c}"
+        for c in CORR_COLS
+    ]
+    + [
+        f"SUM(CAST(CAST({a} AS DOUBLE) AS DECIMAL(19,6))"
+        f" * CAST(CAST({b} AS DOUBLE) AS DECIMAL(19,6))) AS s_{a}_{b}"
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i:]
+    ]
+)
+
+_SQL_CORR_ROWS = " UNION ALL ".join(
+    f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+           round((n * CAST(s_{a}_{b} AS DOUBLE)
+                  - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+                 / (sqrt(n * CAST(s_{a}_{a} AS DOUBLE)
+                         - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                    * sqrt(n * CAST(s_{b}_{b} AS DOUBLE)
+                           - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))),
+                 6) AS pearson_r
+    FROM sums"""
+    for a, b in _CORR_PAIRS
+)
+
+
+@query(
+    "q_column_correlation",
+    oracle=f"""
+    WITH sums AS (SELECT {_SQL_CORR_SUMS} FROM lineitem)
+    {_SQL_CORR_ROWS}
+    ORDER BY col_a, col_b
+    """,
+)
+def q_column_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for every pair of lineitem's numeric measure
+    columns ({CORR_COLS_STR}) — the column-dependence statistic a
+    cost-based selectivity model (and any tabular feature audit) needs
+    before multiplying predicate selectivities as if independent.
+
+    One scan accumulates all {N_SUMS} power sums in exact
+    DECIMAL(18,6)/(37,12); each r is one final double expression
+    rounded to 6 dp. Scale: a single map-side-combined aggregate —
+    the report is {N_PAIRS} rows forever."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("double").cast("decimal(18,6)")  # noqa: E731
+    sums = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[F.sum(dec(c)).alias(f"s_{c}") for c in CORR_COLS],
+        *[
+            F.sum(dec(a) * dec(b)).alias(f"s_{a}_{b}")
+            for i, a in enumerate(CORR_COLS)
+            for b in CORR_COLS[i:]
+        ],
+    )
+
+    def r_expr(a: str, b: str):
+        n = F.col("n")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sab = F.col(f"s_{a}_{b}").cast("double")
+        saa = F.col(f"s_{a}_{a}").cast("double")
+        sbb = F.col(f"s_{b}_{b}").cast("double")
+        return F.round(
+            (n * sab - sa * sb)
+            / (F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)),
+            6,
+        )
+
+    out = None
+    for a, b in _CORR_PAIRS:
+        row = sums.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            "n",
+            r_expr(a, b).alias("pearson_r"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("col_a", "col_b")
+
+
+_fmt(
+    q_column_correlation,
+    CORR_COLS_STR=", ".join(CORR_COLS),
+    N_SUMS=1 + len(CORR_COLS) + len(CORR_COLS) * (len(CORR_COLS) + 1) // 2,
+    N_PAIRS=len(_CORR_PAIRS),
+)

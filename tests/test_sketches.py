@@ -295,3 +295,29 @@ def test_ams_estimate_tracks_exact_f2(spark, sf_smoke):
     for r in q_ams_f2(spark, sf_smoke).collect():
         assert r["est_mean"] > 0
         assert r["f2_exact"] / 10 <= r["est_mean"] <= r["f2_exact"] * 10
+
+
+def test_column_correlation_matches_numpy(spark, sf_smoke):
+    """Every reported Pearson r equals numpy's corrcoef on the same
+    columns to 1e-4, values in [-1, 1], all 6 pairs present."""
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.operators.sketches import (
+        CORR_COLS,
+        q_column_correlation,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    m = np.array(
+        read_table(spark, sf_smoke, "lineitem")
+        .select(*CORR_COLS)
+        .collect(),
+        dtype=np.float64,
+    )
+    want = np.corrcoef(m, rowvar=False)
+    rows = q_column_correlation(spark, sf_smoke).collect()
+    assert len(rows) == 6
+    for r in rows:
+        i, j = CORR_COLS.index(r["col_a"]), CORR_COLS.index(r["col_b"])
+        assert abs(r["pearson_r"]) <= 1
+        assert abs(r["pearson_r"] - want[i, j]) < 1e-4
