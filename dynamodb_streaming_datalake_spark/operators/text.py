@@ -1210,3 +1210,145 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (round 11)
+# ---------------------------------------------------------------------------
+# Rapid Automatic Keyword Extraction: candidate phrases are maximal
+# stopword-free word runs; a word's score is degree/frequency over the
+# phrase-word graph (degree = total length of phrases it appears in),
+# a phrase's score the sum of its words' scores. The corpus-level
+# keyword surfacing used for document tagging and search facets.
+# Scores quantize to scale-6 integers via integral division (exact in
+# both engines), so phrase scores are exact integer sums — no float
+# ever crosses rows.
+
+RAKE_TOP = 3
+
+
+def _rake_phrases_sql() -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    phrases AS (
+        SELECT DISTINCT doc_id, trim(p) AS phrase
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(array_to_string(
+                       list_transform(string_split(text, ' '),
+                           w -> CASE WHEN w IN ({sw}) THEN '|' ELSE w END),
+                       ' '), '|')) AS p
+            FROM documents
+        )
+        WHERE trim(p) <> ''
+    )"""
+
+
+@query(
+    "q_rake_keywords",
+    oracle=f"""
+    WITH {{RAKE_PHRASES}},
+    pw AS (
+        SELECT doc_id, phrase,
+               len(string_split(phrase, ' ')) AS plen,
+               unnest(string_split(phrase, ' ')) AS w
+        FROM phrases
+    ),
+    stats AS (
+        SELECT w,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS deg
+        FROM pw GROUP BY w
+    ),
+    scored AS (
+        SELECT p.doc_id, p.phrase,
+               CAST(len(string_split(p.phrase, ' ')) AS BIGINT) AS n_words,
+               SUM(s.deg * 1000000 // s.freq) AS score_fp
+        FROM pw p JOIN stats s ON s.w = p.w
+        GROUP BY p.doc_id, p.phrase
+    ),
+    ranked AS (
+        SELECT doc_id, phrase, n_words, score_fp,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score_fp DESC, phrase
+               ) AS rk
+        FROM scored
+    )
+    SELECT doc_id, CAST(rk AS INT) AS rank, phrase, n_words,
+           round(CAST(score_fp AS DOUBLE) / 1000000, 6) AS rake_score
+    FROM ranked WHERE rk <= {RAKE_TOP}
+    ORDER BY doc_id, rank
+    """.replace("{RAKE_PHRASES}", _rake_phrases_sql()),
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: top-{RAKE_TOP} stopword-free phrases
+    per document, scored by the sum of their words' degree/frequency
+    ratios over the corpus phrase-word graph. Word scores quantize to
+    scale-6 integers by integral division (identical truncation in
+    both engines), so phrase scores are exact integer sums and the
+    ranking is engine-exact; ties break on the phrase text.
+
+    Scale: phrase extraction is row-local array algebra; word stats
+    are one vocabulary-sized map-side-combined aggregate; scoring is
+    one equi-join of phrase words against that vocabulary and the
+    per-doc window ranks a handful of phrases per document."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    marked = F.transform(
+        toks,
+        lambda w: F.when(w.isin(*STOPWORDS), F.lit("|")).otherwise(w),
+    )
+    phrases = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.array_join(marked, " "), "\\|")
+            ).alias("p"),
+        )
+        .select("doc_id", F.trim("p").alias("phrase"))
+        .where(F.col("phrase") != "")
+        .distinct()
+    )
+    pw = phrases.select(
+        "doc_id",
+        "phrase",
+        F.size(F.split("phrase", " ")).alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    stats = pw.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    scored = (
+        pw.join(stats, "w")
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.first(F.size(F.split("phrase", " ")))
+            .cast("bigint")
+            .alias("n_words"),
+            F.sum(F.expr("deg * 1000000 div freq")).alias("score_fp"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_fp").desc(), "phrase"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= RAKE_TOP)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "phrase",
+            "n_words",
+            F.round(F.col("score_fp").cast("double") / 1000000, 6).alias(
+                "rake_score"
+            ),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+_fmt(q_rake_keywords, RAKE_TOP=RAKE_TOP)

@@ -216,3 +216,25 @@ def test_dedup_incremental_finds_planted_lake_duplicates(spark, tmp_path):
     }
     # mid = 0 + (7-0+1)//2 = 4 -> lake = 0..3, incoming = 4..6
     assert got == {(4, 0): 1.0, (5, 2): 1.0}
+
+
+def test_rake_keywords_hand_computed_fixture(spark, tmp_path):
+    """RAKE semantics on a hand-scored fixture: 'the quick brown fox is
+    on a lazy dog' yields phrases 'quick brown fox' (each word deg 3,
+    freq 1 -> word score 3, phrase score 9) and 'lazy dog' (deg 2,
+    freq 1 -> phrase score 4), ranked in that order."""
+    from dynamodb_streaming_datalake_spark.operators.text import (
+        q_rake_keywords,
+    )
+
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(0, "the quick brown fox is on a lazy dog", "web", 37)],
+        "doc_id long, text string, source string, n_chars int",
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = q_rake_keywords(spark, sf).collect()
+    assert [(r["rank"], r["phrase"], r["rake_score"]) for r in rows] == [
+        (1, "quick brown fox", 9.0),
+        (2, "lazy dog", 4.0),
+    ]
+    assert rows[0]["n_words"] == 3 and rows[1]["n_words"] == 2
