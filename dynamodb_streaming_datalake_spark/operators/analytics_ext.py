@@ -1911,3 +1911,86 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_holt_trend, HOLT_H=HOLT_H)
+
+
+# ---------------------------------------------------------------------------
+# cumulative user growth (round 11)
+# ---------------------------------------------------------------------------
+# The growth-accounting ledger: per day, how many users were seen for
+# the FIRST time (acquisition), how many were active at all, and the
+# exact running total of distinct users ever seen. q_hll_rolling
+# answers the windowed-distinct version approximately from register
+# sketches; this is the exact cumulative companion — and it costs one
+# first-seen aggregate, never a per-day COUNT(DISTINCT) rescan,
+# because "cumulative distinct" telescopes into a running sum of
+# first appearances.
+
+
+@query(
+    "q_cumulative_users",
+    oracle="""
+    WITH days AS (
+        SELECT user_id,
+               CAST(ts AS DATE) - DATE '1970-01-01' AS day_i
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, MIN(day_i) AS first_day FROM days GROUP BY user_id
+    ),
+    active AS (
+        SELECT day_i, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM days GROUP BY day_i
+    ),
+    news AS (
+        SELECT first_day AS day_i, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM firsts GROUP BY first_day
+    )
+    SELECT CAST(a.day_i AS BIGINT) AS day_i,
+           COALESCE(n.new_users, 0) AS new_users,
+           a.active_users,
+           CAST(a.active_users - COALESCE(n.new_users, 0) AS BIGINT)
+             AS returning_users,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day_i)
+                AS BIGINT) AS cumulative_users
+    FROM active a LEFT JOIN news n ON n.day_i = a.day_i
+    ORDER BY day_i
+    """,
+)
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: new users (first appearance), active
+    users, returning users, and the exact cumulative distinct-user
+    total as a running sum of first appearances — the telescoping that
+    makes 'cumulative distinct' cost ONE aggregate instead of a
+    per-day COUNT(DISTINCT) rescan (q_hll_rolling is the sketched
+    windowed sibling).
+
+    Scale: one (user, day) projection feeds a per-user MIN and a
+    per-day distinct count; the running sum runs over |days| rows."""
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_i")
+    )
+    firsts = days.groupBy("user_id").agg(F.min("day_i").alias("first_day"))
+    active = days.groupBy("day_i").agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_users")
+    )
+    news = firsts.groupBy(F.col("first_day").alias("day_i")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day_i")
+    return (
+        active.join(news, "day_i", "left")
+        .na.fill({"new_users": 0})
+        .select(
+            F.col("day_i").cast("bigint").alias("day_i"),
+            "new_users",
+            "active_users",
+            (F.col("active_users") - F.col("new_users"))
+            .cast("bigint")
+            .alias("returning_users"),
+            F.sum("new_users").over(w).cast("bigint").alias(
+                "cumulative_users"
+            ),
+        )
+        .orderBy("day_i")
+    )

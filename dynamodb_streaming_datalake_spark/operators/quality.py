@@ -487,3 +487,125 @@ _fmt(
     DRIFT_BINS=DRIFT_BINS,
     DRIFT_BINS_MINUS_1=DRIFT_BINS - 1,
 )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (round 11)
+# ---------------------------------------------------------------------------
+# Forensic data-quality check: naturally occurring multiplicative
+# quantities (prices, populations, transaction totals) follow
+# Benford's law — P(leading digit d) = log10(1 + 1/d) — and synthetic,
+# fabricated, or truncated feeds don't. The audit flags a generated or
+# corrupted column BEFORE it trains a model or calibrates an
+# estimator. Digits extract as the first character of the exact
+# integer part (floor + integer-to-string — no float log10 anywhere
+# near a power-of-ten boundary); the expected shares are fixed 6-dp
+# literals shared by both engines; the chi-square follows
+# q_histogram_drift's discipline (per-digit term rounded to 6 dp,
+# decimal-accumulated).
+
+BENFORD_SHARES = (
+    (1, "0.30103"), (2, "0.176091"), (3, "0.124939"),
+    (4, "0.09691"), (5, "0.079181"), (6, "0.066947"),
+    (7, "0.057992"), (8, "0.051153"), (9, "0.045757"),
+)
+
+_SQL_BENFORD_TABLE = " UNION ALL ".join(
+    f"SELECT {d} AS digit, {s} AS benford_share" for d, s in BENFORD_SHARES
+)
+
+
+@query(
+    "q_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
+        FROM digits GROUP BY digit
+    ),
+    bt AS ({_SQL_BENFORD_TABLE}),
+    tot AS (SELECT SUM(observed) AS n FROM counts),
+    scored AS (
+        SELECT b.digit, COALESCE(c.observed, 0) AS observed,
+               b.benford_share, t.n,
+               CAST(round(
+                   (COALESCE(c.observed, 0) - t.n * b.benford_share)
+                   * (COALESCE(c.observed, 0) - t.n * b.benford_share)
+                   / (t.n * b.benford_share), 6) AS DECIMAL(38,6))
+                 AS chi_term
+        FROM bt b LEFT JOIN counts c ON c.digit = b.digit, tot t
+    )
+    SELECT CAST(digit AS INT) AS digit,
+           CAST(observed AS BIGINT) AS observed,
+           round(CAST(observed AS DOUBLE) / n, 6) AS observed_share,
+           CAST(benford_share AS DOUBLE) AS benford_share,
+           CAST(chi_term AS DOUBLE) AS chi_term,
+           CAST(SUM(chi_term) OVER () AS DOUBLE) AS chi2
+    FROM scored
+    ORDER BY digit
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed vs
+    expected digit shares and a chi-square statistic — the forensic
+    check that flags fabricated, truncated, or unit-mangled numeric
+    feeds before they train anything. Digit extraction is exact
+    integer/string algebra (never float log10); expected shares are
+    fixed 6-dp literals; chi-square terms round to 6 dp then
+    accumulate in DECIMAL(38,6), the q_histogram_drift discipline.
+
+    Scale: one scan into a 9-row aggregate; the report is 9 rows
+    forever."""
+    o = read_table(spark, sf_dir, "orders")
+    digits = o.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("observed")
+    )
+    bt = spark.createDataFrame(
+        [(d, float(s)) for d, s in BENFORD_SHARES],
+        "digit int, benford_share double",
+    )
+    tot = counts.agg(F.sum("observed").alias("n"))
+    scored = (
+        bt.join(counts, "digit", "left")
+        .na.fill({"observed": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    exp_cnt = F.col("n") * F.col("benford_share")
+    chi_term = F.round(
+        (F.col("observed") - exp_cnt)
+        * (F.col("observed") - exp_cnt)
+        / exp_cnt,
+        6,
+    ).cast("decimal(38,6)")
+    w = Window.partitionBy()
+    return (
+        scored.select(
+            F.col("digit").cast("int").alias("digit"),
+            F.col("observed").cast("bigint").alias("observed"),
+            F.round(F.col("observed").cast("double") / F.col("n"), 6).alias(
+                "observed_share"
+            ),
+            F.col("benford_share").cast("double").alias("benford_share"),
+            chi_term.alias("chi_term_d"),
+        )
+        .select(
+            "digit",
+            "observed",
+            "observed_share",
+            "benford_share",
+            F.col("chi_term_d").cast("double").alias("chi_term"),
+            F.sum("chi_term_d").over(w).cast("double").alias("chi2"),
+        )
+        .orderBy("digit")
+    )

@@ -225,6 +225,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_vocab_growth",  # 1-row doc_id bounds (and 4-row cutoffs) crossed
         "q_ngram_novelty",  # 1-row doc_id midpoint crossed into the scan
         "q_dedup_incremental",  # 1-row doc_id midpoint crossed into the scan
+        "q_benford_audit",  # 1-row digit grand total crossed into 9 rows
         "q_ann_topk",  # broadcast N_QUERIES rows x corpus scan
         "q_retrieval_eval",  # broadcast IVF_QUERIES rows x corpus (truth)
         "q_ann_ivf",  # broadcast 16 centroids x corpus (assignment)

@@ -565,3 +565,46 @@ def test_histogram_drift_invariants(spark, sf_smoke):
     l1 = sum(abs(r["ref_share"] - r["cur_share"]) for r in rows)
     assert abs(tvd - l1 / 2) < 1e-3
     assert 0 <= tvd <= 1 and rows[0]["chi2"] >= 0
+
+
+def test_benford_audit_shares_and_chi2(spark, sf_smoke):
+    """Nine rows, observed shares sum to 1, chi2 = sum of the in-row
+    terms, and expected shares are the Benford constants."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["q_benford_audit"](spark, sf_smoke).collect(),
+        key=lambda r: r["digit"],
+    )
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(rows[0]["benford_share"] - 0.30103) < 1e-9
+    assert abs(
+        rows[0]["chi2"] - sum(r["chi_term"] for r in rows)
+    ) < 1e-6
+
+
+def test_cumulative_users_telescopes(spark, sf_smoke):
+    """The final cumulative total equals the table's true distinct-user
+    count, new <= active every day, and the running total is the prefix
+    sum of new_users."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    rows = sorted(
+        all_queries()["q_cumulative_users"](spark, sf_smoke).collect(),
+        key=lambda r: r["day_i"],
+    )
+    total = (
+        read_table(spark, sf_smoke, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[-1]["cumulative_users"] == total
+    run = 0
+    for r in rows:
+        assert r["new_users"] <= r["active_users"]
+        assert r["returning_users"] == r["active_users"] - r["new_users"]
+        run += r["new_users"]
+        assert r["cumulative_users"] == run
