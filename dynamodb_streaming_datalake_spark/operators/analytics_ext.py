@@ -666,10 +666,10 @@ def q_user_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 SESSION_GAP_S = 1800
 
-
-@query(
-    "q_sessionize",
-    oracle=f"""
+#: shared by q_sessionize and its custom-stateful streaming twin
+#: q_stream_sessionize (operators/cdc_zone.py) — hash-equality against
+#: the SAME oracle is the stream==batch proof
+_SQL_SESSIONIZE = f"""
     WITH marked AS (
         SELECT user_id, event_id, value,
                CAST(epoch_us(ts) AS BIGINT) AS ts_us,
@@ -695,8 +695,10 @@ SESSION_GAP_S = 1800
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM sessions
     GROUP BY user_id, session_no
-    """,
-)
+"""
+
+
+@query("q_sessionize", oracle=_SQL_SESSIONIZE)
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (B12 composite): a new session starts
     after a >30 min silence; session ids are per-user running sums of

@@ -492,3 +492,103 @@ def q_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("eventID").alias("first_event"),
         F.max("eventID").alias("last_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# custom-stateful gap sessionization under the gate (round 11)
+# ---------------------------------------------------------------------------
+
+_SESS_SRC_VERSION = "v1"
+
+
+def _ensure_session_source(spark: SparkSession, sf_dir: str) -> str:
+    """Events (4 columns) plus one far-future flush sentinel per user
+    (event_id = -1, 3 h past the last real event — beyond the session
+    gap, so it closes every open session without ever joining one),
+    written once per sf_dir."""
+    def build(build_dir: str) -> None:
+        ev = read_table(spark, sf_dir, "events").select(
+            "ts", "user_id", "event_id", "value"
+        )
+        sentinel_ts = ev.agg(
+            (F.max("ts") + F.expr("INTERVAL 3 HOUR")).alias("ts")
+        )
+        sentinels = (
+            ev.select("user_id")
+            .distinct()
+            .crossJoin(F.broadcast(sentinel_ts))
+            .select(
+                "ts",
+                "user_id",
+                F.lit(-1).cast("long").alias("event_id"),
+                F.lit(0.0).alias("value"),
+            )
+        )
+        ev.unionByName(sentinels).repartition(2).write.parquet(
+            os.path.join(build_dir, "src")
+        )
+
+    return ensure_cached_build("sesssrc", _SESS_SRC_VERSION, sf_dir, build)
+
+
+@query(
+    "q_stream_sessionize",
+    oracle=None,  # set below: shares q_sessionize's oracle verbatim
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization as a CUSTOM stateful streaming operator
+    (`applyInPandasWithState`, append mode) under the oracle gate: the
+    REAL stream drains with availableNow over the cached
+    events+sentinels source, per-user open sessions live in the state
+    store across micro-batches, and each session is emitted exactly
+    once when a >30 min gap (or the per-user flush sentinel) closes
+    it. Hash-equality against batch q_sessionize's oracle IS the
+    stream==batch proof — numbering, bounds, counts, and the exact
+    decimal value sums all transfer.
+
+    Scale: state is one open session per live user, partitioned by
+    user across executors; each micro-batch does one vectorized sort +
+    gap walk per touched user; the emission log is sessions, not
+    events."""
+    from dynamodb_streaming_datalake_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    path = _ensure_session_source(spark, sf_dir)
+    src = os.path.join(path, "src")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    sessions = streaming_sessionize(stream)
+    _drop_twin_views(spark, "sess_twin_")
+    name = f"sess_twin_{next(_TWIN_SEQ)}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("session twin stream did not drain in 600s")
+    return spark.table(name).select(
+        "user_id",
+        "session_no",
+        "n_events",
+        "start_us",
+        "end_us",
+        "duration_us",
+        "sum_value",
+    )
+
+
+def _share_sessionize_oracle() -> None:
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        _SQL_SESSIONIZE,
+    )
+    from dynamodb_streaming_datalake_spark.registry import ORACLE
+
+    ORACLE["q_stream_sessionize"] = _SQL_SESSIONIZE
+
+
+_share_sessionize_oracle()

@@ -114,3 +114,125 @@ def streaming_latest_state(ok_rows: DataFrame, payload_cols: Sequence[str]) -> D
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful gap sessionizer (round 11)
+# ---------------------------------------------------------------------------
+# The third real applyInPandasWithState operator (after latest-state
+# and the zone dedup): gap-based sessions maintained as per-user state
+# across micro-batches. Unlike the built-in session_window (which
+# aggregates inside the window), this carries an OPEN session — id,
+# bounds, counts, exact scale-6 value sum — in the state store and
+# emits a session only when a gap closes it, which is what lets the
+# emitted stream hash-match batch q_sessionize exactly: nothing is
+# ever emitted twice or re-opened. Delivery contract: per-user
+# time-ordered arrival (the q_watermark_sweep delivery model);
+# rows with event_id < 0 are flush sentinels — they close whatever is
+# open but never join a session (the stream-stream outer join's
+# book-closing idiom).
+
+SESSION_OUTPUT = (
+    "user_id long, session_no long, n_events long, start_us long, "
+    "end_us long, duration_us long, sum_value double"
+)
+SESSION_STATE = (
+    "session_no long, start_us long, last_us long, n_events long, "
+    "sum_fp long"
+)
+
+_SESSION_GAP_US = 1800 * 1_000_000
+
+
+def _value_fp(series: pd.Series) -> list[int]:
+    """Scale-6 integer mantissas matching Spark's CAST(double AS
+    DECIMAL(18,6)) — HALF_UP on the shortest decimal repr."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-6)
+    return [
+        int(Decimal(repr(float(v))).quantize(q, ROUND_HALF_UP).scaleb(6))
+        for v in series
+    ]
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Walk the user's (time-ordered) rows, merge the leading run into
+    the open session carried in state, emit every gap-closed session,
+    and leave the trailing run open. Vectorized: one sort, one diff,
+    one groupby over the batch."""
+    if state.exists:
+        sno, start, last, n, sfp = state.get
+    else:
+        sno, start, last, n, sfp = 0, -1, -1, 0, 0
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        sentinel = pdf["event_id"] < 0
+        real = pdf[~sentinel]
+        saw_sentinel = bool(sentinel.any())
+        if not real.empty:
+            ts = real["ts_us"].to_list()
+            fps = _value_fp(real["value"])
+            # group boundaries within the batch
+            groups: list[list[int]] = [[0]]
+            for i in range(1, len(ts)):
+                if ts[i] - ts[i - 1] > _SESSION_GAP_US:
+                    groups.append([])
+                groups[-1].append(i)
+            for gi, idxs in enumerate(groups):
+                g_start, g_end = ts[idxs[0]], ts[idxs[-1]]
+                g_n = len(idxs)
+                g_fp = sum(fps[i] for i in idxs)
+                if gi == 0 and n > 0 and g_start - last <= _SESSION_GAP_US:
+                    # continues the open session from state
+                    start, last = start, g_end
+                    n, sfp = n + g_n, sfp + g_fp
+                else:
+                    if n > 0:  # close the previous open session
+                        sno += 1
+                        closed.append(
+                            (key[0], sno, n, start, last, last - start, sfp)
+                        )
+                    start, last, n, sfp = g_start, g_end, g_n, g_fp
+        if saw_sentinel and n > 0:
+            sno += 1
+            closed.append((key[0], sno, n, start, last, last - start, sfp))
+            start, last, n, sfp = -1, -1, 0, 0
+    state.update((sno, start, last, n, sfp))
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "session_no": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+                "start_us": [c[3] for c in closed],
+                "end_us": [c[4] for c in closed],
+                "duration_us": [c[5] for c in closed],
+                "sum_value": [c[6] / 1_000_000 for c in closed],
+            }
+        )
+
+
+def streaming_sessionize(events: DataFrame) -> DataFrame:
+    """Continuously-maintained gap sessionization over a raw events
+    stream (ts, user_id, event_id, value). Emits each session exactly
+    once, when a >30 min gap (or a flush sentinel) closes it; session
+    numbering per user matches batch q_sessionize."""
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

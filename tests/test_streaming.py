@@ -944,3 +944,79 @@ def test_dual_lake_delivery_reconstructs_identical_state(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert lake_rows(primary) == lake_rows(secondary) == before_b
+
+
+def test_streaming_sessionize_multibatch_matches_batch(spark, sf_smoke, tmp_path):
+    """The custom stateful sessionizer across GENUINE micro-batch
+    boundaries: events split into three time-contiguous files (written
+    in order, so the file source delivers per-user time-ordered rows —
+    the declared delivery contract) + a sentinel file last, drained one
+    file per trigger. Open sessions must survive in state across
+    batches and the final emission log must row-equal batch
+    q_sessionize."""
+    import time as _time
+
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        q_sessionize,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    ev = read_table(spark, sf_smoke, "events").select(
+        "ts", "user_id", "event_id", "value"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    # time-contiguous thirds by ts rank: use ts ordering via ntile
+    from pyspark.sql.window import Window
+
+    ranked = ev.withColumn(
+        "part", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in (1, 2, 3):
+        ranked.where(F.col("part") == i).drop("part").coalesce(1).write.parquet(
+            str(src / f"batch-{i}")
+        )
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    sentinel = (
+        ev.agg((F.max("ts") + F.expr("INTERVAL 3 HOUR")).alias("ts"))
+        .crossJoin(ev.select("user_id").distinct())
+        .select(
+            "ts",
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    sentinel.coalesce(1).write.parquet(str(src / "batch-9"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/batch-*")
+    )
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(tuple, spark.table("sess_mb").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            q_sessionize(spark, sf_smoke)
+            .select(
+                "user_id", "session_no", "n_events", "start_us",
+                "end_us", "duration_us", "sum_value",
+            )
+            .collect(),
+        )
+    )
+    assert len(got) > 0 and got == want
