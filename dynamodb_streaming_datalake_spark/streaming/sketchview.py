@@ -868,3 +868,207 @@ def _register_minhash() -> None:
 
 
 _register_minhash()
+
+
+# ---------------------------------------------------------------------------
+# streaming bloom-filter view (round 11): the prejoin filter kept
+# current from the dim's change stream
+# ---------------------------------------------------------------------------
+# q_bloom_prejoin builds its filter from a batch scan of the dim; in a
+# CDC lake the dim CHANGES, and rebuilding the filter nightly is the
+# same recompute the sketch views exist to kill. The bloom word table
+# (word, bits) is OR-monoid-valued — commutative, associative,
+# idempotent — so it folds per micro-batch exactly like the HLL
+# registers, and a filter served from the view can only differ from a
+# one-shot build by having exactly the same bits set (OR over the same
+# positions). The gate proof is result-invisibility: pruning with the
+# VIEW's bitmap and running the exact join must hash-match
+# q_bloom_prejoin's plain-join oracle verbatim.
+
+BLOOM_VIEW_VERSION = "v1"
+
+
+def merge_bloom(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Word-wise OR — the bloom monoid operation (idempotent)."""
+    return (
+        prev.unionByName(delta)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+
+def _bloom_delta(batch_df: DataFrame, key_col: str, m_bits: int) -> DataFrame:
+    from dynamodb_streaming_datalake_spark.operators.bloom import _positions
+
+    pos = batch_df.select(
+        F.explode(
+            F.array(*_positions(F.col(key_col), m_bits))
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("pos") % 64).cast("int"),
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def upsert_bloom_view(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    view_dir: str,
+    version: int,
+    key_col: str,
+    m_bits: int,
+) -> None:
+    """Fold one micro-batch of dim keys into the word-table view as
+    ``version``; committed-version replays no-op, and the OR monoid
+    additionally makes stale re-folds harmless."""
+    if version in _versions(spark, view_dir):
+        return
+    delta = _bloom_delta(batch_df, key_col, m_bits)
+    prev = current_snapshot(spark, view_dir, live_only=False)
+    merged = delta if prev is None else merge_bloom(prev, delta)
+    merged.write.mode("overwrite").parquet(f"{view_dir}/v={version}")
+
+
+def start_bloom_maintenance(
+    keys: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    m_bits: int,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch sink advancing the bloom word table per batch."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_bloom_view(
+            batch_df.sparkSession,
+            batch_df,
+            view_dir,
+            version=batch_id,
+            key_col=key_col,
+            m_bits=m_bits,
+        )
+
+    writer = keys.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bloom_bitmap_from_view(
+    spark: SparkSession, view_dir: str, m_bits: int
+) -> list[int]:
+    """Materialize the committed word table as the literal bitmap
+    ``operators.bloom.bloom_prune`` consumes (bounded by construction:
+    ≤ m/64 longs)."""
+    bitmap = [0] * (m_bits // 64)
+    view = current_snapshot(spark, view_dir, live_only=False)
+    for r in view.collect():
+        bitmap[r["word"]] = r["bits"]
+    return bitmap
+
+
+_BLOOMVIEW_VERSION = "v1"
+
+
+def _ensure_bloom_view(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Two committed word-table versions over the URGENT-orders key set
+    (even keys -> v=1, odd folded on top -> v=2), width sized exactly
+    as the batch build would size it."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
+    from dynamodb_streaming_datalake_spark.operators.bloom import (
+        bloom_m_bits,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    urgent = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    m_bits = bloom_m_bits(urgent.count())
+
+    def build(build_dir: str) -> None:
+        view = os.path.join(build_dir, "view")
+        upsert_bloom_view(
+            spark, urgent.where(F.col("o_orderkey") % 2 == 0), view,
+            version=1, key_col="o_orderkey", m_bits=m_bits,
+        )
+        upsert_bloom_view(
+            spark, urgent.where(F.col("o_orderkey") % 2 == 1), view,
+            version=2, key_col="o_orderkey", m_bits=m_bits,
+        )
+
+    return (
+        ensure_cached_build("bloomview", _BLOOMVIEW_VERSION, sf_dir, build),
+        m_bits,
+    )
+
+
+def _register_bloom() -> None:
+    from dynamodb_streaming_datalake_spark.operators.bloom import (
+        bloom_prune,
+        dsum,
+    )
+    from dynamodb_streaming_datalake_spark.registry import ORACLE, query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    @query("q_bloom_stream", oracle=None)
+    def q_bloom_stream(spark, sf_dir):
+        """Streaming twin of q_bloom_prejoin: the bloom word table is
+        advanced twice with the real foreachBatch OR-fold (even dim
+        keys -> v=1, odd folded on top -> v=2, cached per sf_dir),
+        then the lineitem scan is pruned with the VIEW's bitmap and
+        the exact join + aggregate runs. The oracle is the PLAIN join
+        (q_bloom_prejoin's, verbatim): the filter can only pass false
+        positives, which the join drops, so hash-equality proves the
+        incrementally-maintained filter is result-invisible — the
+        prejoin reduction without nightly rebuilds. Drain/idempotence
+        of the fold are pinned in tests/test_streaming.py.
+
+        Scale: the view is ≤ m/64 rows; each refresh shuffles only
+        the micro-batch's (word, mask) partials."""
+        import os
+
+        path, m_bits = _ensure_bloom_view(spark, sf_dir)
+        bitmap = bloom_bitmap_from_view(
+            spark, os.path.join(path, "view"), m_bits
+        )
+        orders = read_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        pruned = bloom_prune(lineitem, "l_orderkey", bitmap)
+        joined = pruned.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            pruned["l_orderkey"] == F.col("o_orderkey"),
+        )
+        return joined.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+
+    ORACLE["q_bloom_stream"] = ORACLE["q_bloom_prejoin"]
+
+
+_register_bloom()

@@ -1020,3 +1020,65 @@ def test_streaming_sessionize_multibatch_matches_batch(spark, sf_smoke, tmp_path
         )
     )
     assert len(got) > 0 and got == want
+
+
+def test_bloom_view_maintenance_is_result_invisible(spark, tmp_path, sf_smoke):
+    """Streaming bloom (round 11): a genuine readStream over the dim's
+    key files, drained one file per micro-batch through the foreachBatch
+    OR-fold, must produce a word table BIT-EQUAL to the one-shot batch
+    bitmap — and because OR is idempotent, a stale re-fold of seen keys
+    under a NEW version changes nothing. Finally, pruning with the
+    view's bitmap keeps every true member (no false negatives)."""
+    from dynamodb_streaming_datalake_spark.operators.bloom import (
+        bloom_build,
+        bloom_m_bits,
+        bloom_prune,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.sketchview import (
+        bloom_bitmap_from_view,
+        start_bloom_maintenance,
+        upsert_bloom_view,
+    )
+
+    urgent = (
+        read_table(spark, sf_smoke, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    m_bits = bloom_m_bits(urgent.count())
+    src = str(tmp_path / "keys_src")
+    urgent.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(urgent.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    view_dir = str(tmp_path / "view")
+    q = start_bloom_maintenance(
+        stream, view_dir, str(tmp_path / "ck"), "o_orderkey", m_bits
+    )
+    q.awaitTermination(120)
+
+    got = bloom_bitmap_from_view(spark, view_dir, m_bits)
+    assert got == bloom_build(urgent, "o_orderkey")
+
+    from dynamodb_streaming_datalake_spark.streaming.upsert import _versions
+
+    last = _versions(spark, view_dir)[-1]
+    upsert_bloom_view(
+        spark, urgent.limit(30), view_dir, last + 1, "o_orderkey", m_bits
+    )
+    assert bloom_bitmap_from_view(spark, view_dir, m_bits) == got
+
+    li = read_table(spark, sf_smoke, "lineitem").select("l_orderkey")
+    pruned = bloom_prune(li, "l_orderkey", got)
+    true_members = li.join(
+        urgent, li["l_orderkey"] == urgent["o_orderkey"], "left_semi"
+    )
+    assert pruned.count() >= true_members.count()
+    assert (
+        true_members.exceptAll(
+            pruned.select("l_orderkey")
+        ).count()
+        == 0
+    )
