@@ -2951,3 +2951,125 @@ _fmt(
     PCA_C_SCALE=PCA_C_SCALE,
     DIM=DIM,
 )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: the build/serve lifecycle split (round 11)
+# ---------------------------------------------------------------------------
+# q_ann_ivf assigns the WHOLE corpus to centroids inside every query —
+# correct for a one-shot batch, wrong as a serving architecture: a
+# production index is built once, persisted, and each query touches
+# only its probed lists. q_ann_serve is that split made real: the inverted
+# file (cid, vec_id, embedding — the IVFFlat layout) lands on disk
+# PARTITIONED BY cid, and the serving query joins a broadcast probe
+# set against it, so Spark's dynamic partition pruning reads ONLY the
+# probed lists' files. The answer must equal the inline build
+# (deterministic quantizer), so q_ann_ivf's oracle transfers verbatim
+# — build/serve is result-invisible by construction, and the pruning
+# is pinned in tests/test_plans_ext.py.
+
+_IVF_INDEX_VERSION = "v1"
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the IVF index once per dataset: centroid table + inverted
+    lists (with vectors — IVFFlat) written partitioned by cid."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
+
+    def build(build_dir: str) -> None:
+        e = read_table(spark, sf_dir, "embeddings")
+        cents = e.where(F.col("vec_id") < IVF_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
+        scored = e.join(F.broadcast(cents)).select(
+            "vec_id",
+            "embedding",
+            "cid",
+            cosine(F.col("embedding"), F.col("ce")).alias("ac"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("ac").desc(), F.col("cid")
+        )
+        lists = (
+            scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select("cid", "vec_id", "embedding")
+        )
+        lists.write.partitionBy("cid").parquet(
+            os.path.join(build_dir, "lists")
+        )
+        cents.write.parquet(os.path.join(build_dir, "centroids"))
+
+    return ensure_cached_build("ivfindex", _IVF_INDEX_VERSION, sf_dir, build)
+
+
+@query(
+    "q_ann_serve",
+    oracle=f"""
+    WITH {_SQL_IVF}
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cs, 6) AS cos_sim
+    FROM ranked WHERE rank <= {IVF_TOP_K}
+    """,
+)
+def q_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from the PERSISTED IVF index: queries score the
+    stored centroid table (broadcast, map-only), probe their nprobe=2
+    lists, and the candidate join runs against the cid-PARTITIONED
+    inverted file on disk — dynamic partition pruning reads only the
+    probed lists' files, never the whole corpus (the FAISS IVFFlat
+    serving path as a lake layout). The quantizer is deterministic, so
+    serving from the index must hash-match q_ann_ivf's inline build —
+    the oracle transfers verbatim and IS the build/serve
+    result-invisibility proof.
+
+    Scale: the index is built once (one assignment pass) and amortized
+    across every query thereafter; per serve, work = |queries| x 16
+    centroid scores + an equi-join bounded by the probed lists."""
+    import os
+
+    path = _ensure_ivf_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    lists = spark.read.parquet(os.path.join(path, "lists"))
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qscored = queries.join(F.broadcast(cents)).select(
+        "query_id",
+        "qe",
+        "cid",
+        cosine(F.col("qe"), F.col("ce")).alias("ac"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ac").desc(), F.col("cid")
+    )
+    probes = (
+        qscored.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= IVF_NPROBE)
+        .select("query_id", "qe", "cid")
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVF_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cs", 6).alias("cos_sim"),
+        )
+    )

@@ -336,3 +336,24 @@ def test_unigram_dp_joins_broadcast_the_vocab(spark, sf_oracle):
     p = explain_str(df)
     assert has_node(df, "BroadcastHashJoin"), p
     assert not has_node(df, "CartesianProduct"), p
+
+
+def test_ann_serve_prunes_index_partitions_dynamically(spark, sf_smoke):
+    """The build/serve split's scale claim: the serving query's scan of
+    the cid-partitioned inverted file must carry a dynamic-pruning
+    partition filter (only probed lists' files are read), and its
+    result must equal the inline q_ann_ivf build row-for-row."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    df = all_queries()["q_ann_serve"](spark, sf_smoke)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruning" in p.lower(), p
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(
+        map(tuple, all_queries()["q_ann_ivf"](spark, sf_smoke).collect())
+    )
+    assert got == want
