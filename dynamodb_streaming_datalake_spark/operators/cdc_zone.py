@@ -45,6 +45,7 @@ from dynamodb_streaming_datalake_spark.registry import query
 from dynamodb_streaming_datalake_spark.sources.readers import (
     read_cdc_zone,
     read_table,
+    read_table_stream,
 )
 from dynamodb_streaming_datalake_spark.sources.writers import write_cdc_zone
 
@@ -592,3 +593,105 @@ def _share_sessionize_oracle() -> None:
 
 
 _share_sessionize_oracle()
+
+
+# ---------------------------------------------------------------------------
+# stream enrichment against an SCD2 dimension AS-OF event time (round 11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_enrich_scd2",
+    oracle="""
+    WITH scd2 AS (
+        SELECT user_id,
+               event_id AS version_event_id,
+               CAST(ROW_NUMBER() OVER w AS INT) AS version_no,
+               CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+               CAST(epoch_us(LEAD(ts) OVER w) AS BIGINT) AS valid_to_us
+        FROM events
+        WHERE event_type IN ('signup', 'purchase')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    clicks AS (
+        SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts_us,
+           s.version_no, s.valid_from_us
+    FROM clicks c
+    LEFT JOIN scd2 s
+      ON s.user_id = c.user_id
+     AND c.ts_us >= s.valid_from_us
+     AND (s.valid_to_us IS NULL OR c.ts_us < s.valid_to_us)
+    """,
+)
+def q_stream_enrich_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment against a VERSIONED dimension: each
+    click in the stream joins the SCD2 version that was valid AT its
+    event time (interval containment on top of the user_id equi-join)
+    — the production dimension-lookup q_enrich_stream's latest-state
+    join cannot answer, because "the user's plan when they clicked" is
+    not "the user's plan now". Clicks before a user's first version
+    survive with NULL enrichment (pinned by the left join under the
+    gate). The REAL stream drains with availableNow; stream-static
+    joins are stateless, so the SCD2 table re-resolves per micro-batch
+    with no state-store growth.
+
+    Scale: the dimension is versions (bounded by change volume, not
+    stream volume); the join is equi on user_id with the interval test
+    as residual — never a theta join — and the stream side is never
+    re-shuffled when the dimension broadcasts."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    scd2 = (
+        ev.where(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            F.col("user_id").alias("dim_user_id"),
+            F.row_number().over(w).cast("int").alias("version_no"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias(
+                "valid_from_us"
+            ),
+            F.unix_micros(nxt.cast("timestamp")).alias("valid_to_us"),
+        )
+    )
+    stream = (
+        read_table_stream(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+    enriched = stream.join(
+        F.broadcast(scd2),
+        (F.col("user_id") == F.col("dim_user_id"))
+        & (F.col("ts_us") >= F.col("valid_from_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("ts_us") < F.col("valid_to_us"))
+        ),
+        "left",
+    )
+    _drop_twin_views(spark, "scd2_twin_")
+    name = f"scd2_twin_{next(_TWIN_SEQ)}"
+    q = (
+        enriched.select(
+            "event_id", "user_id", "ts_us", "version_no", "valid_from_us"
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("scd2 enrichment stream did not drain in 600s")
+    return spark.table(name).select(
+        "event_id", "user_id", "ts_us", "version_no", "valid_from_us"
+    )

@@ -1082,3 +1082,24 @@ def test_bloom_view_maintenance_is_result_invisible(spark, tmp_path, sf_smoke):
         ).count()
         == 0
     )
+
+
+def test_stream_enrich_scd2_versions_match_event_time(spark, sf_smoke):
+    """As-of semantics under the gate's twin: every enriched click's
+    version interval must actually CONTAIN the click timestamp, clicks
+    before a user's first version carry NULL enrichment, and each click
+    matches at most one version (the intervals partition time)."""
+    from dynamodb_streaming_datalake_spark.operators.cdc_zone import (
+        q_stream_enrich_scd2,
+    )
+
+    rows = q_stream_enrich_scd2(spark, sf_smoke).collect()
+    assert rows
+    by_click = {}
+    for r in rows:
+        by_click.setdefault(r["event_id"], []).append(r)
+        if r["version_no"] is not None:
+            assert r["valid_from_us"] <= r["ts_us"]
+    assert all(len(v) == 1 for v in by_click.values())
+    assert any(r["version_no"] is None for r in rows)  # pre-signup clicks
+    assert any(r["version_no"] is not None for r in rows)
