@@ -1996,3 +1996,148 @@ def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_i")
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped Holt forecasts (round 11): every series at once
+# ---------------------------------------------------------------------------
+# q_holt_trend forecasts ONE global series; the production shape is
+# thousands of per-key series smoothed in parallel — one groupBy, one
+# fold per group, no driver loop. Same exact integer recurrence
+# (alpha = 1/2, beta = 1/4, truncating integral divisions identical in
+# both engines), one output row per (event_type, horizon).
+
+GH_H = 3
+
+
+@query(
+    "q_grouped_forecast",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+                 AS d,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+                 AS y6
+        FROM events GROUP BY event_type, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(d) AS d0, MAX(d) AS d1
+        FROM daily GROUP BY event_type
+    ),
+    spine AS (
+        SELECT b.event_type, UNNEST(range(b.d0, b.d1 + 1)) AS d
+        FROM bounds b
+    ),
+    series AS (
+        SELECT s.event_type, s.d, COALESCE(dy.y6, 0) AS y6
+        FROM spine s LEFT JOIN daily dy
+          ON dy.event_type = s.event_type AND dy.d = s.d
+    ),
+    arr AS (
+        SELECT event_type,
+               list_transform(list(y6 ORDER BY d), y -> [y, 0::BIGINT])
+                 AS ys,
+               COUNT(*) AS n_days
+        FROM series GROUP BY event_type
+    ),
+    st AS (
+        SELECT event_type,
+               list_reduce(ys, (acc, x) -> [
+                   (x[1] + acc[1] + acc[2]) // 2,
+                   (((x[1] + acc[1] + acc[2]) // 2) - acc[1] + 3 * acc[2])
+                     // 4
+               ]) AS s,
+               n_days
+        FROM arr
+    )
+    SELECT st.event_type, CAST(h.h AS INT) AS h,
+           round(CAST(st.s[1] + h.h * st.s[2] AS DOUBLE) / 1000000, 6)
+             AS forecast,
+           round(CAST(st.s[1] AS DOUBLE) / 1000000, 6) AS level,
+           round(CAST(st.s[2] AS DOUBLE) / 1000000, 6) AS trend,
+           CAST(st.n_days AS BIGINT) AS n_days
+    FROM st, (SELECT UNNEST(range(1, {GH_H + 1})) AS h) h
+    ORDER BY event_type, h
+    """,
+)
+def q_grouped_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend forecasts for EVERY event type's daily revenue
+    series in one pass: groupBy(event_type), dense per-series day
+    spine, one exact integer fold per group — the grouped form of
+    q_holt_trend, which is how a fleet of thousands of per-key series
+    actually gets forecast (no driver loop, no per-series job).
+
+    Scale: the fold parallelizes across groups; per-group state is
+    two integers; the spine join is an equi-join on (type, day)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+            / F.lit(86400)
+        )
+        .cast("bigint")
+        .alias("d"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(38,6)")) * 1000000)
+        .cast("bigint")
+        .alias("y6")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    series = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        "d",
+        F.coalesce("y6", F.lit(0)).cast("bigint").alias("y6"),
+    )
+    folded = series.groupBy("event_type").agg(
+        F.expr(
+            """
+            aggregate(
+                slice(ts_arr, 2, size(ts_arr) - 1),
+                ts_arr[0],
+                (acc, x) -> array(
+                    (x[0] + acc[0] + acc[1]) div 2,
+                    (((x[0] + acc[0] + acc[1]) div 2) - acc[0]
+                       + 3 * acc[1]) div 4
+                )
+            )
+            """.replace(
+                "ts_arr",
+                "transform(array_sort(collect_list(struct(d, y6))),"
+                " s -> array(s.y6, 0L))",
+            )
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    horizons = spark.range(1, GH_H + 1).select(
+        F.col("id").cast("int").alias("h")
+    )
+    return (
+        folded.crossJoin(F.broadcast(horizons))
+        .select(
+            "event_type",
+            "h",
+            F.round(
+                (F.col("s")[0] + F.col("h") * F.col("s")[1]).cast("double")
+                / 1000000,
+                6,
+            ).alias("forecast"),
+            F.round(F.col("s")[0].cast("double") / 1000000, 6).alias(
+                "level"
+            ),
+            F.round(F.col("s")[1].cast("double") / 1000000, 6).alias(
+                "trend"
+            ),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+_fmt(q_grouped_forecast, GH_H=GH_H)

@@ -396,3 +396,68 @@ _fmt(
     CURR_STAGES=CURR_STAGES,
     CURR_MANIFEST=CURR_MANIFEST,
 )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe target encoding (round 11)
+# ---------------------------------------------------------------------------
+# The tabular-ML preprocessing step with the subtle correctness trap:
+# naive mean-encoding leaks each row's own target into its feature.
+# Leave-one-out encoding removes the row's contribution —
+# (category_sum - y_row) / (category_count - 1) — so the feature a row
+# trains on never saw that row's label. Sums are exact decimals; each
+# encoding is ONE final double division, rounded — the q_cuped
+# discipline, so the gate checks the leakage-safety arithmetic itself.
+
+from pyspark.sql import functions as F  # noqa: E402,F811
+
+
+@query(
+    "q_target_encoding",
+    oracle="""
+    WITH sums AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_cat,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s_cat
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           s.n_cat,
+           CASE WHEN s.n_cat > 1 THEN round(
+               CAST(s.s_cat - CAST(o.o_totalprice AS DECIMAL(18,6))
+                    AS DOUBLE) / (s.n_cat - 1), 6)
+           END AS loo_encoding
+    FROM orders o JOIN sums s USING (o_orderpriority)
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against the
+    order total: each row's feature is the mean target of its category
+    EXCLUDING itself — (sum - y) / (n - 1) — so the encoded feature
+    never contains the row's own label (the leakage naive mean
+    encoding ships). Singleton categories encode NULL by contract.
+    Category sums are exact decimals; each encoding is one final
+    double division rounded to 6 dp.
+
+    Scale: one map-side-combined category aggregate (|categories|
+    rows, broadcast back) + one map-only pass over the facts — the
+    fact table is never shuffled."""
+    o = read_table(spark, sf_dir, "orders")
+    y = F.col("o_totalprice").cast("decimal(18,6)")
+    sums = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cat"),
+        F.sum(y).alias("s_cat"),
+    )
+    return o.join(F.broadcast(sums), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "n_cat",
+        F.when(
+            F.col("n_cat") > 1,
+            F.round(
+                (F.col("s_cat") - y).cast("double")
+                / (F.col("n_cat") - 1),
+                6,
+            ),
+        ).alias("loo_encoding"),
+    )

@@ -682,3 +682,37 @@ def test_curriculum_is_monotone_and_interleaved(spark, sf_smoke):
     n_src = len({r["source"] for r in first_stage})
     head = [r["source"] for r in first_stage[:n_src]]
     assert len(set(head)) == n_src
+
+
+def test_target_encoding_is_leakage_free(spark, sf_smoke):
+    """The leakage property itself: for every row, the encoding equals
+    the mean target of the OTHER rows in its category (checked against
+    a Python recomputation), never the naive category mean when the
+    row's own target deviates from it."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    rows = read_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    by_cat = {}
+    for r in rows:
+        by_cat.setdefault(r["o_orderpriority"], []).append(
+            (r["o_orderkey"], round(r["o_totalprice"], 6))
+        )
+    got = {
+        r["o_orderkey"]: r
+        for r in all_queries()["q_target_encoding"](spark, sf_smoke).collect()
+    }
+    import random
+
+    random.seed(11)
+    sample = random.sample(rows, min(50, len(rows)))
+    for r in sample:
+        cat = by_cat[r["o_orderpriority"]]
+        if len(cat) == 1:
+            assert got[r["o_orderkey"]]["loo_encoding"] is None
+            continue
+        others = [v for k, v in cat if k != r["o_orderkey"]]
+        want = sum(others) / len(others)
+        assert abs(got[r["o_orderkey"]]["loo_encoding"] - want) < 1e-3
