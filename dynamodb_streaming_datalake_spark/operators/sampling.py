@@ -587,3 +587,121 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_group_split, GSPLIT_EVAL=GSPLIT_EVAL, DENOM=DENOM)
+
+
+# ---------------------------------------------------------------------------
+# next-fit-decreasing sequence packing audit (round 11)
+# ---------------------------------------------------------------------------
+# q_sequence_pack packs by concat-and-chunk (zero waste, but documents
+# split across sequence boundaries); the alternative trainers weigh is
+# whole-document packing — no doc straddles a boundary, at the cost of
+# per-bin waste. This audit scores that trade per source with
+# NEXT-FIT-DECREASING: lengths sorted descending fold through a
+# two-integer state (open-bin remainder, bin count) — the same exact
+# integral fold discipline as q_holt_trend, identical in both engines
+# — against the ceil(total/C) lower bound.
+
+PACK_CONTEXT = 512
+
+
+@query(
+    "q_pack_nextfit",
+    oracle=f"""
+    WITH lens AS (
+        SELECT source,
+               LEAST(len(string_split(text, ' ')), {PACK_CONTEXT}) AS l
+        FROM documents
+    ),
+    arr AS (
+        SELECT source,
+               list(l ORDER BY l DESC) AS ls,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(l) AS BIGINT) AS total_tokens
+        FROM lens GROUP BY source
+    ),
+    folded AS (
+        SELECT source, n_docs, total_tokens,
+               list_reduce(
+                   list_prepend([1::BIGINT, {PACK_CONTEXT} - ls[1]],
+                                list_transform(ls[2:], x -> [x, 0::BIGINT])),
+                   (acc, d) -> CASE
+                       WHEN d[1] <= acc[2] THEN [acc[1], acc[2] - d[1]]
+                       ELSE [acc[1] + 1, {PACK_CONTEXT} - d[1]]
+                   END) AS st
+        FROM arr
+    )
+    SELECT source, n_docs, total_tokens,
+           CAST(st[1] AS BIGINT) AS n_bins,
+           CAST((total_tokens + {PACK_CONTEXT} - 1) // {PACK_CONTEXT}
+                AS BIGINT) AS lower_bound,
+           round(CAST(total_tokens AS DOUBLE)
+                 / (st[1] * {PACK_CONTEXT}), 6) AS utilization
+    FROM folded
+    ORDER BY source
+    """,
+)
+def q_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document sequence packing audit per source: next-fit-
+    decreasing over token lengths (clipped at the {PACK_CONTEXT}-token
+    context) — bins used, the ceil(total/C) lower bound, and
+    utilization. The number a trainer weighs against q_sequence_pack's
+    zero-waste concat-and-chunk when deciding whether document
+    boundaries are worth the padding.
+
+    The fold state is two integers (open-bin remainder, bin count) and
+    every step is exact integer arithmetic — identical in both
+    engines; lengths sort descending with the engines' identical
+    integer sort.
+
+    Scale: one length projection, one groupBy(source) fold over a
+    per-source array — bounded by docs per source; for corpora where
+    that array is too big, the same fold runs as a repartition-and-
+    fold per (source, shard) with a merge pass, losing only the
+    cross-shard packing opportunity."""
+    d = read_table(spark, sf_dir, "documents")
+    lens = d.select(
+        "source",
+        F.least(
+            F.size(F.split("text", " ")), F.lit(PACK_CONTEXT)
+        ).alias("l"),
+    )
+    folded = lens.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("l").cast("bigint").alias("total_tokens"),
+        F.expr(
+            f"""
+            aggregate(
+                slice(ls, 2, size(ls) - 1),
+                array(1L, {PACK_CONTEXT}L - ls[0]),
+                (acc, x) -> if(x <= acc[1],
+                               array(acc[0], acc[1] - x),
+                               array(acc[0] + 1, {PACK_CONTEXT}L - x))
+            )
+            """.replace(
+                "ls",
+                "reverse(array_sort(collect_list(cast(l as bigint))))",
+            )
+        ).alias("st"),
+    )
+    return (
+        folded.select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.col("st")[0].cast("bigint").alias("n_bins"),
+            F.expr(
+                f"(total_tokens + {PACK_CONTEXT - 1}) div {PACK_CONTEXT}"
+            )
+            .cast("bigint")
+            .alias("lower_bound"),
+            F.round(
+                F.col("total_tokens").cast("double")
+                / (F.col("st")[0] * PACK_CONTEXT),
+                6,
+            ).alias("utilization"),
+        )
+        .orderBy("source")
+    )
+
+
+_fmt(q_pack_nextfit, PACK_CONTEXT=PACK_CONTEXT)

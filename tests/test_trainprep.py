@@ -716,3 +716,46 @@ def test_target_encoding_is_leakage_free(spark, sf_smoke):
         others = [v for k, v in cat if k != r["o_orderkey"]]
         want = sum(others) / len(others)
         assert abs(got[r["o_orderkey"]]["loo_encoding"] - want) < 1e-3
+
+
+def test_pack_nextfit_invariants_and_python_replay(spark, sf_smoke):
+    """The packing arithmetic against a pure-Python next-fit-decreasing
+    replay, plus the structural bounds: lower_bound <= n_bins (packing
+    can't beat ceil(total/C)) and utilization = total/(bins*C)."""
+    from dynamodb_streaming_datalake_spark.operators.sampling import (
+        PACK_CONTEXT,
+        q_pack_nextfit,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_smoke, "documents").select(
+        "source", "text"
+    ).collect()
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(
+            min(len(r["text"].split(" ")), PACK_CONTEXT)
+        )
+    got = {r["source"]: r for r in q_pack_nextfit(spark, sf_smoke).collect()}
+    assert set(got) == set(by_src)
+    for src, lens in by_src.items():
+        lens = sorted(lens, reverse=True)
+        bins, rem = 1, PACK_CONTEXT - lens[0]
+        for l in lens[1:]:
+            if l <= rem:
+                rem -= l
+            else:
+                bins, rem = bins + 1, PACK_CONTEXT - l
+        r = got[src]
+        assert r["n_bins"] == bins
+        assert r["lower_bound"] <= r["n_bins"]
+        # Spark round() is HALF_UP; Python round() is banker's —
+        # 0.7890625 lands exactly on the boundary, so replicate HALF_UP
+        from decimal import ROUND_HALF_UP, Decimal
+
+        want_util = float(
+            Decimal(repr(sum(lens) / (bins * PACK_CONTEXT))).quantize(
+                Decimal("1e-6"), ROUND_HALF_UP
+            )
+        )
+        assert abs(r["utilization"] - want_util) < 1e-9
