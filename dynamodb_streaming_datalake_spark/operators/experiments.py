@@ -1171,3 +1171,112 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_cuped, AB_SALT=AB_SALT, AB_ARMS=AB_ARMS)
+
+
+# ---------------------------------------------------------------------------
+# lift / gain deciles (round 11)
+# ---------------------------------------------------------------------------
+# The model-eval table a targeting decision is read from: users rank
+# by a score (here: total click value — deliberately simple, the
+# harness is the point), split into deciles, and each decile reports
+# its purchase rate, lift over the base rate, and cumulative gain
+# (share of all purchasers captured by the top k deciles). Every cell
+# is an integer-count ratio with one final division — engine-exact —
+# and the decile split is NTILE with a deterministic user_id
+# tie-break.
+
+LIFT_BUCKETS = 10
+
+
+@query(
+    "q_lift_deciles",
+    oracle=f"""
+    WITH users AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'click'
+                        THEN CAST(value AS DECIMAL(18,6))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS score,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS is_pos
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT *, NTILE({LIFT_BUCKETS}) OVER (
+            ORDER BY score DESC, user_id) AS decile
+        FROM users
+    ),
+    per AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(is_pos) AS BIGINT) AS n_pos
+        FROM ranked GROUP BY decile
+    ),
+    tot AS (
+        SELECT SUM(n_users) AS nu, SUM(n_pos) AS np FROM per
+    )
+    SELECT CAST(p.decile AS INT) AS decile,
+           p.n_users, p.n_pos,
+           round(CAST(p.n_pos AS DOUBLE) / p.n_users, 6) AS rate,
+           round((CAST(p.n_pos AS DOUBLE) / p.n_users)
+                 / (CAST(t.np AS DOUBLE) / t.nu), 6) AS lift,
+           round(CAST(SUM(p.n_pos) OVER (ORDER BY p.decile) AS DOUBLE)
+                 / t.np, 6) AS cum_gain
+    FROM per p, tot t
+    ORDER BY decile
+    """,
+)
+def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift/gain table for a purchase-propensity ranking: users decile
+    by total click value (deterministic NTILE, user_id tie-break);
+    each decile reports purchase rate, lift over the base rate, and
+    cumulative gain. A useful score shows lift > 1 in the top deciles
+    and a gain curve above the diagonal — the decision table behind
+    'how deep do we target'.
+
+    Scale: one per-user aggregate; the NTILE runs over |users| score
+    rows (the one global sort, on an already-reduced frame); the
+    report is {LIFT_BUCKETS} rows."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("is_pos"),
+    )
+    ranked = users.withColumn(
+        "decile",
+        F.ntile(LIFT_BUCKETS).over(
+            Window.orderBy(F.col("score").desc(), "user_id")
+        ),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("is_pos").cast("bigint").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n_users").alias("nu"), F.sum("n_pos").alias("np")
+    )
+    w = Window.orderBy("decile")
+    rate = F.col("n_pos").cast("double") / F.col("n_users")
+    base = F.col("np").cast("double") / F.col("nu")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_users",
+            "n_pos",
+            F.round(rate, 6).alias("rate"),
+            F.round(rate / base, 6).alias("lift"),
+            F.round(
+                F.sum("n_pos").over(w).cast("double") / F.col("np"), 6
+            ).alias("cum_gain"),
+        )
+        .orderBy("decile")
+    )

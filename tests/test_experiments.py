@@ -262,3 +262,23 @@ def test_holt_trend_recovers_planted_line(spark, tmp_path):
     assert abs(got[1]["trend"] - 5.0) < 0.2
     last_day_value = 100.0 + 5.0 * 39
     assert abs(got[7]["forecast"] - (last_day_value + 7 * 5.0)) < 2.0
+
+
+def test_lift_deciles_structure(spark, sf_smoke):
+    """Gain telescopes to 1.0 at decile 10, decile sizes are balanced
+    (NTILE property), rates reproduce n_pos/n_users, and cum_gain is
+    non-decreasing."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["q_lift_deciles"](spark, sf_smoke).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n_users"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert rows[-1]["cum_gain"] == 1.0
+    gains = [r["cum_gain"] for r in rows]
+    assert gains == sorted(gains)
+    for r in rows:
+        assert abs(r["rate"] - round(r["n_pos"] / r["n_users"], 6)) < 2e-6
