@@ -1280,3 +1280,227 @@ def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event prediction eval (round 11)
+# ---------------------------------------------------------------------------
+# q_event_transitions FITS the behavior model; this EVALUATES it with
+# the time discipline a real model eval needs: transitions whose next
+# event lands before the epoch midpoint train the argmax predictor,
+# transitions landing after it are held out, and the report is
+# per-state top-1 hit rate. A state's prediction is the train-period
+# argmax with a lexicographic tie-break — deterministic, so the whole
+# eval is integer counting with one division per row.
+
+
+@query(
+    "q_markov_eval",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT (MIN(CAST(floor(epoch(ts)) AS BIGINT))
+                + MAX(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS mid
+        FROM events
+    ),
+    pairs AS (
+        SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id), '{TRANS_START}')
+                 AS prev_type,
+               event_type AS next_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS next_s
+        FROM events
+    ),
+    train AS (
+        SELECT prev_type, next_type, COUNT(*) AS n
+        FROM pairs, bounds WHERE next_s < mid
+        GROUP BY prev_type, next_type
+    ),
+    pred AS (
+        SELECT prev_type, next_type AS predicted_next FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY prev_type
+                        ORDER BY n DESC, next_type) AS r
+            FROM train
+        ) WHERE r = 1
+    ),
+    eval_pairs AS (
+        SELECT prev_type, next_type
+        FROM pairs, bounds WHERE next_s >= mid
+    )
+    SELECT e.prev_type, p.predicted_next,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(COUNT(*) FILTER (WHERE e.next_type = p.predicted_next)
+                AS BIGINT) AS n_hits,
+           round(CAST(COUNT(*) FILTER (
+                     WHERE e.next_type = p.predicted_next) AS DOUBLE)
+                 / COUNT(*), 6) AS hit_rate
+    FROM eval_pairs e JOIN pred p USING (prev_type)
+    GROUP BY e.prev_type, p.predicted_next
+    ORDER BY e.prev_type
+    """,
+)
+def q_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 next-event prediction eval with train/test time
+    discipline: the first-order Markov argmax is fit on transitions
+    whose next event precedes the epoch midpoint and scored on the
+    held-out later transitions — per-state hit rate against the
+    predicted next type (count-desc, lexicographic tie-break). States
+    unseen in training are excluded by contract (nothing to predict).
+
+    Scale: one LAG shuffle (the q_sessionize partitioning), two
+    |types|^2-bounded aggregates, a |types|-row broadcast of the
+    predictor — the eval never rescans raw twice."""
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (
+            (F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts")))
+            / 2
+        )
+        .cast("bigint")
+        .alias("mid")
+    )
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.coalesce(
+            F.lag("event_type").over(wlag), F.lit(TRANS_START)
+        ).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+        F.unix_timestamp("ts").alias("next_s"),
+    ).crossJoin(F.broadcast(bounds))
+    train = (
+        pairs.where(F.col("next_s") < F.col("mid"))
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), "next_type"
+    )
+    pred = (
+        train.withColumn("r", F.row_number().over(wp))
+        .where(F.col("r") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted_next"))
+    )
+    ev_pairs = pairs.where(F.col("next_s") >= F.col("mid")).select(
+        "prev_type", "next_type"
+    )
+    hit = F.when(
+        F.col("next_type") == F.col("predicted_next"), 1
+    ).otherwise(0)
+    return (
+        ev_pairs.join(F.broadcast(pred), "prev_type")
+        .groupBy("prev_type", "predicted_next")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum(hit).cast("bigint").alias("n_hits"),
+        )
+        .select(
+            "prev_type",
+            "predicted_next",
+            "n_eval",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_eval"), 6
+            ).alias("hit_rate"),
+        )
+        .orderBy("prev_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample-ratio mismatch guardrail (round 11)
+# ---------------------------------------------------------------------------
+# The first thing a trustworthy experiment pipeline checks BEFORE
+# reading any metric: do the arm sizes match the designed split? A
+# biased assignment (broken hash, filtered logging, bot skew) makes
+# every downstream readout invalid no matter how pretty the z-score.
+# Arms are q_ab_test's own salted buckets; expected split is uniform;
+# the report is per-arm counts plus a one-degree chi-square (rounded
+# per-term then decimal-accumulated, the q_histogram_drift
+# discipline). The SRM convention: chi2 > 3.841 (95%) means stop.
+
+SRM_CHI2_95 = "3.841459"
+
+
+@query(
+    "q_srm_check",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               {sql_portable_hash60(f"'{AB_SALT}:' || CAST(user_id AS VARCHAR)")}
+                 % {AB_ARMS} AS arm
+        FROM events
+    ),
+    counts AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM assigned GROUP BY arm
+    ),
+    tot AS (SELECT SUM(n_users) AS n FROM counts),
+    scored AS (
+        SELECT c.arm, c.n_users, t.n,
+               CAST(round(
+                   (c.n_users - CAST(t.n AS DOUBLE) / {AB_ARMS})
+                   * (c.n_users - CAST(t.n AS DOUBLE) / {AB_ARMS})
+                   / (CAST(t.n AS DOUBLE) / {AB_ARMS}), 6)
+                 AS DECIMAL(38,6)) AS chi_term
+        FROM counts c, tot t
+    )
+    SELECT CAST(arm AS INT) AS arm, n_users,
+           round(CAST(n_users AS DOUBLE) / n, 6) AS observed_share,
+           CAST(chi_term AS DOUBLE) AS chi_term,
+           CAST(SUM(chi_term) OVER () AS DOUBLE) AS chi2,
+           CAST(SUM(chi_term) OVER () AS DOUBLE) > {SRM_CHI2_95}
+             AS srm_flag
+    FROM scored
+    ORDER BY arm
+    """,
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the q_ab_test assignment:
+    per-arm distinct-user counts vs the designed uniform split, with a
+    chi-square statistic and the stop/go flag at the 95% critical
+    value — the check that invalidates an experiment BEFORE any metric
+    is read. Chi terms round to 6 dp then accumulate in decimal.
+
+    Scale: one distinct-user aggregate into {AB_ARMS} rows."""
+    ev = read_table(spark, sf_dir, "events")
+    arm = (
+        portable_hash60(
+            F.concat(F.lit(f"{AB_SALT}:"), F.col("user_id").cast("string"))
+        )
+        % AB_ARMS
+    )
+    counts = (
+        ev.select("user_id")
+        .distinct()
+        .select(arm.alias("arm"))
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    tot = counts.agg(F.sum("n_users").alias("n"))
+    exp = F.col("n").cast("double") / AB_ARMS
+    chi_term = F.round(
+        (F.col("n_users") - exp) * (F.col("n_users") - exp) / exp, 6
+    ).cast("decimal(38,6)")
+    w = Window.partitionBy()
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("arm").cast("int").alias("arm"),
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("n"), 6
+            ).alias("observed_share"),
+            chi_term.alias("chi_term_d"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            "observed_share",
+            F.col("chi_term_d").cast("double").alias("chi_term"),
+            F.sum("chi_term_d").over(w).cast("double").alias("chi2"),
+            (
+                F.sum("chi_term_d").over(w).cast("double")
+                > float(SRM_CHI2_95)
+            ).alias("srm_flag"),
+        )
+        .orderBy("arm")
+    )

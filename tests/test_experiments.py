@@ -282,3 +282,33 @@ def test_lift_deciles_structure(spark, sf_smoke):
     assert gains == sorted(gains)
     for r in rows:
         assert abs(r["rate"] - round(r["n_pos"] / r["n_users"], 6)) < 2e-6
+
+
+def test_markov_eval_hits_bounded_and_states_trained(spark, sf_smoke):
+    """Every evaluated state was seen in training (inner-join
+    contract), hit counts bound by eval counts, and rate arithmetic
+    reproduces n_hits/n_eval."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    rows = all_queries()["q_markov_eval"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_eval"]
+        assert abs(r["hit_rate"] - round(r["n_hits"] / r["n_eval"], 6)) < 2e-6
+        assert r["predicted_next"] is not None
+
+
+def test_srm_check_balanced_on_healthy_assignment(spark, sf_smoke):
+    """The salted hash split is healthy by construction, so the SRM
+    guardrail must come back green (chi2 under the 95% critical value),
+    with shares summing to 1 and chi2 = sum of terms."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["q_srm_check"](spark, sf_smoke).collect(),
+        key=lambda r: r["arm"],
+    )
+    assert [r["arm"] for r in rows] == [0, 1]
+    assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-5
+    assert abs(rows[0]["chi2"] - sum(r["chi_term"] for r in rows)) < 1e-6
+    assert not rows[0]["srm_flag"]

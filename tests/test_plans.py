@@ -224,6 +224,8 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_holt_trend",  # 1-row folded (level, trend) state x 7 horizons
         "q_grouped_forecast",  # per-type folded states x 3 horizons
         "q_lift_deciles",  # 1-row (total users, positives) crossed into 10
+        "q_markov_eval",  # 1-row epoch midpoint crossed into the LAG scan
+        "q_srm_check",  # 1-row user total crossed into 2 arm rows
         "q_vocab_growth",  # 1-row doc_id bounds (and 4-row cutoffs) crossed
         "q_ngram_novelty",  # 1-row doc_id midpoint crossed into the scan
         "q_dedup_incremental",  # 1-row doc_id midpoint crossed into the scan
