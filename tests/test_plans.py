@@ -226,6 +226,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_lift_deciles",  # 1-row (total users, positives) crossed into 10
         "q_markov_eval",  # 1-row epoch midpoint crossed into the LAG scan
         "q_srm_check",  # 1-row user total crossed into 2 arm rows
+        "q_hits",  # 1-row max-normalizer crossed into the score vector
         "q_vocab_growth",  # 1-row doc_id bounds (and 4-row cutoffs) crossed
         "q_ngram_novelty",  # 1-row doc_id midpoint crossed into the scan
         "q_dedup_incremental",  # 1-row doc_id midpoint crossed into the scan
