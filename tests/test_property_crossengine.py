@@ -89,3 +89,93 @@ def test_cosine_matches_duckdb_bitwise(spark, a, b):
         f"SELECT {sql_cosine('$1::FLOAT[]', '$2::FLOAT[]')}", [a, b]
     ).fetchone()[0]
     assert got == want  # bit-identical, not approx
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-10**12, max_value=10**12),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_holt_fold_matches_duckdb_on_arbitrary_series(spark, ys):
+    """The round-11 integral-division fold (Holt level/trend) must
+    agree bit-for-bit between engines on ARBITRARY integer series —
+    including negatives, where the portable contract rests on both
+    engines truncating toward zero. A drift here would silently skew
+    q_holt_trend / q_grouped_forecast at some future data boundary."""
+    sdf = spark.createDataFrame([(ys,)], "ys array<bigint>")
+    got = sdf.select(
+        F.expr(
+            """
+            aggregate(
+                slice(transform(ys, y -> array(y, 0L)), 2, size(ys) - 1),
+                transform(ys, y -> array(y, 0L))[0],
+                (acc, x) -> array(
+                    (x[0] + acc[0] + acc[1]) div 2,
+                    (((x[0] + acc[0] + acc[1]) div 2) - acc[0]
+                       + 3 * acc[1]) div 4
+                )
+            ) AS st
+            """
+        )
+    ).first()["st"]
+    con = duckdb.connect()
+    want = con.execute(
+        """
+        SELECT list_reduce(
+            list_prepend([$1[1], 0::BIGINT],
+                         list_transform($1[2:], x -> [x, 0::BIGINT])),
+            (acc, d) -> [
+                (d[1] + acc[1] + acc[2]) // 2,
+                (((d[1] + acc[1] + acc[2]) // 2) - acc[1] + 3 * acc[2])
+                  // 4
+            ])
+        """,
+        [ys],
+    ).fetchone()[0]
+    assert list(got) == list(want), (ys, got, want)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=700),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_nextfit_fold_matches_duckdb_on_arbitrary_lengths(spark, lens):
+    """The q_pack_nextfit bin fold on arbitrary (clipped) lengths:
+    bin count and final remainder bit-equal across engines."""
+    C = 512
+    clipped = sorted((min(x, C) for x in lens), reverse=True)
+    sdf = spark.createDataFrame([(clipped,)], "ls array<bigint>")
+    got = sdf.select(
+        F.expr(
+            f"""
+            aggregate(
+                slice(ls, 2, size(ls) - 1),
+                array(1L, {C}L - ls[0]),
+                (acc, x) -> if(x <= acc[1],
+                               array(acc[0], acc[1] - x),
+                               array(acc[0] + 1, {C}L - x))
+            ) AS st
+            """
+        )
+    ).first()["st"]
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT list_reduce(
+            list_prepend([1::BIGINT, {C} - $1[1]],
+                         list_transform($1[2:], x -> [x, 0::BIGINT])),
+            (acc, d) -> CASE
+                WHEN d[1] <= acc[2] THEN [acc[1], acc[2] - d[1]]
+                ELSE [acc[1] + 1, {C} - d[1]]
+            END)
+        """,
+        [clipped],
+    ).fetchone()[0]
+    assert list(got) == list(want), (clipped, got, want)
