@@ -609,3 +609,132 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# robust outlier report: median / MAD (round 11)
+# ---------------------------------------------------------------------------
+# q_anomaly_zscore flags rows against mean/sigma — which a single
+# extreme value drags toward itself (masking). The robust version uses
+# the median and the median absolute deviation, which no handful of
+# outliers can move. Cross-engine exactness: both medians are LOWER
+# medians — the ceil(n/2)-th smallest value of the multiset, an exact
+# ORDER STATISTIC over decimal values (no interpolation, no float
+# averaging) — so every comparison below is exact decimal arithmetic
+# and the flag counts are engine-identical by construction.
+
+MAD_K = 3  # the classic 3-MAD fence
+
+
+@query(
+    "q_mad_outliers",
+    oracle=f"""
+    WITH vals AS (
+        SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v)
+                 AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM vals
+    ),
+    med AS (
+        SELECT event_type, n, v AS median_v
+        FROM ranked WHERE r = (n + 1) // 2
+    ),
+    devs AS (
+        SELECT v.event_type, abs(v.v - m.median_v) AS d, m.median_v, m.n
+        FROM vals v JOIN med m ON m.event_type = v.event_type
+    ),
+    dranked AS (
+        SELECT event_type, d, median_v, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                 AS r
+        FROM devs
+    ),
+    mad AS (
+        SELECT event_type, median_v, n, d AS mad_v
+        FROM dranked WHERE r = (n + 1) // 2
+    )
+    SELECT d.event_type,
+           CAST(m.n AS BIGINT) AS n,
+           CAST(m.median_v AS DOUBLE) AS median_value,
+           CAST(m.mad_v AS DOUBLE) AS mad,
+           CAST(COUNT(*) FILTER (WHERE d.d > {MAD_K} * m.mad_v)
+                AS BIGINT) AS n_outliers,
+           CAST(MAX(d.d) AS DOUBLE) AS max_abs_dev
+    FROM devs d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type, m.n, m.median_v, m.mad_v
+    ORDER BY d.event_type
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier report: lower-median and MAD as exact
+    decimal order statistics (no interpolation — the ceil(n/2)-th
+    smallest, identical in both engines), rows beyond the {MAD_K}-MAD
+    fence counted, worst absolute deviation alongside. The
+    masking-proof companion to q_anomaly_zscore's mean/sigma flags.
+
+    Scale: two per-type sorted windows (the per-partition sort every
+    exact order statistic costs — the approximate alternative is the
+    KLL family) + one broadcast of the |types|-row median/MAD frame
+    back over a single scan."""
+    ev = read_table(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    wv = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    ranked = vals.select(
+        "event_type",
+        "v",
+        F.row_number().over(wv).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.where(
+        F.col("r") == F.expr("(n + 1) div 2")
+    ).select("event_type", "n", F.col("v").alias("median_v"))
+    devs = vals.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n",
+        "median_v",
+        F.abs(F.col("v") - F.col("median_v")).alias("d"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    mad = (
+        devs.select(
+            "event_type",
+            "n",
+            "median_v",
+            "d",
+            F.row_number().over(wd).alias("r"),
+        )
+        .where(F.col("r") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("d").alias("mad_v"))
+    )
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "median_v", "mad_v")
+        .agg(
+            F.count(
+                F.when(F.col("d") > F.lit(MAD_K) * F.col("mad_v"), 1)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max("d").cast("double").alias("max_abs_dev"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("median_v").cast("double").alias("median_value"),
+            F.col("mad_v").cast("double").alias("mad"),
+            "n_outliers",
+            "max_abs_dev",
+        )
+        .orderBy("event_type")
+    )
+
+
+_fmt(q_mad_outliers, MAD_K=MAD_K)

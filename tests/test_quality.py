@@ -608,3 +608,43 @@ def test_cumulative_users_telescopes(spark, sf_smoke):
         assert r["returning_users"] == r["active_users"] - r["new_users"]
         run += r["new_users"]
         assert r["cumulative_users"] == run
+
+
+def test_mad_outliers_matches_python_order_statistics(spark, sf_smoke):
+    """Lower-median / MAD / fence counts recomputed in Python on the
+    same decimal-quantized values must match exactly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dynamodb_streaming_datalake_spark.operators.quality import MAD_K
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    q6 = Decimal(1).scaleb(-6)
+    vals = {}
+    for r in read_table(spark, sf_smoke, "events").select(
+        "event_type", "value"
+    ).collect():
+        vals.setdefault(r["event_type"], []).append(
+            Decimal(repr(r["value"])).quantize(q6, ROUND_HALF_UP)
+        )
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    got = {
+        r["event_type"]: r
+        for r in all_queries()["q_mad_outliers"](spark, sf_smoke).collect()
+    }
+    assert set(got) == set(vals)
+    for t, xs in vals.items():
+        med = lower_median(xs)
+        devs = [abs(x - med) for x in xs]
+        mad = lower_median(devs)
+        n_out = sum(1 for d in devs if d > MAD_K * mad)
+        r = got[t]
+        assert r["n"] == len(xs)
+        assert r["median_value"] == float(med)
+        assert r["mad"] == float(mad)
+        assert r["n_outliers"] == n_out
+        assert r["max_abs_dev"] == float(max(devs))
