@@ -323,3 +323,50 @@ def test_cdc_zone_roundtrip_prunes_partitions(spark, sf_smoke, tmp_path):
     p = explain_str(state)
     assert "PartitionFilters" in p, p
     assert "(d" in p and "(m" in p and "(y" in p, p
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_oracle):
+    """Defense-in-depth beside the explicit salted join: with AQE's
+    skew-join handler forced to see the skew (thresholds lowered to
+    test scale), the EXECUTED sort-merge join over a 60%-hot-key build
+    must carry skew-split partitions — visible as the skew marker in
+    the adaptive final plan. AQE splits PARTITIONS (a single key larger
+    than executor memory still needs the salt — the salting test
+    above), but for garden-variety skew this is the zero-code path."""
+    l = read_table(spark, sf_oracle, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    # AQE splits a skewed REDUCE partition at map-output granularity:
+    # a single-file scan is one map task, whose block is indivisible.
+    # Spread the probe side over several maps first (any real fact
+    # table has thousands).
+    skewed = l.repartition(8).withColumn(
+        "l_orderkey",
+        F.when(F.rand(seed=7) < 0.6, F.lit(1)).otherwise(F.col("l_orderkey")),
+    )
+    o = read_table(spark, sf_oracle, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    build = o.withColumnRenamed("o_orderkey", "l_orderkey")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        joined = skewed.join(build, ["l_orderkey"])
+        # execute THIS DataFrame's own query (count() would build a
+        # separate aggregate execution whose adaptive plan is not ours)
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
