@@ -385,3 +385,115 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_semdedup, SEM_K=SEM_K, SEM_W=SEM_W, SEM_TAU=SEM_TAU)
+
+
+# ---------------------------------------------------------------------------
+# farthest-first (k-center) diverse seed selection (round 11)
+# ---------------------------------------------------------------------------
+# The seeding primitive under kmeans++-style init, diverse few-shot
+# selection, and coreset construction: starting from the smallest
+# vec_id, repeatedly pick the vector FARTHEST (max-min cosine
+# distance) from everything selected so far. Gonzalez' greedy is a
+# 2-approximation to the k-center optimum — the diversity guarantee
+# random sampling does not have. Distances are the fixed-shape cosine
+# the property suite pins bit-identical across engines, so argmax
+# comparisons (ties -> smaller vec_id) are engine-exact; the oracle
+# unrolls all rounds as MATERIALIZED CTE layers.
+
+KC_SEEDS = 8
+
+
+def _sql_kc_round(k: int) -> str:
+    return f"""
+    pick{k} AS MATERIALIZED (
+        SELECT e.vec_id,
+               MIN(1 - {sql_cosine('e.embedding', 's.embedding')})
+                 AS min_dist
+        FROM embeddings e JOIN sel{k - 1} s ON TRUE
+        WHERE e.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+        GROUP BY e.vec_id
+        ORDER BY min_dist DESC, e.vec_id
+        LIMIT 1
+    ),
+    sel{k} AS MATERIALIZED (
+        SELECT vec_id, embedding, rank FROM sel{k - 1}
+        UNION ALL
+        SELECT p.vec_id, e.embedding, {k + 1}
+        FROM pick{k} p JOIN embeddings e ON e.vec_id = p.vec_id
+    )"""
+
+
+_SQL_KC_ROUNDS = ",".join(_sql_kc_round(k) for k in range(1, KC_SEEDS))
+
+
+@query(
+    "q_kcenter_seeds",
+    oracle=f"""
+    WITH sel0 AS MATERIALIZED (
+        SELECT vec_id, embedding, 1 AS rank FROM embeddings
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    {_SQL_KC_ROUNDS},
+    dists AS (
+        SELECT s.rank, s.vec_id,
+               CASE WHEN s.rank = 1 THEN 0.0 ELSE (
+                   SELECT MIN(1 - {sql_cosine('s.embedding', 't.embedding')})
+                   FROM sel{KC_SEEDS - 1} t WHERE t.rank < s.rank
+               ) END AS d
+        FROM sel{KC_SEEDS - 1} s
+    )
+    SELECT CAST(rank AS INT) AS rank, vec_id,
+           round(d, 6) AS min_dist_at_selection
+    FROM dists ORDER BY rank
+    """,
+)
+def q_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first traversal over the embedding corpus: {KC_SEEDS}
+    seeds, each the vector with MAXIMUM min-cosine-distance to the
+    already-selected set (Gonzalez' 2-approximate k-center) — the
+    diverse-seed primitive under kmeans++ init, few-shot exemplar
+    selection, and coresets. Deterministic: smallest vec_id starts,
+    ties break on vec_id, and the distance is the fixed-shape cosine
+    pinned bit-identical cross-engine by the property suite.
+
+    Scale: each round is ONE corpus pass against a broadcast
+    ≤{KC_SEEDS}-row selected set (running min-dist folded
+    incrementally — the pass scores only the NEWEST center and mins
+    with the carried distance), so k seeds cost k linear scans, never
+    a pairwise matrix."""
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    selected = [(1, first["vec_id"], 0.0)]
+    cur = e.where(F.col("vec_id") != first["vec_id"]).select(
+        "vec_id", "embedding", F.lit(None).cast("double").alias("dmin")
+    )
+    center_vec = first["embedding"]
+    for rank in range(2, KC_SEEDS + 1):
+        cdf = F.array(*[F.lit(float(x)) for x in center_vec])
+        d_new = 1 - cosine(F.col("embedding"), cdf)
+        cur = cur.select(
+            "vec_id",
+            "embedding",
+            F.when(
+                F.col("dmin").isNull() | (d_new < F.col("dmin")), d_new
+            )
+            .otherwise(F.col("dmin"))
+            .alias("dmin"),
+        ).localCheckpoint(eager=True)
+        top = (
+            cur.orderBy(F.col("dmin").desc(), "vec_id").limit(1).collect()
+        )[0]
+        selected.append((rank, top["vec_id"], top["dmin"]))
+        center_vec = top["embedding"]
+        cur = cur.where(F.col("vec_id") != top["vec_id"])
+    out = spark.createDataFrame(
+        [(r, v, d) for r, v, d in selected],
+        "rank int, vec_id long, min_dist_at_selection double",
+    )
+    return out.select(
+        "rank", "vec_id", F.round("min_dist_at_selection", 6).alias(
+            "min_dist_at_selection"
+        )
+    ).orderBy("rank")

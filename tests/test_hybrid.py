@@ -50,3 +50,46 @@ def test_hybrid_plan_uses_bounded_topk(spark, sf_smoke):
     over the whole corpus."""
     plan = q_hybrid_search(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kcenter_seeds_are_genuinely_diverse(spark, sf_smoke):
+    """Structural k-center properties: ranks 1..8, distinct seeds, the
+    selection distances are non-increasing (each new pick is the
+    farthest remaining, so the max-min radius shrinks monotonically),
+    and the greedy picks are more spread than the first-8-by-id
+    baseline (mean pairwise cosine distance strictly larger)."""
+    import numpy as np
+
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    rows = sorted(
+        all_queries()["q_kcenter_seeds"](spark, sf_smoke).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, 9))
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 8
+    d = [r["min_dist_at_selection"] for r in rows[1:]]
+    assert d == sorted(d, reverse=True)
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in read_table(spark, sf_smoke, "embeddings").collect()
+    }
+
+    def mean_pairwise_dist(vecs):
+        ds = []
+        for i in range(len(vecs)):
+            for j in range(i + 1, len(vecs)):
+                a, b = vecs[i], vecs[j]
+                ds.append(
+                    1 - a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+                )
+        return sum(ds) / len(ds)
+
+    greedy = mean_pairwise_dist([emb[i] for i in ids])
+    baseline = mean_pairwise_dist(
+        [emb[i] for i in sorted(emb)[:8]]
+    )
+    assert greedy > baseline
