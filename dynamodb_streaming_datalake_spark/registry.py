@@ -29,64 +29,36 @@ ORACLE: dict[str, str] = {}
 # silently eject a listed query from the window.
 #
 # PRIORITY derived by scripts/rotate_window.py from
-# CORRECTNESS_r*.json (latest: r10).  Do not hand-order;
+# CORRECTNESS_r*.json (latest: r11).  Do not hand-order;
 # regenerate after each driver round.  Derivation: the
-# 11 never-driver-proven names lead, then proofs
+# 23 never-driver-proven names lead, then proofs
 # ascending by round (stable tie-break: prior order).
 PRIORITY: tuple[str, ...] = (
     # -- never driver-proven --
-    "q_link_prediction",
-    "q_histogram_drift",
-    "q_autocorrelation",
-    "q_dedup_containment",
-    "q_mmr_diverse",
-    "q_embedding_covariance",
-    "q_curriculum_order",
-    "q_ams_f2",
-    "q_cuped",
-    "q_stream_attribution_outer",
-    "q_ams_stream",
-    # -- proven r6 --
-    "q_media_png",
-    "q_media_mp4",
-    "q_media_mp3",
-    "q_media_jpeg",
-    "q_media_gif",
-    "q_media_tiff",
-    "q_sequence_pack",
-    "q_stratified_cap",
-    "q_salted_join",
-    "q_zorder_scan",
-    "q_schema_evolution",
-    "q_csv_roundtrip",
-    "q_orc_roundtrip",
-    "q_avro_scan",
-    "q_warc_ingest",
-    "q_stream_attribution",
-    "q_mvcc_timetravel",
+    "q_hits",
+    "q_benford_audit",
+    "q_mad_outliers",
+    "q_stream_sessionize",
+    "q_holt_trend",
+    "q_cumulative_users",
+    "q_grouped_forecast",
+    "q_stream_enrich_scd2",
+    "q_vocab_growth",
+    "q_ngram_novelty",
+    "q_rake_keywords",
+    "q_dedup_incremental",
+    "q_pca_power",
+    "q_ann_serve",
+    "q_pack_nextfit",
+    "q_target_encoding",
+    "q_column_correlation",
+    "q_lift_deciles",
+    "q_markov_eval",
+    "q_srm_check",
+    "q_kcenter_seeds",
+    "q_dedup_stream",
+    "q_bloom_stream",
     # -- proven r7 --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q_latest_state_per_key",
-    "q_merge_snapshot_cdc",
-    "q_scd2_intervals",
-    "q_bloom_prejoin",
-    "q_cdc_zone_roundtrip",
-    "q_stateful_latest_state",
-    "q_enrich_stream",
-    "q_grouping_sets",
-    "q_window_time_range",
-    "q_user_value_deciles",
-    "q_gap_fill_hourly",
-    "q_user_last_event",
-    "q_sessionize",
-    "q_unpivot_event_matrix",
-    "q_dedup_apply",
-    "q_dedup_apply_clustered",
-    "q_text_stats",
-    "q_text_langid",
-    "q_text_fingerprint",
-    "q_lang_distribution",
     "q_text_repetition",
     "q_doc_chunks",
     "q_tfidf_terms",
@@ -268,6 +240,57 @@ PRIORITY: tuple[str, ...] = (
     "q_ann_pq_filtered",
     "q_hybrid_search",
     "q_media_bmp",
+    # -- proven r11 --
+    "q_link_prediction",
+    "q_histogram_drift",
+    "q_autocorrelation",
+    "q_dedup_containment",
+    "q_mmr_diverse",
+    "q_embedding_covariance",
+    "q_curriculum_order",
+    "q_ams_f2",
+    "q_cuped",
+    "q_stream_attribution_outer",
+    "q_ams_stream",
+    "q_media_png",
+    "q_media_mp4",
+    "q_media_mp3",
+    "q_media_jpeg",
+    "q_media_gif",
+    "q_media_tiff",
+    "q_sequence_pack",
+    "q_stratified_cap",
+    "q_salted_join",
+    "q_zorder_scan",
+    "q_schema_evolution",
+    "q_csv_roundtrip",
+    "q_orc_roundtrip",
+    "q_avro_scan",
+    "q_warc_ingest",
+    "q_stream_attribution",
+    "q_mvcc_timetravel",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_latest_state_per_key",
+    "q_merge_snapshot_cdc",
+    "q_scd2_intervals",
+    "q_bloom_prejoin",
+    "q_cdc_zone_roundtrip",
+    "q_stateful_latest_state",
+    "q_enrich_stream",
+    "q_grouping_sets",
+    "q_window_time_range",
+    "q_user_value_deciles",
+    "q_gap_fill_hourly",
+    "q_user_last_event",
+    "q_sessionize",
+    "q_unpivot_event_matrix",
+    "q_dedup_apply",
+    "q_dedup_apply_clustered",
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_lang_distribution",
 )
 
 

@@ -38,22 +38,39 @@ def breaches(detail: dict, budget_doc: dict) -> list[tuple[str, float, float]]:
 
 
 def test_breach_logic_flags_simulated_slowdown():
-    """The checker itself: r10's own numbers pass their budgets
-    (2x + 0.3 s jitter grace); a simulated 3x slowdown is flagged for
-    every query big enough that the grace term isn't the whole budget
-    (sub-0.3 s queries are scheduler-noise-dominated locally — a 3x on
-    0.16 s is indistinguishable from a busy host, and the ratchet
-    should not cry wolf there)."""
+    """The checker itself: the budget source's own numbers pass their
+    budgets (2x + 0.3 s jitter grace); a simulated 3x slowdown is
+    flagged for every query big enough that the grace term isn't the
+    whole budget (sub-0.3 s queries are scheduler-noise-dominated
+    locally — a 3x on 0.16 s is indistinguishable from a busy host,
+    and the ratchet should not cry wolf there)."""
     doc = load_budgets()
-    r10 = json.loads((ROOT / "BENCH_r10.json").read_text())["parsed"]
-    assert breaches(r10, doc) == []
+    base = json.loads((ROOT / "bench_detail.json").read_text())
+    assert breaches(base, doc) == []
     slow = {
-        "sf": r10["sf"],
-        "queries": {q: 3 * t for q, t in r10["queries"].items()},
+        "sf": base["sf"],
+        "queries": {q: 3 * t for q, t in base["queries"].items()},
     }
     flagged = {q for q, _, _ in breaches(slow, doc)}
-    material = {q for q, t in r10["queries"].items() if t >= 0.3}
+    material = {q for q, t in base["queries"].items() if t >= 0.3}
     assert material and material <= flagged
+
+
+def test_budgets_cover_every_measured_query():
+    """Round-11 VERDICT #2: budgets must cover ALL queries in the
+    latest bench_detail.json, not a 16-query headline subset — else
+    235 queries can regress 10x without any local red. Regenerate with
+    `python scripts/refresh_budgets.py` after each bench refresh."""
+    detail_path = ROOT / "bench_detail.json"
+    if not detail_path.exists():
+        pytest.skip("no local bench_detail.json — run `python bench.py`")
+    detail = json.loads(detail_path.read_text())
+    doc = load_budgets()
+    missing = set(detail.get("queries", {})) - set(doc["budgets_sec"])
+    assert not missing, (
+        f"{len(missing)} measured queries lack budgets (e.g. "
+        f"{sorted(missing)[:5]}) — run scripts/refresh_budgets.py"
+    )
 
 
 def test_latest_local_bench_run_within_budgets():
