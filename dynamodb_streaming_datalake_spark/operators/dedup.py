@@ -152,6 +152,7 @@ def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
     max_shingle_freq: int | None = MAX_SHINGLE_FREQ,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact 3-shingle Jaccard for every overlapping pair, thresholded.
 
@@ -167,8 +168,12 @@ def jaccard_pairs(
     with the universe, the standard web-dedup convention — boilerplate
     shingles stop counting as similarity at all). ``None`` disables the
     cap and restores exact whole-set Jaccard with row-local sizes.
+
+    ``shingles`` lets a caller that ALSO shingles the corpus (the
+    q_dedup_eval harness runs this kernel AND the MinHash one) pass a
+    pinned (doc_id, sh) frame so the explode runs once, not per kernel.
     """
-    sh = shingle_rows(docs)
+    sh = shingle_rows(docs) if shingles is None else shingles
     if max_shingle_freq is not None:
         # hot-shingle set is tiny by definition (few keys exceed the
         # cap) -> broadcast anti-join; the counts agg is map-side
@@ -294,7 +299,11 @@ _SQL_MINHASH_PAIRS = f"""
 """
 
 
-def minhash_signatures(docs: DataFrame, n_seeds: int = MINHASH_SEEDS) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    n_seeds: int = MINHASH_SEEDS,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """Wide signature matrix: (doc_id, m0..m{n-1}), m_s = MIN over
     shingles of the s-th universal hash of the shingle's base hash.
 
@@ -304,7 +313,7 @@ def minhash_signatures(docs: DataFrame, n_seeds: int = MINHASH_SEEDS) -> DataFra
     exchange. MIN over ints is order-independent, so signatures are
     identical on any partitioning.
     """
-    sh = shingle_rows(docs).withColumn(
+    sh = (shingle_rows(docs) if shingles is None else shingles).withColumn(
         "h0", portable_hash60(F.col("sh")) % MINHASH_P
     )
     return sh.groupBy("doc_id").agg(
@@ -344,6 +353,8 @@ def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     max_bucket_size: int | None = MAX_BUCKET_SIZE,
+    shingles: DataFrame | None = None,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs from band-bucket equality, verified with exact
     Jaccard on the candidates only.
@@ -360,7 +371,11 @@ def minhash_lsh_pairs(
     ``None`` disables the cap.
     """
     return lsh_pairs_from_signatures(
-        minhash_signatures(docs), docs, threshold, max_bucket_size
+        minhash_signatures(docs, shingles=shingles),
+        docs,
+        threshold,
+        max_bucket_size,
+        shingle_arrays=shingle_arrays,
     )
 
 
@@ -369,6 +384,7 @@ def lsh_pairs_from_signatures(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     max_bucket_size: int | None = MAX_BUCKET_SIZE,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """The band/cap/self-join/verify half of ``minhash_lsh_pairs``,
     taking the wide signature matrix as an input — so a signature table
@@ -402,7 +418,11 @@ def lsh_pairs_from_signatures(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    arrs = docs.select("doc_id", word_shingles("text").alias("arr"))
+    arrs = (
+        docs.select("doc_id", word_shingles("text").alias("arr"))
+        if shingle_arrays is None
+        else shingle_arrays
+    )
     jac = (
         F.size(F.array_intersect(F.col("pa.arr"), F.col("pb.arr")))
         / F.size(F.array_union(F.col("pa.arr"), F.col("pb.arr")))
@@ -1782,12 +1802,25 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both pair generators are the bounded candidate paths
     audited in their own queries; the comparison itself joins two
-    pair-sized (not corpus-sized) frames on the pair key."""
+    pair-sized (not corpus-sized) frames on the pair key. The shingle
+    pass — the dominant stage of BOTH kernels — runs ONCE: the
+    (doc_id, shingle-array) frame is pinned lazily and shared, so the
+    explode feeds the Jaccard postings, the MinHash signatures, and
+    the LSH verify step from one linear materialization instead of
+    three re-shingles of the corpus."""
     d = read_table(spark, sf_dir, "documents")
-    truth = jaccard_pairs(d, JACCARD_THRESHOLD).select(
+    arrs = d.select(
+        "doc_id", word_shingles("text").alias("arr")
+    ).localCheckpoint(eager=False)
+    sh = arrs.select(
+        "doc_id", F.explode("arr").alias("sh")
+    ).localCheckpoint(eager=False)
+    truth = jaccard_pairs(d, JACCARD_THRESHOLD, shingles=sh).select(
         "doc_a", "doc_b", F.lit(1).alias("in_t")
     )
-    found = minhash_lsh_pairs(d).select(
+    found = minhash_lsh_pairs(
+        d, shingles=sh, shingle_arrays=arrs
+    ).select(
         F.col("doc_a").alias("f_a"), F.col("doc_b").alias("f_b"),
         F.lit(1).alias("in_f"),
     )
