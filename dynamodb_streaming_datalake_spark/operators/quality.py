@@ -530,12 +530,21 @@ _SQL_BENFORD_TABLE = " UNION ALL ".join(
     bt AS ({_SQL_BENFORD_TABLE}),
     tot AS (SELECT SUM(observed) AS n FROM counts),
     scored AS (
+        -- chi term computed in DOUBLE on BOTH engines (q_srm_check's
+        -- pattern; round-11 ADVICE): without the casts DuckDB runs
+        -- HUGEINT*DECIMAL exact arithmetic while Spark runs doubles,
+        -- and a term within a few ULPs of a 6-dp rounding boundary
+        -- hash-diverges (extreme deviations can even overflow the
+        -- decimal multiply).
         SELECT b.digit, COALESCE(c.observed, 0) AS observed,
                b.benford_share, t.n,
                CAST(round(
-                   (COALESCE(c.observed, 0) - t.n * b.benford_share)
-                   * (COALESCE(c.observed, 0) - t.n * b.benford_share)
-                   / (t.n * b.benford_share), 6) AS DECIMAL(38,6))
+                   (CAST(COALESCE(c.observed, 0) AS DOUBLE)
+                      - CAST(t.n AS DOUBLE) * CAST(b.benford_share AS DOUBLE))
+                   * (CAST(COALESCE(c.observed, 0) AS DOUBLE)
+                      - CAST(t.n AS DOUBLE) * CAST(b.benford_share AS DOUBLE))
+                   / (CAST(t.n AS DOUBLE) * CAST(b.benford_share AS DOUBLE)),
+                   6) AS DECIMAL(38,6))
                  AS chi_term
         FROM bt b LEFT JOIN counts c ON c.digit = b.digit, tot t
     )

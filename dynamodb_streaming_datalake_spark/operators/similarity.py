@@ -2615,9 +2615,25 @@ def _gram_sums_kernel(e: DataFrame) -> DataFrame:
                         "Gram kernel's fixed-dim contract is violated — "
                         "fall back to _gram_sums_pairjoin for ragged data"
                     )
+                if any(x is None for x in row):
+                    raise ValueError(
+                        "NULL embedding component; the Gram kernel's "
+                        "non-null contract is violated — fall back to "
+                        "_gram_sums_pairjoin for nullable data"
+                    )
                 # scale-9 mantissa of the already-rounded decimal; the
                 # scaleb is exact (exponent is -9 by construction)
                 mat[i, :] = [int(x.scaleb(9)) for x in row]
+            # int64 no-overflow bound for the hi/lo split matmuls:
+            # |m| < 2**35 keeps every partial product and batch-sized
+            # accumulation inside int64 (documented above; round-11
+            # ADVICE made it checked, not assumed).
+            if len(rows) and int(np.abs(mat).max()) >= 2**35:
+                raise ValueError(
+                    "embedding mantissa >= 2**35 (|value| >= ~34.4); the "
+                    "Gram kernel's magnitude contract is violated — fall "
+                    "back to _gram_sums_pairjoin for large-magnitude data"
+                )
             n_rows += len(rows)
             s1 += mat.sum(axis=0)
             hi = mat >> 16
@@ -2752,10 +2768,12 @@ _fmt(q_embedding_covariance, COV_TOP=COV_TOP, DIM=DIM)
 # cross-engine-safe step), and the power iteration then runs in pure
 # integer arithmetic: w = C_fp . v exactly (scale-0 decimals /
 # hugeint), renormalized each round to max|v| = PCA_V_SCALE by
-# integral division with an explicit sign split (Spark's `div`
-# truncates toward zero, DuckDB's `//` floors — identical on the
-# non-negative halves, so sign(raw) * (|raw| * S div m) is
-# engine-exact where a signed division is not). Rayleigh quotient and
+# integral division with an explicit sign split. Both engines truncate
+# integral division toward zero (Spark `div` and DuckDB `//` alike:
+# -7 // 2 = -3, probed in test_holt_fold_matches_duckdb_*), so the
+# split is defense-in-depth/clarity — it keeps every division operand
+# non-negative so the recurrence stays obviously portable — not a
+# floor-vs-truncate reconciliation. Rayleigh quotient and
 # explained-variance ratio are single final double expressions over
 # exact integer sums.
 

@@ -162,15 +162,28 @@ def _sessionize_fn(
     """Walk the user's (time-ordered) rows, merge the leading run into
     the open session carried in state, emit every gap-closed session,
     and leave the trailing run open. Vectorized: one sort, one diff,
-    one groupby over the batch."""
+    one groupby over the batch.
+
+    ALL Arrow chunks of the group are concatenated before the single
+    sort + gap-walk: a group whose micro-batch rows span multiple
+    chunks (maxRecordsPerBatch splits at 10k rows by default) must not
+    be walked per-chunk — per-chunk walks split sessions at chunk
+    boundaries and apply a flush sentinel before later-chunk rows,
+    silently diverging from batch q_sessionize (round-11 ADVICE). The
+    cross-MICRO-BATCH time-ordering contract is unchanged; within one
+    micro-batch, chunking is now invisible."""
     if state.exists:
         sno, start, last, n, sfp = state.get
     else:
         sno, start, last, n, sfp = 0, -1, -1, 0, 0
     closed: list[tuple] = []
-    for pdf in pdfs:
-        if pdf.empty:
-            continue
+    chunks = [pdf for pdf in pdfs if not pdf.empty]
+    pdf = (
+        pd.concat(chunks, ignore_index=True)
+        if len(chunks) > 1
+        else (chunks[0] if chunks else None)
+    )
+    if pdf is not None:
         pdf = pdf.sort_values(["ts_us", "event_id"])
         sentinel = pdf["event_id"] < 0
         real = pdf[~sentinel]

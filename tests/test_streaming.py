@@ -1022,6 +1022,63 @@ def test_streaming_sessionize_multibatch_matches_batch(spark, sf_smoke, tmp_path
     assert len(got) > 0 and got == want
 
 
+def test_sessionize_fn_is_chunking_invariant():
+    """Round-11 ADVICE: _sessionize_fn must not depend on how Arrow
+    chunks a group's micro-batch rows (maxRecordsPerBatch splits at 10k
+    by default). Same rows, three adversarial chunkings — mid-session
+    splits, out-of-order delivery across chunks, and the flush sentinel
+    landing in an EARLIER chunk than later real rows — must emit
+    identical sessions and identical carried state."""
+    import pandas as pd
+
+    from dynamodb_streaming_datalake_spark.streaming.stateful import (
+        _SESSION_GAP_US,
+        _sessionize_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._s = None
+
+        @property
+        def exists(self):
+            return self._s is not None
+
+        @property
+        def get(self):
+            return self._s
+
+        def update(self, v):
+            self._s = tuple(v)
+
+    rows, t, eid = [], 0, 1
+    for _ in range(5):  # 5 sessions of 4 events, 1 min apart
+        for _ in range(4):
+            rows.append((t, eid, 1.5 * eid))
+            t += 60 * 1_000_000
+            eid += 1
+        t += _SESSION_GAP_US + 1
+    rows.append((t, -1, 0.0))  # sentinel closes the trailing session
+    pdf = pd.DataFrame(rows, columns=["ts_us", "event_id", "value"])
+
+    def run(chunks):
+        st = FakeState()
+        out = list(_sessionize_fn((7,), iter(chunks), st))
+        return pd.concat(out, ignore_index=True), st._s
+
+    whole, s_whole = run([pdf])
+    assert len(whole) == 5
+    chunkings = [
+        [pdf.iloc[:3], pdf.iloc[3:10], pdf.iloc[10:]],  # mid-session
+        [pdf.iloc[10:], pdf.iloc[:10]],  # unordered across chunks
+        [pdf.iloc[[20]], pdf.iloc[:20]],  # sentinel chunk FIRST
+    ]
+    for chunks in chunkings:
+        got, s_got = run([c.reset_index(drop=True) for c in chunks])
+        assert s_got == s_whole
+        pd.testing.assert_frame_equal(got, whole)
+
+
 def test_bloom_view_maintenance_is_result_invisible(spark, tmp_path, sf_smoke):
     """Streaming bloom (round 11): a genuine readStream over the dim's
     key files, drained one file per micro-batch through the foreachBatch
