@@ -33,6 +33,15 @@ def derive(detail: dict) -> dict:
     budgets = {
         q: round(2 * t + 0.3, 3) for q, t in sorted(detail["queries"].items())
     }
+    # sf1 scale rail (round-11 VERDICT #8): the 10x-data wall-clock
+    # ratio is the early warning for super-linear cliffs — breach at
+    # 1.5x the recorded ratio (+0.5 absolute grace for sub-linear
+    # queries whose ratios are jitter-dominated).
+    sf1 = {
+        q: round(1.5 * r + 0.5, 2)
+        for q, r in sorted((detail.get("sf1_ratio") or {}).items())
+        if r is not None
+    }
     return {
         "_comment": (
             "Per-query wall-clock budgets at sf{}: 2x the latest local "
@@ -47,6 +56,8 @@ def derive(detail: dict) -> dict:
         "source": "bench_detail.json",
         "rule": RULE,
         "budgets_sec": budgets,
+        "sf1_ratio_rule": "1.5*r + 0.5",
+        "sf1_ratio_budgets": sf1,
     }
 
 

@@ -56,6 +56,57 @@ def test_breach_logic_flags_simulated_slowdown():
     assert material and material <= flagged
 
 
+def sf1_breaches(detail: dict, budget_doc: dict) -> list[tuple[str, float, float]]:
+    """(query, measured ratio, budget ratio) rows where the sf1/sf0.1
+    wall-clock ratio exceeds its rail — the early warning for
+    super-linear scale cliffs (round-11 VERDICT #8)."""
+    budgets = budget_doc.get("sf1_ratio_budgets") or {}
+    ratios = detail.get("sf1_ratio") or {}
+    return [
+        (q, ratios[q], budgets[q])
+        for q in sorted(set(ratios) & set(budgets))
+        if ratios[q] is not None and ratios[q] > budgets[q]
+    ]
+
+
+def test_sf1_rail_flags_simulated_quadratic_blowup():
+    """The sf1 checker itself: the recorded ratios pass their own
+    rails; a simulated quadratic blowup (ratio -> ratio^2, i.e. 10x
+    data costing 100x where it cost 10x) is flagged for every
+    query whose recorded ratio exceeds ~1.8 (r^2 > 1.5r + 0.5 only for
+    r > (1.5 + sqrt(4.25))/2 ~ 1.78; below that, near-linear queries
+    sit in jitter territory by design)."""
+    doc = load_budgets()
+    base = json.loads((ROOT / "bench_detail.json").read_text())
+    if not (doc.get("sf1_ratio_budgets") and base.get("sf1_ratio")):
+        pytest.skip("no sf1 ratios recorded in this bench run")
+    assert sf1_breaches(base, doc) == []
+    blown = {
+        "sf1_ratio": {q: r * r for q, r in base["sf1_ratio"].items() if r}
+    }
+    flagged = {q for q, _, _ in sf1_breaches(blown, doc)}
+    material = {q for q, r in base["sf1_ratio"].items() if r and r >= 1.8}
+    assert material and material <= flagged
+
+
+def test_latest_sf1_ratios_within_rails():
+    """The live sf1 rail: the most recent bench run's 10x-data ratios
+    must sit inside every recorded rail."""
+    detail_path = ROOT / "bench_detail.json"
+    if not detail_path.exists():
+        pytest.skip("no local bench_detail.json — run `python bench.py`")
+    detail = json.loads(detail_path.read_text())
+    doc = load_budgets()
+    if not (doc.get("sf1_ratio_budgets") and detail.get("sf1_ratio")):
+        pytest.skip("no sf1 ratios in this bench run")
+    got = sf1_breaches(detail, doc)
+    assert not got, (
+        "sf1 scale-rail breaches (query, ratio, rail): "
+        f"{got} — a super-linear regression; find the new shuffle or "
+        "expansion before regenerating rails"
+    )
+
+
 def test_budgets_cover_every_measured_query():
     """Round-11 VERDICT #2: budgets must cover ALL queries in the
     latest bench_detail.json, not a 16-query headline subset — else
