@@ -357,3 +357,26 @@ def test_ann_serve_prunes_index_partitions_dynamically(spark, sf_smoke):
         map(tuple, all_queries()["q_ann_ivf"](spark, sf_smoke).collect())
     )
     assert got == want
+
+
+def test_ann_serve_pq_prunes_code_partitions_dynamically(spark, sf_smoke):
+    """The IVF-PQ build/serve split (round 12): the serving query's
+    scan of the cid-partitioned PQ code store must carry a
+    dynamic-pruning partition filter (only probed lists' code files
+    are read), and its result must equal the inline q_ann_ivfpq build
+    row-for-row — build/serve result-invisibility for the compressed
+    index."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    df = all_queries()["q_ann_serve_pq"](spark, sf_smoke)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruning" in p.lower(), p
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(
+        map(tuple, all_queries()["q_ann_ivfpq"](spark, sf_smoke).collect())
+    )
+    assert got == want
