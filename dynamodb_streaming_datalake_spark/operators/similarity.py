@@ -2989,69 +2989,42 @@ _fmt(
 _IVF_INDEX_VERSION = "v1"
 
 
-def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build the IVF index once per dataset: centroid table + inverted
-    lists (with vectors — IVFFlat) written partitioned by cid."""
-    import os
-
-    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
-
-    def build(build_dir: str) -> None:
-        e = read_table(spark, sf_dir, "embeddings")
-        cents = e.where(F.col("vec_id") < IVF_CENTROIDS).select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-        )
-        scored = e.join(F.broadcast(cents)).select(
-            "vec_id",
-            "embedding",
-            "cid",
-            cosine(F.col("embedding"), F.col("ce")).alias("ac"),
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("ac").desc(), F.col("cid")
-        )
-        lists = (
-            scored.withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
-            .select("cid", "vec_id", "embedding")
-        )
-        lists.write.partitionBy("cid").parquet(
-            os.path.join(build_dir, "lists")
-        )
-        cents.write.parquet(os.path.join(build_dir, "centroids"))
-
-    return ensure_cached_build("ivfindex", _IVF_INDEX_VERSION, sf_dir, build)
+def ivf_centroids(e: DataFrame) -> DataFrame:
+    """(cid, ce): the frozen coarse quantizer — deterministic first-K
+    init, the same table every IVF path in this module trains from."""
+    return e.where(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
 
 
-@query(
-    "q_ann_serve",
-    oracle=f"""
-    WITH {_SQL_IVF}
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
-           round(cs, 6) AS cos_sim
-    FROM ranked WHERE rank <= {IVF_TOP_K}
-    """,
-)
-def q_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN serving from the PERSISTED IVF index: queries score the
-    stored centroid table (broadcast, map-only), probe their nprobe=2
-    lists, and the candidate join runs against the cid-PARTITIONED
-    inverted file on disk — dynamic partition pruning reads only the
-    probed lists' files, never the whole corpus (the FAISS IVFFlat
-    serving path as a lake layout). The quantizer is deterministic, so
-    serving from the index must hash-match q_ann_ivf's inline build —
-    the oracle transfers verbatim and IS the build/serve
-    result-invisibility proof.
+def ivf_assign_lists(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(cid, vec_id, embedding): nearest-centroid (max cosine, ties to
+    the smaller cid) inverted-list rows. Per-row deterministic given
+    the frozen centroid table, so assignment commutes with any
+    batching of the corpus — the property the streaming index view
+    (streaming.sketchview) relies on. Broadcast centroids, map-only
+    but for the per-vector argmax window."""
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine(F.col("embedding"), F.col("ce")).alias("ac"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ac").desc(), F.col("cid"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("cid", "vec_id", "embedding")
+    )
 
-    Scale: the index is built once (one assignment pass) and amortized
-    across every query thereafter; per serve, work = |queries| x 16
-    centroid scores + an equi-join bounded by the probed lists."""
-    import os
 
-    path = _ensure_ivf_index(spark, sf_dir)
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
-    lists = spark.read.parquet(os.path.join(path, "lists"))
-    e = read_table(spark, sf_dir, "embeddings")
+def ivf_serve(lists: DataFrame, cents: DataFrame, e: DataFrame) -> DataFrame:
+    """The IVFFlat serving query over ANY (cid, vec_id, embedding)
+    inverted-list source — the persisted index (q_ann_serve) or the
+    continuously-maintained streaming view (q_ann_index_stream):
+    queries score the centroid table (broadcast, map-only), probe
+    their nprobe lists, and the candidate join runs against the list
+    source keyed on cid."""
     queries = e.where(F.col("vec_id") < IVF_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -3091,6 +3064,58 @@ def q_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cs", 6).alias("cos_sim"),
         )
     )
+
+
+#: q_ann_ivf's oracle verbatim — the result every IVF serving path
+#: (persisted index, streaming view) must hash-match.
+SQL_IVF_SERVE = f"""
+    WITH {_SQL_IVF}
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cs, 6) AS cos_sim
+    FROM ranked WHERE rank <= {IVF_TOP_K}
+    """
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the IVF index once per dataset: centroid table + inverted
+    lists (with vectors — IVFFlat) written partitioned by cid."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
+
+    def build(build_dir: str) -> None:
+        e = read_table(spark, sf_dir, "embeddings")
+        cents = ivf_centroids(e)
+        ivf_assign_lists(e, cents).write.partitionBy("cid").parquet(
+            os.path.join(build_dir, "lists")
+        )
+        cents.write.parquet(os.path.join(build_dir, "centroids"))
+
+    return ensure_cached_build("ivfindex", _IVF_INDEX_VERSION, sf_dir, build)
+
+
+@query("q_ann_serve", oracle=SQL_IVF_SERVE)
+def q_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from the PERSISTED IVF index: queries score the
+    stored centroid table (broadcast, map-only), probe their nprobe=2
+    lists, and the candidate join runs against the cid-PARTITIONED
+    inverted file on disk — dynamic partition pruning reads only the
+    probed lists' files, never the whole corpus (the FAISS IVFFlat
+    serving path as a lake layout). The quantizer is deterministic, so
+    serving from the index must hash-match q_ann_ivf's inline build —
+    the oracle transfers verbatim and IS the build/serve
+    result-invisibility proof.
+
+    Scale: the index is built once (one assignment pass) and amortized
+    across every query thereafter; per serve, work = |queries| x 16
+    centroid scores + an equi-join bounded by the probed lists."""
+    import os
+
+    path = _ensure_ivf_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    lists = spark.read.parquet(os.path.join(path, "lists"))
+    e = read_table(spark, sf_dir, "embeddings")
+    return ivf_serve(lists, cents, e)
 
 
 # ---------------------------------------------------------------------------

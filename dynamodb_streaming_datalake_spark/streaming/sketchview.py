@@ -1072,3 +1072,143 @@ def _register_bloom() -> None:
 
 
 _register_bloom()
+
+
+# ---------------------------------------------------------------------------
+# streaming IVF inverted-list view (round 12): the ANN index kept
+# current from the corpus's ingest stream
+# ---------------------------------------------------------------------------
+# q_ann_serve serves from an index built once per dataset; in a live
+# lake the corpus GROWS, and rebuilding the inverted file nightly is
+# the recompute the sketch views exist to kill. Nearest-centroid
+# assignment against the FROZEN coarse quantizer is per-row
+# deterministic, so the inverted lists are an APPEND monoid per cid:
+# each micro-batch's vectors assign map-only and union into the view,
+# and the folded view row-equals a one-shot build over the whole
+# corpus by construction (assignment commutes with batching). The
+# fold is non-idempotent (append), exactly like the CMS sum fold —
+# the MVCC committed-version guard makes checkpoint replays no-ops.
+#
+# Gate proof: serving (ivf_serve) from the twice-folded view must
+# hash-match q_ann_ivf's oracle VERBATIM — the same
+# result-invisibility bar as q_ann_serve's persisted index.
+
+IVF_VIEW_VERSION = "v1"
+
+
+def merge_ivf_lists(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Append — the inverted-list monoid (each vector arrives once
+    under exactly-once versioning; no per-key reconciliation)."""
+    return prev.unionByName(delta)
+
+
+def upsert_ivf_view(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    cents: DataFrame,
+    view_dir: str,
+    version: int,
+) -> None:
+    """Assign one micro-batch of vectors (vec_id, embedding) against
+    the frozen centroid table and fold into the list view as
+    ``version``; committed-version replays no-op (crash-replay
+    guard for the non-idempotent append)."""
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        ivf_assign_lists,
+    )
+
+    if version in _versions(spark, view_dir):
+        return
+    delta = ivf_assign_lists(batch_df, cents)
+    prev = current_snapshot(spark, view_dir, live_only=False)
+    merged = delta if prev is None else merge_ivf_lists(prev, delta)
+    merged.write.mode("overwrite").parquet(f"{view_dir}/v={version}")
+
+
+def start_ivf_maintenance(
+    vectors: DataFrame,
+    cents: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch sink over a vector ingest stream; each micro-batch
+    advances the inverted-list view one version. ``cents`` is the
+    frozen coarse quantizer (production: trained once, versioned with
+    the index, never derived from the stream)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_ivf_view(
+            batch_df.sparkSession, batch_df, cents, view_dir, version=batch_id
+        )
+
+    writer = vectors.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _ensure_ivf_view(spark: SparkSession, sf_dir: str) -> str:
+    """Two committed list versions built with the real fold: even
+    vec_ids -> v=1, odd folded on top -> v=2 — so the final view must
+    row-equal a one-shot assignment of the whole corpus."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        ivf_centroids,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    def build(build_dir: str) -> None:
+        view = os.path.join(build_dir, "view")
+        e = read_table(spark, sf_dir, "embeddings")
+        cents = ivf_centroids(e)
+        upsert_ivf_view(
+            spark, e.where(F.col("vec_id") % 2 == 0), cents, view, version=1
+        )
+        upsert_ivf_view(
+            spark, e.where(F.col("vec_id") % 2 == 1), cents, view, version=2
+        )
+
+    return ensure_cached_build("ivfview", IVF_VIEW_VERSION, sf_dir, build)
+
+
+def _register_ivf() -> None:
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        SQL_IVF_SERVE,
+        ivf_centroids,
+        ivf_serve,
+    )
+    from dynamodb_streaming_datalake_spark.registry import query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    @query("q_ann_index_stream", oracle=SQL_IVF_SERVE)
+    def q_ann_index_stream(spark, sf_dir):
+        """Streaming twin of q_ann_serve: the IVF inverted lists are
+        advanced twice with the real foreachBatch append-fold (even
+        vec_ids -> v=1, odd folded on top -> v=2, cached per sf_dir),
+        then the full serving query — centroid scoring, nprobe
+        probing, candidate join — answers from the FINAL committed
+        view via the shared ``ivf_serve`` kernel. Assignment against
+        the frozen quantizer commutes with batching, so the folded
+        view equals the one-shot inverted file and q_ann_ivf's batch
+        oracle transfers verbatim. The same fold drains from a
+        genuine readStream under availableNow in
+        tests/test_streaming.py.
+
+        Scale: each refresh assigns ONLY the micro-batch (map-only
+        broadcast argmax) and appends; nothing corpus-sized is
+        recomputed per batch. Serving is q_ann_serve's own
+        probed-list-bounded join."""
+        import os
+
+        path = _ensure_ivf_view(spark, sf_dir)
+        lists = current_sketch_view(spark, os.path.join(path, "view"))
+        e = read_table(spark, sf_dir, "embeddings")
+        return ivf_serve(lists, ivf_centroids(e), e)
+
+
+_register_ivf()

@@ -891,6 +891,66 @@ def test_minhash_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     assert rows(current_sketch_view(spark, view_dir)) == got
 
 
+def test_ivf_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
+    """Streaming IVF inverted lists (round 12): a genuine readStream
+    over vector files, drained one file per micro-batch through the
+    foreachBatch append-fold against the FROZEN centroid table, must
+    reach a view ROW-EQUAL to the one-shot ivf_assign_lists inverted
+    file (assignment commutes with batching), a committed-version
+    replay must no-op, and serving from the view must row-equal
+    q_ann_serve's persisted-index answer."""
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        ivf_assign_lists,
+        ivf_centroids,
+        ivf_serve,
+    )
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.streaming.sketchview import (
+        current_sketch_view,
+        start_ivf_maintenance,
+        upsert_ivf_view,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.upsert import _versions
+
+    e = read_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    cents = ivf_centroids(e)
+    src = str(tmp_path / "vec_src")
+    e.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    view_dir = str(tmp_path / "view")
+    q = start_ivf_maintenance(stream, cents, view_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    def rows(df):
+        return sorted(
+            (r["cid"], r["vec_id"], tuple(r["embedding"])) for r in df.collect()
+        )
+
+    got = rows(current_sketch_view(spark, view_dir))
+    assert got == rows(ivf_assign_lists(e, cents))
+
+    # committed-version replay: a no-op by the crash guard (the append
+    # fold is non-idempotent, so this is the property that matters)
+    last = _versions(spark, view_dir)[-1]
+    upsert_ivf_view(spark, e.limit(20), cents, view_dir, version=last)
+    assert rows(current_sketch_view(spark, view_dir)) == got
+
+    served = sorted(
+        map(
+            tuple,
+            ivf_serve(current_sketch_view(spark, view_dir), cents, e).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, all_queries()["q_ann_serve"](spark, sf_smoke).collect())
+    )
+    assert served == want
+
+
 def test_dual_lake_delivery_reconstructs_identical_state(spark, tmp_path):
     """Dual-destination delivery (reference stack.ts:424-461, the
     cross-account Firehose duplicate): one source drained into two
