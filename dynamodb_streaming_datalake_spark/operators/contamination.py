@@ -262,3 +262,115 @@ _register_fuzzy_oracle()
 
 _fmt(q_decontaminate, NGRAM=NGRAM)
 _fmt(q_decontaminate_fuzzy, FUZZY_TAU=FUZZY_TAU, FUZZY_EVAL_RATE=FUZZY_EVAL_RATE)
+
+
+# ---------------------------------------------------------------------------
+# cross-source overlap matrix (round 12)
+# ---------------------------------------------------------------------------
+# Decontamination answers "does my TRAINING set leak my EVAL set"; a
+# corpus owner mixing N crawl/source feeds needs the symmetric audit
+# FIRST: how much content do the sources share with EACH OTHER? Two
+# feeds that are 40% shingle-identical should not both get full mixture
+# weight (double-counting), and a sudden overlap jump between feeds is
+# the classic sign one started mirroring the other. The report is the
+# pairwise source-overlap matrix over distinct 3-word shingle hashes:
+# shared count and Jaccard per (source_a < source_b).
+#
+# Scale: the per-source shingle SETS are corpus-sized, but the pair
+# expansion happens per shingle hash over the DISTINCT SOURCES sharing
+# it — bounded by n_sources^2 per hash (n_sources is a small constant:
+# tens of feeds, never corpus-sized), after one map-side-combined
+# distinct. The same posting-list expansion as jaccard_pairs, with the
+# posting lists capped by the source universe itself.
+
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT source,
+               {sql_portable_hash60('sh.s')} AS h
+        FROM documents, unnest({sql_word_shingles('text', 3)}) sh(s)
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           CAST(shared AS BIGINT) AS shared_shingles,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: for every pair of corpus feeds,
+    the count of shared distinct 3-word shingle hashes and the Jaccard
+    of their shingle sets — the double-counting / mirroring audit a
+    corpus owner runs before assigning mixture weights (q_training_mix)
+    to feeds that may be re-crawls of each other.
+
+    Scale: one map-side-combined distinct over (source, hash), then
+    the posting-list pair expansion per hash — output bounded by
+    n_sources^2 per hash, and n_sources is a small constant (feeds,
+    not documents), so the shuffle is the distinct, not the join."""
+    d = read_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", F.explode(word_shingles("text")).alias("s"))
+        .select("source", portable_hash60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # posting-list expansion per hash: sources sharing the shingle,
+    # in-row (lo, hi) pairs — one shuffle on h, never a self-join
+    postings = sh.groupBy("h").agg(
+        F.sort_array(F.collect_list("source")).alias("srcs")
+    )
+    pair_structs = F.expr(
+        """
+        flatten(transform(srcs, (x, i) ->
+            transform(slice(srcs, i + 2, size(srcs)),
+                      y -> struct(x AS a, y AS b))))
+        """
+    )
+    pairs = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("source").alias("source_a"), F.col("n").alias("n_a")
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.select(
+                F.col("source").alias("source_b"), F.col("n").alias("n_b")
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared").cast("bigint").alias("shared_shingles"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

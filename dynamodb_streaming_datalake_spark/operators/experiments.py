@@ -1504,3 +1504,282 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# ---------------------------------------------------------------------------
+# sequential probability ratio test monitor (round 12)
+# ---------------------------------------------------------------------------
+# q_ab_test is the FIXED-horizon analysis: look once, at the end.
+# Production experimentation looks CONTINUOUSLY, and repeatedly eyeing
+# a fixed-horizon z-test inflates false positives (the peeking
+# problem). Wald's SPRT is the sequential answer: walk the events in
+# time order, accumulate the log-likelihood ratio of H1 (purchase
+# share = SPRT_P1) against H0 (= SPRT_P0), and stop the moment the
+# LLR leaves the (log B, log A) corridor. The walk reduces to integer
+# counts: LLR_n = k*ln(p1/p0) + (n-k)*ln((1-p1)/(1-p0)) where k =
+# cumulative purchases — both cumulatives are exact integer window
+# sums, and the two log constants are Python-computed literals shared
+# verbatim by both engines, so every checkpointed LLR is a product of
+# exact integers with identical doubles. The monitor reports the walk
+# at fixed row checkpoints (every SPRT_STRIDE events) with the
+# running decision; the first boundary crossing is where a live
+# deployment would stop (documented divergence: we keep reporting
+# past it, because the report IS the operator).
+
+SPRT_P0 = 0.18
+SPRT_P1 = 0.22
+#: Python-computed once; inlined into BOTH engines' expressions.
+SPRT_L1 = 0.20067069546215124  # ln(p1/p0)
+SPRT_L0 = -0.05001042057466142  # ln((1-p1)/(1-p0))
+SPRT_BOUND = 2.9444389791664403  # ln((1-beta)/alpha), alpha=beta=0.05
+SPRT_STRIDE = 500
+
+
+@query(
+    "q_sprt_monitor",
+    oracle=f"""
+    WITH walk AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS n,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS k
+        FROM events
+    ),
+    cps AS (
+        SELECT n, k,
+               k * {SPRT_L1!r} + (n - k) * {SPRT_L0!r} AS llr
+        FROM walk WHERE n % {SPRT_STRIDE} = 0
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k,
+           round(llr, 6) AS llr,
+           CASE WHEN llr >= {SPRT_BOUND!r} THEN 'reject_h0'
+                WHEN llr <= -{SPRT_BOUND!r} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cps ORDER BY n
+    """,
+)
+def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid experiment monitor: Wald's SPRT of H1 (purchase
+    share = {SPRT_P1}) vs H0 ({SPRT_P0}) walked over the event stream
+    in time order, reported at every {SPRT_STRIDE}-event checkpoint
+    with the running decision against the +/-ln(19) corridor
+    (alpha = beta = 0.05) — the peeking-safe companion to
+    q_ab_test's fixed-horizon z-test.
+
+    Numerics: the LLR at row n is k*C1 + (n-k)*C0 — two EXACT integer
+    window cumulatives times Python-computed double literals shared
+    verbatim by both engines; no running double sum exists anywhere,
+    so window-sum association order (Spark running fold vs DuckDB
+    segment tree) cannot diverge the walk.
+
+    Scale: one global ordered window is a single-task sort at the
+    checkpoint GRAIN only after the integer cumulatives — at 100 TB
+    you shard the monitor per experiment/segment (the partitionBy the
+    other window queries here use); the global walk is the
+    single-experiment shape."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    walk = ev.select(
+        F.row_number().over(w).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("k"),
+    ).where(F.col("n") % SPRT_STRIDE == 0)
+    llr = F.col("k") * F.lit(SPRT_L1) + (F.col("n") - F.col("k")) * F.lit(
+        SPRT_L0
+    )
+    return walk.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round(llr, 6).alias("llr"),
+        F.when(llr >= F.lit(SPRT_BOUND), F.lit("reject_h0"))
+        .when(llr <= F.lit(-SPRT_BOUND), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("n")
+
+
+_fmt(
+    q_sprt_monitor,
+    SPRT_P0=SPRT_P0,
+    SPRT_P1=SPRT_P1,
+    SPRT_STRIDE=SPRT_STRIDE,
+)
+
+
+# ---------------------------------------------------------------------------
+# split-conformal prediction intervals (round 12)
+# ---------------------------------------------------------------------------
+# q_linreg_train fits the model and q_linreg_cv scores its average
+# error; neither answers the question a consumer of predictions asks:
+# "how wide must the interval around THIS prediction be to contain the
+# truth 90% of the time?" Split conformal is the assumption-free
+# answer: fit on a train split, take the ceil((m+1)*(1-alpha))-th
+# smallest absolute residual on a disjoint calibration split as the
+# interval half-width, and the marginal coverage guarantee holds for
+# ANY model. The eval split then measures the empirical coverage —
+# which the guarantee says should land near 1 - alpha.
+
+CONF_ALPHA_NUM = 1  #: alpha = CONF_ALPHA_NUM / CONF_ALPHA_DEN = 0.1
+CONF_ALPHA_DEN = 10
+
+
+@query(
+    "q_conformal_calibrate",
+    oracle=f"""
+    WITH split AS (
+        SELECT event_type, value,
+               CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x,
+               event_id % 3 AS part
+        FROM events
+    ),
+    fit AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(value * x AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM split WHERE part = 0
+        GROUP BY event_type
+        HAVING COUNT(*) >= 2 AND COUNT(*) * sxx - sx * sx != 0
+    ),
+    model AS (
+        SELECT event_type,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 AS intercept
+        FROM fit
+    ),
+    calib AS (
+        SELECT s.event_type,
+               abs(s.value - (m.intercept + m.slope * s.x)) AS resid,
+               ROW_NUMBER() OVER (PARTITION BY s.event_type
+                   ORDER BY abs(s.value - (m.intercept + m.slope * s.x)),
+                            s.value) AS r,
+               COUNT(*) OVER (PARTITION BY s.event_type) AS m_cal
+        FROM split s JOIN model m ON m.event_type = s.event_type
+        WHERE s.part = 1
+    ),
+    qhat AS (
+        SELECT event_type, m_cal, resid AS q_hat
+        FROM calib
+        WHERE r = ((m_cal + 1) * ({CONF_ALPHA_DEN} - {CONF_ALPHA_NUM})
+                   + {CONF_ALPHA_DEN} - 1) // {CONF_ALPHA_DEN}
+    ),
+    cover AS (
+        SELECT s.event_type, q.m_cal, q.q_hat,
+               COUNT(*) AS n_test,
+               SUM(CASE WHEN abs(s.value - (m.intercept + m.slope * s.x))
+                             <= q.q_hat THEN 1 ELSE 0 END) AS n_in
+        FROM split s
+        JOIN model m ON m.event_type = s.event_type
+        JOIN qhat q ON q.event_type = s.event_type
+        WHERE s.part = 2
+        GROUP BY s.event_type, q.m_cal, q.q_hat
+    )
+    SELECT event_type,
+           CAST(m_cal AS BIGINT) AS n_calib,
+           CAST(n_test AS BIGINT) AS n_test,
+           round(q_hat, 6) AS q_hat,
+           round(n_in * 1.0 / n_test, 6) AS coverage
+    FROM cover ORDER BY event_type
+    """,
+)
+def q_conformal_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per event type: fit the
+    hour->value OLS on split 0 (event_id % 3 — deterministic,
+    partition-invariant), take the ceil((m+1)*0.9)-th smallest
+    absolute calibration residual on split 1 as the interval
+    half-width q_hat, and report the EMPIRICAL coverage of
+    prediction +/- q_hat on the held-out split 2 — the distribution-
+    free 90% interval with its own audit attached.
+
+    Numerics: the OLS sums are exact decimal; slope/intercept and
+    every residual evaluate with the identical double tree on both
+    engines; the quantile INDEX is pure integer arithmetic
+    (ceil(9m/10) = (9m+9) div 10, residual-order tie broken on value);
+    the coverage comparison is between identical doubles.
+
+    Scale: two grouped aggregates and one per-group order statistic
+    (single shuffle each) — the calibration split is a constant
+    fraction, and at 100 TB you'd calibrate on a fixed-size sample
+    (exchangeability is all conformal needs)."""
+    ev = read_table(spark, sf_dir, "events")
+    split = ev.select(
+        "event_type",
+        "value",
+        F.hour("ts").cast("double").alias("x"),
+        (F.col("event_id") % 3).alias("part"),
+    )
+    tr = split.where(F.col("part") == 0)
+    fit = tr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_d38(F.col("x"))).cast("double").alias("sx"),
+        F.sum(_d38(F.col("value"))).cast("double").alias("sy"),
+        F.sum(_d38(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(_d38(F.col("value") * F.col("x"))).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (
+        F.col("n"), F.col("sx"), F.col("sy"), F.col("sxx"), F.col("sxy"),
+    )
+    fit = fit.where((n >= 2) & (n * sxx - sx * sx != 0))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    model = fit.select(
+        "event_type",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+    resid = F.abs(
+        F.col("value") - (F.col("intercept") + F.col("slope") * F.col("x"))
+    )
+    calib = (
+        split.where(F.col("part") == 1)
+        .join(F.broadcast(model), "event_type")
+        .select("event_type", "value", resid.alias("resid"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("resid", "value")
+    wm = Window.partitionBy("event_type")
+    # ceil((m+1)*(1-alpha)) via pure integer arithmetic — `div` is
+    # exact at any m_cal, where a double division could misround near
+    # representability limits
+    k = F.expr(
+        f"((m_cal + 1) * {CONF_ALPHA_DEN - CONF_ALPHA_NUM} "
+        f"+ {CONF_ALPHA_DEN - 1}) div {CONF_ALPHA_DEN}"
+    )
+    qhat = (
+        calib.select(
+            "event_type",
+            "resid",
+            F.row_number().over(wr).alias("r"),
+            F.count(F.lit(1)).over(wm).alias("m_cal"),
+        )
+        .where(F.col("r") == k)
+        .select("event_type", "m_cal", F.col("resid").alias("q_hat"))
+    )
+    test = (
+        split.where(F.col("part") == 2)
+        .join(F.broadcast(model), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+    )
+    return (
+        test.groupBy("event_type", "m_cal", "q_hat")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(resid <= F.col("q_hat"), 1).otherwise(0)
+            ).alias("n_in"),
+        )
+        .select(
+            "event_type",
+            F.col("m_cal").cast("bigint").alias("n_calib"),
+            F.col("n_test").cast("bigint").alias("n_test"),
+            F.round("q_hat", 6).alias("q_hat"),
+            F.round(F.col("n_in") / F.col("n_test"), 6).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )

@@ -3267,3 +3267,256 @@ _fmt(
     PQ_M=PQ_M,
     PQ_K=PQ_K,
 )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection + recall eval (round 12)
+# ---------------------------------------------------------------------------
+# The third compression lever beside PQ codes (q_ann_pq) and prefix
+# truncation (q_matryoshka_eval): project DIM-dim embeddings onto
+# JL_DIM random +/-1 directions (a dense sign matrix — the Achlioptas
+# construction, distance-preserving with high probability) and measure
+# what top-k retrieval loses. The sign matrix derives from the same
+# portable md5 both engines share, computed ONCE driver-side and
+# inlined as literals — per-row work is JL_DIM sequential dot folds,
+# map-only, zero shuffle, the cheapest possible re-embedding at 100 TB.
+
+JL_DIM = 16
+JL_NQ = 10
+JL_K = 10
+
+
+def _jl_sign(j: int, d: int) -> float:
+    """+/-1 from the portable 60-bit md5 hash (the same derivation the
+    LSH sign planes use), computed in Python: both engines would
+    produce the identical value, so inlining is a constant-fold."""
+    import hashlib
+
+    h = int(hashlib.md5(f"jl{j}_{d}".encode()).hexdigest()[:15], 16)
+    return float((h % 2) * 2 - 1)
+
+
+_JL_SIGNS = [[_jl_sign(j, d) for d in range(DIM)] for j in range(JL_DIM)]
+
+_SQL_JL_PROJ = ", ".join(
+    "list_dot_product(embedding::DOUBLE[], ["
+    + ", ".join(f"{s:.1f}" for s in _JL_SIGNS[j])
+    + "])"
+    for j in range(JL_DIM)
+)
+
+_SQL_JL_L2_EXACT = _sql_l2sq("q.qe", "e.embedding::DOUBLE[]")
+_SQL_JL_L2_PROJ = _sql_l2sq("qp.pq", "p.p")
+
+
+@query(
+    "q_random_projection",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {JL_NQ}
+    ),
+    proj AS (
+        SELECT vec_id, [{_SQL_JL_PROJ}] AS p FROM embeddings
+    ),
+    exact AS (
+        SELECT q.query_id, e.vec_id AS nid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY {_SQL_JL_L2_EXACT} ASC, e.vec_id) AS r
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    approx AS (
+        SELECT qp.query_id, p.vec_id AS nid,
+               ROW_NUMBER() OVER (PARTITION BY qp.query_id
+                   ORDER BY {_SQL_JL_L2_PROJ} ASC, p.vec_id) AS r
+        FROM (SELECT vec_id AS query_id, p AS pq FROM proj
+              WHERE vec_id < {JL_NQ}) qp
+        JOIN proj p ON p.vec_id <> qp.query_id
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.nid) AS BIGINT) AS n_hits,
+           round(COUNT(a.nid) * 1.0 / {JL_K}, 6) AS recall
+    FROM (SELECT query_id, nid FROM exact WHERE r <= {JL_K}) e
+    LEFT JOIN (SELECT query_id, nid FROM approx WHERE r <= {JL_K}) a
+      ON a.query_id = e.query_id AND a.nid = e.nid
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss compression eval: project every embedding
+    onto {JL_DIM} fixed +/-1 directions (Achlioptas sign matrix from
+    the portable md5, inlined as literals) and report per-query
+    recall@{JL_K} of projected-L2 retrieval against exact full-dim L2
+    — the measurement a corpus owner reads before swapping 4x-smaller
+    projected vectors into the ANN tier. Complements q_matryoshka_eval
+    (prefix truncation) and q_ann_pq (codebook quantization): JL needs
+    NO training pass at all.
+
+    Scale: projection is row-local ({JL_DIM} sequential dot folds,
+    map-only, zero shuffle); the eval crosses a broadcast {JL_NQ}-row
+    query panel with the corpus — the whitelisted constant cross every
+    retrieval-eval query in this module uses."""
+    e = read_table(spark, sf_dir, "embeddings")
+    ed = F.col("embedding").cast("array<double>")
+
+    def dot_signs(j: int) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                ed,
+                F.array(*[F.lit(s) for s in _JL_SIGNS[j]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    proj = e.select(
+        "vec_id", F.array(*[dot_signs(j) for j in range(JL_DIM)]).alias("p")
+    )
+    q = e.where(F.col("vec_id") < JL_NQ).select(
+        F.col("vec_id").alias("query_id"), ed.alias("qe")
+    )
+    exact = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nid"),
+            l2sq(F.col("qe"), ed).alias("dist"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), "nid")
+    exact_k = (
+        exact.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= JL_K)
+        .select("query_id", "nid")
+    )
+    qp = proj.where(F.col("vec_id") < JL_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("p").alias("pq")
+    )
+    approx = (
+        F.broadcast(qp)
+        .join(proj, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nid"),
+            l2sq(F.col("pq"), F.col("p")).alias("dist"),
+        )
+    )
+    approx_k = (
+        approx.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= JL_K)
+        .select("query_id", "nid", F.lit(1).alias("hit"))
+    )
+    return (
+        exact_k.join(approx_k, ["query_id", "nid"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(JL_K), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_fmt(q_random_projection, JL_DIM=JL_DIM, JL_K=JL_K, JL_NQ=JL_NQ)
+
+
+# ---------------------------------------------------------------------------
+# simplified silhouette — cluster-quality audit (round 12)
+# ---------------------------------------------------------------------------
+# q_kmeans reports per-cluster mean cosine to the OWN centroid; the
+# silhouette asks the question that actually decides K and flags
+# mis-clustered regions: how much closer is each point to its own
+# centroid than to the nearest OTHER centroid? The simplified (medoid)
+# silhouette s = (b - a) / max(a, b) over centroid distances is the
+# standard O(N*K) audit — the full pairwise silhouette is O(N^2) and
+# never runs at corpus scale.
+
+SIL_K = 8  #: the q_kmeans init centroids (deterministic first-K)
+
+
+@query(
+    "q_embedding_silhouette",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS ce
+        FROM embeddings WHERE vec_id < {SIL_K}
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               1 - {sql_cosine('e.embedding', 'c.ce')} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {sql_cosine('e.embedding', 'c.ce')} DESC, c.cid)
+                 AS r
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    ab AS (
+        SELECT own.vec_id, own.cid, own.dist AS a, nxt.dist AS b,
+               round((nxt.dist - own.dist)
+                     / (CASE WHEN own.dist > nxt.dist
+                             THEN own.dist ELSE nxt.dist END), 6) AS s
+        FROM (SELECT * FROM scored WHERE r = 1) own
+        JOIN (SELECT * FROM scored WHERE r = 2) nxt
+          ON nxt.vec_id = own.vec_id
+    )
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*),
+                 6) AS mean_silhouette,
+           round(MIN(s), 6) AS worst_silhouette
+    FROM ab GROUP BY cid ORDER BY cid
+    """,
+)
+def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per cluster of the deterministic first-K
+    quantizer: for every vector, a = cosine distance to its own
+    (nearest) centroid, b = distance to the second-nearest, s =
+    (b - a) / max(a, b); report per-cluster count, mean and worst s —
+    the K-selection / mis-clustering audit run before trusting any
+    IVF list layout or k-means mixture built on these centroids.
+
+    Scale: O(N*K) — one broadcast of K centroids, the per-vector
+    top-2 collapses map-side; per-point s rounds to 6 dp and
+    accumulates in exact decimal (order-independent), the q_kmeans
+    reporting discipline. The full pairwise silhouette is O(N^2) and
+    is deliberately NOT what this computes."""
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < SIL_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        (1 - cosine(F.col("embedding"), F.col("ce"))).alias("dist"),
+        cosine(F.col("embedding"), F.col("ce")).alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cid")
+    ranked = scored.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= 2
+    )
+    own = ranked.where(F.col("r") == 1).select("vec_id", "cid", F.col("dist").alias("a"))
+    nxt = ranked.where(F.col("r") == 2).select("vec_id", F.col("dist").alias("b"))
+    s = F.round(
+        (F.col("b") - F.col("a"))
+        / F.when(F.col("a") > F.col("b"), F.col("a")).otherwise(F.col("b")),
+        6,
+    )
+    ab = own.join(nxt, "vec_id").select("vec_id", "cid", s.alias("s"))
+    return (
+        ab.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_silhouette"),
+            F.round(F.min("s"), 6).alias("worst_silhouette"),
+        )
+        .orderBy("cid")
+    )
+
+
+_fmt(q_embedding_silhouette, SIL_K=SIL_K)

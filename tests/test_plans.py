@@ -280,6 +280,8 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_negative_sampling",  # broadcast N_ANCHORS rows x corpus scan
         "q_semdedup",  # broadcast SEM_K centroids x corpus (assignment)
         "q_zonemap_prune",  # 6-row predicate panel x 128 zone-map rows
+        "q_random_projection",  # broadcast JL_NQ query panel x corpus (x2)
+        "q_embedding_silhouette",  # broadcast SIL_K centroids x corpus
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
