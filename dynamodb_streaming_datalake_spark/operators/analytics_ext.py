@@ -2141,3 +2141,109 @@ def q_grouped_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_grouped_forecast, GH_H=GH_H)
+
+
+# ---------------------------------------------------------------------------
+# OHLC / VWAP bars (round 12)
+# ---------------------------------------------------------------------------
+# The telemetry-rollup shape finance calls candlesticks and ops calls
+# "hourly bars": per (series, hour bucket) the first / highest /
+# lowest / last value plus volume and the volume-weighted average.
+# Every column is an exactly-mergeable aggregate — open/close are
+# argmin/argmax over the unique (ts, event_id) key, high/low are
+# MIN/MAX, volume is COUNT, the average is an exact-decimal SUM over
+# COUNT — which is precisely what makes the bar table maintainable
+# incrementally (streaming twin in streaming.sketchview).
+
+
+def ohlc_bars(ev: DataFrame) -> DataFrame:
+    """One bar per (event_type, hour bucket): the grouped aggregate
+    both the batch query and the streaming view's per-batch delta
+    run. Open/close ride MIN/MAX over struct(ts_us, event_id, value)
+    — lexicographic on the unique event key, so deterministic; the
+    vwap numerator accumulates in exact decimal."""
+    keyed = ev.select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
+        .cast("bigint")
+        .alias("hour_bucket"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    return keyed.groupBy("event_type", "hour_bucket").agg(
+        F.min(F.struct("ts_us", "event_id", "value")).alias("o"),
+        F.max(F.struct("ts_us", "event_id", "value")).alias("c"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count(F.lit(1)).alias("volume"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("vsum"),
+    )
+
+
+@query(
+    "q_ohlc_bars",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) * 1000000 AS ts_us0,
+               (CAST(floor(epoch(ts)) AS BIGINT) * 1000000
+                + CAST(floor((epoch(ts) - floor(epoch(ts))) * 1000000)
+                       AS BIGINT)) AS ts_us,
+               event_id, value
+        FROM events
+    ),
+    bucketed AS (
+        SELECT event_type, ts_us // 3600000000 AS hour_bucket,
+               ts_us, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, ts_us // 3600000000
+                   ORDER BY ts_us, event_id) AS ra,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, ts_us // 3600000000
+                   ORDER BY ts_us DESC, event_id DESC) AS rz
+        FROM keyed
+    ),
+    agg AS (
+        SELECT event_type, hour_bucket,
+               MAX(CASE WHEN ra = 1 THEN value END) AS open,
+               MAX(value) AS high, MIN(value) AS low,
+               MAX(CASE WHEN rz = 1 THEN value END) AS close,
+               COUNT(*) AS volume,
+               SUM(CAST(value AS DECIMAL(38,6))) AS vsum
+        FROM bucketed GROUP BY event_type, hour_bucket
+    )
+    SELECT event_type, CAST(hour_bucket AS BIGINT) AS hour_bucket,
+           round(open, 6) AS open, round(high, 6) AS high,
+           round(low, 6) AS low, round(close, 6) AS close,
+           CAST(volume AS BIGINT) AS volume,
+           round(CAST(vsum AS DOUBLE) / volume, 6) AS vwap
+    FROM agg ORDER BY event_type, hour_bucket
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC/VWAP bars per event type: open/high/low/close of
+    the value series, event volume, and the exact-decimal mean — the
+    candlestick rollup, which is also the canonical "downsample a
+    metric for dashboards" operator. Open/close are argmin/argmax
+    over the unique (ts_us, event_id) key (struct MIN/MAX — collapses
+    map-side, no window over the corpus); the oracle replays them
+    with ROW_NUMBER since DuckDB lacks struct-arg aggregates.
+
+    Scale: ONE map-side-combined grouped aggregate — bars are the
+    exactly-mergeable summary, which is why the streaming twin
+    (q_ohlc_stream) can maintain the same table incrementally without
+    ever rescanning history."""
+    bars = ohlc_bars(read_table(spark, sf_dir, "events"))
+    return bars.select(
+        "event_type",
+        F.col("hour_bucket").cast("bigint").alias("hour_bucket"),
+        F.round(F.col("o.value"), 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round(F.col("c.value"), 6).alias("close"),
+        F.col("volume").cast("bigint").alias("volume"),
+        F.round(F.col("vsum").cast("double") / F.col("volume"), 6).alias(
+            "vwap"
+        ),
+    ).orderBy("event_type", "hour_bucket")

@@ -1212,3 +1212,145 @@ def _register_ivf() -> None:
 
 
 _register_ivf()
+
+
+# ---------------------------------------------------------------------------
+# streaming OHLC/VWAP bar view (round 12): the dashboard rollup kept
+# current from the event stream
+# ---------------------------------------------------------------------------
+# Every q_ohlc_bars column is an exactly-mergeable aggregate —
+# open/close are lexicographic MIN/MAX over the unique (ts_us,
+# event_id, value) struct, high/low are MIN/MAX, volume/vsum are sums
+# (vsum exact decimal) — so per-hour bars fold per micro-batch like
+# the CMS cells and the final view BAR-EQUALS a one-shot build over
+# the whole history. Sums make the fold non-idempotent: the MVCC
+# committed-version guard is what makes checkpoint replays safe, the
+# CMS precedent.
+
+OHLC_VIEW_VERSION = "v1"
+
+_OHLC_KEYS = ("event_type", "hour_bucket")
+
+
+def merge_ohlc(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Bar-wise monoid merge: struct MIN/MAX for open/close, MIN/MAX
+    for low/high, integer + exact-decimal sums for volume/vsum."""
+    return (
+        prev.unionByName(delta)
+        .groupBy(*_OHLC_KEYS)
+        .agg(
+            F.min("o").alias("o"),
+            F.max("c").alias("c"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.sum("volume").alias("volume"),
+            F.sum("vsum").cast("decimal(38,6)").alias("vsum"),
+        )
+    )
+
+
+def upsert_ohlc_view(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    view_dir: str,
+    version: int,
+) -> None:
+    """Fold one micro-batch of raw events into the bar view as
+    ``version``; committed-version replays no-op (crash-replay guard
+    for the non-idempotent sums)."""
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        ohlc_bars,
+    )
+
+    if version in _versions(spark, view_dir):
+        return
+    delta = ohlc_bars(batch_df)
+    prev = current_snapshot(spark, view_dir, live_only=False)
+    merged = delta if prev is None else merge_ohlc(prev, delta)
+    merged.write.mode("overwrite").parquet(f"{view_dir}/v={version}")
+
+
+def start_ohlc_maintenance(
+    events: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch sink over a raw-events stream; each micro-batch
+    advances the bar view one version."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_ohlc_view(
+            batch_df.sparkSession, batch_df, view_dir, version=batch_id
+        )
+
+    writer = events.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _ensure_ohlc_view(spark: SparkSession, sf_dir: str) -> str:
+    """Two committed bar versions built with the real fold: even
+    event ids -> v=1, odd folded on top -> v=2 — so the final view
+    must bar-equal a one-shot build over the whole table."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    def build(build_dir: str) -> None:
+        view = os.path.join(build_dir, "view")
+        ev = read_table(spark, sf_dir, "events")
+        upsert_ohlc_view(
+            spark, ev.where(F.col("event_id") % 2 == 0), view, version=1
+        )
+        upsert_ohlc_view(
+            spark, ev.where(F.col("event_id") % 2 == 1), view, version=2
+        )
+
+    return ensure_cached_build("ohlcview", OHLC_VIEW_VERSION, sf_dir, build)
+
+
+def _register_ohlc() -> None:
+    from dynamodb_streaming_datalake_spark.registry import ORACLE, query
+
+    @query("q_ohlc_stream", oracle=None)
+    def q_ohlc_stream(spark, sf_dir):
+        """Streaming twin of q_ohlc_bars: the hourly bar table is
+        advanced twice with the real foreachBatch monoid merge (even
+        event ids -> v=1, odd folded on top -> v=2, cached per
+        sf_dir), then the final projection reads the committed view.
+        Every bar column merges exactly (struct MIN/MAX, MIN/MAX,
+        integer + decimal sums), so the folded view equals the
+        one-shot bars and the batch oracle transfers verbatim. The
+        same fold drains from a genuine readStream in
+        tests/test_streaming.py.
+
+        Scale: each refresh aggregates ONLY the micro-batch (one
+        map-side-combined groupBy) and merges bar-wise against a view
+        whose size is bounded by live (series x hour) buckets —
+        nothing event-sized is ever rescanned."""
+        import os
+
+        path = _ensure_ohlc_view(spark, sf_dir)
+        bars = current_sketch_view(spark, os.path.join(path, "view"))
+        return bars.select(
+            "event_type",
+            F.col("hour_bucket").cast("bigint").alias("hour_bucket"),
+            F.round(F.col("o.value"), 6).alias("open"),
+            F.round("high", 6).alias("high"),
+            F.round("low", 6).alias("low"),
+            F.round(F.col("c.value"), 6).alias("close"),
+            F.col("volume").cast("bigint").alias("volume"),
+            F.round(
+                F.col("vsum").cast("double") / F.col("volume"), 6
+            ).alias("vwap"),
+        ).orderBy("event_type", "hour_bucket")
+
+    ORACLE["q_ohlc_stream"] = ORACLE["q_ohlc_bars"]
+
+
+_register_ohlc()

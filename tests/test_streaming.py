@@ -951,6 +951,60 @@ def test_ivf_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     assert served == want
 
 
+def test_ohlc_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
+    """Streaming OHLC bars (round 12): a genuine readStream over event
+    files, drained one file per micro-batch through the foreachBatch
+    monoid merge, must reach a view BAR-EQUAL to the one-shot
+    ohlc_bars aggregate (open/close/high/low/volume/vsum all merge
+    exactly), and a committed-version replay must no-op (the sums are
+    non-idempotent — the crash guard is the safety)."""
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        ohlc_bars,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.sketchview import (
+        current_sketch_view,
+        start_ohlc_maintenance,
+        upsert_ohlc_view,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.upsert import _versions
+
+    ev = read_table(spark, sf_smoke, "events").select(
+        "ts", "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "ev_src")
+    ev.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    view_dir = str(tmp_path / "view")
+    q = start_ohlc_maintenance(stream, view_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    def rows(df):
+        return sorted(
+            (
+                r["event_type"],
+                r["hour_bucket"],
+                tuple(r["o"]),
+                tuple(r["c"]),
+                r["high"],
+                r["low"],
+                r["volume"],
+                r["vsum"],
+            )
+            for r in df.collect()
+        )
+
+    got = rows(current_sketch_view(spark, view_dir))
+    assert got == rows(ohlc_bars(spark.read.parquet(src)))
+
+    last = _versions(spark, view_dir)[-1]
+    upsert_ohlc_view(spark, ev.limit(50), view_dir, version=last)
+    assert rows(current_sketch_view(spark, view_dir)) == got
+
+
 def test_dual_lake_delivery_reconstructs_identical_state(spark, tmp_path):
     """Dual-destination delivery (reference stack.ts:424-461, the
     cross-account Firehose duplicate): one source drained into two
