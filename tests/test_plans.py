@@ -235,6 +235,8 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_retrieval_eval",  # broadcast IVF_QUERIES rows x corpus (truth)
         "q_ann_ivf",  # broadcast 16 centroids x corpus (assignment)
         "q_ann_serve",  # broadcast 16 stored centroids x query panel
+        "q_ann_serve_pq",  # broadcast 16 stored coarse centroids x panel
+        "q_ann_index_stream",  # broadcast 16 frozen centroids x panel
         "q_ann_ivfpq",  # broadcast 16 coarse centroids x corpus (assignment)
         "q_dedup_simhash_pairs",  # broadcast 4-row band table
         "q_funnel_conversion",  # three 1-row aggregates crossed
