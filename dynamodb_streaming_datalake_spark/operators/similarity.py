@@ -3520,3 +3520,146 @@ def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_embedding_silhouette, SIL_K=SIL_K)
+
+
+# ---------------------------------------------------------------------------
+# cluster purity + Cohen's kappa vs labels (round 12)
+# ---------------------------------------------------------------------------
+# q_embedding_silhouette audits cluster GEOMETRY; this audits cluster
+# SEMANTICS: when ground-truth labels exist (the embeddings table
+# carries one), how well do the quantizer's clusters recover them?
+# Per-cluster purity (majority-label share) plus the corpus-level
+# Cohen's kappa between the majority-label prediction and the truth —
+# kappa corrects purity's blind spot (predicting the most common label
+# everywhere looks "pure" but has kappa ~ 0). Every statistic is a
+# ratio of exact integer counts, so the report is engine-exact with
+# no transcendental in sight (deliberately purity/kappa, not NMI).
+
+
+@query(
+    "q_cluster_purity",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS ce
+        FROM embeddings WHERE vec_id < {SIL_K}
+    ),
+    assign AS (
+        SELECT vec_id, cid, label FROM (
+            SELECT e.vec_id, c.cid, e.label,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {sql_cosine('e.embedding', 'c.ce')} DESC,
+                                c.cid) AS r
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE r = 1
+    ),
+    cl AS (
+        SELECT cid, label, COUNT(*) AS n_cl
+        FROM assign GROUP BY cid, label
+    ),
+    maj AS (
+        SELECT cid, label AS majority_label, n_cl AS n_majority, n
+        FROM (
+            SELECT cid, label, n_cl,
+                   ROW_NUMBER() OVER (PARTITION BY cid
+                       ORDER BY n_cl DESC, label) AS r,
+                   SUM(n_cl) OVER (PARTITION BY cid) AS n
+            FROM cl
+        ) WHERE r = 1
+    ),
+    pred AS (
+        SELECT m.majority_label AS plabel, SUM(m.n) AS n_pred
+        FROM maj m GROUP BY m.majority_label
+    ),
+    truth AS (SELECT label, COUNT(*) AS n_true FROM assign GROUP BY label),
+    tot AS (
+        SELECT SUM(n_majority) AS agree, SUM(n) AS total FROM maj
+    ),
+    pe AS (
+        SELECT SUM(COALESCE(p.n_pred, 0) * t.n_true) AS pe_num
+        FROM truth t LEFT JOIN pred p ON p.plabel = t.label
+    )
+    SELECT maj.cid,
+           CAST(maj.n AS BIGINT) AS n,
+           CAST(maj.majority_label AS INT) AS majority_label,
+           CAST(maj.n_majority AS BIGINT) AS n_majority,
+           round(maj.n_majority * 1.0 / maj.n, 6) AS purity,
+           round(tot.agree * 1.0 / tot.total, 6) AS overall_purity,
+           round((tot.agree * 1.0 / tot.total
+                  - pe.pe_num * 1.0 / (tot.total * tot.total))
+                 / (1 - pe.pe_num * 1.0 / (tot.total * tot.total)), 6)
+             AS kappa
+    FROM maj, tot, pe
+    ORDER BY maj.cid
+    """,
+)
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic cluster audit against the embeddings' ground-truth
+    labels: per-cluster majority label and purity for the
+    deterministic first-{SIL_K} quantizer, plus corpus-level overall
+    purity and Cohen's kappa of the majority-label prediction (kappa
+    corrects for chance agreement — the always-predict-the-mode
+    degenerate clustering scores ~0). Run beside
+    q_embedding_silhouette: geometry AND semantics before trusting a
+    cluster-derived curriculum or mixture.
+
+    Scale: the assignment is the broadcast argmax every IVF path
+    uses; everything after is aggregates over (cluster x label)
+    counts — a few hundred rows at any corpus size. All ratios are
+    exact-integer rationals: no log, no sum-of-doubles."""
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < SIL_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "cid",
+        cosine(F.col("embedding"), F.col("ce")).alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cid")
+    assign = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("vec_id", "cid", "label")
+    )
+    cl = assign.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("n_cl"))
+    wm = Window.partitionBy("cid").orderBy(F.col("n_cl").desc(), "label")
+    maj = (
+        cl.withColumn("r", F.row_number().over(wm))
+        .withColumn("n", F.sum("n_cl").over(Window.partitionBy("cid")))
+        .where(F.col("r") == 1)
+        .select(
+            "cid",
+            F.col("label").alias("majority_label"),
+            F.col("n_cl").alias("n_majority"),
+            "n",
+        )
+    )
+    pred = maj.groupBy(F.col("majority_label").alias("plabel")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    truth = assign.groupBy("label").agg(F.count(F.lit(1)).alias("n_true"))
+    tot = maj.agg(
+        F.sum("n_majority").alias("agree"), F.sum("n").alias("total")
+    )
+    pe = (
+        truth.join(pred, truth["label"] == pred["plabel"], "left")
+        .na.fill({"n_pred": 0})
+        .agg(F.sum(F.col("n_pred") * F.col("n_true")).alias("pe_num"))
+    )
+    po = F.col("agree") / F.col("total")
+    pe_frac = F.col("pe_num") / (F.col("total") * F.col("total"))
+    return (
+        maj.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            "cid",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("majority_label").cast("int").alias("majority_label"),
+            F.col("n_majority").cast("bigint").alias("n_majority"),
+            F.round(F.col("n_majority") / F.col("n"), 6).alias("purity"),
+            F.round(po, 6).alias("overall_purity"),
+            F.round((po - pe_frac) / (1 - pe_frac), 6).alias("kappa"),
+        )
+        .orderBy("cid")
+    )

@@ -284,6 +284,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_zonemap_prune",  # 6-row predicate panel x 128 zone-map rows
         "q_random_projection",  # broadcast JL_NQ query panel x corpus (x2)
         "q_embedding_silhouette",  # broadcast SIL_K centroids x corpus
+        "q_cluster_purity",  # broadcast SIL_K centroids + 1-row stat crosses
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
