@@ -26,6 +26,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dynamodb_streaming_datalake_spark.functions.texthash import (
+    sql_portable_hash60,
+)
 from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
 from dynamodb_streaming_datalake_spark.registry import query
 from dynamodb_streaming_datalake_spark.sources.readers import read_table
@@ -243,3 +246,100 @@ _fmt(
     ACCTBAL_BAND=ACCTBAL_BAND,
     L_DIVERSITY=L_DIVERSITY,
 )
+
+
+# ---------------------------------------------------------------------------
+# differentially-private counts with error audit (round 12)
+# ---------------------------------------------------------------------------
+# k-anonymity and l-diversity (above) police the MICRODATA release;
+# the aggregate-release counterpart is the Laplace mechanism: publish
+# count + Lap(sensitivity/epsilon) noise. Production DP draws fresh
+# randomness per release; an oracle-gated engine can't, so the noise
+# here is SEEDED — the uniform draw comes from the portable md5 of
+# (group, salt), pushed through the exact inverse-CDF of the Laplace
+# distribution. That makes the mechanism a pure deterministic function
+# both engines replay bit-identically (documented divergence from
+# production DP: swap the hash for a CSPRNG draw per release and
+# nothing else changes). The report keeps the TRUE count beside the
+# noisy one — this is the calibration AUDIT an analyst runs to pick
+# epsilon, not the release itself.
+
+DP_EPS = 0.5  #: epsilon; Laplace scale b = sensitivity/eps = 2.0
+DP_SALT = "dp-release-v1"
+_DP_DENOM = 9007199254740992  # 2^53: u = (h % 2^53) / 2^53 is exact
+
+
+@query(
+    "q_dp_counts",
+    oracle=f"""
+    WITH counts AS (
+        SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    ),
+    noise AS (
+        SELECT event_type, n,
+               (({sql_portable_hash60(f"event_type || '#{DP_SALT}'")}
+                 % {_DP_DENOM}) * 1.0 / {_DP_DENOM}) - 0.5 AS t
+        FROM counts
+    ),
+    lap AS (
+        SELECT event_type, n,
+               -(1.0 / {DP_EPS}) * (CASE WHEN t < 0 THEN -1.0 ELSE 1.0 END)
+                 * ln(1 - 2 * abs(t)) AS noise
+        FROM noise
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS true_count,
+           round(n + noise, 6) AS dp_count,
+           round(abs(noise), 6) AS abs_noise,
+           round(abs(noise) / n, 6) AS rel_error,
+           {DP_EPS} AS epsilon
+    FROM lap ORDER BY event_type
+    """,
+)
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism counts per event type at epsilon = {DP_EPS}
+    (sensitivity 1 for a per-user-bounded count), with the true count,
+    absolute noise, and relative error beside each release — the
+    epsilon-calibration audit. The noise is the exact Laplace
+    inverse-CDF applied to a SEEDED uniform (portable md5 of
+    group + salt, over 2^53 so the division is exact), making the
+    whole mechanism a deterministic expression both engines replay
+    bit-identically; production swaps the hash for a fresh CSPRNG
+    draw per release and nothing else changes.
+
+    Scale: one map-side-combined grouped count; the mechanism is a
+    per-group scalar expression. Relative error shrinks as 1/n — the
+    audit shows exactly which small groups epsilon = {DP_EPS} would
+    destroy."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    from dynamodb_streaming_datalake_spark.functions.texthash import (
+        portable_hash60,
+    )
+
+    u = (
+        portable_hash60(
+            F.concat(F.col("event_type"), F.lit(f"#{DP_SALT}"))
+        )
+        % _DP_DENOM
+    ) * F.lit(1.0) / F.lit(float(_DP_DENOM))
+    t = u - 0.5
+    noise = (
+        F.lit(-1.0 / DP_EPS)
+        * F.when(t < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.log(1 - 2 * F.abs(t))
+    )
+    return (
+        counts.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("true_count"),
+            F.round(F.col("n") + noise, 6).alias("dp_count"),
+            F.round(F.abs(noise), 6).alias("abs_noise"),
+            F.round(F.abs(noise) / F.col("n"), 6).alias("rel_error"),
+            F.lit(DP_EPS).alias("epsilon"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_fmt(q_dp_counts, DP_EPS=DP_EPS)

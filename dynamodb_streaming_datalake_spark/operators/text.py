@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.functions.texthash import (
+    portable_hash60,
+    sql_portable_hash60,
     sql_word_shingles,
     word_shingles,
 )
@@ -1352,3 +1354,138 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_rake_keywords, RAKE_TOP=RAKE_TOP)
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick document vectors + retrieval (round 12)
+# ---------------------------------------------------------------------------
+# The train-free text vectorizer (Weinberger's hashing trick, MLlib's
+# HashingTF with signed collisions): every token hashes to one of
+# FH_DIM buckets with a +/-1 sign, a document's vector is the signed
+# occurrence count per bucket — INTEGER-valued, so the vectors, their
+# squared norms, and every retrieval dot product are exact across
+# engines; only the final cosine division is a double. No vocabulary,
+# no training pass, bounded width: the vectorizer that works on the
+# first byte of a 100 TB crawl.
+
+FH_DIM = 16
+FH_NQ = 5
+FH_K = 5
+
+
+def _fh_sql_vec() -> str:
+    h_b = sql_portable_hash60("t")
+    h_s = sql_portable_hash60("'fh#' || t")
+    cols = ", ".join(
+        f"SUM(CASE WHEN ({h_b} % {FH_DIM}) = {j} "
+        f"THEN (({h_s} % 2) * 2 - 1) ELSE 0 END) AS v{j}"
+        for j in range(FH_DIM)
+    )
+    return f"""
+    toks AS (
+        SELECT doc_id, u.t
+        FROM documents, unnest(string_split(text, ' ')) u(t)
+    ),
+    vec AS (SELECT doc_id, {cols} FROM toks GROUP BY doc_id),
+    nv AS (
+        SELECT *, ({' + '.join(f'v{j}*v{j}' for j in range(FH_DIM))}) AS nn
+        FROM vec
+    )"""
+
+
+_FH_SQL_DOT = " + ".join(f"q.v{j}*c.v{j}" for j in range(FH_DIM))
+
+
+@query(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH {_fh_sql_vec()},
+    q AS (SELECT * FROM nv WHERE doc_id < {FH_NQ} AND nn != 0),
+    scored AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+               ({_FH_SQL_DOT}) / (sqrt(q.nn) * sqrt(c.nn)) AS cs
+        FROM q JOIN nv c ON c.doc_id <> q.doc_id AND c.nn != 0
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cs,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cs DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cs, 6) AS cos_sim
+    FROM ranked WHERE rank <= {FH_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick retrieval: {FH_DIM}-bucket signed hashed
+    bag-of-words vectors per document (token bucket and sign from the
+    portable md5 — no vocabulary, no training), then cosine top-{FH_K}
+    for the first {FH_NQ} query docs. The vectors are integer-valued,
+    so everything up to the final division is exact integer algebra —
+    the zero-infrastructure baseline to hold BM25 (q_bm25_search) and
+    learned embeddings (q_ann_topk) against.
+
+    Scale: ONE token shuffle into {FH_DIM} map-side-combined
+    conditional sums per doc (the vectorizer); retrieval crosses a
+    broadcast {FH_NQ}-row query panel with the corpus vectors — the
+    whitelisted constant cross. Width is fixed at {FH_DIM} forever:
+    vocabulary growth costs collisions, not memory."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    b = (portable_hash60(F.col("t")) % FH_DIM).cast("int")
+    s = (
+        (portable_hash60(F.concat(F.lit("fh#"), F.col("t"))) % 2) * 2 - 1
+    ).cast("long")
+    sgn = toks.select("doc_id", b.alias("b"), s.alias("s"))
+    vec = sgn.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("b") == j, F.col("s")).otherwise(F.lit(0))
+            ).alias(f"v{j}")
+            for j in range(FH_DIM)
+        ]
+    )
+    nn = sum(
+        (F.col(f"v{j}") * F.col(f"v{j}") for j in range(1, FH_DIM)),
+        F.col("v0") * F.col("v0"),
+    )
+    nv = vec.withColumn("nn", nn).where(F.col("nn") != 0)
+    q = nv.select(
+        F.col("doc_id").alias("query_id"),
+        *[F.col(f"v{j}").alias(f"q{j}") for j in range(FH_DIM)],
+        F.col("nn").alias("qn"),
+    ).where(F.col("query_id") < FH_NQ)
+    dot = sum(
+        (F.col(f"q{j}") * F.col(f"v{j}") for j in range(1, FH_DIM)),
+        F.col("q0") * F.col("v0"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(nv, F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            (dot / (F.sqrt(F.col("qn")) * F.sqrt(F.col("nn")))).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= FH_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cs", 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_fmt(q_feature_hashing, FH_DIM=FH_DIM, FH_NQ=FH_NQ, FH_K=FH_K)

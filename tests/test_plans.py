@@ -285,6 +285,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_random_projection",  # broadcast JL_NQ query panel x corpus (x2)
         "q_embedding_silhouette",  # broadcast SIL_K centroids x corpus
         "q_cluster_purity",  # broadcast SIL_K centroids + 1-row stat crosses
+        "q_feature_hashing",  # broadcast FH_NQ query panel x corpus vectors
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
