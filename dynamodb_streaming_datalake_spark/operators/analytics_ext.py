@@ -2247,3 +2247,90 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vwap"
         ),
     ).orderBy("event_type", "hour_bucket")
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient — concentration audit (round 12)
+# ---------------------------------------------------------------------------
+# "How concentrated is this metric?" is the first question about any
+# per-user/per-key distribution: a Gini near 0 means value is spread
+# evenly, near 1 means a handful of whales own it — the number that
+# decides whether a mean is even meaningful, and (for a corpus) how
+# skewed a sampling key is before partitioning on it. Computed with
+# the exact sorted-rank identity G = 2*sum(i*x_i)/(n*sum(x_i))
+# - (n+1)/n over per-user value totals, all in exact decimal/integer
+# arithmetic until two final double divisions.
+
+
+@query(
+    "q_gini_coefficient",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               SUM(CAST(value AS DECIMAL(38,6))) AS s
+        FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+        SELECT event_type, s,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY s, user_id) AS i
+        FROM per_user
+    ),
+    sums AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(s) AS total,
+               SUM(i * s) AS weighted
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_users,
+           round(CAST(total AS DOUBLE), 6) AS total_value,
+           round(2.0 * CAST(weighted AS DOUBLE)
+                 / (n * CAST(total AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM sums ORDER BY event_type
+    """,
+)
+def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of per-user value totals, one coefficient
+    per event type — the whale-audit that decides whether means are
+    meaningful and how badly a key skews before you partition on it
+    (companion to q_skew_diagnose's row-count view; this measures
+    VALUE concentration).
+
+    Numerics: per-user totals and the rank-weighted sum are exact
+    decimal (rank i is an integer); only the final identity
+    2*W/(n*T) - (n+1)/n evaluates in double, identically on both
+    engines. Rank ties break on user_id, so the sorted order — and
+    hence W — is engine-exact.
+
+    Scale: one groupBy(user) then one per-group rank (single shuffle
+    each); the per-event-type sort is the order statistic every exact
+    quantile here already pays. At extreme cardinality swap the exact
+    rank for the KLL-sketch cumulative (q_kll_quantiles) — the audit
+    tolerates approximation; the oracle gate does not."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("s")
+    )
+    w = Window.partitionBy("event_type").orderBy("s", "user_id")
+    ranked = per_user.select(
+        "event_type", "s", F.row_number().over(w).alias("i")
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("total"),
+        F.sum(F.col("i") * F.col("s")).alias("weighted"),
+    )
+    n, total, weighted = F.col("n"), F.col("total"), F.col("weighted")
+    return sums.select(
+        "event_type",
+        n.cast("bigint").alias("n_users"),
+        F.round(total.cast("double"), 6).alias("total_value"),
+        F.round(
+            F.lit(2.0) * weighted.cast("double") / (n * total.cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    ).orderBy("event_type")

@@ -1783,3 +1783,124 @@ def q_conformal_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# difference-in-differences (round 12)
+# ---------------------------------------------------------------------------
+# q_ab_test assumes randomized arms; when the "treatment" correlates
+# with time (a rollout, a pricing change), the workhorse observational
+# estimator is difference-in-differences: compare each group's change
+# across the pre/post boundary, and difference the changes — any
+# time-invariant group difference and any group-invariant time trend
+# cancel. Same stable hash arms as q_ab_test, same integer-epoch
+# midpoint split as q_cuped; the estimate is four exact-decimal cell
+# means combined in one identical double expression.
+
+
+@query(
+    "q_diff_in_diff",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT (MIN(CAST(floor(epoch(ts)) AS BIGINT))
+                + MAX(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS mid
+        FROM events
+    ),
+    cells AS (
+        SELECT {sql_portable_hash60(f"'{AB_SALT}:' || CAST(user_id AS VARCHAR)")}
+                 % {AB_ARMS} AS arm,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= b.mid
+                    THEN 1 ELSE 0 END AS post,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv
+        FROM events, bounds b
+        GROUP BY arm, post
+    ),
+    means AS (
+        SELECT arm,
+               MAX(CASE WHEN post = 0 THEN n END) AS n_pre,
+               MAX(CASE WHEN post = 1 THEN n END) AS n_post,
+               MAX(CASE WHEN post = 0 THEN sv / n END) AS pre_mean,
+               MAX(CASE WHEN post = 1 THEN sv / n END) AS post_mean
+        FROM cells GROUP BY arm
+    ),
+    deltas AS (
+        SELECT arm, n_pre, n_post, pre_mean, post_mean,
+               post_mean - pre_mean AS delta
+        FROM means
+    )
+    SELECT CAST(arm AS INT) AS arm,
+           CAST(n_pre AS BIGINT) AS n_pre,
+           CAST(n_post AS BIGINT) AS n_post,
+           round(pre_mean, 6) AS pre_mean,
+           round(post_mean, 6) AS post_mean,
+           round(delta, 6) AS delta,
+           round(MAX(CASE WHEN arm = 1 THEN delta END) OVER ()
+                 - MAX(CASE WHEN arm = 0 THEN delta END) OVER (), 6)
+             AS did_estimate
+    FROM deltas ORDER BY arm
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: per hash arm, the mean event
+    value before and after the observed range's integer-epoch midpoint
+    and its change; the DiD estimate (treatment delta minus control
+    delta) cancels time-invariant arm differences and arm-invariant
+    time trends — the observational companion to q_ab_test's
+    randomized z-test, sharing its arms and q_cuped's period split.
+
+    Numerics: four exact-decimal cell sums; every derived mean and
+    the final 2x2 combination evaluate with identical double trees.
+
+    Scale: one grouped aggregate over (arm, period) — four cells
+    forever; the midpoint is a broadcast 1-row bound."""
+    ev = read_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(
+        ((F.min(epoch) + F.max(epoch)) / 2).cast("bigint").alias("mid")
+    )
+    arm = (
+        portable_hash60(
+            F.concat(F.lit(f"{AB_SALT}:"), F.col("user_id").cast("string"))
+        )
+        % AB_ARMS
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            arm.alias("arm"),
+            F.when(epoch >= F.col("mid"), 1).otherwise(0).alias("post"),
+            "value",
+        )
+        .groupBy("arm", "post")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_d38(F.col("value"))).cast("double").alias("sv"),
+        )
+    )
+    means = cells.groupBy("arm").agg(
+        F.max(F.when(F.col("post") == 0, F.col("n"))).alias("n_pre"),
+        F.max(F.when(F.col("post") == 1, F.col("n"))).alias("n_post"),
+        F.max(
+            F.when(F.col("post") == 0, F.col("sv") / F.col("n"))
+        ).alias("pre_mean"),
+        F.max(
+            F.when(F.col("post") == 1, F.col("sv") / F.col("n"))
+        ).alias("post_mean"),
+    )
+    deltas = means.withColumn(
+        "delta", F.col("post_mean") - F.col("pre_mean")
+    )
+    w = Window.partitionBy()
+    did = F.max(F.when(F.col("arm") == 1, F.col("delta"))).over(w) - F.max(
+        F.when(F.col("arm") == 0, F.col("delta"))
+    ).over(w)
+    return deltas.select(
+        F.col("arm").cast("int").alias("arm"),
+        F.col("n_pre").cast("bigint").alias("n_pre"),
+        F.col("n_post").cast("bigint").alias("n_post"),
+        F.round("pre_mean", 6).alias("pre_mean"),
+        F.round("post_mean", 6).alias("post_mean"),
+        F.round("delta", 6).alias("delta"),
+        F.round(did, 6).alias("did_estimate"),
+    ).orderBy("arm")

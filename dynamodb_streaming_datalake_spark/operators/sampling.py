@@ -705,3 +705,105 @@ def q_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_pack_nextfit, PACK_CONTEXT=PACK_CONTEXT)
+
+
+# ---------------------------------------------------------------------------
+# Neyman optimal allocation (round 12)
+# ---------------------------------------------------------------------------
+# q_stratified_cap takes a FIXED per-stratum cap; survey-sampling
+# theory says the variance-optimal split of a fixed total budget
+# allocates n_h ~ N_h * S_h — big AND noisy strata earn more samples
+# (Neyman 1934). This computes the allocation table itself: the plan
+# a sampler then executes with the deterministic hash take. Std-devs
+# come from exact decimal power sums; the only doubles are the final
+# identical-tree sqrt/ratio expressions, and the cross-strata
+# normalizer folds in 6-dp decimal so its sum is order-exact.
+
+NEYMAN_BUDGET = 1000
+
+
+@query(
+    "q_neyman_allocation",
+    oracle=f"""
+    WITH sums AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+                 AS svv
+        FROM events GROUP BY event_type HAVING COUNT(*) >= 2
+    ),
+    stats AS (
+        SELECT event_type, n,
+               sqrt((svv - sv * sv / n) / (n - 1)) AS s
+        FROM sums
+    ),
+    weighted AS (
+        SELECT event_type, n, s,
+               CAST(round(n * s, 6) AS DECIMAL(38,6)) AS ns_fp
+        FROM stats
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_pop,
+           round(s, 6) AS stddev,
+           round(CAST(ns_fp AS DOUBLE)
+                 / CAST(SUM(ns_fp) OVER () AS DOUBLE), 6) AS weight,
+           round({NEYMAN_BUDGET} * CAST(ns_fp AS DOUBLE)
+                 / CAST(SUM(ns_fp) OVER () AS DOUBLE), 6) AS allocation
+    FROM weighted ORDER BY event_type
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a {NEYMAN_BUDGET}-row sampling
+    budget across event-type strata: n_h proportional to N_h * S_h,
+    so large AND high-variance strata earn more samples — the
+    variance-minimizing plan q_stratified_cap's fixed cap
+    approximates. Report population size, std-dev, weight, and the
+    (fractional) allocation per stratum; a sampler executes the plan
+    with the deterministic hash take (q_sample_deterministic).
+
+    Numerics: per-stratum variance from exact decimal power sums (the
+    q_linreg_train discipline); the N_h*S_h products round to 6 dp
+    and fold in decimal so the cross-strata normalizer is
+    order-exact; allocations stay fractional doubles — integerizing
+    (largest-remainder) is presentation, not statistics.
+
+    Scale: one map-side-combined grouped aggregate; the normalizer is
+    a window over |strata| rows."""
+    ev = read_table(spark, sf_dir, "events")
+    d38 = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    sums = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d38(F.col("value"))).cast("double").alias("sv"),
+            F.sum(d38(F.col("value") * F.col("value")))
+            .cast("double")
+            .alias("svv"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    s = F.sqrt(
+        (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    weighted = sums.select(
+        "event_type",
+        "n",
+        s.alias("s"),
+        F.round(F.col("n") * s, 6).cast("decimal(38,6)").alias("ns_fp"),
+    )
+    w = Window.partitionBy()
+    tot = F.sum("ns_fp").over(w).cast("double")
+    return weighted.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pop"),
+        F.round("s", 6).alias("stddev"),
+        F.round(F.col("ns_fp").cast("double") / tot, 6).alias("weight"),
+        F.round(
+            F.lit(NEYMAN_BUDGET) * F.col("ns_fp").cast("double") / tot, 6
+        ).alias("allocation"),
+    ).orderBy("event_type")
+
+
+_fmt(q_neyman_allocation, NEYMAN_BUDGET=NEYMAN_BUDGET)

@@ -1489,3 +1489,115 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_feature_hashing, FH_DIM=FH_DIM, FH_NQ=FH_NQ, FH_K=FH_K)
+
+
+# ---------------------------------------------------------------------------
+# Zipf exponent fit (round 12)
+# ---------------------------------------------------------------------------
+# Natural-language token frequencies follow Zipf's law: freq(rank) ~
+# rank^(-s) with s near 1. A corpus whose fitted exponent sits far
+# from 1 is the classic generated/boilerplate/template tell —
+# log-log OLS over the top term ranks is the one-number corpus
+# screen that needs no reference corpus at all (q_lang_distribution
+# and q_text_stats profile WHAT is there; this asks if the frequency
+# SHAPE is natural).
+
+ZIPF_TOP = 100
+
+
+@query(
+    "q_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+        SELECT t, COUNT(*) AS freq
+        FROM documents, unnest(string_split(text, ' ')) u(t)
+        GROUP BY t
+    ),
+    ranked AS (
+        SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, t) AS rank
+        FROM tf
+    ),
+    pts AS (
+        SELECT ln(rank) AS x, ln(freq) AS y
+        FROM ranked WHERE rank <= {ZIPF_TOP}
+    ),
+    sums AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS zipf_exponent,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM sums
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law screen: log-log OLS of term frequency on rank over the
+    top {ZIPF_TOP} corpus terms — the fitted exponent (natural text
+    sits near 1), intercept, and r^2 in one row. An exponent far from
+    1 or a poor r^2 is the generated/template-corpus tell that needs
+    no reference corpus.
+
+    Numerics: frequencies and ranks are exact integers; ln() values
+    are identical doubles on both engines (the q_tfidf_terms
+    precedent), their cross-row power sums accumulate in exact
+    decimal, and slope/intercept/r^2 reuse q_linreg_train's identical
+    expression tree.
+
+    Scale: one token shuffle into term counts, a top-{ZIPF_TOP} rank
+    (TakeOrdered-sized), and a 5-sum aggregate over {ZIPF_TOP} rows."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "t")
+    pts = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ZIPF_TOP)
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    d38 = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d38(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d38(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d38(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(d38(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxx"), F.col("syy"), F.col("sxy"),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        n.cast("bigint").alias("n_terms"),
+        F.round(-slope, 6).alias("zipf_exponent"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+_fmt(q_zipf_fit, ZIPF_TOP=ZIPF_TOP)

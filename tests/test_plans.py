@@ -276,6 +276,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_hard_negatives",  # broadcast N_ANCHORS rows x corpus scan
         "q_survival_km",  # 1-row study-end aggregate crossed into lifetimes
         "q_cuped",  # 1-row epoch-midpoint bound crossed into the scan
+        "q_diff_in_diff",  # 1-row epoch-midpoint bound crossed into the scan
         "q_histogram_drift",  # 1-row midpoint + 1-row ref-range crosses
         "q_mmr_diverse",  # broadcast MMR_QUERIES rows x corpus scan
         "q_autocorrelation",  # broadcast 24-row lag table x hourly series
