@@ -1601,3 +1601,97 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_zipf_fit, ZIPF_TOP=ZIPF_TOP)
+
+
+# ---------------------------------------------------------------------------
+# per-document token entropy (round 12)
+# ---------------------------------------------------------------------------
+# The information-density quality signal: low unigram entropy means
+# repetitive/template text (a doc of one word repeated has H = 0),
+# entropy near the ln(n_distinct) ceiling means maximally diverse
+# usage. LLM-corpus filters threshold on exactly this next to the
+# q_text_repetition ratio; entropy catches smeared-out repetition the
+# max-single-ngram ratio misses.
+
+
+@query(
+    "q_token_entropy",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, t, COUNT(*) AS c
+        FROM documents, unnest(string_split(text, ' ')) u(t)
+        GROUP BY doc_id, t
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id),
+    terms AS (
+        SELECT tf.doc_id, tf.c, tot.n,
+               CAST(round(-(tf.c * 1.0 / tot.n)
+                          * ln(tf.c * 1.0 / tot.n), 6)
+                    AS DECIMAL(18,6)) AS term
+        FROM tf JOIN tot USING (doc_id)
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               MAX(n) AS n_tokens,
+               COUNT(*) AS n_distinct,
+               SUM(term) AS h_fp
+        FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           round(CAST(h_fp AS DOUBLE), 6) AS entropy,
+           CASE WHEN n_distinct >= 2
+                THEN round(CAST(h_fp AS DOUBLE) / ln(n_distinct), 6)
+                ELSE 0.0 END AS norm_entropy
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per document (and its ln(n_distinct)-
+    normalized form): the information-density quality signal — a doc
+    of one token repeated scores 0, maximally diverse usage scores 1
+    normalized. Thresholding on this beside q_text_repetition catches
+    smeared-out boilerplate the single-max-ngram ratio misses.
+
+    Numerics: token counts are exact integers; each -p*ln(p) term
+    evaluates with the identical double tree, rounds to 6 dp, and
+    accumulates per doc in exact decimal (the q_benford_audit
+    term-rounding discipline), so per-doc sums are order-exact.
+
+    Scale: one (doc, token) shuffle into counts, then a per-doc
+    aggregate — the q_text_stats cost envelope."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wd = Window.partitionBy("doc_id")
+    p = F.col("c") * F.lit(1.0) / F.sum("c").over(wd)
+    term = F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+    per_doc = tf.select(
+        "doc_id", "c", term.alias("term")
+    ).groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("term").alias("h_fp"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.round(F.col("h_fp").cast("double"), 6).alias("entropy"),
+        F.when(
+            F.col("n_distinct") >= 2,
+            F.round(
+                F.col("h_fp").cast("double")
+                / F.log(F.col("n_distinct").cast("double")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    ).orderBy("doc_id")

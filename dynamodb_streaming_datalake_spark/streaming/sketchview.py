@@ -1354,3 +1354,147 @@ def _register_ohlc() -> None:
 
 
 _register_ohlc()
+
+
+# ---------------------------------------------------------------------------
+# streaming SPRT view (round 12): the always-valid test kept current
+# ---------------------------------------------------------------------------
+# q_sprt_monitor walks the batch table at fixed checkpoints; the whole
+# POINT of a sequential test is that every look is valid — so the
+# production shape is a continuously-maintained (n, k) state the
+# analyst reads whenever they like. The state is the simplest possible
+# monoid (two integer sums); each micro-batch folds its own counts and
+# the view's final LLR/decision must equal the batch test over the
+# whole history. Non-idempotent sums -> the MVCC committed-version
+# guard, the CMS precedent.
+
+SPRT_VIEW_VERSION = "v1"
+
+
+def _sprt_delta(batch_df: DataFrame) -> DataFrame:
+    return batch_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+    )
+
+
+def merge_sprt(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    return prev.unionByName(delta).agg(
+        F.sum("n").alias("n"), F.sum("k").alias("k")
+    )
+
+
+def upsert_sprt_view(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    view_dir: str,
+    version: int,
+) -> None:
+    if version in _versions(spark, view_dir):
+        return
+    delta = _sprt_delta(batch_df)
+    prev = current_snapshot(spark, view_dir, live_only=False)
+    merged = delta if prev is None else merge_sprt(prev, delta)
+    merged.write.mode("overwrite").parquet(f"{view_dir}/v={version}")
+
+
+def start_sprt_maintenance(
+    events: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_sprt_view(
+            batch_df.sparkSession, batch_df, view_dir, version=batch_id
+        )
+
+    writer = events.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _ensure_sprt_view(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    def build(build_dir: str) -> None:
+        view = os.path.join(build_dir, "view")
+        ev = read_table(spark, sf_dir, "events")
+        upsert_sprt_view(
+            spark, ev.where(F.col("event_id") % 2 == 0), view, version=1
+        )
+        upsert_sprt_view(
+            spark, ev.where(F.col("event_id") % 2 == 1), view, version=2
+        )
+
+    return ensure_cached_build("sprtview", SPRT_VIEW_VERSION, sf_dir, build)
+
+
+def _register_sprt() -> None:
+    from dynamodb_streaming_datalake_spark.operators.experiments import (
+        SPRT_BOUND,
+        SPRT_L0,
+        SPRT_L1,
+    )
+    from dynamodb_streaming_datalake_spark.registry import query
+
+    @query(
+        "q_sprt_stream",
+        oracle=f"""
+        WITH tot AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS k
+            FROM events
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(k AS BIGINT) AS k,
+               round(k * {SPRT_L1!r} + (n - k) * {SPRT_L0!r}, 6) AS llr,
+               CASE WHEN k * {SPRT_L1!r} + (n - k) * {SPRT_L0!r}
+                         >= {SPRT_BOUND!r} THEN 'reject_h0'
+                    WHEN k * {SPRT_L1!r} + (n - k) * {SPRT_L0!r}
+                         <= -{SPRT_BOUND!r} THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM tot
+        """,
+    )
+    def q_sprt_stream(spark, sf_dir):
+        """Streaming twin of q_sprt_monitor: the (n, k) test state is
+        advanced per micro-batch by the foreachBatch sum-fold (even
+        event ids -> v=1, odd folded on top -> v=2, cached per
+        sf_dir), and the serving query reads the committed view and
+        evaluates the LLR and decision — valid at ANY look by the
+        sequential test's own guarantee, which is exactly why the
+        state deserves continuous maintenance. The folded totals
+        equal the whole-history counts (sum monoid), so the batch
+        oracle transfers as the plain aggregate.
+
+        Scale: state is two integers; each refresh aggregates only
+        the micro-batch."""
+        import os
+
+        path = _ensure_sprt_view(spark, sf_dir)
+        st = current_sketch_view(spark, os.path.join(path, "view"))
+        llr = F.col("k") * F.lit(SPRT_L1) + (
+            F.col("n") - F.col("k")
+        ) * F.lit(SPRT_L0)
+        return st.select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("k").cast("bigint").alias("k"),
+            F.round(llr, 6).alias("llr"),
+            F.when(llr >= F.lit(SPRT_BOUND), F.lit("reject_h0"))
+            .when(llr <= F.lit(-SPRT_BOUND), F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+        )
+
+
+_register_sprt()
