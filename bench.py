@@ -57,6 +57,13 @@ SF1_FLAGSHIPS = (
     # dedup's window-key shuffle and triangle counting's self-joins
     "q_dedup_spans",
     "q_triangle_count",
+    # round 13 (round-12 VERDICT #8): the r12 serving/streaming heavies
+    # get a recorded 10x-data ratio — PQ serving's DPP-pruned code
+    # store and the streaming IVF index fold are the two paths whose
+    # scale behavior the plan tests pin but no bench measured
+    "q_ann_serve_pq",
+    "q_ann_index_stream",
+    "q_feature_hashing",
 )
 
 
@@ -75,11 +82,22 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    compile_sec: dict[str, float] = {}
     for name in sorted(queries):
         ts = []
-        for _ in range(reps):
+        for i in range(reps):
             t0 = time.perf_counter()
-            queries[name](spark, sf_dir).count()
+            df = queries[name](spark, sf_dir)
+            if i == 0:
+                # plan-COMPILE rail (round-12 VERDICT #5): force Catalyst
+                # analysis+optimization and record its wall separately —
+                # q_feature_hashing spent 36.5 s in the optimizer for
+                # 3.6 s of execution and no wall budget flagged it. The
+                # QueryExecution caches the optimized plan, so count()
+                # below does not redo the work: rep-0 total is unchanged.
+                df._jdf.queryExecution().optimizedPlan()
+                compile_sec[name] = round(time.perf_counter() - t0, 3)
+            df.count()
             ts.append(round(time.perf_counter() - t0, 3))
         samples[name] = ts
         timings[name] = round(statistics.median(ts), 3)
@@ -192,6 +210,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "compile_sec": compile_sec,
                 "samples": samples,
                 "reps": reps,
                 "sf": sf,

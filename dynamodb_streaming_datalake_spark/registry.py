@@ -29,63 +29,31 @@ ORACLE: dict[str, str] = {}
 # silently eject a listed query from the window.
 #
 # PRIORITY derived by scripts/rotate_window.py from
-# CORRECTNESS_r*.json (latest: r11).  Do not hand-order;
+# CORRECTNESS_r*.json (latest: r12).  Do not hand-order;
 # regenerate after each driver round.  Derivation: the
-# 23 never-driver-proven names lead, then proofs
+# 18 never-driver-proven names lead, then proofs
 # ascending by round (stable tie-break: prior order).
 PRIORITY: tuple[str, ...] = (
     # -- never driver-proven --
-    "q_hits",
-    "q_benford_audit",
-    "q_mad_outliers",
-    "q_stream_sessionize",
-    "q_holt_trend",
-    "q_cumulative_users",
-    "q_grouped_forecast",
-    "q_stream_enrich_scd2",
-    "q_vocab_growth",
-    "q_ngram_novelty",
-    "q_rake_keywords",
-    "q_dedup_incremental",
-    "q_pca_power",
-    "q_ann_serve",
-    "q_pack_nextfit",
-    "q_target_encoding",
-    "q_column_correlation",
-    "q_lift_deciles",
-    "q_markov_eval",
-    "q_srm_check",
-    "q_kcenter_seeds",
-    "q_dedup_stream",
-    "q_bloom_stream",
+    "q_ohlc_bars",
+    "q_gini_coefficient",
+    "q_feature_hashing",
+    "q_zipf_fit",
+    "q_token_entropy",
+    "q_ann_serve_pq",
+    "q_random_projection",
+    "q_embedding_silhouette",
+    "q_cluster_purity",
+    "q_neyman_allocation",
+    "q_source_overlap",
+    "q_dp_counts",
+    "q_sprt_monitor",
+    "q_conformal_calibrate",
+    "q_diff_in_diff",
+    "q_ann_index_stream",
+    "q_ohlc_stream",
+    "q_sprt_stream",
     # -- proven r7 --
-    "q_text_repetition",
-    "q_doc_chunks",
-    "q_tfidf_terms",
-    "q_heavy_hitters",
-    "q_ann_topk",
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_kmeans",
-    "q_embedding_quantize",
-    "q_ann_filtered",
-    "q_media_decode",
-    "q_media_frame_stats",
-    "q_media_audio_stats",
-    "q_media_wav",
-    "q_media_ppm",
-    "q_udf_vector_norms",
-    "q_sample_deterministic",
-    "q_training_mix",
-    "q_token_budget",
-    "q_decontaminate",
-    "q_k_anonymize",
-    "q_pii_redact",
-    "q_corpus_curation",
-    "q_zip_ingest",
-    "q_tgz_ingest",
-    "q_window_tumbling",
-    "q_window_sliding",
     "q_window_session",
     # -- proven r8 --
     "q5_nation_revenue",
@@ -291,6 +259,57 @@ PRIORITY: tuple[str, ...] = (
     "q_text_langid",
     "q_text_fingerprint",
     "q_lang_distribution",
+    # -- proven r12 --
+    "q_hits",
+    "q_benford_audit",
+    "q_mad_outliers",
+    "q_stream_sessionize",
+    "q_holt_trend",
+    "q_cumulative_users",
+    "q_grouped_forecast",
+    "q_stream_enrich_scd2",
+    "q_vocab_growth",
+    "q_ngram_novelty",
+    "q_rake_keywords",
+    "q_dedup_incremental",
+    "q_pca_power",
+    "q_ann_serve",
+    "q_pack_nextfit",
+    "q_target_encoding",
+    "q_column_correlation",
+    "q_lift_deciles",
+    "q_markov_eval",
+    "q_srm_check",
+    "q_kcenter_seeds",
+    "q_dedup_stream",
+    "q_bloom_stream",
+    "q_text_repetition",
+    "q_doc_chunks",
+    "q_tfidf_terms",
+    "q_heavy_hitters",
+    "q_ann_topk",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_kmeans",
+    "q_embedding_quantize",
+    "q_ann_filtered",
+    "q_media_decode",
+    "q_media_frame_stats",
+    "q_media_audio_stats",
+    "q_media_wav",
+    "q_media_ppm",
+    "q_udf_vector_norms",
+    "q_sample_deterministic",
+    "q_training_mix",
+    "q_token_budget",
+    "q_decontaminate",
+    "q_k_anonymize",
+    "q_pii_redact",
+    "q_corpus_curation",
+    "q_zip_ingest",
+    "q_tgz_ingest",
+    "q_window_tumbling",
+    "q_window_sliding",
 )
 
 

@@ -25,6 +25,8 @@ import __spark_entry__ as e
 assert set(e.queries()) == set(q)
 print(f"registry OK: {len(q)} queries, {len(o)} oracles; window head: {list(q)[:3]}")
 EOF
+python scripts/rotate_window.py --check
+python scripts/refresh_budgets.py --check
 
 if [ "${1:-}" = "quick" ]; then
     echo "preflight (quick) PASSED"

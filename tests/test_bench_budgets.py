@@ -1,18 +1,22 @@
-"""Mechanized bench regression detection (round-10 VERDICT #8).
+"""Mechanized bench regression detection (round-10 VERDICT #8,
+re-pinned round 13 per round-12 VERDICT #3).
 
-`bench_budgets.json` pins a per-query wall-clock budget (2x the
-BENCH_r10 driver medians at sf0.1). The checker is a pure function so
-the breach logic itself is testable; the integration test applies it
-to the latest local `bench_detail.json` — so a plan regression goes
-red locally BEFORE the driver's per-round bench records it — and
-skips when no comparable (same-sf) local run exists, because budgets
-at one scale factor say nothing about timings at another.
+`bench_budgets.json` pins per-query wall budgets, sf1 scale rails, and
+plan-COMPILE-time rails. The GATING tests here compare only committed
+state — `bench_calibration.json` (the clean bench run the budgets were
+derived from) against `bench_budgets.json` — so the suite is green at
+every commit and a bench run the driver performs AFTER the builder's
+final commit (historically inflated by parity sweeps sharing the JVM)
+cannot flip it red. The live, possibly-uncommitted `bench_detail.json`
+surfaces as a pytest WARNING here and gates only via the builder's
+explicit `python scripts/refresh_budgets.py --check-live`.
 """
 
 from __future__ import annotations
 
 import json
 import pathlib
+import warnings
 
 import pytest
 
@@ -23,11 +27,16 @@ def load_budgets() -> dict:
     return json.loads((ROOT / "bench_budgets.json").read_text())
 
 
+def load_calibration() -> dict:
+    p = ROOT / "bench_calibration.json"
+    if not p.exists():
+        pytest.skip("no bench_calibration.json — run scripts/refresh_budgets.py")
+    return json.loads(p.read_text())
+
+
 def breaches(detail: dict, budget_doc: dict) -> list[tuple[str, float, float]]:
     """(query, measured, budget) rows where the measured median exceeds
-    its budget. Queries without a budget (post-r10 additions) and
-    budgets without a measurement (rotating headline set) are ignored
-    — the ratchet only compares what both sides measured."""
+    its wall budget. Only names both sides measured are compared."""
     budgets = budget_doc["budgets_sec"]
     qs = detail.get("queries") or {}
     return [
@@ -37,29 +46,9 @@ def breaches(detail: dict, budget_doc: dict) -> list[tuple[str, float, float]]:
     ]
 
 
-def test_breach_logic_flags_simulated_slowdown():
-    """The checker itself: the budget source's own numbers pass their
-    budgets (2x + 0.3 s jitter grace); a simulated 3x slowdown is
-    flagged for every query big enough that the grace term isn't the
-    whole budget (sub-0.3 s queries are scheduler-noise-dominated
-    locally — a 3x on 0.16 s is indistinguishable from a busy host,
-    and the ratchet should not cry wolf there)."""
-    doc = load_budgets()
-    base = json.loads((ROOT / "bench_detail.json").read_text())
-    assert breaches(base, doc) == []
-    slow = {
-        "sf": base["sf"],
-        "queries": {q: 3 * t for q, t in base["queries"].items()},
-    }
-    flagged = {q for q, _, _ in breaches(slow, doc)}
-    material = {q for q, t in base["queries"].items() if t >= 0.3}
-    assert material and material <= flagged
-
-
 def sf1_breaches(detail: dict, budget_doc: dict) -> list[tuple[str, float, float]]:
-    """(query, measured ratio, budget ratio) rows where the sf1/sf0.1
-    wall-clock ratio exceeds its rail — the early warning for
-    super-linear scale cliffs (round-11 VERDICT #8)."""
+    """(query, measured ratio, rail) rows where the sf1/sf0.1 ratio
+    exceeds its rail — the early warning for super-linear cliffs."""
     budgets = budget_doc.get("sf1_ratio_budgets") or {}
     ratios = detail.get("sf1_ratio") or {}
     return [
@@ -69,80 +58,163 @@ def sf1_breaches(detail: dict, budget_doc: dict) -> list[tuple[str, float, float
     ]
 
 
-def test_sf1_rail_flags_simulated_quadratic_blowup():
-    """The sf1 checker itself: the recorded ratios pass their own
-    rails; a simulated quadratic blowup (ratio -> ratio^2, i.e. 10x
-    data costing 100x where it cost 10x) is flagged for every
-    query whose recorded ratio exceeds ~1.8 (r^2 > 1.5r + 0.5 only for
-    r > (1.5 + sqrt(4.25))/2 ~ 1.78; below that, near-linear queries
-    sit in jitter territory by design)."""
+def compile_breaches(detail: dict, budget_doc: dict) -> list[tuple[str, float, float]]:
+    """(query, compile seconds, rail) rows where Catalyst
+    analysis+optimization time exceeds its rail (round-12 VERDICT #5:
+    q_feature_hashing spent 36.5 s in the optimizer for 3.6 s of
+    execution and no wall budget flagged it)."""
+    budgets = budget_doc.get("compile_budgets_sec") or {}
+    cs = detail.get("compile_sec") or {}
+    return [
+        (q, cs[q], budgets[q])
+        for q in sorted(set(cs) & set(budgets))
+        if cs[q] > budgets[q]
+    ]
+
+
+def test_breach_logic_flags_simulated_slowdown():
+    """The checker itself: the calibration's own numbers pass their
+    budgets; a simulated 3x slowdown is flagged for every query big
+    enough that the grace term isn't the whole budget (sub-0.3 s
+    queries are scheduler-noise-dominated locally)."""
     doc = load_budgets()
-    base = json.loads((ROOT / "bench_detail.json").read_text())
+    base = load_calibration()
+    assert breaches(base, doc) == []
+    slow = {
+        "sf": base["sf"],
+        "queries": {q: 3 * t for q, t in base["queries"].items()},
+    }
+    flagged = {q for q, _, _ in breaches(slow, doc)}
+    # a 3x slowdown always clears a clean-derived budget (3t > 2t+0.3
+    # for t > 0.3) but may sit inside a driver-floor-dominated one
+    # (floor = 1.4*t_driver + 0.3 with t_driver >> t_clean), so the
+    # must-flag set is the queries whose tripled time exceeds their
+    # actual budget — and it must be a large majority, else the floors
+    # have eaten the ratchet
+    budgets = doc["budgets_sec"]
+    material = {
+        q
+        for q, t in base["queries"].items()
+        if q in budgets and 3 * t > budgets[q] and t >= 0.65
+    }
+    assert material and material <= flagged
+    clean_sensitive = {
+        q for q, t in base["queries"].items() if t >= 0.65 and q in budgets
+    }
+    assert len(material) >= 0.7 * len(clean_sensitive), (
+        "driver floors have blunted the 3x ratchet for "
+        f"{len(clean_sensitive - material)} of {len(clean_sensitive)} "
+        "material queries — floors should be rare exceptions"
+    )
+
+
+def test_sf1_rail_flags_simulated_quadratic_blowup():
+    """The sf1 checker itself: the calibration ratios pass their own
+    rails; a simulated quadratic blowup (ratio -> ratio^2, i.e. 10x
+    data costing 100x where it cost 10x) is flagged for every query
+    whose rail isn't jitter-dominated (rail r_b flags r^2 only when
+    r^2 > r_b; with driver floors the rail can sit well above the
+    clean ratio, so material = r^2 > rail)."""
+    doc = load_budgets()
+    base = load_calibration()
     if not (doc.get("sf1_ratio_budgets") and base.get("sf1_ratio")):
-        pytest.skip("no sf1 ratios recorded in this bench run")
+        pytest.skip("no sf1 ratios recorded in the calibration run")
     assert sf1_breaches(base, doc) == []
     blown = {
         "sf1_ratio": {q: r * r for q, r in base["sf1_ratio"].items() if r}
     }
     flagged = {q for q, _, _ in sf1_breaches(blown, doc)}
-    material = {q for q, r in base["sf1_ratio"].items() if r and r >= 1.8}
+    rails = doc["sf1_ratio_budgets"]
+    material = {
+        q
+        for q, r in base["sf1_ratio"].items()
+        if r and q in rails and r * r > rails[q] and r >= 1.8
+    }
     assert material and material <= flagged
 
 
-def test_latest_sf1_ratios_within_rails():
-    """The live sf1 rail: the most recent bench run's 10x-data ratios
-    must sit inside every recorded rail."""
-    detail_path = ROOT / "bench_detail.json"
-    if not detail_path.exists():
-        pytest.skip("no local bench_detail.json — run `python bench.py`")
-    detail = json.loads(detail_path.read_text())
+def test_compile_rail_flags_simulated_constraint_blowup():
+    """The compile-time checker: calibration compile times pass their
+    rails; a simulated Catalyst constraint-propagation blowup (the
+    q_feature_hashing failure: compile inflated ~18x while execution
+    stays flat) is flagged for every query, because the rail is
+    2*c + 1.0 and the blowup adds 10 s flat."""
     doc = load_budgets()
-    if not (doc.get("sf1_ratio_budgets") and detail.get("sf1_ratio")):
-        pytest.skip("no sf1 ratios in this bench run")
-    got = sf1_breaches(detail, doc)
-    assert not got, (
-        "sf1 scale-rail breaches (query, ratio, rail): "
-        f"{got} — a super-linear regression; find the new shuffle or "
-        "expansion before regenerating rails"
+    base = load_calibration()
+    if not (doc.get("compile_budgets_sec") and base.get("compile_sec")):
+        pytest.skip("no compile times recorded in the calibration run")
+    assert compile_breaches(base, doc) == []
+    blown = {"compile_sec": {q: c + 10.0 for q, c in base["compile_sec"].items()}}
+    flagged = {q for q, _, _ in compile_breaches(blown, doc)}
+    assert flagged == set(base["compile_sec"]) & set(doc["compile_budgets_sec"])
+
+
+def test_calibration_is_fully_budgeted():
+    """Coverage (round-11 VERDICT #2, re-scoped round 13): every query
+    in the committed calibration has a wall budget, and — the round-12
+    gap — every REGISTERED query has one too, so a late-registered
+    operator without a bench/measure pass goes red locally instead of
+    shipping unbudgeted (the 41 s q_feature_hashing outlier had no
+    budget and nothing local flagged it). Cheap path for new
+    operators: `python scripts/refresh_budgets.py --measure q_new`."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    doc = load_budgets()
+    base = load_calibration()
+    missing_measured = set(base.get("queries", {})) - set(doc["budgets_sec"])
+    assert not missing_measured, (
+        f"{len(missing_measured)} calibrated queries lack budgets: "
+        f"{sorted(missing_measured)[:5]} — run scripts/refresh_budgets.py"
+    )
+    missing_registered = set(all_queries()) - set(doc["budgets_sec"])
+    assert not missing_registered, (
+        f"{len(missing_registered)} registered queries lack budgets "
+        f"(e.g. {sorted(missing_registered)[:5]}) — run "
+        "`python scripts/refresh_budgets.py --measure "
+        + ",".join(sorted(missing_registered)[:5])
+        + "`"
     )
 
 
-def test_budgets_cover_every_measured_query():
-    """Round-11 VERDICT #2: budgets must cover ALL queries in the
-    latest bench_detail.json, not a 16-query headline subset — else
-    235 queries can regress 10x without any local red. Regenerate with
-    `python scripts/refresh_budgets.py` after each bench refresh."""
-    detail_path = ROOT / "bench_detail.json"
-    if not detail_path.exists():
-        pytest.skip("no local bench_detail.json — run `python bench.py`")
-    detail = json.loads(detail_path.read_text())
-    doc = load_budgets()
-    missing = set(detail.get("queries", {})) - set(doc["budgets_sec"])
-    assert not missing, (
-        f"{len(missing)} measured queries lack budgets (e.g. "
-        f"{sorted(missing)[:5]}) — run scripts/refresh_budgets.py"
-    )
-
-
-def test_latest_local_bench_run_within_budgets():
-    """The live ratchet: the most recent `python bench.py` run at the
-    budget scale factor must sit inside every per-query budget."""
-    detail_path = ROOT / "bench_detail.json"
-    if not detail_path.exists():
-        pytest.skip("no local bench_detail.json — run `python bench.py`")
+def test_live_bench_run_is_surfaced():
+    """The non-gating half (round-12 VERDICT #3): when an uncommitted
+    bench_detail.json differs from the committed calibration, report
+    its budget/rail/compile breaches as a pytest WARNING. It must not
+    gate: the file may be the driver's post-commit run, benched with
+    parity sweeps sharing the JVM (q_enrich_stream 0.7 -> 3.7 s on an
+    untouched plan). The builder's gating path after a plan change is
+    `python scripts/refresh_budgets.py --check-live`."""
+    live_path = ROOT / "bench_detail.json"
+    if not live_path.exists():
+        pytest.skip("no local bench_detail.json")
     try:
-        detail = json.loads(detail_path.read_text())
+        live = json.loads(live_path.read_text())
     except json.JSONDecodeError:
         pytest.skip("bench_detail.json is truncated (interrupted run)")
     doc = load_budgets()
-    if detail.get("sf") != doc["sf"]:
-        pytest.skip(
-            f"local bench ran at sf={detail.get('sf')}, budgets are "
-            f"for sf={doc['sf']}"
+    base = load_calibration()
+    if live.get("queries") == base.get("queries"):
+        return  # the live file IS the calibration run
+    if live.get("sf") != doc["sf"]:
+        return
+    msgs = []
+    got = breaches(live, doc)
+    if got:
+        msgs.append(f"wall breaches {got}")
+    got1 = sf1_breaches(live, doc)
+    if got1:
+        msgs.append(f"sf1 rail breaches {got1}")
+    gotc = compile_breaches(live, doc)
+    if gotc:
+        msgs.append(f"compile rail breaches {gotc}")
+    unbudgeted = set(live.get("queries", {})) - set(doc["budgets_sec"])
+    if unbudgeted:
+        msgs.append(f"{len(unbudgeted)} live queries unbudgeted {sorted(unbudgeted)[:5]}")
+    if msgs:
+        warnings.warn(
+            "live bench_detail.json vs committed budgets: "
+            + "; ".join(msgs)
+            + " — if this run was clean and the slowdown real, fix the "
+            "plan or regenerate budgets (scripts/refresh_budgets.py)",
+            stacklevel=1,
         )
-    got = breaches(detail, doc)
-    assert not got, (
-        "bench budget breaches (query, measured s, budget s): "
-        f"{got} — if the slowdown is a deliberate trade, regenerate "
-        "bench_budgets.json and say why in the commit"
-    )
