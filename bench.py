@@ -147,7 +147,21 @@ def main() -> None:
                 # charges q_ann_ivfpq's one-time PQ codebook training to
                 # whichever round has a cold cache. Medians make a real
                 # regression distinguishable from either.
-                ann_reps = 5 if name in ("q_ann_ivf", "q_ann_ivfpq") else 1
+                # the serving/streaming paths also get medians: their
+                # first sf1 invocation pays a one-time cached
+                # index/view build that must not be charged to the
+                # recorded steady-state ratio
+                ann_reps = (
+                    5
+                    if name
+                    in (
+                        "q_ann_ivf",
+                        "q_ann_ivfpq",
+                        "q_ann_serve_pq",
+                        "q_ann_index_stream",
+                    )
+                    else 1
+                )
                 ts1 = []
                 for _ in range(ann_reps):
                     t0 = time.perf_counter()

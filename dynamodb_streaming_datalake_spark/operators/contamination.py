@@ -50,6 +50,38 @@ _SQL_BUCKET = f"({sql_portable_hash60('CAST(doc_id AS VARCHAR)')} % {DENOM})"
 _SQL_SHINGLES = sql_word_shingles("text", NGRAM)
 
 
+def shingle_hashes(df: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, sh_hash) rows — row-local explode + portable 60-bit
+    hash, no UDF."""
+    return df.select(
+        "doc_id",
+        F.explode(word_shingles("text", n)).alias("sh"),
+    ).withColumn("sh_hash", portable_hash60(F.col("sh"))).drop("sh")
+
+
+def eval_shingle_set(eval_docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """The broadcastable frozen banned-shingle set: distinct hashes of
+    every n-gram in the eval docs."""
+    return shingle_hashes(eval_docs, n).select("sh_hash").distinct()
+
+
+def overlap_counts(
+    docs: DataFrame, eval_hashes: DataFrame, n: int = NGRAM
+) -> DataFrame:
+    """Per-doc overlap counts against an ALREADY-HASHED banned set —
+    the kernel both the batch query and the streaming view fold share.
+    Per-doc counts are DOC-LOCAL (a doc's shingles all sit in its own
+    row), so computing this per micro-batch and appending equals
+    computing it one-shot — the property q_decontaminate_stream rests
+    on."""
+    return (
+        shingle_hashes(docs, n)
+        .join(F.broadcast(eval_hashes), "sh_hash")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh_hash").alias("n_overlap"))
+    )
+
+
 def contaminated_docs(
     docs: DataFrame, eval_docs: DataFrame, n: int = NGRAM
 ) -> DataFrame:
@@ -59,24 +91,12 @@ def contaminated_docs(
     ``eval_docs`` is broadcast as a distinct set of shingle hashes; the
     big side sees one row-local explode + a map-side hash-join.
     """
-    def shingle_hashes(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id",
-            F.explode(word_shingles("text", n)).alias("sh"),
-        ).withColumn("sh_hash", portable_hash60(F.col("sh"))).drop("sh")
-
-    eval_hashes = shingle_hashes(eval_docs).select("sh_hash").distinct()
-    return (
-        shingle_hashes(docs)
-        .join(F.broadcast(eval_hashes), "sh_hash")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("sh_hash").alias("n_overlap"))
-    )
+    return overlap_counts(docs, eval_shingle_set(eval_docs, n), n)
 
 
-@query(
-    "q_decontaminate",
-    oracle=f"""
+#: q_decontaminate's oracle verbatim — the result the streaming
+#: decontamination view (q_decontaminate_stream) must hash-match too.
+SQL_DECONTAMINATE = f"""
     WITH sh AS (
         SELECT doc_id, {_SQL_BUCKET} AS bucket,
                unnest({_SQL_SHINGLES}) AS s
@@ -93,8 +113,10 @@ def contaminated_docs(
     SELECT tr.doc_id, COUNT(DISTINCT tr.sh_hash) AS n_overlap
     FROM tr JOIN ev USING (sh_hash)
     GROUP BY tr.doc_id
-    """,
-)
+    """
+
+
+@query("q_decontaminate", oracle=SQL_DECONTAMINATE)
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training docs contaminated by {NGRAM}-gram overlap with the
     (deterministic 5%-sample) eval set, with overlap counts. The

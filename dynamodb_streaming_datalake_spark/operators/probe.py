@@ -1,0 +1,225 @@
+"""Trainable filters & resampling inference, computed without leaving
+the engine.
+
+A trainable filter a training-data pipeline fits at corpus scale:
+
+* **Linear probe** (`q_linear_probe`): fit a ridge-regression linear
+  probe (here: predict English-ness from two cheap text statistics)
+  with a CLOSED-FORM solve — one distributed aggregation builds the
+  exact integer Gram/moment matrix, Cramer's rule inverts the 3x3
+  system in scalar arithmetic, and the learned coefficients broadcast
+  back over the corpus to score every document. This is the quality-
+  classifier training loop (fastText-style linear filters) collapsed
+  to its Spark-native essence: the ONLY corpus-sized work is two scans
+  (one aggregate, one scoring pass), both map-side; the "training" is
+  O(1) scalar math in the plan itself. Every Gram entry is an exact
+  integer sum, so the fitted coefficients are bit-identical across
+  engines — the DuckDB oracle refits the same probe and must agree.
+
+Reference scope: the reference pipeline (stack at
+`/root/reference/lib/dynamodb-streaming-datalake-stack.ts`) lands data
+for exactly this kind of downstream analytics; these operators are
+part of the declared LLM-training-pipeline extension surface
+(SURVEY.md §2C/§2D), not reference ports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
+from dynamodb_streaming_datalake_spark.registry import query
+from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+# ---------------------------------------------------------------------------
+# linear probe: closed-form ridge on exact integer features
+# ---------------------------------------------------------------------------
+
+#: ridge regularizer — keeps the 3x3 system well-conditioned even if a
+#: feature degenerates (constant column), and is part of the portable
+#: contract (the oracle adds the same lambda)
+PROBE_LAMBDA = 1.0
+
+
+def _cramer3(a11, a12, a13, a22, a23, a33, b1, b2, b3):
+    """Solve the SYMMETRIC 3x3 system A w = b by Cramer's rule with a
+    fixed expression shape (first-row cofactor expansion, identical
+    parenthesization in the SQL twin) so both engines compute
+    bit-identical doubles from the exact integer Gram entries."""
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    w1 = (
+        b1 * (a22 * a33 - a23 * a23)
+        - a12 * (b2 * a33 - a23 * b3)
+        + a13 * (b2 * a23 - a22 * b3)
+    ) / det
+    w2 = (
+        a11 * (b2 * a33 - a23 * b3)
+        - b1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * b3 - b2 * a13)
+    ) / det
+    w3 = (
+        a11 * (a22 * b3 - a23 * b2)
+        - a12 * (a12 * b3 - b2 * a13)
+        + b1 * (a12 * a23 - a22 * a13)
+    ) / det
+    return w1, w2, w3
+
+
+def _sql_cramer3(pfx: str = "") -> str:
+    """The SQL twin of :func:`_cramer3` as a SELECT fragment over
+    columns a11..a33, b1..b3 (same cofactor shapes, same order)."""
+    return f"""
+        ({pfx}b1 * ({pfx}a22 * {pfx}a33 - {pfx}a23 * {pfx}a23)
+         - {pfx}a12 * ({pfx}b2 * {pfx}a33 - {pfx}a23 * {pfx}b3)
+         + {pfx}a13 * ({pfx}b2 * {pfx}a23 - {pfx}a22 * {pfx}b3)) / {pfx}det AS w1,
+        ({pfx}a11 * ({pfx}b2 * {pfx}a33 - {pfx}a23 * {pfx}b3)
+         - {pfx}b1 * ({pfx}a12 * {pfx}a33 - {pfx}a23 * {pfx}a13)
+         + {pfx}a13 * ({pfx}a12 * {pfx}b3 - {pfx}b2 * {pfx}a13)) / {pfx}det AS w2,
+        ({pfx}a11 * ({pfx}a22 * {pfx}b3 - {pfx}a23 * {pfx}b2)
+         - {pfx}a12 * ({pfx}a12 * {pfx}b3 - {pfx}b2 * {pfx}a13)
+         + {pfx}b1 * ({pfx}a12 * {pfx}a23 - {pfx}a22 * {pfx}a13)) / {pfx}det AS w3
+    """
+
+
+@query(
+    "q_linear_probe",
+    oracle=f"""
+    WITH f AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS w,
+               len(list_distinct(string_split(text, ' '))) AS dd,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(w) AS BIGINT) AS sw,
+               CAST(SUM(dd) AS BIGINT) AS sd,
+               CAST(SUM(w * w) AS BIGINT) AS sww,
+               CAST(SUM(w * dd) AS BIGINT) AS swd,
+               CAST(SUM(dd * dd) AS BIGINT) AS sdd,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(w * y) AS BIGINT) AS swy,
+               CAST(SUM(dd * y) AS BIGINT) AS sdy
+        FROM f
+    ),
+    a AS (
+        SELECT CAST(n AS DOUBLE) + {PROBE_LAMBDA} AS a11,
+               CAST(sw AS DOUBLE) AS a12,
+               CAST(sd AS DOUBLE) AS a13,
+               CAST(sww AS DOUBLE) + {PROBE_LAMBDA} AS a22,
+               CAST(swd AS DOUBLE) AS a23,
+               CAST(sdd AS DOUBLE) + {PROBE_LAMBDA} AS a33,
+               CAST(sy AS DOUBLE) AS b1,
+               CAST(swy AS DOUBLE) AS b2,
+               CAST(sdy AS DOUBLE) AS b3
+        FROM g
+    ),
+    c AS (
+        SELECT {_sql_cramer3()}
+        FROM (
+            SELECT *,
+                   (a11 * (a22 * a33 - a23 * a23)
+                    - a12 * (a12 * a33 - a23 * a13)
+                    + a13 * (a12 * a23 - a22 * a13)) AS det
+            FROM a
+        )
+    ),
+    scored AS (
+        SELECT f.source, f.w, f.dd, f.y,
+               (c.w1 + c.w2 * f.w + c.w3 * f.dd) AS score,
+               c.w1 AS w1, c.w2 AS w2, c.w3 AS w3
+        FROM f, c
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(max(w1) + max(w2) * (CAST(SUM(w) AS DOUBLE) / COUNT(*))
+                 + max(w3) * (CAST(SUM(dd) AS DOUBLE) / COUNT(*)), 6)
+               AS mean_score,
+           round(CAST(SUM(CASE WHEN (score >= 0.5) = (y = 1)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy,
+           round(max(w1), 6) AS w_intercept,
+           round(max(w2), 6) AS w_words,
+           round(max(w3), 6) AS w_distinct
+    FROM scored
+    GROUP BY source
+    """,
+)
+def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge linear probe trained IN the plan: features are
+    exact integers per doc (word count, distinct-word count), the
+    label is English-ness, one map-side-combined aggregate builds the
+    3x3 Gram + moment matrix in exact integer sums, Cramer's rule
+    solves (A + {PROBE_LAMBDA}I) w = b in fixed-shape scalar doubles,
+    and the coefficients broadcast back over the corpus to score and
+    grade every document — per-source mean score, train accuracy, and
+    the learned weights. The oracle REFITS the identical probe, so the
+    training math itself is value-hash-gated, not just the plumbing.
+
+    Scale: training cost is ONE aggregation to a single row (the Gram
+    entries are sums — map-side partials shrink every partition to 9
+    numbers), the solve is O(1) scalar arithmetic inside the plan, and
+    scoring is a map-only pass under a 1-row broadcast cross. No
+    driver-side linear algebra, no collect, no iteration: the probe
+    fits in the same number of scans at 100 TB as at 50 MB."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    feats = d.select(
+        "source",
+        F.size(toks).cast("long").alias("w"),
+        F.size(F.array_distinct(toks)).cast("long").alias("dd"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    g = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum("dd").alias("sd"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+        F.sum(F.col("w") * F.col("dd")).alias("swd"),
+        F.sum(F.col("dd") * F.col("dd")).alias("sdd"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("w") * F.col("y")).alias("swy"),
+        F.sum(F.col("dd") * F.col("y")).alias("sdy"),
+    )
+    lam = F.lit(PROBE_LAMBDA)
+    a11 = F.col("n").cast("double") + lam
+    a12 = F.col("sw").cast("double")
+    a13 = F.col("sd").cast("double")
+    a22 = F.col("sww").cast("double") + lam
+    a23 = F.col("swd").cast("double")
+    a33 = F.col("sdd").cast("double") + lam
+    b1 = F.col("sy").cast("double")
+    b2 = F.col("swy").cast("double")
+    b3 = F.col("sdy").cast("double")
+    w1, w2, w3 = _cramer3(a11, a12, a13, a22, a23, a33, b1, b2, b3)
+    coef = g.select(w1.alias("w1"), w2.alias("w2"), w3.alias("w3"))
+    scored = feats.crossJoin(F.broadcast(coef)).withColumn(
+        "score", F.col("w1") + F.col("w2") * F.col("w") + F.col("w3") * F.col("dd")
+    )
+    acc_flag = F.when(
+        (F.col("score") >= 0.5) == (F.col("y") == 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.max("w1")
+            + F.max("w2") * (F.sum("w").cast("double") / F.count(F.lit(1)))
+            + F.max("w3") * (F.sum("dd").cast("double") / F.count(F.lit(1))),
+            6,
+        ).alias("mean_score"),
+        F.round(
+            F.sum(acc_flag).cast("double") / F.count(F.lit(1)), 6
+        ).alias("accuracy"),
+        F.round(F.max("w1"), 6).alias("w_intercept"),
+        F.round(F.max("w2"), 6).alias("w_words"),
+        F.round(F.max("w3"), 6).alias("w_distinct"),
+    )
+
+
+_fmt(q_linear_probe, PROBE_LAMBDA=PROBE_LAMBDA)

@@ -3134,99 +3134,56 @@ def q_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inline, so serving from the store must hash-match its oracle
 # VERBATIM — build/serve result-invisibility, pinned like q_ann_serve.
 
-_IVFPQ_INDEX_VERSION = "v1"
+# v2: build refactored onto the shared ivfpq_coarse_centroids /
+# ivfpq_encode kernels (round 13) — bumped so the rebuilt store is
+# re-proven through the oracle instead of serving a pre-refactor cache
+_IVFPQ_INDEX_VERSION = "v2"
 
 
-def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build the IVF-PQ index once per dataset: coarse centroid table,
-    trained PQ codebook, and per-vector PQ codes partitioned by cid.
-    Everything persisted is exactly what q_ann_ivfpq derives inline —
-    float64 round-trips bit-exactly through parquet, so the stored
-    codebook/codes are the inline ones, not approximations."""
-    import os
-
-    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
-
-    def build(build_dir: str) -> None:
-        e = read_table(spark, sf_dir, "embeddings")
-        sub = _pq_subvectors(e)
-        tcb = _pq_trained_codebook(sub, cache_key=_pq_cache_key(sf_dir))
-        enc = _pq_assign(sub, tcb).select("vec_id", "s", "code")
-        # coarse lists: same deterministic quantizer as
-        # _ivfpq_candidates (full-vector squared-L2, first-K init,
-        # map-side MIN(struct) argmin)
-        ad = F.col("embedding").cast("array<double>")
-        cents = e.where(F.col("vec_id") < IVFPQ_CENTROIDS).select(
-            F.col("vec_id").alias("cid"), ad.alias("ce")
-        )
-        scored = (
-            e.select("vec_id", ad.alias("ev"))
-            .join(F.broadcast(cents))
-            .select(
-                "vec_id", "cid", l2sq(F.col("ev"), F.col("ce")).alias("cdist")
-            )
-        )
-        lists = (
-            scored.groupBy("vec_id")
-            .agg(F.min(F.struct("cdist", "cid")).alias("best"))
-            .select("vec_id", F.col("best.cid").alias("cid"))
-        )
-        enc.join(lists, "vec_id").select(
-            "vec_id", "s", "code", "cid"
-        ).write.partitionBy("cid").parquet(os.path.join(build_dir, "codes"))
-        cents.write.parquet(os.path.join(build_dir, "centroids"))
-        tcb.write.parquet(os.path.join(build_dir, "codebook"))
-
-    return ensure_cached_build("ivfpqindex", _IVFPQ_INDEX_VERSION, sf_dir, build)
-
-
-@query(
-    "q_ann_serve_pq",
-    oracle=f"""
-    WITH {_SQL_PQ_TRAIN_ENC_LUT},
-    {_SQL_IVFPQ_LISTS},
-    adc AS (
-        SELECT c.query_id, c.neighbor_id,
-               list_aggregate(list(l.d ORDER BY l.s), 'sum') AS adist
-        FROM cand c
-        JOIN enc e ON e.vec_id = c.neighbor_id
-        JOIN lut l ON l.query_id = c.query_id AND l.s = e.s
-                  AND l.code = e.code
-        GROUP BY c.query_id, c.neighbor_id
+def ivfpq_coarse_centroids(e: DataFrame) -> DataFrame:
+    """The frozen coarse quantizer: deterministic first-K init (same as
+    ``_ivfpq_candidates``), so every build/serve/stream path derives
+    the identical (cid, ce) table."""
+    ad = F.col("embedding").cast("array<double>")
+    return e.where(F.col("vec_id") < IVFPQ_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), ad.alias("ce")
     )
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
-           round(adist, 6) AS approx_dist
-    FROM (
-        SELECT query_id, neighbor_id, adist,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY adist ASC, neighbor_id) AS rank
-        FROM adc
-    ) WHERE rank <= {PQ_TOPK}
-    """,
-)
-def q_ann_serve_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN serving from the PERSISTED IVF-PQ index — the billion-scale
-    production shape: queries score the stored coarse centroids
-    (broadcast, map-only), build their LUT from the STORED codebook
-    (never retraining), and ADC-fold ONLY the probed lists' 4-byte
-    codes read via dynamic partition pruning from the cid-partitioned
-    code store. Must hash-match q_ann_ivfpq's inline build — the
-    oracle transfers verbatim and IS the build/serve
-    result-invisibility proof (pinned with the DPP assertion in
-    tests/test_plans_ext.py).
 
-    Scale: the index is built once; per serve, work = |queries| x
-    {IVFPQ_CENTROIDS} centroid scores + a LUT of Q x {PQ_M} x {PQ_K}
-    rows (broadcast-sized at any corpus) + an ADC fold bounded by the
-    probed lists — and the lists hold codes, not vectors, so bytes
-    read per probe are ~64x smaller than IVFFlat serving."""
-    import os
 
-    path = _ensure_ivfpq_index(spark, sf_dir)
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
-    codes = spark.read.parquet(os.path.join(path, "codes"))
-    tcb = spark.read.parquet(os.path.join(path, "codebook"))
-    e = read_table(spark, sf_dir, "embeddings")
+def ivfpq_encode(e: DataFrame, tcb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Encode vectors against a FROZEN PQ codebook + coarse quantizer:
+    (vec_id, s, code, cid) rows — PQ subspace codes plus the coarse
+    list each vector belongs to. Per-row deterministic (broadcast
+    argmin both times), so encoding COMMUTES WITH BATCHING: encoding a
+    corpus in micro-batches and unioning equals encoding it one-shot —
+    the property q_ann_codes_stream's append fold rests on."""
+    enc = _pq_assign(_pq_subvectors(e), tcb).select("vec_id", "s", "code")
+    ad = F.col("embedding").cast("array<double>")
+    scored = (
+        e.select("vec_id", ad.alias("ev"))
+        .join(F.broadcast(cents))
+        .select(
+            "vec_id", "cid", l2sq(F.col("ev"), F.col("ce")).alias("cdist")
+        )
+    )
+    lists = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("cdist", "cid")).alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cid"))
+    )
+    return enc.join(lists, "vec_id").select("vec_id", "s", "code", "cid")
+
+
+def ivfpq_serve(
+    codes: DataFrame, cents: DataFrame, tcb: DataFrame, e: DataFrame
+) -> DataFrame:
+    """Shared IVF-PQ serving kernel (the q_ann_serve / ivf_serve split
+    applied to the compressed tier): queries score the coarse
+    centroids (broadcast, map-only), build their LUT from the stored
+    codebook, and ADC-fold only the probed lists' codes. Used by both
+    the persisted index (q_ann_serve_pq) and the stream-maintained
+    code view (q_ann_codes_stream), so the two serving paths cannot
+    drift."""
     qsub = _pq_subvectors(e.where(F.col("vec_id") < PQ_NQ))
     lut = _pq_lut(qsub, tcb)
     ad = F.col("embedding").cast("array<double>")
@@ -3259,6 +3216,83 @@ def q_ann_serve_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("adist", 6).alias("approx_dist"),
         )
     )
+
+
+def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the IVF-PQ index once per dataset: coarse centroid table,
+    trained PQ codebook, and per-vector PQ codes partitioned by cid.
+    Everything persisted is exactly what q_ann_ivfpq derives inline —
+    float64 round-trips bit-exactly through parquet, so the stored
+    codebook/codes are the inline ones, not approximations."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
+
+    def build(build_dir: str) -> None:
+        e = read_table(spark, sf_dir, "embeddings")
+        sub = _pq_subvectors(e)
+        tcb = _pq_trained_codebook(sub, cache_key=_pq_cache_key(sf_dir))
+        cents = ivfpq_coarse_centroids(e)
+        ivfpq_encode(e, tcb, cents).write.partitionBy("cid").parquet(
+            os.path.join(build_dir, "codes")
+        )
+        cents.write.parquet(os.path.join(build_dir, "centroids"))
+        tcb.write.parquet(os.path.join(build_dir, "codebook"))
+
+    return ensure_cached_build("ivfpqindex", _IVFPQ_INDEX_VERSION, sf_dir, build)
+
+
+#: q_ann_ivfpq's oracle shape verbatim — the result every IVF-PQ
+#: serving path (persisted index, stream-maintained code view) must
+#: hash-match.
+SQL_IVFPQ_SERVE = f"""
+    WITH {_SQL_PQ_TRAIN_ENC_LUT},
+    {_SQL_IVFPQ_LISTS},
+    adc AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_aggregate(list(l.d ORDER BY l.s), 'sum') AS adist
+        FROM cand c
+        JOIN enc e ON e.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id AND l.s = e.s
+                  AND l.code = e.code
+        GROUP BY c.query_id, c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(adist, 6) AS approx_dist
+    FROM (
+        SELECT query_id, neighbor_id, adist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adist ASC, neighbor_id) AS rank
+        FROM adc
+    ) WHERE rank <= {PQ_TOPK}
+    """
+
+
+@query("q_ann_serve_pq", oracle=SQL_IVFPQ_SERVE)
+def q_ann_serve_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from the PERSISTED IVF-PQ index — the billion-scale
+    production shape: queries score the stored coarse centroids
+    (broadcast, map-only), build their LUT from the STORED codebook
+    (never retraining), and ADC-fold ONLY the probed lists' 4-byte
+    codes read via dynamic partition pruning from the cid-partitioned
+    code store. Must hash-match q_ann_ivfpq's inline build — the
+    oracle transfers verbatim and IS the build/serve
+    result-invisibility proof (pinned with the DPP assertion in
+    tests/test_plans_ext.py).
+
+    Scale: the index is built once; per serve, work = |queries| x
+    {IVFPQ_CENTROIDS} centroid scores + a LUT of Q x {PQ_M} x {PQ_K}
+    rows (broadcast-sized at any corpus) + an ADC fold bounded by the
+    probed lists — and the lists hold codes, not vectors, so bytes
+    read per probe are ~64x smaller than IVFFlat serving."""
+    import os
+
+    path = _ensure_ivfpq_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    tcb = spark.read.parquet(os.path.join(path, "codebook"))
+    e = read_table(spark, sf_dir, "embeddings")
+    return ivfpq_serve(codes, cents, tcb, e)
 
 
 _fmt(

@@ -287,3 +287,125 @@ def _register_salted_agg() -> None:
 
 
 _register_salted_agg()
+
+
+# ---------------------------------------------------------------------------
+# adaptive salted join (round 13): the diagnose pass FEEDS the
+# mitigation
+# ---------------------------------------------------------------------------
+# q_skew_diagnose measures; q_salted_join mitigates with a hand-picked
+# n_salts. A production 100 TB join wants the two wired: measure the
+# probe side's hottest key, derive the salt count that caps any key's
+# per-task rows at the target, and salt only when the measurement says
+# to — a uniform probe side pays ZERO build-side blow-up.
+
+#: per-task row target for the adaptive path (fixture-sized so the
+#: salted branch actually engages on the test corpus; the production
+#: knob is executor-memory / row-width, same as SKEW_TARGET_ROWS)
+ADAPTIVE_TARGET_ROWS = 50
+#: build-side replication cap — past this, per-key spreading has
+#: diminishing returns against the n_salts-fold build-side cost
+ADAPTIVE_MAX_SALTS = 64
+
+
+def adaptive_salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: Sequence[str],
+    target_rows: int = ADAPTIVE_TARGET_ROWS,
+    max_salts: int = ADAPTIVE_MAX_SALTS,
+    how: str = "inner",
+    fingerprint_cols: Sequence[str] | None = None,
+) -> tuple[DataFrame, int]:
+    """Diagnose-then-salt: measure the probe side's hottest join key
+    (one map-side-combined groupBy folded to a single driver row),
+    pick ``n_salts = clamp(ceil(max_key_rows / target_rows), 1,
+    max_salts)``, and return ``(joined, n_salts)`` — the plain join
+    when the measurement says no key needs spreading, the salted join
+    otherwise. Result is row-identical to ``probe.join(build, on,
+    how)`` either way (q_salted_join's guarantee; the registered
+    query's oracle IS the plain join).
+
+    Scale: the diagnose pass is one extra scan of the probe side's
+    join-key columns (column-pruned), aggregated map-side to |keys|
+    rows and folded to ONE driver-side number — cheap next to the join
+    it sizes, and it removes the hand-tuned constant that goes stale
+    as key distributions drift."""
+    hot = (
+        probe.groupBy(*[F.col(c) for c in on])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("max_n"))
+        .collect()[0]
+    )
+    max_n = hot["max_n"] or 0
+    n_salts = int(min(max_salts, max(1, -(-max_n // target_rows))))
+    if n_salts <= 1:
+        return probe.join(build, list(on), how), 1
+    return (
+        salted_join(
+            probe,
+            build,
+            on,
+            n_salts=n_salts,
+            how=how,
+            fingerprint_cols=fingerprint_cols,
+        ),
+        n_salts,
+    )
+
+
+def _register_adaptive() -> None:
+    from dynamodb_streaming_datalake_spark.operators.relational import (
+        _sql_dsum,
+        dsum,
+    )
+    from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
+    from dynamodb_streaming_datalake_spark.registry import query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    @query(
+        "q_adaptive_salted_join",
+        oracle=f"""
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {_sql_dsum('e.value', 'total_value')}
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """,
+    )
+    def q_adaptive_salted_join(spark, sf_dir):
+        """q_skew_diagnose wired into q_salted_join as ONE operator:
+        the events->customer enrichment join measures its own probe
+        side (hottest user_id's row count), derives the salt count
+        that caps any key at {ADAPTIVE_TARGET_ROWS} rows/task (capped
+        at {ADAPTIVE_MAX_SALTS}), and salts only if needed — at small
+        sf the measurement picks the PLAIN join (no blow-up paid), at
+        bench sf it picks a salted one; the oracle is the plain join
+        either way, so the adaptivity is value-hash-proven
+        result-invisible, not just asserted.
+
+        Scale: diagnose = one column-pruned scan folded to one driver
+        row; the join then pays build-side replication exactly
+        proportional to the measured skew, instead of a hand-tuned
+        constant that over-salts uniform data or under-salts hot
+        keys."""
+        e = read_table(spark, sf_dir, "events").select(
+            F.col("user_id").alias("ukey"), "value"
+        )
+        c = read_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("ukey"), "c_mktsegment"
+        )
+        joined, _n = adaptive_salted_join(e, c, ["ukey"])
+        return joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+
+    _fmt(
+        q_adaptive_salted_join,
+        ADAPTIVE_TARGET_ROWS=ADAPTIVE_TARGET_ROWS,
+        ADAPTIVE_MAX_SALTS=ADAPTIVE_MAX_SALTS,
+    )
+
+
+_register_adaptive()

@@ -326,6 +326,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     genuinely non-SQL-expressible ops (driver then does rows-only)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        # Duplicate names must fail LOUDLY (round 13): a second
+        # registration would silently REPLACE a driver-proven query —
+        # the dict write hides it, every count drifts by one, and the
+        # proof record now describes code that no longer runs. Module
+        # re-imports re-execute decorators with the same function;
+        # only a DIFFERENT function claiming the name is a collision.
+        prev = QUERIES.get(name)
+        if prev is not None and prev.__module__ != fn.__module__:
+            raise ValueError(
+                f"query name collision: {name!r} already registered by "
+                f"{prev.__module__}; refusing to overwrite from "
+                f"{fn.__module__}"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
@@ -358,6 +371,7 @@ REGISTRY_MODULES: tuple[str, ...] = (
     "operators.privacy",
     "operators.curation",
     "operators.skew",
+    "operators.probe",
     "operators.layout",
     "operators.sketches",
     "operators.geo",

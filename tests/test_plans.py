@@ -211,6 +211,39 @@ def test_salting_equalizes_genuinely_skewed_join(spark, sf_oracle):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_adaptive_salted_join_sizes_salts_from_measured_skew(spark, sf_oracle):
+    """Round-13 operator: the diagnose pass must pick n_salts from the
+    MEASURED hottest key — 1 (plain join, zero build blow-up) on a
+    uniform probe side, ceil(hot/target) on a skewed one, capped at
+    max_salts — and the joined rows must be identical to the plain
+    join either way (the registered query's oracle is the plain
+    join; this pins the mechanism at controlled skew levels)."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.operators.skew import (
+        adaptive_salted_join,
+    )
+
+    o = read_table(spark, sf_oracle, "orders").select("o_orderkey", "o_orderpriority")
+    build = o.withColumnRenamed("o_orderkey", "k").limit(200)
+    # uniform probe: every key appears once -> measured max 1 -> plain
+    uni = o.select(F.col("o_orderkey").alias("k"), F.lit(1.0).alias("v"))
+    j, n = adaptive_salted_join(uni, build, ["k"], target_rows=50)
+    assert n == 1
+    assert j.count() == uni.join(build, ["k"]).count()
+    # skewed probe: one key owns 130 rows -> ceil(130/50) = 3 salts
+    skewed = uni.withColumn(
+        "k", F.when(F.col("k") <= 130, F.lit(1)).otherwise(F.col("k"))
+    )
+    j2, n2 = adaptive_salted_join(skewed, build, ["k"], target_rows=50)
+    assert n2 == 3
+    plain = skewed.join(build, ["k"])
+    assert sorted(map(tuple, j2.collect())) == sorted(map(tuple, plain.collect()))
+    # cap: a tiny target would demand hundreds of salts; max_salts wins
+    _, n3 = adaptive_salted_join(skewed, build, ["k"], target_rows=1, max_salts=16)
+    assert n3 == 16
+
+
 def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
     """Plan hygiene across the ENTIRE registry: no CartesianProduct or
     BroadcastNestedLoopJoin in any query's plan, except the whitelisted
@@ -237,6 +270,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_ann_serve",  # broadcast 16 stored centroids x query panel
         "q_ann_serve_pq",  # broadcast 16 stored coarse centroids x panel
         "q_ann_index_stream",  # broadcast 16 frozen centroids x panel
+        "q_ann_codes_stream",  # same shared ivfpq_serve centroid panel cross
         "q_ann_ivfpq",  # broadcast 16 coarse centroids x corpus (assignment)
         "q_dedup_simhash_pairs",  # broadcast 4-row band table
         "q_funnel_conversion",  # three 1-row aggregates crossed
@@ -287,6 +321,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_embedding_silhouette",  # broadcast SIL_K centroids x corpus
         "q_cluster_purity",  # broadcast SIL_K centroids + 1-row stat crosses
         "q_feature_hashing",  # broadcast FH_NQ query panel x corpus vectors
+        "q_linear_probe",  # 1-row Gram-solve coefficient frame crossed
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):

@@ -51,6 +51,27 @@ def test_registry_imports_fail_loudly():
     registry.load_all()
 
 
+def test_duplicate_query_name_fails_loudly():
+    """Round-13 hazard, caught live: registering a second function
+    under an existing query name silently REPLACED a driver-proven
+    query (a new module re-declared q_bootstrap_ci over the round-8
+    one). The decorator must refuse cross-module name collisions;
+    same-module re-registration (module re-import) stays legal."""
+    import pytest
+
+    from dynamodb_streaming_datalake_spark.registry import query
+
+    with pytest.raises(ValueError, match="collision"):
+
+        @query("q_bootstrap_ci", oracle="SELECT 1")
+        def q_bootstrap_ci(spark, sf_dir):  # pragma: no cover
+            raise AssertionError("never registered")
+
+    # the original registration is intact
+    q = all_queries()
+    assert q["q_bootstrap_ci"].__module__.endswith("analytics_ext")
+
+
 def test_every_query_has_oracle_sql():
     """The repo's standing bar: zero rows-only entries — every operator
     is value-hash-checkable against DuckDB."""

@@ -951,6 +951,131 @@ def test_ivf_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     assert served == want
 
 
+def test_pq_codes_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
+    """Streaming IVF-PQ code store (round 13): a genuine readStream
+    over vector files, drained one file per micro-batch through the
+    foreachBatch encode-append against the FROZEN codebook + coarse
+    quantizer, must reach a view ROW-EQUAL to the one-shot
+    ivfpq_encode of the whole corpus (encode-on-ingest commutes with
+    batching), a committed-version replay must no-op, and serving
+    from the view must row-equal q_ann_serve_pq's persisted-index
+    answer."""
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        _pq_cache_key,
+        _pq_subvectors,
+        _pq_trained_codebook,
+        ivfpq_coarse_centroids,
+        ivfpq_encode,
+        ivfpq_serve,
+    )
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.streaming.sketchview import (
+        current_sketch_view,
+        start_pq_codes_maintenance,
+        upsert_pq_codes_view,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.upsert import _versions
+
+    e = read_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    tcb = _pq_trained_codebook(
+        _pq_subvectors(e), cache_key=_pq_cache_key(sf_smoke)
+    )
+    cents = ivfpq_coarse_centroids(e)
+    src = str(tmp_path / "vec_src")
+    e.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    view_dir = str(tmp_path / "view")
+    q = start_pq_codes_maintenance(
+        stream, tcb, cents, view_dir, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+
+    def rows(df):
+        return sorted(
+            (r["cid"], r["vec_id"], r["s"], r["code"]) for r in df.collect()
+        )
+
+    got = rows(current_sketch_view(spark, view_dir))
+    assert got == rows(ivfpq_encode(e, tcb, cents))
+
+    # committed-version replay: a no-op by the crash guard (the append
+    # fold is non-idempotent, so this is the property that matters)
+    last = _versions(spark, view_dir)[-1]
+    upsert_pq_codes_view(spark, e.limit(20), tcb, cents, view_dir, version=last)
+    assert rows(current_sketch_view(spark, view_dir)) == got
+
+    served = sorted(
+        map(
+            tuple,
+            ivfpq_serve(
+                current_sketch_view(spark, view_dir), cents, tcb, e
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, all_queries()["q_ann_serve_pq"](spark, sf_smoke).collect())
+    )
+    assert served == want
+
+
+def test_decontam_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
+    """Streaming decontamination (round 13): a genuine readStream over
+    training-doc files, drained one file per micro-batch through the
+    foreachBatch screen-append against the FROZEN banned-shingle set,
+    must reach a view ROW-EQUAL to the one-shot contaminated_docs
+    screen (per-doc overlap is doc-local), and a committed-version
+    replay must no-op."""
+    from dynamodb_streaming_datalake_spark.operators.contamination import (
+        EVAL_RATE,
+        eval_shingle_set,
+        overlap_counts,
+    )
+    from dynamodb_streaming_datalake_spark.operators.sampling import (
+        DENOM,
+        hash_bucket,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.sketchview import (
+        current_sketch_view,
+        start_decontam_maintenance,
+        upsert_decontam_view,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.upsert import _versions
+
+    d = read_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    cut = int(EVAL_RATE * DENOM)
+    bucket = hash_bucket(F.col("doc_id"))
+    banned = eval_shingle_set(d.where(bucket < cut))
+    train = d.where(bucket >= cut)
+    src = str(tmp_path / "doc_src")
+    train.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    view_dir = str(tmp_path / "view")
+    q = start_decontam_maintenance(
+        stream, banned, view_dir, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+
+    def rows(df):
+        return sorted((r["doc_id"], r["n_overlap"]) for r in df.collect())
+
+    got = rows(current_sketch_view(spark, view_dir))
+    assert got == rows(overlap_counts(train, banned))
+    assert got  # the 5% carve really contaminates some training docs
+
+    # committed-version replay: a no-op by the crash guard
+    last = _versions(spark, view_dir)[-1]
+    upsert_decontam_view(spark, train.limit(20), banned, view_dir, version=last)
+    assert rows(current_sketch_view(spark, view_dir)) == got
+
+
 def test_ohlc_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     """Streaming OHLC bars (round 12): a genuine readStream over event
     files, drained one file per micro-batch through the foreachBatch
