@@ -28,6 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dynamodb_streaming_datalake_spark.functions.texthash import (
+    cosine,
+    sql_cosine,
+)
 from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
 from dynamodb_streaming_datalake_spark.registry import query
 from dynamodb_streaming_datalake_spark.sources.readers import read_table
@@ -223,3 +227,166 @@ def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_linear_probe, PROBE_LAMBDA=PROBE_LAMBDA)
+
+
+# ---------------------------------------------------------------------------
+# margin-based bitext mining: cross-lingual pair candidates
+# ---------------------------------------------------------------------------
+# The LASER/CCMatrix recipe for mining parallel (translation-pair)
+# training data from comparable corpora: raw cosine over-selects hubs
+# (vectors close to EVERYTHING), so candidates are scored by the
+# MARGIN — cosine normalized by the average similarity of each side's
+# k nearest neighbors in the other language. A pair only scores high
+# if the two documents are much closer to each other than either is
+# to its general neighborhood.
+
+#: mined queries — the lowest-doc_id non-English docs (a deterministic
+#: panel, like every ANN query set in similarity.py)
+BITEXT_NQ = 12
+#: neighborhood size for the margin denominator
+BITEXT_K = 4
+
+
+def _avg4(c1, c2, c3, c4):
+    """Fixed-association mean of the 4 ranked neighbor cosines —
+    (((c1+c2)+c3)+c4)/4 in BOTH engines, so the double is
+    bit-identical (a bare AVG would sum in engine-chosen order)."""
+    return (((c1 + c2) + c3) + c4) / 4.0
+
+
+@query(
+    "q_bitext_mine",
+    oracle=f"""
+    WITH j AS MATERIALIZED (
+        SELECT d.doc_id, d.lang, e.embedding
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    src AS MATERIALIZED (
+        SELECT doc_id AS src_id, embedding AS se
+        FROM j WHERE lang <> 'en' ORDER BY doc_id LIMIT {BITEXT_NQ}
+    ),
+    dst AS MATERIALIZED (
+        SELECT doc_id AS dst_id, embedding AS de
+        FROM j WHERE lang = 'en'
+    ),
+    pairs AS MATERIALIZED (
+        SELECT src_id, dst_id, {sql_cosine('se', 'de')} AS cs
+        FROM src, dst
+    ),
+    fwd AS MATERIALIZED (
+        SELECT src_id,
+               ((((MAX(CASE WHEN rf = 1 THEN cs END)
+                   + MAX(CASE WHEN rf = 2 THEN cs END))
+                  + MAX(CASE WHEN rf = 3 THEN cs END))
+                 + MAX(CASE WHEN rf = 4 THEN cs END)) / 4.0) AS favg
+        FROM (
+            SELECT src_id, cs,
+                   ROW_NUMBER() OVER (PARTITION BY src_id
+                                      ORDER BY cs DESC, dst_id) AS rf
+            FROM pairs
+        ) WHERE rf <= {BITEXT_K}
+        GROUP BY src_id
+    ),
+    bwd AS MATERIALIZED (
+        SELECT dst_id,
+               ((((MAX(CASE WHEN rb = 1 THEN cs END)
+                   + MAX(CASE WHEN rb = 2 THEN cs END))
+                  + MAX(CASE WHEN rb = 3 THEN cs END))
+                 + MAX(CASE WHEN rb = 4 THEN cs END)) / 4.0) AS bavg
+        FROM (
+            SELECT dst_id, cs,
+                   ROW_NUMBER() OVER (PARTITION BY dst_id
+                                      ORDER BY cs DESC, src_id) AS rb
+            FROM pairs
+        ) WHERE rb <= {BITEXT_K}
+        GROUP BY dst_id
+    ),
+    scored AS (
+        SELECT p.src_id, p.dst_id, p.cs,
+               (p.cs / ((f.favg + b.bavg) / 2.0)) AS margin
+        FROM pairs p JOIN fwd f USING (src_id) JOIN bwd b USING (dst_id)
+    )
+    SELECT src_id, dst_id,
+           round(cs, 6) AS cos_sim,
+           round(margin, 6) AS margin
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                   ORDER BY margin DESC, dst_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (the LASER/CCMatrix parallel-corpus
+    recipe): for each of the {BITEXT_NQ} lowest-id non-English docs,
+    find its best English pairing by MARGIN — cosine divided by the
+    mean of both sides' top-{BITEXT_K} neighbor cosines — so hub
+    vectors that sit close to everything stop winning every pair.
+    Both direction averages come from the SAME broadcast pair frame;
+    the {BITEXT_K} ranked cosines fold in a fixed association order so
+    the margin is bit-identical across engines.
+
+    Scale: the pair frame is |panel| x |en docs| under a broadcast
+    panel cross (the whitelisted ANN shape — never corpus x corpus);
+    the forward average is a {BITEXT_NQ}-partition window, the
+    backward one a window over {BITEXT_NQ}-row groups; everything
+    after the cosines is panel-sized. Mining a full corpus pairs this
+    scoring with the IVF candidate generation q_ann_ivf already
+    provides."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    j = d.join(e, d["doc_id"] == e["vec_id"]).select("doc_id", "lang", "embedding")
+    src = (
+        j.where(F.col("lang") != "en")
+        .orderBy("doc_id")
+        .limit(BITEXT_NQ)
+        .select(F.col("doc_id").alias("src_id"), F.col("embedding").alias("se"))
+    )
+    dst = j.where(F.col("lang") == "en").select(
+        F.col("doc_id").alias("dst_id"), F.col("embedding").alias("de")
+    )
+    pairs = dst.join(F.broadcast(src)).select(
+        "src_id", "dst_id", cosine(F.col("se"), F.col("de")).alias("cs")
+    )
+    wf = Window.partitionBy("src_id").orderBy(F.col("cs").desc(), "dst_id")
+    wb = Window.partitionBy("dst_id").orderBy(F.col("cs").desc(), "src_id")
+
+    def _ranked_avg(frame, rank_col, key, alias):
+        ks = frame.where(F.col(rank_col) <= BITEXT_K)
+        picks = [
+            F.max(F.when(F.col(rank_col) == i, F.col("cs")))
+            for i in (1, 2, 3, 4)
+        ]
+        return ks.groupBy(key).agg(
+            _avg4(*picks).alias(alias)
+        )
+
+    fwd = _ranked_avg(
+        pairs.withColumn("rf", F.row_number().over(wf)), "rf", "src_id", "favg"
+    )
+    bwd = _ranked_avg(
+        pairs.withColumn("rb", F.row_number().over(wb)), "rb", "dst_id", "bavg"
+    )
+    scored = (
+        pairs.join(F.broadcast(fwd), "src_id")
+        .join(bwd, "dst_id")
+        .withColumn(
+            "margin", F.col("cs") / ((F.col("favg") + F.col("bavg")) / 2.0)
+        )
+    )
+    wm = Window.partitionBy("src_id").orderBy(F.col("margin").desc(), "dst_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") == 1)
+        .select(
+            "src_id",
+            "dst_id",
+            F.round("cs", 6).alias("cos_sim"),
+            F.round("margin", 6).alias("margin"),
+        )
+    )
+
+
+_fmt(q_bitext_mine, BITEXT_NQ=BITEXT_NQ, BITEXT_K=BITEXT_K)
