@@ -90,9 +90,88 @@ def _sql_cramer3(pfx: str = "") -> str:
     """
 
 
-@query(
-    "q_linear_probe",
-    oracle=f"""
+def probe_features(d: DataFrame) -> DataFrame:
+    """(source, w, dd, y) exact-integer feature rows — word count,
+    distinct-word count, English-ness label. Row-local, so feature
+    extraction commutes with batching (the q_probe_stream property)."""
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "source",
+        F.size(toks).cast("long").alias("w"),
+        F.size(F.array_distinct(toks)).cast("long").alias("dd"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+
+
+#: the 9 Gram/moment sums — an INTEGER MONOID (component-wise +), so
+#: micro-batch partials merge exactly and the streaming view's folded
+#: row equals the one-shot aggregate
+GRAM_COLS = ("n", "sw", "sd", "sww", "swd", "sdd", "sy", "swy", "sdy")
+
+
+def probe_gram(feats: DataFrame) -> DataFrame:
+    """One map-side-combined aggregate to the 1-row exact-integer
+    Gram/moment matrix."""
+    return feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum("dd").alias("sd"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+        F.sum(F.col("w") * F.col("dd")).alias("swd"),
+        F.sum(F.col("dd") * F.col("dd")).alias("sdd"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("w") * F.col("y")).alias("swy"),
+        F.sum(F.col("dd") * F.col("y")).alias("sdy"),
+    )
+
+
+def probe_solve(g: DataFrame) -> DataFrame:
+    """Cramer-solve the ridge system from a 1-row Gram frame into a
+    1-row (w1, w2, w3) coefficient frame."""
+    lam = F.lit(PROBE_LAMBDA)
+    a11 = F.col("n").cast("double") + lam
+    a12 = F.col("sw").cast("double")
+    a13 = F.col("sd").cast("double")
+    a22 = F.col("sww").cast("double") + lam
+    a23 = F.col("swd").cast("double")
+    a33 = F.col("sdd").cast("double") + lam
+    b1 = F.col("sy").cast("double")
+    b2 = F.col("swy").cast("double")
+    b3 = F.col("sdy").cast("double")
+    w1, w2, w3 = _cramer3(a11, a12, a13, a22, a23, a33, b1, b2, b3)
+    return g.select(w1.alias("w1"), w2.alias("w2"), w3.alias("w3"))
+
+
+def probe_report(feats: DataFrame, coef: DataFrame) -> DataFrame:
+    """Score the corpus under a 1-row broadcast coefficient cross and
+    grade per source — the shared serving stage of q_linear_probe and
+    q_probe_stream."""
+    scored = feats.crossJoin(F.broadcast(coef)).withColumn(
+        "score", F.col("w1") + F.col("w2") * F.col("w") + F.col("w3") * F.col("dd")
+    )
+    acc_flag = F.when(
+        (F.col("score") >= 0.5) == (F.col("y") == 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.max("w1")
+            + F.max("w2") * (F.sum("w").cast("double") / F.count(F.lit(1)))
+            + F.max("w3") * (F.sum("dd").cast("double") / F.count(F.lit(1))),
+            6,
+        ).alias("mean_score"),
+        F.round(
+            F.sum(acc_flag).cast("double") / F.count(F.lit(1)), 6
+        ).alias("accuracy"),
+        F.round(F.max("w1"), 6).alias("w_intercept"),
+        F.round(F.max("w2"), 6).alias("w_words"),
+        F.round(F.max("w3"), 6).alias("w_distinct"),
+    )
+
+
+#: q_linear_probe's oracle verbatim — the streaming probe view
+#: (q_probe_stream) must hash-match the same refit.
+SQL_LINEAR_PROBE = f"""
     WITH f AS (
         SELECT source,
                len(string_split(text, ' ')) AS w,
@@ -153,8 +232,10 @@ def _sql_cramer3(pfx: str = "") -> str:
            round(max(w3), 6) AS w_distinct
     FROM scored
     GROUP BY source
-    """,
-)
+    """
+
+
+@query("q_linear_probe", oracle=SQL_LINEAR_PROBE)
 def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-form ridge linear probe trained IN the plan: features are
     exact integers per doc (word count, distinct-word count), the
@@ -172,58 +253,8 @@ def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is a map-only pass under a 1-row broadcast cross. No
     driver-side linear algebra, no collect, no iteration: the probe
     fits in the same number of scans at 100 TB as at 50 MB."""
-    d = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    feats = d.select(
-        "source",
-        F.size(toks).cast("long").alias("w"),
-        F.size(F.array_distinct(toks)).cast("long").alias("dd"),
-        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
-    )
-    g = feats.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("w").alias("sw"),
-        F.sum("dd").alias("sd"),
-        F.sum(F.col("w") * F.col("w")).alias("sww"),
-        F.sum(F.col("w") * F.col("dd")).alias("swd"),
-        F.sum(F.col("dd") * F.col("dd")).alias("sdd"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("w") * F.col("y")).alias("swy"),
-        F.sum(F.col("dd") * F.col("y")).alias("sdy"),
-    )
-    lam = F.lit(PROBE_LAMBDA)
-    a11 = F.col("n").cast("double") + lam
-    a12 = F.col("sw").cast("double")
-    a13 = F.col("sd").cast("double")
-    a22 = F.col("sww").cast("double") + lam
-    a23 = F.col("swd").cast("double")
-    a33 = F.col("sdd").cast("double") + lam
-    b1 = F.col("sy").cast("double")
-    b2 = F.col("swy").cast("double")
-    b3 = F.col("sdy").cast("double")
-    w1, w2, w3 = _cramer3(a11, a12, a13, a22, a23, a33, b1, b2, b3)
-    coef = g.select(w1.alias("w1"), w2.alias("w2"), w3.alias("w3"))
-    scored = feats.crossJoin(F.broadcast(coef)).withColumn(
-        "score", F.col("w1") + F.col("w2") * F.col("w") + F.col("w3") * F.col("dd")
-    )
-    acc_flag = F.when(
-        (F.col("score") >= 0.5) == (F.col("y") == 1), F.lit(1)
-    ).otherwise(F.lit(0))
-    return scored.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.round(
-            F.max("w1")
-            + F.max("w2") * (F.sum("w").cast("double") / F.count(F.lit(1)))
-            + F.max("w3") * (F.sum("dd").cast("double") / F.count(F.lit(1))),
-            6,
-        ).alias("mean_score"),
-        F.round(
-            F.sum(acc_flag).cast("double") / F.count(F.lit(1)), 6
-        ).alias("accuracy"),
-        F.round(F.max("w1"), 6).alias("w_intercept"),
-        F.round(F.max("w2"), 6).alias("w_words"),
-        F.round(F.max("w3"), 6).alias("w_distinct"),
-    )
+    feats = probe_features(read_table(spark, sf_dir, "documents"))
+    return probe_report(feats, probe_solve(probe_gram(feats)))
 
 
 _fmt(q_linear_probe, PROBE_LAMBDA=PROBE_LAMBDA)

@@ -1510,6 +1510,138 @@ _register_decontam()
 
 
 # ---------------------------------------------------------------------------
+# streaming linear-probe Gram view (round 13): the trainable quality
+# filter kept current from the document ingest stream
+# ---------------------------------------------------------------------------
+# q_linear_probe fits a ridge probe from a 1-row exact-integer
+# Gram/moment matrix; every Gram entry is a SUM of row-local integer
+# features, i.e. a component-wise integer monoid — the cheapest
+# exactly-mergeable state in the whole repo (9 numbers). Each
+# micro-batch aggregates ONLY its own rows and adds into the view;
+# the folded row equals the one-shot aggregate by associativity, so
+# the solved coefficients — and therefore the whole scored report —
+# match q_linear_probe bit-for-bit and its oracle transfers verbatim.
+# Online model refresh without a training job: the filter's weights
+# are a SELECT away at any moment of ingest.
+
+PROBE_VIEW_VERSION = "v1"
+
+
+def merge_probe_gram(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Component-wise integer sum of the two 1-row Gram frames."""
+    from dynamodb_streaming_datalake_spark.operators.probe import GRAM_COLS
+
+    return (
+        prev.unionByName(delta)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in GRAM_COLS])
+    )
+
+
+def upsert_probe_view(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    view_dir: str,
+    version: int,
+) -> None:
+    """Fold one micro-batch of documents into the Gram view as
+    ``version``; committed-version replays no-op (the sums are
+    non-idempotent — the crash guard is the safety)."""
+    from dynamodb_streaming_datalake_spark.operators.probe import (
+        probe_features,
+        probe_gram,
+    )
+
+    if version in _versions(spark, view_dir):
+        return
+    delta = probe_gram(probe_features(batch_df))
+    prev = current_snapshot(spark, view_dir, live_only=False)
+    merged = delta if prev is None else merge_probe_gram(prev, delta)
+    merged.write.mode("overwrite").parquet(f"{view_dir}/v={version}")
+
+
+def start_probe_maintenance(
+    docs: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch sink over a document ingest stream; each
+    micro-batch advances the 9-number Gram state one version."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_probe_view(
+            batch_df.sparkSession, batch_df, view_dir, version=batch_id
+        )
+
+    writer = docs.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _ensure_probe_view(spark: SparkSession, sf_dir: str) -> str:
+    """Two committed Gram versions built with the real fold: even
+    doc_ids -> v=1, odd folded on top -> v=2."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    def build(build_dir: str) -> None:
+        view = os.path.join(build_dir, "view")
+        d = read_table(spark, sf_dir, "documents")
+        upsert_probe_view(
+            spark, d.where(F.col("doc_id") % 2 == 0), view, version=1
+        )
+        upsert_probe_view(
+            spark, d.where(F.col("doc_id") % 2 == 1), view, version=2
+        )
+
+    return ensure_cached_build("probeview", PROBE_VIEW_VERSION, sf_dir, build)
+
+
+def _register_probe() -> None:
+    from dynamodb_streaming_datalake_spark.operators.probe import (
+        SQL_LINEAR_PROBE,
+        probe_features,
+        probe_report,
+        probe_solve,
+    )
+    from dynamodb_streaming_datalake_spark.registry import query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    @query("q_probe_stream", oracle=SQL_LINEAR_PROBE)
+    def q_probe_stream(spark, sf_dir):
+        """Streaming twin of q_linear_probe: the 9-integer Gram/moment
+        state is advanced twice with the real foreachBatch monoid fold
+        (even doc_ids -> v=1, odd folded on top -> v=2, cached per
+        sf_dir), then the ridge solve and the full per-source scoring
+        report run from the FINAL committed state via the shared
+        probe_solve/probe_report kernels. Integer sums are associative,
+        so the folded Gram equals the one-shot aggregate and
+        q_linear_probe's batch oracle transfers verbatim. The same
+        fold drains from a genuine readStream in
+        tests/test_streaming.py.
+
+        Scale: per-batch work is batch-sized (one map-side-combined
+        aggregate to 9 numbers); the carried state is 9 integers — the
+        quality filter retrains 'for free' on every micro-batch, which
+        is exactly how an ingest-time quality gate keeps its
+        coefficients from going stale."""
+        import os
+
+        path = _ensure_probe_view(spark, sf_dir)
+        gram = current_sketch_view(spark, os.path.join(path, "view"))
+        feats = probe_features(read_table(spark, sf_dir, "documents"))
+        return probe_report(feats, probe_solve(gram))
+
+
+_register_probe()
+
+
+# ---------------------------------------------------------------------------
 # streaming OHLC/VWAP bar view (round 12): the dashboard rollup kept
 # current from the event stream
 # ---------------------------------------------------------------------------

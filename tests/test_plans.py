@@ -322,6 +322,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_cluster_purity",  # broadcast SIL_K centroids + 1-row stat crosses
         "q_feature_hashing",  # broadcast FH_NQ query panel x corpus vectors
         "q_linear_probe",  # 1-row Gram-solve coefficient frame crossed
+        "q_probe_stream",  # same 1-row coefficient cross, streamed Gram
         "q_bitext_mine",  # broadcast BITEXT_NQ panel x en-docs scan
     }
     offenders = {}

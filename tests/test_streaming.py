@@ -1076,6 +1076,65 @@ def test_decontam_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     assert rows(current_sketch_view(spark, view_dir)) == got
 
 
+def test_probe_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
+    """Streaming linear-probe Gram state (round 13): a genuine
+    readStream over document files, drained one file per micro-batch
+    through the foreachBatch integer-monoid fold, must reach a Gram
+    row EQUAL to the one-shot aggregate, a committed-version replay
+    must no-op, and the solved+scored report from the view must
+    row-equal q_linear_probe's batch answer."""
+    from dynamodb_streaming_datalake_spark.operators.probe import (
+        probe_features,
+        probe_gram,
+        probe_report,
+        probe_solve,
+    )
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.streaming.sketchview import (
+        current_sketch_view,
+        start_probe_maintenance,
+        upsert_probe_view,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.upsert import _versions
+
+    d = read_table(spark, sf_smoke, "documents")
+    src = str(tmp_path / "doc_src")
+    d.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    view_dir = str(tmp_path / "view")
+    q = start_probe_maintenance(stream, view_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    def gram_row(df):
+        return sorted(df.collect()[0].asDict().items())
+
+    got = gram_row(current_sketch_view(spark, view_dir))
+    assert got == gram_row(probe_gram(probe_features(d)))
+
+    # committed-version replay: a no-op by the crash guard
+    last = _versions(spark, view_dir)[-1]
+    upsert_probe_view(spark, d.limit(20), view_dir, version=last)
+    assert gram_row(current_sketch_view(spark, view_dir)) == got
+
+    served = sorted(
+        map(
+            tuple,
+            probe_report(
+                probe_features(d),
+                probe_solve(current_sketch_view(spark, view_dir)),
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, all_queries()["q_linear_probe"](spark, sf_smoke).collect())
+    )
+    assert served == want
+
+
 def test_ohlc_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     """Streaming OHLC bars (round 12): a genuine readStream over event
     files, drained one file per micro-batch through the foreachBatch
