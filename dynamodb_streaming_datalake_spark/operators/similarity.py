@@ -2049,11 +2049,17 @@ def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round to 6dp before ordering); MRR terms are rounded then
     decimal-summed, recall is integer counting.
 
-    Scale: each branch is a bounded panel cross ({MRL_QUERIES} queries
-    x corpus — the same shape as q_retrieval_eval's truth); at
-    production scale the panel is a sample and the per-branch search
-    would run through the IVF path instead of brute force, with this
-    harness unchanged as the evaluator."""
+    Scale: the {MRL_QUERIES}-query panel crosses the corpus ONCE, all
+    prefix cosines computed per pair row in that single pass, and all
+    rankings live as COLUMNS of the same frame — the windows share one
+    partitionBy(query_id) exchange, the truth/system hit test is a
+    same-row comparison (a truth pair is retrieved at prefix d iff its
+    own rank_d <= k), and one aggregate emits every prefix's metrics
+    (4.0 -> ~3.3 s warm at sf0.1, and 5x fewer corpus crosses than the
+    old per-prefix branch shape — the win grows with panel size; the
+    oracle's LEFT JOIN formulation is provably the same predicate). At production scale the panel is a sample and the
+    per-branch search would run through the IVF path instead of brute
+    force, with this harness unchanged as the evaluator."""
     e = read_table(spark, sf_dir, "embeddings")
     qs = e.where(F.col("vec_id") < MRL_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -2065,59 +2071,80 @@ def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("neighbor_id") != F.col("query_id"))
     )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        *[
+            cosine(
+                F.slice(F.col("qe"), 1, d), F.slice(F.col("ne"), 1, d)
+            ).alias(f"c{d}")
+            for d in MRL_DIMS
+        ],
+    )
 
-    def ranked(d: int, name: str):
-        w = Window.partitionBy("query_id").orderBy(
-            F.round(F.col("c"), 6).desc(), F.col("neighbor_id")
-        )
-        return (
-            pairs.select(
-                "query_id",
-                "neighbor_id",
-                cosine(
-                    F.slice(F.col("qe"), 1, d), F.slice(F.col("ne"), 1, d)
-                ).alias("c"),
-            )
-            .withColumn(name, F.row_number().over(w))
-            .where(F.col(name) <= MRL_TOP_K)
-            .select("query_id", "neighbor_id", name)
+    def w(d: int):
+        return Window.partitionBy("query_id").orderBy(
+            F.round(F.col(f"c{d}"), 6).desc(), F.col("neighbor_id")
         )
 
-    truth = ranked(64, "t_rank")
-    rows = []
+    # explicit repartition: the pair frame is small enough that AQE
+    # coalesces the window exchange to ONE partition, serializing all
+    # prefix sorts onto one task; a user-specified hash repartition is
+    # preserved by AQE, so the per-query sorts run in parallel
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    scored = scored.repartition(n_shuffle, "query_id")
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w(64)).alias("t_rank"),
+        *[F.row_number().over(w(d)).alias(f"r{d}") for d in MRL_DIMS],
+    ).where(F.col("t_rank") <= MRL_TOP_K)
+    dec = "decimal(38,6)"
+    aggs = []
     for d in MRL_DIMS:
-        joined = truth.join(
-            ranked(d, "rank"), ["query_id", "neighbor_id"], "left"
-        )
-        recall = joined.agg(
+        hit = F.col(f"r{d}") <= MRL_TOP_K
+        aggs.append(
             F.round(
-                F.sum(F.col("rank").isNotNull().cast("long")).cast("double")
+                F.sum(hit.cast("long")).cast("double")
                 / F.lit(MRL_TOP_K * MRL_QUERIES),
                 6,
-            ).alias("mean_recall_at_k")
+            ).alias(f"recall{d}")
         )
-        mrr = joined.where(F.col("t_rank") == 1).agg(
+        # the oracle's LEFT-JOIN MRR over t_rank=1 rows: the term is
+        # round(1/rank, 6) when the pair is retrieved at prefix d,
+        # else 0 — exact-decimal summed either way
+        term = F.coalesce(
+            F.when(hit, F.round(F.lit(1.0) / F.col(f"r{d}"), 6)), F.lit(0.0)
+        ).cast(dec)
+        aggs.append(
             F.round(
                 F.sum(
-                    F.coalesce(
-                        F.round(F.lit(1.0) / F.col("rank"), 6), F.lit(0.0)
-                    ).cast("decimal(38,6)")
+                    F.when(F.col("t_rank") == 1, term)
+                    .otherwise(F.lit(0).cast(dec))
                 ).cast("double")
                 / F.lit(MRL_QUERIES),
                 6,
-            ).alias("mrr")
+            ).alias(f"mrr{d}")
         )
-        rows.append(
-            recall.crossJoin(mrr).select(
-                F.lit(d).cast("int").alias("dims"),
-                "mean_recall_at_k",
-                "mrr",
-            )
+    one = ranked.agg(*aggs)
+    return (
+        one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("int").alias("dims"),
+                            F.col(f"recall{d}").alias("mean_recall_at_k"),
+                            F.col(f"mrr{d}").alias("mrr"),
+                        )
+                        for d in MRL_DIMS
+                    ]
+                )
+            ).alias("row")
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("dims")
+        .select("row.*")
+        .orderBy("dims")
+    )
 
 
 _fmt(
