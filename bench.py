@@ -64,6 +64,13 @@ SF1_FLAGSHIPS = (
     "q_ann_serve_pq",
     "q_ann_index_stream",
     "q_feature_hashing",
+    # round 13 additions: the trainable-filter, resampling, and mining
+    # shapes — a 40x row explode (bootstrap), a Gram mapInPandas pass
+    # (outliers), and two broadcast-cross panels (probe, bitext)
+    "q_linear_probe",
+    "q_bootstrap_ci",
+    "q_embedding_outliers",
+    "q_bitext_mine",
 )
 
 

@@ -32,6 +32,7 @@ from dynamodb_streaming_datalake_spark.functions.texthash import (
     cosine,
     sql_cosine,
 )
+from dynamodb_streaming_datalake_spark.operators.similarity import DIM
 from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
 from dynamodb_streaming_datalake_spark.registry import query
 from dynamodb_streaming_datalake_spark.sources.readers import read_table
@@ -421,3 +422,126 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_bitext_mine, BITEXT_NQ=BITEXT_NQ, BITEXT_K=BITEXT_K)
+
+
+# ---------------------------------------------------------------------------
+# exact diagonal-Mahalanobis embedding outlier screen
+# ---------------------------------------------------------------------------
+# The embedding-space twin of q_mad_outliers: vectors far from the
+# per-dimension distribution are corrupted rows, mislabeled items, or
+# encoder failures a training pipeline prunes before contrastive
+# sampling. Full Mahalanobis needs the inverse covariance; at pipeline
+# scale the standard screen is the DIAGONAL form — standardize each
+# dimension by its own mean/std and rank by squared distance. The
+# per-dim moments come EXACTLY from the shared Gram kernel's decimal
+# power sums (one mapInPandas pass, the q_embedding_covariance
+# infrastructure), so mean/std are bit-identical doubles in both
+# engines and the per-row fold is the cosine kernel's fixed
+# sequential shape.
+
+#: outliers reported
+OUT_TOP = 20
+
+
+@query(
+    "q_embedding_outliers",
+    oracle=f"""
+    WITH comps AS (
+        SELECT e.vec_id, d.d AS d,
+               CAST(CAST(e.embedding[d.d + 1] AS DOUBLE) AS DECIMAL(18,9))
+                 AS val
+        FROM embeddings e,
+             (SELECT unnest(generate_series(0, {DIM - 1})) AS d) d
+    ),
+    gsums AS MATERIALIZED (
+        SELECT a.d AS dim_a, b.d AS dim_b,
+               COUNT(*) AS n,
+               SUM(a.val) AS s1,
+               SUM(b.val) AS s2,
+               SUM(a.val * b.val) AS s12
+        FROM comps a JOIN comps b
+          ON a.vec_id = b.vec_id AND a.d <= b.d
+        GROUP BY a.d, b.d
+    ),
+    diag AS (
+        SELECT dim_a AS d,
+               CAST(s1 AS DOUBLE) / n AS mean,
+               sqrt((CAST(s12 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / n)
+                    / (n - 1)) AS std
+        FROM gsums WHERE dim_a = dim_b
+    ),
+    arrs AS (
+        SELECT list(mean ORDER BY d) AS m_arr, list(std ORDER BY d) AS s_arr
+        FROM diag
+    ),
+    z AS (
+        SELECT e.vec_id, e.label,
+               list_transform(
+                   generate_series(1, {DIM}),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - a.m_arr[i])
+                        / a.s_arr[i]) AS zv
+        FROM embeddings e, arrs a
+    )
+    SELECT vec_id, label,
+           round(list_dot_product(zv, zv), 6) AS mahalanobis_sq
+    FROM z
+    ORDER BY round(list_dot_product(zv, zv), 6) DESC, vec_id
+    LIMIT {OUT_TOP}
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{OUT_TOP} embedding outliers by exact diagonal Mahalanobis
+    distance: per-dimension means and stds derive from the Gram
+    kernel's exact decimal power sums (order-independent,
+    partitioning-invariant), broadcast back as two {DIM}-element
+    arrays, and each vector folds its standardized squared distance
+    with the cosine kernel's fixed sequential shape — so the ranking
+    is bit-identical across engines (rounded before ordering as the
+    ulp guard). The rows this surfaces are the corrupted/mislabeled
+    vectors a pipeline prunes before contrastive mining.
+
+    Scale: one mapInPandas Gram pass ({DIM}*({DIM}+1)/2 partials per
+    partition), a 1-row broadcast of the 2x{DIM} stats, and a map-only
+    scoring scan feeding TakeOrderedAndProject — two scans total, no
+    shuffle wider than the {OUT_TOP}-row top-k."""
+    from dynamodb_streaming_datalake_spark.operators.similarity import (
+        _gram_sums_kernel,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    sums = _gram_sums_kernel(e)
+    diag = sums.where(F.col("dim_a") == F.col("dim_b")).select(
+        F.col("dim_a").alias("d"),
+        (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (
+                F.col("s12").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s2").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    stats = diag.agg(
+        F.array_sort(F.collect_list(F.struct("d", "mean", "std"))).alias("st")
+    ).select(
+        F.transform("st", lambda s: s["mean"]).alias("m_arr"),
+        F.transform("st", lambda s: s["std"]).alias("s_arr"),
+    )
+    ad = F.col("embedding").cast("array<double>")
+    zm = F.zip_with(ad, F.col("m_arr"), lambda x, m: x - m)
+    zv = F.zip_with(zm, F.col("s_arr"), lambda x, s: x / s)
+    dist = F.aggregate(
+        F.transform(zv, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        e.crossJoin(F.broadcast(stats))
+        .select("vec_id", "label", F.round(dist, 6).alias("mahalanobis_sq"))
+        .orderBy(F.col("mahalanobis_sq").desc(), "vec_id")
+        .limit(OUT_TOP)
+    )
+
+
+_fmt(q_embedding_outliers, OUT_TOP=OUT_TOP, DIM=DIM)
