@@ -439,3 +439,130 @@ def _register_vacuum() -> None:
 
 
 _register_vacuum()
+
+
+# ---------------------------------------------------------------------------
+# CHANGE DATA FEED: the row-level diff between two committed versions
+# ---------------------------------------------------------------------------
+# Time travel reads a version; the question downstream consumers
+# actually ask is "what CHANGED between v1 and v2?" — the Delta-style
+# change data feed that lets an incremental consumer (a feature store,
+# an index refresh, a replication target) process only the delta
+# instead of re-reading the whole snapshot. Versions are immutable
+# key-reduced tables, so the feed is ONE full-outer join on the key:
+# in-v2-only -> insert, in-v1-only -> delete (a tombstone won the key),
+# both-but-different -> update. The oracle replays BOTH versions from
+# the raw events (q_mvcc_timetravel's replay) and diffs them the same
+# way, so a merge kernel that mutated a committed version or
+# resurrected a deleted key would surface here as a wrong feed.
+
+
+def _register_diff() -> None:
+    from dynamodb_streaming_datalake_spark.registry import query
+
+    _RANKED = """
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY id, name
+            ORDER BY event_time_s DESC, eventID DESC) AS rn
+        FROM {src}
+    """
+
+    @query(
+        "q_mvcc_changefeed",
+        oracle=f"""
+        WITH src AS (
+            SELECT CAST(user_id AS VARCHAR) AS id,
+                   event_type AS name,
+                   value,
+                   CASE WHEN event_id % 10 = 0 THEN 'REMOVE'
+                        WHEN event_id % 2 = 0 THEN 'INSERT'
+                        ELSE 'MODIFY' END AS Event,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS event_time_s,
+                   'ev-' || lpad(CAST(event_id AS VARCHAR), 10, '0')
+                     AS eventID
+            FROM events
+            WHERE ts < TIMESTAMP '2024-01-03'
+        ),
+        d1 AS (SELECT * FROM src WHERE event_time_s <
+                   CAST(floor(epoch(TIMESTAMP '2024-01-02')) AS BIGINT)),
+        v1 AS (SELECT id, name, value, event_time_s
+               FROM ({_RANKED.format(src='d1')})
+               WHERE rn = 1 AND Event <> 'REMOVE'),
+        v2 AS (SELECT id, name, value, event_time_s
+               FROM ({_RANKED.format(src='src')})
+               WHERE rn = 1 AND Event <> 'REMOVE')
+        SELECT COALESCE(v1.id, v2.id) AS id,
+               COALESCE(v1.name, v2.name) AS name,
+               CASE WHEN v1.id IS NULL THEN 'insert'
+                    WHEN v2.id IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               v1.value AS old_value,
+               v2.value AS new_value,
+               v1.event_time_s AS old_time,
+               v2.event_time_s AS new_time
+        FROM v1 FULL JOIN v2 ON v1.id = v2.id AND v1.name = v2.name
+        WHERE v1.id IS NULL OR v2.id IS NULL
+           OR v1.value <> v2.value
+           OR v1.event_time_s <> v2.event_time_s
+        """,
+    )
+    def q_mvcc_changefeed(spark, sf_dir):
+        """Change data feed between the two committed MVCC versions
+        (the REAL foreachBatch merge kernel built them, cached per
+        sf_dir): one full-outer join on the snapshot key classifies
+        every changed key as insert (new in v=2), delete (tombstone
+        won the key in day 2), or update (newer event re-won the key),
+        with old/new value and event time side by side. The oracle
+        replays both versions from the raw events and diffs them
+        identically — a merge that mutated a committed version or
+        resurrected a deleted key produces a wrong feed, not just a
+        wrong snapshot.
+
+        Scale: the feed costs one key-partitioned join of two
+        snapshots — independent of raw event volume — and incremental
+        consumers downstream process |changed keys| rows instead of
+        re-reading the table; versions are immutable directories, so
+        the diff is reproducible forever (until VACUUM)."""
+        import os
+
+        path = _ensure_mvcc_snapshots(spark, sf_dir)
+        snap = os.path.join(path, "snapshot")
+        v1 = current_snapshot(spark, snap, live_only=True, version=1).select(
+            F.col("id").alias("id1"),
+            F.col("name").alias("name1"),
+            F.col("value").alias("old_value"),
+            F.col("event_time_s").alias("old_time"),
+        )
+        v2 = current_snapshot(spark, snap, live_only=True, version=2).select(
+            F.col("id").alias("id2"),
+            F.col("name").alias("name2"),
+            F.col("value").alias("new_value"),
+            F.col("event_time_s").alias("new_time"),
+        )
+        j = v1.join(
+            v2,
+            (F.col("id1") == F.col("id2")) & (F.col("name1") == F.col("name2")),
+            "full_outer",
+        )
+        change = (
+            F.when(F.col("id1").isNull(), F.lit("insert"))
+            .when(F.col("id2").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+        )
+        return j.select(
+            F.coalesce("id1", "id2").alias("id"),
+            F.coalesce("name1", "name2").alias("name"),
+            change.alias("change_type"),
+            "old_value",
+            "new_value",
+            "old_time",
+            "new_time",
+        ).where(
+            F.col("id1").isNull()
+            | F.col("id2").isNull()
+            | (F.col("old_value") != F.col("new_value"))
+            | (F.col("old_time") != F.col("new_time"))
+        )
+
+
+_register_diff()
