@@ -343,3 +343,198 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_dp_counts, DP_EPS=DP_EPS)
+
+
+# ---------------------------------------------------------------------------
+# DP quantile: the exponential mechanism (round 13)
+# ---------------------------------------------------------------------------
+# q_dp_counts releases COUNTS with Laplace noise; quantiles cannot be
+# released that way (a median has unbounded sensitivity to one row's
+# value). The standard answer is McSherry-Talwar's EXPONENTIAL
+# MECHANISM over a discretized public domain: each candidate bin is
+# weighted exp(eps * u / 2) by how close its cumulative count sits to
+# the target rank (sensitivity-1 utility), and one candidate is drawn
+# by a seeded uniform — so the release never touches an individual
+# value, only noisy-argmax over counts. The domain grid ([0, 640) in
+# 32 x 20-wide bins) is PUBLIC metadata, declared ahead of time, never
+# derived from the data (deriving it would leak the true min/max).
+
+#: epsilon for the quantile release
+DPQ_EPS = 1.0
+#: public domain grid: 32 bins of width 20 over [0, 640)
+DPQ_BINS = 32
+DPQ_WIDTH = 20
+DPQ_SALT = "dpq-release-v1"
+
+
+@query(
+    "q_dp_quantile",
+    oracle=f"""
+    WITH binned AS (
+        SELECT event_type,
+               CAST(least(floor(value / {DPQ_WIDTH}), {DPQ_BINS - 1})
+                    AS INT) AS bin
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, b.bin
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(0, {DPQ_BINS - 1})) AS bin) b
+    ),
+    h AS (
+        SELECT s.event_type, s.bin,
+               COALESCE(c.cnt, 0) AS cnt
+        FROM spine s LEFT JOIN (
+            SELECT event_type, bin, COUNT(*) AS cnt
+            FROM binned GROUP BY event_type, bin
+        ) c ON c.event_type = s.event_type AND c.bin = s.bin
+    ),
+    cum AS (
+        SELECT event_type, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cb,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM h
+    ),
+    util AS (
+        SELECT event_type, bin, cb, n,
+               -abs(cb - n / 2.0) AS u,
+               MAX(-abs(cb - n / 2.0)) OVER (PARTITION BY event_type)
+                 AS umax
+        FROM cum
+    ),
+    wts AS (
+        SELECT event_type, bin, cb, n,
+               SUM(exp({DPQ_EPS} * (u - umax) / 2.0))
+                 OVER (PARTITION BY event_type ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS cumw
+        FROM util
+    ),
+    seeded AS (
+        SELECT event_type, bin, cb, n, cumw,
+               MAX(cumw) OVER (PARTITION BY event_type) AS totw,
+               (({sql_portable_hash60(f"event_type || '#{DPQ_SALT}'")}
+                 % {_DP_DENOM}) * 1.0 / {_DP_DENOM}) AS u01
+        FROM wts
+    ),
+    chosen AS (
+        SELECT event_type,
+               MIN(CASE WHEN cumw >= u01 * totw THEN bin END) AS bin
+        FROM seeded GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(MAX(s.n) AS BIGINT) AS n_events,
+           CAST(c.bin * {DPQ_WIDTH} + {DPQ_WIDTH} / 2.0 AS DOUBLE)
+             AS dp_median,
+           round(abs(MAX(s.cb) - MAX(s.n) / 2.0), 6) AS rank_error,
+           {DPQ_EPS} AS epsilon
+    FROM chosen c JOIN seeded s
+      ON s.event_type = c.event_type AND s.bin = c.bin
+    GROUP BY c.event_type, c.bin
+    """,
+)
+def q_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private median of value per event type via the
+    EXPONENTIAL MECHANISM at epsilon = {DPQ_EPS}: candidate bins from
+    a PUBLIC {DPQ_BINS}x{DPQ_WIDTH}-wide grid are weighted
+    exp(eps*u/2) by the sensitivity-1 rank utility
+    u = -|cum_count - n/2|, and one bin is drawn by a seeded uniform
+    (portable md5 over 2^53, the q_dp_counts convention — production
+    swaps in a CSPRNG draw and nothing else changes). Weights
+    stabilize by the per-group max utility before exponentiation, and
+    every double fold is a BIN-ORDERED running sum, so both engines
+    draw the identical release. rank_error audits how far the released
+    bin's cumulative count sits from the true median rank — the
+    epsilon-calibration readout.
+
+    Scale: one map-side-combined (group, bin) count, a {DPQ_BINS}-row
+    spine per group, and window math over |groups| x {DPQ_BINS} rows —
+    the mechanism never touches row-level values after the histogram,
+    which is also why it parallelizes trivially at 100 TB."""
+    from pyspark.sql import Window
+
+    from dynamodb_streaming_datalake_spark.functions.texthash import (
+        portable_hash60,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / DPQ_WIDTH), F.lit(DPQ_BINS - 1)
+        ).cast("int").alias("bin"),
+    )
+    cnts = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(DPQ_BINS).select(F.col("id").cast("int").alias("bin"))
+        )
+    )
+    h = spine.join(cnts, ["event_type", "bin"], "left").select(
+        "event_type", "bin", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = h.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(wcum).alias("cb"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    u = -F.abs(F.col("cb") - F.col("n") / 2.0)
+    util = cum.select(
+        "event_type", "bin", "cb", "n",
+        u.alias("u"),
+        F.max(u).over(wall).alias("umax"),
+    )
+    wts = util.select(
+        "event_type", "bin", "cb", "n",
+        F.sum(
+            F.exp(F.lit(DPQ_EPS) * (F.col("u") - F.col("umax")) / 2.0)
+        ).over(wcum).alias("cumw"),
+    )
+    u01 = (
+        portable_hash60(F.concat("event_type", F.lit(f"#{DPQ_SALT}")))
+        % _DP_DENOM
+    ) * 1.0 / _DP_DENOM
+    seeded = wts.select(
+        "event_type", "bin", "cb", "n", "cumw",
+        F.max("cumw").over(wall).alias("totw"),
+        u01.alias("u01"),
+    )
+    chosen = seeded.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cumw") >= F.col("u01") * F.col("totw"), F.col("bin"))
+        ).alias("bin")
+    )
+    return (
+        chosen.join(seeded, ["event_type", "bin"])
+        .groupBy("event_type", "bin")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            (F.col("bin") * DPQ_WIDTH + DPQ_WIDTH / 2.0)
+            .cast("double")
+            .alias("dp_median"),
+            F.round(F.abs(F.max("cb") - F.max("n") / 2.0), 6).alias(
+                "rank_error"
+            ),
+            F.lit(DPQ_EPS).alias("epsilon"),
+        )
+        .drop("bin")
+    )
+
+
+_fmt(
+    q_dp_quantile,
+    DPQ_EPS=DPQ_EPS,
+    DPQ_BINS=DPQ_BINS,
+    DPQ_WIDTH=DPQ_WIDTH,
+)
