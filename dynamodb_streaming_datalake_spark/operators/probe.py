@@ -30,7 +30,9 @@ from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.functions.texthash import (
     cosine,
+    portable_hash60,
     sql_cosine,
+    sql_portable_hash60,
 )
 from dynamodb_streaming_datalake_spark.operators.similarity import DIM
 from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
@@ -91,17 +93,20 @@ def _sql_cramer3(pfx: str = "") -> str:
     """
 
 
-def probe_features(d: DataFrame) -> DataFrame:
+def probe_features(d: DataFrame, with_id: bool = False) -> DataFrame:
     """(source, w, dd, y) exact-integer feature rows — word count,
     distinct-word count, English-ness label. Row-local, so feature
-    extraction commutes with batching (the q_probe_stream property)."""
+    extraction commutes with batching (the q_probe_stream property).
+    ``with_id`` keeps doc_id for consumers that need a per-doc seed
+    (the resampler)."""
     toks = F.split(F.col("text"), " ")
-    return d.select(
+    cols = [
         "source",
         F.size(toks).cast("long").alias("w"),
         F.size(F.array_distinct(toks)).cast("long").alias("dd"),
         F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
-    )
+    ]
+    return d.select("doc_id", *cols) if with_id else d.select(*cols)
 
 
 #: the 9 Gram/moment sums — an INTEGER MONOID (component-wise +), so
@@ -170,11 +175,14 @@ def probe_report(feats: DataFrame, coef: DataFrame) -> DataFrame:
     )
 
 
-#: q_linear_probe's oracle verbatim — the streaming probe view
-#: (q_probe_stream) must hash-match the same refit.
-SQL_LINEAR_PROBE = f"""
-    WITH f AS (
-        SELECT source,
+#: the shared probe-refit CTE chain (features -> Gram -> ridge solve)
+#: — reused verbatim by q_linear_probe, q_probe_stream, and
+#: q_quality_resample so the refit can never drift between consumers.
+#: ``f`` carries doc_id (aggregations ignore it; the resampler seeds
+#: its per-doc uniform from it).
+SQL_PROBE_CTES = f"""
+    f AS (
+        SELECT doc_id, source,
                len(string_split(text, ' ')) AS w,
                len(list_distinct(string_split(text, ' '))) AS dd,
                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
@@ -213,7 +221,13 @@ SQL_LINEAR_PROBE = f"""
                     + a13 * (a12 * a23 - a22 * a13)) AS det
             FROM a
         )
-    ),
+    )
+    """
+
+#: q_linear_probe's oracle verbatim — the streaming probe view
+#: (q_probe_stream) must hash-match the same refit.
+SQL_LINEAR_PROBE = f"""
+    WITH {SQL_PROBE_CTES},
     scored AS (
         SELECT f.source, f.w, f.dd, f.y,
                (c.w1 + c.w2 * f.w + c.w3 * f.dd) AS score,
@@ -545,3 +559,97 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_embedding_outliers, OUT_TOP=OUT_TOP, DIM=DIM)
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted resampling: the probe closes the loop
+# ---------------------------------------------------------------------------
+# Training the filter (q_linear_probe) is half the pipeline; the other
+# half is USING it to decide what survives into the mix. Hard
+# thresholds waste the middle of the distribution, so the standard
+# move is importance resampling: keep each document with probability
+# equal to its (clamped) quality score. Deterministic here — the keep
+# coin is the portable per-doc hash, so the sample is reproducible on
+# any cluster and the DuckDB oracle replays the identical decision
+# for every document, refit included.
+
+QRS_SALT = "quality-resample-v1"
+_QRS_DENOM = 9007199254740992  # 2^53, exact as a double
+
+
+@query(
+    "q_quality_resample",
+    oracle=f"""
+    WITH {SQL_PROBE_CTES},
+    scored AS (
+        SELECT f.doc_id, f.source, f.w, f.dd,
+               GREATEST(0.0, LEAST(1.0,
+                   (c.w1 + c.w2 * f.w + c.w3 * f.dd))) AS p
+        FROM f, c
+    ),
+    decided AS (
+        SELECT doc_id, source, w, dd, p,
+               CASE WHEN
+                 (({sql_portable_hash60(
+                     "doc_id::VARCHAR || '#" + QRS_SALT + "'")}
+                   % {_QRS_DENOM}) * 1.0 / {_QRS_DENOM}) < p
+                    THEN 1 ELSE 0 END AS kept
+        FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           round(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6) AS keep_rate,
+           CAST(SUM(CASE WHEN kept = 1 THEN w ELSE 0 END) AS BIGINT)
+             AS kept_words
+    FROM decided
+    GROUP BY source
+    """,
+)
+def q_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling by the LEARNED quality probe: every doc
+    keeps with probability equal to its clamped probe score (the
+    q_linear_probe refit, bit-identical coefficients), decided by a
+    deterministic per-doc hash coin — so the surviving corpus is
+    reproducible on any cluster and the oracle replays refit + every
+    keep decision. Per-source totals, kept counts, keep rate, and the
+    kept token volume (the number the mix planner actually budgets)
+    come out in one aggregate.
+
+    Scale: the probe trains in one aggregate (9 numbers), the keep
+    decision is a row-local expression under a 1-row broadcast cross,
+    and the report is one map-side-combined groupBy — the whole
+    select-what-to-train-on loop in two scans, no iteration, no
+    collect."""
+    feats = probe_features(
+        read_table(spark, sf_dir, "documents"), with_id=True
+    )
+    coef = probe_solve(probe_gram(feats.drop("doc_id")))
+    p = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            F.col("w1") + F.col("w2") * F.col("w") + F.col("w3") * F.col("dd"),
+        ),
+    )
+    u01 = (
+        portable_hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f"#{QRS_SALT}"))
+        )
+        % _QRS_DENOM
+    ) * 1.0 / _QRS_DENOM
+    decided = (
+        feats.crossJoin(F.broadcast(coef))
+        .withColumn("p", p)
+        .withColumn("kept", F.when(u01 < F.col("p"), 1).otherwise(0))
+    )
+    return decided.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum("kept").cast("double") / F.count(F.lit(1)), 6
+        ).alias("keep_rate"),
+        F.sum(F.when(F.col("kept") == 1, F.col("w")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_words"),
+    )
