@@ -653,3 +653,185 @@ def q_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped closed-form regression: K models in one aggregate
+# ---------------------------------------------------------------------------
+# q_linear_probe fits ONE global model; per-domain pipelines fit one
+# model PER GROUP (a chars~words regression per language here — the
+# shape of per-domain quality calibrators). Because the solve is
+# closed-form, grouping costs nothing extra: the SAME grouped
+# aggregate emits one Gram row per group, the Cramer expressions solve
+# each row in place, and the residual sum of squares comes from the
+# sums too (RSS = y'y - 2w'X'y + w'X'Xw) — so K models train, solve,
+# and self-evaluate in ONE shuffle with no loop, no collect, no
+# per-group job.
+
+
+def _sql_rss() -> str:
+    """RSS from Gram sums and solved coefficients, fixed shape."""
+    return (
+        "(CAST(syy AS DOUBLE)"
+        " - 2.0 * (w1 * CAST(sy AS DOUBLE) + w2 * CAST(swy AS DOUBLE)"
+        "          + w3 * CAST(sdy AS DOUBLE))"
+        " + (w1 * (w1 * CAST(n AS DOUBLE) + w2 * CAST(sw AS DOUBLE)"
+        "          + w3 * CAST(sd AS DOUBLE))"
+        "    + w2 * (w1 * CAST(sw AS DOUBLE) + w2 * CAST(sww AS DOUBLE)"
+        "            + w3 * CAST(swd AS DOUBLE))"
+        "    + w3 * (w1 * CAST(sd AS DOUBLE) + w2 * CAST(swd AS DOUBLE)"
+        "            + w3 * CAST(sdd AS DOUBLE))))"
+    )
+
+
+@query(
+    "q_grouped_regression",
+    oracle=f"""
+    WITH f AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS w,
+               len(list_distinct(string_split(text, ' '))) AS dd,
+               n_chars AS y
+        FROM documents
+    ),
+    g AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(w) AS BIGINT) AS sw,
+               CAST(SUM(dd) AS BIGINT) AS sd,
+               CAST(SUM(w * w) AS BIGINT) AS sww,
+               CAST(SUM(w * dd) AS BIGINT) AS swd,
+               CAST(SUM(dd * dd) AS BIGINT) AS sdd,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(w * y) AS BIGINT) AS swy,
+               CAST(SUM(dd * y) AS BIGINT) AS sdy,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM f GROUP BY lang
+    ),
+    a AS (
+        SELECT lang, n, sw, sd, sww, swd, sdd, sy, swy, sdy, syy,
+               CAST(n AS DOUBLE) + {PROBE_LAMBDA} AS a11,
+               CAST(sw AS DOUBLE) AS a12,
+               CAST(sd AS DOUBLE) AS a13,
+               CAST(sww AS DOUBLE) + {PROBE_LAMBDA} AS a22,
+               CAST(swd AS DOUBLE) AS a23,
+               CAST(sdd AS DOUBLE) + {PROBE_LAMBDA} AS a33,
+               CAST(sy AS DOUBLE) AS b1,
+               CAST(swy AS DOUBLE) AS b2,
+               CAST(sdy AS DOUBLE) AS b3
+        FROM g
+    ),
+    c AS (
+        SELECT lang, n, sw, sd, sww, swd, sdd, sy, swy, sdy, syy,
+               {_sql_cramer3()}
+        FROM (
+            SELECT *,
+                   (a11 * (a22 * a33 - a23 * a23)
+                    - a12 * (a12 * a33 - a23 * a13)
+                    + a13 * (a12 * a23 - a22 * a13)) AS det
+            FROM a
+        )
+    )
+    SELECT lang,
+           CAST(n AS BIGINT) AS n_docs,
+           round(w1, 6) AS w_intercept,
+           round(w2, 6) AS w_words,
+           round(w3, 6) AS w_distinct,
+           round(sqrt(GREATEST({_sql_rss()}, 0.0) / n), 6) AS rmse
+    FROM c
+    """,
+)
+def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language closed-form ridge regression (n_chars on word
+    count + distinct-word count) — K models trained, solved, and
+    self-evaluated in ONE grouped aggregate: Gram/moment sums per
+    group (exact integers), Cramer's rule applied to every Gram row in
+    place, and the in-plan RMSE from RSS = y'y - 2w'X'y + w'X'Xw over
+    the same sums. The per-domain calibrator shape (one quality model
+    per source/language) with no loop, no collect, no per-group job —
+    the oracle refits every model identically.
+
+    Scale: one map-side-combined groupBy to |groups| Gram rows; the
+    solves and RMSE are scalar expressions ON those rows. A thousand
+    domains cost the same single shuffle as five."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    f = d.select(
+        "lang",
+        F.size(toks).cast("long").alias("w"),
+        F.size(F.array_distinct(toks)).cast("long").alias("dd"),
+        F.col("n_chars").alias("y"),
+    )
+    g = f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum("dd").alias("sd"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+        F.sum(F.col("w") * F.col("dd")).alias("swd"),
+        F.sum(F.col("dd") * F.col("dd")).alias("sdd"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("w") * F.col("y")).alias("swy"),
+        F.sum(F.col("dd") * F.col("y")).alias("sdy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    lam = F.lit(PROBE_LAMBDA)
+    nD = F.col("n").cast("double")
+    swD, sdD = F.col("sw").cast("double"), F.col("sd").cast("double")
+    swwD, swdD, sddD = (
+        F.col("sww").cast("double"),
+        F.col("swd").cast("double"),
+        F.col("sdd").cast("double"),
+    )
+    syD, swyD, sdyD, syyD = (
+        F.col("sy").cast("double"),
+        F.col("swy").cast("double"),
+        F.col("sdy").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    w1, w2, w3 = _cramer3(
+        nD + lam, swD, sdD, swwD + lam, swdD, sddD + lam, syD, swyD, sdyD
+    )
+    solved = g.select("lang", "n", *[c.alias(n_) for c, n_ in
+                                     ((w1, "w1"), (w2, "w2"), (w3, "w3"))],
+                      "sw", "sd", "sww", "swd", "sdd", "sy", "swy", "sdy",
+                      "syy")
+    W1, W2, W3 = F.col("w1"), F.col("w2"), F.col("w3")
+    rss = (
+        F.col("syy").cast("double")
+        - 2.0
+        * (
+            W1 * F.col("sy").cast("double")
+            + W2 * F.col("swy").cast("double")
+            + W3 * F.col("sdy").cast("double")
+        )
+        + (
+            W1
+            * (
+                W1 * F.col("n").cast("double")
+                + W2 * F.col("sw").cast("double")
+                + W3 * F.col("sd").cast("double")
+            )
+            + W2
+            * (
+                W1 * F.col("sw").cast("double")
+                + W2 * F.col("sww").cast("double")
+                + W3 * F.col("swd").cast("double")
+            )
+            + W3
+            * (
+                W1 * F.col("sd").cast("double")
+                + W2 * F.col("swd").cast("double")
+                + W3 * F.col("sdd").cast("double")
+            )
+        )
+    )
+    return solved.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(W1, 6).alias("w_intercept"),
+        F.round(W2, 6).alias("w_words"),
+        F.round(W3, 6).alias("w_distinct"),
+        F.round(
+            F.sqrt(F.greatest(rss, F.lit(0.0)) / F.col("n")), 6
+        ).alias("rmse"),
+    )

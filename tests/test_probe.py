@@ -224,3 +224,37 @@ def test_poisson_bootstrap_weights_have_poisson_mass(spark, sf_oracle):
     ]
     for w, p in enumerate(probs):
         assert got.get(w, 0) / total == pytest.approx(p, abs=0.01), (w, got)
+
+
+def test_grouped_regression_matches_numpy_per_group(spark, sf_smoke):
+    """q_grouped_regression's per-group in-plan solve + RMSE equal a
+    numpy ridge fit per language on the identical feature matrix."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    got = {
+        r["lang"]: r
+        for r in all_queries()["q_grouped_regression"](
+            spark, sf_smoke
+        ).collect()
+    }
+    d = read_table(spark, sf_smoke, "documents").select(
+        "lang", "text", "n_chars"
+    )
+    rows = d.collect()
+    by_lang: dict = {}
+    for r in rows:
+        toks = r["text"].split(" ")
+        by_lang.setdefault(r["lang"], []).append(
+            (1.0, float(len(toks)), float(len(set(toks))), float(r["n_chars"]))
+        )
+    for lang, feats in by_lang.items():
+        x = np.array([f[:3] for f in feats])
+        y = np.array([f[3] for f in feats])
+        w = np.linalg.solve(x.T @ x + PROBE_LAMBDA * np.eye(3), x.T @ y)
+        resid = y - x @ w
+        rmse = float(np.sqrt(np.sum(resid**2) / len(y)))
+        g = got[lang]
+        assert np.allclose(
+            [g["w_intercept"], g["w_words"], g["w_distinct"]], w, atol=5e-6
+        ), (lang, g, w)
+        assert g["rmse"] == pytest.approx(rmse, abs=5e-6), (lang, g["rmse"], rmse)
