@@ -835,3 +835,117 @@ def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.greatest(rss, F.lit(0.0)) / F.col("n")), 6
         ).alias("rmse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# probe calibration audit: reliability bins + ECE
+# ---------------------------------------------------------------------------
+# A filter that scores 0.9 should be right ~90% of the time; when it
+# isn't, thresholds chosen on the score scale are lies. The standard
+# audit is the reliability diagram + expected calibration error:
+# bucket predictions by score decile, compare each bucket's mean score
+# to its empirical positive rate, and weight the gaps by bucket mass.
+# Runs on the SAME refit CTE chain as the probe itself, and every
+# reported double is exact-from-integer-sums (bucket mean score via
+# linearity, ECE via a bin-ordered running fold).
+
+
+@query(
+    "q_probe_calibration",
+    oracle=f"""
+    WITH {SQL_PROBE_CTES},
+    scored AS (
+        SELECT f.w, f.dd, f.y,
+               (c.w1 + c.w2 * f.w + c.w3 * f.dd) AS s,
+               c.w1 AS w1, c.w2 AS w2, c.w3 AS w3
+        FROM f, c
+    ),
+    binned AS (
+        SELECT GREATEST(0, LEAST(9, CAST(floor(s * 10) AS INT))) AS bin,
+               w, dd, y, w1, w2, w3
+        FROM scored
+    ),
+    per_bin AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MAX(w1) + MAX(w2) * (CAST(SUM(w) AS DOUBLE) / COUNT(*))
+                 + MAX(w3) * (CAST(SUM(dd) AS DOUBLE) / COUNT(*))
+                 AS mean_score,
+               CAST(SUM(y) AS DOUBLE) / COUNT(*) AS frac_pos
+        FROM binned GROUP BY bin
+    ),
+    gapped AS (
+        SELECT bin, n_docs, mean_score, frac_pos,
+               abs(mean_score - frac_pos) AS gap,
+               SUM(CAST(n_docs AS DOUBLE) * abs(mean_score - frac_pos))
+                 OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_wgap,
+               SUM(n_docs) OVER () AS n_total
+        FROM per_bin
+    )
+    SELECT bin, n_docs,
+           round(mean_score, 6) AS mean_score,
+           round(frac_pos, 6) AS frac_pos,
+           round(gap, 6) AS gap,
+           round(MAX(cum_wgap) OVER () / n_total, 6) AS ece
+    FROM gapped
+    """,
+)
+def q_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for the
+    quality probe: predictions bucket by score decile, each bucket
+    reports its mean predicted score (exact via linearity over integer
+    sums) against its empirical positive rate, and ECE is the
+    bucket-mass-weighted mean gap — folded in bin order (a running
+    window sum) so the double is bit-identical across engines. A
+    bucket whose score and positive rate diverge is where a threshold
+    chosen on the score scale stops meaning what it says.
+
+    Scale: the refit is the probe's one aggregate; the audit adds one
+    (bin) groupBy to <= 10 rows and window math over those rows —
+    calibration of a corpus-scale filter for the cost of a scan."""
+    feats = probe_features(read_table(spark, sf_dir, "documents"))
+    coef = probe_solve(probe_gram(feats))
+    from pyspark.sql import Window
+
+    scored = feats.crossJoin(F.broadcast(coef)).withColumn(
+        "s", F.col("w1") + F.col("w2") * F.col("w") + F.col("w3") * F.col("dd")
+    )
+    binned = scored.withColumn(
+        "bin",
+        F.greatest(
+            F.lit(0), F.least(F.lit(9), F.floor(F.col("s") * 10).cast("int"))
+        ),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.max("w1")
+            + F.max("w2") * (F.sum("w").cast("double") / F.count(F.lit(1)))
+            + F.max("w3") * (F.sum("dd").cast("double") / F.count(F.lit(1)))
+        ).alias("mean_score"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("frac_pos"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    gap = F.abs(F.col("mean_score") - F.col("frac_pos"))
+    gapped = per_bin.select(
+        "bin",
+        "n_docs",
+        "mean_score",
+        "frac_pos",
+        gap.alias("gap"),
+        F.sum(F.col("n_docs").cast("double") * gap).over(wcum).alias("cum_wgap"),
+        F.sum("n_docs").over(wall).alias("n_total"),
+    )
+    return gapped.select(
+        "bin",
+        "n_docs",
+        F.round("mean_score", 6).alias("mean_score"),
+        F.round("frac_pos", 6).alias("frac_pos"),
+        F.round("gap", 6).alias("gap"),
+        F.round(
+            F.max("cum_wgap").over(wall) / F.col("n_total"), 6
+        ).alias("ece"),
+    )
