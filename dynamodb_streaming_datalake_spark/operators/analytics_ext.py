@@ -2334,3 +2334,144 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# corpus composition drift (round 13): is the MIX changing?
+# ---------------------------------------------------------------------------
+# q_histogram_drift watches a VALUE distribution; the complementary
+# pipeline monitor watches COMPOSITION — the share of each event type
+# (source, domain, language) per day against the first day's baseline
+# mix. A feed that silently doubles one source's share poisons every
+# downstream mixture weight before any value-level statistic moves.
+# The statistic is the chi-square distance of each day's type counts
+# against expected counts under the baseline shares — integer counts,
+# one double term per (day, type), folded in type order so the
+# per-day statistic is bit-identical across engines.
+
+
+def _register_mix_drift() -> None:
+    from pyspark.sql import Window
+
+    from dynamodb_streaming_datalake_spark.registry import query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    @query(
+        "q_source_mix_drift",
+        oracle="""
+        WITH c AS (
+            SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day_i,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT day_i, SUM(n) AS n_day,
+                   MIN(day_i) OVER () AS day0
+            FROM c GROUP BY day_i
+        ),
+        base AS (
+            SELECT c.event_type,
+                   CAST(c.n AS DOUBLE) / d.n_day AS base_share
+            FROM c JOIN d USING (day_i)
+            WHERE c.day_i = d.day0
+        ),
+        terms AS (
+            SELECT c.day_i, d.n_day, c.event_type,
+                   (CAST(c.n AS DOUBLE) - b.base_share * d.n_day)
+                   * (CAST(c.n AS DOUBLE) - b.base_share * d.n_day)
+                   / (b.base_share * d.n_day) AS t
+            FROM c JOIN d USING (day_i) JOIN base b USING (event_type)
+        ),
+        folded AS (
+            SELECT day_i, n_day,
+                   SUM(t) OVER (PARTITION BY day_i ORDER BY event_type
+                                ROWS UNBOUNDED PRECEDING) AS chi_cum,
+                   COUNT(*) OVER (PARTITION BY day_i) AS n_types,
+                   ROW_NUMBER() OVER (PARTITION BY day_i
+                                      ORDER BY event_type DESC) AS rn
+            FROM terms
+        )
+        SELECT CAST(day_i AS BIGINT) AS day_i,
+               CAST(n_day AS BIGINT) AS n_events,
+               CAST(n_types AS BIGINT) AS n_types,
+               round(chi_cum, 6) AS chi_square
+        FROM folded WHERE rn = 1
+        """,
+    )
+    def q_source_mix_drift(spark, sf_dir):
+        """Composition-drift monitor: each day's event-type mix scored
+        against the FIRST day's baseline shares by chi-square over the
+        expected counts — the alarm that fires when a feed silently
+        changes the corpus mixture before any value-level statistic
+        moves. Counts are exact integers; the per-day statistic folds
+        its (observed - expected)^2/expected terms in type order (a
+        running window sum), so both engines report the identical
+        drift number.
+
+        Scale: one map-side-combined (day, type) count — the only
+        data-sized pass — then window math over |days| x |types| rows;
+        the baseline is a broadcast |types|-row frame. Swap event_type
+        for source/language/domain and day for any window verbatim."""
+        from pyspark.sql import functions as F
+
+        e = read_table(spark, sf_dir, "events")
+        c = (
+            e.select(
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_i"),
+                "event_type",
+            )
+            .groupBy("day_i", "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        d = c.groupBy("day_i").agg(F.sum("n").alias("n_day"))
+        day0 = d.agg(F.min("day_i").alias("day0"))
+        base = (
+            c.join(d, "day_i")
+            .crossJoin(F.broadcast(day0))
+            .where(F.col("day_i") == F.col("day0"))
+            .select(
+                "event_type",
+                (F.col("n").cast("double") / F.col("n_day")).alias("base_share"),
+            )
+        )
+        exp = F.col("base_share") * F.col("n_day")
+        terms = (
+            c.join(d, "day_i")
+            .join(F.broadcast(base), "event_type")
+            .select(
+                "day_i",
+                "n_day",
+                "event_type",
+                (
+                    (F.col("n").cast("double") - exp)
+                    * (F.col("n").cast("double") - exp)
+                    / exp
+                ).alias("t"),
+            )
+        )
+        wcum = (
+            Window.partitionBy("day_i")
+            .orderBy("event_type")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wall = Window.partitionBy("day_i")
+        wlast = Window.partitionBy("day_i").orderBy(F.col("event_type").desc())
+        folded = terms.select(
+            "day_i",
+            "n_day",
+            F.sum("t").over(wcum).alias("chi_cum"),
+            F.count(F.lit(1)).over(wall).alias("n_types"),
+            F.row_number().over(wlast).alias("rn"),
+        )
+        return (
+            folded.where(F.col("rn") == 1)
+            .select(
+                F.col("day_i").cast("bigint").alias("day_i"),
+                F.col("n_day").cast("bigint").alias("n_events"),
+                F.col("n_types").cast("bigint").alias("n_types"),
+                F.round("chi_cum", 6).alias("chi_square"),
+            )
+        )
+
+
+_register_mix_drift()

@@ -325,6 +325,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_probe_stream",  # same 1-row coefficient cross, streamed Gram
         "q_quality_resample",  # same 1-row coefficient cross, resampler
         "q_probe_calibration",  # same 1-row coefficient cross, audit
+        "q_source_mix_drift",  # 1-row baseline-day aggregate crossed
         "q_dp_quantile",  # |event types| x 32-bin public domain spine
         "q_bitext_mine",  # broadcast BITEXT_NQ panel x en-docs scan
         "q_embedding_outliers",  # 1-row per-dim stats frame crossed
