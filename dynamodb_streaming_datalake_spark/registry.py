@@ -29,64 +29,26 @@ ORACLE: dict[str, str] = {}
 # silently eject a listed query from the window.
 #
 # PRIORITY derived by scripts/rotate_window.py from
-# CORRECTNESS_r*.json (latest: r12).  Do not hand-order;
+# CORRECTNESS_r*.json (latest: r13).  Do not hand-order;
 # regenerate after each driver round.  Derivation: the
-# 18 never-driver-proven names lead, then proofs
+# 13 never-driver-proven names lead, then proofs
 # ascending by round (stable tie-break: prior order).
 PRIORITY: tuple[str, ...] = (
     # -- never driver-proven --
-    "q_ohlc_bars",
-    "q_gini_coefficient",
-    "q_feature_hashing",
-    "q_zipf_fit",
-    "q_token_entropy",
-    "q_ann_serve_pq",
-    "q_random_projection",
-    "q_embedding_silhouette",
-    "q_cluster_purity",
-    "q_neyman_allocation",
-    "q_source_overlap",
-    "q_dp_counts",
-    "q_sprt_monitor",
-    "q_conformal_calibrate",
-    "q_diff_in_diff",
-    "q_ann_index_stream",
-    "q_ohlc_stream",
-    "q_sprt_stream",
-    # -- proven r7 --
-    "q_window_session",
+    "q_source_mix_drift",
+    "q_dp_quantile",
+    "q_adaptive_salted_join",
+    "q_linear_probe",
+    "q_bitext_mine",
+    "q_embedding_outliers",
+    "q_quality_resample",
+    "q_grouped_regression",
+    "q_probe_calibration",
+    "q_mvcc_changefeed",
+    "q_ann_codes_stream",
+    "q_decontaminate_stream",
+    "q_probe_stream",
     # -- proven r8 --
-    "q5_nation_revenue",
-    "q_customers_without_orders",
-    "q_suppliers_with_bulk_sales",
-    "q_rollup_events",
-    "q_user_event_history",
-    "q_topk_orders",
-    "q_set_reconcile_customers",
-    "q_scalar_string_math",
-    "q_scalar_datetime",
-    "q_json_props",
-    "q_top_words",
-    "q_cube_events",
-    "q_distinct_counts",
-    "q_order_lineitem_join",
-    "q_table_profile",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q_rolling_user_value",
-    "q_funnel_conversion",
-    "q_value_percentiles",
-    "q_global_sort",
-    "q_sql_entrypoint",
-    "q_triangle_count",
-    "q_lm_doc_score",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
     "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
@@ -310,6 +272,57 @@ PRIORITY: tuple[str, ...] = (
     "q_tgz_ingest",
     "q_window_tumbling",
     "q_window_sliding",
+    # -- proven r13 --
+    "q_ohlc_bars",
+    "q_gini_coefficient",
+    "q_feature_hashing",
+    "q_zipf_fit",
+    "q_token_entropy",
+    "q_ann_serve_pq",
+    "q_random_projection",
+    "q_embedding_silhouette",
+    "q_cluster_purity",
+    "q_neyman_allocation",
+    "q_source_overlap",
+    "q_dp_counts",
+    "q_sprt_monitor",
+    "q_conformal_calibrate",
+    "q_diff_in_diff",
+    "q_ann_index_stream",
+    "q_ohlc_stream",
+    "q_sprt_stream",
+    "q_window_session",
+    "q5_nation_revenue",
+    "q_customers_without_orders",
+    "q_suppliers_with_bulk_sales",
+    "q_rollup_events",
+    "q_user_event_history",
+    "q_topk_orders",
+    "q_set_reconcile_customers",
+    "q_scalar_string_math",
+    "q_scalar_datetime",
+    "q_json_props",
+    "q_top_words",
+    "q_cube_events",
+    "q_distinct_counts",
+    "q_order_lineitem_join",
+    "q_table_profile",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q_rolling_user_value",
+    "q_funnel_conversion",
+    "q_value_percentiles",
+    "q_global_sort",
+    "q_sql_entrypoint",
+    "q_triangle_count",
+    "q_lm_doc_score",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
 )
 
 

@@ -143,6 +143,20 @@ def main(argv: list[str]) -> int:
         mp = ROOT / MANIFEST
         doc = json.loads(mp.read_text())
         doc["round"] = newest
+        # A floor exclusion exists to stop a PRE-fix driver timing from
+        # becoming a budget floor.  The bench artifact being rotated in
+        # was measured against the POST-fix plan, so the exclusion's
+        # justification ends here — clear it rather than letting the
+        # escape hatch silently outlive its reason (r13 ADVICE).
+        stale_excl = doc.get("driver_floor_exclude", [])
+        if stale_excl:
+            doc["driver_floor_exclude"] = []
+            print(
+                f"# cleared driver_floor_exclude {stale_excl}: the r{newest} "
+                f"bench measured the post-fix plans; re-add (with a fresh "
+                f"reason) only alongside a NEW deliberate speedup",
+                file=sys.stderr,
+            )
         mp.write_text(json.dumps(doc, indent=2) + "\n")
         print(
             f"# manifest bumped r{pinned} -> r{newest} ({MANIFEST})",
