@@ -90,6 +90,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     compile_sec: dict[str, float] = {}
+    construct_sec: dict[str, float] = {}
     for name in sorted(queries):
         ts = []
         for i in range(reps):
@@ -102,8 +103,15 @@ def main() -> None:
                 # 3.6 s of execution and no wall budget flagged it. The
                 # QueryExecution caches the optimized plan, so count()
                 # below does not redo the work: rep-0 total is unchanged.
+                # Construction is timed SEPARATELY (round-13 ADVICE):
+                # for queries whose construction runs Spark jobs (skew
+                # diagnose collects, one-time ensure_cached_build view
+                # builds) a combined number would drown the Catalyst
+                # signal the optimizer-blowup rail exists to detect.
+                t_built = time.perf_counter()
+                construct_sec[name] = round(t_built - t0, 3)
                 df._jdf.queryExecution().optimizedPlan()
-                compile_sec[name] = round(time.perf_counter() - t0, 3)
+                compile_sec[name] = round(time.perf_counter() - t_built, 3)
             df.count()
             ts.append(round(time.perf_counter() - t0, 3))
         samples[name] = ts
@@ -232,6 +240,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "compile_sec": compile_sec,
+                "construct_sec": construct_sec,
                 "samples": samples,
                 "reps": reps,
                 "sf": sf,

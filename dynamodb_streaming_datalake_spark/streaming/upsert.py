@@ -70,7 +70,19 @@ def current_snapshot(
         version = vs[-1]
     elif version not in vs:
         raise ValueError(f"version {version} not committed; have {vs}")
-    df = spark.read.parquet(f"{snapshot_dir}/v={version}")
+    # Growing views (round 14) commit versions as delta-segment
+    # manifests instead of whole directories; the read contract (time
+    # travel, _SUCCESS gating) is identical either way.
+    from dynamodb_streaming_datalake_spark.streaming.segments import (
+        read_manifest,
+        read_segmented,
+    )
+
+    manifest = read_manifest(spark, snapshot_dir, version)
+    if manifest is not None:
+        df = read_segmented(spark, snapshot_dir, manifest)
+    else:
+        df = spark.read.parquet(f"{snapshot_dir}/v={version}")
     return df.where(F.col(event_col) != delete_event) if live_only else df
 
 

@@ -141,9 +141,14 @@ def measure(names: list[str], sf_dir: str, reps: int = 3) -> tuple[dict, dict]:
         for i in range(reps):
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
+            # compile = the optimizedPlan() wall ONLY (round-13 ADVICE):
+            # construction may run one-time cached builds / diagnostic
+            # collects that would swamp the Catalyst signal the rail
+            # exists to detect
+            t_built = time.perf_counter()
             df._jdf.queryExecution().optimizedPlan()
             if i == 0:
-                compiles[name] = round(time.perf_counter() - t0, 3)
+                compiles[name] = round(time.perf_counter() - t_built, 3)
             df.count()
             ts.append(round(time.perf_counter() - t0, 3))
         timings[name] = round(statistics.median(ts), 3)
