@@ -2408,6 +2408,17 @@ def _register_mix_drift() -> None:
         running window sum), so both engines report the identical
         drift number.
 
+        Scope (deliberate, round-13 ADVICE): the statistic is computed
+        over BASELINE-DAY types only — the inner join against the
+        day-0 shares means a type absent on day 0 (a newly introduced
+        source) contributes no direct chi-square term and is detected
+        indirectly, through n_day inflating every baseline type's
+        expected count; n_types likewise counts baseline types. This
+        is the classical chi-square-against-reference convention (an
+        unseen category has expected count 0, where the statistic is
+        undefined); a brand-new-source ALARM is a different monitor —
+        pair with q_histogram_drift or an anti-join on type for that.
+
         Scale: one map-side-combined (day, type) count — the only
         data-sized pass — then window math over |days| x |types| rows;
         the baseline is a broadcast |types|-row frame. Swap event_type

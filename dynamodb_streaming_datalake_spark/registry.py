@@ -346,11 +346,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         # re-imports re-execute decorators with the same function;
         # only a DIFFERENT function claiming the name is a collision.
         prev = QUERIES.get(name)
-        if prev is not None and prev.__module__ != fn.__module__:
+        if prev is not None and (
+            prev.__module__ != fn.__module__
+            or prev.__qualname__ != fn.__qualname__
+        ):
+            # __qualname__ too (round-13 ADVICE): re-imports recreate
+            # the same qualname, so legal re-registration still passes,
+            # but a SAME-module edit landing between an existing
+            # decorator and its def (silently re-registering a helper
+            # under a proven query's name) now fails loudly as well.
             raise ValueError(
                 f"query name collision: {name!r} already registered by "
-                f"{prev.__module__}; refusing to overwrite from "
-                f"{fn.__module__}"
+                f"{prev.__module__}.{prev.__qualname__}; refusing to "
+                f"overwrite from {fn.__module__}.{fn.__qualname__}"
             )
         QUERIES[name] = fn
         if oracle is not None:

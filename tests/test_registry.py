@@ -71,6 +71,26 @@ def test_duplicate_query_name_fails_loudly():
     q = all_queries()
     assert q["q_bootstrap_ci"].__module__.endswith("analytics_ext")
 
+    # SAME-module collisions are refused too (round-13 ADVICE): an
+    # edit landing between an existing decorator and its def would
+    # re-register a helper under the proven name from within the
+    # owning module — a different __qualname__ claiming the name
+    # must fail even when __module__ matches.
+    owner_module = q["q_bootstrap_ci"].__module__
+
+    def different_function(spark, sf_dir):  # pragma: no cover
+        raise AssertionError("never registered")
+
+    different_function.__module__ = owner_module
+    with pytest.raises(ValueError, match="collision"):
+        query("q_bootstrap_ci", oracle="SELECT 1")(different_function)
+    assert all_queries()["q_bootstrap_ci"] is q["q_bootstrap_ci"]
+
+    # legal re-registration (module re-import: same module AND same
+    # qualname) still passes
+    original = q["q_bootstrap_ci"]
+    assert query("q_bootstrap_ci")(original) is original
+
 
 def test_every_query_has_oracle_sql():
     """The repo's standing bar: zero rows-only entries — every operator
