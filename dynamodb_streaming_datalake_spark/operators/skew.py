@@ -409,3 +409,136 @@ def _register_adaptive() -> None:
 
 
 _register_adaptive()
+
+
+# ---------------------------------------------------------------------------
+# adaptive salted aggregation (round 14): measure-then-derive for
+# DISTINCT state, completing the adaptive pair
+# ---------------------------------------------------------------------------
+# q_adaptive_salted_join sized its salt count from a measurement;
+# q_salted_agg still used the hand constant AGG_SALTS (round-13
+# verdict #5). Same recipe: one column-pruned groupBy folded to the
+# hottest key's row count (an upper bound on its distinct-item state —
+# measuring exact per-key NDV would cost the very aggregation being
+# protected), salt count derived from it, and the item-space split
+# engaged only when the measurement says a key's state needs
+# spreading. A uniform corpus pays zero extra shuffle.
+
+#: per-task distinct-state row target (fixture-sized so the salted
+#: branch engages on the bench corpus; production knob is
+#: executor-memory / state-row-width)
+ADAPTIVE_AGG_TARGET_ROWS = 50
+ADAPTIVE_AGG_MAX_SALTS = 64
+
+
+def adaptive_salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    item_col: str,
+    target_rows: int = ADAPTIVE_AGG_TARGET_ROWS,
+    max_salts: int = ADAPTIVE_AGG_MAX_SALTS,
+) -> tuple[DataFrame, int]:
+    """Diagnose-then-salt for exact per-key COUNT(DISTINCT item):
+    measure the hottest key's row count (one map-side-combined groupBy
+    folded to a single driver row), pick ``n_salts =
+    clamp(ceil(max_key_rows / target_rows), 1, max_salts)``, and
+    return ``(aggregated, n_salts)`` — the plain one-phase
+    COUNT(DISTINCT) when no key needs spreading, the two-phase
+    disjoint-item-space split otherwise. Output columns: ``*keys,
+    n_distinct, n_rows`` — identical either way (the registered
+    query's oracle IS the one-phase aggregate).
+
+    Scale: salting by hash(item) % S makes the per-salt distinct sets
+    DISJOINT, so per-(key, salt) counts SUM exactly; no task ever
+    holds more than ~1/S of any key's state. The diagnose pass scans
+    only the key columns and folds to one number — cheap next to the
+    aggregation it sizes."""
+    from dynamodb_streaming_datalake_spark.functions.texthash import (
+        portable_hash60,
+    )
+
+    hot = (
+        df.groupBy(*[F.col(c) for c in keys])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("max_n"))
+        .collect()[0]
+    )
+    max_n = hot["max_n"] or 0
+    n_salts = int(min(max_salts, max(1, -(-max_n // target_rows))))
+    if n_salts <= 1:
+        plain = df.groupBy(*[F.col(c) for c in keys]).agg(
+            F.countDistinct(item_col).cast("bigint").alias("n_distinct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        return plain, 1
+    salted = df.select(
+        *keys,
+        item_col,
+        # cast-to-string: the hash only decides which task holds an
+        # item's state, so any stable rendering works for any type
+        (portable_hash60(F.col(item_col).cast("string")) % n_salts).alias(
+            "salt"
+        ),
+    )
+    p1 = salted.groupBy(*keys, "salt").agg(
+        F.countDistinct(item_col).alias("nd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    two_phase = p1.groupBy(*keys).agg(
+        F.sum("nd").cast("bigint").alias("n_distinct"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )
+    return two_phase, n_salts
+
+
+def _register_adaptive_agg() -> None:
+    from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
+    from dynamodb_streaming_datalake_spark.registry import query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    @query(
+        "q_adaptive_salted_agg",
+        oracle="""
+        SELECT user_id,
+               CAST(COUNT(DISTINCT props) AS BIGINT) AS n_distinct_props,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY user_id
+        """,
+    )
+    def q_adaptive_salted_agg(spark, sf_dir):
+        """q_skew_diagnose wired into q_salted_agg as ONE operator: the
+        per-user exact COUNT(DISTINCT props) measures its own input
+        (hottest user_id's row count — an upper bound on that key's
+        distinct state), derives the salt count that caps any key's
+        per-task state at {ADAPTIVE_AGG_TARGET_ROWS} rows (capped at
+        {ADAPTIVE_AGG_MAX_SALTS}), and splits the item space only if
+        needed — at small sf the measurement picks the plain one-phase
+        aggregate (zero extra shuffle), at bench sf the two-phase
+        disjoint split. The oracle is the one-phase COUNT(DISTINCT)
+        either way, so the adaptivity is value-hash-proven
+        result-invisible; salt selection at controlled skew levels is
+        pinned in tests/test_plans.py.
+
+        Scale: replaces the hand constant AGG_SALTS that over-salts
+        uniform data (pointless shuffle width) or under-salts hot keys
+        (a task holding a whole key's distinct set); the measurement
+        costs one column-pruned scan folded to one driver row."""
+        from pyspark.sql import functions as F
+
+        e = read_table(spark, sf_dir, "events")
+        agg, _n = adaptive_salted_agg(e, ["user_id"], "props")
+        return agg.select(
+            "user_id",
+            F.col("n_distinct").alias("n_distinct_props"),
+            F.col("n_rows").alias("n_events"),
+        )
+
+    _fmt(
+        q_adaptive_salted_agg,
+        ADAPTIVE_AGG_TARGET_ROWS=ADAPTIVE_AGG_TARGET_ROWS,
+        ADAPTIVE_AGG_MAX_SALTS=ADAPTIVE_AGG_MAX_SALTS,
+    )
+
+
+_register_adaptive_agg()

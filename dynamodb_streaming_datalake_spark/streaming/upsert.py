@@ -469,6 +469,52 @@ _register_vacuum()
 # resurrected a deleted key would surface here as a wrong feed.
 
 
+def mvcc_changefeed(v1_live: DataFrame, v2_live: DataFrame) -> DataFrame:
+    """The change data feed between two live snapshot reads: one
+    full-outer key join classifying insert / delete / update with old
+    and new payloads side by side. Shared by q_mvcc_changefeed (the
+    feed itself, oracle-gated) and q_changefeed_refresh (the
+    incremental consumer that proves the feed is a sufficient delta
+    source). Inputs are ``current_snapshot(..., live_only=True)``
+    frames with (id, name, value, event_time_s)."""
+    v1 = v1_live.select(
+        F.col("id").alias("id1"),
+        F.col("name").alias("name1"),
+        F.col("value").alias("old_value"),
+        F.col("event_time_s").alias("old_time"),
+    )
+    v2 = v2_live.select(
+        F.col("id").alias("id2"),
+        F.col("name").alias("name2"),
+        F.col("value").alias("new_value"),
+        F.col("event_time_s").alias("new_time"),
+    )
+    j = v1.join(
+        v2,
+        (F.col("id1") == F.col("id2")) & (F.col("name1") == F.col("name2")),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("id1").isNull(), F.lit("insert"))
+        .when(F.col("id2").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return j.select(
+        F.coalesce("id1", "id2").alias("id"),
+        F.coalesce("name1", "name2").alias("name"),
+        change.alias("change_type"),
+        "old_value",
+        "new_value",
+        "old_time",
+        "new_time",
+    ).where(
+        F.col("id1").isNull()
+        | F.col("id2").isNull()
+        | (F.col("old_value") != F.col("new_value"))
+        | (F.col("old_time") != F.col("new_time"))
+    )
+
+
 def _register_diff() -> None:
     from dynamodb_streaming_datalake_spark.registry import query
 
@@ -539,42 +585,137 @@ def _register_diff() -> None:
 
         path = _ensure_mvcc_snapshots(spark, sf_dir)
         snap = os.path.join(path, "snapshot")
-        v1 = current_snapshot(spark, snap, live_only=True, version=1).select(
-            F.col("id").alias("id1"),
-            F.col("name").alias("name1"),
-            F.col("value").alias("old_value"),
-            F.col("event_time_s").alias("old_time"),
-        )
-        v2 = current_snapshot(spark, snap, live_only=True, version=2).select(
-            F.col("id").alias("id2"),
-            F.col("name").alias("name2"),
-            F.col("value").alias("new_value"),
-            F.col("event_time_s").alias("new_time"),
-        )
-        j = v1.join(
-            v2,
-            (F.col("id1") == F.col("id2")) & (F.col("name1") == F.col("name2")),
-            "full_outer",
-        )
-        change = (
-            F.when(F.col("id1").isNull(), F.lit("insert"))
-            .when(F.col("id2").isNull(), F.lit("delete"))
-            .otherwise(F.lit("update"))
-        )
-        return j.select(
-            F.coalesce("id1", "id2").alias("id"),
-            F.coalesce("name1", "name2").alias("name"),
-            change.alias("change_type"),
-            "old_value",
-            "new_value",
-            "old_time",
-            "new_time",
-        ).where(
-            F.col("id1").isNull()
-            | F.col("id2").isNull()
-            | (F.col("old_value") != F.col("new_value"))
-            | (F.col("old_time") != F.col("new_time"))
+        return mvcc_changefeed(
+            current_snapshot(spark, snap, live_only=True, version=1),
+            current_snapshot(spark, snap, live_only=True, version=2),
         )
 
 
 _register_diff()
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL CONSUMER: the changefeed as a sufficient delta source
+# ---------------------------------------------------------------------------
+# q_mvcc_changefeed produces the diff; this closes the CDC loop
+# end-to-end on the real upsert kernel (round-13 verdict #4): a
+# downstream per-name aggregate view is refreshed from v1 to v2 using
+# ONLY the feed's rows — insert adds the new payload, delete retracts
+# the old, update retracts-then-adds — and the refreshed view must
+# hash-match the oracle's FULL RECOMPUTE over the replayed v2. This is
+# diff ∘ merge = identity on decomposable aggregates: the incremental
+# consumer (a feature store, a dashboard, a replication target)
+# processes |changed keys| rows, never re-reading the snapshot.
+
+
+def refresh_agg_from_changefeed(
+    v1_live: DataFrame, feed: DataFrame
+) -> DataFrame:
+    """Apply a change data feed to a per-name (COUNT, SUM) aggregate of
+    the OLD snapshot: the additive retract/add merge every decomposable
+    aggregate supports. Sums ride decimal(18,6) so the merge is
+    order-independent (the q_incr_agg discipline)."""
+    dec = "decimal(18,6)"
+    zero = F.lit(0).cast(dec)
+    base = v1_live.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("value").cast(dec)).alias("sum_dec"),
+    )
+    adj = feed.groupBy("name").agg(
+        F.sum(
+            F.when(F.col("change_type") == "insert", F.lit(1))
+            .when(F.col("change_type") == "delete", F.lit(-1))
+            .otherwise(F.lit(0))
+        ).alias("dn"),
+        F.sum(
+            F.coalesce(F.col("new_value").cast(dec), zero)
+            - F.coalesce(F.col("old_value").cast(dec), zero)
+        ).alias("dsum"),
+    )
+    b, a = base.alias("b"), adj.alias("a")
+    merged = b.join(a, F.col("b.name") == F.col("a.name"), "full_outer")
+    return (
+        merged.select(
+            F.coalesce("b.name", "a.name").alias("name"),
+            (
+                F.coalesce("b.n_keys", F.lit(0))
+                + F.coalesce("a.dn", F.lit(0))
+            ).alias("n_keys"),
+            (
+                F.coalesce("b.sum_dec", zero) + F.coalesce("a.dsum", zero)
+            )
+            .cast(dec)
+            .alias("sum_dec"),
+        )
+        .where(F.col("n_keys") > 0)
+        .select(
+            "name",
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def _register_changefeed_refresh() -> None:
+    from dynamodb_streaming_datalake_spark.registry import query
+
+    _RANKED = """
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY id, name
+            ORDER BY event_time_s DESC, eventID DESC) AS rn
+        FROM {src}
+    """
+
+    @query(
+        "q_changefeed_refresh",
+        oracle=f"""
+        WITH src AS (
+            SELECT CAST(user_id AS VARCHAR) AS id,
+                   event_type AS name,
+                   value,
+                   CASE WHEN event_id % 10 = 0 THEN 'REMOVE'
+                        WHEN event_id % 2 = 0 THEN 'INSERT'
+                        ELSE 'MODIFY' END AS Event,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS event_time_s,
+                   'ev-' || lpad(CAST(event_id AS VARCHAR), 10, '0')
+                     AS eventID
+            FROM events
+            WHERE ts < TIMESTAMP '2024-01-03'
+        ),
+        v2 AS (SELECT id, name, value
+               FROM ({_RANKED.format(src='src')})
+               WHERE rn = 1 AND Event <> 'REMOVE')
+        SELECT name,
+               COUNT(*) AS n_keys,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_value
+        FROM v2 GROUP BY name
+        """,
+    )
+    def q_changefeed_refresh(spark, sf_dir):
+        """The changefeed's incremental CONSUMER, closing the CDC loop
+        on the real upsert kernel: a per-name (COUNT, SUM) view is
+        aggregated from snapshot v=1, then refreshed to v=2 using ONLY
+        q_mvcc_changefeed's rows (insert adds, delete retracts, update
+        retracts-then-adds). The oracle is the FULL RECOMPUTE over the
+        replayed v=2 — hash-equality proves the feed is a sufficient
+        delta source (diff ∘ merge = identity), so downstream views
+        can refresh from |changed keys| rows instead of re-reading the
+        snapshot. A feed that dropped a delete, double-counted an
+        update, or resurrected a tombstoned key diverges here even if
+        the feed's own rows look plausible.
+
+        Scale: the refresh is O(|view| + |feed|) — one key-partitioned
+        merge join against a feed bounded by changed keys; with the
+        view bucketed by name it is shuffle-free. The snapshot is
+        never rescanned."""
+        import os
+
+        path = _ensure_mvcc_snapshots(spark, sf_dir)
+        snap = os.path.join(path, "snapshot")
+        v1 = current_snapshot(spark, snap, live_only=True, version=1)
+        v2 = current_snapshot(spark, snap, live_only=True, version=2)
+        return refresh_agg_from_changefeed(v1, mvcc_changefeed(v1, v2))
+
+
+_register_changefeed_refresh()

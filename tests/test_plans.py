@@ -244,6 +244,47 @@ def test_adaptive_salted_join_sizes_salts_from_measured_skew(spark, sf_oracle):
     assert n3 == 16
 
 
+def test_adaptive_salted_agg_sizes_salts_from_measured_skew(spark, sf_oracle):
+    """Round-14 operator (r13 verdict #5): the aggregation twin of the
+    adaptive join — n_salts from the MEASURED hottest key's row count,
+    1 (plain one-phase COUNT(DISTINCT), zero extra shuffle) on uniform
+    keys, ceil(hot/target) on a skewed one, capped at max_salts — and
+    the per-key (n_distinct, n_rows) must equal the one-phase answer
+    either way (the registered query's oracle is the one-phase
+    aggregate; this pins the mechanism at controlled skew levels)."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.operators.skew import (
+        adaptive_salted_agg,
+    )
+
+    o = read_table(spark, sf_oracle, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    # uniform: every key appears once -> measured max 1 -> plain path
+    uni = o.select(F.col("o_orderkey").alias("k"), F.col("o_orderdate").alias("item"))
+    a, n = adaptive_salted_agg(uni, ["k"], "item", target_rows=50)
+    assert n == 1
+    # skewed: one key owns 130 rows -> ceil(130/50) = 3 salts
+    skewed = uni.withColumn(
+        "k", F.when(F.col("k") <= 130, F.lit(1)).otherwise(F.col("k"))
+    )
+    a2, n2 = adaptive_salted_agg(skewed, ["k"], "item", target_rows=50)
+    assert n2 == 3
+    plain = skewed.groupBy("k").agg(
+        F.countDistinct("item").cast("bigint").alias("n_distinct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    assert sorted(map(tuple, a2.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # cap honored
+    _, n3 = adaptive_salted_agg(
+        skewed, ["k"], "item", target_rows=1, max_salts=16
+    )
+    assert n3 == 16
+
+
 def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
     """Plan hygiene across the ENTIRE registry: no CartesianProduct or
     BroadcastNestedLoopJoin in any query's plan, except the whitelisted
