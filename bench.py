@@ -71,6 +71,14 @@ SF1_FLAGSHIPS = (
     "q_bootstrap_ci",
     "q_embedding_outliers",
     "q_bitext_mine",
+    # round 14 (round-13 VERDICT #7): the r13 shapes with no recorded
+    # 10x-data ratio — the DP exponential mechanism's domain-grid
+    # aggregate, the MVCC version diff, probe-scored importance
+    # resampling, and the K-models-in-one-aggregate grouped regression
+    "q_dp_quantile",
+    "q_mvcc_changefeed",
+    "q_quality_resample",
+    "q_grouped_regression",
 )
 
 
@@ -174,6 +182,10 @@ def main() -> None:
                         "q_ann_ivfpq",
                         "q_ann_serve_pq",
                         "q_ann_index_stream",
+                        # pays a one-time cached MVCC-view build on the
+                        # first sf1 shot — medians keep that out of the
+                        # recorded steady-state ratio
+                        "q_mvcc_changefeed",
                     )
                     else 1
                 )

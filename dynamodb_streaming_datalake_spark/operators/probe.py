@@ -949,3 +949,334 @@ def q_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cum_wgap").over(wall) / F.col("n_total"), 6
         ).alias("ece"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-feature probe: GENERATED cofactor solve (round-13 VERDICT #6)
+# ---------------------------------------------------------------------------
+# q_linear_probe's 3x3 Cramer expressions are hand-written; scaling the
+# probe past two features by hand would be both error-prone and
+# unreviewable. Instead the (K+1)x(K+1) closed-form solve is GENERATED:
+# one recursive first-row cofactor expansion produces the determinant
+# as an operand tree, and the SAME generator runs over Spark Columns
+# (the plan), a parenthesizing SQL string builder (the DuckDB oracle),
+# and plain Python floats (the numpy parity tests) — so all three
+# engines evaluate one identical expression shape and the fitted
+# doubles are bit-identical by construction, exactly the 3x3 probe's
+# portability contract at any K.
+
+
+def _det_expr(m):
+    """First-row cofactor expansion of an n x n matrix of operands,
+    generated recursively with a FIXED association order
+    (((t0 - t1) + t2) - t3 ...). Operand-polymorphic: anything
+    supporting ``*``, ``+``, ``-`` — Spark Columns, floats, or
+    :class:`_SqlOp` — yields the same tree."""
+    n = len(m)
+    if n == 1:
+        return m[0][0]
+    acc = None
+    for j in range(n):
+        minor = [[row[k] for k in range(n) if k != j] for row in m[1:]]
+        term = m[0][j] * _det_expr(minor)
+        if acc is None:
+            acc = term
+        elif j % 2:
+            acc = acc - term
+        else:
+            acc = acc + term
+    return acc
+
+
+def _cramer_n(a, b):
+    """Generic Cramer solve of ``A w = b`` with :func:`_det_expr`
+    determinants: returns the list ``[w_1 .. w_n]`` where column i of
+    A is replaced by b in the i-th numerator. Operand-polymorphic like
+    the det generator (requires ``/`` as well)."""
+    n = len(b)
+    det = _det_expr(a)
+    out = []
+    for i in range(n):
+        ai = [
+            [(b[r] if c == i else a[r][c]) for c in range(n)]
+            for r in range(n)
+        ]
+        out.append(_det_expr(ai) / det)
+    return out
+
+
+class _SqlOp:
+    """Fully parenthesized SQL arithmetic builder: every op emits
+    explicit parens, so the tree DuckDB parses is exactly the operand
+    tree Python built — the identical tree the Spark Column overloads
+    build from the same generator calls."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, s):
+        self.s = str(s)
+
+    def __mul__(self, o):
+        return _SqlOp(f"({self.s} * {o.s})")
+
+    def __add__(self, o):
+        return _SqlOp(f"({self.s} + {o.s})")
+
+    def __sub__(self, o):
+        return _SqlOp(f"({self.s} - {o.s})")
+
+    def __truediv__(self, o):
+        return _SqlOp(f"({self.s} / {o.s})")
+
+
+#: K-probe design matrix columns, intercept first. Features are exact
+#: row-local integers: word count, distinct words, char count, longest
+#: token — so every Gram entry is an exact BIGINT sum and the fit is
+#: engine-portable like the 2-feature probe's.
+KPROBE_COLS = ("one", "w", "dd", "ch", "mx")
+_KP = len(KPROBE_COLS)  # 5: intercept + 4 features
+
+
+def _kp_sname(i: int, j: int) -> str:
+    return f"s_{KPROBE_COLS[i]}_{KPROBE_COLS[j]}"
+
+
+def _kp_bname(i: int) -> str:
+    return f"b_{KPROBE_COLS[i]}"
+
+
+def kprobe_features(d: DataFrame) -> DataFrame:
+    """(source, one, w, dd, ch, mx, y) exact-integer rows — the
+    4-feature design matrix plus the English-ness label, all
+    row-local."""
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "source",
+        F.lit(1).cast("long").alias("one"),
+        F.size(toks).cast("long").alias("w"),
+        F.size(F.array_distinct(toks)).cast("long").alias("dd"),
+        F.col("n_chars").cast("long").alias("ch"),
+        F.array_max(F.transform(toks, lambda t: F.length(t)))
+        .cast("long")
+        .alias("mx"),
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+
+
+def kprobe_gram(feats: DataFrame) -> DataFrame:
+    """One map-side-combined aggregate to the full 5x5
+    Gram/moment row: 15 X'X sums (upper triangle) + 5 X'y sums, all
+    exact BIGINTs — still an integer monoid, so the K-probe streams
+    exactly like the 2-feature one would."""
+    aggs = []
+    for i in range(_KP):
+        for j in range(i, _KP):
+            aggs.append(
+                F.sum(F.col(KPROBE_COLS[i]) * F.col(KPROBE_COLS[j]))
+                .cast("long")
+                .alias(_kp_sname(i, j))
+            )
+        aggs.append(
+            F.sum(F.col(KPROBE_COLS[i]) * F.col("y"))
+            .cast("long")
+            .alias(_kp_bname(i))
+        )
+    return feats.agg(*aggs)
+
+
+def _kprobe_matrix(cell):
+    """Build the ridge normal-equation matrix A = X'X + lambda*I and
+    rhs b = X'y as operands, via a caller-supplied ``cell(name, diag)``
+    factory — shared by the Spark solve and the SQL twin so the two
+    matrices are the same generator output."""
+    a = [
+        [
+            cell(_kp_sname(min(i, j), max(i, j)), i == j)
+            for j in range(_KP)
+        ]
+        for i in range(_KP)
+    ]
+    b = [cell(_kp_bname(i), False) for i in range(_KP)]
+    return a, b
+
+
+def _kprobe_det_sqls() -> list[str]:
+    """The 1+K generated determinant strings (denominator first, then
+    the K+1 Cramer numerators) over the Gram column names — the SINGLE
+    source both engines parse: Spark consumes them via ``F.expr`` (one
+    parse instead of ~2000 py4j Column calls), DuckDB inside the
+    oracle CTE. Fully parenthesized, so both parsers build the same
+    tree and the solve stays bit-identical."""
+
+    def cell(name, diag):
+        base = f"CAST({name} AS DOUBLE)"
+        return _SqlOp(f"({base} + {PROBE_LAMBDA})" if diag else base)
+
+    a, b = _kprobe_matrix(cell)
+    out = [_det_expr(a).s]
+    for i in range(_KP):
+        ai = [
+            [(b[r] if c == i else a[r][c]) for c in range(_KP)]
+            for r in range(_KP)
+        ]
+        out.append(_det_expr(ai).s)
+    return out
+
+
+def kprobe_solve(g: DataFrame) -> DataFrame:
+    """Generated-Cramer solve of the (K+1)x(K+1) ridge system from the
+    1-row Gram frame: determinants stage through named columns (det,
+    det1..det5) so each is computed once; the weights are the staged
+    ratios."""
+    dets = _kprobe_det_sqls()
+    staged = g.select(
+        F.expr(dets[0]).alias("det"),
+        *[F.expr(dets[i + 1]).alias(f"det{i + 1}") for i in range(_KP)],
+    )
+    return staged.select(
+        *[
+            (F.col(f"det{i + 1}") / F.col("det")).alias(f"w{i + 1}")
+            for i in range(_KP)
+        ]
+    )
+
+
+def _kprobe_sql_ctes() -> str:
+    """The K-probe refit CTE chain (features -> Gram -> generated
+    Cramer), SQL twin of :func:`kprobe_features` +
+    :func:`kprobe_gram` + :func:`kprobe_solve` — determinant strings
+    come from the SAME :func:`_det_expr` generator over
+    :class:`_SqlOp` operands (via :func:`_kprobe_det_sqls`, the
+    strings Spark's ``F.expr`` parses too)."""
+    toks = "string_split(text, ' ')"
+    gram = []
+    for i in range(_KP):
+        for j in range(i, _KP):
+            gram.append(
+                f"CAST(SUM({KPROBE_COLS[i]} * {KPROBE_COLS[j]}) AS BIGINT)"
+                f" AS {_kp_sname(i, j)}"
+            )
+        gram.append(
+            f"CAST(SUM({KPROBE_COLS[i]} * y) AS BIGINT) AS {_kp_bname(i)}"
+        )
+
+    dets = _kprobe_det_sqls()
+    det_cols = [f"{dets[0]} AS det"] + [
+        f"{dets[i + 1]} AS det{i + 1}" for i in range(_KP)
+    ]
+    ws = ", ".join(
+        f"(det{i + 1} / det) AS w{i + 1}" for i in range(_KP)
+    )
+    return f"""
+    f AS (
+        SELECT source,
+               1 AS one,
+               len({toks}) AS w,
+               len(list_distinct({toks})) AS dd,
+               n_chars AS ch,
+               list_max(list_transform({toks}, t -> length(t))) AS mx,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    g AS (
+        SELECT {", ".join(gram)}
+        FROM f
+    ),
+    dets AS (
+        SELECT {", ".join(det_cols)}
+        FROM g
+    ),
+    c AS (
+        SELECT {ws} FROM dets
+    )
+    """
+
+
+#: q_linear_probe_k's oracle — the refit (generated solve included) is
+#: value-hash-gated end to end.
+SQL_LINEAR_PROBE_K = f"""
+    WITH {_kprobe_sql_ctes()},
+    scored AS (
+        SELECT f.source, f.w, f.dd, f.ch, f.mx, f.y,
+               (c.w1 + c.w2 * f.w + c.w3 * f.dd
+                + c.w4 * f.ch + c.w5 * f.mx) AS score,
+               c.w1 AS w1, c.w2 AS w2, c.w3 AS w3,
+               c.w4 AS w4, c.w5 AS w5
+        FROM f, c
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(max(w1)
+                 + max(w2) * (CAST(SUM(w) AS DOUBLE) / COUNT(*))
+                 + max(w3) * (CAST(SUM(dd) AS DOUBLE) / COUNT(*))
+                 + max(w4) * (CAST(SUM(ch) AS DOUBLE) / COUNT(*))
+                 + max(w5) * (CAST(SUM(mx) AS DOUBLE) / COUNT(*)), 6)
+               AS mean_score,
+           round(CAST(SUM(CASE WHEN (score >= 0.5) = (y = 1)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy,
+           round(max(w1), 6) AS w_intercept,
+           round(max(w2), 6) AS w_words,
+           round(max(w3), 6) AS w_distinct,
+           round(max(w4), 6) AS w_chars,
+           round(max(w5), 6) AS w_maxlen
+    FROM scored
+    GROUP BY source
+    """
+
+
+@query("q_linear_probe_k", oracle=SQL_LINEAR_PROBE_K)
+def q_linear_probe_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-feature closed-form ridge probe with a GENERATED Cramer solve:
+    the 5x5 normal-equation determinants come from one recursive
+    cofactor-expansion generator (`_det_expr`) evaluated over Spark
+    Columns here and over a parenthesizing SQL builder in the oracle —
+    the same generator, the same tree, bit-identical doubles, so
+    extending the probe past two features costs no hand-written
+    algebra and no portability risk. Features are exact row-local
+    integers (words, distinct words, chars, longest token); label is
+    English-ness; report is per-source mean score, train accuracy, and
+    the five learned weights. The oracle REFITS the identical probe —
+    training math value-hash-gated at K=4 exactly as at K=2.
+
+    Scale: identical shape to q_linear_probe — ONE map-side-combined
+    aggregate to 20 integer sums, an O(1) scalar solve inside the plan
+    (the generated 5x5 dets are ~320 arithmetic nodes each — trivial
+    for codegen), and a map-only scoring pass under a 1-row broadcast
+    cross. K grows the Gram row quadratically and the solve
+    exponentially in EXPRESSION SIZE only, never in data movement; at
+    K<=8 both stay negligible next to the scan."""
+    feats = kprobe_features(read_table(spark, sf_dir, "documents"))
+    coef = kprobe_solve(kprobe_gram(feats))
+    scored = feats.crossJoin(F.broadcast(coef)).withColumn(
+        "score",
+        F.col("w1")
+        + F.col("w2") * F.col("w")
+        + F.col("w3") * F.col("dd")
+        + F.col("w4") * F.col("ch")
+        + F.col("w5") * F.col("mx"),
+    )
+    acc_flag = F.when(
+        (F.col("score") >= 0.5) == (F.col("y") == 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    cnt = F.count(F.lit(1))
+    return scored.groupBy("source").agg(
+        cnt.cast("long").alias("n_docs"),
+        F.round(
+            F.max("w1")
+            + F.max("w2") * (F.sum("w").cast("double") / cnt)
+            + F.max("w3") * (F.sum("dd").cast("double") / cnt)
+            + F.max("w4") * (F.sum("ch").cast("double") / cnt)
+            + F.max("w5") * (F.sum("mx").cast("double") / cnt),
+            6,
+        ).alias("mean_score"),
+        F.round(F.sum(acc_flag).cast("double") / cnt, 6).alias("accuracy"),
+        F.round(F.max("w1"), 6).alias("w_intercept"),
+        F.round(F.max("w2"), 6).alias("w_words"),
+        F.round(F.max("w3"), 6).alias("w_distinct"),
+        F.round(F.max("w4"), 6).alias("w_chars"),
+        F.round(F.max("w5"), 6).alias("w_maxlen"),
+    )
