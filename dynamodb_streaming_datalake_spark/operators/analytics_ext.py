@@ -148,6 +148,94 @@ def q_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Interval-overlap join: interval x interval, bucket + residual
+# --------------------------------------------------------------------------
+# q_range_join_clicks joins a POINT into an interval band; the other
+# classic shape is interval x interval OVERLAP — sessions vs promo
+# windows, downtime vs job runs. A raw overlap theta join
+# (a_start <= b_end AND b_start <= a_end) plans as a nested loop; the
+# scale pattern is the same bucket trick: both interval sets carry a
+# coarse time-bucket key (here the day both derive from), the join is
+# a hash join on that key, and the exact overlap predicate runs as a
+# residual filter. Both interval sets are built per-day, so no
+# interval spans buckets and no dedup pass is needed — when intervals
+# may span buckets, explode them to every bucket they touch and
+# dedupe pairs, exactly like the purchase side above.
+
+
+@query(
+    "q_interval_join",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min(ts) AS a_start, max(ts) AS a_end
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               min(ts) AS b_start, max(ts) AS b_end
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT b.event_type, a.day,
+               (epoch_us(least(a.a_end, b.b_end))
+                - epoch_us(greatest(a.a_start, b.b_start))) AS ov_us
+        FROM a JOIN b
+          ON a.day = b.day
+         AND a.a_start <= b.b_end AND b.b_start <= a.a_end
+    )
+    SELECT event_type,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(ov_us) AS BIGINT) AS total_overlap_us
+    FROM p GROUP BY event_type
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each user's daily activity interval
+    [first ts, last ts] against each event type's daily activity
+    interval, matched where the intervals overlap, reporting per type
+    the days touched, overlapping (user, type) pairs, and the total
+    overlap duration in exact epoch microseconds. The overlap length
+    is integer microsecond arithmetic (least/greatest of exact
+    timestamps), so the sums are bit-identical across engines.
+
+    Scale: never a nested loop — the day is the equi key (Catalyst
+    plans a broadcast hash join on it; the type-day side is |types| x
+    |days| rows) and the overlap predicate is a residual filter on the
+    matched pairs. With intervals that span buckets the same plan adds
+    an explode-to-touched-buckets + pair dedup; with two corpus-sized
+    interval sets the hash join shuffles on the bucket key instead of
+    broadcasting — the shape survives both."""
+    e = read_table(spark, sf_dir, "events")
+    a = e.groupBy(
+        "user_id", F.to_date("ts").alias("a_day")
+    ).agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+    b = e.groupBy(
+        "event_type", F.to_date("ts").alias("b_day")
+    ).agg(F.min("ts").alias("b_start"), F.max("ts").alias("b_end"))
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    p = a.join(
+        F.broadcast(b),
+        (F.col("a_day") == F.col("b_day"))
+        & (F.col("a_start") <= F.col("b_end"))
+        & (F.col("b_start") <= F.col("a_end")),
+    ).select(
+        "event_type",
+        F.col("a_day").alias("day"),
+        (
+            us(F.least("a_end", "b_end"))
+            - us(F.greatest("a_start", "b_start"))
+        ).alias("ov_us"),
+    )
+    return p.groupBy("event_type").agg(
+        F.countDistinct("day").cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("ov_us").cast("long").alias("total_overlap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Pivot: cohort x event_type activity matrix
 # --------------------------------------------------------------------------
 @query(

@@ -952,6 +952,118 @@ def q_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# probe ROC-AUC: exact Mann-Whitney rank statistic
+# ---------------------------------------------------------------------------
+# Accuracy (q_linear_probe) and calibration (q_probe_calibration) grade
+# the probe at ONE threshold / on the score scale; AUC grades its
+# RANKING — the number that decides whether the probe can drive a
+# keep-fraction sweep at all. Computed as the Mann-Whitney U statistic
+# with midranks for ties, entirely from integer sums: group rows by
+# exact score, cumulative group counts give each tie-group's midrank
+# (x2 to stay integral), and AUC = (R_pos - n_pos(n_pos+1)/2) /
+# (n_pos * n_neg) folds from those exact integers — bit-identical
+# across engines because the scores themselves are (same refit, same
+# expression tree).
+
+
+@query(
+    "q_probe_auc",
+    oracle=f"""
+    WITH {SQL_PROBE_CTES},
+    scored AS (
+        SELECT f.source, f.y,
+               (c.w1 + c.w2 * f.w + c.w3 * f.dd) AS s
+        FROM f, c
+    ),
+    tie_groups AS (
+        SELECT source, s,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS np
+        FROM scored GROUP BY source, s
+    ),
+    ranked AS (
+        SELECT source, n, np,
+               COALESCE(SUM(n) OVER (
+                   PARTITION BY source ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM tie_groups
+    ),
+    folded AS (
+        SELECT source,
+               CAST(SUM(np) AS BIGINT) AS n_pos,
+               CAST(SUM(n - np) AS BIGINT) AS n_neg,
+               CAST(SUM(np * (2 * cum_before + n + 1)) AS BIGINT)
+                 AS two_rpos
+        FROM ranked GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           round((CAST(two_rpos AS DOUBLE) / 2.0
+                  - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
+                 / NULLIF(CAST(n_pos AS DOUBLE) * n_neg, 0.0), 6) AS auc
+    FROM folded
+    """,
+)
+def q_probe_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC-AUC of the quality probe's ranking, computed as
+    the exact Mann-Whitney rank statistic: rows group by exact score
+    (the refit's bit-identical doubles), cumulative tie-group counts
+    give each group's midrank doubled to stay integral, and
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg) folds from exact
+    BIGINT sums — no sampled thresholds, no trapezoid approximation,
+    ties handled by midranks exactly as scipy would. A source whose
+    AUC sits near 0.5 is one the probe cannot rank, no matter where
+    the threshold lands.
+
+    Scale: one groupBy to |distinct scores| rows per source, a
+    source-partitioned running window over THOSE group rows (tie
+    groups, not documents — bounded by the feature grid, not the
+    corpus), and a per-source fold. The corpus is touched exactly
+    twice: the refit aggregate and the score-group aggregate."""
+    from pyspark.sql import Window
+
+    feats = probe_features(read_table(spark, sf_dir, "documents"))
+    coef = probe_solve(probe_gram(feats))
+    scored = feats.crossJoin(F.broadcast(coef)).select(
+        "source",
+        "y",
+        (F.col("w1") + F.col("w2") * F.col("w") + F.col("w3") * F.col("dd"))
+        .alias("s"),
+    )
+    g = scored.groupBy("source", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("np"),
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "source",
+        "n",
+        "np",
+        F.coalesce(F.sum("n").over(wcum), F.lit(0)).alias("cum_before"),
+    )
+    agg = r.groupBy("source").agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum(F.col("n") - F.col("np")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("np") * (2 * F.col("cum_before") + F.col("n") + 1)
+        )
+        .cast("long")
+        .alias("two_rpos"),
+    )
+    auc = (
+        F.col("two_rpos").cast("double") / 2.0
+        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2.0
+    ) / F.nullif(F.col("n_pos").cast("double") * F.col("n_neg"), F.lit(0.0))
+    return agg.select(
+        "source", "n_pos", "n_neg", F.round(auc, 6).alias("auc")
+    )
+
+
+# ---------------------------------------------------------------------------
 # K-feature probe: GENERATED cofactor solve (round-13 VERDICT #6)
 # ---------------------------------------------------------------------------
 # q_linear_probe's 3x3 Cramer expressions are hand-written; scaling the

@@ -807,3 +807,110 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_neyman_allocation, NEYMAN_BUDGET=NEYMAN_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# systematic PPS sampling: exact-integer selection, distributed cumsum
+# ---------------------------------------------------------------------------
+# Weighted sampling the reproducible way: Bernoulli coins
+# (q_quality_resample) give a BINOMIAL sample size; training-mix
+# planners usually want a FIXED draw count with inclusion probability
+# proportional to size (PPS) — pick K equally spaced points on the
+# cumulative-weight axis and take the document each point lands in.
+# With integer weights the whole selection is integer arithmetic
+# (multiplicity_i = floor(cum_i*K/W) - floor(cum_before_i*K/W)), so
+# the sample is bit-reproducible on any engine — no RNG, no floats.
+# The cumulative sum itself is the piece that matters at scale: a
+# global window is a single-partition sort, so it is computed
+# HIERARCHICALLY — per-bucket totals, a running offset over the small
+# bucket frame, and within-bucket windows that run in parallel.
+
+#: fixed draw count (points on the cumulative-weight axis)
+PPS_K = 200
+#: docs per cumsum bucket — sized so the bucket-totals frame is tiny
+#: relative to the corpus (one more recursion level covers any scale)
+PPS_BUCKET = 1024
+
+
+@query(
+    "q_pps_sample",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, w,
+               SUM(w) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(w) OVER () AS tot
+        FROM f
+    )
+    SELECT doc_id, source,
+           CAST(w AS BIGINT) AS weight,
+           CAST(((cum * {PPS_K}) // tot)
+                - (((cum - w) * {PPS_K}) // tot) AS BIGINT)
+             AS multiplicity
+    FROM c
+    WHERE ((cum * {PPS_K}) // tot)
+          - (((cum - w) * {PPS_K}) // tot) > 0
+    """,
+)
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sample of {PPS_K}
+    draws, weights = token counts: documents line up on the cumulative
+    weight axis in doc_id order and every doc containing one of the
+    {PPS_K} equally spaced selection points is emitted with its
+    multiplicity — floor(cum*K/W) - floor(cum_before*K/W), exact
+    integer division in both engines (both truncate toward zero), so
+    the sample is deterministic and bit-identical with NO random
+    number anywhere. A doc heavier than W/K draws multiplicity > 1,
+    exactly as PPS theory says it must.
+
+    Scale: the cumulative sum is hierarchical, not a global window —
+    per-bucket totals ({PPS_BUCKET} docs/bucket, one map-side
+    aggregate), a running offset over the SMALL bucket frame, then
+    within-bucket running sums that parallelize across buckets (the
+    classic two-level scan; a third level covers any corpus). The
+    bucket-offset frame is |docs|/{PPS_BUCKET} rows — broadcastable
+    until the corpus outgrows two levels."""
+    f = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("w"),
+    )
+    b = f.withColumn("bucket", F.expr(f"doc_id div {PPS_BUCKET}"))
+    bt = b.groupBy("bucket").agg(F.sum("w").alias("bw"))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = bt.select(
+        "bucket",
+        F.coalesce(F.sum("bw").over(woff), F.lit(0)).alias("off"),
+    )
+    tot = bt.agg(F.sum("bw").alias("tot"))
+    wdoc = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = b.join(F.broadcast(offs), "bucket").withColumn(
+        "cum", F.col("off") + F.sum("w").over(wdoc)
+    )
+    sel = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "multiplicity",
+        F.expr(
+            f"((cum * {PPS_K}) div tot)"
+            f" - (((cum - w) * {PPS_K}) div tot)"
+        ),
+    )
+    return sel.where(F.col("multiplicity") > 0).select(
+        "doc_id",
+        "source",
+        F.col("w").alias("weight"),
+        F.col("multiplicity").cast("long").alias("multiplicity"),
+    )
+
+
+_fmt(q_pps_sample, PPS_K=PPS_K, PPS_BUCKET=PPS_BUCKET)

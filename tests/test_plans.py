@@ -460,3 +460,24 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_oracle):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_interval_join_is_hash_join_with_residual(spark, sf_oracle):
+    """q_interval_join's interval-overlap theta join must execute as a
+    broadcast HASH join on the day bucket with the overlap predicate
+    as a residual condition — never a nested loop (the registry-wide
+    BNLJ test guards the same, this pins the positive shape)."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    plan = (
+        all_queries()["q_interval_join"](spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # the residual overlap predicate rides ON the hash join
+    join_line = next(
+        ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln
+    )
+    assert "a_start" in join_line and "b_end" in join_line, join_line

@@ -347,3 +347,42 @@ def test_kprobe_fit_matches_numpy_ridge(spark, sf_smoke):
     assert np.allclose(
         [got[f"w{i + 1}"] for i in range(5)], want, rtol=1e-5, atol=1e-8
     ), (list(got), want)
+
+
+def test_probe_auc_equals_pairwise_definition(spark, sf_smoke):
+    """The rank-statistic AUC IS the pairwise probability: for every
+    source, q_probe_auc's midrank fold equals the direct
+    P(s_pos > s_neg) + 0.5*P(s_pos = s_neg) over all (pos, neg)
+    pairs computed by brute force on the same scores."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.operators.probe import (
+        probe_features,
+        probe_gram,
+        probe_solve,
+    )
+
+    got = {
+        r["source"]: r
+        for r in all_queries()["q_probe_auc"](spark, sf_smoke).collect()
+    }
+    feats = probe_features(read_table(spark, sf_smoke, "documents"))
+    coef = probe_solve(probe_gram(feats)).collect()[0]
+    by_src: dict = {}
+    for r in feats.collect():
+        s = coef["w1"] + coef["w2"] * r["w"] + coef["w3"] * r["dd"]
+        by_src.setdefault(r["source"], []).append((s, r["y"]))
+    for src, rows in by_src.items():
+        pos = [s for s, y in rows if y == 1]
+        neg = [s for s, y in rows if y == 0]
+        g = got[src]
+        assert g["n_pos"] == len(pos) and g["n_neg"] == len(neg)
+        if not pos or not neg:
+            assert g["auc"] is None
+            continue
+        wins = sum(
+            1.0 if p > q else (0.5 if p == q else 0.0)
+            for p in pos
+            for q in neg
+        )
+        want = wins / (len(pos) * len(neg))
+        assert g["auc"] == pytest.approx(want, abs=1e-6), (src, g, want)

@@ -759,3 +759,46 @@ def test_pack_nextfit_invariants_and_python_replay(spark, sf_smoke):
             )
         )
         assert abs(r["utilization"] - want_util) < 1e-9
+
+
+def test_pps_sample_hierarchical_cumsum_and_semantics(spark, sf_smoke):
+    """q_pps_sample: (a) the two-level cumulative sum equals the plain
+    global prefix sum; (b) exactly PPS_K total draws come out; (c)
+    every multiplicity matches the floor-difference definition; (d)
+    any doc heavier than W/K is guaranteed selected (the PPS
+    property)."""
+    from dynamodb_streaming_datalake_spark.operators.sampling import (
+        PPS_K,
+    )
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r["doc_id"]: r
+        for r in all_queries()["q_pps_sample"](spark, sf_smoke).collect()
+    }
+    docs = sorted(
+        (r["doc_id"], len(r["text"].split(" ")))
+        for r in read_table(spark, sf_smoke, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    total = sum(w for _, w in docs)
+    cum = 0
+    n_draws = 0
+    for doc_id, w in docs:
+        before = cum
+        cum += w
+        m = (cum * PPS_K) // total - (before * PPS_K) // total
+        n_draws += m
+        if m > 0:
+            assert doc_id in got, doc_id
+            assert got[doc_id]["multiplicity"] == m, (doc_id, m)
+            assert got[doc_id]["weight"] == w
+        else:
+            assert doc_id not in got, doc_id
+        if w * PPS_K > total:
+            assert m > 0  # heavier than W/K can never be skipped
+    assert n_draws == PPS_K
+    assert sum(r["multiplicity"] for r in got.values()) == PPS_K
