@@ -363,6 +363,9 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_cluster_purity",  # broadcast SIL_K centroids + 1-row stat crosses
         "q_feature_hashing",  # broadcast FH_NQ query panel x corpus vectors
         "q_linear_probe",  # 1-row Gram-solve coefficient frame crossed
+        "q_linear_probe_k",  # same 1-row cross, generated 5x5 solve
+        "q_probe_auc",  # same 1-row coefficient cross, rank scorer
+        "q_pps_sample",  # 1-row total-weight frame crossed into the scan
         "q_probe_stream",  # same 1-row coefficient cross, streamed Gram
         "q_quality_resample",  # same 1-row coefficient cross, resampler
         "q_probe_calibration",  # same 1-row coefficient cross, audit
