@@ -557,3 +557,96 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# partial-update merge: last NON-NULL wins per column
+# ---------------------------------------------------------------------------
+# q_latest_state_per_key materializes the latest FULL row per key —
+# correct for DynamoDB's change stream, whose MODIFY events carry the
+# complete NewImage (resources/firehose_transformation.py:8 reads the
+# whole image). Many CDC sources (Debezium partial updates, Kafka
+# compacted patch topics, mobile client syncs) instead emit SPARSE
+# updates: each record carries only the attributes that changed, NULL
+# elsewhere. Folding that state needs a different merge: per key and PER
+# COLUMN, the value from the highest-LSN record where that column is
+# present. Still one aggregate — max_by under a FILTER per column —
+# so map-side partials shrink every partition to one candidate per
+# (key, column) and the shuffle carries state-sized, not log-sized,
+# data: exactly how a patch-stream compactor must behave at 100 TB.
+
+
+@query(
+    "q_partial_update_merge",
+    oracle="""
+    WITH feed AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_id % 3 <> 0
+                    THEN 'd' || CAST(event_id % 5 AS VARCHAR) END AS device,
+               CASE WHEN event_id % 4 = 1 THEN event_type END AS plan,
+               CASE WHEN CAST(floor(value * 100) AS BIGINT) % 2 = 0
+                    THEN CAST(floor(value * 100) AS BIGINT) END AS score
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_updates,
+           arg_max(device, event_id)
+               FILTER (WHERE device IS NOT NULL) AS last_device,
+           CAST(COUNT(device) AS BIGINT) AS n_device_updates,
+           arg_max(plan, event_id)
+               FILTER (WHERE plan IS NOT NULL) AS last_plan,
+           CAST(COUNT(plan) AS BIGINT) AS n_plan_updates,
+           arg_max(score, event_id)
+               FILTER (WHERE score IS NOT NULL) AS last_score,
+           CAST(COUNT(score) AS BIGINT) AS n_score_updates
+    FROM feed
+    GROUP BY user_id
+    """,
+)
+def q_partial_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update (patch-stream) state merge: the event log is
+    recast as a sparse CDC feed — LSN = event_id, each record carrying
+    only a deterministic subset of three attributes (device on 2/3 of
+    records, plan on 1/4, score when the cent value is even) — and the
+    folded state takes, per key and PER COLUMN, the value from the
+    highest-LSN record where that column is present (last non-null
+    wins), plus per-column update counts. This is the merge semantic
+    full-row latest-state (q_latest_state_per_key) cannot express:
+    three different records may each contribute one surviving column.
+
+    Scale: one groupBy(user_id) with per-column `max_by ... FILTER
+    (WHERE col IS NOT NULL)` — partial aggregation keeps one candidate
+    per (key, column) per partition map-side, so the shuffle carries
+    O(|keys|) state rather than O(|log|) records; appending a new
+    batch re-folds only the delta (the same monoid shape q_incr_agg
+    exploits)."""
+    e = read_table(spark, sf_dir, "events")
+    ev = F.col("event_id")
+    feed = e.select(
+        "user_id",
+        "event_id",
+        F.when(
+            ev % 3 != 0,
+            F.concat(F.lit("d"), (ev % 5).cast("string")),
+        ).alias("device"),
+        F.when(ev % 4 == 1, F.col("event_type")).alias("plan"),
+        F.when(
+            F.floor(F.col("value") * 100).cast("long") % 2 == 0,
+            F.floor(F.col("value") * 100).cast("long"),
+        ).alias("score"),
+    )
+    return feed.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_updates"),
+        F.expr(
+            "max_by(device, event_id) FILTER (WHERE device IS NOT NULL)"
+        ).alias("last_device"),
+        F.count("device").cast("long").alias("n_device_updates"),
+        F.expr(
+            "max_by(plan, event_id) FILTER (WHERE plan IS NOT NULL)"
+        ).alias("last_plan"),
+        F.count("plan").cast("long").alias("n_plan_updates"),
+        F.expr(
+            "max_by(score, event_id) FILTER (WHERE score IS NOT NULL)"
+        ).alias("last_score"),
+        F.count("score").cast("long").alias("n_score_updates"),
+    )

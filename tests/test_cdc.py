@@ -254,3 +254,43 @@ def test_snapshot_diff_replays_to_new_snapshot(spark, sf_smoke):
     a = {(r["o_orderkey"], r["price"]) for r in replayed.collect()}
     b = {(r["o_orderkey"], r["price"]) for r in new.collect()}
     assert a == b
+
+
+def test_partial_update_merge_is_per_column_not_per_row(spark):
+    """The patch-stream merge takes each column from a DIFFERENT
+    record when the sparsity pattern says to: build a tiny feed where
+    the highest-LSN record carries only `device`, an earlier one only
+    `plan` — the folded row must combine both, which full-row latest
+    state cannot produce."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (user, lsn, device, plan)
+        (1, 10, "d-old", None),
+        (1, 20, None, "pro"),
+        (1, 30, "d-new", None),
+        (2, 5, None, None),
+        (2, 6, "x", "basic"),
+    ]
+    feed = spark.createDataFrame(
+        rows, "user_id int, event_id int, device string, plan string"
+    )
+    got = {
+        r["user_id"]: r
+        for r in feed.groupBy("user_id")
+        .agg(
+            F.expr(
+                "max_by(device, event_id)"
+                " FILTER (WHERE device IS NOT NULL)"
+            ).alias("last_device"),
+            F.expr(
+                "max_by(plan, event_id) FILTER (WHERE plan IS NOT NULL)"
+            ).alias("last_plan"),
+        )
+        .collect()
+    }
+    # device from LSN 30, plan from LSN 20 — two different records
+    assert got[1]["last_device"] == "d-new"
+    assert got[1]["last_plan"] == "pro"
+    # all-null record contributes nothing; a present pair survives
+    assert got[2]["last_device"] == "x" and got[2]["last_plan"] == "basic"
