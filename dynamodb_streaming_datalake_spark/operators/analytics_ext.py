@@ -2574,3 +2574,121 @@ def _register_mix_drift() -> None:
 
 
 _register_mix_drift()
+
+
+# --------------------------------------------------------------------------
+# exact quantiles in two passes: histogram -> bucket refine
+# --------------------------------------------------------------------------
+# q_value_percentiles buffers each group's values (its docstring says
+# so) and the sketch family (KLL) is approximate. The classic exact
+# algorithm at lake scale is TWO bounded passes: pass 1 histograms the
+# column into coarse buckets and locates, per target rank, the bucket
+# containing it (a driver-bounded artifact, |buckets| rows — the
+# skew-diagnose pattern); pass 2 scans ONLY those buckets and ranks
+# within them. No executor ever buffers more than a bucket, no sort is
+# global, and the answer is the exact k-th smallest — not an estimate.
+
+#: target quantiles (lower-rank convention: rank = max(1, ceil(q*n)))
+EXQ_QS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "q_exact_quantile_twopass",
+    oracle=f"""
+    WITH v AS (
+        SELECT value, CAST(floor(value) AS BIGINT) AS b FROM events
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+    tgt AS (
+        SELECT qs.q,
+               GREATEST(1, CAST(ceil(qs.q * n.n) AS BIGINT)) AS target_rank,
+               n.n AS n_total
+        FROM qs, n
+    ),
+    h AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY b),
+    hc AS (
+        SELECT b, cnt,
+               COALESCE(SUM(cnt) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM h
+    ),
+    pick AS (
+        SELECT t.q, t.target_rank, t.n_total, hc.b, hc.cum_before
+        FROM tgt t JOIN hc
+          ON t.target_rank > hc.cum_before
+         AND t.target_rank <= hc.cum_before + hc.cnt
+    ),
+    r2 AS (
+        SELECT b, value,
+               ROW_NUMBER() OVER (PARTITION BY b ORDER BY value) AS rn
+        FROM v WHERE b IN (SELECT b FROM pick)
+    )
+    SELECT p.q, p.target_rank, p.n_total,
+           p.b AS bucket,
+           round(r2.value, 6) AS quantile_value
+    FROM pick p
+    JOIN r2 ON r2.b = p.b AND r2.rn = (p.target_rank - p.cum_before)
+    """,
+)
+def q_exact_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of events.value in two bounded passes: pass 1
+    histograms the column into unit buckets and finds, per target rank
+    (max(1, ceil(q*n)), the k-th-smallest convention), the bucket
+    holding it — the histogram is a driver-bounded artifact of
+    |buckets| rows, the same AQE-statistic shape as skew diagnosis;
+    pass 2 scans only the picked buckets and row-numbers WITHIN each
+    bucket to the exact element. No global sort, no per-group value
+    buffering, no estimate: the value returned is the true k-th
+    smallest, and the oracle recomputes the identical two-phase
+    selection.
+
+    Scale: pass 1 is one map-side-combined groupBy to |buckets| rows;
+    pass 2 filters to <= {EXQ_QS} buckets (pushed to the scan) and
+    sorts only bucket-sized partitions. A pathological bucket holding
+    most of the mass recurses the same way — re-histogram inside the
+    bucket at finer width; each level divides the candidate set by
+    the bucket fan-out."""
+    import math
+
+    e = read_table(spark, sf_dir, "events").select(
+        "value", F.floor("value").cast("long").alias("b")
+    )
+    hist = sorted(
+        (r["b"], r["cnt"])
+        for r in e.groupBy("b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    n = sum(c for _, c in hist)
+    targets = []
+    for q in EXQ_QS:
+        target_rank = max(1, math.ceil(q * n))
+        cum_before = 0
+        for b, cnt in hist:
+            if target_rank <= cum_before + cnt:
+                targets.append((q, target_rank, n, b, cum_before))
+                break
+            cum_before += cnt
+    tgt = spark.createDataFrame(
+        targets,
+        "q double, target_rank long, n_total long, b long, cum_before long",
+    )
+    sub = e.where(F.col("b").isin([t[3] for t in targets]))
+    r2 = sub.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("b").orderBy("value")),
+    )
+    return (
+        r2.join(F.broadcast(tgt), "b")
+        .where(F.col("rn") == F.col("target_rank") - F.col("cum_before"))
+        .select(
+            "q",
+            "target_rank",
+            "n_total",
+            F.col("b").alias("bucket"),
+            F.round("value", 6).alias("quantile_value"),
+        )
+    )
+
+
+_fmt(q_exact_quantile_twopass, EXQ_QS=len(EXQ_QS))

@@ -802,3 +802,36 @@ def test_pps_sample_hierarchical_cumsum_and_semantics(spark, sf_smoke):
             assert m > 0  # heavier than W/K can never be skipped
     assert n_draws == PPS_K
     assert sum(r["multiplicity"] for r in got.values()) == PPS_K
+
+
+def test_exact_quantile_twopass_equals_global_sort(spark, sf_smoke):
+    """The two-pass bucket-refine selection returns exactly the k-th
+    smallest element a naive global sort would: compare every reported
+    quantile against the sorted value list at the same rank."""
+    import math
+
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        EXQ_QS,
+    )
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    got = {
+        r["q"]: r
+        for r in all_queries()["q_exact_quantile_twopass"](
+            spark, sf_smoke
+        ).collect()
+    }
+    vals = sorted(
+        r["value"]
+        for r in read_table(spark, sf_smoke, "events")
+        .select("value")
+        .collect()
+    )
+    n = len(vals)
+    assert len(got) == len(EXQ_QS)
+    for q in EXQ_QS:
+        rank = max(1, math.ceil(q * n))
+        g = got[q]
+        assert g["n_total"] == n and g["target_rank"] == rank
+        assert g["quantile_value"] == round(vals[rank - 1], 6), (q, g)
