@@ -1392,3 +1392,220 @@ def q_linear_probe_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("w4"), 6).alias("w_chars"),
         F.round(F.max("w5"), 6).alias("w_maxlen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped K-feature regression: the generated solve, vectorized per group
+# ---------------------------------------------------------------------------
+# q_grouped_regression proves K models train in ONE grouped aggregate
+# at 2 features (hand-written 3x3 Cramer); q_linear_probe_k proves the
+# GENERATED solve at 4 features globally. This closes the square: the
+# generated (K+1)x(K+1) determinants are plain scalar expressions, so
+# applying them to EVERY row of a grouped Gram frame costs nothing new
+# — one shuffle trains |groups| four-coefficient models, each with its
+# in-plan RMSE. The generic helpers below parameterize the generator
+# by column list; the kprobe constants above are one instantiation.
+
+#: grouped-K design columns (intercept + words, distinct, longest tok)
+GRK_COLS = ("one", "w", "dd", "mx")
+
+
+def _ridge_names(cols):
+    """(i,j) -> Gram sum name, i -> moment name, for any column list."""
+    sname = lambda i, j: f"s_{cols[i]}_{cols[j]}"  # noqa: E731
+    bname = lambda i: f"b_{cols[i]}"  # noqa: E731
+    return sname, bname
+
+
+def _ridge_det_sqls(cols) -> list[str]:
+    """Generated determinant strings (denominator + K+1 numerators)
+    for the ridge system over any design-column list — the generic
+    form of :func:`_kprobe_det_sqls`."""
+    sname, bname = _ridge_names(cols)
+    k = len(cols)
+
+    def cell(name, diag):
+        base = f"CAST({name} AS DOUBLE)"
+        return _SqlOp(f"({base} + {PROBE_LAMBDA})" if diag else base)
+
+    a = [
+        [cell(sname(min(i, j), max(i, j)), i == j) for j in range(k)]
+        for i in range(k)
+    ]
+    b = [cell(bname(i), False) for i in range(k)]
+    out = [_det_expr(a).s]
+    for i in range(k):
+        ai = [
+            [(b[r] if c == i else a[r][c]) for c in range(k)]
+            for r in range(k)
+        ]
+        out.append(_det_expr(ai).s)
+    return out
+
+
+def _rss_expr(ws, a, b, syy):
+    """RSS = y'y - 2 w'X'y + w'X'Xw with a FIXED fold order, operand-
+    polymorphic like the det generator (2x written as lin+lin so no
+    literal constant is needed in any operand algebra)."""
+
+    def fold(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    k = len(ws)
+    lin = fold([ws[i] * b[i] for i in range(k)])
+    quad = fold(
+        [ws[i] * fold([a[i][j] * ws[j] for j in range(k)]) for i in range(k)]
+    )
+    return (syy - (lin + lin)) + quad
+
+
+def _grk_rss_sql() -> str:
+    """The grouped-K RSS as a SQL string over the Gram column names
+    and solved w1..w4 — same generator, `_SqlOp` operands. The RSS
+    matrix is the RAW X'X (no ridge lambda), matching
+    q_grouped_regression's convention."""
+    sname, bname = _ridge_names(GRK_COLS)
+    k = len(GRK_COLS)
+    cast = lambda n: _SqlOp(f"CAST({n} AS DOUBLE)")  # noqa: E731
+    a = [
+        [cast(sname(min(i, j), max(i, j))) for j in range(k)]
+        for i in range(k)
+    ]
+    b = [cast(bname(i)) for i in range(k)]
+    ws = [_SqlOp(f"w{i + 1}") for i in range(k)]
+    return _rss_expr(ws, a, b, cast("syy")).s
+
+
+def _grk_sql() -> str:
+    sname, bname = _ridge_names(GRK_COLS)
+    k = len(GRK_COLS)
+    toks = "string_split(text, ' ')"
+    gram = []
+    for i in range(k):
+        for j in range(i, k):
+            gram.append(
+                f"CAST(SUM({GRK_COLS[i]} * {GRK_COLS[j]}) AS BIGINT)"
+                f" AS {sname(i, j)}"
+            )
+        gram.append(f"CAST(SUM({GRK_COLS[i]} * y) AS BIGINT) AS {bname(i)}")
+    gram.append("CAST(SUM(y * y) AS BIGINT) AS syy")
+    dets = _ridge_det_sqls(GRK_COLS)
+    det_cols = [f"{dets[0]} AS det"] + [
+        f"{dets[i + 1]} AS det{i + 1}" for i in range(k)
+    ]
+    ws = ", ".join(f"(det{i + 1} / det) AS w{i + 1}" for i in range(k))
+    return f"""
+    WITH f AS (
+        SELECT lang,
+               1 AS one,
+               len({toks}) AS w,
+               len(list_distinct({toks})) AS dd,
+               list_max(list_transform({toks}, t -> length(t))) AS mx,
+               n_chars AS y
+        FROM documents
+    ),
+    g AS (
+        SELECT lang, {", ".join(gram)}
+        FROM f GROUP BY lang
+    ),
+    dets AS (
+        SELECT *, {", ".join(det_cols)} FROM g
+    ),
+    c AS (
+        SELECT *, {ws} FROM dets
+    )
+    SELECT lang,
+           s_one_one AS n_docs,
+           round(w1, 6) AS w_intercept,
+           round(w2, 6) AS w_words,
+           round(w3, 6) AS w_distinct,
+           round(w4, 6) AS w_maxlen,
+           round(sqrt(GREATEST({_grk_rss_sql()}, 0.0)
+                      / CAST(s_one_one AS DOUBLE)), 6) AS rmse
+    FROM c
+    """
+
+
+@query("q_grouped_regression_k", oracle=_grk_sql())
+def q_grouped_regression_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language 3-feature ridge regression (n_chars on word count,
+    distinct words, longest token) solved by the GENERATED 4x4 Cramer
+    expressions applied to every row of ONE grouped Gram aggregate —
+    K models, K in-plan RMSEs, one shuffle, zero hand-written algebra:
+    the determinants, the solve, and the RSS fold all come from the
+    same operand-polymorphic generator the oracle's SQL twin uses, so
+    every model's coefficients are bit-identical across engines.
+
+    Scale: identical to q_grouped_regression — one map-side-combined
+    groupBy to |groups| Gram rows (15 exact BIGINTs each), scalar
+    expressions on those rows. The generated-solve cost is expression
+    size, not data movement; a thousand domains train for the price of
+    the single shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    f = d.select(
+        "lang",
+        F.lit(1).cast("long").alias("one"),
+        F.size(toks).cast("long").alias("w"),
+        F.size(F.array_distinct(toks)).cast("long").alias("dd"),
+        F.array_max(F.transform(toks, lambda t: F.length(t)))
+        .cast("long")
+        .alias("mx"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    sname, bname = _ridge_names(GRK_COLS)
+    k = len(GRK_COLS)
+    aggs = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(
+                F.sum(F.col(GRK_COLS[i]) * F.col(GRK_COLS[j]))
+                .cast("long")
+                .alias(sname(i, j))
+            )
+        aggs.append(
+            F.sum(F.col(GRK_COLS[i]) * F.col("y"))
+            .cast("long")
+            .alias(bname(i))
+        )
+    aggs.append(F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    g = f.groupBy("lang").agg(*aggs)
+    dets = _ridge_det_sqls(GRK_COLS)
+    staged = g.select(
+        "*",
+        F.expr(dets[0]).alias("det"),
+        *[F.expr(dets[i + 1]).alias(f"det{i + 1}") for i in range(k)],
+    )
+    solved = staged.select(
+        "*",
+        *[
+            (F.col(f"det{i + 1}") / F.col("det")).alias(f"w{i + 1}")
+            for i in range(k)
+        ],
+    )
+    cast = lambda n: F.col(n).cast("double")  # noqa: E731
+    a = [
+        [cast(sname(min(i, j), max(i, j))) for j in range(k)]
+        for i in range(k)
+    ]
+    b = [cast(bname(i)) for i in range(k)]
+    ws = [F.col(f"w{i + 1}") for i in range(k)]
+    rss = _rss_expr(ws, a, b, cast("syy"))
+    return solved.select(
+        "lang",
+        F.col("s_one_one").alias("n_docs"),
+        F.round("w1", 6).alias("w_intercept"),
+        F.round("w2", 6).alias("w_words"),
+        F.round("w3", 6).alias("w_distinct"),
+        F.round("w4", 6).alias("w_maxlen"),
+        F.round(
+            F.sqrt(
+                F.greatest(rss, F.lit(0.0))
+                / F.col("s_one_one").cast("double")
+            ),
+            6,
+        ).alias("rmse"),
+    )

@@ -386,3 +386,51 @@ def test_probe_auc_equals_pairwise_definition(spark, sf_smoke):
         )
         want = wins / (len(pos) * len(neg))
         assert g["auc"] == pytest.approx(want, abs=1e-6), (src, g, want)
+
+
+def test_grouped_regression_k_matches_numpy_per_group(spark, sf_smoke):
+    """The grouped GENERATED 4x4 solve is a real per-group ridge fit:
+    coefficients + RMSE equal numpy's solve of the identical normal
+    equations per language."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    got = {
+        r["lang"]: r
+        for r in all_queries()["q_grouped_regression_k"](
+            spark, sf_smoke
+        ).collect()
+    }
+    rows = (
+        read_table(spark, sf_smoke, "documents")
+        .select("lang", "text", "n_chars")
+        .collect()
+    )
+    by_lang: dict = {}
+    for r in rows:
+        toks = r["text"].split(" ")
+        by_lang.setdefault(r["lang"], []).append(
+            (
+                1.0,
+                float(len(toks)),
+                float(len(set(toks))),
+                float(max(len(t) for t in toks)),
+                float(r["n_chars"]),
+            )
+        )
+    for lang, feats in by_lang.items():
+        x = np.array([f[:4] for f in feats])
+        y = np.array([f[4] for f in feats])
+        w = np.linalg.solve(x.T @ x + PROBE_LAMBDA * np.eye(4), x.T @ y)
+        resid = y - x @ w
+        rmse = float(np.sqrt(np.sum(resid**2) / len(y)))
+        g = got[lang]
+        assert np.allclose(
+            [g["w_intercept"], g["w_words"], g["w_distinct"], g["w_maxlen"]],
+            w,
+            atol=5e-5,
+        ), (lang, g, w)
+        assert g["rmse"] == pytest.approx(rmse, abs=5e-5), (
+            lang,
+            g["rmse"],
+            rmse,
+        )
