@@ -576,9 +576,13 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # data: exactly how a patch-stream compactor must behave at 100 TB.
 
 
-@query(
-    "q_partial_update_merge",
-    oracle="""
+#: patch attributes: (name, serving type) — shared by the batch fold,
+#: the segment fold, and the read-time consolidator
+PATCH_ATTRS = ("device", "plan", "score")
+
+#: q_partial_update_merge's oracle — the streaming patch view
+#: (q_partial_update_stream) must hash-match the same fold.
+_PATCH_ORACLE = """
     WITH feed AS (
         SELECT user_id, event_id,
                CASE WHEN event_id % 3 <> 0
@@ -601,7 +605,82 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(score) AS BIGINT) AS n_score_updates
     FROM feed
     GROUP BY user_id
-    """,
+    """
+
+
+def partial_update_feed(e: DataFrame) -> DataFrame:
+    """Recast the event log as a sparse patch feed: LSN = event_id,
+    each record carrying a deterministic subset of three attributes
+    (device on 2/3 of records, plan on 1/4, score when the cent value
+    is even), NULL elsewhere. Row-local, so the feed commutes with
+    micro-batching."""
+    ev = F.col("event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.when(
+            ev % 3 != 0,
+            F.concat(F.lit("d"), (ev % 5).cast("string")),
+        ).alias("device"),
+        F.when(ev % 4 == 1, F.col("event_type")).alias("plan"),
+        F.when(
+            F.floor(F.col("value") * 100).cast("long") % 2 == 0,
+            F.floor(F.col("value") * 100).cast("long"),
+        ).alias("score"),
+    )
+
+
+def fold_patch_state(feed: DataFrame) -> DataFrame:
+    """Fold a patch feed to per-key column states — for each attribute
+    the last non-null value, the LSN it came from, and the update
+    count. The result is MERGEABLE: (value@maxLSN, maxLSN) is a monoid
+    under LSN-max with null skip, counts are sums — so two folded
+    frames (micro-batch segments) merge to the same state the one-shot
+    fold produces (`merge_patch_states`)."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_updates")]
+    for c in PATCH_ATTRS:
+        aggs += [
+            F.expr(
+                f"max_by({c}, event_id) FILTER (WHERE {c} IS NOT NULL)"
+            ).alias(f"last_{c}"),
+            F.expr(
+                f"max(event_id) FILTER (WHERE {c} IS NOT NULL)"
+            ).alias(f"{c}_lsn"),
+            F.count(c).cast("long").alias(f"n_{c}_updates"),
+        ]
+    return feed.groupBy("user_id").agg(*aggs)
+
+
+def merge_patch_states(states: DataFrame) -> DataFrame:
+    """Merge a union of folded per-key states (one row per key per
+    segment) back to one row per key: per attribute, the value from
+    the segment with the highest attribute-LSN; counts sum. Idempotent
+    on an already-merged frame, so re-consolidation is harmless."""
+    aggs = [F.sum("n_updates").cast("long").alias("n_updates")]
+    for c in PATCH_ATTRS:
+        aggs += [
+            F.expr(
+                f"max_by(last_{c}, {c}_lsn)"
+                f" FILTER (WHERE {c}_lsn IS NOT NULL)"
+            ).alias(f"last_{c}"),
+            F.max(f"{c}_lsn").alias(f"{c}_lsn"),
+            F.sum(f"n_{c}_updates").cast("long").alias(f"n_{c}_updates"),
+        ]
+    return states.groupBy("user_id").agg(*aggs)
+
+
+def serve_patch_state(state: DataFrame) -> DataFrame:
+    """Project the folded state to the serving columns (drop the
+    per-attribute LSN bookkeeping) in the oracle's column set."""
+    cols = ["user_id", "n_updates"]
+    for c in PATCH_ATTRS:
+        cols += [f"last_{c}", f"n_{c}_updates"]
+    return state.select(*cols)
+
+
+@query(
+    "q_partial_update_merge",
+    oracle=_PATCH_ORACLE,
 )
 def q_partial_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-update (patch-stream) state merge: the event log is
@@ -620,33 +699,5 @@ def q_partial_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|keys|) state rather than O(|log|) records; appending a new
     batch re-folds only the delta (the same monoid shape q_incr_agg
     exploits)."""
-    e = read_table(spark, sf_dir, "events")
-    ev = F.col("event_id")
-    feed = e.select(
-        "user_id",
-        "event_id",
-        F.when(
-            ev % 3 != 0,
-            F.concat(F.lit("d"), (ev % 5).cast("string")),
-        ).alias("device"),
-        F.when(ev % 4 == 1, F.col("event_type")).alias("plan"),
-        F.when(
-            F.floor(F.col("value") * 100).cast("long") % 2 == 0,
-            F.floor(F.col("value") * 100).cast("long"),
-        ).alias("score"),
-    )
-    return feed.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_updates"),
-        F.expr(
-            "max_by(device, event_id) FILTER (WHERE device IS NOT NULL)"
-        ).alias("last_device"),
-        F.count("device").cast("long").alias("n_device_updates"),
-        F.expr(
-            "max_by(plan, event_id) FILTER (WHERE plan IS NOT NULL)"
-        ).alias("last_plan"),
-        F.count("plan").cast("long").alias("n_plan_updates"),
-        F.expr(
-            "max_by(score, event_id) FILTER (WHERE score IS NOT NULL)"
-        ).alias("last_score"),
-        F.count("score").cast("long").alias("n_score_updates"),
-    )
+    feed = partial_update_feed(read_table(spark, sf_dir, "events"))
+    return serve_patch_state(fold_patch_state(feed))

@@ -89,9 +89,21 @@ def _consolidate_minhash(df: DataFrame) -> DataFrame:
     )
 
 
+def _consolidate_patch(df: DataFrame) -> DataFrame:
+    """Per-key last-non-null-wins merge over folded patch-state
+    segments (value from the highest attribute-LSN segment, counts
+    sum). Idempotent — the monoid lives in operators.state."""
+    from dynamodb_streaming_datalake_spark.operators.state import (
+        merge_patch_states,
+    )
+
+    return merge_patch_states(df)
+
+
 CONSOLIDATORS = {
     "none": lambda df: df,
     "minhash_min": _consolidate_minhash,
+    "patch_last_nonnull": _consolidate_patch,
 }
 
 

@@ -886,6 +886,131 @@ _register_minhash()
 
 
 # ---------------------------------------------------------------------------
+# streaming partial-update state view (round 14): the patch-stream
+# compactor kept current from the CDC feed
+# ---------------------------------------------------------------------------
+# q_partial_update_merge folds a SPARSE patch feed (each record
+# carries only changed attributes) to per-key last-non-null state in
+# one batch aggregate. The per-key state GROWS with the key space, so
+# the streaming twin uses the round-14 delta-segment machinery: each
+# micro-batch folds ONLY its own rows to per-key column states
+# (value@maxLSN, maxLSN, count per attribute — a mergeable monoid)
+# and commits them as an O(batch) segment; the manifest's
+# ``patch_last_nonnull`` consolidator merges segments at read (value
+# from the highest-LSN segment, counts sum), and compaction folds the
+# union back to one row per key. This is how a patch-stream compactor
+# must behave at CDC scale: per-batch work is batch-sized, state is
+# key-sized, and no commit ever rewrites the accumulated state.
+
+PATCH_VIEW_VERSION = "v1"
+
+
+def upsert_patch_view(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    view_dir: str,
+    version: int,
+) -> None:
+    """Fold one micro-batch of events into the patch-state view as
+    ``version`` — a delta segment of the batch's own per-key folded
+    states; committed-version replays no-op."""
+    from dynamodb_streaming_datalake_spark.operators.state import (
+        fold_patch_state,
+        partial_update_feed,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.segments import (
+        commit_segment,
+    )
+
+    commit_segment(
+        spark,
+        view_dir,
+        fold_patch_state(partial_update_feed(batch_df)),
+        version,
+        consolidate="patch_last_nonnull",
+    )
+
+
+def start_patch_maintenance(
+    events: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch sink over an event stream; each micro-batch
+    advances the patch-state view one segment."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_patch_view(
+            batch_df.sparkSession, batch_df, view_dir, version=batch_id
+        )
+
+    writer = events.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _ensure_patch_view(spark: SparkSession, sf_dir: str) -> str:
+    """Two committed patch segments built with the real fold: even
+    event_ids -> v=1, odd folded on top -> v=2 — the consolidated
+    read must equal the one-shot batch fold."""
+    import os
+
+    from dynamodb_streaming_datalake_spark.cache import ensure_cached_build
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    def build(build_dir: str) -> None:
+        view = os.path.join(build_dir, "view")
+        e = read_table(spark, sf_dir, "events")
+        upsert_patch_view(
+            spark, e.where(F.col("event_id") % 2 == 0), view, version=1
+        )
+        upsert_patch_view(
+            spark, e.where(F.col("event_id") % 2 == 1), view, version=2
+        )
+
+    return ensure_cached_build("patchview", PATCH_VIEW_VERSION, sf_dir, build)
+
+
+def _register_patch() -> None:
+    from dynamodb_streaming_datalake_spark.operators.state import (
+        _PATCH_ORACLE,
+        serve_patch_state,
+    )
+    from dynamodb_streaming_datalake_spark.registry import query
+
+    @query("q_partial_update_stream", oracle=_PATCH_ORACLE)
+    def q_partial_update_stream(spark, sf_dir):
+        """Streaming twin of q_partial_update_merge: the per-key
+        patch state is advanced twice with the real foreachBatch
+        segment fold (even event_ids -> v=1, odd folded on top ->
+        v=2, cached per sf_dir) and served from the FINAL committed
+        manifest via the ``patch_last_nonnull`` consolidator —
+        per-attribute (value@maxLSN, maxLSN, count) is a mergeable
+        monoid, so the consolidated view hash-matches the one-shot
+        batch fold and q_partial_update_merge's oracle transfers
+        verbatim. The same fold drains from a genuine readStream in
+        tests/test_streaming.py.
+
+        Scale: each commit writes O(batch) bytes (the batch's own
+        folded keys — round-14 delta segments, never a state
+        rewrite); read-time consolidation is one groupBy over
+        |segments| rows per key, and compaction folds it back to one
+        row per key whenever segment count grows."""
+        import os
+
+        path = _ensure_patch_view(spark, sf_dir)
+        state = current_sketch_view(spark, os.path.join(path, "view"))
+        return serve_patch_state(state)
+
+
+_register_patch()
+
+
+# ---------------------------------------------------------------------------
 # streaming bloom-filter view (round 11): the prejoin filter kept
 # current from the dim's change stream
 # ---------------------------------------------------------------------------

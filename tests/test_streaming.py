@@ -1458,3 +1458,63 @@ def test_stream_enrich_scd2_versions_match_event_time(spark, sf_smoke):
     assert all(len(v) == 1 for v in by_click.values())
     assert any(r["version_no"] is None for r in rows)  # pre-signup clicks
     assert any(r["version_no"] is not None for r in rows)
+
+
+def test_patch_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
+    """Streaming partial-update state (round 14): a genuine readStream
+    over event files, drained one file per micro-batch through the
+    foreachBatch delta-segment fold, must serve a state BIT-EQUAL to
+    the one-shot batch fold (last non-null per column, counts), a
+    committed-version replay must no-op, and compaction must preserve
+    the served state while collapsing segments."""
+    from dynamodb_streaming_datalake_spark.operators.state import (
+        fold_patch_state,
+        partial_update_feed,
+        serve_patch_state,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.segments import (
+        compact_segments,
+        read_manifest,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.sketchview import (
+        current_sketch_view,
+        start_patch_maintenance,
+        upsert_patch_view,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.upsert import _versions
+
+    events = read_table(spark, sf_smoke, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "ev_src")
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    view_dir = str(tmp_path / "view")
+    q = start_patch_maintenance(stream, view_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    def rows(df):
+        return {r["user_id"]: tuple(r) for r in df.collect()}
+
+    want = rows(serve_patch_state(fold_patch_state(partial_update_feed(events))))
+    got = rows(serve_patch_state(current_sketch_view(spark, view_dir)))
+    assert got == want
+
+    last = _versions(spark, view_dir)[-1]
+    # committed-version replay: a no-op by the crash guard
+    upsert_patch_view(spark, events.limit(50), view_dir, version=last)
+    assert rows(
+        serve_patch_state(current_sketch_view(spark, view_dir))
+    ) == want
+    # compaction: segments collapse, served state unchanged
+    n_before = len(read_manifest(spark, view_dir, last)["segments"])
+    assert n_before >= 2
+    assert compact_segments(spark, view_dir, last, max_segments=1)
+    assert len(read_manifest(spark, view_dir, last)["segments"]) == 1
+    assert rows(
+        serve_patch_state(current_sketch_view(spark, view_dir))
+    ) == want
