@@ -2692,3 +2692,108 @@ def q_exact_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_exact_quantile_twopass, EXQ_QS=len(EXQ_QS))
+
+
+# --------------------------------------------------------------------------
+# interval-overlap join, bucket-SPANNING variant: explode + pair dedup
+# --------------------------------------------------------------------------
+# q_interval_join's intervals are built per-day, so each lives in one
+# bucket. The general case — both interval sets spanning several
+# buckets — needs the full pattern: explode each interval to every
+# bucket it touches, equi-join on the bucket, DEDUPE the pairs that
+# met in more than one shared bucket, then compute the exact overlap
+# from the carried endpoints. Here side A is per-user ISO-WEEK
+# activity intervals (up to 7 daily buckets) and side B is per-type
+# 5-DAY-window intervals (up to 5, deliberately misaligned with
+# weeks), so pairs genuinely collide on multiple days and the dedup
+# stage is load-bearing. The oracle is the NAIVE overlap theta join —
+# the value-hash gate proves the bucketed plan implements exactly the
+# quadratic semantics without ever planning a nested loop.
+
+
+@query(
+    "q_interval_join_spanning",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, date_trunc('week', ts) AS wk,
+               min(ts) AS a_start, max(ts) AS a_end
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT event_type,
+               (CAST(ts AS DATE) - DATE '1970-01-01') // 5 AS w5,
+               min(ts) AS b_start, max(ts) AS b_end
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT b.event_type,
+               (epoch_us(least(a.a_end, b.b_end))
+                - epoch_us(greatest(a.a_start, b.b_start))) AS ov_us
+        FROM a JOIN b
+          ON a.a_start <= b.b_end AND b.b_start <= a.a_end
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(ov_us) AS BIGINT) AS total_overlap_us
+    FROM p GROUP BY event_type
+    """,
+)
+def q_interval_join_spanning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join where BOTH sides span several buckets:
+    per-user ISO-week activity intervals against per-type 5-day-window
+    intervals (misaligned on purpose). Each interval explodes to the
+    daily buckets it touches (bounded fan-out: <= 7 and <= 5), the
+    join is a hash join on the day, duplicate pair hits from multiple
+    shared days collapse in one distinct on the pair keys + endpoints,
+    and the exact overlap microseconds come from the carried
+    endpoints. The oracle runs the NAIVE quadratic overlap join — the
+    hash gate proves bucket + residual + dedup is semantics-
+    preserving, which is the entire trick that makes interval joins
+    hash-joinable at 100 TB.
+
+    Scale: fan-out is bounded by interval length / bucket width (the
+    tuning knob); the equi-join shuffles (or broadcasts) on the day
+    key; dedup is a hash aggregate on pair keys. Nothing is ever
+    |A| x |B|."""
+    e = read_table(spark, sf_dir, "events")
+    a = e.groupBy(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+    epoch_day = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    # 5-day bucket id: (day - day % 5) groups identically to DuckDB's
+    # day // 5 (both sides positive; the key is grouping-only)
+    b = e.groupBy(
+        "event_type",
+        (epoch_day - epoch_day % 5).alias("w5"),
+    ).agg(F.min("ts").alias("b_start"), F.max("ts").alias("b_end"))
+    a_days = a.withColumn(
+        "day",
+        F.explode(F.sequence(F.to_date("a_start"), F.to_date("a_end"))),
+    )
+    b_days = b.withColumn(
+        "day",
+        F.explode(F.sequence(F.to_date("b_start"), F.to_date("b_end"))),
+    )
+    hits = a_days.join(
+        F.broadcast(b_days),
+        (a_days["day"] == b_days["day"])
+        & (F.col("a_start") <= F.col("b_end"))
+        & (F.col("b_start") <= F.col("a_end")),
+    ).select(
+        "user_id", "wk", "event_type", "w5",
+        "a_start", "a_end", "b_start", "b_end",
+    )
+    pairs = hits.distinct()
+    ov_us = F.unix_micros(
+        F.least("a_end", "b_end").cast("timestamp")
+    ) - F.unix_micros(F.greatest("a_start", "b_start").cast("timestamp"))
+    return (
+        pairs.select("event_type", ov_us.alias("ov_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("ov_us").cast("long").alias("total_overlap_us"),
+        )
+    )

@@ -484,3 +484,42 @@ def test_interval_join_is_hash_join_with_residual(spark, sf_oracle):
         ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln
     )
     assert "a_start" in join_line and "b_end" in join_line, join_line
+
+
+def test_spanning_interval_join_dedup_is_load_bearing(spark, sf_oracle):
+    """The bucket-spanning interval join's distinct stage must be
+    doing real work: multi-day shared ranges mean the bucket join
+    emits strictly more hits than surviving pairs, and the join
+    itself must be a hash join on the day bucket."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_oracle, "events")
+    a = e.groupBy(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+    epoch_day = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    b = e.groupBy(
+        "event_type", (epoch_day - epoch_day % 5).alias("w5")
+    ).agg(F.min("ts").alias("b_start"), F.max("ts").alias("b_end"))
+    a_days = a.withColumn(
+        "day", F.explode(F.sequence(F.to_date("a_start"), F.to_date("a_end")))
+    )
+    b_days = b.withColumn(
+        "day", F.explode(F.sequence(F.to_date("b_start"), F.to_date("b_end")))
+    )
+    hits = a_days.join(
+        F.broadcast(b_days),
+        (a_days["day"] == b_days["day"])
+        & (F.col("a_start") <= F.col("b_end"))
+        & (F.col("b_start") <= F.col("a_end")),
+    ).select("user_id", "wk", "event_type", "w5",
+             "a_start", "a_end", "b_start", "b_end")
+    n_hits = hits.count()
+    n_pairs = hits.distinct().count()
+    assert n_hits > n_pairs > 0, (n_hits, n_pairs)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
