@@ -79,6 +79,19 @@ SF1_FLAGSHIPS = (
     "q_mvcc_changefeed",
     "q_quality_resample",
     "q_grouped_regression",
+    # round 14 registrations: generated-solve probes, integer PPS
+    # sampling, the two interval-join shapes, patch-stream state (batch
+    # + segmented streaming), exact rank AUC, and the two-pass exact
+    # quantile — every new shape gets a recorded 10x-data ratio
+    "q_linear_probe_k",
+    "q_grouped_regression_k",
+    "q_probe_auc",
+    "q_pps_sample",
+    "q_interval_join",
+    "q_interval_join_spanning",
+    "q_partial_update_merge",
+    "q_partial_update_stream",
+    "q_exact_quantile_twopass",
 )
 
 
@@ -186,6 +199,8 @@ def main() -> None:
                         # first sf1 shot — medians keep that out of the
                         # recorded steady-state ratio
                         "q_mvcc_changefeed",
+                        # same: one-time cached patch-view segment build
+                        "q_partial_update_stream",
                     )
                     else 1
                 )
