@@ -1844,9 +1844,14 @@ def q_ann_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a float accumulation would be association-order-dependent).
 
     Scale: assignment is computed once (broadcast {IVF_CENTROIDS}
-    centroids, map-only) and shared by all branches; each branch's
-    candidate join is equi on cluster id; the truth cross is bounded
-    by the {IVF_QUERIES}-query panel exactly as in q_retrieval_eval."""
+    centroids, map-only) and — round 14 — so is the candidate scoring:
+    the nprobe levels are nested, so pairs are generated and
+    cosine-scored once at the widest level, tagged with the probe rank
+    that found them, and a bounded explode fans each pair to its
+    levels (one window, one aggregate for the whole curve — the
+    oracle still runs the per-level branches, proving the shared pass
+    result-invisible). The truth cross is bounded by the
+    {IVF_QUERIES}-query panel exactly as in q_retrieval_eval."""
     e = read_table(spark, sf_dir, "embeddings")
     cents = e.where(F.col("vec_id") < IVF_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
@@ -1883,83 +1888,100 @@ def q_ann_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("t_rank") <= IVF_TOP_K)
         .select("query_id", "neighbor_id", "t_rank")
     )
-    w_s = Window.partitionBy("query_id").orderBy(
+    # One shared pass (round 14): the nprobe levels are NESTED
+    # (probes at 1 are a subset of 2 of 4), so candidates are generated
+    # and cosine-scored ONCE at the widest level, each pair tagged with
+    # the probe rank that found it; a bounded explode assigns every
+    # pair to the levels that include it, and one window + one
+    # aggregate produce the whole curve. Same outputs as the per-level
+    # branches the oracle still runs — 1/3 the scoring joins.
+    max_np = max(ANN_TUNE_NPROBES)
+    probes = ranked_assign.where(
+        (F.col("r") <= max_np) & (F.col("vec_id") < IVF_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cid", "r")
+    # a neighbor lives in exactly one list, so (query, neighbor) pairs
+    # are unique by construction and `r` IS the first-probe rank
+    cand = (
+        probes.join(lists, "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.col("r").alias("fpr"),
+        )
+    )
+    scored = (
+        cand.join(
+            e.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"),
+            ),
+            "query_id",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ne"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id", "neighbor_id", "fpr",
+            cosine(F.col("qe"), F.col("ne")).alias("cs"),
+        )
+    )
+    levels = scored.withColumn(
+        "nprobe",
+        F.explode(F.array(*[F.lit(np) for np in ANN_TUNE_NPROBES])),
+    ).where(F.col("fpr") <= F.col("nprobe"))
+    w_lvl = Window.partitionBy("nprobe", "query_id").orderBy(
         F.col("cs").desc(), F.col("neighbor_id")
     )
-    rows = []
-    for np in ANN_TUNE_NPROBES:
-        probes = ranked_assign.where(
-            (F.col("r") <= np) & (F.col("vec_id") < IVF_QUERIES)
-        ).select(F.col("vec_id").alias("query_id"), "cid")
-        cand = (
-            probes.join(lists, "cid")
-            .where(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", F.col("vec_id").alias("neighbor_id"))
-            .distinct()
-        )
-        sys_k = (
-            cand.join(
-                e.select(
-                    F.col("vec_id").alias("query_id"),
-                    F.col("embedding").alias("qe"),
-                ),
-                "query_id",
-            )
-            .join(
-                e.select(
-                    F.col("vec_id").alias("neighbor_id"),
-                    F.col("embedding").alias("ne"),
-                ),
-                "neighbor_id",
-            )
-            .select(
-                "query_id",
-                "neighbor_id",
-                cosine(F.col("qe"), F.col("ne")).alias("cs"),
-            )
-            .withColumn("rank", F.row_number().over(w_s))
-            .where(F.col("rank") <= IVF_TOP_K)
-        )
-        n_cand = cand.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
-        )
-        joined = truth.join(
-            sys_k.select("query_id", "neighbor_id", "rank"),
-            ["query_id", "neighbor_id"],
-            "left",
-        )
-        recall = joined.agg(
-            F.round(
-                F.sum(F.col("rank").isNotNull().cast("long")).cast("double")
-                / F.lit(IVF_TOP_K * IVF_QUERIES),
-                6,
-            ).alias("mean_recall_at_k")
-        )
-        mrr = joined.where(F.col("t_rank") == 1).agg(
-            F.round(
-                F.sum(
+    sys_k = (
+        levels.withColumn("rank", F.row_number().over(w_lvl))
+        .where(F.col("rank") <= IVF_TOP_K)
+        .select("nprobe", "query_id", "neighbor_id", "rank")
+    )
+    n_cand = levels.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    np_frame = spark.createDataFrame(
+        [(np,) for np in ANN_TUNE_NPROBES], "nprobe int"
+    )
+    truth_x = truth.crossJoin(F.broadcast(np_frame))
+    joined = truth_x.join(
+        sys_k, ["nprobe", "query_id", "neighbor_id"], "left"
+    )
+    metrics = joined.groupBy("nprobe").agg(
+        F.round(
+            F.sum(F.col("rank").isNotNull().cast("long")).cast("double")
+            / F.lit(IVF_TOP_K * IVF_QUERIES),
+            6,
+        ).alias("mean_recall_at_k"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("t_rank") == 1,
                     F.coalesce(
                         F.round(F.lit(1.0) / F.col("rank"), 6), F.lit(0.0)
-                    ).cast("decimal(38,6)")
-                ).cast("double")
-                / F.lit(IVF_QUERIES),
-                6,
-            ).alias("mrr")
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .cast("decimal(38,6)")
+            ).cast("double")
+            / F.lit(IVF_QUERIES),
+            6,
+        ).alias("mrr"),
+    )
+    return (
+        n_cand.join(metrics, "nprobe")
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_candidates",
+            "mean_recall_at_k",
+            "mrr",
         )
-        rows.append(
-            n_cand.crossJoin(recall)
-            .crossJoin(mrr)
-            .select(
-                F.lit(np).cast("int").alias("nprobe"),
-                "n_candidates",
-                "mean_recall_at_k",
-                "mrr",
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("nprobe")
+        .orderBy("nprobe")
+    )
 
 
 _fmt(
