@@ -970,3 +970,54 @@ def q_sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+# --------------------------------------------------------------------------
+# NOT IN with NULLs: the null-aware anti join
+# --------------------------------------------------------------------------
+# q_customers_without_orders covers NOT EXISTS (a plain anti join).
+# NOT IN is the trap variant: under SQL three-valued logic a single
+# NULL in the subquery makes `x NOT IN (...)` UNKNOWN for every x, so
+# the raw query returns nothing — and engines must implement that with
+# a NULL-AWARE anti join, not a plain one. A naive plan for this shape
+# is a nested loop; Spark's optimizeNullAwareAntiJoin rewrites the
+# single-column case to a BroadcastHashJoin with the NAAJ flag. One
+# query text, both engines, demonstrating the trap (raw count = 0)
+# next to the intended null-filtered variant.
+
+_NOTIN_SQL = """
+    WITH lv AS (SELECT DISTINCT (event_id % 100) AS m FROM events),
+    sub AS (SELECT CASE WHEN event_type = 'purchase' AND value < 50
+                        THEN CAST(floor(value) AS BIGINT) END AS s
+            FROM events)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lv) AS n_left_values,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lv
+             WHERE m NOT IN (SELECT s FROM sub)) AS n_notin_raw,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lv
+             WHERE m NOT IN (SELECT s FROM sub WHERE s IS NOT NULL))
+             AS n_notin_nullfree
+    """
+
+
+@query("q_notin_nullaware", oracle=_NOTIN_SQL)
+def q_notin_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN versus a NULL-bearing subquery — the three-valued-logic
+    semantic both engines must honor identically: the raw NOT IN
+    count is 0 (one NULL poisons every membership test to UNKNOWN)
+    while the null-filtered variant returns the real complement. The
+    SAME SQL text runs on Spark (via the registered lake views) and
+    DuckDB, so the gate pins the semantic corner, and the plan test
+    pins that Spark executes it as a null-aware BroadcastHashJoin
+    anti join (the NAAJ rewrite), never a nested loop.
+
+    Scale: single-column NOT IN is the only shape the NAAJ rewrite
+    covers — multi-column NOT IN still plans quadratic, which is
+    exactly why this engine's recipes use NOT EXISTS everywhere else;
+    this query exists to prove the semantic, and its plan shows the
+    rewrite doing its job when users bring NOT IN anyway."""
+    from dynamodb_streaming_datalake_spark.sources.readers import (
+        register_catalog,
+    )
+
+    register_catalog(spark, sf_dir)
+    return spark.sql(_NOTIN_SQL)

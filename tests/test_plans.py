@@ -523,3 +523,25 @@ def test_spanning_interval_join_dedup_is_load_bearing(spark, sf_oracle):
     assert n_hits > n_pairs > 0, (n_hits, n_pairs)
     plan = hits._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
+
+
+def test_notin_plans_null_aware_hash_anti_join(spark, sf_oracle):
+    """q_notin_nullaware must execute its NOT IN subqueries as
+    null-aware BroadcastHashJoin anti joins (the NAAJ rewrite) —
+    never a nested loop."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    plan = (
+        all_queries()["q_notin_nullaware"](spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    naaj = [
+        ln
+        for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "LeftAnti" in ln
+    ]
+    assert len(naaj) >= 2, plan  # both NOT INs rewrote
+    assert all(ln.rstrip().endswith("true") for ln in naaj), naaj  # NAAJ flag
+    assert "NestedLoop" not in plan
