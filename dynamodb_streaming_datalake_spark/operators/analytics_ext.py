@@ -2797,3 +2797,81 @@ def q_interval_join_spanning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ov_us").cast("long").alias("total_overlap_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# skyline (Pareto frontier): bucket-local skyline -> global merge
+# --------------------------------------------------------------------------
+# The classic multi-criteria operator: rows not DOMINATED by any other
+# (another row >= on both dimensions, > on at least one). A naive plan
+# is the quadratic NOT EXISTS self-join — which is exactly what the
+# ORACLE runs, so the hash gate proves the distributed plan below
+# implements the textbook semantics. The scale structure exploits two
+# facts: (a) a 2-D skyline is a SORTED-ORDER window — after collapsing
+# duplicate points, sort by (x desc, y desc); a point survives iff its
+# y strictly exceeds the running max of y over all preceding points;
+# (b) skyline distributes over unions — skyline(P) =
+# skyline(union of per-bucket skylines) — so stage 1 runs the window
+# WITHIN price-range buckets in parallel and stage 2 re-runs it over
+# the (tiny) union of survivors. The same two-level shape as the PPS
+# prefix sum; a third level covers any scale.
+
+
+def _skyline_pass(pts: DataFrame, *part_cols: str) -> DataFrame:
+    """One sorted-window skyline pass over collapsed (price, odate)
+    points, partitioned by ``part_cols`` (empty = global)."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col("price").desc(), F.col("odate").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("prev_max", F.max("odate").over(w))
+        .where(
+            F.col("prev_max").isNull()
+            | (F.col("odate") > F.col("prev_max"))
+        )
+        .drop("prev_max")
+    )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH pts AS (
+        SELECT o_totalprice AS dprice, o_orderdate AS odate,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(dprice AS DOUBLE) AS price, odate, n_orders
+    FROM pts p WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE (q.dprice >= p.dprice AND q.odate > p.odate)
+           OR (q.dprice > p.dprice AND q.odate >= p.odate))
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal orders on (total price, order date): no other
+    order is at least as expensive AND at least as recent with one
+    strict. Computed distributedly — duplicate points collapse in one
+    aggregate, stage 1 runs the sorted-window skyline WITHIN
+    price-range buckets in parallel, stage 2 re-runs the same window
+    over the union of bucket survivors (skyline distributes over
+    unions, so this equals the global skyline). The oracle is the
+    textbook quadratic NOT EXISTS domination query, making the gate a
+    proof that the two-stage plan implements exactly that semantic.
+
+    Scale: stage 1 is a window over bucket partitions (parallel,
+    spill-free); stage 2's input is bounded by the sum of per-bucket
+    skyline sizes — for a 2-D skyline that is near the bucket count,
+    not the table size. Nothing is ever |P| x |P|."""
+    o = read_table(spark, sf_dir, "orders")
+    pts = o.groupBy(
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderdate").alias("odate"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    bucketed = pts.withColumn(
+        "bkt", F.floor(F.col("price") / 10000).cast("long")
+    )
+    local = _skyline_pass(bucketed, "bkt").drop("bkt")
+    return _skyline_pass(local).select("price", "odate", "n_orders")

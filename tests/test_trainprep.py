@@ -835,3 +835,33 @@ def test_exact_quantile_twopass_equals_global_sort(spark, sf_smoke):
         g = got[q]
         assert g["n_total"] == n and g["target_rank"] == rank
         assert g["quantile_value"] == round(vals[rank - 1], 6), (q, g)
+
+
+def test_skyline_is_exactly_the_undominated_set(spark, sf_smoke):
+    """Brute-force check of the two-stage skyline: the returned points
+    are precisely the undominated (price, date) points of the
+    collapsed set."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    got = {
+        (r["price"], r["odate"])
+        for r in all_queries()["q_skyline"](spark, sf_smoke).collect()
+    }
+    pts = {}
+    for r in (
+        read_table(spark, sf_smoke, "orders")
+        .select("o_totalprice", "o_orderdate")
+        .collect()
+    ):
+        k = (float(r["o_totalprice"]), r["o_orderdate"])
+        pts[k] = pts.get(k, 0) + 1
+    want = {
+        p
+        for p in pts
+        if not any(
+            (q[0] >= p[0] and q[1] > p[1]) or (q[0] > p[0] and q[1] >= p[1])
+            for q in pts
+        )
+    }
+    assert got == want, (got ^ want)
