@@ -2875,3 +2875,148 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     local = _skyline_pass(bucketed, "bkt").drop("bkt")
     return _skyline_pass(local).select("price", "odate", "n_orders")
+
+
+# --------------------------------------------------------------------------
+# grouped WEIGHTED exact quantile: the two-pass kernel, generalized
+# --------------------------------------------------------------------------
+# q_exact_quantile_twopass finds the global k-th smallest; the shape a
+# pricing/mix pipeline actually asks for is per-group and WEIGHTED —
+# "the price level at which half the shipped QUANTITY sits", i.e. the
+# smallest value v with cumulative weight(<= v) >= q * W, per group.
+# Same two bounded passes: the histogram is per (group, bucket) with
+# SUMMED weights (still a driver-bounded artifact), and pass 2 ranks
+# by CUMULATIVE WEIGHT within the picked buckets. Ties need one care:
+# the running sum must use an explicit ROWS frame (a RANGE frame gives
+# every tied row the same cumulative and the crossing row vanishes);
+# with ROWS, engines may pick different rows inside a tie run but the
+# crossing VALUE — the only thing emitted — is identical.
+
+#: weighted quantiles released per group
+WQ_QS = (0.5, 0.9)
+
+
+@query(
+    "q_grouped_weighted_quantile",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS g,
+               CAST(l_extendedprice AS DOUBLE) AS val,
+               CAST(l_quantity AS BIGINT) AS w,
+               CAST(floor(l_extendedprice / 1000) AS BIGINT) AS b
+        FROM lineitem
+    ),
+    tw AS (SELECT g, CAST(SUM(w) AS BIGINT) AS total_weight
+           FROM v GROUP BY g),
+    qs AS (SELECT * FROM (VALUES (0.5), (0.9)) t(q)),
+    tgt AS (
+        SELECT tw.g, qs.q, tw.total_weight,
+               GREATEST(1, CAST(ceil(qs.q * tw.total_weight) AS BIGINT))
+                 AS target
+        FROM tw, qs
+    ),
+    h AS (SELECT g, b, CAST(SUM(w) AS BIGINT) AS bw FROM v GROUP BY g, b),
+    hc AS (
+        SELECT g, b, bw,
+               COALESCE(SUM(bw) OVER (PARTITION BY g ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM h
+    ),
+    pick AS (
+        SELECT t.g, t.q, t.total_weight, t.target,
+               hc.b, (t.target - hc.cum_before) AS rib
+        FROM tgt t JOIN hc
+          ON t.g = hc.g
+         AND t.target > hc.cum_before
+         AND t.target <= hc.cum_before + hc.bw
+    ),
+    r2 AS (
+        SELECT g, b, val, w,
+               SUM(w) OVER (PARTITION BY g, b ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+        FROM v WHERE (g, b) IN (SELECT (g, b) FROM pick)
+    )
+    SELECT p.g AS group_key, p.q, p.total_weight, p.target,
+           round(r2.val, 2) AS quantile_value
+    FROM pick p
+    JOIN r2 ON r2.g = p.g AND r2.b = p.b
+           AND r2.cum >= p.rib AND r2.cum - r2.w < p.rib
+    """,
+)
+def q_grouped_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag EXACT weighted p50/p90 of extended price,
+    weighted by shipped quantity — the smallest price v whose
+    cumulative quantity reaches q of the group total, found in the
+    same two bounded passes as q_exact_quantile_twopass generalized to
+    groups and weights: a per-(group, bucket) weight histogram
+    (driver-bounded artifact), then a cumulative-weight crossing scan
+    inside only the picked buckets. The running sum uses an explicit
+    ROWS frame, so tied prices cross deterministically — engines may
+    cross on different tied rows but emit the identical VALUE, the
+    only column released.
+
+    Scale: pass 1 one map-side-combined groupBy to |groups| x
+    |buckets| rows; pass 2 filters to |groups| x |quantiles| buckets
+    (pushed to the scan) and windows inside bucket-sized partitions —
+    exact weighted percentiles with no global sort and no per-group
+    value buffering."""
+    import math
+
+    l = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").cast("double").alias("val"),
+        F.col("l_quantity").cast("long").alias("w"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("b"),
+    )
+    hist = {}
+    for r in (
+        l.groupBy("g", "b").agg(F.sum("w").alias("bw")).collect()
+    ):
+        hist.setdefault(r["g"], []).append((r["b"], r["bw"]))
+    targets = []
+    for g, buckets in hist.items():
+        buckets.sort()
+        total = sum(bw for _, bw in buckets)
+        for q in WQ_QS:
+            target = max(1, math.ceil(q * total))
+            cum_before = 0
+            for b, bw in buckets:
+                if target <= cum_before + bw:
+                    targets.append(
+                        (g, q, total, target, b, target - cum_before)
+                    )
+                    break
+                cum_before += bw
+    tgt = spark.createDataFrame(
+        targets,
+        "g string, q double, total_weight long, target long,"
+        " b long, rib long",
+    )
+    sub = l.join(
+        F.broadcast(tgt.select("g", "b").distinct()), ["g", "b"], "semi"
+    )
+    wcum = (
+        Window.partitionBy("g", "b")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r2 = sub.withColumn("cum", F.sum("w").over(wcum))
+    return (
+        r2.join(F.broadcast(tgt), ["g", "b"])
+        .where(
+            (F.col("cum") >= F.col("rib"))
+            & (F.col("cum") - F.col("w") < F.col("rib"))
+        )
+        .select(
+            F.col("g").alias("group_key"),
+            "q",
+            "total_weight",
+            "target",
+            F.round("val", 2).alias("quantile_value"),
+        )
+    )
+
+
+_fmt(q_grouped_weighted_quantile, WQ_QS=len(WQ_QS))

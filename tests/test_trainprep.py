@@ -865,3 +865,48 @@ def test_skyline_is_exactly_the_undominated_set(spark, sf_smoke):
         )
     }
     assert got == want, (got ^ want)
+
+
+def test_grouped_weighted_quantile_equals_bruteforce(spark, sf_smoke):
+    """The two-pass weighted quantile equals the brute-force weighted
+    rank: per group, the smallest value whose cumulative quantity
+    reaches ceil(q * W)."""
+    import math
+
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        WQ_QS,
+    )
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    got = {
+        (r["group_key"], r["q"]): r
+        for r in all_queries()["q_grouped_weighted_quantile"](
+            spark, sf_smoke
+        ).collect()
+    }
+    by_g: dict = {}
+    for r in (
+        read_table(spark, sf_smoke, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    ):
+        by_g.setdefault(r["l_returnflag"], []).append(
+            (float(r["l_extendedprice"]), int(r["l_quantity"]))
+        )
+    n_checked = 0
+    for g, rows in by_g.items():
+        rows.sort()
+        total = sum(w for _, w in rows)
+        for q in WQ_QS:
+            target = max(1, math.ceil(q * total))
+            cum = 0
+            for val, w in rows:
+                cum += w
+                if cum >= target:
+                    break
+            r = got[(g, q)]
+            assert r["total_weight"] == total and r["target"] == target
+            assert r["quantile_value"] == round(val, 2), (g, q, r, val)
+            n_checked += 1
+    assert n_checked == len(got) == len(by_g) * len(WQ_QS)
