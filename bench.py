@@ -92,6 +92,9 @@ SF1_FLAGSHIPS = (
     "q_partial_update_merge",
     "q_partial_update_stream",
     "q_exact_quantile_twopass",
+    "q_skyline",
+    "q_grouped_weighted_quantile",
+    "q_notin_nullaware",
 )
 
 
