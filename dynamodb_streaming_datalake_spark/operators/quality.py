@@ -747,3 +747,92 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_mad_outliers, MAD_K=MAD_K)
+
+
+# ---------------------------------------------------------------------------
+# functional-dependency audit: column dependency structure in one shuffle
+# ---------------------------------------------------------------------------
+# Profiling beyond per-column stats (q_table_profile, q_analyze_ndv):
+# WHICH columns determine which — the dependency structure behind
+# normalization, partition-key choice, and "is this column redundant"
+# questions. For every ordered pair (det -> dep) over a fixed audit
+# list, the FD holds iff every det value maps to exactly one dep
+# value; the violation count is distinct(det, dep) - distinct(det).
+# Computed for ALL pairs in ONE shuffle: rows melt to
+# (det_name, det_val, dep_name, dep_val) via stack (bounded 20x
+# fan-out — the audit list is the cost dial), a first aggregate
+# collapses to per-(pair, det_val) distinct-dep counts with map-side
+# combine, and a second |pairs|-sized aggregate folds the violations.
+# The oracle computes each pair independently via the distinct-count
+# identity, so the melt plan is value-hash-proven equivalent.
+
+#: audit columns: name -> SQL expression over orders
+FD_COLS = {
+    "o_orderkey": "CAST(o_orderkey AS VARCHAR)",
+    "o_custkey": "CAST(o_custkey AS VARCHAR)",
+    "o_orderstatus": "o_orderstatus",
+    "o_orderpriority": "o_orderpriority",
+    "o_year": "CAST(year(o_orderdate) AS VARCHAR)",
+}
+
+
+def _fd_oracle() -> str:
+    pairs = [
+        (a, b) for a in FD_COLS for b in FD_COLS if a != b
+    ]
+    base = ", ".join(f"{expr} AS {name}" for name, expr in FD_COLS.items())
+    parts = [
+        f"""
+        SELECT '{a}' AS det_name, '{b}' AS dep_name,
+               CAST(COUNT(DISTINCT {a}) AS BIGINT) AS n_det_values,
+               CAST(COUNT(DISTINCT ({a}, {b}))
+                    - COUNT(DISTINCT {a}) AS BIGINT) AS n_violations,
+               (COUNT(DISTINCT ({a}, {b})) = COUNT(DISTINCT {a}))
+                 AS fd_holds
+        FROM t"""
+        for a, b in pairs
+    ]
+    return f"WITH t AS (SELECT {base} FROM orders)\n" + "\nUNION ALL".join(
+        parts
+    )
+
+
+@query("q_fd_audit", oracle=_fd_oracle())
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over five orders columns (order key,
+    customer key, status, priority, order year): for every ordered pair,
+    whether det -> dep holds and how many extra (det, dep) mappings
+    violate it. All 20 pairs in ONE shuffle — rows melt to
+    (det_name, det_val, dep_name, dep_val) with a bounded stack, a
+    per-(pair, det-value) aggregate counts distinct dependents
+    (map-side combined), and a |pairs|-row fold sums violations =
+    sum(n_dep - 1) = distinct(det, dep) - distinct(det). The oracle
+    computes each pair independently from that identity, so the gate
+    proves the melt plan equivalent to 20 separate audits.
+
+    Scale: the melt's fan-out equals the audit-pair count (the cost
+    dial); the wide aggregate's key space is bounded by
+    sum over pairs of ndv(det), and the final fold is |pairs| rows.
+    Discovering FDs over K columns costs one scan, not K^2."""
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+        F.col("o_orderpriority").alias("o_orderpriority"),
+        F.year("o_orderdate").cast("string").alias("o_year"),
+    )
+    pairs = [(a, b) for a in FD_COLS for b in FD_COLS if a != b]
+    stack = "stack({}, {}) as (det_name, det_val, dep_name, dep_val)".format(
+        len(pairs),
+        ", ".join(f"'{a}', {a}, '{b}', {b}" for a, b in pairs),
+    )
+    melted = base.select(F.expr(stack))
+    lvl1 = melted.groupBy("det_name", "dep_name", "det_val").agg(
+        F.countDistinct("dep_val").alias("ndep")
+    )
+    return lvl1.groupBy("det_name", "dep_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_det_values"),
+        F.sum(F.col("ndep") - 1).cast("long").alias("n_violations"),
+        (F.sum(F.col("ndep") - 1) == 0).alias("fd_holds"),
+    )

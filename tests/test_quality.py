@@ -648,3 +648,49 @@ def test_mad_outliers_matches_python_order_statistics(spark, sf_smoke):
         assert r["mad"] == float(mad)
         assert r["n_outliers"] == n_out
         assert r["max_abs_dev"] == float(max(devs))
+
+
+def test_fd_audit_identity_and_planted_dependency(spark, sf_smoke):
+    """The FD audit's melt plan equals per-pair brute force, and a
+    PLANTED exact dependency (dep = f(det)) is reported as holding
+    while a broken one is not."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, i % 5, (i % 5) * 10, i % 3) for i in range(100)]
+    # derived = exact function of k5; noisy = not a function of k5
+    df = spark.createDataFrame(
+        rows, "id int, k5 int, derived int, noisy int"
+    )
+    base = df.select(
+        F.col("k5").cast("string").alias("k5"),
+        F.col("derived").cast("string").alias("derived"),
+        F.col("noisy").cast("string").alias("noisy"),
+    )
+    pairs = [("k5", "derived"), ("k5", "noisy")]
+    stack = "stack(2, {}) as (det_name, det_val, dep_name, dep_val)".format(
+        ", ".join(f"'{a}', {a}, '{b}', {b}" for a, b in pairs)
+    )
+    lvl1 = (
+        base.select(F.expr(stack))
+        .groupBy("det_name", "dep_name", "det_val")
+        .agg(F.countDistinct("dep_val").alias("ndep"))
+    )
+    out = {
+        (r["det_name"], r["dep_name"]): r
+        for r in lvl1.groupBy("det_name", "dep_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_det_values"),
+            F.sum(F.col("ndep") - 1).alias("n_violations"),
+            (F.sum(F.col("ndep") - 1) == 0).alias("fd_holds"),
+        )
+        .collect()
+    }
+    assert out[("k5", "derived")]["fd_holds"] is True
+    assert out[("k5", "derived")]["n_violations"] == 0
+    assert out[("k5", "noisy")]["fd_holds"] is False
+    # identity: violations = distinct(det, dep) - distinct(det)
+    want = (
+        df.select("k5", "noisy").distinct().count()
+        - df.select("k5").distinct().count()
+    )
+    assert out[("k5", "noisy")]["n_violations"] == want
