@@ -836,3 +836,78 @@ def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ndep") - 1).cast("long").alias("n_violations"),
         (F.sum(F.col("ndep") - 1) == 0).alias("fd_holds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit: orphan rates across the FK edges
+# ---------------------------------------------------------------------------
+# The cross-table half of profiling: per foreign-key edge, how many
+# child rows reference a parent that does not exist. In a CDC lake
+# this is the standing detector for out-of-order ingestion (child
+# arrived before parent), over-eager vacuum, and broken backfills.
+# Each edge is one ANTI join with the parent's key projection
+# broadcast when it fits — the bloom-prejoin pattern without the
+# bloom; the report unions |edges| one-row aggregates.
+
+#: audited edges: (edge name, child table, child key, parent table,
+#: parent key)
+RI_EDGES = (
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+)
+
+
+def _ri_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{name}' AS edge,
+               CAST((SELECT COUNT(*) FROM {ct}) AS BIGINT) AS n_child,
+               CAST((SELECT COUNT(*) FROM {ct}
+                     WHERE {ck} NOT IN (SELECT {pk} FROM {pt})) AS BIGINT)
+                 AS n_orphans
+        FROM (SELECT 1)"""
+        for name, ct, ck, pt, pk in RI_EDGES
+    ]
+    return "\nUNION ALL".join(parts)
+
+
+@query("q_ri_audit", oracle=_ri_oracle())
+def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over four FK edges of the lake's
+    star schema: per edge, the child row count and the number of
+    ORPHANS (children whose key has no parent). Each edge is one LEFT
+    ANTI join against the parent's key projection — broadcast when the
+    parent fits, shuffled hash otherwise — and the report is a union
+    of one-row aggregates. Keys here are non-null, so NOT IN and the
+    anti join agree (the nullable corner is q_notin_nullaware's
+    subject).
+
+    Scale: per edge one column-pruned parent scan + one anti join;
+    parents like nation broadcast, fact-fact edges (lineitem->orders)
+    shuffle on the key exactly like the plain join would. At CDC
+    scale this runs incrementally by pointing the child side at the
+    changefeed instead of the table."""
+    out = None
+    for name, ct, ck, pt, pk in RI_EDGES:
+        child = read_table(spark, sf_dir, ct).select(F.col(ck).alias("k"))
+        parent = read_table(spark, sf_dir, pt).select(
+            F.col(pk).alias("k")
+        ).distinct()
+        orphans = child.join(parent, "k", "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphans")
+        )
+        total = child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        row = (
+            total.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("edge"), "n_child", "n_orphans"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -324,6 +324,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_hybrid_search",  # 1-row stats + 1-row query vector crossed
         "q_pagerank",  # 1-row node-count aggregate crossed into init
         "q_data_quality_report",  # 1-row check aggregates crossed
+        "q_ri_audit",  # per-edge 1-row total x orphan-count crosses
         "q_bigram_lm",  # 1-row vocabulary-size aggregate crossed
         "q_lm_doc_score",  # 1-row vocabulary-size aggregate crossed
         "q_triangle_count",  # 1-row global-triangle-count crossed

@@ -694,3 +694,39 @@ def test_fd_audit_identity_and_planted_dependency(spark, sf_smoke):
         - df.select("k5").distinct().count()
     )
     assert out[("k5", "noisy")]["n_violations"] == want
+
+
+def test_ri_audit_detects_planted_orphans(spark, tmp_path, sf_smoke):
+    """The orphan detector fires: copy the smoke tables, delete some
+    parents, and the audit must count exactly the orphaned children."""
+    import shutil
+
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    src = sf_smoke
+    dst = str(tmp_path / "broken")
+    import os
+
+    os.makedirs(dst)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    # break it: drop every customer with c_custkey % 7 == 0
+    cust = read_table(spark, src, "customer").where(
+        "c_custkey % 7 != 0"
+    )
+    cust.toPandas().to_parquet(f"{dst}/customer.parquet", index=False)
+    got = {
+        r["edge"]: r
+        for r in all_queries()["q_ri_audit"](spark, dst).collect()
+    }
+    want = (
+        read_table(spark, src, "orders")
+        .where("o_custkey % 7 = 0")
+        .count()
+    )
+    e = got["orders.o_custkey->customer"]
+    assert e["n_orphans"] == want > 0, (dict(e), want)
+    # untouched edges stay clean
+    assert got["lineitem.l_orderkey->orders"]["n_orphans"] == 0
