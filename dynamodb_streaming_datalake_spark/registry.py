@@ -29,64 +29,30 @@ ORACLE: dict[str, str] = {}
 # silently eject a listed query from the window.
 #
 # PRIORITY derived by scripts/rotate_window.py from
-# CORRECTNESS_r*.json (latest: r13).  Do not hand-order;
+# CORRECTNESS_r*.json (latest: r14).  Do not hand-order;
 # regenerate after each driver round.  Derivation: the
-# 13 never-driver-proven names lead, then proofs
+# 17 never-driver-proven names lead, then proofs
 # ascending by round (stable tie-break: prior order).
 PRIORITY: tuple[str, ...] = (
     # -- never driver-proven --
-    "q_source_mix_drift",
-    "q_dp_quantile",
-    "q_adaptive_salted_join",
-    "q_linear_probe",
-    "q_bitext_mine",
-    "q_embedding_outliers",
-    "q_quality_resample",
-    "q_grouped_regression",
-    "q_probe_calibration",
-    "q_mvcc_changefeed",
-    "q_ann_codes_stream",
-    "q_decontaminate_stream",
-    "q_probe_stream",
-    # -- proven r8 --
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q21_waiting_supplier",
-    "q22_idle_rich_customers",
-    "q11_important_parts",
-    "q12_priority_by_shipyear",
-    "q16_parts_supplier_counts",
-    "q20_dominant_part_suppliers",
-    "q_asof_join",
-    "q_dedup_spans",
-    "q_retrieval_eval",
-    "q_media_wav_adpcm",
-    "q_media_mp4_samples",
-    "q_media_mp3_sideinfo",
-    "q_media_webp",
-    "q_entity_resolution",
-    "q_incr_agg_stream",
+    "q_notin_nullaware",
+    "q_partial_update_merge",
+    "q_fd_audit",
+    "q_ri_audit",
+    "q_interval_join",
+    "q_exact_quantile_twopass",
+    "q_interval_join_spanning",
+    "q_skyline",
+    "q_grouped_weighted_quantile",
+    "q_pps_sample",
+    "q_adaptive_salted_agg",
+    "q_probe_auc",
+    "q_linear_probe_k",
+    "q_grouped_regression_k",
+    "q_changefeed_refresh",
+    "q_partial_update_stream",
+    "q_view_compaction",
     # -- proven r9 --
-    "q_pit_join",
-    "q_label_propagation",
-    "q_item_similarity",
-    "q_unigram_tokenize",
-    "q_interp_linear",
-    "q_anomaly_zscore",
-    "q_bootstrap_ci",
-    "q_dedup_keep_best",
-    "q_dedup_eval",
-    "q_media_wav_g711",
-    "q_media_flac",
-    "q_media_jpeg_prog",
-    "q_media_jpeg_color",
-    "q_train_shards",
-    "q_mix_temperature",
-    "q_decontaminate_fuzzy",
-    "q_skew_diagnose",
-    "q_salted_agg",
     "q_encoding_advisor",
     "q_cms_heavy_hitters",
     "q_hll_distinct",
@@ -323,6 +289,57 @@ PRIORITY: tuple[str, ...] = (
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
+    # -- proven r14 --
+    "q_source_mix_drift",
+    "q_dp_quantile",
+    "q_adaptive_salted_join",
+    "q_linear_probe",
+    "q_bitext_mine",
+    "q_embedding_outliers",
+    "q_quality_resample",
+    "q_grouped_regression",
+    "q_probe_calibration",
+    "q_mvcc_changefeed",
+    "q_ann_codes_stream",
+    "q_decontaminate_stream",
+    "q_probe_stream",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
+    "q22_idle_rich_customers",
+    "q11_important_parts",
+    "q12_priority_by_shipyear",
+    "q16_parts_supplier_counts",
+    "q20_dominant_part_suppliers",
+    "q_asof_join",
+    "q_dedup_spans",
+    "q_retrieval_eval",
+    "q_media_wav_adpcm",
+    "q_media_mp4_samples",
+    "q_media_mp3_sideinfo",
+    "q_media_webp",
+    "q_entity_resolution",
+    "q_incr_agg_stream",
+    "q_pit_join",
+    "q_label_propagation",
+    "q_item_similarity",
+    "q_unigram_tokenize",
+    "q_interp_linear",
+    "q_anomaly_zscore",
+    "q_bootstrap_ci",
+    "q_dedup_keep_best",
+    "q_dedup_eval",
+    "q_media_wav_g711",
+    "q_media_flac",
+    "q_media_jpeg_prog",
+    "q_media_jpeg_color",
+    "q_train_shards",
+    "q_mix_temperature",
+    "q_decontaminate_fuzzy",
+    "q_skew_diagnose",
+    "q_salted_agg",
 )
 
 
