@@ -2597,6 +2597,7 @@ EXQ_QS = (0.5, 0.9, 0.99)
     oracle=f"""
     WITH v AS (
         SELECT value, CAST(floor(value) AS BIGINT) AS b FROM events
+        WHERE value IS NOT NULL
     ),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
     qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
@@ -2652,8 +2653,13 @@ def q_exact_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket fan-out."""
     import math
 
-    e = read_table(spark, sf_dir, "events").select(
-        "value", F.floor("value").cast("long").alias("b")
+    # NULL values are excluded on BOTH engines (quantiles of the
+    # non-null population); without this a NULL bucket key would also
+    # break the driver-side histogram sort below.
+    e = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("value", F.floor("value").cast("long").alias("b"))
     )
     hist = sorted(
         (r["b"], r["cnt"])
@@ -2905,6 +2911,7 @@ WQ_QS = (0.5, 0.9)
                CAST(l_quantity AS BIGINT) AS w,
                CAST(floor(l_extendedprice / 1000) AS BIGINT) AS b
         FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ),
     tw AS (SELECT g, CAST(SUM(w) AS BIGINT) AS total_weight
            FROM v GROUP BY g),
@@ -2964,11 +2971,22 @@ def q_grouped_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     value buffering."""
     import math
 
-    l = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("g"),
-        F.col("l_extendedprice").cast("double").alias("val"),
-        F.col("l_quantity").cast("long").alias("w"),
-        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("b"),
+    # NULL prices/weights are excluded on BOTH engines — a NULL
+    # bucket key would also break the driver-side histogram sort.
+    l = (
+        read_table(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_extendedprice").cast("double").alias("val"),
+            F.col("l_quantity").cast("long").alias("w"),
+            F.floor(F.col("l_extendedprice") / 1000)
+            .cast("long")
+            .alias("b"),
+        )
     )
     hist = {}
     for r in (

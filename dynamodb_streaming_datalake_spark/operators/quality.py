@@ -766,6 +766,12 @@ _fmt(q_mad_outliers, MAD_K=MAD_K)
 # The oracle computes each pair independently via the distinct-count
 # identity, so the melt plan is value-hash-proven equivalent.
 
+#: NULL sentinel: both engines coalesce every audit column to this
+#: value BEFORE counting, so countDistinct (which drops NULLs and
+#: counts NULL-field structs asymmetrically across engines) never
+#: sees a NULL. Cannot collide with TPC-H values.
+FD_NULL = "__NULL__"
+
 #: audit columns: name -> SQL expression over orders
 FD_COLS = {
     "o_orderkey": "CAST(o_orderkey AS VARCHAR)",
@@ -780,7 +786,10 @@ def _fd_oracle() -> str:
     pairs = [
         (a, b) for a in FD_COLS for b in FD_COLS if a != b
     ]
-    base = ", ".join(f"{expr} AS {name}" for name, expr in FD_COLS.items())
+    base = ", ".join(
+        f"COALESCE({expr}, '{FD_NULL}') AS {name}"
+        for name, expr in FD_COLS.items()
+    )
     parts = [
         f"""
         SELECT '{a}' AS det_name, '{b}' AS dep_name,
@@ -808,19 +817,31 @@ def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combined), and a |pairs|-row fold sums violations =
     sum(n_dep - 1) = distinct(det, dep) - distinct(det). The oracle
     computes each pair independently from that identity, so the gate
-    proves the melt plan equivalent to 20 separate audits.
+    proves the melt plan equivalent to 20 separate audits. Both
+    engines coalesce every audit column to ``FD_NULL`` before
+    counting — NULL determinants and NULL dependents count as one
+    ordinary value on each side, so nullable audit columns are safe
+    (countDistinct drops NULLs and struct-distinct counts NULL fields
+    engine-asymmetrically otherwise).
 
     Scale: the melt's fan-out equals the audit-pair count (the cost
     dial); the wide aggregate's key space is bounded by
     sum over pairs of ndv(det), and the final fold is |pairs| rows.
     Discovering FDs over K columns costs one scan, not K^2."""
     o = read_table(spark, sf_dir, "orders")
+    nul = F.lit(FD_NULL)
     base = o.select(
-        F.col("o_orderkey").cast("string").alias("o_orderkey"),
-        F.col("o_custkey").cast("string").alias("o_custkey"),
-        F.col("o_orderstatus").alias("o_orderstatus"),
-        F.col("o_orderpriority").alias("o_orderpriority"),
-        F.year("o_orderdate").cast("string").alias("o_year"),
+        F.coalesce(F.col("o_orderkey").cast("string"), nul).alias(
+            "o_orderkey"
+        ),
+        F.coalesce(F.col("o_custkey").cast("string"), nul).alias(
+            "o_custkey"
+        ),
+        F.coalesce(F.col("o_orderstatus"), nul).alias("o_orderstatus"),
+        F.coalesce(F.col("o_orderpriority"), nul).alias("o_orderpriority"),
+        F.coalesce(F.year("o_orderdate").cast("string"), nul).alias(
+            "o_year"
+        ),
     )
     pairs = [(a, b) for a in FD_COLS for b in FD_COLS if a != b]
     stack = "stack({}, {}) as (det_name, det_val, dep_name, dep_val)".format(
