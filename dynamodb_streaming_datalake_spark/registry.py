@@ -415,6 +415,7 @@ REGISTRY_MODULES: tuple[str, ...] = (
     "operators.geo",
     "operators.experiments",
     "operators.contrastive",
+    "operators.completeness",
     "sources.evolution",
     "sources.formats",
     "streaming.windows",
