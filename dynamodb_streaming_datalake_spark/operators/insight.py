@@ -1,0 +1,780 @@
+"""Diagnostic analytics: the "why did the metric move" toolbox.
+
+Dashboards built on the lake (SURVEY §2C product-analytics families)
+answer WHAT changed; these operators answer WHY — the
+feature-screening, decomposition, and audit shapes an analyst reaches
+for next:
+
+* ``q_woe_iv`` — weight-of-evidence / information-value screen of
+  candidate features against a binary outcome, all features in ONE
+  melt pass (the q_fd_audit stack pattern applied to supervised
+  screening);
+* ``q_theilsen_slope`` — per-group robust trend: median of pairwise
+  slopes (Theil–Sen), immune to the outlier days that wreck the
+  least-squares fits (q_grouped_regression/q_holt_trend);
+* ``q_metric_bridge`` — period-over-period revenue change decomposed
+  into volume / rate / mix effects per segment, the BI "bridge"
+  waterfall;
+* ``q_simpson_scan`` — aggregation-reversal audit: strata where the
+  stratified effect contradicts the pooled effect (Simpson's
+  paradox), the standing guard against drawing conclusions from
+  marginal rates;
+* ``q_assoc_rules`` — directional association rules over order
+  baskets with support/confidence/lift, the market-basket classic;
+* ``q_multitouch_attribution`` — conversion credit assigned to
+  preceding touches under first/last/linear models in one pass.
+
+Scale notes per query in the docstrings; the common discipline is
+exact-decimal partial sums for anything summed across engines (float
+addition is order-sensitive; DECIMAL(18,6) partials are not) and
+single-scan melts where a family of statistics shares an input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.registry import format_doc, query
+from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+# ---------------------------------------------------------------------------
+# WOE / IV feature screen
+# ---------------------------------------------------------------------------
+
+#: screened features: name -> (Spark Column factory, DuckDB SQL expr),
+#: all cast to string so the melt is type-uniform. The outcome is
+#: l_returnflag = 'R' (the line was returned).
+WOE_SMOOTH = 0.5
+
+
+def _woe_oracle() -> str:
+    feats = {
+        "discount_bin": (
+            "CAST(CAST(round(l_discount * 100) AS INT) AS VARCHAR)"
+        ),
+        "quantity_bin": (
+            "CAST(CAST(floor(l_quantity / 10) AS INT) AS VARCHAR)"
+        ),
+        "ship_month": "CAST(month(l_shipdate) AS VARCHAR)",
+        "linestatus": "l_linestatus",
+    }
+    melt = "\n UNION ALL ".join(
+        f"SELECT '{name}' AS feature, {expr} AS bin, bad FROM base"
+        for name, expr in feats.items()
+    )
+    s = WOE_SMOOTH
+    return f"""
+    WITH base AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad, *
+        FROM lineitem
+    ),
+    m AS ({melt}),
+    g AS (
+        SELECT feature, bin,
+               CAST(SUM(bad) AS BIGINT) AS n_bad,
+               CAST(COUNT(*) - SUM(bad) AS BIGINT) AS n_good
+        FROM m GROUP BY feature, bin
+    ),
+    t AS (
+        SELECT g.*,
+               SUM(n_good) OVER (PARTITION BY feature) AS tg,
+               SUM(n_bad) OVER (PARTITION BY feature) AS tb
+        FROM g
+    ),
+    w AS (
+        SELECT feature, bin, n_good, n_bad,
+               ln(((n_good + {s}) / tg) / ((n_bad + {s}) / tb)) AS woe,
+               (CAST(n_good AS DOUBLE) / tg - CAST(n_bad AS DOUBLE) / tb)
+                 * ln(((n_good + {s}) / tg) / ((n_bad + {s}) / tb))
+                 AS iv_term
+        FROM t
+    )
+    SELECT feature, bin, n_good, n_bad,
+           round(woe, 6) + 0.0 AS woe,
+           round(iv_term, 6) + 0.0 AS iv_term,
+           CAST(SUM(CAST(round(iv_term, 6) AS DECIMAL(18,6)))
+                OVER (PARTITION BY feature) AS DOUBLE) AS feature_iv
+    FROM w
+    """
+
+
+@query("q_woe_iv", oracle=_woe_oracle())
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen of four
+    candidate features (discount bin, quantity decile, ship month,
+    linestatus) against the binary outcome "line was returned" — the
+    credit-scoring feature-selection classic. ALL features share ONE
+    scan: rows melt to (feature, bin, outcome) with a bounded stack
+    (the q_fd_audit pattern, supervised), one aggregate counts
+    good/bad per bin, and feature totals ride a window over the
+    grouped frame. WOE uses +{WOE_SMOOTH} smoothing so empty cells
+    stay finite; the per-feature IV — the ranking number — sums the
+    ROUNDED per-bin terms as exact decimals, so the cross-engine hash
+    cannot drift with float summation order.
+
+    Scale: the melt fan-out equals the feature count (the cost dial);
+    the aggregate's key space is sum of per-feature bin counts; the
+    window runs over that bounded grouped frame, never the raw rows.
+    Screening K features costs one scan, not K."""
+    li = read_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+        F.round(F.col("l_discount") * 100)
+        .cast("int")
+        .cast("string")
+        .alias("discount_bin"),
+        F.floor(F.col("l_quantity") / 10)
+        .cast("int")
+        .cast("string")
+        .alias("quantity_bin"),
+        F.month("l_shipdate").cast("string").alias("ship_month"),
+        F.col("l_linestatus").alias("linestatus"),
+    )
+    names = ("discount_bin", "quantity_bin", "ship_month", "linestatus")
+    stack = "stack({}, {}) as (feature, bin)".format(
+        len(names), ", ".join(f"'{n}', {n}" for n in names)
+    )
+    m = base.select("bad", F.expr(stack))
+    g = m.groupBy("feature", "bin").agg(
+        F.sum("bad").cast("long").alias("n_bad"),
+        (F.count(F.lit(1)) - F.sum("bad")).cast("long").alias("n_good"),
+    )
+    wf = Window.partitionBy("feature")
+    t = g.withColumn("tg", F.sum("n_good").over(wf)).withColumn(
+        "tb", F.sum("n_bad").over(wf)
+    )
+    s = F.lit(WOE_SMOOTH)
+    woe = F.log(
+        ((F.col("n_good") + s) / F.col("tg"))
+        / ((F.col("n_bad") + s) / F.col("tb"))
+    )
+    iv_term = (
+        F.col("n_good").cast("double") / F.col("tg")
+        - F.col("n_bad").cast("double") / F.col("tb")
+    ) * woe
+    # + 0.0 normalizes IEEE negative zero (round(-1e-9, 6) is -0.0 in
+    # one engine and 0.0 in the other; -0.0 + 0.0 == +0.0 in both)
+    w = t.select(
+        "feature",
+        "bin",
+        "n_good",
+        "n_bad",
+        (F.round(woe, 6) + F.lit(0.0)).alias("woe"),
+        (F.round(iv_term, 6) + F.lit(0.0)).alias("iv_term"),
+    )
+    return w.withColumn(
+        "feature_iv",
+        F.sum(F.col("iv_term").cast("decimal(18,6)"))
+        .over(wf)
+        .cast("double"),
+    )
+
+
+format_doc(q_woe_iv, WOE_SMOOTH=WOE_SMOOTH)
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend
+# ---------------------------------------------------------------------------
+
+#: day-zero for the daily index (the corpus's first event day)
+TS_EPOCH = "2024-01-01"
+
+
+@query(
+    "q_theilsen_slope",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '{TS_EPOCH}', CAST(ts AS DATE)) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               (b.v - a.v) / (b.d - a.d) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.d > a.d
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               quantile_cont(slope, 0.5) AS slope_med
+        FROM pairs GROUP BY event_type
+    ),
+    res AS (
+        SELECT daily.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               quantile_cont(daily.v - med.slope_med * daily.d, 0.5)
+                 AS icept
+        FROM daily JOIN med USING (event_type)
+        GROUP BY daily.event_type
+    )
+    SELECT med.event_type, res.n_days, med.n_pairs,
+           round(med.slope_med, 6) AS slope,
+           round(res.icept, 6) AS intercept
+    FROM med JOIN res USING (event_type)
+    """,
+)
+def q_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust daily trend: the Theil–Sen estimator —
+    median over all pairwise slopes of the (day, daily-value) series,
+    intercept = median residual at that slope. Unlike the
+    least-squares fits (q_grouped_regression, q_holt_trend) a third
+    of the days can be arbitrarily corrupted before the estimate
+    moves. Daily values are exact-decimal sums, so both engines
+    divide identical doubles; the median is the interpolating
+    midpoint in both (percentile / quantile_cont share the R-type-7
+    convention).
+
+    Scale: pair generation is the cost dial — it is a self-join of
+    the per-group DAILY aggregate (|days| rows per group), so pairs
+    are |days|^2 per group, never |rows|^2; for long histories the
+    standard cap is a trailing window over days. The daily aggregate
+    itself is one map-side-combined shuffle; slope medians reduce
+    |days|^2-bounded frames per group."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit(TS_EPOCH)).alias("d"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.v") - F.col("a.v")) / (F.col("b.d") - F.col("a.d"))).alias(
+            "slope"
+        ),
+    )
+    med = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("slope_med"),
+    )
+    res = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.expr("percentile(v - slope_med * d, 0.5)").alias("icept"),
+        )
+    )
+    return med.join(res, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        F.round("slope_med", 6).alias("slope"),
+        F.round("icept", 6).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# metric bridge (volume / rate / mix decomposition)
+# ---------------------------------------------------------------------------
+
+#: compared periods (order years)
+BRIDGE_Y1, BRIDGE_Y2 = 1996, 1997
+
+
+@query(
+    "q_metric_bridge",
+    oracle=f"""
+    WITH base AS (
+        SELECT n_name,
+               year(o_orderdate) AS y,
+               CAST(l_quantity AS DECIMAL(18,6)) AS qty,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 AS rev
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE year(o_orderdate) IN ({BRIDGE_Y1}, {BRIDGE_Y2})
+    ),
+    g AS (
+        SELECT n_name,
+               CAST(SUM(CASE WHEN y = {BRIDGE_Y1} THEN qty END) AS DOUBLE)
+                 AS u1,
+               CAST(SUM(CASE WHEN y = {BRIDGE_Y2} THEN qty END) AS DOUBLE)
+                 AS u2,
+               CAST(SUM(CASE WHEN y = {BRIDGE_Y1} THEN rev END) AS DOUBLE)
+                 AS rev1,
+               CAST(SUM(CASE WHEN y = {BRIDGE_Y2} THEN rev END) AS DOUBLE)
+                 AS rev2
+        FROM base GROUP BY n_name
+    ),
+    r AS (
+        SELECT n_name,
+               COALESCE(u1, 0) AS u1, COALESCE(u2, 0) AS u2,
+               COALESCE(rev1, 0) AS rev1, COALESCE(rev2, 0) AS rev2,
+               CASE WHEN COALESCE(u1, 0) > 0 THEN rev1 / u1 ELSE 0 END
+                 AS r1,
+               CASE WHEN COALESCE(u2, 0) > 0 THEN rev2 / u2 ELSE 0 END
+                 AS r2
+        FROM g
+    )
+    SELECT n_name,
+           round(rev1, 4) AS rev_y1,
+           round(rev2, 4) AS rev_y2,
+           round(rev2 - rev1, 4) AS delta,
+           round((u2 - u1) * r1, 4) AS volume_effect,
+           round((r2 - r1) * u1, 4) AS rate_effect,
+           round((u2 - u1) * (r2 - r1), 4) AS mix_effect
+    FROM r
+    """,
+)
+def q_metric_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BI bridge waterfall: per nation, the {BRIDGE_Y1}->
+    {BRIDGE_Y2} revenue change decomposed into volume effect
+    ((u2-u1) * r1: units moved at old rates), rate effect
+    ((r2-r1) * u1: rates moved on old units) and the mix/interaction
+    remainder — the three bars that sum exactly to delta, turning
+    "revenue fell" into "volume fell, rates held". Both periods
+    aggregate in ONE pass (conditional sums, no second scan); per-
+    period sums are exact decimals so both engines derive identical
+    rates and effects.
+
+    Scale: one join chain lineitem->orders->customer->nation (the q5
+    shuffle shape, dimensions broadcast when they fit) feeding one
+    map-side-combined aggregate keyed by segment; the decomposition
+    arithmetic runs on the |segments|-row grouped frame."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(BRIDGE_Y1, BRIDGE_Y2)
+    )
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("y"),
+            F.col("l_quantity").cast("decimal(18,6)").alias("qty"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,6)")
+            .alias("rev"),
+        )
+    )
+    g = base.groupBy("n_name").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("y") == yy, F.col(col)))
+                .cast("double"),
+                F.lit(0.0),
+            ).alias(name)
+            for yy, col, name in (
+                (BRIDGE_Y1, "qty", "u1"),
+                (BRIDGE_Y2, "qty", "u2"),
+                (BRIDGE_Y1, "rev", "rev1"),
+                (BRIDGE_Y2, "rev", "rev2"),
+            )
+        ]
+    )
+    r1 = F.when(F.col("u1") > 0, F.col("rev1") / F.col("u1")).otherwise(0.0)
+    r2 = F.when(F.col("u2") > 0, F.col("rev2") / F.col("u2")).otherwise(0.0)
+    g = g.withColumn("r1", r1).withColumn("r2", r2)
+    return g.select(
+        "n_name",
+        F.round("rev1", 4).alias("rev_y1"),
+        F.round("rev2", 4).alias("rev_y2"),
+        F.round(F.col("rev2") - F.col("rev1"), 4).alias("delta"),
+        F.round((F.col("u2") - F.col("u1")) * F.col("r1"), 4).alias(
+            "volume_effect"
+        ),
+        F.round((F.col("r2") - F.col("r1")) * F.col("u1"), 4).alias(
+            "rate_effect"
+        ),
+        F.round(
+            (F.col("u2") - F.col("u1")) * (F.col("r2") - F.col("r1")), 4
+        ).alias("mix_effect"),
+    )
+
+
+format_doc(q_metric_bridge, BRIDGE_Y1=BRIDGE_Y1, BRIDGE_Y2=BRIDGE_Y2)
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox scan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_simpson_scan",
+    oracle="""
+    WITH j AS (
+        SELECT p_brand,
+               CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS promo,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    g AS (
+        SELECT COALESCE(p_brand, 'ALL') AS stratum,
+               CAST(SUM(promo) AS BIGINT) AS n_promo,
+               CAST(SUM(1 - promo) AS BIGINT) AS n_nonpromo,
+               CAST(SUM(promo * ret) AS BIGINT) AS n_promo_ret,
+               CAST(SUM((1 - promo) * ret) AS BIGINT) AS n_nonpromo_ret
+        FROM j GROUP BY ROLLUP(p_brand)
+    ),
+    r AS (
+        SELECT g.*,
+               CASE WHEN n_promo > 0
+                    THEN CAST(n_promo_ret AS DOUBLE) / n_promo END
+                 AS rate_promo,
+               CASE WHEN n_nonpromo > 0
+                    THEN CAST(n_nonpromo_ret AS DOUBLE) / n_nonpromo END
+                 AS rate_nonpromo
+        FROM g
+    ),
+    d AS (
+        SELECT r.*, rate_promo - rate_nonpromo AS diff,
+               MAX(CASE WHEN stratum = 'ALL'
+                        THEN rate_promo - rate_nonpromo END) OVER ()
+                 AS overall_diff
+        FROM r
+    )
+    SELECT stratum, n_promo, n_nonpromo, n_promo_ret, n_nonpromo_ret,
+           round(rate_promo, 6) AS rate_promo,
+           round(rate_nonpromo, 6) AS rate_nonpromo,
+           round(diff, 6) AS diff,
+           round(overall_diff, 6) AS overall_diff,
+           COALESCE(sign(diff) * sign(overall_diff) < 0, FALSE)
+             AS reversed
+    FROM d
+    """,
+)
+def q_simpson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-reversal audit (Simpson's paradox): does the
+    pooled promo-vs-nonpromo return-rate difference keep its sign
+    inside every brand stratum? One ROLLUP aggregate computes all
+    strata AND the pooled row in a single scan; the pooled difference
+    rides back onto every stratum via a window over the
+    |strata|+1-row grouped frame, and ``reversed`` flags each
+    stratum whose stratified effect contradicts the marginal one —
+    the standing guard against acting on a confounded rate.
+
+    Scale: one lineitem->part join (dimension broadcast when it
+    fits) into one map-side-combined ROLLUP aggregate; the reversal
+    logic touches only the grouped frame. Adding strata columns
+    extends the same single scan (the grouping-set lattice is the
+    dial)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.when(F.col("p_type").startswith("PROMO"), 1)
+        .otherwise(0)
+        .alias("promo"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    g = (
+        j.rollup("p_brand")
+        .agg(
+            F.sum("promo").cast("long").alias("n_promo"),
+            F.sum(1 - F.col("promo")).cast("long").alias("n_nonpromo"),
+            F.sum(F.col("promo") * F.col("ret"))
+            .cast("long")
+            .alias("n_promo_ret"),
+            F.sum((1 - F.col("promo")) * F.col("ret"))
+            .cast("long")
+            .alias("n_nonpromo_ret"),
+        )
+        .select(
+            F.coalesce(F.col("p_brand"), F.lit("ALL")).alias("stratum"),
+            "n_promo",
+            "n_nonpromo",
+            "n_promo_ret",
+            "n_nonpromo_ret",
+        )
+    )
+    rate_p = F.when(
+        F.col("n_promo") > 0,
+        F.col("n_promo_ret").cast("double") / F.col("n_promo"),
+    )
+    rate_n = F.when(
+        F.col("n_nonpromo") > 0,
+        F.col("n_nonpromo_ret").cast("double") / F.col("n_nonpromo"),
+    )
+    r = g.withColumn("rate_promo", rate_p).withColumn(
+        "rate_nonpromo", rate_n
+    )
+    # |strata|+1-row frame: the un-partitioned window is deliberate
+    wall = Window.partitionBy()
+    d = r.withColumn(
+        "diff", F.col("rate_promo") - F.col("rate_nonpromo")
+    ).withColumn(
+        "overall_diff",
+        F.max(
+            F.when(F.col("stratum") == "ALL", F.col("rate_promo") - F.col("rate_nonpromo"))
+        ).over(wall),
+    )
+    return d.select(
+        "stratum",
+        "n_promo",
+        "n_nonpromo",
+        "n_promo_ret",
+        "n_nonpromo_ret",
+        F.round("rate_promo", 6).alias("rate_promo"),
+        F.round("rate_nonpromo", 6).alias("rate_nonpromo"),
+        F.round("diff", 6).alias("diff"),
+        F.round("overall_diff", 6).alias("overall_diff"),
+        F.coalesce(
+            F.signum("diff") * F.signum("overall_diff") < 0, F.lit(False)
+        ).alias("reversed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# association rules over order baskets
+# ---------------------------------------------------------------------------
+
+#: relative minimum support for a directional rule
+AR_MINSUP = 0.01
+
+
+@query(
+    "q_assoc_rules",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM b),
+    ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+           FROM b GROUP BY item),
+    pc AS (
+        SELECT a.item AS antecedent, c.item AS consequent,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM b a JOIN b c ON a.ok = c.ok AND a.item <> c.item
+        GROUP BY a.item, c.item
+    )
+    SELECT pc.antecedent, pc.consequent, pc.n_ab,
+           round(CAST(pc.n_ab AS DOUBLE) / nn.n, 6) AS support,
+           round(CAST(pc.n_ab AS DOUBLE) / ia.n_item, 6) AS confidence,
+           round((CAST(pc.n_ab AS DOUBLE) / ia.n_item)
+                 / (CAST(ic2.n_item AS DOUBLE) / nn.n), 6) AS lift
+    FROM pc
+    JOIN ic ia ON pc.antecedent = ia.item
+    JOIN ic ic2 ON pc.consequent = ic2.item
+    CROSS JOIN nn
+    WHERE CAST(pc.n_ab AS DOUBLE) / nn.n >= {AR_MINSUP}
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules A -> B over order baskets (items
+    = part brands): support, confidence, and lift for every ordered
+    pair co-occurring in at least {AR_MINSUP:.0%} of baskets — the
+    market-basket classic behind "customers who bought X". Distinct
+    from q_item_similarity (symmetric cosine for neighborhoods):
+    rules are DIRECTIONAL and the decision numbers are
+    confidence (P(B|A)) and lift (confidence over B's base rate).
+
+    Scale: pair generation self-joins the DEDUPLICATED basket
+    relation on the order key, so cost is sum of per-basket
+    item-count squared (the basket-size dial), shuffled on the order
+    key like any fact-fact equi-join; item frequencies and the
+    basket total are |items|-sized broadcasts. The support prune is
+    relative, so the rule surface is scale-free."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    b = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    nn = b.agg(F.countDistinct("ok").cast("long").alias("n"))
+    ic = b.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    a, c = b.alias("a"), b.alias("c")
+    pc = (
+        a.join(
+            c,
+            (F.col("a.ok") == F.col("c.ok"))
+            & (F.col("a.item") != F.col("c.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("antecedent"),
+            F.col("c.item").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    ia = ic.select(
+        F.col("item").alias("antecedent"), F.col("n_item").alias("n_a")
+    )
+    ib = ic.select(
+        F.col("item").alias("consequent"), F.col("n_item").alias("n_b")
+    )
+    out = (
+        pc.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ib), "consequent")
+        .crossJoin(F.broadcast(nn))
+        .where(F.col("n_ab").cast("double") / F.col("n") >= AR_MINSUP)
+    )
+    conf = F.col("n_ab").cast("double") / F.col("n_a")
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        F.round(F.col("n_ab").cast("double") / F.col("n"), 6).alias(
+            "support"
+        ),
+        F.round(conf, 6).alias("confidence"),
+        F.round(
+            conf / (F.col("n_b").cast("double") / F.col("n")), 6
+        ).alias("lift"),
+    )
+
+
+format_doc(q_assoc_rules, AR_MINSUP=AR_MINSUP)
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution
+# ---------------------------------------------------------------------------
+
+#: attribution lookback (seconds) and channel count derived from the
+#: click's campaign key (props.k)
+MTA_WINDOW_S = 3600
+MTA_CHANNELS = 5
+
+
+@query(
+    "q_multitouch_attribution",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS cts, event_id AS cid,
+               CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    % {MTA_CHANNELS} AS VARCHAR) AS channel
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.pid, p.value, c.cts, c.cid,
+               COALESCE(c.channel, 'none') AS channel,
+               CAST(COUNT(c.cid) OVER (PARTITION BY p.pid) AS BIGINT)
+                 AS n_clicks,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.pid ORDER BY c.cts, c.cid
+               ) AS rn_f,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.pid ORDER BY c.cts DESC, c.cid DESC
+               ) AS rn_l
+        FROM p LEFT JOIN c
+          ON p.user_id = c.user_id
+         AND c.cts < p.pts
+         AND c.cts >= p.pts - INTERVAL {MTA_WINDOW_S} SECONDS
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(round(value / GREATEST(n_clicks, 1), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS linear_credit,
+           CAST(SUM(CASE WHEN rn_f = 1
+                         THEN CAST(value AS DECIMAL(18,6)) END)
+                AS DOUBLE) AS first_credit,
+           CAST(SUM(CASE WHEN rn_l = 1
+                         THEN CAST(value AS DECIMAL(18,6)) END)
+                AS DOUBLE) AS last_credit
+    FROM j GROUP BY channel
+    """,
+)
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion credit per channel under three attribution models
+    in ONE pass: every purchase is joined to the same user's clicks
+    in the preceding {MTA_WINDOW_S} s (channel = campaign key mod
+    {MTA_CHANNELS} from the click's props), and each click row earns
+    linear credit (value / touches), first-touch credit, and
+    last-touch credit simultaneously via two row_numbers over the
+    per-purchase frame — purchases with no touches credit 'none', so
+    every model's column sums to total purchase value. Credits sum
+    as exact decimals (rounded per-row first), so the cross-engine
+    hash cannot drift with float summation order.
+
+    Scale: the join is per-user (equi on user_id + time-range
+    predicate), the q_stream_attribution shape — sort-merge on the
+    user key, per-user sorted runs, no global structure; windows
+    partition by purchase. The streaming twin is the watermarked
+    stream-stream interval join already proven by
+    q_stream_attribution."""
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puid"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuid"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+        (
+            F.get_json_object("props", "$.k").cast("bigint")
+            % MTA_CHANNELS
+        )
+        .cast("string")
+        .alias("channel"),
+    )
+    j = p.join(
+        c,
+        (F.col("puid") == F.col("cuid"))
+        & (F.col("cts") < F.col("pts"))
+        & (
+            F.col("cts")
+            >= F.col("pts") - F.expr(f"INTERVAL {MTA_WINDOW_S} SECONDS")
+        ),
+        "left",
+    )
+    wp = Window.partitionBy("pid")
+    j = (
+        j.withColumn("n_clicks", F.count("cid").over(wp))
+        .withColumn(
+            "rn_f",
+            F.row_number().over(wp.orderBy(F.asc("cts"), F.asc("cid"))),
+        )
+        .withColumn(
+            "rn_l",
+            F.row_number().over(
+                wp.orderBy(F.desc("cts"), F.desc("cid"))
+            ),
+        )
+        .withColumn("channel", F.coalesce("channel", F.lit("none")))
+    )
+    dec = "decimal(18,6)"
+    return j.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.countDistinct("pid").cast("long").alias("n_purchases"),
+        F.sum(
+            F.round(
+                F.col("value") / F.greatest(F.col("n_clicks"), F.lit(1)),
+                6,
+            ).cast(dec)
+        )
+        .cast("double")
+        .alias("linear_credit"),
+        F.sum(F.when(F.col("rn_f") == 1, F.col("value").cast(dec)))
+        .cast("double")
+        .alias("first_credit"),
+        F.sum(F.when(F.col("rn_l") == 1, F.col("value").cast(dec)))
+        .cast("double")
+        .alias("last_credit"),
+    )
+
+
+format_doc(
+    q_multitouch_attribution,
+    MTA_WINDOW_S=MTA_WINDOW_S,
+    MTA_CHANNELS=MTA_CHANNELS,
+)

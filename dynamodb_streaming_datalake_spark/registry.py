@@ -416,6 +416,7 @@ REGISTRY_MODULES: tuple[str, ...] = (
     "operators.experiments",
     "operators.contrastive",
     "operators.completeness",
+    "operators.insight",
     "sources.evolution",
     "sources.formats",
     "streaming.windows",

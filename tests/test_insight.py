@@ -1,0 +1,181 @@
+"""Diagnostic-analytics operators: semantic invariants beyond the
+oracle hash (bridge adds up, attribution conserves value, Theil–Sen
+matches the direct median-of-slopes, rules match hand counts)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamodb_streaming_datalake_spark.operators.insight import (
+    q_assoc_rules,
+    q_metric_bridge,
+    q_multitouch_attribution,
+    q_simpson_scan,
+    q_theilsen_slope,
+    q_woe_iv,
+)
+from dynamodb_streaming_datalake_spark.registry import ORACLE
+from dynamodb_streaming_datalake_spark.sources.readers import read_table
+from tests.oracle_utils import compare_query
+
+
+@pytest.mark.parametrize(
+    "name,fn",
+    [
+        ("q_woe_iv", q_woe_iv),
+        ("q_theilsen_slope", q_theilsen_slope),
+        ("q_metric_bridge", q_metric_bridge),
+        ("q_simpson_scan", q_simpson_scan),
+        ("q_assoc_rules", q_assoc_rules),
+        ("q_multitouch_attribution", q_multitouch_attribution),
+    ],
+)
+def test_oracle_parity_smoke(spark, sf_smoke, name, fn):
+    compare_query(spark, sf_smoke, name, fn, ORACLE[name])
+
+
+def test_bridge_effects_sum_to_delta(spark, sf_smoke):
+    """volume + rate + mix must reconstruct delta to rounding noise —
+    the property that makes the waterfall a decomposition, not three
+    unrelated numbers."""
+    for r in q_metric_bridge(spark, sf_smoke).collect():
+        total = r["volume_effect"] + r["rate_effect"] + r["mix_effect"]
+        assert abs(total - r["delta"]) < 2e-3
+        assert abs(r["delta"] - (r["rev_y2"] - r["rev_y1"])) < 2e-3
+
+
+def test_woe_iv_matches_direct_computation(spark, sf_smoke):
+    """Recompute one feature's WOE/IV from raw counts in Python and
+    compare against the melt plan's rows."""
+    import math
+
+    li = read_table(spark, sf_smoke, "lineitem").select(
+        F.col("l_linestatus").alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    counts = {
+        r["bin"]: (r["g"], r["b"])
+        for r in li.groupBy("bin")
+        .agg(
+            F.sum(1 - F.col("bad")).alias("g"), F.sum("bad").alias("b")
+        )
+        .collect()
+    }
+    tg = sum(g for g, _ in counts.values())
+    tb = sum(b for _, b in counts.values())
+    rows = {
+        r["bin"]: r
+        for r in q_woe_iv(spark, sf_smoke)
+        .where(F.col("feature") == "linestatus")
+        .collect()
+    }
+    assert rows.keys() == counts.keys()
+    for bin_, (g, b) in counts.items():
+        woe = math.log(((g + 0.5) / tg) / ((b + 0.5) / tb))
+        assert abs(rows[bin_]["woe"] - woe) < 1e-5
+        assert rows[bin_]["n_good"] == g and rows[bin_]["n_bad"] == b
+
+
+def test_theilsen_matches_direct_median_of_slopes(spark, sf_smoke):
+    """Slope per group equals the direct median over all pairwise
+    slopes of the collected daily series."""
+    import statistics
+
+    daily = (
+        read_table(spark, sf_smoke, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["d"], r["v"]))
+    got = {r["event_type"]: r for r in q_theilsen_slope(spark, sf_smoke).collect()}
+    for et, pts in series.items():
+        pts.sort()
+        slopes = [
+            (v2 - v1) / (d2 - d1)
+            for i, (d1, v1) in enumerate(pts)
+            for d2, v2 in pts[i + 1 :]
+        ]
+        assert got[et]["n_pairs"] == len(slopes)
+        assert abs(got[et]["slope"] - statistics.median(slopes)) < 1e-5
+
+
+def test_simpson_overall_row_consistency(spark, sf_smoke):
+    rows = q_simpson_scan(spark, sf_smoke).collect()
+    overall = [r for r in rows if r["stratum"] == "ALL"]
+    assert len(overall) == 1
+    od = overall[0]["diff"]
+    for r in rows:
+        assert r["overall_diff"] == od
+        if r["diff"] is not None and od is not None:
+            want = (r["diff"] > 0) != (od > 0) and r["diff"] != 0 and od != 0
+            assert r["reversed"] == want
+    # strata counts sum to the pooled row
+    assert sum(r["n_promo"] for r in rows if r["stratum"] != "ALL") == (
+        overall[0]["n_promo"]
+    )
+
+
+def test_assoc_rule_metrics_match_hand_counts(spark, sf_smoke):
+    """Pick the strongest rule and recompute support/confidence/lift
+    from the basket relation directly."""
+    rules = q_assoc_rules(spark, sf_smoke).collect()
+    assert rules, "support threshold prunes everything at smoke scale"
+    top = max(rules, key=lambda r: (r["n_ab"], r["antecedent"]))
+    li = read_table(spark, sf_smoke, "lineitem")
+    p = read_table(spark, sf_smoke, "part")
+    b = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    baskets: dict = {}
+    for r in b.collect():
+        baskets.setdefault(r["ok"], set()).add(r["item"])
+    n = len(baskets)
+    a, c = top["antecedent"], top["consequent"]
+    n_a = sum(1 for s in baskets.values() if a in s)
+    n_b = sum(1 for s in baskets.values() if c in s)
+    n_ab = sum(1 for s in baskets.values() if a in s and c in s)
+    assert top["n_ab"] == n_ab
+    assert abs(top["support"] - n_ab / n) < 1e-6
+    assert abs(top["confidence"] - n_ab / n_a) < 1e-6
+    assert abs(top["lift"] - (n_ab / n_a) / (n_b / n)) < 1e-6
+
+
+def test_attribution_conserves_purchase_value(spark, sf_smoke):
+    """Each model's credits sum (over channels, incl 'none') to the
+    total purchase value — attribution redistributes, never creates."""
+    rows = q_multitouch_attribution(spark, sf_smoke).collect()
+    total = (
+        read_table(spark, sf_smoke, "events")
+        .where(F.col("event_type") == "purchase")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("t")
+        )
+        .collect()[0]["t"]
+    )
+    n_purch = (
+        read_table(spark, sf_smoke, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    for col in ("first_credit", "last_credit"):
+        got = sum(r[col] or 0.0 for r in rows)
+        assert abs(got - total) < 1e-4, (col, got, total)
+    # linear credits are rounded per touch: tolerance scales with rows
+    lin = sum(r["linear_credit"] or 0.0 for r in rows)
+    assert abs(lin - total) < 1e-4 * max(n_purch, 1)
+    assert sum(r["n_purchases"] for r in rows) >= n_purch

@@ -317,6 +317,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_funnel_conversion",  # three 1-row aggregates crossed
         "q_kmeans",  # broadcast K=8 centroids x corpus (assignment)
         "q22_idle_rich_customers",  # 1-row AVG threshold crossed
+        "q_assoc_rules",  # 1-row basket-total N crossed into rule frame
         "q11_important_parts",  # 1-row grand-total threshold crossed
         "q_tfidf_terms",  # 1-row corpus doc count crossed
         "q_heavy_hitters",  # 1-row token total crossed
