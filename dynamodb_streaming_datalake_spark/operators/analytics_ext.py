@@ -2643,49 +2643,56 @@ def q_exact_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket to the exact element. No global sort, no per-group value
     buffering, no estimate: the value returned is the true k-th
     smallest, and the oracle recomputes the identical two-phase
-    selection.
+    selection. The whole pipeline is LAZY — pass 1's bucket location
+    runs as a |buckets|-row windowed frame joined against the
+    {EXQ_QS}-row quantile panel, not a driver collect, so building
+    the plan costs nothing and nothing executes twice.
 
-    Scale: pass 1 is one map-side-combined groupBy to |buckets| rows;
-    pass 2 filters to <= {EXQ_QS} buckets (pushed to the scan) and
-    sorts only bucket-sized partitions. A pathological bucket holding
-    most of the mass recurses the same way — re-histogram inside the
-    bucket at finer width; each level divides the candidate set by
-    the bucket fan-out."""
-    import math
-
+    Scale: pass 1 is one map-side-combined groupBy to |buckets| rows
+    (the windowed cumulative over it is the driver-bounded artifact,
+    same budget as the AQE statistics the skew queries read); pass 2
+    broadcast-semi-joins the picked buckets — a bucket filter
+    applied in the scan stage — and sorts only bucket-sized
+    partitions. A pathological bucket holding most of the mass
+    recurses the same way — re-histogram inside the bucket at finer
+    width; each level divides the candidate set by the bucket
+    fan-out."""
     # NULL values are excluded on BOTH engines (quantiles of the
-    # non-null population); without this a NULL bucket key would also
-    # break the driver-side histogram sort below.
+    # non-null population).
     e = (
         read_table(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
         .select("value", F.floor("value").cast("long").alias("b"))
     )
-    hist = sorted(
-        (r["b"], r["cnt"])
-        for r in e.groupBy("b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    hist = e.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    # |buckets|-row frame: un-partitioned windows are deliberate
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    hc = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+    ).withColumn("n_total", F.sum("cnt").over(Window.partitionBy()))
+    qs = spark.createDataFrame([(q,) for q in EXQ_QS], "q double")
+    pick = (
+        hc.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "target_rank",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("q") * F.col("n_total")).cast("long"),
+            ),
+        )
+        .where(
+            (F.col("target_rank") > F.col("cum_before"))
+            & (F.col("target_rank") <= F.col("cum_before") + F.col("cnt"))
+        )
+        .select("q", "target_rank", "n_total", "b", "cum_before")
     )
-    n = sum(c for _, c in hist)
-    targets = []
-    for q in EXQ_QS:
-        target_rank = max(1, math.ceil(q * n))
-        cum_before = 0
-        for b, cnt in hist:
-            if target_rank <= cum_before + cnt:
-                targets.append((q, target_rank, n, b, cum_before))
-                break
-            cum_before += cnt
-    tgt = spark.createDataFrame(
-        targets,
-        "q double, target_rank long, n_total long, b long, cum_before long",
-    )
-    sub = e.where(F.col("b").isin([t[3] for t in targets]))
+    sub = e.join(F.broadcast(pick.select("b").distinct()), "b", "semi")
     r2 = sub.withColumn(
         "rn",
         F.row_number().over(Window.partitionBy("b").orderBy("value")),
     )
     return (
-        r2.join(F.broadcast(tgt), "b")
+        r2.join(F.broadcast(pick), "b")
         .where(F.col("rn") == F.col("target_rank") - F.col("cum_before"))
         .select(
             "q",
@@ -2965,14 +2972,14 @@ def q_grouped_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     only column released.
 
     Scale: pass 1 one map-side-combined groupBy to |groups| x
-    |buckets| rows; pass 2 filters to |groups| x |quantiles| buckets
-    (pushed to the scan) and windows inside bucket-sized partitions —
-    exact weighted percentiles with no global sort and no per-group
-    value buffering."""
-    import math
-
-    # NULL prices/weights are excluded on BOTH engines — a NULL
-    # bucket key would also break the driver-side histogram sort.
+    |buckets| rows (the per-group cumulative window runs over that
+    grouped frame); pass 2 broadcast-semi-joins the |groups| x
+    |quantiles| picked buckets — the filter applies in the scan
+    stage — and windows inside bucket-sized partitions — exact
+    weighted percentiles with no global sort, no per-group value
+    buffering, and no driver-side collect (the whole pipeline is
+    lazy)."""
+    # NULL prices/weights are excluded on BOTH engines.
     l = (
         read_table(spark, sf_dir, "lineitem")
         .where(
@@ -2988,29 +2995,34 @@ def q_grouped_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("b"),
         )
     )
-    hist = {}
-    for r in (
-        l.groupBy("g", "b").agg(F.sum("w").alias("bw")).collect()
-    ):
-        hist.setdefault(r["g"], []).append((r["b"], r["bw"]))
-    targets = []
-    for g, buckets in hist.items():
-        buckets.sort()
-        total = sum(bw for _, bw in buckets)
-        for q in WQ_QS:
-            target = max(1, math.ceil(q * total))
-            cum_before = 0
-            for b, bw in buckets:
-                if target <= cum_before + bw:
-                    targets.append(
-                        (g, q, total, target, b, target - cum_before)
-                    )
-                    break
-                cum_before += bw
-    tgt = spark.createDataFrame(
-        targets,
-        "g string, q double, total_weight long, target long,"
-        " b long, rib long",
+    hist = l.groupBy("g", "b").agg(F.sum("w").alias("bw"))
+    wg = Window.partitionBy("g")
+    wcum = wg.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    hc = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("bw").over(wcum), F.lit(0))
+    ).withColumn("total_weight", F.sum("bw").over(wg))
+    qs = spark.createDataFrame([(q,) for q in WQ_QS], "q double")
+    tgt = (
+        hc.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "target",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("q") * F.col("total_weight")).cast("long"),
+            ),
+        )
+        .where(
+            (F.col("target") > F.col("cum_before"))
+            & (F.col("target") <= F.col("cum_before") + F.col("bw"))
+        )
+        .select(
+            "g",
+            "q",
+            "total_weight",
+            "target",
+            "b",
+            (F.col("target") - F.col("cum_before")).alias("rib"),
+        )
     )
     sub = l.join(
         F.broadcast(tgt.select("g", "b").distinct()), ["g", "b"], "semi"
