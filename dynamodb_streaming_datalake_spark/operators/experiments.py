@@ -1904,3 +1904,170 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("delta", 6).alias("delta"),
         F.round(did, 6).alias("did_estimate"),
     ).orderBy("arm")
+
+
+# ---------------------------------------------------------------------------
+# Thompson-sampling readout: Beta posteriors + P(best) on a grid
+# ---------------------------------------------------------------------------
+# The frequentist readouts above (q_ab_test, q_sprt_monitor,
+# q_power_mde) answer "is B better than A"; a bandit asks "what is
+# the probability EACH arm is best", the number Thompson sampling
+# allocates by. With Beta(1+s, 1+f) posteriors this is an integral
+# with no closed form for >2 arms; the standard numeric answer is a
+# grid: P(i best) = sum_j w_ij * prod_{k!=i} CDF_k(x_j). Everything
+# here is engineered to be cross-engine REPRODUCIBLE: posterior
+# weights normalize through exact-decimal folds (never unordered
+# float sums — DuckDB's segment-tree window summation and Spark's
+# running fold add in different orders), and the product over arms
+# runs as an exact-decimal sum of clamped log-CDFs.
+
+#: conversion threshold: an event converts when value > BND_THRESH
+BND_THRESH = 100.0
+
+#: posterior grid resolution (midpoint rule on (0,1))
+BND_GRID = 512
+
+
+@query(
+    "q_bandit_posterior",
+    oracle=f"""
+    WITH arms AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value > {BND_THRESH} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM events GROUP BY event_type
+    ),
+    g AS (
+        SELECT a.event_type, a.n, a.s, t.j,
+               (t.j + 0.5) / {BND_GRID} AS x,
+               a.s * ln((t.j + 0.5) / {BND_GRID})
+               + (a.n - a.s) * ln(1 - (t.j + 0.5) / {BND_GRID}) AS logw
+        FROM arms a CROSS JOIN generate_series(0, {BND_GRID - 1}) t(j)
+    ),
+    w AS (
+        SELECT g.*,
+               CAST(round(exp(logw - MAX(logw) OVER (
+                   PARTITION BY event_type)), 15) AS DECIMAL(18,15))
+                 AS wp
+        FROM g
+    ),
+    c AS (
+        SELECT w.*,
+               SUM(wp) OVER (PARTITION BY event_type ORDER BY j
+                   ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(wp) OVER (PARTITION BY event_type) AS z
+        FROM w
+    ),
+    p AS (
+        SELECT c.*,
+               CAST(wp AS DOUBLE) / CAST(z AS DOUBLE) AS wnorm,
+               CAST(round(ln(GREATEST(
+                   (CAST(cumw AS DOUBLE) - CAST(wp AS DOUBLE) / 2)
+                     / CAST(z AS DOUBLE), 1e-300)),
+                   12) AS DECIMAL(28,12)) AS lncdf
+        FROM c
+    ),
+    q AS (
+        SELECT p.*,
+               SUM(lncdf) OVER (PARTITION BY j) AS lnall
+        FROM p
+    )
+    SELECT event_type, n, s,
+           round((1.0 + s) / (2.0 + n), 6) AS post_mean,
+           round(CAST(SUM(CAST(round(
+               wnorm * exp(CAST(lnall - lncdf AS DOUBLE)), 12)
+               AS DECIMAL(18,12))) AS DOUBLE), 6) AS p_best
+    FROM q GROUP BY event_type, n, s
+    """,
+)
+def q_bandit_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thompson-sampling readout: each event type is an arm whose
+    conversion (value > {BND_THRESH}) follows Beta(1+s, 1+f), and the
+    report is every arm's posterior mean plus P(arm is best) — the
+    allocation weights of a bandit — computed by midpoint-rule
+    integration on a {BND_GRID}-point grid: P(i best) =
+    sum_j w_ij * prod_k!=i CDF_k(x_j) with the midpoint CDF
+    convention (cum - w/2, so grid ties split instead of double-
+    counting and the p_best column sums to ~1). The cross-engine
+    discipline is
+    the point: posterior weights exponentiate against a per-arm max
+    (no underflow at s in the thousands), normalize and accumulate
+    through EXACT-DECIMAL folds (an unordered float sum differs
+    between DuckDB's segment-tree window aggregation and Spark's
+    running fold), and the across-arm product is an exact-decimal sum
+    of clamped rounded log-CDFs — so both engines integrate to the
+    same 6 decimals by construction, not by luck.
+
+    Scale: one map-side-combined aggregate to |arms| rows, then all
+    arithmetic on the |arms| x {BND_GRID} grid frame — constant-size
+    whatever the event volume. Arms x grid is the broadcast cross of
+    a |arms|-row aggregate with a literal range."""
+    ev = read_table(spark, sf_dir, "events")
+    arms = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > BND_THRESH, 1).otherwise(0))
+        .cast("long")
+        .alias("s"),
+    )
+    grid = spark.range(BND_GRID).select(F.col("id").alias("j"))
+    x = (F.col("j") + 0.5) / BND_GRID
+    g = arms.crossJoin(F.broadcast(grid)).withColumn(
+        "logw",
+        F.col("s") * F.log(x) + (F.col("n") - F.col("s")) * F.log(1 - x),
+    )
+    warm = Window.partitionBy("event_type")
+    wrun = warm.orderBy("j").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w = g.withColumn(
+        "wp",
+        F.round(F.exp(F.col("logw") - F.max("logw").over(warm)), 15).cast(
+            "decimal(18,15)"
+        ),
+    )
+    c = w.withColumn("cumw", F.sum("wp").over(wrun)).withColumn(
+        "z", F.sum("wp").over(warm)
+    )
+    p = c.withColumn(
+        "wnorm", F.col("wp").cast("double") / F.col("z").cast("double")
+    ).withColumn(
+        "lncdf",
+        F.round(
+            F.log(
+                F.greatest(
+                    (
+                        F.col("cumw").cast("double")
+                        - F.col("wp").cast("double") / 2
+                    )
+                    / F.col("z").cast("double"),
+                    F.lit(1e-300),
+                )
+            ),
+            12,
+        ).cast("decimal(28,12)"),
+    )
+    q = p.withColumn("lnall", F.sum("lncdf").over(Window.partitionBy("j")))
+    out = q.groupBy("event_type", "n", "s").agg(
+        F.sum(
+            F.round(
+                F.col("wnorm")
+                * F.exp((F.col("lnall") - F.col("lncdf")).cast("double")),
+                12,
+            ).cast("decimal(18,12)")
+        )
+        .cast("double")
+        .alias("p_raw"),
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "s",
+        F.round((1.0 + F.col("s")) / (2.0 + F.col("n")), 6).alias(
+            "post_mean"
+        ),
+        F.round("p_raw", 6).alias("p_best"),
+    )
+
+
+_fmt(q_bandit_posterior, BND_THRESH=BND_THRESH, BND_GRID=BND_GRID)

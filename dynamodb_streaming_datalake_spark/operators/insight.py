@@ -778,3 +778,101 @@ format_doc(
     MTA_WINDOW_S=MTA_WINDOW_S,
     MTA_CHANNELS=MTA_CHANNELS,
 )
+
+
+# ---------------------------------------------------------------------------
+# quantile normalization across groups
+# ---------------------------------------------------------------------------
+
+#: pooled reference grid: percentiles 0..100
+QN_GRID = 101
+
+
+def _qn_grid_sql() -> str:
+    return "[0.0,0.01,0.02,0.03,0.04,0.05,0.06,0.07,0.08,0.09,0.1,0.11,0.12,0.13,0.14,0.15,0.16,0.17,0.18,0.19,0.2,0.21,0.22,0.23,0.24,0.25,0.26,0.27,0.28,0.29,0.3,0.31,0.32,0.33,0.34,0.35,0.36,0.37,0.38,0.39,0.4,0.41,0.42,0.43,0.44,0.45,0.46,0.47,0.48,0.49,0.5,0.51,0.52,0.53,0.54,0.55,0.56,0.57,0.58,0.59,0.6,0.61,0.62,0.63,0.64,0.65,0.66,0.67,0.68,0.69,0.7,0.71,0.72,0.73,0.74,0.75,0.76,0.77,0.78,0.79,0.8,0.81,0.82,0.83,0.84,0.85,0.86,0.87,0.88,0.89,0.9,0.91,0.92,0.93,0.94,0.95,0.96,0.97,0.98,0.99,1.0]"
+
+
+@query(
+    "q_quantile_normalize",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    grid AS (SELECT quantile_cont(value, {_qn_grid_sql()}) AS g FROM v),
+    r AS (
+        SELECT event_type, value,
+               percent_rank() OVER (
+                   PARTITION BY event_type ORDER BY value
+               ) AS pr
+        FROM v
+    ),
+    m AS (
+        SELECT event_type,
+               g[LEAST(CAST(floor(pr * 100) AS INT), 99) + 1]
+               + (pr * 100 - LEAST(CAST(floor(pr * 100) AS INT), 99))
+                 * (g[LEAST(CAST(floor(pr * 100) AS INT), 99) + 2]
+                    - g[LEAST(CAST(floor(pr * 100) AS INT), 99) + 1])
+                 AS norm
+        FROM r CROSS JOIN grid
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(round(norm, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_norm,
+           round(quantile_cont(norm, 0.25), 6) AS p25,
+           round(quantile_cont(norm, 0.5), 6) AS p50,
+           round(quantile_cont(norm, 0.75), 6) AS p75
+    FROM m GROUP BY event_type
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-group value distributions onto
+    the POOLED distribution — the microarray-normalization classic
+    applied to feature prep: each value maps through its within-group
+    percent rank to the pooled empirical quantile at that rank
+    (linear interpolation on a {QN_GRID}-point grid), so after
+    normalization every group carries the same marginal distribution
+    and only the ORDER of its members is group-specific. The report
+    per group (count, mean, quartiles of the normalized values)
+    makes the invariant visible: all groups' quartiles collapse onto
+    the pooled ones.
+
+    Scale: ranks are per-group windows (one shuffle on the group
+    key); the pooled grid is ONE aggregate broadcast as a single row
+    — at lake scale swap the exact percentile for the mergeable KLL
+    sketch (q_kll_quantiles) and keep the identical mapping. The
+    interpolation is pure rowwise arithmetic on broadcast state."""
+    v = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    grid = v.agg(
+        F.expr("percentile(value, array(0.0,0.01,0.02,0.03,0.04,0.05,0.06,0.07,0.08,0.09,0.1,0.11,0.12,0.13,0.14,0.15,0.16,0.17,0.18,0.19,0.2,0.21,0.22,0.23,0.24,0.25,0.26,0.27,0.28,0.29,0.3,0.31,0.32,0.33,0.34,0.35,0.36,0.37,0.38,0.39,0.4,0.41,0.42,0.43,0.44,0.45,0.46,0.47,0.48,0.49,0.5,0.51,0.52,0.53,0.54,0.55,0.56,0.57,0.58,0.59,0.6,0.61,0.62,0.63,0.64,0.65,0.66,0.67,0.68,0.69,0.7,0.71,0.72,0.73,0.74,0.75,0.76,0.77,0.78,0.79,0.8,0.81,0.82,0.83,0.84,0.85,0.86,0.87,0.88,0.89,0.9,0.91,0.92,0.93,0.94,0.95,0.96,0.97,0.98,0.99,1.0))").alias("g")
+    )
+    pr = F.percent_rank().over(
+        Window.partitionBy("event_type").orderBy("value")
+    )
+    r = v.withColumn("pr", pr)
+    idx = F.least(F.floor(F.col("pr") * 100).cast("int"), F.lit(99))
+    frac = F.col("pr") * 100 - idx
+    norm = F.element_at(F.col("g"), idx + 1) + frac * (
+        F.element_at(F.col("g"), idx + 2)
+        - F.element_at(F.col("g"), idx + 1)
+    )
+    m = r.crossJoin(F.broadcast(grid)).withColumn("norm", norm)
+    return m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.round("norm", 6).cast("decimal(18,6)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_norm"),
+        F.round(F.expr("percentile(norm, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(norm, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(norm, 0.75)"), 6).alias("p75"),
+    )
+
+
+format_doc(q_quantile_normalize, QN_GRID=QN_GRID)

@@ -914,3 +914,87 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_pps_sample, PPS_K=PPS_K, PPS_BUCKET=PPS_BUCKET)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+# q_pps_sample draws WITH multiplicity (systematic PPS); the other
+# classic a curation pipeline needs is weighted WITHOUT replacement:
+# each item appears at most once, inclusion probability increasing in
+# weight. The A-ES order-sampling trick makes it one top-k: give item
+# i an exponential race time t_i = -ln(u_i) / w_i with u_i a uniform
+# from the item's own deterministic hash, keep the k smallest. The
+# race is embarrassingly parallel (per-partition top-k, merge), fully
+# reproducible across engines and cluster sizes, and restarting with
+# a larger k EXTENDS the sample (same keys, lower cutoff).
+
+#: sample size for the weighted-without-replacement draw
+WR_K = 100
+
+#: hash-space size for uniform derivation (60-bit portable hash)
+_WR_SPACE = float(2**60)
+
+
+@query(
+    "q_weighted_reservoir",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, n_chars,
+               -ln(({sql_portable_hash60("CAST(doc_id AS VARCHAR)")} + 1.0)
+                   / {_WR_SPACE + 2.0:.1f})
+                 / n_chars AS race
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS weight,
+           round(race, 12) AS race_key
+    FROM d
+    ORDER BY race, doc_id
+    LIMIT {WR_K}
+    """,
+)
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement, k={WR_K}, weights =
+    document length: the Efraimidis–Spirakis exponential race. Each
+    doc's uniform u derives from its portable doc_id hash (so the
+    draw is a pure function of the data — any engine, any cluster
+    size, same sample), its race time is -ln(u)/weight, and the
+    sample is the k earliest finishers — heavier docs finish sooner
+    in probability exactly proportional to weight, and no doc can
+    repeat. q_pps_sample is the with-multiplicity complement;
+    q_stratified_cap is the unweighted per-stratum cap.
+
+    Scale: a global top-k over a map-computed key — Spark executes
+    it as per-partition TakeOrdered + a k-row merge on the driver,
+    no shuffle of the data itself; the race key needs one hash + one
+    ln per row. Growing k extends the same ordering (nested
+    samples), so a curation sweep reuses one pass."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("weight"),
+        (
+            -F.log(
+                (
+                    portable_hash60(F.col("doc_id").cast("string"))
+                    + F.lit(1.0)
+                )
+                / F.lit(_WR_SPACE + 2.0)
+            )
+            / F.col("n_chars")
+        ).alias("race"),
+    )
+    return (
+        d.orderBy("race", "doc_id")
+        .limit(WR_K)
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            F.round("race", 12).alias("race_key"),
+        )
+    )
+
+
+_fmt(q_weighted_reservoir, WR_K=WR_K)
