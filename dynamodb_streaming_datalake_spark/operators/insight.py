@@ -876,3 +876,127 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 format_doc(q_quantile_normalize, QN_GRID=QN_GRID)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+#: scoring anchor (the day after the fixture's last event day)
+RFM_ANCHOR = "2024-01-31"
+
+#: CASE ladder for segment labels — ORDER IS THE CONTRACT (first
+#: match wins), mirrored verbatim in the oracle
+RFM_LABELS = (
+    ("champion", "r >= 4 AND f >= 4 AND m >= 4"),
+    ("loyal", "f >= 4"),
+    ("big_spender", "m >= 4"),
+    ("at_risk", "r <= 2 AND f >= 3"),
+    ("hibernating", "r <= 2"),
+    ("casual", "TRUE"),
+)
+
+
+def _rfm_oracle() -> str:
+    ladder = " ".join(
+        f"WHEN {cond} THEN '{lab}'" for lab, cond in RFM_LABELS
+    )
+    return f"""
+    WITH u AS (
+        SELECT user_id,
+               date_diff('day', CAST(MAX(ts) AS DATE),
+                         DATE '{RFM_ANCHOR}') AS rec,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS mon
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id, rec, freq, mon,
+               6 - NTILE(5) OVER (ORDER BY rec, user_id) AS r,
+               NTILE(5) OVER (ORDER BY freq, user_id) AS f,
+               NTILE(5) OVER (ORDER BY mon, user_id) AS m
+        FROM u
+    ),
+    lab AS (SELECT s.*, CASE {ladder} END AS segment FROM s)
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(SUM(rec) AS DOUBLE) / COUNT(*), 4)
+             AS avg_recency_days,
+           round(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 4)
+             AS avg_frequency,
+           round(CAST(SUM(CAST(round(mon, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 4) AS avg_monetary
+    FROM lab GROUP BY segment
+    """
+
+
+@query("q_rfm_segments", oracle=_rfm_oracle())
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the workhorse customer taxonomy: per user,
+    recency (days since last purchase at the {RFM_ANCHOR} anchor),
+    frequency, and exact-decimal monetary value quintile via
+    deterministic NTILE (user_id tie-break, so both engines assign
+    identical scores), then a fixed first-match-wins label ladder
+    (champion / loyal / big_spender / at_risk / hibernating /
+    casual) and a per-segment profile. The ladder is declared ONCE
+    and mirrored verbatim in the oracle — label semantics are part
+    of the proven contract, not prose.
+
+    Scale: one per-user aggregate (partial+final); the three NTILE
+    windows are single-reducer sorts of |users| rows — the
+    q_user_value_deciles budget (users << events), and the segment
+    profile reduces the same frame. Monetary sums are exact decimals
+    end to end."""
+    u = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.lit(RFM_ANCHOR).cast("date"), F.max(F.to_date("ts"))
+            ).alias("rec"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("mon"),
+        )
+    )
+    s = (
+        u.withColumn(
+            "r",
+            6 - F.ntile(5).over(Window.orderBy("rec", "user_id")),
+        )
+        .withColumn(
+            "f", F.ntile(5).over(Window.orderBy("freq", "user_id"))
+        )
+        .withColumn(
+            "m", F.ntile(5).over(Window.orderBy("mon", "user_id"))
+        )
+    )
+    # build the CASE ladder in declared order (first match wins)
+    ladder = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN {cond} THEN '{lab}'" for lab, cond in RFM_LABELS
+        )
+        + " END"
+    )
+    lab = s.withColumn("segment", ladder)
+    return lab.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(
+            F.sum("rec").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_recency_days"),
+        F.round(
+            F.sum("freq").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_frequency"),
+        F.round(
+            F.sum(F.round("mon", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_monetary"),
+    )
+
+
+format_doc(q_rfm_segments, RFM_ANCHOR=RFM_ANCHOR)

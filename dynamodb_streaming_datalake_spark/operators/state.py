@@ -701,3 +701,126 @@ def q_partial_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploits)."""
     feed = partial_update_feed(read_table(spark, sf_dir, "events"))
     return serve_patch_state(fold_patch_state(feed))
+
+
+# ---------------------------------------------------------------------------
+# retractable MIN/MAX view maintenance (delete-safe incremental aggs)
+# ---------------------------------------------------------------------------
+# q_incr_agg's merge is a MONOID fold — count+count, sum+sum,
+# greatest(max, max) — which is exactly why it cannot absorb DELETES:
+# greatest() never forgets, so a retracted maximum lives forever. The
+# standard fix (Flink retract aggregates, materialized-view engines)
+# is to maintain the aggregate over a per-(key, value) COUNT MAP:
+# inserts +1, deletes -1, and MIN/MAX/COUNT read only entries with
+# positive support. The map is itself a monoid (counts add), so the
+# incremental discipline q_incr_agg proved carries over unchanged —
+# only now subtraction is a first-class citizen.
+
+#: delete selector: every DEL_SPLIT-th event is retracted by the delta
+DEL_SPLIT = 10
+
+
+def minmax_support(df: DataFrame, sign: int) -> DataFrame:
+    """(user_id, value) support counts with polarity ``sign`` (+1
+    insert feed, -1 delete feed) — the mergeable unit of the
+    retractable view."""
+    return df.groupBy("user_id", "value").agg(
+        (F.count(F.lit(1)) * sign).cast("long").alias("c")
+    )
+
+
+def merge_support(view: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a delta's support counts into the view: full outer on the
+    (key, value) map key, counts ADD (deletes are negative), entries
+    at zero support vanish — the view never retains retracted
+    values."""
+    merged = (
+        view.select(
+            F.col("user_id").alias("u"),
+            F.col("value").alias("v"),
+            F.col("c").alias("cv"),
+        )
+        .join(
+            delta.select(
+                F.col("user_id").alias("u"),
+                F.col("value").alias("v"),
+                F.col("c").alias("cd"),
+            ),
+            ["u", "v"],
+            "full_outer",
+        )
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("v").alias("value"),
+            (
+                F.coalesce(F.col("cv"), F.lit(0))
+                + F.coalesce(F.col("cd"), F.lit(0))
+            ).alias("c"),
+        )
+    )
+    return merged.where(F.col("c") != 0)
+
+
+def serve_minmax(view: DataFrame) -> DataFrame:
+    """Read the retractable view: per key, min/max/count over entries
+    with positive support."""
+    return view.where(F.col("c") > 0).groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_live"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+@query(
+    "q_retractable_minmax",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           round(MIN(value), 6) AS min_value,
+           round(MAX(value), 6) AS max_value
+    FROM events
+    WHERE event_id % {DEL_SPLIT} != 0
+    GROUP BY user_id
+    """,
+)
+def q_retractable_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-safe incremental MIN/MAX: the view is maintained in two
+    refreshes — v1 folds the even-event_id inserts, the delta then
+    folds the odd inserts AND RETRACTS every {DEL_SPLIT}-th event
+    (which v1 had already absorbed) — and the serve reads per-user
+    min/max/count from the surviving support. The oracle computes the
+    final state from scratch over the surviving rows, so hash
+    equality proves the retraction actually removed the deleted
+    extremes — the thing q_incr_agg's greatest(max, max) monoid
+    cannot do (a retracted maximum would survive there forever).
+
+    Scale: the support map is a mergeable monoid on (key, value) —
+    counts add, zero-support entries vanish at merge, so state is
+    bounded by LIVE distinct (key, value) pairs, not log length; each
+    refresh joins only the delta's keys (bucket the view by key for a
+    shuffle-free merge, the q_incr_agg discipline). Where distinct
+    values per key are unbounded, the standard refinement keeps
+    per-bucket support + bucket extremes and rescans one bucket on
+    retraction of its extreme."""
+    ev = read_table(spark, sf_dir, "events")
+    inserts_v1 = ev.where(F.col("event_id") % 2 == 0)
+    inserts_v2 = ev.where(F.col("event_id") % 2 == 1)
+    deletes_v2 = ev.where(F.col("event_id") % DEL_SPLIT == 0)
+    view1 = minmax_support(inserts_v1, +1)
+    delta = minmax_support(inserts_v2, +1).unionByName(
+        minmax_support(deletes_v2, -1)
+    )
+    # delta carries both polarities of one refresh: pre-reduce it so
+    # the merge join sees one row per (key, value)
+    delta = delta.groupBy("user_id", "value").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    view2 = merge_support(view1, delta)
+    return serve_minmax(view2)
+
+
+from dynamodb_streaming_datalake_spark.registry import (  # noqa: E402
+    format_doc as _fmt_state,
+)
+
+_fmt_state(q_retractable_minmax, DEL_SPLIT=DEL_SPLIT)

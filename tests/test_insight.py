@@ -179,3 +179,76 @@ def test_attribution_conserves_purchase_value(spark, sf_smoke):
     lin = sum(r["linear_credit"] or 0.0 for r in rows)
     assert abs(lin - total) < 1e-4 * max(n_purch, 1)
     assert sum(r["n_purchases"] for r in rows) >= n_purch
+
+
+def test_rfm_segments_partition_users(spark, sf_smoke):
+    """Every purchasing user lands in exactly one segment and the
+    ladder's first-match-wins order is honored."""
+    from dynamodb_streaming_datalake_spark.operators.insight import (
+        q_rfm_segments,
+    )
+
+    rows = q_rfm_segments(spark, sf_smoke).collect()
+    n_users = (
+        read_table(spark, sf_smoke, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    labels = {r["segment"] for r in rows}
+    assert labels <= {
+        "champion",
+        "loyal",
+        "big_spender",
+        "at_risk",
+        "hibernating",
+        "casual",
+    }
+    assert None not in labels
+
+
+def test_retractable_minmax_forgets_deleted_extremes(spark, sf_smoke):
+    """The retractable view must disagree with a monotone
+    greatest(max, max) merge wherever a deleted row held the extreme —
+    that disagreement is the operator's reason to exist."""
+    from dynamodb_streaming_datalake_spark.operators.state import (
+        DEL_SPLIT,
+        q_retractable_minmax,
+    )
+
+    ev = read_table(spark, sf_smoke, "events")
+    monotone = {
+        r["user_id"]: (r["mn"], r["mx"])
+        for r in ev.groupBy("user_id")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    truth = {
+        r["user_id"]: (r["mn"], r["mx"], r["n"])
+        for r in ev.where(F.col("event_id") % DEL_SPLIT != 0)
+        .groupBy("user_id")
+        .agg(
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    got = {
+        r["user_id"]: (r["min_value"], r["max_value"], r["n_live"])
+        for r in q_retractable_minmax(spark, sf_smoke).collect()
+    }
+    assert got.keys() == truth.keys()
+    diffs = 0
+    for u, (mn, mx, n) in truth.items():
+        assert got[u][2] == n
+        assert abs(got[u][0] - mn) < 1e-9 and abs(got[u][1] - mx) < 1e-9
+        if (abs(mn - monotone[u][0]) > 1e-12) or (
+            abs(mx - monotone[u][1]) > 1e-12
+        ):
+            diffs += 1
+    # the fixture must actually delete some extremes, or this test
+    # proves nothing
+    assert diffs > 0
