@@ -204,6 +204,27 @@ ER_PREFIX = 2          # blocking prefix length over the record string
 ER_MAX_DIST = 2        # match threshold (true pairs have distance 1)
 
 
+def er_clean_dirty(spark: SparkSession, sf_dir: str):
+    """The record-linkage fixture shared by q_entity_resolution and
+    q_blocking_eval: clean part records and their deterministically
+    corrupted twin (one character dropped past position 2)."""
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.concat_ws("#", F.col("p_name"), F.col("p_partkey")).alias("rec"),
+    )
+    drop_at = "CAST(3 + p_partkey % (length(rec) - 3) AS INT)"
+    dirty = p.select(
+        F.col("p_partkey").alias("d_key"),
+        F.col("p_brand").alias("d_brand"),
+        F.concat(
+            F.expr("substr(rec, 1, {0} - 1)".format(drop_at)),
+            F.expr("substr(rec, {0} + 1)".format(drop_at)),
+        ).alias("d_rec"),
+    )
+    return p, dirty
+
+
 @query(
     "q_entity_resolution",
     oracle=f"""
@@ -250,20 +271,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); per-block pair volume is the standard blocking trade
     (smaller blocks = fewer candidates, lower recall). Edit distance
     runs JVM-side (built-in levenshtein), no Python in the loop."""
-    p = read_table(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_brand",
-        F.concat_ws("#", F.col("p_name"), F.col("p_partkey")).alias("rec"),
-    )
-    drop_at = "CAST(3 + p_partkey % (length(rec) - 3) AS INT)"
-    dirty = p.select(
-        F.col("p_partkey").alias("d_key"),
-        F.col("p_brand").alias("d_brand"),
-        F.concat(
-            F.expr(f"substr(rec, 1, {{0}} - 1)".format(drop_at)),
-            F.expr(f"substr(rec, {{0}} + 1)".format(drop_at)),
-        ).alias("d_rec"),
-    )
+    p, dirty = er_clean_dirty(spark, sf_dir)
     cand = p.join(
         dirty,
         (F.col("p_brand") == F.col("d_brand"))
@@ -461,3 +469,112 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("loo_encoding"),
     )
+
+
+# ---------------------------------------------------------------------------
+# blocking-scheme evaluation (round 15)
+# ---------------------------------------------------------------------------
+# q_entity_resolution fixes ONE blocking scheme and evaluates the
+# matcher; this evaluates the BLOCKING itself — the decision that
+# actually determines linkage cost and ceiling-recall at scale. For
+# each candidate scheme the two standard numbers: pairs completeness
+# (what fraction of true pairs survive blocking — recall's ceiling)
+# and reduction ratio (what fraction of the N^2 cross product the
+# scheme avoids — the cost saved). Both from one equi-join count per
+# scheme over the same corrupted-twin fixture.
+
+#: evaluated blocking schemes: name -> (clean key expr, dirty key expr)
+BLOCK_SCHEMES = (
+    ("brand", "p_brand", "d_brand"),
+    (
+        "brand_prefix2",
+        f"p_brand || '|' || substr(rec, 1, {ER_PREFIX})",
+        f"d_brand || '|' || substr(d_rec, 1, {ER_PREFIX})",
+    ),
+    ("prefix3", "substr(rec, 1, 3)", "substr(d_rec, 1, 3)"),
+)
+
+
+def _blocking_oracle() -> str:
+    parts = []
+    for name, ck, dk in BLOCK_SCHEMES:
+        parts.append(f"""
+        SELECT '{name}' AS scheme,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN c.p_partkey = d.d_key THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_true_pairs_kept
+        FROM clean c JOIN dirty d ON ({ck}) = ({dk})""")
+    union = "\nUNION ALL".join(parts)
+    return f"""
+    WITH clean AS (
+        SELECT p_partkey, p_brand,
+               p_name || '#' || CAST(p_partkey AS VARCHAR) AS rec
+        FROM part
+    ),
+    dirty AS (
+        SELECT p_partkey AS d_key, p_brand AS d_brand,
+               substr(rec, 1,
+                      CAST(3 + p_partkey % (len(rec) - 3) AS INT) - 1)
+               || substr(rec,
+                         CAST(3 + p_partkey % (len(rec) - 3) AS INT) + 1)
+                 AS d_rec
+        FROM clean
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM clean),
+    per AS ({union})
+    SELECT per.scheme, per.n_candidates, per.n_true_pairs_kept,
+           round(CAST(per.n_true_pairs_kept AS DOUBLE) / n.np, 6)
+             AS pairs_completeness,
+           round(1.0 - CAST(per.n_candidates AS DOUBLE)
+                 / (CAST(n.np AS DOUBLE) * n.np), 6) AS reduction_ratio
+    FROM per CROSS JOIN n
+    """
+
+
+@query("q_blocking_eval", oracle=_blocking_oracle())
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme sweep over the record-linkage fixture: for each
+    of three candidate schemes (brand; brand + 2-char record prefix —
+    q_entity_resolution's choice; bare 3-char prefix), the pairs
+    completeness (fraction of true pairs surviving blocking — the
+    recall CEILING no matcher can exceed) and the reduction ratio
+    (fraction of the N^2 cross product avoided — the cost saved).
+    The standard pre-deployment decision table for linkage at scale:
+    pick the cheapest scheme whose completeness ceiling you can
+    afford.
+
+    Scale: one equi-join COUNT per scheme (never materializing
+    pairs), each shuffling on its own blocking key; the N
+    denominator is a 1-row broadcast. Adding a scheme adds one
+    aggregate, not a rescore."""
+    clean, dirty = er_clean_dirty(spark, sf_dir)
+    n = clean.agg(F.count(F.lit(1)).cast("long").alias("np"))
+    per = None
+    for name, ck, dk in BLOCK_SCHEMES:
+        j = clean.join(dirty, F.expr(f"({ck}) = ({dk})")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(
+                F.when(F.col("p_partkey") == F.col("d_key"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_true_pairs_kept"),
+        ).select(F.lit(name).alias("scheme"), "*")
+        per = j if per is None else per.unionByName(j)
+    out = per.crossJoin(F.broadcast(n))
+    return out.select(
+        "scheme",
+        "n_candidates",
+        "n_true_pairs_kept",
+        F.round(
+            F.col("n_true_pairs_kept").cast("double") / F.col("np"), 6
+        ).alias("pairs_completeness"),
+        F.round(
+            1.0
+            - F.col("n_candidates").cast("double")
+            / (F.col("np").cast("double") * F.col("np")),
+            6,
+        ).alias("reduction_ratio"),
+    )
+
+
+_fmt(q_blocking_eval, ER_PREFIX=ER_PREFIX)

@@ -23,7 +23,7 @@ fact rows, no driver-side state — the same plan works on 10^9 users.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.functions.texthash import (
@@ -538,3 +538,150 @@ _fmt(
     DPQ_BINS=DPQ_BINS,
     DPQ_WIDTH=DPQ_WIDTH,
 )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (round 15) — the third leg of the release triad
+# ---------------------------------------------------------------------------
+# l-diversity's known gap: a group can carry l distinct sensitive
+# values yet still leak when its DISTRIBUTION differs sharply from the
+# table's (skewness attack: "3 distinct illnesses, but 95% cancer").
+# t-closeness bounds, per released group, the Earth Mover's Distance
+# between the group's sensitive distribution and the global one. For
+# an ORDERED sensitive attribute the EMD has the closed form
+# sum_i |cum(q)_i - cum(p)_i| / (m - 1), computed here in EXACT
+# integer arithmetic: the cumulative-share difference at value i is
+# (N_glob * cumc_class_i - N_class * cumc_glob_i) over
+# (N_class * N_glob), so both engines sum bigints and divide once.
+
+#: maximum allowed EMD for a released group
+T_CLOSE = 0.2
+
+
+@query(
+    "q_t_closeness",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_mktsegment,
+               CAST(floor(c_acctbal / {ACCTBAL_BAND}) AS BIGINT)
+                 * {ACCTBAL_BAND} AS acctbal_band,
+               c_nationkey
+        FROM customer
+    ),
+    gdist AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS cg,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS ng
+        FROM g GROUP BY c_nationkey
+    ),
+    gc AS (
+        SELECT gdist.*,
+               CAST(SUM(cg) OVER (ORDER BY c_nationkey
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumg,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM gdist
+    ),
+    cls AS (
+        SELECT c_mktsegment, acctbal_band,
+               CAST(COUNT(*) AS BIGINT) AS nc
+        FROM g GROUP BY c_mktsegment, acctbal_band
+        HAVING COUNT(*) >= {K_ANON}
+    ),
+    cell AS (
+        SELECT c.c_mktsegment, c.acctbal_band, c.nc,
+               gc.c_nationkey, gc.cumg, gc.ng, gc.m,
+               CAST(COALESCE(cnt.cc, 0) AS BIGINT) AS cc
+        FROM cls c CROSS JOIN gc
+        LEFT JOIN (
+            SELECT c_mktsegment, acctbal_band, c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS cc
+            FROM g GROUP BY 1, 2, 3
+        ) cnt USING (c_mktsegment, acctbal_band, c_nationkey)
+    ),
+    cum AS (
+        SELECT cell.*,
+               CAST(SUM(cc) OVER (PARTITION BY c_mktsegment, acctbal_band
+                   ORDER BY c_nationkey ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS cumc
+        FROM cell
+    )
+    SELECT c_mktsegment, acctbal_band,
+           MAX(nc) AS group_size,
+           round(CAST(SUM(ABS(ng * cumc - nc * cumg)) AS DOUBLE)
+                 / (MAX(nc) * MAX(ng) * (MAX(m) - 1)), 6) AS emd,
+           CAST(CAST(SUM(ABS(ng * cumc - nc * cumg)) AS DOUBLE)
+                / (MAX(nc) * MAX(ng) * (MAX(m) - 1)) > {T_CLOSE}
+                AS INT) AS t_violation
+    FROM cum GROUP BY c_mktsegment, acctbal_band
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of the k-anonymized release — the skewness-
+    attack check l-diversity misses: per released quasi-identifier
+    group (same generalization and k={K_ANON} floor as q_k_anonymize),
+    the ordered-EMD between the group's sensitive distribution
+    (nation, treated as ordinal) and the global one, flagged when it
+    exceeds t={T_CLOSE}. The EMD is computed in EXACT integer
+    arithmetic — cumulative-count cross products, one double division
+    at the end — so the audit is engine-exact by construction, not by
+    float luck. (Bigint headroom: N_class * N_glob * m must stay
+    below 2^63 — at lake scale run the audit per partition or rescale
+    counts first.)
+
+    Scale: one groupBy for the global histogram (|values| rows,
+    broadcast), one for the per-group cells; the zero-filled grid is
+    |released groups| x |values| and every cumulative window runs
+    inside one group's partition."""
+    c = read_table(spark, sf_dir, "customer")
+    g = c.select(
+        "c_mktsegment",
+        (
+            F.floor(F.col("c_acctbal") / ACCTBAL_BAND).cast("bigint")
+            * ACCTBAL_BAND
+        ).alias("acctbal_band"),
+        "c_nationkey",
+    )
+    glob = g.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cg")
+    )
+    wall = Window.partitionBy()
+    wg = Window.orderBy("c_nationkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gc = (
+        glob.withColumn("ng", F.sum("cg").over(wall).cast("long"))
+        .withColumn("cumg", F.sum("cg").over(wg).cast("long"))
+        .withColumn("m", F.count(F.lit(1)).over(wall).cast("long"))
+    )
+    cls = (
+        g.groupBy("c_mktsegment", "acctbal_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+        .where(F.col("nc") >= K_ANON)
+    )
+    cnt = g.groupBy("c_mktsegment", "acctbal_band", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cc")
+    )
+    cell = (
+        cls.crossJoin(F.broadcast(gc))
+        .join(cnt, ["c_mktsegment", "acctbal_band", "c_nationkey"], "left")
+        .withColumn("cc", F.coalesce(F.col("cc"), F.lit(0)).cast("long"))
+    )
+    wc = (
+        Window.partitionBy("c_mktsegment", "acctbal_band")
+        .orderBy("c_nationkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cell.withColumn("cumc", F.sum("cc").over(wc).cast("long"))
+    num = F.sum(
+        F.abs(F.col("ng") * F.col("cumc") - F.col("nc") * F.col("cumg"))
+    )
+    den = F.max("nc") * F.max("ng") * (F.max("m") - 1)
+    emd = num.cast("double") / den
+    return cum.groupBy("c_mktsegment", "acctbal_band").agg(
+        F.max("nc").alias("group_size"),
+        F.round(emd, 6).alias("emd"),
+        (emd > T_CLOSE).cast("int").alias("t_violation"),
+    )
+
+
+_fmt(q_t_closeness, K_ANON=K_ANON, T_CLOSE=T_CLOSE)

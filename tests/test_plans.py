@@ -322,6 +322,8 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_grouped_weighted_quantile",  # 2-row quantile panel x hist
         "q_quantile_normalize",  # 1-row pooled grid crossed into rows
         "q_bandit_posterior",  # |arms|-row aggregate x literal grid
+        "q_t_closeness",  # 25-row sensitive-domain histogram crossed
+        "q_blocking_eval",  # 1-row part-count denominator crossed
         "q11_important_parts",  # 1-row grand-total threshold crossed
         "q_tfidf_terms",  # 1-row corpus doc count crossed
         "q_heavy_hitters",  # 1-row token total crossed

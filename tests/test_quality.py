@@ -730,3 +730,78 @@ def test_ri_audit_detects_planted_orphans(spark, tmp_path, sf_smoke):
     assert e["n_orphans"] == want > 0, (dict(e), want)
     # untouched edges stay clean
     assert got["lineitem.l_orderkey->orders"]["n_orphans"] == 0
+
+
+def test_t_closeness_agrees_with_python_emd(spark, sf_oracle):
+    """Recompute one released group's ordered EMD in Python from raw
+    counts and compare; also check the violation flag is consistent.
+    Runs at sf0.01 — the k=10 release floor empties at smoke scale."""
+    sf_smoke = sf_oracle
+    from dynamodb_streaming_datalake_spark.operators.privacy import (
+        ACCTBAL_BAND,
+        T_CLOSE,
+        q_t_closeness,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    rows = q_t_closeness(spark, sf_smoke).collect()
+    assert rows
+    c = read_table(spark, sf_smoke, "customer").select(
+        "c_mktsegment",
+        (
+            F.floor(F.col("c_acctbal") / ACCTBAL_BAND).cast("bigint")
+            * ACCTBAL_BAND
+        ).alias("band"),
+        "c_nationkey",
+    ).collect()
+    from collections import Counter
+
+    glob = Counter(r["c_nationkey"] for r in c)
+    vals = sorted(glob)
+    ng = sum(glob.values())
+    m = len(vals)
+    target = rows[0]
+    cls = Counter(
+        r["c_nationkey"]
+        for r in c
+        if r["c_mktsegment"] == target["c_mktsegment"]
+        and r["band"] == target["acctbal_band"]
+    )
+    nc = sum(cls.values())
+    cum_c = cum_g = 0
+    emd_num = 0
+    for v in vals:
+        cum_c += cls.get(v, 0)
+        cum_g += glob[v]
+        emd_num += abs(ng * cum_c - nc * cum_g)
+    emd = emd_num / (nc * ng * (m - 1))
+    assert abs(target["emd"] - emd) < 1e-6
+    assert target["group_size"] == nc
+    for r in rows:
+        assert r["t_violation"] == int(r["emd"] > T_CLOSE) or (
+            abs(r["emd"] - T_CLOSE) < 1e-6
+        )
+
+
+def test_blocking_eval_orders_schemes_sensibly(spark, sf_smoke):
+    """Finer blocking keys must not increase candidate counts, and the
+    ER scheme keeps every true pair (corruption is past the prefix)."""
+    from dynamodb_streaming_datalake_spark.operators.curation import (
+        q_blocking_eval,
+    )
+
+    rows = {r["scheme"]: r for r in q_blocking_eval(spark, sf_smoke).collect()}
+    assert set(rows) == {"brand", "brand_prefix2", "prefix3"}
+    # brand_prefix2 refines brand: strictly fewer (or equal) candidates
+    assert (
+        rows["brand_prefix2"]["n_candidates"] <= rows["brand"]["n_candidates"]
+    )
+    # the fixture corrupts only past position 2, so the 2-char-prefix
+    # schemes keep every true pair
+    assert (
+        rows["brand_prefix2"]["pairs_completeness"] == 1.0
+    ), rows["brand_prefix2"]
+    assert rows["brand"]["pairs_completeness"] == 1.0
+    for r in rows.values():
+        assert 0.0 <= r["reduction_ratio"] <= 1.0
