@@ -3050,3 +3050,221 @@ def q_grouped_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_grouped_weighted_quantile, WQ_QS=len(WQ_QS))
+
+
+# --------------------------------------------------------------------------
+# partial autocorrelation (Durbin–Levinson), generated cross-engine
+# --------------------------------------------------------------------------
+# q_autocorrelation answers "which lags correlate"; the PACF answers
+# the modeling question behind it — "which lags correlate DIRECTLY,
+# net of the shorter lags" — i.e. the AR-order diagnostic (the PACF
+# of an AR(p) cuts off after lag p). The Durbin–Levinson recursion
+# that produces it is inherently sequential scalar arithmetic, so it
+# runs the q_linear_probe_k way: GENERATED once in Python and emitted
+# to both engines — a withColumn cascade over a 1-row frame in Spark,
+# a chain of MATERIALIZED CTE levels in DuckDB (materialization stops
+# the 4^k re-inlining blowup of recursive CTE references). The
+# autocovariances feeding it are exact-decimal throughout: rho_k =
+# (n^2 A_k - n S (B_k + C_k) + (n-k) S^2) / (same at k=0), every
+# product typed to stay inside both engines' exact decimal kernels.
+
+#: PACF depth (AR-order candidates 1..PACF_LAGS)
+PACF_LAGS = 7
+
+
+def _pacf_sql() -> str:
+    rho_cols = ", ".join(
+        f"""CAST(
+            CAST(n2 AS DECIMAL(7,0)) * a{k}
+            - CAST(n AS DECIMAL(4,0)) * s * (b{k} + c{k})
+            + CAST(n - {k} AS DECIMAL(4,0)) * s * s AS DOUBLE)
+        / CAST(
+            CAST(n2 AS DECIMAL(7,0)) * a0
+            - CAST(n AS DECIMAL(4,0)) * s * (b0 + c0)
+            + CAST(n AS DECIMAL(4,0)) * s * s AS DOUBLE) AS rho{k}"""
+        for k in range(1, PACF_LAGS + 1)
+    )
+    levels = ["l1 AS MATERIALIZED (SELECT rhos.*, rho1 AS phi_1_1,"
+              " 1 - rho1 * rho1 AS v_1 FROM rhos)"]
+    for k in range(2, PACF_LAGS + 1):
+        num = " - ".join(
+            [f"rho{k}"]
+            + [f"phi_{k-1}_{j} * rho{k-j}" for j in range(1, k)]
+        )
+        cols = [f"l{k-1}.*", f"({num}) / v_{k-1} AS phi_{k}_{k}"]
+        lvl = (
+            f"l{k}a AS MATERIALIZED (SELECT {', '.join(cols)}"
+            f" FROM l{k-1})"
+        )
+        upd = [f"l{k}a.*"] + [
+            f"phi_{k-1}_{j} - phi_{k}_{k} * phi_{k-1}_{k-j}"
+            f" AS phi_{k}_{j}"
+            for j in range(1, k)
+        ]
+        lvl2 = (
+            f"l{k} AS MATERIALIZED (SELECT {', '.join(upd)},"
+            f" v_{k-1} * (1 - phi_{k}_{k} * phi_{k}_{k}) AS v_{k}"
+            f" FROM l{k}a)"
+        )
+        levels.append(lvl)
+        levels.append(lvl2)
+    out = "\nUNION ALL ".join(
+        f"SELECT {k} AS lag, round(rho{k}, 6) + 0.0 AS acf,"
+        f" round(phi_{k}_{k}, 6) + 0.0 AS pacf FROM l{PACF_LAGS}"
+        for k in range(1, PACF_LAGS + 1)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               SUM(CAST(value AS DECIMAL(18,6))) AS v
+        FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    spine AS (SELECT UNNEST(range(b.d0, b.d1 + 1)) AS d FROM bounds b),
+    series AS (
+        -- (19,6) forces DuckDB's hugeint kernel: (18,6)x(18,6) pair
+        -- products would overflow its int64 multiply (the
+        -- q_autocorrelation lesson); Spark stays (18,6), both exact
+        SELECT s.d, CAST(COALESCE(dy.v, 0) AS DECIMAL(19,6)) AS v
+        FROM spine s LEFT JOIN daily dy ON dy.d = s.d
+    ),
+    ks AS (SELECT UNNEST(range(0, {PACF_LAGS + 1})) AS k),
+    sums AS (
+        SELECT ks.k,
+               -- (19,6)/(25,12): past 18 digits DuckDB switches to
+               -- the hugeint kernel; (14,6)x(14,6) would overflow its
+               -- int64 multiply (the q_autocorrelation lesson)
+               CAST(SUM(a.v * b.v) AS DECIMAL(25,12)) AS a_,
+               CAST(SUM(a.v) AS DECIMAL(19,6)) AS b_,
+               CAST(SUM(b.v) AS DECIMAL(19,6)) AS c_
+        FROM ks JOIN series a ON TRUE
+        JOIN series b ON b.d = a.d + ks.k
+        GROUP BY ks.k
+    ),
+    piv AS (
+        SELECT
+            {", ".join(f"MAX(CASE WHEN k = {k} THEN a_ END) AS a{k}, "
+                       f"MAX(CASE WHEN k = {k} THEN b_ END) AS b{k}, "
+                       f"MAX(CASE WHEN k = {k} THEN c_ END) AS c{k}"
+                       for k in range(0, PACF_LAGS + 1))},
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM series) AS n
+        FROM sums
+    ),
+    piv2 AS (
+        SELECT piv.*, CAST(n * n AS BIGINT) AS n2, b0 AS s FROM piv
+    ),
+    rhos AS MATERIALIZED (SELECT {rho_cols} FROM piv2),
+    {",".join(levels)}
+    {out}
+    """
+
+
+@query("q_pacf", oracle=_pacf_sql())
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF and PACF of the dense daily revenue series, lags 1..
+    {PACF_LAGS}: the AR-order diagnostic — the PACF of an AR(p)
+    process cuts off after lag p, so this is the table an analyst
+    reads before fitting q_grouped_forecast/q_holt_trend. The
+    Durbin–Levinson recursion is GENERATED once in Python and emitted
+    to both engines (withColumn cascade on a 1-row frame / chained
+    MATERIALIZED CTEs); the autocovariances feeding it are exact
+    decimal end to end — rho_k clears its mean-centering denominator
+    as (n^2 A_k - n S (B_k+C_k) + (n-k) S^2) over the k=0 value, every
+    product typed to stay inside both engines' exact decimal kernels
+    (the 4-digit day-count cap documented: re-type for >27 years of
+    daily history). Degenerate inputs (constant series, v_k -> 0) are
+    out of contract.
+
+    Scale: one map-side-combined daily aggregate; lag pair sums run
+    on |days| x {PACF_LAGS} rows; the recursion itself is constant
+    work on a 1-row frame."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    series = spine.join(daily, "d", "left").select(
+        "d",
+        F.coalesce(F.col("v"), F.lit(0)).cast("decimal(18,6)").alias("v"),
+    )
+    ks = spark.range(0, PACF_LAGS + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    a, b = series.alias("a"), series.alias("b")
+    sums = (
+        ks.join(a, F.lit(True))
+        .join(b, F.col("b.d") == F.col("a.d") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("a.v") * F.col("b.v"))
+            .cast("decimal(25,12)")
+            .alias("a_"),
+            F.sum(F.col("a.v")).cast("decimal(14,6)").alias("b_"),
+            F.sum(F.col("b.v")).cast("decimal(14,6)").alias("c_"),
+        )
+    )
+    n_frame = series.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    piv = sums.groupBy().agg(
+        *[
+            agg
+            for k in range(0, PACF_LAGS + 1)
+            for agg in (
+                F.max(F.when(F.col("k") == k, F.col("a_"))).alias(f"a{k}"),
+                F.max(F.when(F.col("k") == k, F.col("b_"))).alias(f"b{k}"),
+                F.max(F.when(F.col("k") == k, F.col("c_"))).alias(f"c{k}"),
+            )
+        ]
+    ).crossJoin(F.broadcast(n_frame))
+    cur = piv.withColumn("n2", (F.col("n") * F.col("n")).cast("long"))
+    cur = cur.withColumn("s", F.col("b0"))
+    nd = F.col("n").cast("decimal(4,0)")
+    n2d = F.col("n2").cast("decimal(7,0)")
+    den = (
+        n2d * F.col("a0")
+        - nd * F.col("s") * (F.col("b0") + F.col("c0"))
+        + nd * F.col("s") * F.col("s")
+    ).cast("double")
+    for k in range(1, PACF_LAGS + 1):
+        nkd = (F.col("n") - k).cast("decimal(4,0)")
+        num = (
+            n2d * F.col(f"a{k}")
+            - nd * F.col("s") * (F.col(f"b{k}") + F.col(f"c{k}"))
+            + nkd * F.col("s") * F.col("s")
+        ).cast("double")
+        cur = cur.withColumn(f"rho{k}", num / den)
+    cur = cur.withColumn("phi_1_1", F.col("rho1")).withColumn(
+        "v_1", 1 - F.col("rho1") * F.col("rho1")
+    )
+    for k in range(2, PACF_LAGS + 1):
+        num = F.col(f"rho{k}")
+        for j in range(1, k):
+            num = num - F.col(f"phi_{k-1}_{j}") * F.col(f"rho{k-j}")
+        cur = cur.withColumn(f"phi_{k}_{k}", num / F.col(f"v_{k-1}"))
+        for j in range(1, k):
+            cur = cur.withColumn(
+                f"phi_{k}_{j}",
+                F.col(f"phi_{k-1}_{j}")
+                - F.col(f"phi_{k}_{k}") * F.col(f"phi_{k-1}_{k-j}"),
+            )
+        cur = cur.withColumn(
+            f"v_{k}",
+            F.col(f"v_{k-1}")
+            * (1 - F.col(f"phi_{k}_{k}") * F.col(f"phi_{k}_{k}")),
+        )
+    stack = "stack({}, {}) as (lag, acf_raw, pacf_raw)".format(
+        PACF_LAGS,
+        ", ".join(
+            f"{k}, rho{k}, phi_{k}_{k}" for k in range(1, PACF_LAGS + 1)
+        ),
+    )
+    return cur.select(F.expr(stack)).select(
+        F.col("lag").cast("int").alias("lag"),
+        (F.round("acf_raw", 6) + F.lit(0.0)).alias("acf"),
+        (F.round("pacf_raw", 6) + F.lit(0.0)).alias("pacf"),
+    )
+
+
+_fmt(q_pacf, PACF_LAGS=PACF_LAGS)

@@ -252,3 +252,51 @@ def test_retractable_minmax_forgets_deleted_extremes(spark, sf_smoke):
     # the fixture must actually delete some extremes, or this test
     # proves nothing
     assert diffs > 0
+
+
+def test_pacf_matches_python_durbin_levinson(spark, sf_smoke):
+    """Recompute ACF + the Durbin–Levinson recursion in pure Python
+    from the collected daily series; every acf/pacf must agree."""
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        PACF_LAGS,
+        q_pacf,
+    )
+
+    daily = (
+        read_table(spark, sf_smoke, "events")
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+        .collect()
+    )
+    by_d = {r["d"]: r["v"] for r in daily}
+    d0, d1 = min(by_d), max(by_d)
+    x = [by_d.get(d, 0.0) for d in range(d0, d1 + 1)]
+    n = len(x)
+    m = sum(x) / n
+    c = [
+        sum((x[t] - m) * (x[t + k] - m) for t in range(n - k))
+        for k in range(PACF_LAGS + 1)
+    ]
+    rho = [c[k] / c[0] for k in range(PACF_LAGS + 1)]
+    phi = {1: {1: rho[1]}}
+    v = 1 - rho[1] ** 2
+    for k in range(2, PACF_LAGS + 1):
+        num = rho[k] - sum(
+            phi[k - 1][j] * rho[k - j] for j in range(1, k)
+        )
+        phi[k] = {k: num / v}
+        for j in range(1, k):
+            phi[k][j] = phi[k - 1][j] - phi[k][k] * phi[k - 1][k - j]
+        v = v * (1 - phi[k][k] ** 2)
+    got = {r["lag"]: r for r in q_pacf(spark, sf_smoke).collect()}
+    assert set(got) == set(range(1, PACF_LAGS + 1))
+    for k in range(1, PACF_LAGS + 1):
+        assert abs(got[k]["acf"] - rho[k]) < 1e-5, (k, got[k], rho[k])
+        assert abs(got[k]["pacf"] - phi[k][k]) < 1e-5
+    assert got[1]["acf"] == got[1]["pacf"]
