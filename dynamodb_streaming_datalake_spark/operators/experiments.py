@@ -1928,15 +1928,17 @@ BND_THRESH = 100.0
 BND_GRID = 512
 
 
-@query(
-    "q_bandit_posterior",
-    oracle=f"""
+def bandit_oracle_sql(where: str = "TRUE") -> str:
+    """The grid-integration posterior as DuckDB SQL over events rows
+    matching ``where`` — shared by the batch oracle and the streaming
+    view's per-version oracles."""
+    return f"""
     WITH arms AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CASE WHEN value > {BND_THRESH} THEN 1 ELSE 0 END)
                     AS BIGINT) AS s
-        FROM events GROUP BY event_type
+        FROM events WHERE {where} GROUP BY event_type
     ),
     g AS (
         SELECT a.event_type, a.n, a.s, t.j,
@@ -1979,8 +1981,10 @@ BND_GRID = 512
                wnorm * exp(CAST(lnall - lncdf AS DOUBLE)), 12)
                AS DECIMAL(18,12))) AS DOUBLE), 6) AS p_best
     FROM q GROUP BY event_type, n, s
-    """,
-)
+    """
+
+
+@query("q_bandit_posterior", oracle=bandit_oracle_sql())
 def q_bandit_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thompson-sampling readout: each event type is an arm whose
     conversion (value > {BND_THRESH}) follows Beta(1+s, 1+f), and the
@@ -2003,13 +2007,26 @@ def q_bandit_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on the |arms| x {BND_GRID} grid frame — constant-size
     whatever the event volume. Arms x grid is the broadcast cross of
     a |arms|-row aggregate with a literal range."""
-    ev = read_table(spark, sf_dir, "events")
-    arms = ev.groupBy("event_type").agg(
+    arms = bandit_arm_counts(read_table(spark, sf_dir, "events"))
+    return bandit_readout(spark, arms)
+
+
+def bandit_arm_counts(events: DataFrame) -> DataFrame:
+    """Per-arm (n, s) trial/success counts — the MERGEABLE state of
+    the bandit (counts add), shared by the batch readout and the
+    streaming view fold."""
+    return events.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(F.col("value") > BND_THRESH, 1).otherwise(0))
         .cast("long")
         .alias("s"),
     )
+
+
+def bandit_readout(spark: SparkSession, arms: DataFrame) -> DataFrame:
+    """Grid-integrated posterior readout from an (event_type, n, s)
+    arm frame — the q_bandit_posterior kernel (see its docstring for
+    the cross-engine discipline)."""
     grid = spark.range(BND_GRID).select(F.col("id").alias("j"))
     x = (F.col("j") + 0.5) / BND_GRID
     g = arms.crossJoin(F.broadcast(grid)).withColumn(

@@ -423,6 +423,7 @@ REGISTRY_MODULES: tuple[str, ...] = (
     "streaming.upsert",
     "streaming.aggview",
     "streaming.sketchview",
+    "streaming.banditview",
 )
 
 

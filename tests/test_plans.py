@@ -322,6 +322,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_grouped_weighted_quantile",  # 2-row quantile panel x hist
         "q_quantile_normalize",  # 1-row pooled grid crossed into rows
         "q_bandit_posterior",  # |arms|-row aggregate x literal grid
+        "q_bandit_stream",  # same bandit_readout arms x grid cross
         "q_t_closeness",  # 25-row sensitive-domain histogram crossed
         "q_blocking_eval",  # 1-row part-count denominator crossed
         "q_pacf",  # 8-row lag frame x daily series (the ACF pattern)

@@ -1518,3 +1518,58 @@ def test_patch_view_maintenance_matches_batch(spark, tmp_path, sf_smoke):
     assert rows(
         serve_patch_state(current_sketch_view(spark, view_dir))
     ) == want
+
+
+def test_bandit_view_stream_drain_matches_batch(spark, tmp_path):
+    """The bandit arm-count view drained from a genuine readStream
+    (foreachBatch fold, one version per micro-batch) must equal the
+    one-shot batch arm counts, and the posterior read from it must
+    equal the batch readout."""
+    from dynamodb_streaming_datalake_spark.operators.experiments import (
+        bandit_arm_counts,
+        bandit_readout,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import (
+        read_table,
+        read_table_stream,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.banditview import (
+        start_bandit_view_maintenance,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.upsert import (
+        current_snapshot,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_table_stream(spark, sf, "events")
+    view = str(tmp_path / "bview")
+    q = start_bandit_view_maintenance(stream, view, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got_arms = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in current_snapshot(spark, view, live_only=False).collect()
+    }
+    want_arms = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in bandit_arm_counts(read_table(spark, sf, "events")).collect()
+    }
+    assert got_arms == want_arms
+
+    got = sorted(
+        map(
+            tuple,
+            bandit_readout(
+                spark, current_snapshot(spark, view, live_only=False)
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            bandit_readout(
+                spark, bandit_arm_counts(read_table(spark, sf, "events"))
+            ).collect(),
+        )
+    )
+    assert got == want
