@@ -656,3 +656,189 @@ def _register_zonemap() -> None:
 
 
 _register_zonemap()
+
+
+# ---------------------------------------------------------------------------
+# shard rebalance audit: mod-N vs consistent-hash ring — round 15
+# ---------------------------------------------------------------------------
+# The partition/advisor family sizes TODAY's layout; this audits what
+# happens when the cluster GROWS. Adding one node to a mod-N
+# assignment remaps ~(N)/(N+1) of all keys (every residue shifts);
+# a consistent-hash ring with virtual nodes remaps only the arcs the
+# new node claims (~1/(N+1)) — the reason every production shard map
+# (Dynamo-style, including the reference's Kinesis shards behind
+# SURVEY §2 A1) is a ring. This query MEASURES both movement rates on
+# the real key population with the repo's portable hash, so the claim
+# is a number, not folklore.
+
+REB_NODES_OLD = 8    #: nodes before the scale-out
+REB_NODES_NEW = 9    #: nodes after (one added)
+REB_VNODES = 16      #: virtual nodes per physical node (ring evenness)
+_REB_SPACE = 2**60   #: portable_hash60 key/token space
+
+
+def _register_rebalance() -> None:
+    from dynamodb_streaming_datalake_spark.registry import (
+        format_doc as _fmt,
+    )
+    from dynamodb_streaming_datalake_spark.registry import query
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+    from dynamodb_streaming_datalake_spark.functions.texthash import (
+        portable_hash60,
+        sql_portable_hash60,
+    )
+
+    def _ring_sql(n_nodes: int) -> str:
+        """Token table SQL: (node, token) for n_nodes x REB_VNODES."""
+        h = sql_portable_hash60(
+            "('node-' || CAST(i.i AS VARCHAR) || '#' || CAST(v.v AS VARCHAR))"
+        )
+        return f"""
+        SELECT i.i AS node, {h} AS token
+        FROM generate_series(0, {n_nodes - 1}) i(i)
+        CROSS JOIN generate_series(0, {REB_VNODES - 1}) v(v)"""
+
+    keyh = sql_portable_hash60("CAST(o_orderkey AS VARCHAR)")
+    oracle = f"""
+    WITH k AS (SELECT {keyh} AS h FROM orders),
+    told AS ({_ring_sql(REB_NODES_OLD)}),
+    tnew AS ({_ring_sql(REB_NODES_NEW)}),
+    ring_old AS (
+        SELECT k.h,
+               arg_min(t.node, (t.token - k.h + {_REB_SPACE})
+                       % {_REB_SPACE}) AS node
+        FROM k CROSS JOIN told t GROUP BY k.h
+    ),
+    ring_new AS (
+        SELECT k.h,
+               arg_min(t.node, (t.token - k.h + {_REB_SPACE})
+                       % {_REB_SPACE}) AS node
+        FROM k CROSS JOIN tnew t GROUP BY k.h
+    ),
+    ring AS (
+        SELECT 'ring' AS scheme,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN o.node != n.node THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved
+        FROM ring_old o JOIN ring_new n USING (h)
+    ),
+    m AS (
+        SELECT 'mod' AS scheme,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN h % {REB_NODES_OLD}
+                             != h % {REB_NODES_NEW}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        FROM k
+    )
+    SELECT scheme, n_keys, n_moved,
+           round(CAST(n_moved AS DOUBLE) / n_keys, 6) AS moved_frac
+    FROM (SELECT * FROM m UNION ALL SELECT * FROM ring)
+    """
+
+    @query("q_shard_rebalance", oracle=oracle)
+    def q_shard_rebalance(spark, sf_dir):
+        """Key-movement audit for a {REB_NODES_OLD} -> {REB_NODES_NEW}
+        node scale-out, measured on the real order-key population
+        with the portable hash: the mod-N scheme remaps ~N/(N+1) of
+        all keys (every residue shifts) while the consistent-hash
+        ring ({REB_VNODES} virtual nodes per physical) remaps only
+        the arcs the new node claims (~1/(N+1)) — the number behind
+        choosing ring sharding for any stateful scale-out (shards,
+        caches, bucketed state stores). The token ring is a pure
+        literal, so it is computed at PLAN time and embedded as a
+        sorted array: assignment is a map-side successor probe (first
+        token clockwise, wrapping to the smallest) — no join, no
+        shuffle, exactly the broadcast shard map a production router
+        holds. The oracle derives the same owner via modular-distance
+        arg-min over the cross product; hash equality proves the
+        successor probe and the distance form agree on every key.
+
+        Scale: one scan, zero shuffles — per key a bounded probe of a
+        |nodes| x |vnodes| literal array; the DuckDB side's cross
+        product is the oracle's readability choice, not the plan."""
+        import hashlib
+
+        o = read_table(spark, sf_dir, "orders").select(
+            portable_hash60(F.col("o_orderkey").cast("string")).alias("h")
+        )
+
+        def ring_tokens(n_nodes):
+            """The shard map, computed at PLAN time (tokens are pure
+            literals) and embedded as a sorted array — exactly the
+            broadcast map a production router holds."""
+            toks = sorted(
+                (
+                    int(
+                        hashlib.md5(
+                            f"node-{i}#{v}".encode()
+                        ).hexdigest()[:15],
+                        16,
+                    ),
+                    i,
+                )
+                for i in range(n_nodes)
+                for v in range(REB_VNODES)
+            )
+            return toks
+
+        def assign_col(n_nodes):
+            """Owner of key hash h: first token clockwise from h (the
+            sorted-array successor, wrapping to the first token) — a
+            map-side array probe, no join, no shuffle."""
+            toks = ring_tokens(n_nodes)
+            arr = F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.lit(n).alias("n")
+                    )
+                    for t, n in toks
+                ]
+            )
+            ge = F.filter(arr, lambda s: s["t"] >= F.col("h"))
+            return F.when(
+                F.size(ge) > 0, F.element_at(ge, 1)["n"]
+            ).otherwise(F.lit(toks[0][1]))
+
+        ring_moved = o.select(
+            assign_col(REB_NODES_OLD).alias("node_old"),
+            assign_col(REB_NODES_NEW).alias("node_new"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(
+                F.when(F.col("node_old") != F.col("node_new"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+        ).select(F.lit("ring").alias("scheme"), "*")
+        mod_moved = o.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(
+                F.when(
+                    F.col("h") % REB_NODES_OLD
+                    != F.col("h") % REB_NODES_NEW,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+        ).select(F.lit("mod").alias("scheme"), "*")
+        out = mod_moved.unionByName(ring_moved)
+        return out.select(
+            "scheme",
+            "n_keys",
+            "n_moved",
+            F.round(
+                F.col("n_moved").cast("double") / F.col("n_keys"), 6
+            ).alias("moved_frac"),
+        )
+
+    _fmt(
+        q_shard_rebalance,
+        REB_NODES_OLD=REB_NODES_OLD,
+        REB_NODES_NEW=REB_NODES_NEW,
+        REB_VNODES=REB_VNODES,
+    )
+
+
+_register_rebalance()

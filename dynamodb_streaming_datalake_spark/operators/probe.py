@@ -25,7 +25,7 @@ part of the declared LLM-training-pipeline extension surface
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.functions.texthash import (
@@ -1609,3 +1609,140 @@ def q_grouped_regression_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rmse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# isotonic calibration (PAV via the minimax closed form) — round 15
+# ---------------------------------------------------------------------------
+# q_probe_calibration reports per-bin calibration error; the FIX for a
+# miscalibrated score is isotonic regression — the maximum-likelihood
+# monotone mapping from score to outcome rate. The classic PAV
+# algorithm is sequential pooling, but its solution has a closed
+# minimax form: fit(k) = max_{i<=k} min_{j>=k} wavg(i..j), which is
+# pure relational algebra over the BINNED frame — two bounded
+# self-joins and two aggregates, O(B^3) pairs on a B-row frame (B is
+# the resolution dial; the raw scan never replays). Weighted averages
+# come from INTEGER prefix-count differences, so both engines divide
+# identical integers: engine-exact by construction.
+
+#: score bins: the discount percent (0..10), an ordered 11-level score
+ISO_BINS = 11
+
+
+@query(
+    "q_isotonic_calibration",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(round(l_discount * 100) AS INT) AS score_bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (
+        SELECT b.*,
+               CAST(SUM(n) OVER (ORDER BY score_bin
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumn,
+               CAST(SUM(pos) OVER (ORDER BY score_bin
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumpos
+        FROM b
+    ),
+    iv AS (
+        SELECT score_bin AS i, cumn - n AS n0, cumpos - pos AS p0 FROM c
+    ),
+    jv AS (SELECT score_bin AS j, cumn AS n1, cumpos AS p1 FROM c),
+    pairs AS (
+        SELECT iv.i, jv.j,
+               CAST(jv.p1 - iv.p0 AS DOUBLE)
+               / CAST(jv.n1 - iv.n0 AS DOUBLE) AS wavg
+        FROM iv JOIN jv ON jv.j >= iv.i
+    ),
+    inner_min AS (
+        SELECT c.score_bin, pairs.i, MIN(pairs.wavg) AS mn
+        FROM c JOIN pairs
+          ON pairs.i <= c.score_bin AND pairs.j >= c.score_bin
+        GROUP BY c.score_bin, pairs.i
+    ),
+    fit AS (
+        SELECT score_bin, MAX(mn) AS iso FROM inner_min GROUP BY score_bin
+    )
+    SELECT c.score_bin, c.n,
+           round(CAST(c.pos AS DOUBLE) / c.n, 6) AS raw_rate,
+           round(fit.iso, 6) AS isotonic_rate
+    FROM c JOIN fit USING (score_bin)
+    """,
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the return rate against the discount
+    score ({ISO_BINS} ordered bins): the maximum-likelihood MONOTONE
+    score->rate mapping, i.e. what PAV (pool adjacent violators)
+    computes — but via the minimax closed form fit(k) = max over
+    i <= k of min over j >= k of the weighted mean rate of bins i..j,
+    which is two bounded self-joins + two aggregates instead of a
+    sequential pooling loop. Weighted means are integer prefix-count
+    differences divided once, so both engines produce bit-identical
+    doubles; a python PAV recompute pins the closed form against the
+    textbook algorithm in tests.
+
+    Scale: the raw scan reduces once to the B-row binned frame; the
+    O(B^3) pair lattice lives entirely on that frame (B = {ISO_BINS}
+    here; even B = 1000 is 10^9 cheap double comparisons spread
+    across the cluster, and B is the resolution dial)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        F.round(F.col("l_discount") * 100).cast("int").alias("score_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("pos"),
+    )
+    wcum = Window.orderBy("score_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = b.withColumn("cumn", F.sum("n").over(wcum).cast("long")).withColumn(
+        "cumpos", F.sum("pos").over(wcum).cast("long")
+    )
+    iv = c.select(
+        F.col("score_bin").alias("i"),
+        (F.col("cumn") - F.col("n")).alias("n0"),
+        (F.col("cumpos") - F.col("pos")).alias("p0"),
+    )
+    jv = c.select(
+        F.col("score_bin").alias("j"),
+        F.col("cumn").alias("n1"),
+        F.col("cumpos").alias("p1"),
+    )
+    pairs = iv.join(F.broadcast(jv), F.col("j") >= F.col("i")).select(
+        "i",
+        "j",
+        (
+            (F.col("p1") - F.col("p0")).cast("double")
+            / (F.col("n1") - F.col("n0")).cast("double")
+        ).alias("wavg"),
+    )
+    inner_min = (
+        c.select("score_bin")
+        .join(
+            F.broadcast(pairs),
+            (F.col("i") <= F.col("score_bin"))
+            & (F.col("j") >= F.col("score_bin")),
+        )
+        .groupBy("score_bin", "i")
+        .agg(F.min("wavg").alias("mn"))
+    )
+    fit = inner_min.groupBy("score_bin").agg(F.max("mn").alias("iso"))
+    return (
+        c.join(fit, "score_bin")
+        .select(
+            "score_bin",
+            "n",
+            F.round(F.col("pos").cast("double") / F.col("n"), 6).alias(
+                "raw_rate"
+            ),
+            F.round("iso", 6).alias("isotonic_rate"),
+        )
+    )
+
+
+_fmt(q_isotonic_calibration, ISO_BINS=ISO_BINS)

@@ -300,3 +300,75 @@ def test_pacf_matches_python_durbin_levinson(spark, sf_smoke):
         assert abs(got[k]["acf"] - rho[k]) < 1e-5, (k, got[k], rho[k])
         assert abs(got[k]["pacf"] - phi[k][k]) < 1e-5
     assert got[1]["acf"] == got[1]["pacf"]
+
+
+def test_isotonic_matches_python_pav(spark, sf_smoke):
+    """The minimax closed form must equal the textbook sequential
+    pool-adjacent-violators fit, and be non-decreasing in the score."""
+    from dynamodb_streaming_datalake_spark.operators.probe import (
+        q_isotonic_calibration,
+    )
+
+    rows = sorted(
+        q_isotonic_calibration(spark, sf_smoke).collect(),
+        key=lambda r: r["score_bin"],
+    )
+    li = (
+        read_table(spark, sf_smoke, "lineitem")
+        .groupBy(
+            F.round(F.col("l_discount") * 100).cast("int").alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("pos"),
+        )
+        .collect()
+    )
+    bins = sorted((r["b"], r["n"], r["pos"]) for r in li)
+    # textbook PAV: pool adjacent violators left to right
+    pools = []  # (weight, sum_pos)
+    for _, n, pos in bins:
+        pools.append((n, pos))
+        while len(pools) > 1 and (
+            pools[-2][1] / pools[-2][0] > pools[-1][1] / pools[-1][0]
+        ):
+            w2, p2 = pools.pop()
+            w1, p1 = pools.pop()
+            pools.append((w1 + w2, p1 + p2))
+    # expand pools back to bins
+    fit_vals = []
+    i = 0
+    for w, p in pools:
+        consumed = 0
+        while consumed < w:
+            consumed += bins[i][1]
+            fit_vals.append(p / w)
+            i += 1
+    assert len(fit_vals) == len(rows)
+    prev = -1.0
+    for r, want in zip(rows, fit_vals):
+        assert abs(r["isotonic_rate"] - want) < 1e-6, (r, want)
+        assert r["isotonic_rate"] >= prev - 1e-12
+        prev = r["isotonic_rate"]
+
+
+def test_shard_rebalance_ring_beats_mod(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.layout import (
+        REB_NODES_NEW,
+    )
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    rows = {
+        r["scheme"]: r
+        for r in all_queries()["q_shard_rebalance"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert rows["ring"]["n_keys"] == rows["mod"]["n_keys"]
+    # mod-N remaps almost everything; the ring only the new arcs
+    assert rows["mod"]["moved_frac"] > 0.8
+    assert rows["ring"]["moved_frac"] < 0.25
+    # ring movement should be in the neighborhood of 1/(N+1)
+    assert abs(rows["ring"]["moved_frac"] - 1 / REB_NODES_NEW) < 0.08
