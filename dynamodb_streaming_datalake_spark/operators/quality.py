@@ -932,3 +932,208 @@ def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+
+# ---------------------------------------------------------------------------
+# exact two-sample Kolmogorov-Smirnov drift test — round 15
+# ---------------------------------------------------------------------------
+# q_histogram_drift bins first and loses whatever the bin edges hide;
+# the KS statistic D = sup |ECDF_1 - ECDF_2| is the exact, binning-free
+# drift number. Exact and DISTRIBUTED: the two ECDFs are compared at
+# every observed value via the two-level cumulative pattern (per-bucket
+# windows + a bucket-offset frame, the q_seq_gaps/q_pps_sample shape),
+# and D's numerator max(|n2*cumA - n1*cumB|) is pure integer
+# arithmetic — both engines take the max of identical bigints. The
+# asymptotic p-value is a GENERATED 100-term alternating series (one
+# parenthesized expression handed to both engines verbatim, the
+# probe/_SqlOp discipline), so even its float fold is order-identical.
+
+#: the compared periods split at this timestamp (fixture midpoint)
+KS_SPLIT = "2024-01-16"
+
+#: ECDF bucket width on the value axis (the parallelism dial)
+KS_BUCKET = 32
+
+#: generated 100-term alternating KS series over column `lam`
+_KS_SERIES = "exp(-2.0 * 1 * lam * lam) - exp(-2.0 * 4 * lam * lam) + exp(-2.0 * 9 * lam * lam) - exp(-2.0 * 16 * lam * lam) + exp(-2.0 * 25 * lam * lam) - exp(-2.0 * 36 * lam * lam) + exp(-2.0 * 49 * lam * lam) - exp(-2.0 * 64 * lam * lam) + exp(-2.0 * 81 * lam * lam) - exp(-2.0 * 100 * lam * lam) + exp(-2.0 * 121 * lam * lam) - exp(-2.0 * 144 * lam * lam) + exp(-2.0 * 169 * lam * lam) - exp(-2.0 * 196 * lam * lam) + exp(-2.0 * 225 * lam * lam) - exp(-2.0 * 256 * lam * lam) + exp(-2.0 * 289 * lam * lam) - exp(-2.0 * 324 * lam * lam) + exp(-2.0 * 361 * lam * lam) - exp(-2.0 * 400 * lam * lam) + exp(-2.0 * 441 * lam * lam) - exp(-2.0 * 484 * lam * lam) + exp(-2.0 * 529 * lam * lam) - exp(-2.0 * 576 * lam * lam) + exp(-2.0 * 625 * lam * lam) - exp(-2.0 * 676 * lam * lam) + exp(-2.0 * 729 * lam * lam) - exp(-2.0 * 784 * lam * lam) + exp(-2.0 * 841 * lam * lam) - exp(-2.0 * 900 * lam * lam) + exp(-2.0 * 961 * lam * lam) - exp(-2.0 * 1024 * lam * lam) + exp(-2.0 * 1089 * lam * lam) - exp(-2.0 * 1156 * lam * lam) + exp(-2.0 * 1225 * lam * lam) - exp(-2.0 * 1296 * lam * lam) + exp(-2.0 * 1369 * lam * lam) - exp(-2.0 * 1444 * lam * lam) + exp(-2.0 * 1521 * lam * lam) - exp(-2.0 * 1600 * lam * lam) + exp(-2.0 * 1681 * lam * lam) - exp(-2.0 * 1764 * lam * lam) + exp(-2.0 * 1849 * lam * lam) - exp(-2.0 * 1936 * lam * lam) + exp(-2.0 * 2025 * lam * lam) - exp(-2.0 * 2116 * lam * lam) + exp(-2.0 * 2209 * lam * lam) - exp(-2.0 * 2304 * lam * lam) + exp(-2.0 * 2401 * lam * lam) - exp(-2.0 * 2500 * lam * lam) + exp(-2.0 * 2601 * lam * lam) - exp(-2.0 * 2704 * lam * lam) + exp(-2.0 * 2809 * lam * lam) - exp(-2.0 * 2916 * lam * lam) + exp(-2.0 * 3025 * lam * lam) - exp(-2.0 * 3136 * lam * lam) + exp(-2.0 * 3249 * lam * lam) - exp(-2.0 * 3364 * lam * lam) + exp(-2.0 * 3481 * lam * lam) - exp(-2.0 * 3600 * lam * lam) + exp(-2.0 * 3721 * lam * lam) - exp(-2.0 * 3844 * lam * lam) + exp(-2.0 * 3969 * lam * lam) - exp(-2.0 * 4096 * lam * lam) + exp(-2.0 * 4225 * lam * lam) - exp(-2.0 * 4356 * lam * lam) + exp(-2.0 * 4489 * lam * lam) - exp(-2.0 * 4624 * lam * lam) + exp(-2.0 * 4761 * lam * lam) - exp(-2.0 * 4900 * lam * lam) + exp(-2.0 * 5041 * lam * lam) - exp(-2.0 * 5184 * lam * lam) + exp(-2.0 * 5329 * lam * lam) - exp(-2.0 * 5476 * lam * lam) + exp(-2.0 * 5625 * lam * lam) - exp(-2.0 * 5776 * lam * lam) + exp(-2.0 * 5929 * lam * lam) - exp(-2.0 * 6084 * lam * lam) + exp(-2.0 * 6241 * lam * lam) - exp(-2.0 * 6400 * lam * lam) + exp(-2.0 * 6561 * lam * lam) - exp(-2.0 * 6724 * lam * lam) + exp(-2.0 * 6889 * lam * lam) - exp(-2.0 * 7056 * lam * lam) + exp(-2.0 * 7225 * lam * lam) - exp(-2.0 * 7396 * lam * lam) + exp(-2.0 * 7569 * lam * lam) - exp(-2.0 * 7744 * lam * lam) + exp(-2.0 * 7921 * lam * lam) - exp(-2.0 * 8100 * lam * lam) + exp(-2.0 * 8281 * lam * lam) - exp(-2.0 * 8464 * lam * lam) + exp(-2.0 * 8649 * lam * lam) - exp(-2.0 * 8836 * lam * lam) + exp(-2.0 * 9025 * lam * lam) - exp(-2.0 * 9216 * lam * lam) + exp(-2.0 * 9409 * lam * lam) - exp(-2.0 * 9604 * lam * lam) + exp(-2.0 * 9801 * lam * lam) - exp(-2.0 * 10000 * lam * lam)"
+
+
+def _ks_oracle() -> str:
+    return f"""
+    WITH v AS (
+        SELECT value,
+               CASE WHEN ts < TIMESTAMP '{KS_SPLIT} 00:00:00'
+                    THEN 1 ELSE 0 END AS in_a
+        FROM events WHERE value IS NOT NULL
+    ),
+    pts AS (
+        SELECT value, CAST(floor(value / {KS_BUCKET}) AS BIGINT) AS b,
+               CAST(SUM(in_a) AS BIGINT) AS ca,
+               CAST(SUM(1 - in_a) AS BIGINT) AS cb
+        FROM v GROUP BY value
+    ),
+    bsum AS (
+        SELECT b,
+               CAST(SUM(ca) AS BIGINT) AS ba,
+               CAST(SUM(cb) AS BIGINT) AS bb
+        FROM pts GROUP BY b
+    ),
+    offs AS (
+        SELECT b,
+               CAST(COALESCE(SUM(ba) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS offa,
+               CAST(COALESCE(SUM(bb) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS offb,
+               CAST(SUM(SUM(ba)) OVER () AS BIGINT) AS n1,
+               CAST(SUM(SUM(bb)) OVER () AS BIGINT) AS n2
+        FROM bsum GROUP BY b, ba, bb
+    ),
+    cum AS (
+        SELECT pts.value,
+               offs.n1, offs.n2,
+               offs.offa + SUM(pts.ca) OVER (PARTITION BY pts.b
+                   ORDER BY pts.value ROWS UNBOUNDED PRECEDING) AS cuma,
+               offs.offb + SUM(pts.cb) OVER (PARTITION BY pts.b
+                   ORDER BY pts.value ROWS UNBOUNDED PRECEDING) AS cumb
+        FROM pts JOIN offs USING (b)
+    ),
+    d AS (
+        SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+               MAX(ABS(n2 * cuma - n1 * cumb)) AS dnum
+        FROM cum
+    ),
+    stat AS (
+        SELECT n1, n2,
+               CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) AS dd,
+               sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) AS sne
+        FROM d
+    ),
+    lamf AS (
+        SELECT n1, n2, dd,
+               (sne + 0.12 + 0.11 / sne) * dd AS lam
+        FROM stat
+    )
+    SELECT n1, n2, round(dd, 6) AS d_stat,
+           round(LEAST(GREATEST(2.0 * ({_KS_SERIES}), 0.0), 1.0), 6)
+             AS p_value
+    FROM lamf
+    """
+
+
+def _register_ks() -> None:
+    from pyspark.sql import Window
+
+    @query("q_two_sample_ks", oracle=_ks_oracle())
+    def q_two_sample_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact two-sample Kolmogorov-Smirnov test between the first
+        and second half of the observed period (split {KS_SPLIT}):
+        D = sup |ECDF_a - ECDF_b| evaluated at EVERY observed value —
+        the binning-free drift number q_histogram_drift approximates —
+        plus the asymptotic p-value. The ECDFs build distributedly:
+        per-value counts roll up inside {KS_BUCKET}-wide value
+        buckets, a bucket-offset frame (driver-bounded) stitches the
+        global cumulative, and D's numerator is max |n2*cumA -
+        n1*cumB| over exact bigints. The p-value's 100-term
+        alternating series is generated once and handed to both
+        engines verbatim, so its float fold is order-identical.
+
+        Scale: one shuffle to per-value counts (map-side combined),
+        windows inside value buckets, a |buckets|-row stitch — the
+        q_seq_gaps decomposition on the value axis. No global sort.
+        """
+        ev = (
+            read_table(spark, sf_dir, "events")
+            .where(F.col("value").isNotNull())
+            .select(
+                "value",
+                F.when(
+                    F.col("ts") < F.lit(KS_SPLIT).cast("timestamp"), 1
+                )
+                .otherwise(0)
+                .alias("in_a"),
+            )
+        )
+        pts = ev.groupBy("value").agg(
+            F.sum("in_a").cast("long").alias("ca"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("cb"),
+        ).withColumn(
+            "b", F.floor(F.col("value") / KS_BUCKET).cast("long")
+        )
+        bsum = pts.groupBy("b").agg(
+            F.sum("ca").cast("long").alias("ba"),
+            F.sum("cb").cast("long").alias("bb"),
+        )
+        woff = Window.orderBy("b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        wall = Window.partitionBy()
+        offs = bsum.select(
+            "b",
+            F.coalesce(F.sum("ba").over(woff), F.lit(0))
+            .cast("long")
+            .alias("offa"),
+            F.coalesce(F.sum("bb").over(woff), F.lit(0))
+            .cast("long")
+            .alias("offb"),
+            F.sum("ba").over(wall).cast("long").alias("n1"),
+            F.sum("bb").over(wall).cast("long").alias("n2"),
+        )
+        wb = (
+            Window.partitionBy("b")
+            .orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = pts.join(offs, "b").select(
+            "n1",
+            "n2",
+            (F.col("offa") + F.sum("ca").over(wb)).alias("cuma"),
+            (F.col("offb") + F.sum("cb").over(wb)).alias("cumb"),
+        )
+        d = cum.agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.max(
+                F.abs(
+                    F.col("n2") * F.col("cuma")
+                    - F.col("n1") * F.col("cumb")
+                )
+            ).alias("dnum"),
+        )
+        stat = d.select(
+            "n1",
+            "n2",
+            (
+                F.col("dnum").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2"))
+            ).alias("dd"),
+            F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / (F.col("n1") + F.col("n2"))
+            ).alias("sne"),
+        )
+        lamf = stat.withColumn(
+            "lam", (F.col("sne") + 0.12 + 0.11 / F.col("sne")) * F.col("dd")
+        )
+        return lamf.select(
+            "n1",
+            "n2",
+            F.round("dd", 6).alias("d_stat"),
+            F.round(
+                F.least(
+                    F.greatest(
+                        2.0 * F.expr(_KS_SERIES), F.lit(0.0)
+                    ),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("p_value"),
+        )
+
+    _fmt(q_two_sample_ks, KS_SPLIT=KS_SPLIT, KS_BUCKET=KS_BUCKET)
+
+
+_register_ks()

@@ -805,3 +805,51 @@ def test_blocking_eval_orders_schemes_sensibly(spark, sf_smoke):
     assert rows["brand"]["pairs_completeness"] == 1.0
     for r in rows.values():
         assert 0.0 <= r["reduction_ratio"] <= 1.0
+
+
+def test_two_sample_ks_matches_python_exact_d(spark, sf_smoke):
+    """Recompute the exact KS D (and the asymptotic p series) in pure
+    Python over the collected values; the distributed two-level ECDF
+    must agree."""
+    import math
+
+    from dynamodb_streaming_datalake_spark.operators.quality import (
+        KS_SPLIT,
+    )
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    rows = all_queries()["q_two_sample_ks"](spark, sf_smoke).collect()
+    assert len(rows) == 1
+    got = rows[0]
+    ev = (
+        read_table(spark, sf_smoke, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "value",
+            (F.col("ts") < F.lit(KS_SPLIT).cast("timestamp")).alias("a"),
+        )
+        .collect()
+    )
+    xs = sorted(r["value"] for r in ev if r["a"])
+    ys = sorted(r["value"] for r in ev if not r["a"])
+    n1, n2 = len(xs), len(ys)
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    vals = sorted(set(xs) | set(ys))
+    import bisect
+
+    d = 0.0
+    for v in vals:
+        fa = bisect.bisect_right(xs, v) / n1
+        fb = bisect.bisect_right(ys, v) / n2
+        d = max(d, abs(fa - fb))
+    assert abs(got["d_stat"] - d) < 1e-6
+    ne = math.sqrt(n1 * n2 / (n1 + n2))
+    lam = (ne + 0.12 + 0.11 / ne) * d
+    p = 2.0 * sum(
+        (-1) ** (j - 1) * math.exp(-2.0 * j * j * lam * lam)
+        for j in range(1, 101)
+    )
+    p = min(max(p, 0.0), 1.0)
+    assert abs(got["p_value"] - p) < 1e-5
