@@ -3268,3 +3268,172 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_pacf, PACF_LAGS=PACF_LAGS)
+
+
+# --------------------------------------------------------------------------
+# rolling-origin forecast backtest — round 15
+# --------------------------------------------------------------------------
+# q_holt_trend fits once and forecasts forward; the question a
+# forecast OWNER has to answer is "how wrong has this model been
+# lately" — the rolling-origin backtest: for each of the last K days,
+# refit on the prefix ending there and score the 1-step-ahead
+# forecast against what actually happened. Same exact-integer Holt
+# kernel (scale-6 ints, truncating integral divisions — engine-
+# identical), re-run per origin over ARRAY PREFIXES of the one
+# collected daily series, so K refits cost K bounded folds on a
+# 1-row frame — the raw data is scanned once.
+
+#: rolling origins scored (the last BT_ORIGINS days, 1-step ahead)
+BT_ORIGINS = 10
+
+
+@query(
+    "q_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+                 AS d,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+                 AS y6
+        FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    spine AS (SELECT UNNEST(range(b.d0, b.d1 + 1)) AS d FROM bounds b),
+    series AS (
+        SELECT s.d, COALESCE(dy.y6, 0) AS y6
+        FROM spine s LEFT JOIN daily dy ON dy.d = s.d
+    ),
+    arr AS (
+        SELECT list_transform(list(y6 ORDER BY d), y -> [y, 0::BIGINT])
+                 AS ys,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM series
+    ),
+    org AS (
+        SELECT arr.ys, arr.n_days, o.o
+        FROM arr, LATERAL (
+            SELECT UNNEST(range(arr.n_days - {BT_ORIGINS},
+                                arr.n_days)) AS o
+        ) o
+    ),
+    fit AS (
+        SELECT o, n_days,
+               list_reduce(ys[1:CAST(o AS INT)], (acc, x) -> [
+                   (x[1] + acc[1] + acc[2]) // 2,
+                   (((x[1] + acc[1] + acc[2]) // 2) - acc[1] + 3 * acc[2])
+                     // 4
+               ]) AS s,
+               ys[CAST(o AS INT) + 1][1] AS actual6
+        FROM org
+    ),
+    scored AS (
+        SELECT CAST(o AS INT) AS origin,
+               actual6, s[1] + s[2] AS forecast6,
+               ABS(s[1] + s[2] - actual6) AS err6
+        FROM fit
+    )
+    SELECT origin,
+           round(CAST(actual6 AS DOUBLE) / 1000000, 6) AS actual,
+           round(CAST(forecast6 AS DOUBLE) / 1000000, 6) AS forecast,
+           round(CAST(err6 AS DOUBLE) / 1000000, 6) AS abs_err,
+           round(CAST(SUM(err6) OVER () AS DOUBLE)
+                 / ({BT_ORIGINS} * 1000000.0), 6) AS mae
+    FROM scored
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the Holt forecaster: for each of
+    the last {BT_ORIGINS} days, refit the exact-integer Holt fold on
+    the prefix ending the day before and score the 1-step-ahead
+    forecast against the realized value — per-origin actual/forecast/
+    absolute error plus the windowed MAE, the number that says
+    whether to trust q_holt_trend's forward curve. Refits are folds
+    over ARRAY PREFIXES of the one collected daily series (scale-6
+    integers, truncating integral divisions — engine-identical), so
+    the error sum is exact and the MAE deterministic.
+
+    Scale: one map-side-combined daily aggregate; {BT_ORIGINS} folds
+    on a 1-row array frame, each bounded by the calendar — the
+    q_holt_trend contract, K times, with zero additional scans."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (
+            F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+            / F.lit(86400)
+        )
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(38,6)")) * 1000000)
+        .cast("bigint")
+        .alias("y6")
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    series = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("y6", F.lit(0)).cast("bigint").alias("y6")
+    )
+    arr = series.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, y6))),"
+            " s -> array(s.y6, 0L))"
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    org = arr.select(
+        "ys",
+        "n_days",
+        F.explode(
+            F.sequence(
+                F.col("n_days") - BT_ORIGINS, F.col("n_days") - 1
+            )
+        ).alias("o"),
+    )
+    fit = org.select(
+        "o",
+        F.expr(
+            """
+            aggregate(
+                slice(slice(ys, 1, CAST(o AS INT)), 2, CAST(o AS INT) - 1),
+                slice(ys, 1, CAST(o AS INT))[0],
+                (acc, x) -> array(
+                    (x[0] + acc[0] + acc[1]) div 2,
+                    (((x[0] + acc[0] + acc[1]) div 2) - acc[0]
+                       + 3 * acc[1]) div 4
+                )
+            )
+            """
+        ).alias("s"),
+        F.expr("element_at(ys, CAST(o AS INT) + 1)[0]").alias("actual6"),
+    )
+    scored = fit.select(
+        F.col("o").cast("int").alias("origin"),
+        "actual6",
+        (F.col("s")[0] + F.col("s")[1]).alias("forecast6"),
+        F.abs(F.col("s")[0] + F.col("s")[1] - F.col("actual6")).alias(
+            "err6"
+        ),
+    )
+    wall = Window.partitionBy()
+    return scored.select(
+        "origin",
+        F.round(F.col("actual6").cast("double") / 1000000, 6).alias(
+            "actual"
+        ),
+        F.round(F.col("forecast6").cast("double") / 1000000, 6).alias(
+            "forecast"
+        ),
+        F.round(F.col("err6").cast("double") / 1000000, 6).alias(
+            "abs_err"
+        ),
+        F.round(
+            F.sum("err6").over(wall).cast("double")
+            / (BT_ORIGINS * 1000000.0),
+            6,
+        ).alias("mae"),
+    )
+
+
+_fmt(q_forecast_backtest, BT_ORIGINS=BT_ORIGINS)

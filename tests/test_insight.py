@@ -372,3 +372,65 @@ def test_shard_rebalance_ring_beats_mod(spark, sf_smoke):
     assert rows["ring"]["moved_frac"] < 0.25
     # ring movement should be in the neighborhood of 1/(N+1)
     assert abs(rows["ring"]["moved_frac"] - 1 / REB_NODES_NEW) < 0.08
+
+
+def test_forecast_backtest_matches_python_fold(spark, sf_smoke):
+    """Re-run the integer Holt kernel in Python for every origin and
+    compare forecasts, errors, and the MAE."""
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        BT_ORIGINS,
+        q_forecast_backtest,
+    )
+
+    daily = (
+        read_table(spark, sf_smoke, "events")
+        .groupBy(
+            (
+                F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+                / F.lit(86400)
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(38,6)")) * 1000000)
+            .cast("bigint")
+            .alias("y6")
+        )
+        .collect()
+    )
+    by_d = {r["d"]: r["y6"] for r in daily}
+    d0, d1 = min(by_d), max(by_d)
+    ys = [by_d.get(d, 0) for d in range(d0, d1 + 1)]
+    n = len(ys)
+
+    def trunc_div(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    def fold(prefix):
+        lvl, tr = prefix[0], 0
+        for y in prefix[1:]:
+            new_lvl = trunc_div(y + lvl + tr, 2)
+            tr = trunc_div(new_lvl - lvl + 3 * tr, 4)
+            lvl = new_lvl
+        return lvl, tr
+
+    want = {}
+    errs = []
+    for o in range(n - BT_ORIGINS, n):
+        lvl, tr = fold(ys[:o])
+        fc = lvl + tr
+        err = abs(fc - ys[o])
+        want[o] = (ys[o] / 1e6, fc / 1e6, err / 1e6)
+        errs.append(err)
+    mae = sum(errs) / (BT_ORIGINS * 1e6)
+    got = {
+        r["origin"]: r for r in q_forecast_backtest(spark, sf_smoke).collect()
+    }
+    assert set(got) == set(want)
+    for o, (actual, fc, err) in want.items():
+        assert abs(got[o]["actual"] - actual) < 1e-6
+        assert abs(got[o]["forecast"] - fc) < 1e-6
+        assert abs(got[o]["abs_err"] - err) < 1e-6
+        assert abs(got[o]["mae"] - mae) < 1e-6
