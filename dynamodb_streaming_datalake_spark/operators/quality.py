@@ -1137,3 +1137,344 @@ def _register_ks() -> None:
 
 
 _register_ks()
+
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test — round 15
+# ---------------------------------------------------------------------------
+# The nonparametric complement to q_two_sample_ks: KS asks "are the
+# distributions different anywhere", the rank-sum U asks the sharper
+# locational question "does one period stochastically dominate". All
+# rank arithmetic is EXACT integers: with ties, each distinct value's
+# average rank doubled is 2*cum_before + c + 1 (an integer), so the
+# doubled rank sum, U, the tie-correction sum of t^3 - t, and both
+# moments clear engine float order entirely; the normal-approximation
+# p-value evaluates a GENERATED Abramowitz-Stegun erfc polynomial
+# (one expression, both engines verbatim).
+
+#: the erfc-based two-sided tail over column z (A&S 7.1.26, |e|<1.5e-7)
+_MW_TAIL = """(((0.254829592) * pow((1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951))), 1) + (-0.284496736) * pow((1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951))), 2) + (1.421413741) * pow((1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951))), 3) + (-1.453152027) * pow((1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951))), 4) + (1.061405429) * pow((1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951))), 5)) * exp(-((z / 1.4142135623730951)) * ((z / 1.4142135623730951))))"""
+
+
+def _register_mw() -> None:
+    from pyspark.sql import Window
+
+    @query(
+        "q_mann_whitney",
+        oracle=f"""
+        WITH v AS (
+            SELECT value,
+                   CASE WHEN ts < TIMESTAMP '{KS_SPLIT} 00:00:00'
+                        THEN 1 ELSE 0 END AS in_a
+            FROM events WHERE value IS NOT NULL
+        ),
+        pts AS (
+            SELECT value,
+                   CAST(SUM(in_a) AS BIGINT) AS ca,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM v GROUP BY value
+        ),
+        cum AS (
+            SELECT pts.*,
+                   CAST(COALESCE(SUM(c) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_before
+            FROM pts
+        ),
+        agg AS (
+            SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+                   CAST(SUM(c - ca) AS BIGINT) AS n2,
+                   CAST(SUM(ca * (2 * cum_before + c + 1)) AS BIGINT)
+                     AS r2a,
+                   CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+            FROM cum
+        ),
+        stat AS (
+            SELECT n1, n2,
+                   (CAST(r2a AS DOUBLE) / 2) - CAST(n1 AS DOUBLE)
+                     * (n1 + 1) / 2 AS u,
+                   CAST(n1 AS DOUBLE) * n2 / 2 AS mu,
+                   sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                        * ((n1 + n2 + 1)
+                           - CAST(ties AS DOUBLE)
+                             / ((n1 + n2) * CAST(n1 + n2 - 1
+                                                 AS DOUBLE))))
+                     AS sigma
+            FROM agg
+        ),
+        zs AS (
+            SELECT n1, n2, u, mu, sigma,
+                   GREATEST(ABS(u - mu) - 0.5, 0.0) / sigma AS z
+            FROM stat
+        )
+        SELECT n1, n2,
+               round(u, 1) AS u_stat,
+               round(z, 6) AS z_score,
+               round(LEAST({_MW_TAIL}, 1.0), 6) AS p_value
+        FROM zs
+        """,
+    )
+    def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Mann-Whitney rank-sum test between the first and second
+        half of the observed period (same {KS_SPLIT} split as
+        q_two_sample_ks): U from tie-averaged ranks, the
+        tie-corrected normal z with continuity correction, and the
+        two-sided p-value. Every rank quantity is exact-integer
+        (doubled average rank = 2*cum_before + c + 1), the cumulative
+        runs over per-value counts (map-side combined, |distinct
+        values| rows), and the p-value's erfc polynomial is generated
+        once for both engines — so the whole test is engine-exact up
+        to the final rounded doubles.
+
+        Scale: one shuffle to per-value counts; the rank cumulative
+        is a single ordered window over the distinct-value frame
+        (bucket it with the q_two_sample_ks two-level pattern when
+        distinct values are unbounded); the test itself is one row.
+        """
+        ev = (
+            read_table(spark, sf_dir, "events")
+            .where(F.col("value").isNotNull())
+            .select(
+                "value",
+                F.when(
+                    F.col("ts") < F.lit(KS_SPLIT).cast("timestamp"), 1
+                )
+                .otherwise(0)
+                .alias("in_a"),
+            )
+        )
+        pts = ev.groupBy("value").agg(
+            F.sum("in_a").cast("long").alias("ca"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+        wcum = Window.orderBy("value").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cum = pts.withColumn(
+            "cum_before",
+            F.coalesce(F.sum("c").over(wcum), F.lit(0)).cast("long"),
+        )
+        agg = cum.agg(
+            F.sum("ca").cast("long").alias("n1"),
+            F.sum(F.col("c") - F.col("ca")).cast("long").alias("n2"),
+            F.sum(
+                F.col("ca")
+                * (2 * F.col("cum_before") + F.col("c") + 1)
+            )
+            .cast("long")
+            .alias("r2a"),
+            F.sum(
+                F.col("c") * F.col("c") * F.col("c") - F.col("c")
+            )
+            .cast("long")
+            .alias("ties"),
+        )
+        stat = agg.select(
+            "n1",
+            "n2",
+            (
+                F.col("r2a").cast("double") / 2
+                - F.col("n1").cast("double") * (F.col("n1") + 1) / 2
+            ).alias("u"),
+            (F.col("n1").cast("double") * F.col("n2") / 2).alias("mu"),
+            F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / 12.0
+                * (
+                    (F.col("n1") + F.col("n2") + 1)
+                    - F.col("ties").cast("double")
+                    / (
+                        (F.col("n1") + F.col("n2"))
+                        * (F.col("n1") + F.col("n2") - 1).cast(
+                            "double"
+                        )
+                    )
+                )
+            ).alias("sigma"),
+        )
+        zs = stat.withColumn(
+            "z",
+            F.greatest(
+                F.abs(F.col("u") - F.col("mu")) - 0.5, F.lit(0.0)
+            )
+            / F.col("sigma"),
+        )
+        return zs.select(
+            "n1",
+            "n2",
+            F.round("u", 1).alias("u_stat"),
+            F.round("z", 6).alias("z_score"),
+            F.round(F.least(F.expr(_MW_TAIL), F.lit(1.0)), 6).alias(
+                "p_value"
+            ),
+        )
+
+    _fmt(q_mann_whitney, KS_SPLIT=KS_SPLIT)
+
+
+_register_mw()
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V categorical-association matrix — round 15
+# ---------------------------------------------------------------------------
+# q_fd_audit detects EXACT functional dependencies; real columns are
+# usually only statistically entangled. Cramér's V (bias-naive,
+# chi-square based, 0 = independent, 1 = determined) is the standard
+# pairwise number, computed here for every ordered pair of a declared
+# audit list in the same single-scan melt shape as q_fd_audit: one
+# stack to (pair, a, b) rows, one aggregate to contingency cells, and
+# margins/totals joined back from the grouped frame. Per-cell
+# chi-square terms are rounded then summed as exact decimals, so the
+# statistic clears float summation order.
+
+#: audited categorical columns over orders: name -> SQL expression
+CV_COLS = {
+    "status": "o_orderstatus",
+    "priority": "o_orderpriority",
+    "year": "CAST(year(o_orderdate) AS VARCHAR)",
+}
+
+
+def _cv_oracle() -> str:
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CV_COLS)
+        for j, b in enumerate(CV_COLS)
+        if i < j
+    ]
+    melt = "\n        UNION ALL ".join(
+        f"SELECT '{a}|{b}' AS pair, {CV_COLS[a]} AS va,"
+        f" {CV_COLS[b]} AS vb FROM orders"
+        for a, b in pairs
+    )
+    return f"""
+    WITH m AS ({melt}),
+    cells AS (
+        SELECT pair, va, vb, CAST(COUNT(*) AS BIGINT) AS n
+        FROM m GROUP BY pair, va, vb
+    ),
+    rowm AS (
+        SELECT pair, va, CAST(SUM(n) AS BIGINT) AS ra
+        FROM cells GROUP BY pair, va
+    ),
+    colm AS (
+        SELECT pair, vb, CAST(SUM(n) AS BIGINT) AS cb
+        FROM cells GROUP BY pair, vb
+    ),
+    tot AS (
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(COUNT(DISTINCT va) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT vb) AS BIGINT) AS c
+        FROM cells GROUP BY pair
+    ),
+    terms AS (
+        SELECT cells.pair,
+               CAST(round(
+                   pow(cells.n - CAST(rowm.ra AS DOUBLE) * colm.cb
+                       / tot.nn, 2)
+                   / (CAST(rowm.ra AS DOUBLE) * colm.cb / tot.nn), 8)
+                   AS DECIMAL(24,8)) AS t
+        FROM cells
+        JOIN rowm USING (pair, va)
+        JOIN colm USING (pair, vb)
+        JOIN tot USING (pair)
+    )
+    SELECT tot.pair, tot.nn AS n_rows, tot.r, tot.c,
+           round(CAST(SUM(terms.t) AS DOUBLE), 6) AS chi2,
+           round(sqrt(CAST(SUM(terms.t) AS DOUBLE)
+                 / (tot.nn * LEAST(tot.r - 1, tot.c - 1))), 6)
+             AS cramers_v
+    FROM terms JOIN tot USING (pair)
+    GROUP BY tot.pair, tot.nn, tot.r, tot.c
+    """
+
+
+def _register_cv() -> None:
+    @query("q_cramers_v", oracle=_cv_oracle())
+    def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cramér's V for every pair of the audited categorical
+        columns (order status, priority, order year) — the soft
+        complement to q_fd_audit's exact dependencies: 0 means
+        independent, 1 means one column determines the other, and the
+        matrix is what a modeler reads before one-hot-encoding
+        redundant columns. One melt (stack) covers all pairs in a
+        single scan; contingency cells, margins and totals come from
+        grouped frames of that melt; per-cell chi-square terms are
+        rounded then summed as exact decimals so the statistic is
+        engine-exact.
+
+        Scale: the melt fan-out equals the pair count; cell/margin
+        frames are bounded by category cardinalities, not row counts;
+        every join after the first aggregate touches only those
+        grouped frames."""
+        o = read_table(spark, sf_dir, "orders")
+        base = o.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.year("o_orderdate").cast("string").alias("year"),
+        )
+        names = list(CV_COLS)
+        pairs = [
+            (a, b)
+            for i, a in enumerate(names)
+            for j, b in enumerate(names)
+            if i < j
+        ]
+        stack = "stack({}, {}) as (pair, va, vb)".format(
+            len(pairs),
+            ", ".join(f"'{a}|{b}', {a}, {b}" for a, b in pairs),
+        )
+        m = base.select(F.expr(stack))
+        cells = m.groupBy("pair", "va", "vb").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        rowm = cells.groupBy("pair", "va").agg(
+            F.sum("n").cast("long").alias("ra")
+        )
+        colm = cells.groupBy("pair", "vb").agg(
+            F.sum("n").cast("long").alias("cb")
+        )
+        tot = cells.groupBy("pair").agg(
+            F.sum("n").cast("long").alias("nn"),
+            F.countDistinct("va").cast("long").alias("r"),
+            F.countDistinct("vb").cast("long").alias("c"),
+        )
+        exp = F.col("ra").cast("double") * F.col("cb") / F.col("nn")
+        terms = (
+            cells.join(rowm, ["pair", "va"])
+            .join(colm, ["pair", "vb"])
+            .join(F.broadcast(tot), "pair")
+            .select(
+                "pair",
+                F.round(
+                    F.pow(F.col("n") - exp, 2) / exp, 8
+                )
+                .cast("decimal(24,8)")
+                .alias("t"),
+            )
+        )
+        chi = terms.groupBy("pair").agg(
+            F.sum("t").cast("double").alias("chi2_raw")
+        )
+        return chi.join(F.broadcast(tot), "pair").select(
+            "pair",
+            F.col("nn").alias("n_rows"),
+            "r",
+            "c",
+            F.round("chi2_raw", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_raw")
+                    / (
+                        F.col("nn")
+                        * F.least(F.col("r") - 1, F.col("c") - 1)
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+
+_register_cv()

@@ -853,3 +853,95 @@ def test_two_sample_ks_matches_python_exact_d(spark, sf_smoke):
     )
     p = min(max(p, 0.0), 1.0)
     assert abs(got["p_value"] - p) < 1e-5
+
+
+def test_mann_whitney_matches_python_ranksum(spark, sf_smoke):
+    """Recompute U, the tie-corrected z, and the erfc p in pure Python
+    from the collected values."""
+    import math
+
+    from dynamodb_streaming_datalake_spark.operators.quality import (
+        KS_SPLIT,
+    )
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    got = all_queries()["q_mann_whitney"](spark, sf_smoke).collect()[0]
+    ev = (
+        read_table(spark, sf_smoke, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "value",
+            (F.col("ts") < F.lit(KS_SPLIT).cast("timestamp")).alias("a"),
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    ca = Counter(r["value"] for r in ev if r["a"])
+    call = Counter(r["value"] for r in ev)
+    n1 = sum(ca.values())
+    n2 = sum(call.values()) - n1
+    cum = 0
+    r2a = 0
+    ties = 0
+    for v in sorted(call):
+        c = call[v]
+        r2a += ca.get(v, 0) * (2 * cum + c + 1)
+        ties += c**3 - c
+        cum += c
+    u = r2a / 2 - n1 * (n1 + 1) / 2
+    mu = n1 * n2 / 2
+    nn = n1 + n2
+    sigma = math.sqrt(
+        n1 * n2 / 12.0 * ((nn + 1) - ties / (nn * (nn - 1)))
+    )
+    z = max(abs(u - mu) - 0.5, 0.0) / sigma
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert abs(got["u_stat"] - u) < 0.51
+    assert abs(got["z_score"] - z) < 1e-5
+    # p from math.erfc should agree with the generated polynomial to
+    # its documented 1.5e-7 absolute error
+    p = math.erfc(z / math.sqrt(2))
+    assert abs(got["p_value"] - min(p, 1.0)) < 1e-5
+
+
+def test_cramers_v_matches_python_chi2(spark, sf_smoke):
+    """Recompute one pair's chi-square and V from the contingency
+    table in Python."""
+    import math
+
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+    from collections import Counter
+
+    got = {
+        r["pair"]: r
+        for r in all_queries()["q_cramers_v"](spark, sf_smoke).collect()
+    }
+    rows = (
+        read_table(spark, sf_smoke, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .collect()
+    )
+    cells = Counter((r["o_orderstatus"], r["o_orderpriority"]) for r in rows)
+    ra = Counter()
+    cb = Counter()
+    for (a, b), n in cells.items():
+        ra[a] += n
+        cb[b] += n
+    nn = sum(cells.values())
+    chi2 = sum(
+        (n - ra[a] * cb[b] / nn) ** 2 / (ra[a] * cb[b] / nn)
+        for (a, b), n in cells.items()
+    )
+    v = math.sqrt(chi2 / (nn * min(len(ra) - 1, len(cb) - 1)))
+    t = got["status|priority"]
+    assert t["n_rows"] == nn
+    assert (t["r"], t["c"]) == (len(ra), len(cb))
+    assert abs(t["chi2"] - chi2) < 1e-4
+    assert abs(t["cramers_v"] - v) < 1e-6
+    for r in got.values():
+        assert 0.0 <= r["cramers_v"] <= 1.0
