@@ -1478,3 +1478,253 @@ def _register_cv() -> None:
         )
 
 _register_cv()
+
+
+# ---------------------------------------------------------------------------
+# drift battery with FDR control (grouped KS + Benjamini-Hochberg)
+# ---------------------------------------------------------------------------
+# One KS test answers "did THIS series drift"; a fleet monitor runs
+# the test per segment and then must control the multiple-testing
+# problem — at p<0.05 across a thousand segments, fifty false alarms
+# a day are guaranteed. The standard fix is Benjamini-Hochberg: sort
+# the battery's p-values, find the largest k with p_(k) <= (k/m)*Q,
+# reject the first k. Here the battery is one KS per event type (the
+# q_two_sample_ks machinery with the type as an extra partition key)
+# and BH runs as two windows over the |types|-row result frame.
+
+#: BH false-discovery-rate budget
+BH_Q = 0.10
+
+
+def _battery_oracle() -> str:
+    return f"""
+    WITH v AS (
+        SELECT event_type, value,
+               CASE WHEN ts < TIMESTAMP '{KS_SPLIT} 00:00:00'
+                    THEN 1 ELSE 0 END AS in_a
+        FROM events WHERE value IS NOT NULL
+    ),
+    pts AS (
+        SELECT event_type, value,
+               CAST(floor(value / {KS_BUCKET}) AS BIGINT) AS b,
+               CAST(SUM(in_a) AS BIGINT) AS ca,
+               CAST(SUM(1 - in_a) AS BIGINT) AS cb
+        FROM v GROUP BY event_type, value
+    ),
+    bsum AS (
+        SELECT event_type, b,
+               CAST(SUM(ca) AS BIGINT) AS ba,
+               CAST(SUM(cb) AS BIGINT) AS bb
+        FROM pts GROUP BY event_type, b
+    ),
+    offs AS (
+        SELECT event_type, b,
+               CAST(COALESCE(SUM(ba) OVER (PARTITION BY event_type
+                   ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS offa,
+               CAST(COALESCE(SUM(bb) OVER (PARTITION BY event_type
+                   ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS offb,
+               CAST(SUM(SUM(ba)) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS n1,
+               CAST(SUM(SUM(bb)) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS n2
+        FROM bsum GROUP BY event_type, b, ba, bb
+    ),
+    cum AS (
+        SELECT pts.event_type, offs.n1, offs.n2,
+               offs.offa + SUM(pts.ca) OVER (
+                   PARTITION BY pts.event_type, pts.b
+                   ORDER BY pts.value ROWS UNBOUNDED PRECEDING) AS cuma,
+               offs.offb + SUM(pts.cb) OVER (
+                   PARTITION BY pts.event_type, pts.b
+                   ORDER BY pts.value ROWS UNBOUNDED PRECEDING) AS cumb
+        FROM pts JOIN offs USING (event_type, b)
+    ),
+    d AS (
+        SELECT event_type, MAX(n1) AS n1, MAX(n2) AS n2,
+               MAX(ABS(n2 * cuma - n1 * cumb)) AS dnum
+        FROM cum GROUP BY event_type
+    ),
+    stat AS (
+        SELECT event_type, n1, n2,
+               CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) AS dd,
+               sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) AS sne
+        FROM d
+    ),
+    lamf AS (
+        SELECT event_type, n1, n2, dd,
+               (sne + 0.12 + 0.11 / sne) * dd AS lam
+        FROM stat
+    ),
+    pv AS (
+        SELECT event_type, n1, n2, round(dd, 6) AS d_stat,
+               round(LEAST(GREATEST(2.0 * ({_KS_SERIES}), 0.0), 1.0), 6)
+                 AS p_value
+        FROM lamf
+    ),
+    ranked AS (
+        SELECT pv.*,
+               ROW_NUMBER() OVER (ORDER BY p_value, event_type)
+                 AS bh_rank,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM pv
+    ),
+    cut AS (
+        SELECT ranked.*,
+               MAX(CASE WHEN p_value <= bh_rank * {BH_Q} / m
+                        THEN bh_rank ELSE 0 END) OVER () AS k_star
+        FROM ranked
+    )
+    SELECT event_type, n1, n2, d_stat, p_value,
+           CAST(bh_rank AS INT) AS bh_rank,
+           round(bh_rank * {BH_Q} / m, 6) AS bh_threshold,
+           bh_rank <= k_star AS rejected
+    FROM cut
+    """
+
+
+def _register_battery() -> None:
+    from pyspark.sql import Window
+
+    @query("q_drift_battery", oracle=_battery_oracle())
+    def q_drift_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The fleet version of q_two_sample_ks: one exact KS test
+        PER EVENT TYPE (the same two-level distributed ECDF with the
+        type as an extra partition key) followed by Benjamini-
+        Hochberg at Q={BH_Q} over the battery — p-values rank in one
+        window, the step-up cutoff k* in a second, and ``rejected``
+        marks the types whose drift survives FDR control. This is
+        the monitoring shape that scales: per-segment tests are
+        embarrassingly parallel, and the correction runs on the
+        |segments|-row result frame.
+
+        Scale: identical per-type cost to q_two_sample_ks (windows
+        inside (type, bucket) partitions, |type x bucket| stitch
+        frame); the BH windows touch |types| rows. A thousand
+        segments is a thousand independent partitions and a
+        1000-row correction frame."""
+        ev = (
+            read_table(spark, sf_dir, "events")
+            .where(F.col("value").isNotNull())
+            .select(
+                "event_type",
+                "value",
+                F.when(
+                    F.col("ts") < F.lit(KS_SPLIT).cast("timestamp"), 1
+                )
+                .otherwise(0)
+                .alias("in_a"),
+            )
+        )
+        pts = ev.groupBy("event_type", "value").agg(
+            F.sum("in_a").cast("long").alias("ca"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("cb"),
+        ).withColumn(
+            "b", F.floor(F.col("value") / KS_BUCKET).cast("long")
+        )
+        bsum = pts.groupBy("event_type", "b").agg(
+            F.sum("ca").cast("long").alias("ba"),
+            F.sum("cb").cast("long").alias("bb"),
+        )
+        wt = Window.partitionBy("event_type")
+        woff = wt.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+        offs = bsum.select(
+            "event_type",
+            "b",
+            F.coalesce(F.sum("ba").over(woff), F.lit(0))
+            .cast("long")
+            .alias("offa"),
+            F.coalesce(F.sum("bb").over(woff), F.lit(0))
+            .cast("long")
+            .alias("offb"),
+            F.sum("ba").over(wt).cast("long").alias("n1"),
+            F.sum("bb").over(wt).cast("long").alias("n2"),
+        )
+        wb = (
+            Window.partitionBy("event_type", "b")
+            .orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = pts.join(offs, ["event_type", "b"]).select(
+            "event_type",
+            "n1",
+            "n2",
+            (F.col("offa") + F.sum("ca").over(wb)).alias("cuma"),
+            (F.col("offb") + F.sum("cb").over(wb)).alias("cumb"),
+        )
+        d = cum.groupBy("event_type").agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.max(
+                F.abs(
+                    F.col("n2") * F.col("cuma")
+                    - F.col("n1") * F.col("cumb")
+                )
+            ).alias("dnum"),
+        )
+        stat = d.select(
+            "event_type",
+            "n1",
+            "n2",
+            (
+                F.col("dnum").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2"))
+            ).alias("dd"),
+            F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / (F.col("n1") + F.col("n2"))
+            ).alias("sne"),
+        )
+        lamf = stat.withColumn(
+            "lam",
+            (F.col("sne") + 0.12 + 0.11 / F.col("sne")) * F.col("dd"),
+        )
+        pv = lamf.select(
+            "event_type",
+            "n1",
+            "n2",
+            F.round("dd", 6).alias("d_stat"),
+            F.round(
+                F.least(
+                    F.greatest(
+                        2.0 * F.expr(_KS_SERIES), F.lit(0.0)
+                    ),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("p_value"),
+        )
+        wrank = Window.orderBy("p_value", "event_type")
+        wall = Window.partitionBy()
+        ranked = pv.withColumn(
+            "bh_rank", F.row_number().over(wrank)
+        ).withColumn("m", F.count(F.lit(1)).over(wall).cast("long"))
+        cut = ranked.withColumn(
+            "k_star",
+            F.max(
+                F.when(
+                    F.col("p_value")
+                    <= F.col("bh_rank") * BH_Q / F.col("m"),
+                    F.col("bh_rank"),
+                ).otherwise(0)
+            ).over(wall),
+        )
+        return cut.select(
+            "event_type",
+            "n1",
+            "n2",
+            "d_stat",
+            "p_value",
+            F.col("bh_rank").cast("int").alias("bh_rank"),
+            F.round(F.col("bh_rank") * BH_Q / F.col("m"), 6).alias(
+                "bh_threshold"
+            ),
+            (F.col("bh_rank") <= F.col("k_star")).alias("rejected"),
+        )
+
+    _fmt(q_drift_battery, KS_SPLIT=KS_SPLIT, BH_Q=BH_Q)
+
+
+_register_battery()

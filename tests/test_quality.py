@@ -945,3 +945,27 @@ def test_cramers_v_matches_python_chi2(spark, sf_smoke):
     assert abs(t["cramers_v"] - v) < 1e-6
     for r in got.values():
         assert 0.0 <= r["cramers_v"] <= 1.0
+
+
+def test_drift_battery_bh_is_step_up_consistent(spark, sf_smoke):
+    """BH invariants: ranks are a permutation, the rejection set is a
+    prefix of the p-ordered battery, and every rejected p sits at or
+    below the cutoff defined by the LARGEST satisfying rank."""
+    from dynamodb_streaming_datalake_spark.operators.quality import BH_Q
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["q_drift_battery"](spark, sf_smoke).collect(),
+        key=lambda r: r["bh_rank"],
+    )
+    m = len(rows)
+    assert [r["bh_rank"] for r in rows] == list(range(1, m + 1))
+    ps = [r["p_value"] for r in rows]
+    assert ps == sorted(ps)
+    k_star = max(
+        (r["bh_rank"] for r in rows if r["p_value"] <= r["bh_rank"] * BH_Q / m),
+        default=0,
+    )
+    for r in rows:
+        assert r["rejected"] == (r["bh_rank"] <= k_star)
+        assert abs(r["bh_threshold"] - r["bh_rank"] * BH_Q / m) < 1e-6
