@@ -95,6 +95,17 @@ SF1_FLAGSHIPS = (
     "q_skyline",
     "q_grouped_weighted_quantile",
     "q_notin_nullaware",
+    # round 15 registrations with a real shuffle surface: the bucketed
+    # gap scan, per-user interval coalescing, the WOE melt, basket
+    # self-joins, the per-user attribution interval join, the grouped
+    # two-level ECDF battery, and the retractable support-map merge
+    "q_seq_gaps",
+    "q_interval_coalesce",
+    "q_woe_iv",
+    "q_assoc_rules",
+    "q_multitouch_attribution",
+    "q_drift_battery",
+    "q_retractable_minmax",
 )
 
 
