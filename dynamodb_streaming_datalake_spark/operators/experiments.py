@@ -2088,3 +2088,307 @@ def bandit_readout(spark: SparkSession, arms: DataFrame) -> DataFrame:
 
 
 _fmt(q_bandit_posterior, BND_THRESH=BND_THRESH, BND_GRID=BND_GRID)
+
+
+# ---------------------------------------------------------------------------
+# standardized effect size (Cohen's d / Hedges g) — round 15
+# ---------------------------------------------------------------------------
+# q_ab_test answers "is the difference real"; the decision-maker's
+# next question is "is it BIG" — the standardized effect size, which
+# is comparable across metrics and experiments. Same hashed arms and
+# per-user metric as q_ab_test; per-arm moments accumulate as exact
+# decimals (rounded per-user metrics), so d, the small-sample Hedges
+# correction, and the normal-approximation CI are engine-exact.
+
+#: the q_ab_test arm salt (same assignment, deliberately)
+_ES_SALT = "exp-events-v1:"
+
+
+def _es_oracle() -> str:
+    h = (
+        "(('0x' || substr(md5('" + _ES_SALT + "' || "
+        "CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2"
+    )
+    return f"""
+    WITH per_user AS (
+        SELECT user_id, event_type, {h} AS arm,
+               -- (19,6): DuckDB's int64 decimal kernel overflows on
+               -- (18,6)x(18,6) products (q_autocorrelation lesson)
+               CAST(round(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                    AS DOUBLE), 6) AS DECIMAL(19,6)) AS m
+        FROM events GROUP BY user_id, event_type
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+               CAST(SUM(m) FILTER (WHERE arm = 0) AS DOUBLE) AS s_a,
+               CAST(SUM(m) FILTER (WHERE arm = 1) AS DOUBLE) AS s_b,
+               CAST(SUM(m * m) FILTER (WHERE arm = 0) AS DOUBLE) AS q_a,
+               CAST(SUM(m * m) FILTER (WHERE arm = 1) AS DOUBLE) AS q_b
+        FROM per_user GROUP BY event_type
+    ),
+    mo AS (
+        SELECT event_type, n_a, n_b,
+               s_a / n_a AS m_a, s_b / n_b AS m_b,
+               (q_a - s_a * s_a / n_a) / (n_a - 1) AS v_a,
+               (q_b - s_b * s_b / n_b) / (n_b - 1) AS v_b
+        FROM s
+    ),
+    eff AS (
+        SELECT event_type, n_a, n_b, m_a, m_b,
+               (m_b - m_a) / sqrt(((n_a - 1) * v_a + (n_b - 1) * v_b)
+                                  / (n_a + n_b - 2)) AS d
+        FROM mo
+    )
+    SELECT event_type, n_a, n_b,
+           round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+           round(d, 6) AS cohens_d,
+           round(d * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)), 6)
+             AS hedges_g,
+           round(d - 1.959963984540054
+                 * sqrt((n_a + n_b) / (CAST(n_a AS DOUBLE) * n_b)
+                        + d * d / (2.0 * (n_a + n_b))), 6) AS ci_lo,
+           round(d + 1.959963984540054
+                 * sqrt((n_a + n_b) / (CAST(n_a AS DOUBLE) * n_b)
+                        + d * d / (2.0 * (n_a + n_b))), 6) AS ci_hi
+    FROM eff
+    """
+
+
+def _register_effect_size() -> None:
+    @query("q_effect_size", oracle=_es_oracle())
+    def q_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Standardized effect size per event type between the hashed
+        experiment arms (the q_ab_test assignment): Cohen's d on the
+        per-user metric, the Hedges small-sample correction, and the
+        normal-approximation 95% CI — the "is it big" companion to
+        q_ab_test's "is it real". Per-arm sums and sums of squares
+        accumulate as exact decimals over rounded per-user metrics,
+        so every released number is a deterministic function of the
+        data on both engines.
+
+        Scale: one per-user aggregate (partial+final), one
+        |types|-row moment fold — the q_ab_test cost exactly."""
+        ev = read_table(spark, sf_dir, "events")
+        per_user = ev.groupBy("user_id", "event_type").agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast(
+                    "double"
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("m")
+        ).withColumn(
+            "arm",
+            portable_hash60(
+                F.concat(
+                    F.lit(_ES_SALT), F.col("user_id").cast("string")
+                )
+            )
+            % 2,
+        )
+        s = per_user.groupBy("event_type").agg(
+            F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("n_a"),
+            F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("n_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("m")))
+            .cast("double")
+            .alias("s_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("m")))
+            .cast("double")
+            .alias("s_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("m") * F.col("m")))
+            .cast("double")
+            .alias("q_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("m") * F.col("m")))
+            .cast("double")
+            .alias("q_b"),
+        )
+        mo = s.select(
+            "event_type",
+            "n_a",
+            "n_b",
+            (F.col("s_a") / F.col("n_a")).alias("m_a"),
+            (F.col("s_b") / F.col("n_b")).alias("m_b"),
+            (
+                (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a"))
+                / (F.col("n_a") - 1)
+            ).alias("v_a"),
+            (
+                (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b"))
+                / (F.col("n_b") - 1)
+            ).alias("v_b"),
+        )
+        d = (F.col("m_b") - F.col("m_a")) / F.sqrt(
+            (
+                (F.col("n_a") - 1) * F.col("v_a")
+                + (F.col("n_b") - 1) * F.col("v_b")
+            )
+            / (F.col("n_a") + F.col("n_b") - 2)
+        )
+        eff = mo.withColumn("d", d)
+        se = F.sqrt(
+            (F.col("n_a") + F.col("n_b"))
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+            + F.col("d") * F.col("d")
+            / (2.0 * (F.col("n_a") + F.col("n_b")))
+        )
+        z = F.lit(1.959963984540054)
+        return eff.select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round("m_a", 6).alias("mean_a"),
+            F.round("m_b", 6).alias("mean_b"),
+            F.round("d", 6).alias("cohens_d"),
+            F.round(
+                F.col("d")
+                * (
+                    1.0
+                    - 3.0 / (4.0 * (F.col("n_a") + F.col("n_b")) - 9.0)
+                ),
+                6,
+            ).alias("hedges_g"),
+            F.round(F.col("d") - z * se, 6).alias("ci_lo"),
+            F.round(F.col("d") + z * se, 6).alias("ci_hi"),
+        )
+
+
+_register_effect_size()
+
+
+# ---------------------------------------------------------------------------
+# delete-one-cluster jackknife for a ratio metric — round 15
+# ---------------------------------------------------------------------------
+# Ratio metrics (revenue per event, CTR) violate the iid assumption
+# behind q_ab_test's variance: events cluster within users. The
+# standard production fix is the delete-one-CLUSTER jackknife — refit
+# the ratio with each user removed, read the spread. Leave-one-out is
+# EXACT here: r_{-u} = (S - s_u)/(N - n_u) needs only per-user
+# partials against the totals, so the G refits cost one aggregate,
+# and every sum that crosses users is an exact decimal of rounded
+# doubles (float order cleared).
+
+
+def _register_jackknife() -> None:
+    from pyspark.sql import Window
+
+    @query(
+        "q_jackknife_ratio",
+        oracle="""
+        WITH per_user AS (
+            SELECT event_type, user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                        AS DECIMAL(18,6)) AS s_u,
+                   CAST(COUNT(*) AS BIGINT) AS n_u
+            FROM events GROUP BY event_type, user_id
+        ),
+        tot AS (
+            SELECT event_type,
+                   CAST(SUM(s_u) AS DECIMAL(18,6)) AS s,
+                   CAST(SUM(n_u) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS g
+            FROM per_user GROUP BY event_type
+        ),
+        loo AS (
+            SELECT p.event_type, t.s, t.n, t.g,
+                   CAST(round(CAST(t.s - p.s_u AS DOUBLE)
+                              / (t.n - p.n_u), 9)
+                        AS DECIMAL(18,9)) AS r_loo
+            FROM per_user p JOIN tot t USING (event_type)
+        ),
+        rbar AS (
+            SELECT event_type, s, n, g,
+                   CAST(SUM(r_loo) AS DOUBLE) / g AS rb
+            FROM loo GROUP BY event_type, s, n, g
+        ),
+        dev AS (
+            SELECT loo.event_type, rbar.g, rbar.s, rbar.n,
+                   CAST(round((CAST(loo.r_loo AS DOUBLE) - rbar.rb)
+                              * (CAST(loo.r_loo AS DOUBLE) - rbar.rb),
+                              12) AS DECIMAL(18,12)) AS d2
+            FROM loo JOIN rbar USING (event_type)
+        )
+        SELECT event_type,
+               MAX(g) AS n_users,
+               round(CAST(MAX(s) AS DOUBLE) / MAX(n), 6) AS ratio,
+               round(sqrt((MAX(g) - 1.0) / MAX(g)
+                          * CAST(SUM(d2) AS DOUBLE)), 6) AS jk_se
+        FROM dev GROUP BY event_type
+        """,
+    )
+    def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Delete-one-user jackknife standard error for the ratio
+        metric value-per-event, per event type — the clustered
+        uncertainty a per-row variance understates. Leave-one-out is
+        computed EXACTLY from per-user partials against the totals
+        (r_-u = (S - s_u)/(N - n_u)), so G refits cost one aggregate
+        and no resampling; every cross-user sum (the r_-u mean, the
+        squared deviations) is an exact decimal of rounded doubles,
+        clearing float summation order across engines.
+
+        Scale: one per-(type, user) aggregate, one |types|-row total
+        frame broadcast back, one more aggregate — three
+        map-side-combined shuffles bounded by user cardinality,
+        nothing quadratic."""
+        ev = read_table(spark, sf_dir, "events")
+        per_user = ev.groupBy("event_type", "user_id").agg(
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("decimal(18,6)")
+            .alias("s_u"),
+            F.count(F.lit(1)).cast("long").alias("n_u"),
+        )
+        tot = per_user.groupBy("event_type").agg(
+            F.sum("s_u").cast("decimal(18,6)").alias("s"),
+            F.sum("n_u").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("g"),
+        )
+        loo = per_user.join(F.broadcast(tot), "event_type").select(
+            "event_type",
+            "s",
+            "n",
+            "g",
+            F.round(
+                (F.col("s") - F.col("s_u")).cast("double")
+                / (F.col("n") - F.col("n_u")),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("r_loo"),
+        )
+        rbar = loo.groupBy("event_type", "s", "n", "g").agg(
+            (F.sum("r_loo").cast("double") / F.col("g")).alias("rb")
+        )
+        dev = loo.join(
+            F.broadcast(rbar.select("event_type", "rb")), "event_type"
+        ).select(
+            "event_type",
+            "g",
+            "s",
+            "n",
+            F.round(
+                (F.col("r_loo").cast("double") - F.col("rb"))
+                * (F.col("r_loo").cast("double") - F.col("rb")),
+                12,
+            )
+            .cast("decimal(18,12)")
+            .alias("d2"),
+        )
+        return dev.groupBy("event_type").agg(
+            F.max("g").alias("n_users"),
+            F.round(
+                F.max("s").cast("double") / F.max("n"), 6
+            ).alias("ratio"),
+            F.round(
+                F.sqrt(
+                    (F.max("g") - 1.0)
+                    / F.max("g")
+                    * F.sum("d2").cast("double")
+                ),
+                6,
+            ).alias("jk_se"),
+        )
+
+
+_register_jackknife()

@@ -312,3 +312,92 @@ def test_srm_check_balanced_on_healthy_assignment(spark, sf_smoke):
     assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-5
     assert abs(rows[0]["chi2"] - sum(r["chi_term"] for r in rows)) < 1e-6
     assert not rows[0]["srm_flag"]
+
+
+def test_effect_size_matches_python_moments(spark, sf_smoke):
+    """Recompute one type's Cohen's d / Hedges g / CI in Python from
+    the per-user metrics."""
+    import hashlib
+    import math
+
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r["event_type"]: r
+        for r in all_queries()["q_effect_size"](spark, sf_smoke).collect()
+    }
+    pu = (
+        read_table(spark, sf_smoke, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"),
+                6,
+            ).alias("m")
+        )
+        .collect()
+    )
+    et = sorted(got)[0]
+    a, b = [], []
+    for r in pu:
+        if r["event_type"] != et:
+            continue
+        h = int(
+            hashlib.md5(f"exp-events-v1:{r['user_id']}".encode())
+            .hexdigest()[:15],
+            16,
+        )
+        (a if h % 2 == 0 else b).append(r["m"])
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    d = (mb - ma) / math.sqrt(
+        ((len(a) - 1) * va + (len(b) - 1) * vb) / (len(a) + len(b) - 2)
+    )
+    g = d * (1 - 3 / (4 * (len(a) + len(b)) - 9))
+    r = got[et]
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert abs(r["cohens_d"] - d) < 1e-5
+    assert abs(r["hedges_g"] - g) < 1e-5
+    assert r["ci_lo"] < r["cohens_d"] < r["ci_hi"]
+
+
+def test_jackknife_ratio_matches_python_loo(spark, sf_smoke):
+    """Recompute one type's delete-one-user jackknife SE in Python."""
+    import math
+
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r["event_type"]: r
+        for r in all_queries()["q_jackknife_ratio"](
+            spark, sf_smoke
+        ).collect()
+    }
+    pu = (
+        read_table(spark, sf_smoke, "events")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    et = sorted(got)[0]
+    users = [(r["s"], r["n"]) for r in pu if r["event_type"] == et]
+    S = sum(s for s, _ in users)
+    N = sum(n for _, n in users)
+    G = len(users)
+    loo = [round((S - s) / (N - n), 9) for s, n in users]
+    rb = sum(loo) / G
+    se = math.sqrt((G - 1) / G * sum((x - rb) ** 2 for x in loo))
+    r = got[et]
+    assert r["n_users"] == G
+    assert abs(r["ratio"] - S / N) < 1e-5
+    assert abs(r["jk_se"] - se) < 1e-5
