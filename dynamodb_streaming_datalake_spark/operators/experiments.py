@@ -2392,3 +2392,156 @@ def _register_jackknife() -> None:
 
 
 _register_jackknife()
+
+
+# ---------------------------------------------------------------------------
+# covariate adjustment by standardization (the g-formula) — round 15
+# ---------------------------------------------------------------------------
+# q_diff_in_diff and q_cuped adjust with TIME structure; the simplest
+# causal adjustment needs none: stratify on the confounder and
+# standardize — ATE_adj = sum_s P(s) * (E[Y|T=1,s] - E[Y|T=0,s]) —
+# the g-formula / direct standardization every epidemiology and
+# experimentation text opens with, and the constructive fix for the
+# reversals q_simpson_scan detects. Here: does a PROMO part type
+# "move" the discount once quantity (the confounder driving both) is
+# held fixed? All stratum means come from exact-decimal sums.
+
+
+def _register_standardization() -> None:
+    from pyspark.sql import Window
+
+    @query(
+        "q_standardization",
+        oracle="""
+        WITH u AS (
+            SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS stratum,
+                   CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS t,
+                   CAST(l_discount AS DECIMAL(18,6)) AS y
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        s AS (
+            SELECT stratum,
+                   CAST(COUNT(*) AS BIGINT) AS n_s,
+                   CAST(SUM(t) AS BIGINT) AS n_t,
+                   CAST(COUNT(*) - SUM(t) AS BIGINT) AS n_c,
+                   CAST(SUM(CASE WHEN t = 1 THEN y END) AS DOUBLE) AS sy_t,
+                   CAST(SUM(CASE WHEN t = 0 THEN y END) AS DOUBLE) AS sy_c
+            FROM u GROUP BY stratum
+        ),
+        g AS (
+            SELECT s.*,
+                   CAST(SUM(n_s) OVER () AS BIGINT) AS n,
+                   CAST(SUM(n_t) OVER () AS BIGINT) AS nt,
+                   CAST(SUM(n_c) OVER () AS BIGINT) AS nc,
+                   CAST(SUM(CAST(round(sy_t, 6) AS DECIMAL(18,6)))
+                        OVER () AS DOUBLE) AS syt_all,
+                   CAST(SUM(CAST(round(sy_c, 6) AS DECIMAL(18,6)))
+                        OVER () AS DOUBLE) AS syc_all,
+                   CAST(SUM(CAST(round(
+                       (CAST(n_s AS DOUBLE))
+                       * (sy_t / n_t - sy_c / n_c), 6)
+                       AS DECIMAL(18,6))) OVER () AS DOUBLE) AS adj_num
+            FROM s
+        )
+        SELECT stratum, n_s, n_t, n_c,
+               round(sy_t / n_t, 6) AS mean_t,
+               round(sy_c / n_c, 6) AS mean_c,
+               round(sy_t / n_t - sy_c / n_c, 6) AS stratum_effect,
+               round(syt_all / nt - syc_all / nc, 6) AS naive_ate,
+               round(adj_num / n, 6) AS adjusted_ate
+        FROM g
+        """,
+    )
+    def q_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Direct standardization (the g-formula): the promo-vs-
+        nonpromo discount effect per quantity stratum, the
+        stratum-weighted ADJUSTED ATE (sum_s P(s) * effect_s), and
+        the naive marginal difference side by side — the constructive
+        fix for the confounded comparisons q_simpson_scan flags.
+        Stratum sums are exact decimals; the adjusted numerator sums
+        rounded per-stratum terms as exact decimals over the
+        |strata|-row frame, so both engines standardize identically.
+
+        Scale: one lineitem->part join (dimension broadcast when it
+        fits) into one map-side-combined stratum aggregate; the
+        standardization windows touch |strata| rows."""
+        li = read_table(spark, sf_dir, "lineitem")
+        p = read_table(spark, sf_dir, "part")
+        u = li.join(p, li.l_partkey == p.p_partkey).select(
+            F.floor(F.col("l_quantity") / 10)
+            .cast("long")
+            .alias("stratum"),
+            F.when(F.col("p_type").startswith("PROMO"), 1)
+            .otherwise(0)
+            .alias("t"),
+            F.col("l_discount").cast("decimal(18,6)").alias("y"),
+        )
+        s = u.groupBy("stratum").agg(
+            F.count(F.lit(1)).cast("long").alias("n_s"),
+            F.sum("t").cast("long").alias("n_t"),
+            (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("n_c"),
+            F.sum(F.when(F.col("t") == 1, F.col("y")))
+            .cast("double")
+            .alias("sy_t"),
+            F.sum(F.when(F.col("t") == 0, F.col("y")))
+            .cast("double")
+            .alias("sy_c"),
+        )
+        wall = Window.partitionBy()
+        dec6 = "decimal(18,6)"
+        g = (
+            s.withColumn("n", F.sum("n_s").over(wall).cast("long"))
+            .withColumn("nt", F.sum("n_t").over(wall).cast("long"))
+            .withColumn("nc", F.sum("n_c").over(wall).cast("long"))
+            .withColumn(
+                "syt_all",
+                F.sum(F.round("sy_t", 6).cast(dec6))
+                .over(wall)
+                .cast("double"),
+            )
+            .withColumn(
+                "syc_all",
+                F.sum(F.round("sy_c", 6).cast(dec6))
+                .over(wall)
+                .cast("double"),
+            )
+            .withColumn(
+                "adj_num",
+                F.sum(
+                    F.round(
+                        F.col("n_s").cast("double")
+                        * (
+                            F.col("sy_t") / F.col("n_t")
+                            - F.col("sy_c") / F.col("n_c")
+                        ),
+                        6,
+                    ).cast(dec6)
+                )
+                .over(wall)
+                .cast("double"),
+            )
+        )
+        return g.select(
+            "stratum",
+            "n_s",
+            "n_t",
+            "n_c",
+            F.round(F.col("sy_t") / F.col("n_t"), 6).alias("mean_t"),
+            F.round(F.col("sy_c") / F.col("n_c"), 6).alias("mean_c"),
+            F.round(
+                F.col("sy_t") / F.col("n_t")
+                - F.col("sy_c") / F.col("n_c"),
+                6,
+            ).alias("stratum_effect"),
+            F.round(
+                F.col("syt_all") / F.col("nt")
+                - F.col("syc_all") / F.col("nc"),
+                6,
+            ).alias("naive_ate"),
+            F.round(F.col("adj_num") / F.col("n"), 6).alias(
+                "adjusted_ate"
+            ),
+        )
+
+
+_register_standardization()

@@ -1713,3 +1713,180 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("norm_entropy"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# unseen-mass estimation: Chao1 + Good-Turing — round 15
+# ---------------------------------------------------------------------------
+# q_vocab_growth measures how fast the vocabulary HAS grown; the
+# curation question is how much is LEFT: the Chao1 richness estimator
+# (distinct + f1(f1-1)/(2(f2+1)), from singleton/doubleton counts)
+# bounds the unseen vocabulary, and the Good-Turing mass f1/N says
+# what fraction of the next token draw is expected to be novel — the
+# two numbers behind "will more data still buy new tokens".
+
+
+def _register_chao1() -> None:
+    @query(
+        "q_vocab_chao1",
+        oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+        s AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS f1,
+                   CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS f2
+            FROM tc
+        )
+        SELECT n_tokens, n_distinct, f1, f2,
+               round(n_distinct
+                     + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)),
+                     4) AS chao1_estimate,
+               round(CAST(f1 AS DOUBLE) / n_tokens, 6)
+                 AS gt_unseen_mass
+        FROM s
+        """,
+    )
+    def q_vocab_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Chao1 vocabulary-richness estimate + the Good-Turing unseen
+        mass over the document corpus: from the token frequency
+        spectrum's singleton/doubleton counts alone, how many distinct
+        tokens the full population likely holds (bias-corrected Chao1)
+        and what probability mass the NEXT token draw puts on
+        never-seen types (f1/N) — the two numbers behind "will more
+        data still buy new vocabulary", complementing q_vocab_growth's
+        empirical curve. All inputs are exact integers; the estimators
+        are one double expression each.
+
+        Scale: one tokenize-explode into a map-side-combined token
+        count, then a second aggregate over the |vocab|-row spectrum —
+        the q_top_words shuffle shape, nothing new at 100 TB."""
+        d = read_table(spark, sf_dir, "documents")
+        tc = (
+            d.select(F.explode(F.split("text", " ")).alias("t"))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        s = tc.agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("f1"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("f2"),
+        )
+        return s.select(
+            "n_tokens",
+            "n_distinct",
+            "f1",
+            "f2",
+            F.round(
+                F.col("n_distinct")
+                + F.col("f1").cast("double")
+                * (F.col("f1") - 1)
+                / (2.0 * (F.col("f2") + 1)),
+                4,
+            ).alias("chao1_estimate"),
+            F.round(
+                F.col("f1").cast("double") / F.col("n_tokens"), 6
+            ).alias("gt_unseen_mass"),
+        )
+
+    @query(
+        "q_capture_recapture",
+        oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ),
+        marked AS (
+            SELECT t,
+                   MAX(CASE WHEN {sql_portable_hash60("('cap1:' || CAST(doc_id AS VARCHAR))")} % 2 = 0
+                            THEN 1 ELSE 0 END) AS in1,
+                   MAX(CASE WHEN {sql_portable_hash60("('cap2:' || CAST(doc_id AS VARCHAR))")} % 2 = 0
+                            THEN 1 ELSE 0 END) AS in2
+            FROM tok GROUP BY t
+        )
+        SELECT CAST(SUM(in1) AS BIGINT) AS v1,
+               CAST(SUM(in2) AS BIGINT) AS v2,
+               CAST(SUM(in1 * in2) AS BIGINT) AS v_both,
+               CAST(COUNT(*) AS BIGINT) AS true_distinct,
+               round((CAST(SUM(in1) AS DOUBLE) + 1)
+                     * (SUM(in2) + 1) / (SUM(in1 * in2) + 1) - 1, 4)
+                 AS chapman_estimate
+        FROM marked
+        """,
+    )
+    def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Capture-recapture (Chapman) estimate of the corpus's total
+        distinct-token count from TWO independent hash-drawn document
+        halves: each half's vocabulary is a "capture", the overlap is
+        the recapture, and N-hat = (V1+1)(V2+1)/(m+1) - 1 estimates
+        the full vocabulary WITHOUT scanning it — the estimator a
+        coverage audit uses when the full corpus is too big to
+        enumerate (here the true distinct count is also emitted, so
+        the estimator's bias is visible in the same row). Sample
+        membership is the portable doc_id hash with two salts, so
+        both engines draw identical captures.
+
+        Scale: one tokenize-explode into a per-token aggregate
+        carrying two membership bits (map-side combined) and one
+        final fold — the audit never materializes either vocabulary.
+        """
+        d = read_table(spark, sf_dir, "documents")
+        tok = d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("t")
+        )
+        marked = tok.groupBy("t").agg(
+            F.max(
+                F.when(
+                    portable_hash60(
+                        F.concat(
+                            F.lit("cap1:"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    )
+                    % 2
+                    == 0,
+                    1,
+                ).otherwise(0)
+            ).alias("in1"),
+            F.max(
+                F.when(
+                    portable_hash60(
+                        F.concat(
+                            F.lit("cap2:"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    )
+                    % 2
+                    == 0,
+                    1,
+                ).otherwise(0)
+            ).alias("in2"),
+        )
+        return marked.agg(
+            F.sum("in1").cast("long").alias("v1"),
+            F.sum("in2").cast("long").alias("v2"),
+            F.sum(F.col("in1") * F.col("in2"))
+            .cast("long")
+            .alias("v_both"),
+            F.count(F.lit(1)).cast("long").alias("true_distinct"),
+            F.round(
+                (F.sum("in1").cast("double") + 1)
+                * (F.sum("in2") + 1)
+                / (F.sum(F.col("in1") * F.col("in2")) + 1)
+                - 1,
+                4,
+            ).alias("chapman_estimate"),
+        )
+
+
+_register_chao1()

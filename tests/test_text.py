@@ -238,3 +238,37 @@ def test_rake_keywords_hand_computed_fixture(spark, tmp_path):
         (2, "lazy dog", 4.0),
     ]
     assert rows[0]["n_words"] == 3 and rows[1]["n_words"] == 2
+
+
+def test_chao1_matches_python_spectrum(spark, sf_smoke):
+    from collections import Counter
+
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    got = all_queries()["q_vocab_chao1"](spark, sf_smoke).collect()[0]
+    docs = read_table(spark, sf_smoke, "documents").select("text").collect()
+    c = Counter(t for r in docs for t in r["text"].split(" "))
+    f1 = sum(1 for v in c.values() if v == 1)
+    f2 = sum(1 for v in c.values() if v == 2)
+    assert got["n_distinct"] == len(c)
+    assert got["n_tokens"] == sum(c.values())
+    assert (got["f1"], got["f2"]) == (f1, f2)
+    chao1 = len(c) + f1 * (f1 - 1) / (2 * (f2 + 1))
+    assert abs(got["chao1_estimate"] - chao1) < 1e-3
+    assert got["chao1_estimate"] >= got["n_distinct"]
+
+
+def test_capture_recapture_estimates_vocabulary(spark, sf_smoke):
+    """Chapman from two hash halves should land within a reasonable
+    band of the true distinct count (vocabularies overlap heavily, so
+    the estimator is only mildly biased on this corpus)."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    got = all_queries()["q_capture_recapture"](spark, sf_smoke).collect()[0]
+    assert got["v_both"] <= min(got["v1"], got["v2"])
+    assert max(got["v1"], got["v2"]) <= got["true_distinct"]
+    # the estimate must be at least the observed union lower bound and
+    # within 3x of truth on this corpus
+    assert got["chapman_estimate"] >= got["v_both"]
+    assert got["chapman_estimate"] < 3 * got["true_distinct"]
