@@ -1728,3 +1728,214 @@ def _register_battery() -> None:
 
 
 _register_battery()
+
+
+# ---------------------------------------------------------------------------
+# mutual information between categorical columns — round 15
+# ---------------------------------------------------------------------------
+# Cramér's V answers "how far from independent" on the chi-square
+# scale; mutual information answers it on the CODING scale — how many
+# nats one column's value tells you about the other — and normalized
+# MI (by the smaller marginal entropy) is the redundancy number
+# feature selection actually thresholds. Same single-scan melt and
+# grouped frames as q_cramers_v; per-cell plogp terms are rounded
+# then summed as exact decimals.
+
+
+def _mi_oracle() -> str:
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CV_COLS)
+        for j, b in enumerate(CV_COLS)
+        if i < j
+    ]
+    melt = "\n        UNION ALL ".join(
+        f"SELECT '{a}|{b}' AS pair, {CV_COLS[a]} AS va,"
+        f" {CV_COLS[b]} AS vb FROM orders"
+        for a, b in pairs
+    )
+    return f"""
+    WITH m AS ({melt}),
+    cells AS (
+        SELECT pair, va, vb, CAST(COUNT(*) AS BIGINT) AS n
+        FROM m GROUP BY pair, va, vb
+    ),
+    rowm AS (
+        SELECT pair, va, CAST(SUM(n) AS BIGINT) AS ra
+        FROM cells GROUP BY pair, va
+    ),
+    colm AS (
+        SELECT pair, vb, CAST(SUM(n) AS BIGINT) AS cb
+        FROM cells GROUP BY pair, vb
+    ),
+    tot AS (
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS nn FROM cells
+        GROUP BY pair
+    ),
+    mi AS (
+        SELECT cells.pair,
+               CAST(SUM(CAST(round(
+                   (CAST(cells.n AS DOUBLE) / tot.nn)
+                   * ln(CAST(cells.n AS DOUBLE) * tot.nn
+                        / (CAST(rowm.ra AS DOUBLE) * colm.cb)), 9)
+                   AS DECIMAL(20,9))) AS DOUBLE) AS mi_nats
+        FROM cells
+        JOIN rowm USING (pair, va)
+        JOIN colm USING (pair, vb)
+        JOIN tot USING (pair)
+        GROUP BY cells.pair
+    ),
+    ha AS (
+        SELECT rowm.pair,
+               CAST(SUM(CAST(round(
+                   -(CAST(ra AS DOUBLE) / tot.nn)
+                   * ln(CAST(ra AS DOUBLE) / tot.nn), 9)
+                   AS DECIMAL(20,9))) AS DOUBLE) AS h_a
+        FROM rowm JOIN tot USING (pair) GROUP BY rowm.pair
+    ),
+    hb AS (
+        SELECT colm.pair,
+               CAST(SUM(CAST(round(
+                   -(CAST(cb AS DOUBLE) / tot.nn)
+                   * ln(CAST(cb AS DOUBLE) / tot.nn), 9)
+                   AS DECIMAL(20,9))) AS DOUBLE) AS h_b
+        FROM colm JOIN tot USING (pair) GROUP BY colm.pair
+    )
+    SELECT mi.pair, tot.nn AS n_rows,
+           round(mi.mi_nats, 6) + 0.0 AS mi_nats,
+           round(ha.h_a, 6) AS entropy_a,
+           round(hb.h_b, 6) AS entropy_b,
+           round(mi.mi_nats / LEAST(ha.h_a, hb.h_b), 6) + 0.0
+             AS normalized_mi
+    FROM mi JOIN ha USING (pair) JOIN hb USING (pair)
+    JOIN tot USING (pair)
+    """
+
+
+def _register_mi() -> None:
+    @query("q_mutual_information", oracle=_mi_oracle())
+    def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Mutual information (nats) and normalized MI for every
+        audited categorical column pair — the coding-scale redundancy
+        number beside q_cramers_v's chi-square scale and q_fd_audit's
+        exact dependencies: NMI 1 means one column is a function of
+        the other, 0 means knowing one says nothing about the other.
+        Same single-scan melt; MI and both marginal entropies sum
+        rounded plogp terms as exact decimals, so the released
+        numbers are engine-exact.
+
+        Scale: identical to q_cramers_v — cell/margin frames bounded
+        by category cardinalities, one raw scan regardless of how
+        many pairs are audited."""
+        o = read_table(spark, sf_dir, "orders")
+        base = o.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.year("o_orderdate").cast("string").alias("year"),
+        )
+        names = list(CV_COLS)
+        pairs = [
+            (a, b)
+            for i, a in enumerate(names)
+            for j, b in enumerate(names)
+            if i < j
+        ]
+        stack = "stack({}, {}) as (pair, va, vb)".format(
+            len(pairs),
+            ", ".join(f"'{a}|{b}', {a}, {b}" for a, b in pairs),
+        )
+        m = base.select(F.expr(stack))
+        cells = m.groupBy("pair", "va", "vb").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        rowm = cells.groupBy("pair", "va").agg(
+            F.sum("n").cast("long").alias("ra")
+        )
+        colm = cells.groupBy("pair", "vb").agg(
+            F.sum("n").cast("long").alias("cb")
+        )
+        tot = cells.groupBy("pair").agg(
+            F.sum("n").cast("long").alias("nn")
+        )
+        dec = "decimal(20,9)"
+        mi = (
+            cells.join(rowm, ["pair", "va"])
+            .join(colm, ["pair", "vb"])
+            .join(F.broadcast(tot), "pair")
+            .groupBy("pair")
+            .agg(
+                F.sum(
+                    F.round(
+                        (F.col("n").cast("double") / F.col("nn"))
+                        * F.log(
+                            F.col("n").cast("double")
+                            * F.col("nn")
+                            / (
+                                F.col("ra").cast("double")
+                                * F.col("cb")
+                            )
+                        ),
+                        9,
+                    ).cast(dec)
+                )
+                .cast("double")
+                .alias("mi_nats")
+            )
+        )
+        ha = (
+            rowm.join(F.broadcast(tot), "pair")
+            .groupBy("pair")
+            .agg(
+                F.sum(
+                    F.round(
+                        -(F.col("ra").cast("double") / F.col("nn"))
+                        * F.log(
+                            F.col("ra").cast("double") / F.col("nn")
+                        ),
+                        9,
+                    ).cast(dec)
+                )
+                .cast("double")
+                .alias("h_a")
+            )
+        )
+        hb = (
+            colm.join(F.broadcast(tot), "pair")
+            .groupBy("pair")
+            .agg(
+                F.sum(
+                    F.round(
+                        -(F.col("cb").cast("double") / F.col("nn"))
+                        * F.log(
+                            F.col("cb").cast("double") / F.col("nn")
+                        ),
+                        9,
+                    ).cast(dec)
+                )
+                .cast("double")
+                .alias("h_b")
+            )
+        )
+        return (
+            mi.join(ha, "pair")
+            .join(hb, "pair")
+            .join(F.broadcast(tot), "pair")
+            .select(
+                "pair",
+                F.col("nn").alias("n_rows"),
+                (F.round("mi_nats", 6) + F.lit(0.0)).alias("mi_nats"),
+                F.round("h_a", 6).alias("entropy_a"),
+                F.round("h_b", 6).alias("entropy_b"),
+                (
+                    F.round(
+                        F.col("mi_nats")
+                        / F.least(F.col("h_a"), F.col("h_b")),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("normalized_mi"),
+            )
+        )
+
+
+_register_mi()

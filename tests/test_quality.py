@@ -969,3 +969,44 @@ def test_drift_battery_bh_is_step_up_consistent(spark, sf_smoke):
     for r in rows:
         assert r["rejected"] == (r["bh_rank"] <= k_star)
         assert abs(r["bh_threshold"] - r["bh_rank"] * BH_Q / m) < 1e-6
+
+
+def test_mutual_information_matches_python(spark, sf_smoke):
+    import math
+    from collections import Counter
+
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    got = {
+        r["pair"]: r
+        for r in all_queries()["q_mutual_information"](
+            spark, sf_smoke
+        ).collect()
+    }
+    rows = (
+        read_table(spark, sf_smoke, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .collect()
+    )
+    cells = Counter((r["o_orderstatus"], r["o_orderpriority"]) for r in rows)
+    ra = Counter()
+    cb = Counter()
+    for (a, b), n in cells.items():
+        ra[a] += n
+        cb[b] += n
+    nn = sum(cells.values())
+    mi = sum(
+        (n / nn) * math.log(n * nn / (ra[a] * cb[b]))
+        for (a, b), n in cells.items()
+    )
+    h_a = -sum((v / nn) * math.log(v / nn) for v in ra.values())
+    h_b = -sum((v / nn) * math.log(v / nn) for v in cb.values())
+    t = got["status|priority"]
+    assert abs(t["mi_nats"] - mi) < 1e-5
+    assert abs(t["entropy_a"] - h_a) < 1e-5
+    assert abs(t["entropy_b"] - h_b) < 1e-5
+    assert abs(t["normalized_mi"] - mi / min(h_a, h_b)) < 1e-4
+    for r in got.values():
+        assert -1e-6 <= r["normalized_mi"] <= 1.0
+        assert r["mi_nats"] >= -1e-6
