@@ -3437,3 +3437,85 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _fmt(q_forecast_backtest, BT_ORIGINS=BT_ORIGINS)
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator — round 15
+# --------------------------------------------------------------------------
+# q_zipf_fit measures the RANK-frequency exponent of tokens; the Hill
+# estimator measures the tail exponent of a VALUE distribution — the
+# number that decides whether means/variances are even finite and how
+# hard p99s will misbehave (alpha <= 2: infinite variance; <= 1:
+# infinite mean). alpha-hat = k / sum_{i<=k} ln(x_(i) / x_(k+1)) over
+# the k largest order statistics, a pure top-k computation.
+
+#: tail order statistics used by the Hill estimator
+HILL_K = 200
+
+
+@query(
+    "q_hill_tail",
+    oracle=f"""
+    WITH top AS (
+        SELECT value FROM events
+        WHERE value IS NOT NULL AND value > 0
+        ORDER BY value DESC, event_id
+        LIMIT {HILL_K + 1}
+    ),
+    thr AS (SELECT MIN(value) AS xk FROM top),
+    terms AS (
+        SELECT CAST(round(ln(t.value / thr.xk), 9) AS DECIMAL(20,9))
+                 AS lr
+        FROM top t CROSS JOIN thr
+        WHERE t.value > thr.xk
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+           round((SELECT xk FROM thr), 6) AS threshold,
+           round(COUNT(*) / CAST(SUM(lr) AS DOUBLE), 6)
+             AS hill_alpha
+    FROM terms
+    """,
+)
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index of events.value from the {HILL_K} largest
+    observations: alpha-hat = k / sum ln(x_i / x_(k+1)) — the
+    heavy-tail diagnostic that says whether the distribution's
+    moments exist at all (alpha <= 2 means the variance the z-score
+    monitors assume is INFINITE) and how p99s will scale. The log
+    ratios are rounded then summed as exact decimals; ties at the
+    threshold are excluded on both engines by the strict
+    x > x_(k+1) predicate, so k_used is itself part of the proven
+    contract.
+
+    Scale: a global top-(k+1) — per-partition TakeOrdered + a k-row
+    merge, no shuffle of the data — then arithmetic on k rows. The
+    estimator is re-run at several k in practice; each is the same
+    one-pass top-k."""
+    top = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select("value", "event_id")
+        .orderBy(F.desc("value"), "event_id")
+        .limit(HILL_K + 1)
+    )
+    thr = top.agg(F.min("value").alias("xk"))
+    terms = (
+        top.crossJoin(F.broadcast(thr))
+        .where(F.col("value") > F.col("xk"))
+        .select(
+            "xk",
+            F.round(F.log(F.col("value") / F.col("xk")), 9)
+            .cast("decimal(20,9)")
+            .alias("lr"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.round(F.max("xk"), 6).alias("threshold"),
+        F.round(
+            F.count(F.lit(1)) / F.sum("lr").cast("double"), 6
+        ).alias("hill_alpha"),
+    )
+
+
+_fmt(q_hill_tail, HILL_K=HILL_K)

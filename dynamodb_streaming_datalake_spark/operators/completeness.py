@@ -311,3 +311,77 @@ def q_seq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 format_doc(q_seq_monitor, SEQ_SHARDS=SEQ_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# debounce: suppress rapid-fire duplicates per key — round 15
+# ---------------------------------------------------------------------------
+
+#: debounce quiet period (seconds): an event is emitted only if the
+#: key was quiet for at least this long before it
+DEBOUNCE_S = 600
+
+
+@query(
+    "q_debounce",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s
+        FROM events
+    ),
+    lagged AS (
+        SELECT *,
+               lag(s) OVER (PARTITION BY user_id, event_type
+                            ORDER BY s, event_id) AS prev_s
+        FROM e
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_s IS NULL
+                         OR s - prev_s >= {DEBOUNCE_S}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_emitted,
+           CAST(SUM(CASE WHEN prev_s IS NOT NULL
+                         AND s - prev_s < {DEBOUNCE_S}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed
+    FROM lagged GROUP BY user_id, event_type
+    """,
+)
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce report per (user, event type): an event is EMITTED
+    only if its key was quiet for >= {DEBOUNCE_S} s before it,
+    otherwise SUPPRESSED — the notification/alerting dedup a CDC
+    consumer applies so a flapping source can't flood downstream
+    (q_dedup_* removes equal payloads; debounce removes rapid-fire
+    DISTINCT ones). Batch semantics are one lag() per key ordered by
+    (second, event_id); the streaming deployment is the
+    q_stateful_latest_state shape — state carries the key's last
+    emitted second, O(|keys|).
+
+    Scale: one shuffle on the key, per-key sorted runs, the counting
+    report is the same grouped frame — nothing global."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("s"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "s", "event_id"
+    )
+    lagged = e.withColumn("prev_s", F.lag("s").over(w))
+    emitted = F.col("prev_s").isNull() | (
+        F.col("s") - F.col("prev_s") >= DEBOUNCE_S
+    )
+    return lagged.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(emitted, 1).otherwise(0))
+        .cast("long")
+        .alias("n_emitted"),
+        F.sum(F.when(~emitted, 1).otherwise(0))
+        .cast("long")
+        .alias("n_suppressed"),
+    )
+
+
+format_doc(q_debounce, DEBOUNCE_S=DEBOUNCE_S)

@@ -127,3 +127,44 @@ def test_seq_monitor_streaming_partial_fold(spark, sf_smoke):
     assert got.keys() == want.keys()
     for s in want:
         assert got[s].asDict() == want[s].asDict()
+
+
+def test_debounce_matches_python_replay(spark, sf_smoke):
+    """Replay the per-key debounce in Python over the collected
+    events; counts must agree and emitted + suppressed == total."""
+    from dynamodb_streaming_datalake_spark.operators.completeness import (
+        DEBOUNCE_S,
+        q_debounce,
+    )
+
+    got = {
+        (r["user_id"], r["event_type"]): r
+        for r in q_debounce(spark, sf_smoke).collect()
+    }
+    ev = (
+        read_table(spark, sf_smoke, "events")
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_timestamp("ts").cast("long").alias("s"),
+        )
+        .collect()
+    )
+    series: dict = {}
+    for r in ev:
+        series.setdefault((r["user_id"], r["event_type"]), []).append(
+            (r["s"], r["event_id"])
+        )
+    for key, rows in series.items():
+        rows.sort()
+        emitted = 0
+        prev = None
+        for s, _ in rows:
+            if prev is None or s - prev >= DEBOUNCE_S:
+                emitted += 1
+            prev = s
+        g = got[key]
+        assert g["n_events"] == len(rows)
+        assert g["n_emitted"] == emitted
+        assert g["n_emitted"] + g["n_suppressed"] == g["n_events"]

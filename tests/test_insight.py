@@ -434,3 +434,30 @@ def test_forecast_backtest_matches_python_fold(spark, sf_smoke):
         assert abs(got[o]["forecast"] - fc) < 1e-6
         assert abs(got[o]["abs_err"] - err) < 1e-6
         assert abs(got[o]["mae"] - mae) < 1e-6
+
+
+def test_hill_tail_matches_python(spark, sf_smoke):
+    import math
+
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        HILL_K,
+    )
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    got = all_queries()["q_hill_tail"](spark, sf_smoke).collect()[0]
+    vals = sorted(
+        (
+            r["value"]
+            for r in read_table(spark, sf_smoke, "events")
+            .where(F.col("value").isNotNull() & (F.col("value") > 0))
+            .select("value")
+            .collect()
+        ),
+        reverse=True,
+    )
+    xk = vals[HILL_K]
+    top = [v for v in vals[: HILL_K + 1] if v > xk]
+    alpha = len(top) / sum(math.log(v / xk) for v in top)
+    assert got["k_used"] == len(top)
+    assert abs(got["threshold"] - xk) < 1e-6
+    assert abs(got["hill_alpha"] - alpha) < 1e-5

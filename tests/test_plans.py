@@ -327,6 +327,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_blocking_eval",  # 1-row part-count denominator crossed
         "q_pacf",  # 8-row lag frame x daily series (the ACF pattern)
         "q_isotonic_calibration",  # B-row bin lattice range joins
+        "q_hill_tail",  # 1-row threshold crossed into the k-row top
         "q11_important_parts",  # 1-row grand-total threshold crossed
         "q_tfidf_terms",  # 1-row corpus doc count crossed
         "q_heavy_hitters",  # 1-row token total crossed
