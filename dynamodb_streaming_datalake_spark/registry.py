@@ -417,6 +417,7 @@ REGISTRY_MODULES: tuple[str, ...] = (
     "operators.contrastive",
     "operators.completeness",
     "operators.insight",
+    "operators.planner",
     "sources.evolution",
     "sources.formats",
     "streaming.windows",

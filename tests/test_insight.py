@@ -461,3 +461,54 @@ def test_hill_tail_matches_python(spark, sf_smoke):
     assert got["k_used"] == len(top)
     assert abs(got["threshold"] - xk) < 1e-6
     assert abs(got["hill_alpha"] - alpha) < 1e-5
+
+
+def test_join_order_dp_ranks_true_costs_correctly(spark, sf_smoke):
+    """Run the estimator's best and worst plans' prefix joins for
+    REAL; the estimated winner's true C_out must not exceed the
+    estimated loser's."""
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["q_join_order_dp"](spark, sf_smoke).collect(),
+        key=lambda r: r["cost_rank"],
+    )
+    assert rows[0]["is_optimal"] and not rows[-1]["is_optimal"]
+    tables = {
+        "c": read_table(spark, sf_smoke, "customer"),
+        "o": read_table(spark, sf_smoke, "orders"),
+        "l": read_table(spark, sf_smoke, "lineitem"),
+        "p": read_table(spark, sf_smoke, "part"),
+    }
+    conds = {
+        frozenset("co"): ("c_custkey", "o_custkey"),
+        frozenset("ol"): ("o_orderkey", "l_orderkey"),
+        frozenset("lp"): ("l_partkey", "p_partkey"),
+    }
+
+    def true_cout(plan):
+        order = plan.split(" JOIN ")
+        cur = tables[order[0]]
+        joined = {order[0]}
+        total = 0
+        for r in order[1:]:
+            cond = None
+            for prev in joined:
+                key = frozenset((prev, r))
+                if key in conds:
+                    a, b = conds[key]
+                    cond = (
+                        F.col(a) == F.col(b)
+                        if a[0] == prev or a[2] == prev
+                        else (F.col(b) == F.col(a))
+                    )
+            cur = cur.join(tables[r], cond)
+            joined.add(r)
+            total += cur.count()
+        return total
+
+    best = true_cout(rows[0]["plan"])
+    worst = true_cout(rows[-1]["plan"])
+    assert best <= worst, (best, worst)
+    # estimated costs must at least order these two correctly
+    assert rows[0]["est_cost"] <= rows[-1]["est_cost"]

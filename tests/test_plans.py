@@ -328,6 +328,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_pacf",  # 8-row lag frame x daily series (the ACF pattern)
         "q_isotonic_calibration",  # B-row bin lattice range joins
         "q_hill_tail",  # 1-row threshold crossed into the k-row top
+        "q_join_order_dp",  # four 1-row stats aggregates crossed
         "q11_important_parts",  # 1-row grand-total threshold crossed
         "q_tfidf_terms",  # 1-row corpus doc count crossed
         "q_heavy_hitters",  # 1-row token total crossed
