@@ -2244,3 +2244,145 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc_docs,
         lake_docs,
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter planner: choose (bands, rows) from the S-curve — r15
+# ---------------------------------------------------------------------------
+# The MinHash family above runs at a FIXED (bands, rows); this is the
+# planning step that justifies it: for every factorization of the
+# signature budget, integrate the S-curve P(match | s) =
+# 1 - (1 - s^r)^b against the dedup threshold to get the expected
+# false-positive area (candidates below the threshold) and false-
+# negative area (misses above it), and rank configurations by total
+# error. The integral is a fixed midpoint grid whose pow/area
+# arithmetic is generated identically for both engines, with areas
+# summed as exact decimals — an oracle-gated design table, not a
+# rule of thumb.
+
+#: signature budget whose factorizations are planned
+LSH_PLAN_BUDGET = 16
+
+#: integration grid resolution over similarity s in (0, 1)
+LSH_PLAN_GRID = 200
+
+
+def _lsh_plan_oracle() -> str:
+    configs = [
+        (b, LSH_PLAN_BUDGET // b)
+        for b in (1, 2, 4, 8, 16)
+    ]
+    branches = "\n        UNION ALL ".join(
+        f"SELECT {b} AS bands, {r} AS rows_per_band FROM (SELECT 1)"
+        for b, r in configs
+    )
+    g = LSH_PLAN_GRID
+    t = JACCARD_THRESHOLD
+    return f"""
+    WITH cfg AS ({branches}),
+    grid AS (
+        SELECT (j + 0.5) / {g} AS s FROM generate_series(0, {g - 1}) t(j)
+    ),
+    pts AS (
+        SELECT cfg.bands, cfg.rows_per_band, grid.s,
+               1 - pow(1 - pow(grid.s, cfg.rows_per_band), cfg.bands)
+                 AS p
+        FROM cfg CROSS JOIN grid
+    ),
+    areas AS (
+        SELECT bands, rows_per_band,
+               CAST(SUM(CASE WHEN s < {t} THEN
+                   CAST(round(p / {g}, 12) AS DECIMAL(18,12)) END)
+                   AS DOUBLE) AS fp_area,
+               CAST(SUM(CASE WHEN s >= {t} THEN
+                   CAST(round((1 - p) / {g}, 12) AS DECIMAL(18,12)) END)
+                   AS DOUBLE) AS fn_area
+        FROM pts GROUP BY bands, rows_per_band
+    )
+    SELECT bands, rows_per_band,
+           round(fp_area, 6) AS fp_area,
+           round(fn_area, 6) AS fn_area,
+           round(fp_area + fn_area, 6) AS total_error,
+           fp_area + fn_area = MIN(fp_area + fn_area) OVER ()
+             AS is_best
+    FROM areas
+    """
+
+
+def _register_lsh_planner() -> None:
+    from pyspark.sql import Window
+
+    @query("q_lsh_planner", oracle=_lsh_plan_oracle())
+    def q_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The (bands, rows) design table behind q_dedup_minhash_lsh:
+        for every factorization of the {LSH_PLAN_BUDGET}-hash
+        signature budget, the S-curve P(candidate | similarity s) =
+        1 - (1 - s^r)^b integrated on a {LSH_PLAN_GRID}-point
+        midpoint grid against the Jaccard threshold — expected
+        false-positive area below it, false-negative area above it,
+        and the total-error ranking that justifies the family's
+        shipped configuration. Area terms are rounded then summed as
+        exact decimals; the pow arithmetic is one generated
+        expression per engine, so the whole design table
+        hash-matches.
+
+        Scale: pure arithmetic on |configs| x |grid| constant rows —
+        the planner costs nothing regardless of corpus size; it is
+        re-run only when the threshold or budget changes."""
+        configs = [
+            (b, LSH_PLAN_BUDGET // b) for b in (1, 2, 4, 8, 16)
+        ]
+        cfg = spark.createDataFrame(
+            configs, "bands int, rows_per_band int"
+        )
+        grid = spark.range(LSH_PLAN_GRID).select(
+            ((F.col("id") + 0.5) / LSH_PLAN_GRID).alias("s")
+        )
+        pts = cfg.crossJoin(F.broadcast(grid)).withColumn(
+            "p",
+            1
+            - F.pow(
+                1 - F.pow(F.col("s"), F.col("rows_per_band")),
+                F.col("bands"),
+            ),
+        )
+        dec = "decimal(18,12)"
+        areas = pts.groupBy("bands", "rows_per_band").agg(
+            F.sum(
+                F.when(
+                    F.col("s") < JACCARD_THRESHOLD,
+                    F.round(F.col("p") / LSH_PLAN_GRID, 12).cast(dec),
+                )
+            )
+            .cast("double")
+            .alias("fp_area"),
+            F.sum(
+                F.when(
+                    F.col("s") >= JACCARD_THRESHOLD,
+                    F.round(
+                        (1 - F.col("p")) / LSH_PLAN_GRID, 12
+                    ).cast(dec),
+                )
+            )
+            .cast("double")
+            .alias("fn_area"),
+        )
+        wall = Window.partitionBy()
+        total = F.col("fp_area") + F.col("fn_area")
+        return areas.select(
+            "bands",
+            "rows_per_band",
+            F.round("fp_area", 6).alias("fp_area"),
+            F.round("fn_area", 6).alias("fn_area"),
+            F.round(total, 6).alias("total_error"),
+            (total == F.min(total).over(wall)).alias("is_best"),
+        )
+
+    _fmt(
+        q_lsh_planner,
+        LSH_PLAN_BUDGET=LSH_PLAN_BUDGET,
+        LSH_PLAN_GRID=LSH_PLAN_GRID,
+    )
+
+
+_register_lsh_planner()

@@ -512,3 +512,37 @@ def test_join_order_dp_ranks_true_costs_correctly(spark, sf_smoke):
     assert best <= worst, (best, worst)
     # estimated costs must at least order these two correctly
     assert rows[0]["est_cost"] <= rows[-1]["est_cost"]
+
+
+def test_lsh_planner_picks_the_shipped_config(spark, sf_smoke):
+    """The planner's arg-min must be the configuration the dedup
+    family actually ships (MINHASH_BANDS x rows from MINHASH_SEEDS),
+    and the integrals must match a python recompute."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        LSH_PLAN_BUDGET,
+        LSH_PLAN_GRID,
+        MINHASH_BANDS,
+        MINHASH_SEEDS,
+    )
+    from dynamodb_streaming_datalake_spark.registry import all_queries
+
+    rows = all_queries()["q_lsh_planner"](spark, sf_smoke).collect()
+    best = [r for r in rows if r["is_best"]]
+    assert len(best) == 1
+    assert best[0]["bands"] == MINHASH_BANDS
+    assert (
+        best[0]["rows_per_band"] == MINHASH_SEEDS // MINHASH_BANDS
+    )
+    # python recompute of one config's areas
+    b, r_ = best[0]["bands"], best[0]["rows_per_band"]
+    fp = fn = 0.0
+    for j in range(LSH_PLAN_GRID):
+        s = (j + 0.5) / LSH_PLAN_GRID
+        p = 1 - (1 - s**r_) ** b
+        if s < JACCARD_THRESHOLD:
+            fp += p / LSH_PLAN_GRID
+        else:
+            fn += (1 - p) / LSH_PLAN_GRID
+    assert abs(best[0]["fp_area"] - fp) < 1e-5
+    assert abs(best[0]["fn_area"] - fn) < 1e-5

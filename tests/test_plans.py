@@ -329,6 +329,7 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_oracle):
         "q_isotonic_calibration",  # B-row bin lattice range joins
         "q_hill_tail",  # 1-row threshold crossed into the k-row top
         "q_join_order_dp",  # four 1-row stats aggregates crossed
+        "q_lsh_planner",  # 5-row config panel x literal grid
         "q11_important_parts",  # 1-row grand-total threshold crossed
         "q_tfidf_terms",  # 1-row corpus doc count crossed
         "q_heavy_hitters",  # 1-row token total crossed
