@@ -354,9 +354,10 @@ def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer applies so a flapping source can't flood downstream
     (q_dedup_* removes equal payloads; debounce removes rapid-fire
     DISTINCT ones). Batch semantics are one lag() per key ordered by
-    (second, event_id); the streaming deployment is the
-    q_stateful_latest_state shape — state carries the key's last
-    emitted second, O(|keys|).
+    (second, event_id); the streaming deployment is REAL —
+    ``streaming.stateful.streaming_debounce`` carries one integer of
+    state per key (last seen second) and its multi-micro-batch drain
+    is pinned equal to this query in tests/test_streaming.py.
 
     Scale: one shuffle on the key, per-key sorted runs, the counting
     report is the same grouped frame — nothing global."""

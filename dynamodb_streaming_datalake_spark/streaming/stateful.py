@@ -249,3 +249,75 @@ def streaming_sessionize(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# The fourth real applyInPandasWithState operator: per-key DEBOUNCE.
+# State is one integer — the key's last seen second — and the emitted
+# flag marks events that arrive after a >= DEBOUNCE_S quiet period
+# (batch twin: operators.completeness.q_debounce). Same per-key
+# time-ordered delivery contract as the sessionizer; chunking-safe by
+# the same concat-before-walk rule.
+
+DEBOUNCE_OUTPUT = (
+    "user_id long, event_type string, event_id long, s long, "
+    "emitted boolean"
+)
+DEBOUNCE_STATE = "last_s long"
+
+
+def _debounce_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    from dynamodb_streaming_datalake_spark.operators.completeness import (
+        DEBOUNCE_S,
+    )
+
+    last_s = state.get[0] if state.exists else None
+    chunks = [pdf for pdf in pdfs if not pdf.empty]
+    if not chunks:
+        return
+    pdf = (
+        pd.concat(chunks, ignore_index=True)
+        if len(chunks) > 1
+        else chunks[0]
+    )
+    pdf = pdf.sort_values(["s", "event_id"])
+    ss = pdf["s"].to_list()
+    emitted = []
+    prev = last_s
+    for s in ss:
+        emitted.append(prev is None or s - prev >= DEBOUNCE_S)
+        prev = s
+    state.update((int(prev),))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(ss),
+            "event_type": [key[1]] * len(ss),
+            "event_id": pdf["event_id"].to_list(),
+            "s": ss,
+            "emitted": emitted,
+        }
+    )
+
+
+def streaming_debounce(events: DataFrame) -> DataFrame:
+    """Continuously-maintained per-(user, type) debounce over a raw
+    events stream: every event is emitted ANNOTATED with whether it
+    cleared the quiet period, and the only state carried is the key's
+    last seen second — O(|keys|) forever. Downstream keeps
+    ``emitted`` rows and drops the flapping rest."""
+    prepared = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp"))
+        .cast("long")
+        .alias("s"),
+    )
+    return prepared.groupBy("user_id", "event_type").applyInPandasWithState(
+        _debounce_fn,
+        outputStructType=DEBOUNCE_OUTPUT,
+        stateStructType=DEBOUNCE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

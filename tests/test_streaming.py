@@ -1573,3 +1573,64 @@ def test_bandit_view_stream_drain_matches_batch(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_streaming_debounce_multibatch_matches_batch(spark, sf_smoke, tmp_path):
+    """The stateful debouncer across genuine micro-batch boundaries
+    (three time-contiguous files, one per trigger): the last-seen
+    second must survive in state, and per-key emitted/suppressed
+    counts must equal batch q_debounce."""
+    import time as _time
+
+    from pyspark.sql.window import Window as W
+
+    from dynamodb_streaming_datalake_spark.operators.completeness import (
+        q_debounce,
+    )
+    from dynamodb_streaming_datalake_spark.streaming.stateful import (
+        streaming_debounce,
+    )
+
+    ev = read_table(spark, sf_smoke, "events").select(
+        "ts", "user_id", "event_type", "event_id"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    ranked = ev.withColumn(
+        "part", F.ntile(3).over(W.orderBy("ts", "event_id"))
+    )
+    for i in (1, 2, 3):
+        ranked.where(F.col("part") == i).drop("part").coalesce(
+            1
+        ).write.parquet(str(src / f"batch-{i}"))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/batch-*")
+    )
+    q = (
+        streaming_debounce(stream)
+        .writeStream.format("memory")
+        .queryName("deb_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["event_type"]): (r["n"], r["e"])
+        for r in spark.table("deb_mb")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("emitted").cast("int")).alias("e"),
+        )
+        .collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]): (r["n_events"], r["n_emitted"])
+        for r in q_debounce(spark, sf_smoke).collect()
+    }
+    assert got == want
