@@ -29,64 +29,48 @@ ORACLE: dict[str, str] = {}
 # silently eject a listed query from the window.
 #
 # PRIORITY derived by scripts/rotate_window.py from
-# CORRECTNESS_r*.json (latest: r14).  Do not hand-order;
+# CORRECTNESS_r*.json (latest: r15).  Do not hand-order;
 # regenerate after each driver round.  Derivation: the
-# 17 never-driver-proven names lead, then proofs
+# 35 never-driver-proven names lead, then proofs
 # ascending by round (stable tie-break: prior order).
 PRIORITY: tuple[str, ...] = (
     # -- never driver-proven --
-    "q_notin_nullaware",
-    "q_partial_update_merge",
-    "q_fd_audit",
-    "q_ri_audit",
-    "q_interval_join",
-    "q_exact_quantile_twopass",
-    "q_interval_join_spanning",
-    "q_skyline",
-    "q_grouped_weighted_quantile",
-    "q_pps_sample",
-    "q_adaptive_salted_agg",
-    "q_probe_auc",
-    "q_linear_probe_k",
-    "q_grouped_regression_k",
-    "q_changefeed_refresh",
-    "q_partial_update_stream",
-    "q_view_compaction",
-    # -- proven r9 --
-    "q_encoding_advisor",
-    "q_cms_heavy_hitters",
-    "q_hll_distinct",
-    "q_quantile_sketch",
-    "q_analyze_ndv",
-    "q_join_estimate",
-    "q_geo_join",
-    "q_mvcc_vacuum",
-    "q_cms_stream",
-    "q_hll_stream",
-    "q_range_join_clicks",
-    "q_pivot_event_matrix",
-    "q_event_moments",
-    "q_histogram_value",
-    "q_incr_agg",
-    "q_snapshot_diff",
-    "q_pagerank",
-    "q_bpe_train",
-    "q_bpe_tokenize",
-    "q_bigram_lm",
-    "q_data_quality_report",
-    "q_compact_scan",
-    "q_ewma_user_value",
-    "q_order_baskets",
-    "q_linreg_train",
-    "q_cohort_retention",
-    "q_sequence_pattern",
-    "q_equidepth_histogram",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
+    "q_retractable_minmax",
+    "q_two_sample_ks",
+    "q_mann_whitney",
+    "q_cramers_v",
+    "q_drift_battery",
+    "q_mutual_information",
+    "q_pacf",
+    "q_forecast_backtest",
+    "q_hill_tail",
+    "q_vocab_chao1",
+    "q_capture_recapture",
+    "q_lsh_planner",
+    "q_weighted_reservoir",
+    "q_t_closeness",
+    "q_blocking_eval",
+    "q_isotonic_calibration",
+    "q_shard_rebalance",
+    "q_bandit_posterior",
+    "q_effect_size",
+    "q_jackknife_ratio",
+    "q_standardization",
+    "q_seq_gaps",
+    "q_interval_coalesce",
+    "q_seq_monitor",
+    "q_debounce",
+    "q_woe_iv",
+    "q_theilsen_slope",
+    "q_metric_bridge",
+    "q_simpson_scan",
+    "q_assoc_rules",
+    "q_multitouch_attribution",
+    "q_quantile_normalize",
+    "q_rfm_segments",
+    "q_join_order_dp",
+    "q_bandit_stream",
     # -- proven r10 --
-    "q_ivm_join",
     "q_kcore",
     "q_shortest_paths",
     "q_degree_stats",
@@ -340,6 +324,57 @@ PRIORITY: tuple[str, ...] = (
     "q_decontaminate_fuzzy",
     "q_skew_diagnose",
     "q_salted_agg",
+    # -- proven r15 --
+    "q_notin_nullaware",
+    "q_partial_update_merge",
+    "q_fd_audit",
+    "q_ri_audit",
+    "q_interval_join",
+    "q_exact_quantile_twopass",
+    "q_interval_join_spanning",
+    "q_skyline",
+    "q_grouped_weighted_quantile",
+    "q_pps_sample",
+    "q_adaptive_salted_agg",
+    "q_probe_auc",
+    "q_linear_probe_k",
+    "q_grouped_regression_k",
+    "q_changefeed_refresh",
+    "q_partial_update_stream",
+    "q_view_compaction",
+    "q_encoding_advisor",
+    "q_cms_heavy_hitters",
+    "q_hll_distinct",
+    "q_quantile_sketch",
+    "q_analyze_ndv",
+    "q_join_estimate",
+    "q_geo_join",
+    "q_mvcc_vacuum",
+    "q_cms_stream",
+    "q_hll_stream",
+    "q_range_join_clicks",
+    "q_pivot_event_matrix",
+    "q_event_moments",
+    "q_histogram_value",
+    "q_incr_agg",
+    "q_snapshot_diff",
+    "q_pagerank",
+    "q_bpe_train",
+    "q_bpe_tokenize",
+    "q_bigram_lm",
+    "q_data_quality_report",
+    "q_compact_scan",
+    "q_ewma_user_value",
+    "q_order_baskets",
+    "q_linreg_train",
+    "q_cohort_retention",
+    "q_sequence_pattern",
+    "q_equidepth_histogram",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_ivm_join",
 )
 
 
