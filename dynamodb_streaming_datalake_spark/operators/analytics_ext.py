@@ -3073,15 +3073,25 @@ PACF_LAGS = 7
 
 
 def _pacf_sql() -> str:
+    # Each PRODUCT stays inside both engines' exact decimal kernels
+    # (every declared product precision <= 38), then each TERM is cast
+    # to DOUBLE once and the terms combine as doubles, left to right —
+    # identical IEEE arithmetic in both engines, so no cross-engine
+    # drift from differing decimal-overflow policies (Spark silently
+    # rescales >38-digit sums; DuckDB hard-errors). Declared caps:
+    # n <= 9999, n*S <= 1e14 via (20,6), B_k+C_k <= 1e11 via (17,6)
+    # (the binding value-magnitude cap), A_k <= 1e16 via (28,12).
+    def _rho_num(k: int, nk: str) -> str:
+        return (
+            f"CAST(CAST(n2 AS DECIMAL(7,0)) * a{k} AS DOUBLE)"
+            f" - CAST(CAST(CAST(n AS DECIMAL(4,0)) * s AS DECIMAL(20,6))"
+            f" * CAST(b{k} + c{k} AS DECIMAL(17,6)) AS DOUBLE)"
+            f" + CAST(CAST(CAST({nk} AS DECIMAL(4,0)) * s AS DECIMAL(20,6))"
+            f" * CAST(s AS DECIMAL(17,6)) AS DOUBLE)"
+        )
+
     rho_cols = ", ".join(
-        f"""CAST(
-            CAST(n2 AS DECIMAL(7,0)) * a{k}
-            - CAST(n AS DECIMAL(4,0)) * s * (b{k} + c{k})
-            + CAST(n - {k} AS DECIMAL(4,0)) * s * s AS DOUBLE)
-        / CAST(
-            CAST(n2 AS DECIMAL(7,0)) * a0
-            - CAST(n AS DECIMAL(4,0)) * s * (b0 + c0)
-            + CAST(n AS DECIMAL(4,0)) * s * s AS DOUBLE) AS rho{k}"""
+        f"({_rho_num(k, f'n - {k}')}) / ({_rho_num(0, 'n')}) AS rho{k}"
         for k in range(1, PACF_LAGS + 1)
     )
     levels = ["l1 AS MATERIALIZED (SELECT rhos.*, rho1 AS phi_1_1,"
@@ -3131,10 +3141,12 @@ def _pacf_sql() -> str:
     ks AS (SELECT UNNEST(range(0, {PACF_LAGS + 1})) AS k),
     sums AS (
         SELECT ks.k,
-               -- (19,6)/(25,12): past 18 digits DuckDB switches to
+               -- (19,6)/(28,12): past 18 digits DuckDB switches to
                -- the hugeint kernel; (14,6)x(14,6) would overflow its
-               -- int64 multiply (the q_autocorrelation lesson)
-               CAST(SUM(a.v * b.v) AS DECIMAL(25,12)) AS a_,
+               -- int64 multiply (the q_autocorrelation lesson). 28,12
+               -- holds A_k (= SUM v^2) to 1e16 — ~120x the measured
+               -- 10x-bench magnitude (8.3e13).
+               CAST(SUM(a.v * b.v) AS DECIMAL(28,12)) AS a_,
                CAST(SUM(a.v) AS DECIMAL(19,6)) AS b_,
                CAST(SUM(b.v) AS DECIMAL(19,6)) AS c_
         FROM ks JOIN series a ON TRUE
@@ -3170,10 +3182,17 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     MATERIALIZED CTEs); the autocovariances feeding it are exact
     decimal end to end — rho_k clears its mean-centering denominator
     as (n^2 A_k - n S (B_k+C_k) + (n-k) S^2) over the k=0 value, every
-    product typed to stay inside both engines' exact decimal kernels
-    (the 4-digit day-count cap documented: re-type for >27 years of
-    daily history). Degenerate inputs (constant series, v_k -> 0) are
-    out of contract.
+    PRODUCT typed to stay inside both engines' exact decimal kernels,
+    each TERM cast to double once and combined left-to-right as
+    doubles in the same order in both engines. Two documented caps:
+    the 4-digit day-count cap (re-type for >27 years of daily
+    history) and the VALUE-MAGNITUDE cap — B_k + C_k (about 2x the
+    series total) must fit DECIMAL(17,6), i.e. total daily revenue
+    below 5e10, ~160x the measured 10x-bench magnitude; breaching it
+    NULLs on Spark and errors on DuckDB rather than silently
+    diverging (tests/test_oracle_parity.py pins parity at the
+    10x-bench magnitude). Degenerate inputs (constant series,
+    v_k -> 0) are out of contract.
 
     Scale: one map-side-combined daily aggregate; lag pair sums run
     on |days| x {PACF_LAGS} rows; the recursion itself is constant
@@ -3200,10 +3219,10 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.sum(F.col("a.v") * F.col("b.v"))
-            .cast("decimal(25,12)")
+            .cast("decimal(28,12)")
             .alias("a_"),
-            F.sum(F.col("a.v")).cast("decimal(14,6)").alias("b_"),
-            F.sum(F.col("b.v")).cast("decimal(14,6)").alias("c_"),
+            F.sum(F.col("a.v")).cast("decimal(19,6)").alias("b_"),
+            F.sum(F.col("b.v")).cast("decimal(19,6)").alias("c_"),
         )
     )
     n_frame = series.agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -3222,19 +3241,25 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = cur.withColumn("s", F.col("b0"))
     nd = F.col("n").cast("decimal(4,0)")
     n2d = F.col("n2").cast("decimal(7,0)")
-    den = (
-        n2d * F.col("a0")
-        - nd * F.col("s") * (F.col("b0") + F.col("c0"))
-        + nd * F.col("s") * F.col("s")
-    ).cast("double")
+    # mirror of the oracle's _rho_num: every product exact decimal
+    # (declared precision <= 38 on both engines), each TERM cast to
+    # double once, terms combined left-to-right as doubles — identical
+    # IEEE arithmetic cross-engine. Caps documented at the oracle.
+    s17 = F.col("s").cast("decimal(17,6)")
+
+    def _rho_num(k: int, nkd):
+        t1 = (n2d * F.col(f"a{k}")).cast("double")
+        t2 = (
+            (nd * F.col("s")).cast("decimal(20,6)")
+            * (F.col(f"b{k}") + F.col(f"c{k}")).cast("decimal(17,6)")
+        ).cast("double")
+        t3 = ((nkd * F.col("s")).cast("decimal(20,6)") * s17).cast("double")
+        return t1 - t2 + t3
+
+    den = _rho_num(0, nd)
     for k in range(1, PACF_LAGS + 1):
         nkd = (F.col("n") - k).cast("decimal(4,0)")
-        num = (
-            n2d * F.col(f"a{k}")
-            - nd * F.col("s") * (F.col(f"b{k}") + F.col(f"c{k}"))
-            + nkd * F.col("s") * F.col("s")
-        ).cast("double")
-        cur = cur.withColumn(f"rho{k}", num / den)
+        cur = cur.withColumn(f"rho{k}", _rho_num(k, nkd) / den)
     cur = cur.withColumn("phi_1_1", F.col("rho1")).withColumn(
         "v_1", 1 - F.col("rho1") * F.col("rho1")
     )
@@ -3503,18 +3528,31 @@ def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.crossJoin(F.broadcast(thr))
         .where(F.col("value") > F.col("xk"))
         .select(
-            "xk",
             F.round(F.log(F.col("value") / F.col("xk")), 9)
             .cast("decimal(20,9)")
             .alias("lr"),
         )
     )
-    return terms.agg(
-        F.count(F.lit(1)).cast("long").alias("k_used"),
-        F.round(F.max("xk"), 6).alias("threshold"),
-        F.round(
-            F.count(F.lit(1)) / F.sum("lr").cast("double"), 6
-        ).alias("hill_alpha"),
+    # threshold comes from thr, NOT from max(xk) over terms: on an
+    # all-ties corpus terms is EMPTY and max-over-empty would NULL the
+    # threshold while the oracle's scalar subquery (SELECT xk FROM thr)
+    # still returns it — the degenerate-input divergence ADVICE r15
+    # flagged. The global agg always yields one row, so the 1-row x
+    # 1-row cross reproduces the oracle exactly (hill_alpha is NULL on
+    # both engines when k_used = 0).
+    return (
+        terms.agg(
+            F.count(F.lit(1)).cast("long").alias("k_used"),
+            F.sum("lr").alias("sum_lr"),
+        )
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "k_used",
+            F.round(F.col("xk"), 6).alias("threshold"),
+            F.round(
+                F.col("k_used") / F.col("sum_lr").cast("double"), 6
+            ).alias("hill_alpha"),
+        )
     )
 
 
