@@ -593,9 +593,24 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
         .distinct()
     )
+    # one linear materialization of the deduplicated basket relation:
+    # it feeds the basket total, the item counts, AND both sides of the
+    # pair self-join
+    b = b.localCheckpoint(eager=False)
     nn = b.agg(F.countDistinct("ok").cast("long").alias("n"))
     ic = b.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
-    a, c = b.alias("a"), b.alias("c")
+    # Apriori prune (anti-monotonicity): a pair reaching AR_MINSUP needs
+    # BOTH items individually at AR_MINSUP, so semi-joining the basket
+    # relation to the frequent items BEFORE the self-join bounds the
+    # pair-generation input at zero semantic cost — the post-agg support
+    # filter below is unchanged and the oracle proves result-invisibility.
+    freq = (
+        ic.crossJoin(F.broadcast(nn))
+        .where(F.col("n_item").cast("double") / F.col("n") >= AR_MINSUP)
+        .select("item")
+    )
+    bf = b.join(F.broadcast(freq), "item", "semi")
+    a, c = bf.alias("a"), bf.alias("c")
     pc = (
         a.join(
             c,
