@@ -2590,6 +2590,10 @@ _register_mix_drift()
 
 #: target quantiles (lower-rank convention: rank = max(1, ceil(q*n)))
 EXQ_QS = (0.5, 0.9, 0.99)
+#: sub-bucket fan-out for the second histogram level inside a picked
+#: unit bucket (2^-EXQ_SUBW_BITS value width per sub-bucket)
+EXQ_SUBW_BITS = 20
+EXQ_SUBW = 1 << EXQ_SUBW_BITS
 
 
 @query(
@@ -2652,11 +2656,18 @@ def q_exact_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the windowed cumulative over it is the driver-bounded artifact,
     same budget as the AQE statistics the skew queries read); pass 2
     broadcast-semi-joins the picked buckets — a bucket filter
-    applied in the scan stage — and sorts only bucket-sized
-    partitions. A pathological bucket holding most of the mass
-    recurses the same way — re-histogram inside the bucket at finer
-    width; each level divides the candidate set by the bucket
-    fan-out."""
+    applied in the scan stage — then RE-HISTOGRAMS inside each
+    picked bucket at 2^-{EXQ_SUBW_BITS} width (the shipped second
+    level below): the residual rank is located in a sub-bucket via
+    the same cumulative-histogram pattern, and only the picked
+    SUB-bucket is row-numbered, so a pathological bucket holding
+    most of the mass sorts at most the rows inside one
+    2^-{EXQ_SUBW_BITS}-wide value band, never the whole bucket
+    (pinned by the >90%-mass-in-one-bucket fixture in
+    tests/test_oracle_parity.py). Ties always share a sub-bucket and
+    are value-exact under any row_number order, so mass concentrated
+    finer than the sub-width costs sort size only, never
+    exactness."""
     # NULL values are excluded on BOTH engines (quantiles of the
     # non-null population).
     e = (
@@ -2686,14 +2697,51 @@ def q_exact_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q", "target_rank", "n_total", "b", "cum_before")
     )
-    sub = e.join(F.broadcast(pick.select("b").distinct()), "b", "semi")
-    r2 = sub.withColumn(
+    sub = e.join(
+        F.broadcast(pick.select("b").distinct()), "b", "semi"
+    ).withColumn(
+        # second histogram level: fractional position inside the unit
+        # bucket, at 2^-EXQ_SUBW_BITS width. value - b is exact
+        # (b = floor(value)), and v1 < v2 => sb1 <= sb2 (floor of a
+        # monotone rounding), so ordering by (sb, value) == ordering
+        # by value and within-bucket rank decomposes exactly as
+        # cum2_before(sb) + rank-within-sb.
+        "sb",
+        F.floor((F.col("value") - F.col("b")) * EXQ_SUBW).cast("long"),
+    )
+    h2 = sub.groupBy("b", "sb").agg(F.count(F.lit(1)).alias("cnt2"))
+    w2 = Window.partitionBy("b").orderBy("sb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hc2 = h2.withColumn(
+        "cum2_before", F.coalesce(F.sum("cnt2").over(w2), F.lit(0))
+    )
+    pick2 = (
+        hc2.join(F.broadcast(pick), "b")
+        .withColumn("r", F.col("target_rank") - F.col("cum_before"))
+        .where(
+            (F.col("r") > F.col("cum2_before"))
+            & (F.col("r") <= F.col("cum2_before") + F.col("cnt2"))
+        )
+        .select(
+            "q",
+            "target_rank",
+            "n_total",
+            "b",
+            "sb",
+            (F.col("r") - F.col("cum2_before")).alias("rn_target"),
+        )
+    )
+    sub2 = sub.join(
+        F.broadcast(pick2.select("b", "sb").distinct()), ["b", "sb"], "semi"
+    )
+    r2 = sub2.withColumn(
         "rn",
-        F.row_number().over(Window.partitionBy("b").orderBy("value")),
+        F.row_number().over(Window.partitionBy("b", "sb").orderBy("value")),
     )
     return (
-        r2.join(F.broadcast(pick), "b")
-        .where(F.col("rn") == F.col("target_rank") - F.col("cum_before"))
+        r2.join(F.broadcast(pick2), ["b", "sb"])
+        .where(F.col("rn") == F.col("rn_target"))
         .select(
             "q",
             "target_rank",
@@ -2704,7 +2752,7 @@ def q_exact_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_fmt(q_exact_quantile_twopass, EXQ_QS=len(EXQ_QS))
+_fmt(q_exact_quantile_twopass, EXQ_QS=len(EXQ_QS), EXQ_SUBW_BITS=EXQ_SUBW_BITS)
 
 
 # --------------------------------------------------------------------------
@@ -2975,10 +3023,14 @@ def q_grouped_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     |buckets| rows (the per-group cumulative window runs over that
     grouped frame); pass 2 broadcast-semi-joins the |groups| x
     |quantiles| picked buckets — the filter applies in the scan
-    stage — and windows inside bucket-sized partitions — exact
-    weighted percentiles with no global sort, no per-group value
-    buffering, and no driver-side collect (the whole pipeline is
-    lazy)."""
+    stage — then RE-HISTOGRAMS each picked band at 2^-20 of its
+    width (the q_exact_quantile_twopass second level, weighted):
+    the residual weight target is located in a sub-bucket and only
+    that sub-bucket is windowed, so a band holding most of the
+    group's mass never sorts as one partition (same fixture pin).
+    Exact weighted percentiles with no global sort, no per-group
+    value buffering, and no driver-side collect (the whole pipeline
+    is lazy)."""
     # NULL prices/weights are excluded on BOTH engines.
     l = (
         read_table(spark, sf_dir, "lineitem")
@@ -3026,18 +3078,54 @@ def q_grouped_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sub = l.join(
         F.broadcast(tgt.select("g", "b").distinct()), ["g", "b"], "semi"
+    ).withColumn(
+        # second histogram level, weighted: fractional position inside
+        # the picked 1000-wide band at 2^-EXQ_SUBW_BITS width. Tied
+        # values always share a sub-bucket (same val => same sb), so
+        # the ROWS-frame crossing semantics decompose exactly as
+        # cum2_before(sb) + within-sub-bucket cumulative weight.
+        "sb",
+        F.floor((F.col("val") / 1000 - F.col("b")) * EXQ_SUBW).cast("long"),
+    )
+    h2 = sub.groupBy("g", "b", "sb").agg(F.sum("w").alias("bw2"))
+    w2 = Window.partitionBy("g", "b").orderBy("sb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hc2 = h2.withColumn(
+        "cum2_before", F.coalesce(F.sum("bw2").over(w2), F.lit(0))
+    )
+    pick2 = (
+        hc2.join(F.broadcast(tgt), ["g", "b"])
+        .where(
+            (F.col("rib") > F.col("cum2_before"))
+            & (F.col("rib") <= F.col("cum2_before") + F.col("bw2"))
+        )
+        .select(
+            "g",
+            "q",
+            "total_weight",
+            "target",
+            "b",
+            "sb",
+            (F.col("rib") - F.col("cum2_before")).alias("rib2"),
+        )
+    )
+    sub2 = sub.join(
+        F.broadcast(pick2.select("g", "b", "sb").distinct()),
+        ["g", "b", "sb"],
+        "semi",
     )
     wcum = (
-        Window.partitionBy("g", "b")
+        Window.partitionBy("g", "b", "sb")
         .orderBy("val")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    r2 = sub.withColumn("cum", F.sum("w").over(wcum))
+    r2 = sub2.withColumn("cum", F.sum("w").over(wcum))
     return (
-        r2.join(F.broadcast(tgt), ["g", "b"])
+        r2.join(F.broadcast(pick2), ["g", "b", "sb"])
         .where(
-            (F.col("cum") >= F.col("rib"))
-            & (F.col("cum") - F.col("w") < F.col("rib"))
+            (F.col("cum") >= F.col("rib2"))
+            & (F.col("cum") - F.col("w") < F.col("rib2"))
         )
         .select(
             F.col("g").alias("group_key"),

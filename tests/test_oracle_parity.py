@@ -105,3 +105,128 @@ def test_hill_tail_parity_all_ties(spark, tmp_path):
     assert row["k_used"] == 0
     assert row["threshold"] is not None and float(row["threshold"]) == 5.0
     assert row["hill_alpha"] is None
+
+
+def test_quantile_degenerate_bucket_bounded_and_exact(spark, tmp_path):
+    """r14 verdict item 3 / r15 item 4: one unit bucket holding >90% of
+    the rows. The shipped second histogram level must (a) keep the
+    final row-numbered partition bounded — the sorted set is ONE
+    2^-20-wide sub-bucket, never the whole bucket — and (b) still
+    return the exact k-th smallest (full oracle parity on the
+    fixture)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        EXQ_SUBW,
+    )
+
+    rng = np.random.default_rng(7)
+    n_hot, n_cold = 19000, 1000  # 95% of mass inside bucket [10, 11)
+    hot = 10.0 + rng.random(n_hot)
+    cold = rng.uniform(100.0, 200.0, n_cold)
+    vals = np.concatenate([hot, cold])
+
+    def degenerate(tbl):
+        i = tbl.schema.get_field_index("value")
+        reps = int(np.ceil(len(tbl) / len(vals)))
+        v = np.tile(vals, reps)[: len(tbl)]
+        return tbl.set_column(i, "value", pa.array(v, type=pa.float64()))
+
+    d = _clone_sf_with_events(tmp_path, degenerate)
+    # (b) exactness: full cross-engine parity on the skewed fixture
+    compare_query(
+        spark,
+        d,
+        "q_exact_quantile_twopass",
+        QUERIES["q_exact_quantile_twopass"],
+        ORACLE["q_exact_quantile_twopass"],
+    )
+    # (a) boundedness: the largest (bucket, sub-bucket) population — the
+    # exact partition size pass 2 row-numbers — stays a tiny fraction of
+    # the hot bucket even though that bucket holds >90% of all rows
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    e = read_table(spark, d, "events").where(F.col("value").isNotNull())
+    sizes = (
+        e.select(
+            F.floor("value").cast("long").alias("b"),
+            F.floor(
+                (F.col("value") - F.floor("value").cast("long")) * EXQ_SUBW
+            ).cast("long").alias("sb"),
+        )
+        .groupBy("b", "sb")
+        .count()
+    )
+    hot_bucket = e.where(F.floor("value") == 10).count()
+    max_part = sizes.agg(F.max("count")).collect()[0][0]
+    assert hot_bucket > 0.9 * e.count()
+    assert max_part <= max(4, hot_bucket // 1000), (max_part, hot_bucket)
+
+
+def test_weighted_quantile_degenerate_band_bounded_and_exact(spark, tmp_path):
+    """Weighted twin of the degenerate-bucket pin: >90% of lineitem's
+    extended prices concentrated in ONE 1000-wide band. Parity must
+    hold and the windowed partition must be one sub-band, not the hot
+    band."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dynamodb_streaming_datalake_spark.operators.analytics_ext import (
+        EXQ_SUBW,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import TABLES
+
+    dst = tmp_path / "sf_wq"
+    dst.mkdir()
+    for t in TABLES:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", dst / f"{t}.parquet")
+    tbl = pq.read_table(f"/root/testdata/sf0.001/lineitem.parquet")
+    rng = np.random.default_rng(11)
+    n = len(tbl)
+    prices = np.where(
+        rng.random(n) < 0.95,
+        5000.0 + 1000.0 * rng.random(n),  # hot band b=5
+        rng.uniform(50_000.0, 90_000.0, n),
+    )
+    i = tbl.schema.get_field_index("l_extendedprice")
+    tbl = tbl.set_column(i, "l_extendedprice", pa.array(prices, type=pa.float64()))
+    pq.write_table(tbl, str(dst / "lineitem.parquet"))
+    d = str(dst)
+
+    compare_query(
+        spark,
+        d,
+        "q_grouped_weighted_quantile",
+        QUERIES["q_grouped_weighted_quantile"],
+        ORACLE["q_grouped_weighted_quantile"],
+    )
+    from pyspark.sql import functions as F
+
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    l = read_table(spark, d, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    )
+    v = l.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("b"),
+        F.floor(
+            (
+                F.col("l_extendedprice") / 1000
+                - F.floor(F.col("l_extendedprice") / 1000).cast("long")
+            )
+            * EXQ_SUBW
+        ).cast("long").alias("sb"),
+    )
+    hot = v.where(F.col("b") == 5).count()
+    assert hot > 0.9 * v.count()
+    max_part = (
+        v.groupBy("g", "b", "sb").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_part <= max(4, hot // 1000), (max_part, hot)
