@@ -704,6 +704,119 @@ def q_partial_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# patch stream -> SCD2: the Debezium-to-history pipeline (round 16)
+# ---------------------------------------------------------------------------
+# q_partial_update_merge answers "what is the CURRENT state" of a
+# sparse patch stream; q_scd2_intervals answers "when was each full
+# row valid". The pipeline real lakes run off a Debezium/compacted
+# patch topic is their COMPOSITION: reconstruct the full row as of
+# every patch (per-column last-non-null carry-forward in LSN order),
+# collapse patches that changed nothing (a patch may re-assert a
+# column's existing value), and version the surviving distinct states
+# into [valid_from, valid_to) intervals with an is_current flag.
+
+
+@query(
+    "q_scd2_from_patches",
+    oracle="""
+    WITH feed AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_id % 3 <> 0
+                    THEN 'd' || CAST(event_id % 5 AS VARCHAR) END AS device,
+               CASE WHEN event_id % 4 = 1 THEN event_type END AS plan,
+               CASE WHEN CAST(floor(value * 100) AS BIGINT) % 2 = 0
+                    THEN CAST(floor(value * 100) AS BIGINT) END AS score
+        FROM events
+    ),
+    rec AS (
+        SELECT user_id, event_id,
+               last_value(device IGNORE NULLS) OVER w AS device,
+               last_value(plan IGNORE NULLS) OVER w AS plan,
+               last_value(score IGNORE NULLS) OVER w AS score
+        FROM feed
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    ch AS (
+        SELECT *,
+               ROW_NUMBER() OVER w2 AS rn,
+               lag(device) OVER w2 AS pd,
+               lag(plan) OVER w2 AS pp,
+               lag(score) OVER w2 AS ps
+        FROM rec
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    vers AS (
+        SELECT user_id, event_id, device, plan, score
+        FROM ch
+        WHERE rn = 1
+           OR device IS DISTINCT FROM pd
+           OR plan IS DISTINCT FROM pp
+           OR score IS DISTINCT FROM ps
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w3 AS INT) AS version_no,
+           event_id AS valid_from_lsn,
+           LEAD(event_id) OVER w3 AS valid_to_lsn,
+           (LEAD(event_id) OVER w3 IS NULL) AS is_current,
+           device, plan, score
+    FROM vers
+    WINDOW w3 AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def q_scd2_from_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch stream -> SCD2 history, the composition of
+    q_partial_update_merge (per-column last-non-null state) and
+    q_scd2_intervals (validity intervals): the sparse patch feed is
+    replayed in LSN order, the full row is reconstructed AS OF every
+    patch by per-column carry-forward (``last(col, ignorenulls)`` over
+    the LSN window), no-op patches — records that re-assert only
+    existing values — are collapsed via a null-safe lag comparison,
+    and the surviving distinct states version into
+    [valid_from_lsn, valid_to_lsn) intervals. The is_current row per
+    user equals q_partial_update_merge's folded state by construction
+    (pinned in tests/test_cdc.py), closing the loop: current state is
+    the last SCD2 version.
+
+    Scale: one shuffle on the key; the reconstruction, change-detect,
+    and versioning windows share the same partitioning and ordering,
+    so Catalyst plans them over one sort (plus one over the collapsed
+    |versions| frame). History length per key is the dial, exactly as
+    in q_scd2_intervals; nothing is quadratic in patches."""
+    feed = partial_update_feed(read_table(spark, sf_dir, "events"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rec = feed.select(
+        "user_id",
+        "event_id",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in PATCH_ATTRS
+        ],
+    )
+    w2 = Window.partitionBy("user_id").orderBy("event_id")
+    changed = F.lit(False)
+    ch = rec.withColumn("rn", F.row_number().over(w2))
+    for c in PATCH_ATTRS:
+        ch = ch.withColumn(f"p_{c}", F.lag(c).over(w2))
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"p_{c}"))
+    vers = ch.where((F.col("rn") == 1) | changed)
+    w3 = Window.partitionBy("user_id").orderBy("event_id")
+    nxt = F.lead("event_id").over(w3)
+    return vers.select(
+        "user_id",
+        F.row_number().over(w3).cast("int").alias("version_no"),
+        F.col("event_id").alias("valid_from_lsn"),
+        nxt.alias("valid_to_lsn"),
+        nxt.isNull().alias("is_current"),
+        *PATCH_ATTRS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # retractable MIN/MAX view maintenance (delete-safe incremental aggs)
 # ---------------------------------------------------------------------------
 # q_incr_agg's merge is a MONOID fold — count+count, sum+sum,

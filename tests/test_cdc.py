@@ -294,3 +294,49 @@ def test_partial_update_merge_is_per_column_not_per_row(spark):
     assert got[1]["last_plan"] == "pro"
     # all-null record contributes nothing; a present pair survives
     assert got[2]["last_device"] == "x" and got[2]["last_plan"] == "basic"
+
+
+def test_scd2_from_patches_current_equals_patch_merge(spark, sf_smoke):
+    """The composition closes its own loop: each user's is_current SCD2
+    version carries exactly the state q_partial_update_merge folds —
+    current state IS the last history version. Also: version intervals
+    chain gaplessly (valid_to of version k == valid_from of k+1) and
+    consecutive versions always differ in at least one column."""
+    from dynamodb_streaming_datalake_spark.operators.state import (
+        PATCH_ATTRS,
+        q_partial_update_merge,
+        q_scd2_from_patches,
+    )
+
+    hist = q_scd2_from_patches(spark, sf_smoke).collect()
+    state = {
+        r["user_id"]: r for r in q_partial_update_merge(spark, sf_smoke).collect()
+    }
+    cur = {r["user_id"]: r for r in hist if r["is_current"]}
+    assert set(cur) == set(state)
+    for uid, r in cur.items():
+        for c in PATCH_ATTRS:
+            assert r[c] == state[uid][f"last_{c}"], (uid, c, r, state[uid])
+    # interval chaining + genuine-change invariants
+    by_user: dict = {}
+    for r in hist:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_versions = 0
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r["version_no"])
+        n_versions += len(rows)
+        assert [r["version_no"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to_lsn"] == b["valid_from_lsn"], (uid, a, b)
+            assert any(a[c] != b[c] for c in PATCH_ATTRS), (uid, a, b)
+        assert rows[-1]["valid_to_lsn"] is None
+    # collapsing actually collapsed something: fewer versions than patches
+    from dynamodb_streaming_datalake_spark.operators.state import (
+        partial_update_feed,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    n_patches = partial_update_feed(
+        read_table(spark, sf_smoke, "events")
+    ).count()
+    assert 0 < n_versions < n_patches
