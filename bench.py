@@ -106,6 +106,21 @@ SF1_FLAGSHIPS = (
     "q_multitouch_attribution",
     "q_drift_battery",
     "q_retractable_minmax",
+    # round 16 (round-15 VERDICT #6): the still-un-railed shapes — the
+    # FD/RI melt audits, the measure-then-salt aggregate, the two
+    # changefeed consumers, view compaction, the two exact rank-test
+    # kernels, the decimal-hardened PACF (r15 ADVICE), and the two r16
+    # registrations
+    "q_fd_audit",
+    "q_ri_audit",
+    "q_adaptive_salted_agg",
+    "q_changefeed_refresh",
+    "q_view_compaction",
+    "q_two_sample_ks",
+    "q_mann_whitney",
+    "q_pacf",
+    "q_ri_audit_incr",
+    "q_scd2_from_patches",
 )
 
 
@@ -215,6 +230,11 @@ def main() -> None:
                         "q_mvcc_changefeed",
                         # same: one-time cached patch-view segment build
                         "q_partial_update_stream",
+                        # same MVCC-view build as q_mvcc_changefeed
+                        "q_changefeed_refresh",
+                        "q_ri_audit_incr",
+                        # one-time cached sketch-view build
+                        "q_view_compaction",
                     )
                     else 1
                 )
@@ -258,11 +278,58 @@ def main() -> None:
                 read_table,
             )
 
+            # fresh-content 10x docs corpus: the cap derivation's
+            # design-point workload (replicated sf1 measures clique
+            # occupancy by construction; see make_scale.build_fresh_docs)
+            fresh_dir = os.environ.get(
+                "SPARK_GRAFT_SF1_FRESH_DIR",
+                str(
+                    Path(__file__).resolve().parent
+                    / ".benchdata"
+                    / "sf1_fresh"
+                ),
+            )
+            fresh_done = Path(fresh_dir, "_BUILD_COMPLETE")
+            if not fresh_done.exists():
+                import shutil
+
+                shutil.rmtree(fresh_dir, ignore_errors=True)
+                ms.build_fresh_docs(spark, sf_dir, fresh_dir, reps=10)
+                fresh_done.touch()
             minhash_probe = {
                 label: minhash_bucket_stats(
                     read_table(spark, d, "documents")
                 )
-                for label, d in (("base", sf_dir), ("sf1", sf1_dir))
+                for label, d in (
+                    ("base", sf_dir),
+                    ("sf1", sf1_dir),
+                    ("sf1_fresh", fresh_dir),
+                )
+            }
+            # recall-at-cap (r14 verdict item 2): on a boilerplate-
+            # cluster fixture where the shipped cap ENGAGES, record the
+            # LSH pair set at the shipped cap and uncapped against the
+            # UNCAPPED exact-Jaccard truth — the recall delta is the
+            # measured price of the cap. Synthetic and sf-independent
+            # by design: the shipped corpora never fill a bucket past
+            # the cap (that is what the occupancy probe above shows),
+            # so the engage price must be measured where it engages.
+            from dynamodb_streaming_datalake_spark.operators.dedup import (
+                MAX_BUCKET_SIZE,
+                derive_bucket_cap,
+                lsh_skew_fixture,
+                recall_at_cap_probe,
+            )
+
+            skew_docs = lsh_skew_fixture(spark)
+            minhash_probe["lsh_cap"] = {
+                "shipped_cap": MAX_BUCKET_SIZE,
+                "derived_cap_from_fresh": derive_bucket_cap(
+                    minhash_probe["sf1_fresh"]["max_bucket"]
+                ),
+                "skew_fixture_recall_at_cap": recall_at_cap_probe(
+                    skew_docs
+                ),
             }
         except Exception as exc:  # never let the scale probe kill the bench
             sf1_timings = {"error": -1.0}

@@ -59,8 +59,46 @@ JACCARD_THRESHOLD = 0.5
 #: the oracle SQL. 64 pairs-per-shingle-max at the default.
 MAX_SHINGLE_FREQ = 64
 #: drop LSH band buckets larger than this before the candidate
-#: self-join (bounds candidates per bucket at cap^2).
-MAX_BUCKET_SIZE = 64
+#: self-join (bounds candidates per bucket at cap^2). DERIVED from
+#: measurement, not hand-picked (r14/r15 verdicts): ``derive_bucket_cap``
+#: applied to the measured MAX band-bucket occupancy of the
+#: FRESH-CONTENT 10x corpus — 9, per
+#: bench_calibration.json:minhash_probe.sf1_fresh — with 8x headroom,
+#: power-of-two: 128. The verbatim-replicated sf1 corpus measures
+#: occupancy 50 by construction (every doc is a 10-clique there); the
+#: fresh-content rail is the design-point workload, and even the
+#: replication artifact sits well under this cap. tests/test_trainprep.py
+#: pins (a) the derivation against the committed measurement and (b)
+#: that the cap ENGAGES on a boilerplate-cluster fixture, with the
+#: recall price recorded against uncapped truth.
+MAX_BUCKET_SIZE = 128
+
+#: headroom multiplier between measured max occupancy and the cap
+BUCKET_CAP_HEADROOM = 8
+#: never derive below this (tiny corpora measure tiny occupancy)
+BUCKET_CAP_FLOOR = 16
+
+
+def derive_bucket_cap(
+    max_occupancy: float,
+    headroom: int = BUCKET_CAP_HEADROOM,
+    floor: int = BUCKET_CAP_FLOOR,
+) -> int:
+    """Measure-then-derive for the LSH bucket cap (the
+    adaptive_salted_agg recipe applied to band-bucket occupancy): the
+    smallest power of two >= ``headroom`` x the measured MAX bucket
+    occupancy of the design-point (fresh-content) corpus, floored at
+    ``floor``. The MAX drives it — not a quantile — because the cap's
+    failure mode is dropping the largest ORGANIC bucket, and 99.9% of
+    buckets are singletons on any real corpus so quantiles understate
+    the tail. Powers of two keep the cap stable under measurement
+    drift; the headroom absorbs corpus growth between recalibrations.
+    The cap exists to bound the candidate self-join's per-bucket
+    output at cap^2 — far above the organic tail (dropping a bucket
+    costs recall) but finite (one boilerplate bucket of size B
+    contributes B^2 candidates)."""
+    target = max(floor, int(math.ceil(headroom * max(1.0, max_occupancy))))
+    return 1 << (target - 1).bit_length()
 MINHASH_SEEDS = 16
 MINHASH_BANDS = 4
 SIMHASH_BITS = 60
@@ -475,10 +513,30 @@ def minhash_bucket_stats(
             F.max(F.when(surviving, F.col("sz"))).alias(
                 "max_surviving_bucket"
             ),
+            F.max("sz").alias("max_bucket"),
+            # the occupancy DISTRIBUTION the cap derivation reads
+            # (exact percentiles of the |buckets|-row frame)
+            F.expr(
+                "percentile(sz, array(0.5, 0.9, 0.99, 0.999))"
+            ).alias("occ_q"),
         )
         .collect()[0]
     )
-    return {k: (int(v) if v is not None else 0) for k, v in row.asDict().items()}
+    out = {
+        k: (int(v) if v is not None else 0)
+        for k, v in row.asDict().items()
+        if k != "occ_q"
+    }
+    qs = row["occ_q"] or [0, 0, 0, 0]
+    out["occupancy"] = {
+        "p50": float(qs[0]),
+        "p90": float(qs[1]),
+        "p99": float(qs[2]),
+        "p999": float(qs[3]),
+        "max": out["max_bucket"],
+    }
+    out["derived_cap"] = derive_bucket_cap(out["max_bucket"])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1809,6 +1867,80 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH verify step from one linear materialization instead of
     three re-shingles of the corpus."""
     d = read_table(spark, sf_dir, "documents")
+    return dedup_eval_frame(d)
+
+
+def lsh_skew_fixture(spark: SparkSession) -> DataFrame:
+    """The boilerplate-cluster corpus the cap evidence runs on — one
+    identical-text cluster 1.5x the shipped cap (every band bucket it
+    forms exceeds MAX_BUCKET_SIZE, so the cap provably engages) plus
+    organic documents with small near-dup families the capped path
+    must keep finding. Shared by the bench probe and the engage test
+    so both measure the same corpus."""
+    n_clique = 3 * MAX_BUCKET_SIZE // 2
+    rows = [
+        (i, "standard boilerplate footer repeated verbatim on every page")
+        for i in range(n_clique)
+    ]
+    # organic docs: pairs (2k, 2k+1) share a 9-word body and differ in
+    # one trailing word — a genuine near-dup pair per family
+    for k in range(100):
+        body = (
+            f"organic document family {k} discussing topic {k % 7} "
+            f"with body text {k * 17} and more"
+        )
+        rows.append((1000 + 2 * k, body + " alpha"))
+        rows.append((1000 + 2 * k + 1, body + " omega"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def recall_at_cap_probe(
+    docs: DataFrame,
+    caps: tuple[int | None, ...] = (MAX_BUCKET_SIZE, None),
+    threshold: float = JACCARD_THRESHOLD,
+) -> dict:
+    """Measured recall price of the bucket cap, against UNCAPPED truth
+    (bench_calibration.json:minhash_probe.lsh_cap). The registered
+    q_dedup_eval's baseline drops shingles hotter than
+    MAX_SHINGLE_FREQ, and MAX_SHINGLE_FREQ == MAX_BUCKET_SIZE, so any
+    bucket large enough to trip the bucket cap is (on shared-shingle
+    corpora) already invisible to that baseline — measuring recall
+    against it would report zero cost BY CAP ALIGNMENT, not by merit.
+    This probe therefore compares each cap setting against the fully
+    uncapped exact-Jaccard pair set. Probe-only: collects pair sets to
+    the driver, so run it on fixture-sized corpora (the bench's skew
+    fixture), never the lake."""
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, threshold, max_shingle_freq=None)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    out: dict = {"n_truth_uncapped": len(truth)}
+    for cap in caps:
+        found = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(
+                docs, threshold, max_bucket_size=cap
+            )
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+        hit = len(truth & found)
+        out[str(cap)] = {
+            "n_lsh": len(found),
+            "n_hit": hit,
+            "recall": round(hit / len(truth), 6) if truth else 1.0,
+        }
+    return out
+
+
+def dedup_eval_frame(
+    d: DataFrame, max_bucket_size: int | None = MAX_BUCKET_SIZE
+) -> DataFrame:
+    """The q_dedup_eval kernel on an arbitrary documents frame with a
+    settable bucket cap (the capped-baseline half of the cap evidence;
+    ``recall_at_cap_probe`` is the uncapped-truth half)."""
     arrs = d.select(
         "doc_id", word_shingles("text").alias("arr")
     ).localCheckpoint(eager=False)
@@ -1819,7 +1951,10 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", F.lit(1).alias("in_t")
     )
     found = minhash_lsh_pairs(
-        d, shingles=sh, shingle_arrays=arrs
+        d,
+        shingles=sh,
+        shingle_arrays=arrs,
+        max_bucket_size=max_bucket_size,
     ).select(
         F.col("doc_a").alias("f_a"), F.col("doc_b").alias("f_b"),
         F.lit(1).alias("in_f"),

@@ -68,6 +68,43 @@ def build(spark, src: str, out: str, reps: int) -> None:
         scaled.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
 
 
+def build_fresh_docs(spark, src: str, out: str, reps: int) -> None:
+    """Fresh-CONTENT 10x documents corpus (r15 verdict item 3): the
+    replicated sf1 set repeats text verbatim, so every doc is a
+    rep-clique and LSH bucket occupancy grows with the replication
+    factor BY CONSTRUCTION — useful for exact-dup realism, useless for
+    answering "does band-bucket occupancy stay bounded when the corpus
+    is 10x of NEW content". Here rep 0 keeps the original text and
+    every other replica rewrites EVERY word with a rep-specific suffix
+    (one HOF pass, row-local): all shingles differ across replicas, so
+    within-replica near-dup structure is preserved 10x over while no
+    cross-replica collisions exist — the fresh-crawl shape. The bench
+    probes this corpus's occupancy distribution and derives the LSH
+    bucket cap from it (operators/dedup.derive_bucket_cap)."""
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+
+    df = read_table(spark, src, "documents")
+    rep_col = F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("rep")
+    scaled = df.select("*", rep_col)
+    scaled = scaled.withColumn(
+        "doc_id", F.col("doc_id") + F.col("rep").cast("bigint") * F.lit(STRIDE)
+    ).withColumn(
+        "text",
+        F.when(F.col("rep") == 0, F.col("text")).otherwise(
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(
+                        w, F.lit("~"), F.col("rep").cast("string")
+                    ),
+                ),
+                " ",
+            )
+        ),
+    ).drop("rep")
+    scaled.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")

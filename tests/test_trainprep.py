@@ -910,3 +910,78 @@ def test_grouped_weighted_quantile_equals_bruteforce(spark, sf_smoke):
             assert r["quantile_value"] == round(val, 2), (g, q, r, val)
             n_checked += 1
     assert n_checked == len(got) == len(by_g) * len(WQ_QS)
+
+
+def test_lsh_cap_engages_at_shipped_value_with_recall_price(spark):
+    """r14 verdict item 2, executed: on the shared skew fixture (one
+    identical-text cluster at 1.5x the cap + 100 organic near-dup
+    families) the SHIPPED cap provably engages — every band bucket the
+    cluster forms is dropped — while all organic pairs survive, and
+    the recall price against UNCAPPED truth is exactly the cluster's
+    pair mass. The same probe numbers are recorded per-round in
+    bench_calibration.json:minhash_probe.lsh_cap."""
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        MAX_BUCKET_SIZE,
+        MINHASH_SEEDS,
+        _ROWS_PER_BAND,
+        lsh_skew_fixture,
+        minhash_bucket_stats,
+        recall_at_cap_probe,
+    )
+
+    docs = lsh_skew_fixture(spark)
+    stats = minhash_bucket_stats(docs)  # at the shipped cap
+    n_bands = MINHASH_SEEDS // _ROWS_PER_BAND
+    assert stats["n_dropped_buckets"] == n_bands, stats
+    assert stats["max_bucket"] == 3 * MAX_BUCKET_SIZE // 2
+    assert stats["max_surviving_bucket"] <= MAX_BUCKET_SIZE
+
+    probe = recall_at_cap_probe(docs)
+    n_clique = 3 * MAX_BUCKET_SIZE // 2
+    clique_pairs = n_clique * (n_clique - 1) // 2
+    organic_pairs = 100
+    assert probe["n_truth_uncapped"] == clique_pairs + organic_pairs
+    capped = probe[str(MAX_BUCKET_SIZE)]
+    uncapped = probe["None"]
+    # uncapped LSH finds everything (identical docs share every bucket)
+    assert uncapped["recall"] == 1.0
+    # the cap drops exactly the clique: every organic pair survives
+    assert capped["n_hit"] == organic_pairs
+    assert abs(
+        capped["recall"] - organic_pairs / (clique_pairs + organic_pairs)
+    ) < 1e-6
+    # and the clique's loss is no loss at all for the PIPELINE: those
+    # docs are byte-identical, which q_dedup_exact removes upstream of
+    # any LSH pass — the cap only prices near-dup recall on content
+    # exact-dedup cannot fold
+
+
+def test_bucket_cap_derivation_matches_committed_measurement():
+    """The shipped MAX_BUCKET_SIZE must BE the derivation's output on
+    the committed fresh-content occupancy measurement — if a future
+    calibration measures a bigger organic tail, this ratchet demands
+    re-deriving the constant rather than silently outgrowing it."""
+    import json
+    from pathlib import Path
+
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        MAX_BUCKET_SIZE,
+        derive_bucket_cap,
+    )
+
+    cal = json.loads(
+        (Path(__file__).resolve().parents[1] / "bench_calibration.json")
+        .read_text()
+    )
+    fresh = cal["minhash_probe"]["sf1_fresh"]
+    assert derive_bucket_cap(fresh["max_bucket"]) == MAX_BUCKET_SIZE, fresh
+    # the replicated corpus's occupancy (the known 10-clique artifact)
+    # must also clear the cap, so the cap never bites a shipped corpus
+    assert cal["minhash_probe"]["sf1"]["max_bucket"] <= MAX_BUCKET_SIZE
+    lsh_cap = cal["minhash_probe"]["lsh_cap"]
+    assert lsh_cap["shipped_cap"] == MAX_BUCKET_SIZE
+    assert lsh_cap["derived_cap_from_fresh"] == MAX_BUCKET_SIZE
+    # recall-at-cap was recorded at both settings on an engaging fixture
+    rac = lsh_cap["skew_fixture_recall_at_cap"]
+    assert rac["None"]["recall"] == 1.0
+    assert 0 < rac[str(MAX_BUCKET_SIZE)]["recall"] < 1
