@@ -294,6 +294,18 @@ def main() -> None:
                 import shutil
 
                 shutil.rmtree(fresh_dir, ignore_errors=True)
+                # (re)load make_scale here: the sf1 branch above skips
+                # its load when sf1 is already built
+                ms_path = (
+                    Path(__file__).resolve().parent
+                    / "scripts"
+                    / "make_scale.py"
+                )
+                spec = importlib.util.spec_from_file_location(
+                    "make_scale", ms_path
+                )
+                ms = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(ms)
                 ms.build_fresh_docs(spark, sf_dir, fresh_dir, reps=10)
                 fresh_done.touch()
             minhash_probe = {
