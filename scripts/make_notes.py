@@ -78,14 +78,42 @@ def main() -> None:
               f"{b.get('candidate_pairs')} | {b.get('max_surviving_bucket')} |")
         print(f"| sf1 | {s1.get('n_buckets')} | {s1.get('n_dropped_buckets')} | "
               f"{s1.get('candidate_pairs')} | {s1.get('max_surviving_bucket')} |")
+        fresh = mp.get("sf1_fresh")
+        if fresh:
+            print(f"| sf1_fresh | {fresh.get('n_buckets')} | "
+                  f"{fresh.get('n_dropped_buckets')} | "
+                  f"{fresh.get('candidate_pairs')} | "
+                  f"{fresh.get('max_surviving_bucket')} |")
         if b.get("candidate_pairs"):
+            import sys
+
+            sys.path.insert(0, str(ROOT))
+            from dynamodb_streaming_datalake_spark.operators.dedup import (
+                MAX_BUCKET_SIZE,
+            )
+
             ratio = s1.get("candidate_pairs", 0) / max(1, b["candidate_pairs"])
             print(f"\nMeasured: capped candidate volume grows **{ratio:.0f}x** on the "
                   f"10x verbatim-replicated set — every document becomes a 10-clique, so "
                   f"TRUE pair volume is quadratic in the replication factor by definition "
                   f"of 'pairs'; the super-linear wall-clock ratio tracks output volume "
                   f"(zero buckets dropped, max bucket {s1.get('max_surviving_bucket')} "
-                  f"of cap 64), not a plan defect.")
+                  f"of cap {MAX_BUCKET_SIZE}), not a plan defect. The fresh-content 10x "
+                  f"corpus (sf1_fresh) measures the ORGANIC occupancy the cap is derived "
+                  f"from: max bucket {fresh.get('max_bucket') if fresh else '?'}, zero "
+                  f"drops — see minhash_probe.lsh_cap for the derivation and the "
+                  f"recall-at-cap record.")
+        lc = mp.get("lsh_cap")
+        if lc:
+            rac = lc.get("skew_fixture_recall_at_cap", {})
+            capped = rac.get(str(lc.get("shipped_cap")), {})
+            print(f"\nLSH cap evidence: shipped cap {lc.get('shipped_cap')} == derived "
+                  f"{lc.get('derived_cap_from_fresh')} (8x the fresh-content max "
+                  f"occupancy, power-of-two). Recall-at-cap on the engage fixture: "
+                  f"{capped.get('recall')} at the cap vs "
+                  f"{rac.get('None', {}).get('recall')} uncapped against "
+                  f"{rac.get('n_truth_uncapped')} uncapped-truth pairs "
+                  f"({capped.get('n_hit')} organic pairs all kept).")
 
 
 if __name__ == "__main__":
