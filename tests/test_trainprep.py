@@ -985,3 +985,31 @@ def test_bucket_cap_derivation_matches_committed_measurement():
     rac = lsh_cap["skew_fixture_recall_at_cap"]
     assert rac["None"]["recall"] == 1.0
     assert 0 < rac[str(MAX_BUCKET_SIZE)]["recall"] < 1
+
+
+def test_derive_bucket_cap_properties():
+    """The derivation's contract, property-tested: always a power of
+    two, never below the floor, always >= headroom x the measurement,
+    and monotone in the measurement (a bigger organic tail can only
+    raise the cap)."""
+    from hypothesis import given, strategies as st
+
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        BUCKET_CAP_FLOOR,
+        BUCKET_CAP_HEADROOM,
+        derive_bucket_cap,
+    )
+
+    @given(st.floats(min_value=0, max_value=1e6, allow_nan=False))
+    def check(x):
+        cap = derive_bucket_cap(x)
+        assert cap & (cap - 1) == 0 and cap > 0  # power of two
+        assert cap >= BUCKET_CAP_FLOOR
+        assert cap >= BUCKET_CAP_HEADROOM * max(1.0, x) / 2  # pow2 round-up
+        assert cap >= derive_bucket_cap(x / 2) if x > 0 else True
+
+    check()
+    # the committed design points, explicitly
+    assert derive_bucket_cap(9) == 128   # fresh-content 10x measurement
+    assert derive_bucket_cap(1) == 16    # floor engages
+    assert derive_bucket_cap(50) == 512  # the replicated-corpus artifact
