@@ -29,63 +29,15 @@ ORACLE: dict[str, str] = {}
 # silently eject a listed query from the window.
 #
 # PRIORITY derived by scripts/rotate_window.py from
-# CORRECTNESS_r*.json (latest: r15).  Do not hand-order;
+# CORRECTNESS_r*.json (latest: r16).  Do not hand-order;
 # regenerate after each driver round.  Derivation: the
-# 35 never-driver-proven names lead, then proofs
+# 2 never-driver-proven names lead, then proofs
 # ascending by round (stable tie-break: prior order).
 PRIORITY: tuple[str, ...] = (
     # -- never driver-proven --
-    "q_retractable_minmax",
-    "q_two_sample_ks",
-    "q_mann_whitney",
-    "q_cramers_v",
-    "q_drift_battery",
-    "q_mutual_information",
-    "q_pacf",
-    "q_forecast_backtest",
-    "q_hill_tail",
-    "q_vocab_chao1",
-    "q_capture_recapture",
-    "q_lsh_planner",
-    "q_weighted_reservoir",
-    "q_t_closeness",
-    "q_blocking_eval",
-    "q_isotonic_calibration",
-    "q_shard_rebalance",
-    "q_bandit_posterior",
-    "q_effect_size",
-    "q_jackknife_ratio",
-    "q_standardization",
-    "q_seq_gaps",
-    "q_interval_coalesce",
-    "q_seq_monitor",
-    "q_debounce",
-    "q_woe_iv",
-    "q_theilsen_slope",
-    "q_metric_bridge",
-    "q_simpson_scan",
-    "q_assoc_rules",
-    "q_multitouch_attribution",
-    "q_quantile_normalize",
-    "q_rfm_segments",
-    "q_join_order_dp",
-    "q_bandit_stream",
+    "q_scd2_from_patches",
+    "q_ri_audit_incr",
     # -- proven r10 --
-    "q_kcore",
-    "q_shortest_paths",
-    "q_degree_stats",
-    "q_tokenizer_eval",
-    "q_freshness_monitor",
-    "q_bloom_fpr_sweep",
-    "q_winsorize",
-    "q_seasonal_decompose",
-    "q_distinctive_terms",
-    "q_dedup_threshold_sweep",
-    "q_ann_tuning",
-    "q_matryoshka_eval",
-    "q_embedding_drift",
-    "q_group_split",
-    "q_l_diversity",
     "q_partition_advisor",
     "q_zonemap_prune",
     "q_theta_distinct",
@@ -375,6 +327,57 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_ivm_join",
+    # -- proven r16 --
+    "q_retractable_minmax",
+    "q_two_sample_ks",
+    "q_mann_whitney",
+    "q_cramers_v",
+    "q_drift_battery",
+    "q_mutual_information",
+    "q_pacf",
+    "q_forecast_backtest",
+    "q_hill_tail",
+    "q_vocab_chao1",
+    "q_capture_recapture",
+    "q_lsh_planner",
+    "q_weighted_reservoir",
+    "q_t_closeness",
+    "q_blocking_eval",
+    "q_isotonic_calibration",
+    "q_shard_rebalance",
+    "q_bandit_posterior",
+    "q_effect_size",
+    "q_jackknife_ratio",
+    "q_standardization",
+    "q_seq_gaps",
+    "q_interval_coalesce",
+    "q_seq_monitor",
+    "q_debounce",
+    "q_woe_iv",
+    "q_theilsen_slope",
+    "q_metric_bridge",
+    "q_simpson_scan",
+    "q_assoc_rules",
+    "q_multitouch_attribution",
+    "q_quantile_normalize",
+    "q_rfm_segments",
+    "q_join_order_dp",
+    "q_bandit_stream",
+    "q_kcore",
+    "q_shortest_paths",
+    "q_degree_stats",
+    "q_tokenizer_eval",
+    "q_freshness_monitor",
+    "q_bloom_fpr_sweep",
+    "q_winsorize",
+    "q_seasonal_decompose",
+    "q_distinctive_terms",
+    "q_dedup_threshold_sweep",
+    "q_ann_tuning",
+    "q_matryoshka_eval",
+    "q_embedding_drift",
+    "q_group_split",
+    "q_l_diversity",
 )
 
 
