@@ -39,6 +39,7 @@ capped behavior itself).
 from __future__ import annotations
 
 import math
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -77,6 +78,17 @@ MAX_BUCKET_SIZE = 128
 BUCKET_CAP_HEADROOM = 8
 #: never derive below this (tiny corpora measure tiny occupancy)
 BUCKET_CAP_FLOOR = 16
+#: sanity rail on the derivation (r16 ADVICE): a derived cap above this
+#: almost certainly means the occupancy measurement was polluted (a
+#: boilerplate clique or corrupt corpus leaking into the fresh-content
+#: probe), and silently shipping it would disable the cap^2
+#: candidate-join bound AND quadratically inflate the engage-fixture
+#: probes (lsh_skew_fixture builds a 1.5x-cap clique whose uncapped
+#: pair set is collected to the driver). derive_bucket_cap warns —
+#: rather than clamps — past this: the derivation stays monotone and
+#: pure, but the calibration review must explain the measurement
+#: before committing the constant.
+BUCKET_CAP_SANITY_CEILING = 2048
 
 
 def derive_bucket_cap(
@@ -96,9 +108,25 @@ def derive_bucket_cap(
     The cap exists to bound the candidate self-join's per-bucket
     output at cap^2 — far above the organic tail (dropping a bucket
     costs recall) but finite (one boilerplate bucket of size B
-    contributes B^2 candidates)."""
+    contributes B^2 candidates). Derivations past
+    ``BUCKET_CAP_SANITY_CEILING`` warn instead of shipping silently —
+    a measurement that big is a polluted probe until proven otherwise
+    (r16 ADVICE)."""
     target = max(floor, int(math.ceil(headroom * max(1.0, max_occupancy))))
-    return 1 << (target - 1).bit_length()
+    cap = 1 << (target - 1).bit_length()
+    if cap > BUCKET_CAP_SANITY_CEILING:
+        warnings.warn(
+            f"derive_bucket_cap({max_occupancy}) -> {cap} exceeds the "
+            f"sanity ceiling {BUCKET_CAP_SANITY_CEILING}; the occupancy "
+            "measurement is likely polluted (boilerplate clique in the "
+            "fresh-content probe?) — review before committing, and "
+            "shrink lsh_skew_fixture's clique multiplier first (probe "
+            "cost grows as cap^2)",
+            stacklevel=2,
+        )
+    return cap
+
+
 MINHASH_SEEDS = 16
 MINHASH_BANDS = 4
 SIMHASH_BITS = 60
@@ -1876,7 +1904,12 @@ def lsh_skew_fixture(spark: SparkSession) -> DataFrame:
     forms exceeds MAX_BUCKET_SIZE, so the cap provably engages) plus
     organic documents with small near-dup families the capped path
     must keep finding. Shared by the bench probe and the engage test
-    so both measure the same corpus."""
+    so both measure the same corpus. NOTE: the fixture's size — and
+    the cost of recall_at_cap_probe's uncapped exact-Jaccard truth
+    pass, which collects the clique's ~(1.5*cap)^2/2 pairs to the
+    driver — grows quadratically with MAX_BUCKET_SIZE; if a future
+    re-derivation raises the cap substantially, shrink the 3/2 clique
+    multiplier so the probe stays fixture-sized."""
     n_clique = 3 * MAX_BUCKET_SIZE // 2
     rows = [
         (i, "standard boilerplate footer repeated verbatim on every page")
@@ -1902,10 +1935,12 @@ def recall_at_cap_probe(
     """Measured recall price of the bucket cap, against UNCAPPED truth
     (bench_calibration.json:minhash_probe.lsh_cap). The registered
     q_dedup_eval's baseline drops shingles hotter than
-    MAX_SHINGLE_FREQ, and MAX_SHINGLE_FREQ == MAX_BUCKET_SIZE, so any
-    bucket large enough to trip the bucket cap is (on shared-shingle
-    corpora) already invisible to that baseline — measuring recall
-    against it would report zero cost BY CAP ALIGNMENT, not by merit.
+    MAX_SHINGLE_FREQ (64), and on shared-shingle corpora any band
+    bucket exceeding MAX_BUCKET_SIZE (128 > 64) implies shingles
+    hotter than MAX_SHINGLE_FREQ, so any bucket large enough to trip
+    the bucket cap is already invisible to that baseline — measuring
+    recall against it would report zero cost BY CAP DOMINANCE
+    (bucket cap >= shingle-freq cap), not by merit.
     This probe therefore compares each cap setting against the fully
     uncapped exact-Jaccard pair set. Probe-only: collects pair sets to
     the driver, so run it on fixture-sized corpora (the bench's skew

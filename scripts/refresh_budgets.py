@@ -36,7 +36,9 @@ Run TOGETHER with ``scripts/rotate_window.py`` at the top of each
 round:
 
     python scripts/rotate_window.py            # rotate + bump manifest
-    python bench.py                            # clean calibration run
+    python bench.py && cp bench_detail.json /tmp/run1.json
+    python bench.py                            # second run (noise rule)
+    python scripts/merge_bench.py /tmp/run1.json bench_detail.json
     python scripts/refresh_budgets.py          # regenerate budgets
     python scripts/refresh_budgets.py --check  # CI-style drift check
 
@@ -67,6 +69,12 @@ sys.path.insert(0, str(ROOT))
 RULE = "max(2*t_clean, 1.4*t_driver) + 0.3"
 SF1_RULE = "1.5*max(r_clean, r_driver) + 0.5"
 COMPILE_RULE = "2*c_clean + 1.0"
+# the fresh-content dedup rail has no driver twin (the driver benches
+# only the shipped sf dirs), so its rail derives from the clean run only
+SF1_FRESH_RULE = "1.5*r_clean + 0.5"
+# cold (construct-inclusive) wall: the driver's single-shot number IS a
+# cold wall for artifact-backed queries, so the driver floor applies
+COLD_RULE = "max(2*c_clean, 1.4*t_driver) + 0.3"
 
 
 def driver_floor_exclusions(root: Path = ROOT) -> set[str]:
@@ -98,6 +106,15 @@ def derive(detail: dict, driver: dict, exclude: set[str]) -> dict:
         q: round(2 * c + 1.0, 3)
         for q, c in sorted((detail.get("compile_sec") or {}).items())
     }
+    sf1_fresh = {
+        q: round(1.5 * r + 0.5, 2)
+        for q, r in sorted((detail.get("sf1_fresh_ratio") or {}).items())
+        if r is not None
+    }
+    cold_budgets = {}
+    for q, c in sorted((detail.get("cold_wall_sec") or {}).items()):
+        td = 0.0 if q in exclude else dq.get(q, 0.0)
+        cold_budgets[q] = round(max(2 * c, 1.4 * td) + 0.3, 3)
     return {
         "_comment": (
             "Per-query wall-clock budgets at sf{}: committed ratchet "
@@ -120,8 +137,12 @@ def derive(detail: dict, driver: dict, exclude: set[str]) -> dict:
         "budgets_sec": budgets,
         "sf1_ratio_rule": SF1_RULE,
         "sf1_ratio_budgets": sf1,
+        "sf1_fresh_ratio_rule": SF1_FRESH_RULE,
+        "sf1_fresh_ratio_budgets": sf1_fresh,
         "compile_rule": COMPILE_RULE,
         "compile_budgets_sec": compile_budgets,
+        "cold_wall_rule": COLD_RULE,
+        "cold_wall_budgets_sec": cold_budgets,
     }
 
 
@@ -201,6 +222,18 @@ def main(argv: list[str]) -> int:
             )
             if live["compile_sec"][q] > doc["compile_budgets_sec"][q]
         ]
+        # cold walls are single-shot by nature (rep 0 only), so their
+        # breaches are informational — printed, never gating
+        coldb = [
+            (q, live["cold_wall_sec"][q], doc["cold_wall_budgets_sec"][q])
+            for q in sorted(
+                set(live.get("cold_wall_sec", {}))
+                & set(doc.get("cold_wall_budgets_sec", {}))
+            )
+            if live["cold_wall_sec"][q] > doc["cold_wall_budgets_sec"][q]
+        ]
+        if coldb:
+            print(f"cold-wall overruns (informational): {coldb}")
         if bad or badc:
             print(f"LIVE wall breaches (query, measured, budget): {bad}")
             print(f"LIVE compile breaches (query, measured, budget): {badc}")

@@ -1013,3 +1013,27 @@ def test_derive_bucket_cap_properties():
     assert derive_bucket_cap(9) == 128   # fresh-content 10x measurement
     assert derive_bucket_cap(1) == 16    # floor engages
     assert derive_bucket_cap(50) == 512  # the replicated-corpus artifact
+
+
+def test_derive_bucket_cap_sanity_ceiling_warns():
+    """A polluted occupancy measurement (r16 ADVICE: e.g. a boilerplate
+    clique leaking into the fresh-content probe) must not silently
+    disable the cap^2 candidate-join bound: derivations past
+    BUCKET_CAP_SANITY_CEILING warn, in-contract ones stay silent."""
+    import warnings as _w
+
+    from dynamodb_streaming_datalake_spark.operators.dedup import (
+        BUCKET_CAP_HEADROOM,
+        BUCKET_CAP_SANITY_CEILING,
+        derive_bucket_cap,
+    )
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # any warning -> failure
+        assert derive_bucket_cap(9) == 128  # shipped design point: silent
+    polluted = 2 * BUCKET_CAP_SANITY_CEILING / BUCKET_CAP_HEADROOM
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        cap = derive_bucket_cap(polluted)
+    assert cap > BUCKET_CAP_SANITY_CEILING  # still monotone, not clamped
+    assert any("sanity ceiling" in str(c.message) for c in caught)
