@@ -997,38 +997,58 @@ _fmt(
         FROM events
     ),
     per_user AS (
+        -- x/y stay DECIMAL end-to-end: casting an inexact double
+        -- product to decimal is NOT portable (Spark converts via the
+        -- JVM's shortest-string repr, DuckDB via the exact binary
+        -- expansion — they disagree in the last decimal at 10x-bench
+        -- magnitude, r17 contract-stress tier). DECIMAL(19,6) forces
+        -- DuckDB's hugeint kernel so x*x is exact (the
+        -- q_autocorrelation precedent).
         SELECT user_id,
                {sql_portable_hash60(f"'{AB_SALT}:' || CAST(user_id AS VARCHAR)")}
                  % {AB_ARMS} AS arm,
                CAST(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < b.mid
                              THEN CAST(value AS DECIMAL(38,6))
                              ELSE CAST(0 AS DECIMAL(38,6)) END)
-                    AS DOUBLE) AS x,
+                    AS DECIMAL(19,6)) AS x,
                CAST(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= b.mid
                              THEN CAST(value AS DECIMAL(38,6))
                              ELSE CAST(0 AS DECIMAL(38,6)) END)
-                    AS DOUBLE) AS y
+                    AS DECIMAL(19,6)) AS y
         FROM events, bounds b
         GROUP BY user_id, arm
     ),
     arm_sums AS (
         SELECT arm,
                COUNT(*) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+               SUM(x) AS sx_d,
+               SUM(y) AS sy_d,
+               SUM(x * x) AS sxx_d,
+               SUM(y * y) AS syy_d,
+               SUM(x * y) AS sxy_d
         FROM per_user
         GROUP BY arm
     ),
     pooled AS (
-        SELECT arm, n, sx, sy, sxx, syy, sxy,
-               SUM(n)   OVER () AS np,
-               SUM(sx)  OVER () AS sxp,
-               SUM(sy)  OVER () AS syp,
-               SUM(sxx) OVER () AS sxxp,
-               SUM(sxy) OVER () AS sxyp
+        -- pooled sums fold DECIMALS, not doubles: a float fold over
+        -- the arms is association-ordered and its low bits diverge
+        -- cross-engine at 10x-bench magnitude (r17 contract-stress
+        -- tier caught var_cuped drifting in the 16th digit).
+        -- decimal->double goes THROUGH VARCHAR: DuckDB's direct cast
+        -- double-rounds (int128->double, then /10^scale — off by an
+        -- output ulp for unscaled values past 2^53), while strtod and
+        -- Spark's BigDecimal path round once.
+        SELECT arm, n,
+               CAST(CAST(sx_d  AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(sy_d  AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(sxx_d AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(syy_d AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(sxy_d AS VARCHAR) AS DOUBLE) AS sxy,
+               SUM(n)     OVER () AS np,
+               CAST(CAST(SUM(sx_d)  OVER () AS VARCHAR) AS DOUBLE) AS sxp,
+               CAST(CAST(SUM(sy_d)  OVER () AS VARCHAR) AS DOUBLE) AS syp,
+               CAST(CAST(SUM(sxx_d) OVER () AS VARCHAR) AS DOUBLE) AS sxxp,
+               CAST(CAST(SUM(sxy_d) OVER () AS VARCHAR) AS DOUBLE) AS sxyp
         FROM arm_sums
     ),
     calc AS (
@@ -1095,38 +1115,54 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("arm"),
         )
         .agg(
+            # x/y stay DECIMAL end-to-end — a double round-trip here is
+            # not portable (Spark's double->decimal cast goes through
+            # the JVM shortest-string repr, DuckDB's through the exact
+            # binary expansion; r17 contract-stress tier). (18,6)x(18,6)
+            # products are exact decimal(37,12) in Spark; the oracle
+            # uses DECIMAL(19,6) to force DuckDB's hugeint kernel.
             F.sum(
                 F.when(epoch < F.col("mid"), _d38(F.col("value"))).otherwise(
                     _d38(F.lit(0))
                 )
             )
-            .cast("double")
+            .cast("decimal(18,6)")
             .alias("x"),
             F.sum(
                 F.when(epoch >= F.col("mid"), _d38(F.col("value"))).otherwise(
                     _d38(F.lit(0))
                 )
             )
-            .cast("double")
+            .cast("decimal(18,6)")
             .alias("y"),
         )
     )
     arm_sums = per_user.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_d38(F.col("x"))).cast("double").alias("sx"),
-        F.sum(_d38(F.col("y"))).cast("double").alias("sy"),
-        F.sum(_d38(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
-        F.sum(_d38(F.col("y") * F.col("y"))).cast("double").alias("syy"),
-        F.sum(_d38(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum("x").alias("sx_d"),
+        F.sum("y").alias("sy_d"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_d"),
+        F.sum(F.col("y") * F.col("y")).alias("syy_d"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_d"),
     )
     w = Window.partitionBy()
+    # pooled sums fold DECIMALS, not doubles (r17 contract-stress
+    # tier: a float fold over arms diverges cross-engine in the 16th
+    # digit at 10x-bench magnitude); doubles appear only after the
+    # exact pooled fold
     pooled = arm_sums.select(
-        "*",
+        "arm",
+        "n",
+        F.col("sx_d").cast("double").alias("sx"),
+        F.col("sy_d").cast("double").alias("sy"),
+        F.col("sxx_d").cast("double").alias("sxx"),
+        F.col("syy_d").cast("double").alias("syy"),
+        F.col("sxy_d").cast("double").alias("sxy"),
         F.sum("n").over(w).alias("np"),
-        F.sum("sx").over(w).alias("sxp"),
-        F.sum("sy").over(w).alias("syp"),
-        F.sum("sxx").over(w).alias("sxxp"),
-        F.sum("sxy").over(w).alias("sxyp"),
+        F.sum("sx_d").over(w).cast("double").alias("sxp"),
+        F.sum("sy_d").over(w).cast("double").alias("syp"),
+        F.sum("sxx_d").over(w).cast("double").alias("sxxp"),
+        F.sum("sxy_d").over(w).cast("double").alias("sxyp"),
     )
     theta = (
         F.col("sxyp") - F.col("sxp") * F.col("syp") / F.col("np")
@@ -2280,41 +2316,41 @@ def _register_jackknife() -> None:
         WITH per_user AS (
             SELECT event_type, user_id,
                    CAST(SUM(CAST(value AS DECIMAL(38,6)))
-                        AS DECIMAL(18,6)) AS s_u,
+                        AS DECIMAL(28,6)) AS s_u,
                    CAST(COUNT(*) AS BIGINT) AS n_u
             FROM events GROUP BY event_type, user_id
         ),
         tot AS (
             SELECT event_type,
-                   CAST(SUM(s_u) AS DECIMAL(18,6)) AS s,
+                   CAST(SUM(s_u) AS DECIMAL(28,6)) AS s,
                    CAST(SUM(n_u) AS BIGINT) AS n,
                    CAST(COUNT(*) AS BIGINT) AS g
             FROM per_user GROUP BY event_type
         ),
         loo AS (
             SELECT p.event_type, t.s, t.n, t.g,
-                   CAST(round(CAST(t.s - p.s_u AS DOUBLE)
+                   CAST(round(CAST(CAST(t.s - p.s_u AS VARCHAR) AS DOUBLE)
                               / (t.n - p.n_u), 9)
-                        AS DECIMAL(18,9)) AS r_loo
+                        AS DECIMAL(28,9)) AS r_loo
             FROM per_user p JOIN tot t USING (event_type)
         ),
         rbar AS (
             SELECT event_type, s, n, g,
-                   CAST(SUM(r_loo) AS DOUBLE) / g AS rb
+                   CAST(CAST(SUM(r_loo) AS VARCHAR) AS DOUBLE) / g AS rb
             FROM loo GROUP BY event_type, s, n, g
         ),
         dev AS (
             SELECT loo.event_type, rbar.g, rbar.s, rbar.n,
-                   CAST(round((CAST(loo.r_loo AS DOUBLE) - rbar.rb)
-                              * (CAST(loo.r_loo AS DOUBLE) - rbar.rb),
-                              12) AS DECIMAL(18,12)) AS d2
+                   CAST(round((CAST(CAST(loo.r_loo AS VARCHAR) AS DOUBLE) - rbar.rb)
+                              * (CAST(CAST(loo.r_loo AS VARCHAR) AS DOUBLE) - rbar.rb),
+                              12) AS DECIMAL(38,12)) AS d2
             FROM loo JOIN rbar USING (event_type)
         )
         SELECT event_type,
                MAX(g) AS n_users,
-               round(CAST(MAX(s) AS DOUBLE) / MAX(n), 6) AS ratio,
+               round(CAST(CAST(MAX(s) AS VARCHAR) AS DOUBLE) / MAX(n), 6) AS ratio,
                round(sqrt((MAX(g) - 1.0) / MAX(g)
-                          * CAST(SUM(d2) AS DOUBLE)), 6) AS jk_se
+                          * CAST(CAST(SUM(d2) AS VARCHAR) AS DOUBLE)), 6) AS jk_se
         FROM dev GROUP BY event_type
         """,
     )
@@ -2328,6 +2364,14 @@ def _register_jackknife() -> None:
         squared deviations) is an exact decimal of rounded doubles,
         clearing float summation order across engines.
 
+        Caps (r17 contract-stress tier): s_u/s are DECIMAL(28,6),
+        r_loo DECIMAL(28,9), d2 DECIMAL(38,12) — at 10x-bench value
+        magnitude the squared deviations reach ~5e19, overflowing
+        the old (18,x) caps (DuckDB hard-errored, Spark NULLed) —
+        the exact q_pacf failure class, widened the same way. All
+        oracle decimal->double casts route through VARCHAR: DuckDB's
+        direct cast double-rounds past 2^53 unscaled (see q_cuped).
+
         Scale: one per-(type, user) aggregate, one |types|-row total
         frame broadcast back, one more aggregate — three
         map-side-combined shuffles bounded by user cardinality,
@@ -2335,12 +2379,12 @@ def _register_jackknife() -> None:
         ev = read_table(spark, sf_dir, "events")
         per_user = ev.groupBy("event_type", "user_id").agg(
             F.sum(F.col("value").cast("decimal(38,6)"))
-            .cast("decimal(18,6)")
+            .cast("decimal(28,6)")
             .alias("s_u"),
             F.count(F.lit(1)).cast("long").alias("n_u"),
         )
         tot = per_user.groupBy("event_type").agg(
-            F.sum("s_u").cast("decimal(18,6)").alias("s"),
+            F.sum("s_u").cast("decimal(28,6)").alias("s"),
             F.sum("n_u").cast("long").alias("n"),
             F.count(F.lit(1)).cast("long").alias("g"),
         )
@@ -2354,7 +2398,7 @@ def _register_jackknife() -> None:
                 / (F.col("n") - F.col("n_u")),
                 9,
             )
-            .cast("decimal(18,9)")
+            .cast("decimal(28,9)")
             .alias("r_loo"),
         )
         rbar = loo.groupBy("event_type", "s", "n", "g").agg(
@@ -2372,7 +2416,7 @@ def _register_jackknife() -> None:
                 * (F.col("r_loo").cast("double") - F.col("rb")),
                 12,
             )
-            .cast("decimal(18,12)")
+            .cast("decimal(38,12)")
             .alias("d2"),
         )
         return dev.groupBy("event_type").agg(

@@ -1,0 +1,237 @@
+"""Contract-stress parity tier (round-16 VERDICT #4).
+
+The driver found two genuine cross-engine bugs (q_pacf NULLing at 10x
+value magnitude, q_hill_tail diverging on all-ties) that the standard
+oracle gate could never catch: the shipped sf fixtures simply never
+reach those inputs. Both were "fixtures never stress the declared
+contract" defects. This tier generalizes the two ad-hoc pins in
+test_oracle_parity.py into a systematic sweep: every decimal-kernel /
+order-statistic query runs its FULL cross-engine comparison on mutated
+sf dirs that push the declared contract —
+
+- ``sf_mag``    events.value x3000 (≈8e14 decimal sums: every decimal
+                cap in the repo must hold at 10x-bench magnitude);
+- ``sf_ties``   events.value constant (all-ties: zero variance, one
+                distinct value, p1 == p99, D == 0, sd == 0 paths);
+- ``sf_onearm`` events.ts constant and BEFORE every split point
+                (empty second arm / single day: empty-group division
+                paths, self-join-over-one-point paths);
+- ``sf_onetype`` events.event_type constant (single-group paths for
+                grouped kernels and cross-group normalizers);
+- ``sf_oneflag`` lineitem.l_returnflag constant 'N' (single-outcome
+                supervision: WOE's empty bad cells must smooth, not
+                NULL);
+- ``sf_onestatus`` orders.o_orderstatus constant (degenerate 1xK
+                contingency: Cramér's V's min(r,c)-1 == 0 path).
+
+Parity — not any specific value — is the gate: whatever the engine
+returns on a degenerate input, the oracle must return the same thing,
+or the divergence gets a documented out-of-contract note (the q_pacf
+precedent). Fixture dirs build once per session (pyarrow rewrite keeps
+parquet TIMESTAMP(NANOS) physical types the oracle's casts rely on).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from dynamodb_streaming_datalake_spark.registry import all_oracle_sql, all_queries
+from dynamodb_streaming_datalake_spark.sources.readers import TABLES
+from tests.oracle_utils import compare_query
+
+QUERIES = all_queries()
+ORACLE = all_oracle_sql()
+
+SRC = "/root/testdata/sf0.001"
+
+
+def _clone_sf(tmp, name, table, mutate):
+    """Copy the sf0.001 tables into ``tmp/name``, rewriting one table
+    through ``mutate(arrow_table)`` with pyarrow (a Spark round-trip
+    would demote TIMESTAMP(NANOS) to BIGINT and break oracle casts)."""
+    import pyarrow.parquet as pq
+
+    dst = tmp / name
+    dst.mkdir()
+    for t in TABLES:
+        shutil.copy(f"{SRC}/{t}.parquet", dst / f"{t}.parquet")
+    tbl = pq.read_table(f"{SRC}/{table}.parquet")
+    pq.write_table(mutate(tbl), str(dst / f"{table}.parquet"))
+    return str(dst)
+
+
+@pytest.fixture(scope="session")
+def stress_dirs(tmp_path_factory):
+    """All six stress dirs, built once per session."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tmp = tmp_path_factory.mktemp("contract_stress")
+
+    def scale_value(tbl):
+        i = tbl.schema.get_field_index("value")
+        return tbl.set_column(
+            i, "value", pc.multiply(tbl.column("value"), pa.scalar(3000.0))
+        )
+
+    def const_value(tbl):
+        i = tbl.schema.get_field_index("value")
+        return tbl.set_column(
+            i, "value", pa.array([5.0] * len(tbl), type=pa.float64())
+        )
+
+    def const_ts(tbl):
+        # one instant, before KS_SPLIT (2024-01-16) and every other
+        # period split: second arm empty, a single observed day
+        i = tbl.schema.get_field_index("ts")
+        one = np.full(len(tbl), np.datetime64("2024-01-05T12:00:00", "ns"))
+        return tbl.set_column(
+            i, "ts", pa.array(one, type=tbl.schema.field("ts").type)
+        )
+
+    def const_type(tbl):
+        i = tbl.schema.get_field_index("event_type")
+        return tbl.set_column(
+            i, "event_type", pa.array(["click"] * len(tbl), type=pa.string())
+        )
+
+    def const_flag(tbl):
+        i = tbl.schema.get_field_index("l_returnflag")
+        return tbl.set_column(
+            i, "l_returnflag", pa.array(["N"] * len(tbl), type=pa.string())
+        )
+
+    def const_status(tbl):
+        i = tbl.schema.get_field_index("o_orderstatus")
+        return tbl.set_column(
+            i, "o_orderstatus", pa.array(["O"] * len(tbl), type=pa.string())
+        )
+
+    return {
+        "sf_mag": _clone_sf(tmp, "sf_mag", "events", scale_value),
+        "sf_ties": _clone_sf(tmp, "sf_ties", "events", const_value),
+        "sf_onearm": _clone_sf(tmp, "sf_onearm", "events", const_ts),
+        "sf_onetype": _clone_sf(tmp, "sf_onetype", "events", const_type),
+        "sf_oneflag": _clone_sf(tmp, "sf_oneflag", "lineitem", const_flag),
+        "sf_onestatus": _clone_sf(tmp, "sf_onestatus", "orders", const_status),
+    }
+
+
+#: the events.value decimal-kernel / order-statistic family: full
+#: parity at 10x magnitude AND under all-ties. q_pacf / q_hill_tail /
+#: q_exact_quantile_twopass / q_grouped_weighted_quantile keep their
+#: original dedicated pins in test_oracle_parity.py.
+VALUE_KERNELS = (
+    "q_winsorize",
+    "q_effect_size",
+    "q_jackknife_ratio",
+    "q_theilsen_slope",
+    "q_two_sample_ks",
+    "q_mann_whitney",
+    "q_event_moments",
+    "q_user_value_deciles",
+    "q_equidepth_histogram",
+    "q_anomaly_zscore",
+    "q_gini_coefficient",
+    "q_mad_outliers",
+    "q_histogram_drift",
+    "q_drift_battery",
+    "q_ab_test",
+    "q_cuped",
+    "q_standardization",
+    "q_changepoint",
+    "q_quantile_normalize",
+    "q_autocorrelation",
+    "q_holt_trend",
+    "q_ewma_user_value",
+    "q_seasonal_decompose",
+    "q_interp_linear",
+    "q_benford_audit",
+    "q_histogram_value",
+    "q_linreg_train",
+    "q_linreg_cv",
+    "q_grouped_forecast",
+    "q_power_mde",
+    "q_bootstrap_ci",
+)
+
+#: time-axis kernels additionally stressed with a single observed
+#: instant (empty second arm / single day / zero-lag series)
+TIME_KERNELS = (
+    "q_two_sample_ks",
+    "q_mann_whitney",
+    "q_theilsen_slope",
+    "q_changepoint",
+    "q_autocorrelation",
+    "q_pacf",
+    "q_seasonal_decompose",
+    "q_holt_trend",
+    "q_drift_battery",
+    "q_histogram_drift",
+    "q_cuped",
+    "q_diff_in_diff",
+)
+
+#: grouped kernels additionally stressed with a single group (the
+#: cross-group normalizer / single-partition paths)
+GROUP_KERNELS = (
+    "q_winsorize",
+    "q_effect_size",
+    "q_jackknife_ratio",
+    "q_theilsen_slope",
+    "q_quantile_normalize",
+    "q_drift_battery",
+    "q_event_moments",
+    "q_grouped_forecast",
+    "q_standardization",
+)
+
+#: queries whose documented contract EXCLUDES a stress axis — each
+#: entry needs a reason string; the sweep skips them loudly instead of
+#: silently passing a weaker check. (Empty: every kernel currently
+#: holds full parity on every axis it's swept on. The q_pacf
+#: magnitude/onearm contract notes live in its docstring and its
+#: dedicated pins.)
+OUT_OF_CONTRACT: dict[tuple[str, str], str] = {}
+
+
+def _sweep(spark, d, name):
+    key = (name, d.rsplit("/", 1)[-1])
+    if key in OUT_OF_CONTRACT:
+        pytest.skip(f"documented out-of-contract: {OUT_OF_CONTRACT[key]}")
+    compare_query(spark, d, name, QUERIES[name], ORACLE[name])
+
+
+@pytest.mark.parametrize("name", VALUE_KERNELS)
+def test_stress_magnitude(spark, stress_dirs, name):
+    _sweep(spark, stress_dirs["sf_mag"], name)
+
+
+@pytest.mark.parametrize("name", VALUE_KERNELS)
+def test_stress_all_ties(spark, stress_dirs, name):
+    _sweep(spark, stress_dirs["sf_ties"], name)
+
+
+@pytest.mark.parametrize("name", TIME_KERNELS)
+def test_stress_one_arm(spark, stress_dirs, name):
+    _sweep(spark, stress_dirs["sf_onearm"], name)
+
+
+@pytest.mark.parametrize("name", GROUP_KERNELS)
+def test_stress_one_group(spark, stress_dirs, name):
+    _sweep(spark, stress_dirs["sf_onetype"], name)
+
+
+@pytest.mark.parametrize("name", ("q_woe_iv",))
+def test_stress_single_outcome(spark, stress_dirs, name):
+    _sweep(spark, stress_dirs["sf_oneflag"], name)
+
+
+@pytest.mark.parametrize(
+    "name", ("q_cramers_v", "q_fd_audit", "q_mutual_information")
+)
+def test_stress_degenerate_contingency(spark, stress_dirs, name):
+    _sweep(spark, stress_dirs["sf_onestatus"], name)
