@@ -156,6 +156,16 @@ VALUE_KERNELS = (
     "q_grouped_forecast",
     "q_power_mde",
     "q_bootstrap_ci",
+    # round-17 second sweep: the remaining events.value consumers with
+    # decimal or order-statistic kernels
+    "q_lift_deciles",
+    "q_srm_check",
+    "q_sprt_monitor",
+    "q_conformal_calibrate",
+    "q_bandit_posterior",
+    "q_diff_in_diff",
+    "q_ohlc_bars",
+    "q_gap_fill_hourly",
 )
 
 #: time-axis kernels additionally stressed with a single observed
@@ -173,6 +183,13 @@ TIME_KERNELS = (
     "q_histogram_drift",
     "q_cuped",
     "q_diff_in_diff",
+    # round-17 second sweep: duration / bar / interpolation kernels
+    # collapse to a single observed instant
+    "q_survival_km",
+    "q_sessionize",
+    "q_ohlc_bars",
+    "q_gap_fill_hourly",
+    "q_sprt_monitor",
 )
 
 #: grouped kernels additionally stressed with a single group (the
