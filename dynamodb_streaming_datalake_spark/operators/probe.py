@@ -490,11 +490,17 @@ OUT_TOP = 20
         FROM diag
     ),
     z AS (
+        -- zero-variance dimensions contribute 0, not 0/0: a constant
+        -- dim carries no outlier information, and ungated the engines
+        -- diverge on it (Spark 0.0/0.0 -> NaN, DuckDB -> NULL and
+        -- list_dot_product then hard-errors; r17 contract-stress
+        -- zero-vector sweep)
         SELECT e.vec_id, e.label,
                list_transform(
                    generate_series(1, {DIM}),
-                   i -> (CAST(e.embedding[i] AS DOUBLE) - a.m_arr[i])
-                        / a.s_arr[i]) AS zv
+                   i -> CASE WHEN a.s_arr[i] = 0 THEN 0.0
+                        ELSE (CAST(e.embedding[i] AS DOUBLE) - a.m_arr[i])
+                             / a.s_arr[i] END) AS zv
         FROM embeddings e, arrs a
     )
     SELECT vec_id, label,
@@ -546,7 +552,13 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ad = F.col("embedding").cast("array<double>")
     zm = F.zip_with(ad, F.col("m_arr"), lambda x, m: x - m)
-    zv = F.zip_with(zm, F.col("s_arr"), lambda x, s: x / s)
+    # zero-variance dims contribute 0, not 0/0 (NaN) — mirrors the
+    # oracle's CASE; r17 contract-stress zero-vector sweep
+    zv = F.zip_with(
+        zm,
+        F.col("s_arr"),
+        lambda x, s: F.when(s == 0, F.lit(0.0)).otherwise(x / s),
+    )
     dist = F.aggregate(
         F.transform(zv, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
     )

@@ -252,3 +252,85 @@ def test_stress_single_outcome(spark, stress_dirs, name):
 )
 def test_stress_degenerate_contingency(spark, stress_dirs, name):
     _sweep(spark, stress_dirs["sf_onestatus"], name)
+
+
+# ---------------------------------------------------------------------------
+# third axis (round 17, second half): degenerate documents / embeddings
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="session")
+def doc_stress_dirs(tmp_path_factory):
+    """sf_emptydoc: every documents.text is the empty string (empty
+    shingle sets, zero token counts, zero-length division paths).
+    sf_zerovec: every embedding is the zero vector (zero norms: every
+    cosine/normalize kernel's division-by-zero path)."""
+    import pyarrow as pa
+
+    tmp = tmp_path_factory.mktemp("doc_stress")
+
+    def empty_text(tbl):
+        i = tbl.schema.get_field_index("text")
+        tbl = tbl.set_column(
+            i, "text", pa.array([""] * len(tbl), type=pa.string())
+        )
+        j = tbl.schema.get_field_index("n_chars")
+        return tbl.set_column(
+            j, "n_chars", pa.array([0] * len(tbl), type=pa.int64())
+        )
+
+    def zero_vec(tbl):
+        i = tbl.schema.get_field_index("embedding")
+        col = tbl.column("embedding").combine_chunks()
+        dim = len(col[0]) if len(col) else 0
+        zeros = pa.array(
+            [[0.0] * dim] * len(tbl), type=pa.list_(pa.float32())
+        )
+        return tbl.set_column(i, "embedding", zeros)
+
+    return {
+        "sf_emptydoc": _clone_sf(tmp, "sf_emptydoc", "documents", empty_text),
+        "sf_zerovec": _clone_sf(tmp, "sf_zerovec", "embeddings", zero_vec),
+    }
+
+
+#: text/dedup kernels swept on the all-empty-text corpus: empty shingle
+#: and token sets must produce the SAME empty/zero/NULL frames on both
+#: engines, never a division error
+EMPTY_DOC_KERNELS = (
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_text_repetition",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_tfidf_terms",
+    "q_top_words",
+    "q_token_entropy",
+    "q_zipf_fit",
+    "q_lang_distribution",
+    "q_vocab_growth",
+    "q_token_budget",
+)
+
+#: embedding kernels swept on the all-zero-vector corpus: zero norms
+#: hit every cosine denominator
+ZERO_VEC_KERNELS = (
+    "q_dedup_embedding",
+    "q_embedding_outliers",
+    "q_embedding_covariance",
+    "q_ann_topk",
+    "q_semdedup",
+    "q_random_projection",
+    "q_embedding_quantize",
+)
+
+
+@pytest.mark.parametrize("name", EMPTY_DOC_KERNELS)
+def test_stress_empty_documents(spark, doc_stress_dirs, name):
+    _sweep(spark, doc_stress_dirs["sf_emptydoc"], name)
+
+
+@pytest.mark.parametrize("name", ZERO_VEC_KERNELS)
+def test_stress_zero_embeddings(spark, doc_stress_dirs, name):
+    _sweep(spark, doc_stress_dirs["sf_zerovec"], name)
