@@ -1587,12 +1587,17 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "p_lo", "p_hi")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("value") < F.col("p_lo")).cast("long")).alias(
-                "n_clip_lo"
-            ),
-            F.sum((F.col("value") > F.col("p_hi")).cast("long")).alias(
-                "n_clip_hi"
-            ),
+            # when/otherwise, not a boolean cast: on an all-NULL group
+            # (NULL percentiles) the comparison is NULL per row, and a
+            # cast-sum would return NULL where the oracle's CASE counts
+            # 0 — zero rows clipped is the honest count (r17
+            # contract-stress all-NULL sweep)
+            F.sum(
+                F.when(F.col("value") < F.col("p_lo"), 1).otherwise(0)
+            ).alias("n_clip_lo"),
+            F.sum(
+                F.when(F.col("value") > F.col("p_hi"), 1).otherwise(0)
+            ).alias("n_clip_hi"),
             F.sum(F.col("value").cast(DEC38)).cast("double").alias("sraw"),
             F.sum(clipped.cast(DEC38)).cast("double").alias("swins"),
         )

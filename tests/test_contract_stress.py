@@ -110,6 +110,20 @@ def stress_dirs(tmp_path_factory):
             i, "o_orderstatus", pa.array(["O"] * len(tbl), type=pa.string())
         )
 
+    def null_value(tbl):
+        # every metric value NULL: aggregates over zero non-null rows,
+        # NULL percentiles, empty ECDFs — the all-dropped-sensor shape
+        i = tbl.schema.get_field_index("value")
+        return tbl.set_column(
+            i, "value", pa.array([None] * len(tbl), type=pa.float64())
+        )
+
+    def negate_value(tbl):
+        # all values strictly negative: log/sqrt/leading-digit paths
+        i = tbl.schema.get_field_index("value")
+        v = pc.subtract(pa.scalar(0.0), pc.abs(tbl.column("value")))
+        return tbl.set_column(i, "value", pc.subtract(v, pa.scalar(1.0)))
+
     return {
         "sf_mag": _clone_sf(tmp, "sf_mag", "events", scale_value),
         "sf_ties": _clone_sf(tmp, "sf_ties", "events", const_value),
@@ -117,6 +131,8 @@ def stress_dirs(tmp_path_factory):
         "sf_onetype": _clone_sf(tmp, "sf_onetype", "events", const_type),
         "sf_oneflag": _clone_sf(tmp, "sf_oneflag", "lineitem", const_flag),
         "sf_onestatus": _clone_sf(tmp, "sf_onestatus", "orders", const_status),
+        "sf_nulls": _clone_sf(tmp, "sf_nulls", "events", null_value),
+        "sf_negative": _clone_sf(tmp, "sf_negative", "events", negate_value),
     }
 
 
@@ -230,6 +246,16 @@ def test_stress_magnitude(spark, stress_dirs, name):
 @pytest.mark.parametrize("name", VALUE_KERNELS)
 def test_stress_all_ties(spark, stress_dirs, name):
     _sweep(spark, stress_dirs["sf_ties"], name)
+
+
+@pytest.mark.parametrize("name", VALUE_KERNELS)
+def test_stress_all_null(spark, stress_dirs, name):
+    _sweep(spark, stress_dirs["sf_nulls"], name)
+
+
+@pytest.mark.parametrize("name", VALUE_KERNELS)
+def test_stress_all_negative(spark, stress_dirs, name):
+    _sweep(spark, stress_dirs["sf_negative"], name)
 
 
 @pytest.mark.parametrize("name", TIME_KERNELS)
