@@ -46,13 +46,20 @@ def davg(c: Column, alias: str) -> Column:
 
 
 def _sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+    # decimal->double routes through VARCHAR: DuckDB's direct cast
+    # double-rounds (int128->double, then /10^scale) once the unscaled
+    # sum passes 2^53 — off by one output ulp vs Spark's single-rounded
+    # BigDecimal path (r17 contract-stress price-magnitude sweep on q1)
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS VARCHAR)"
+        f" AS DOUBLE) AS {alias}"
+    )
 
 
 def _sql_davg(expr: str, alias: str) -> str:
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
-        f" / COUNT(*) AS {alias}"
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS VARCHAR)"
+        f" AS DOUBLE) / COUNT(*) AS {alias}"
     )
 
 

@@ -110,6 +110,16 @@ def stress_dirs(tmp_path_factory):
             i, "o_orderstatus", pa.array(["O"] * len(tbl), type=pa.string())
         )
 
+    def scale_price(tbl):
+        # l_extendedprice x3000: the TPC-H revenue aggregates' decimal
+        # caps at 10x-bench money magnitude
+        i = tbl.schema.get_field_index("l_extendedprice")
+        return tbl.set_column(
+            i,
+            "l_extendedprice",
+            pc.multiply(tbl.column("l_extendedprice"), pa.scalar(3000.0)),
+        )
+
     def null_value(tbl):
         # every metric value NULL: aggregates over zero non-null rows,
         # NULL percentiles, empty ECDFs — the all-dropped-sensor shape
@@ -133,6 +143,7 @@ def stress_dirs(tmp_path_factory):
         "sf_onestatus": _clone_sf(tmp, "sf_onestatus", "orders", const_status),
         "sf_nulls": _clone_sf(tmp, "sf_nulls", "events", null_value),
         "sf_negative": _clone_sf(tmp, "sf_negative", "events", negate_value),
+        "sf_price": _clone_sf(tmp, "sf_price", "lineitem", scale_price),
     }
 
 
@@ -271,6 +282,28 @@ def test_stress_one_group(spark, stress_dirs, name):
 @pytest.mark.parametrize("name", ("q_woe_iv",))
 def test_stress_single_outcome(spark, stress_dirs, name):
     _sweep(spark, stress_dirs["sf_oneflag"], name)
+
+
+#: revenue/money decimal kernels swept at 3000x l_extendedprice — the
+#: TPC-H headline aggregates' caps at 10x-bench money magnitude
+PRICE_KERNELS = (
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q_rfm_segments",
+    "q_metric_bridge",
+    "q_simpson_scan",
+    "q_grouped_weighted_quantile",
+    "q_topk_orders",
+)
+
+
+@pytest.mark.parametrize("name", PRICE_KERNELS)
+def test_stress_price_magnitude(spark, stress_dirs, name):
+    _sweep(spark, stress_dirs["sf_price"], name)
 
 
 @pytest.mark.parametrize(
