@@ -288,6 +288,13 @@ def test_stress_single_outcome(spark, stress_dirs, name):
 #: TPC-H headline aggregates' caps at 10x-bench money magnitude
 PRICE_KERNELS = (
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q15_top_supplier",
     "q6_forecast_revenue",
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
