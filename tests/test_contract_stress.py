@@ -144,6 +144,11 @@ def stress_dirs(tmp_path_factory):
         "sf_nulls": _clone_sf(tmp, "sf_nulls", "events", null_value),
         "sf_negative": _clone_sf(tmp, "sf_negative", "events", negate_value),
         "sf_price": _clone_sf(tmp, "sf_price", "lineitem", scale_price),
+        # a single surviving event row: every n-1 variance denominator,
+        # single-sample std, one-point regression/series path
+        "sf_onerow": _clone_sf(
+            tmp, "sf_onerow", "events", lambda tbl: tbl.slice(0, 1)
+        ),
     }
 
 
@@ -267,6 +272,11 @@ def test_stress_all_null(spark, stress_dirs, name):
 @pytest.mark.parametrize("name", VALUE_KERNELS)
 def test_stress_all_negative(spark, stress_dirs, name):
     _sweep(spark, stress_dirs["sf_negative"], name)
+
+
+@pytest.mark.parametrize("name", VALUE_KERNELS)
+def test_stress_single_row(spark, stress_dirs, name):
+    _sweep(spark, stress_dirs["sf_onerow"], name)
 
 
 @pytest.mark.parametrize("name", TIME_KERNELS)
