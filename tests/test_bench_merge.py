@@ -120,3 +120,35 @@ def test_committed_calibration_carries_merge_provenance():
     assert doc.get("sf1_flagships")
     assert doc.get("sf1_samples")
     assert doc.get("sf1_fresh_flagships")
+
+
+def test_merge_properties_idempotent_and_monotone():
+    """Property contract of the min-merge: merging a run with itself
+    is the identity on every timing map; merged timings never exceed
+    any contributing run's; merge is order-insensitive."""
+    from hypothesis import given, settings, strategies as st
+
+    mb = _load("merge_bench_prop", "scripts/merge_bench.py")
+
+    t = st.floats(min_value=0.001, max_value=100, allow_nan=False)
+    qmap = st.dictionaries(
+        st.sampled_from(["qa", "qb", "qc"]), t.map(lambda x: round(x, 3)),
+        min_size=1,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(qmap, qmap)
+    def check(m1, m2):
+        r1 = {"sf": 0.1, "queries": m1, "sf1_flagships": dict(m1)}
+        r2 = {"sf": 0.1, "queries": m2, "sf1_flagships": dict(m2)}
+        self_merged = mb.merge([r1, dict(r1)])
+        assert self_merged["queries"] == dict(sorted(m1.items()))
+        ab = mb.merge([r1, r2])
+        ba = mb.merge([r2, r1])
+        assert ab["queries"] == ba["queries"]
+        for q, v in ab["queries"].items():
+            assert v <= m1.get(q, float("inf"))
+            assert v <= m2.get(q, float("inf"))
+            assert v == min(m1.get(q, float("inf")), m2.get(q, float("inf")))
+
+    check()
