@@ -2589,3 +2589,1241 @@ def _register_standardization() -> None:
 
 
 _register_standardization()
+
+
+# ---------------------------------------------------------------------------
+# randomization inference: the permutation test — round 17
+# ---------------------------------------------------------------------------
+# q_ab_test's z-score leans on a normal approximation; the assumption-
+# free readout is Fisher's randomization test: re-randomize the arm
+# assignment many times, recompute the statistic under each
+# re-randomization, and read the p-value off the permutation
+# distribution. The classical obstacle to running this distributed is
+# the RNG; the fix is the same one q_ab_test uses for assignment —
+# each "permutation" is a fresh salted hash bucketing (exchangeable
+# under the null by the same argument that makes the real assignment
+# uniform), so every engine replays the identical 64 re-assignments
+# with no random state at all.
+
+#: permutation-test salt (distinct from AB_SALT so re-assignments are
+#: independent of the real experiment's buckets).
+PERM_SALT = "perm-events-v1"
+
+#: number of hash re-randomizations (r = 1..PERM_R; r = 0 is the
+#: observed assignment).
+PERM_R = 64
+
+
+@query(
+    "q_permutation_test",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(28,6))
+                 AS metric
+        FROM events GROUP BY user_id
+    ),
+    assign AS (
+        SELECT u.metric, t.r,
+               CASE WHEN t.r = 0 THEN
+                 {sql_portable_hash60(f"'{AB_SALT}:' || CAST(u.user_id AS VARCHAR)")}
+                 % {AB_ARMS}
+               ELSE
+                 {sql_portable_hash60(f"'{PERM_SALT}:' || CAST(t.r AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR)")}
+                 % {AB_ARMS}
+               END AS arm
+        FROM per_user u CROSS JOIN generate_series(0, {PERM_R}) t(r)
+    ),
+    cells AS (
+        SELECT r, arm,
+               CAST(SUM(metric) AS DECIMAL(38,6)) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM assign GROUP BY r, arm
+    ),
+    diffs AS (
+        SELECT r,
+               CAST(CAST(MAX(CASE WHEN arm = 1 THEN s END) AS VARCHAR)
+                    AS DOUBLE) / MAX(CASE WHEN arm = 1 THEN n END)
+               - CAST(CAST(MAX(CASE WHEN arm = 0 THEN s END) AS VARCHAR)
+                      AS DOUBLE) / MAX(CASE WHEN arm = 0 THEN n END) AS d
+        FROM cells GROUP BY r
+    ),
+    obs AS (SELECT d AS d_obs, abs(d) AS stat_obs FROM diffs WHERE r = 0),
+    perm AS (SELECT abs(d) AS stat_r FROM diffs WHERE r >= 1)
+    SELECT (SELECT COUNT(*) FROM per_user) AS n_users,
+           CAST(COUNT(stat_r) AS BIGINT) AS r_valid,
+           round(MAX(o.d_obs), 6) AS obs_diff,
+           CAST(COUNT(CASE WHEN stat_r >= o.stat_obs THEN 1 END)
+                AS BIGINT) AS n_ge,
+           CASE WHEN MAX(o.stat_obs) IS NOT NULL THEN
+             round((1.0 + COUNT(CASE WHEN stat_r >= o.stat_obs THEN 1 END))
+                   / (1.0 + COUNT(stat_r)), 6)
+           END AS p_value
+    FROM perm CROSS JOIN obs o
+    """,
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher randomization test for the per-user total-value metric:
+    the observed arm diff (q_ab_test's assignment, r = 0) against the
+    permutation distribution of {PERM_R} salted hash re-assignments
+    (r = 1..{PERM_R}); p = (1 + #{{r : |diff_r| >= |diff_obs|}})
+    / (1 + r_valid) — the standard add-one randomization p-value,
+    assumption-free where q_ab_test's z leans on normality. Hash
+    re-bucketing replaces the RNG, so every engine replays the exact
+    same {PERM_R} re-randomizations deterministically.
+
+    Permutations where an arm comes up empty (possible only on
+    near-empty fixtures) have an undefined diff and drop out of both
+    the numerator and the denominator (r_valid); when the OBSERVED
+    assignment itself has an empty arm, obs_diff and p_value are NULL
+    by contract.
+
+    Numerics: per-(r, arm) sums fold exact decimals; every mean and
+    the |diff_r| >= |diff_obs| comparison evaluate identical double
+    trees on both engines (oracle decimal->double via VARCHAR), so
+    the permutation counts match exactly, not merely closely.
+
+    Scale: the events pass is ONE per-user aggregate; the x{PERM_R}
+    blow-up happens on the user frame only and map-side-combines
+    straight into 2x{PERM_R} cells — adding permutations adds rows to
+    a users-sized frame, never another events scan."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(_d38(F.col("value"))).cast("decimal(28,6)").alias("metric")
+    )
+    uid = F.col("user_id").cast("string")
+    obs_arm = portable_hash60(F.concat(F.lit(f"{AB_SALT}:"), uid)) % AB_ARMS
+    perm_arm = (
+        portable_hash60(
+            F.concat(
+                F.lit(f"{PERM_SALT}:"),
+                F.col("r").cast("string"),
+                F.lit(":"),
+                uid,
+            )
+        )
+        % AB_ARMS
+    )
+    assign = per_user.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(PERM_R)))
+    ).select(
+        "metric",
+        "r",
+        F.when(F.col("r") == 0, obs_arm).otherwise(perm_arm).alias("arm"),
+    )
+    cells = assign.groupBy("r", "arm").agg(
+        F.sum("metric").cast("decimal(38,6)").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    is1, is0 = F.col("arm") == 1, F.col("arm") == 0
+    # every user is assigned an arm at every r, so sum(n) per r IS the
+    # user count — no second events lineage for it
+    diffs = cells.groupBy("r").agg(
+        (
+            F.max(F.when(is1, F.col("s"))).cast("double")
+            / F.max(F.when(is1, F.col("n")))
+            - F.max(F.when(is0, F.col("s"))).cast("double")
+            / F.max(F.when(is0, F.col("n")))
+        ).alias("d"),
+        F.sum("n").cast("long").alias("nu_r"),
+    )
+    # single-lineage finish: the observed stat joins the permutation
+    # rows through one window over the (PERM_R + 1)-row frame, so the
+    # events subtree is computed once (no obs/perm re-computation)
+    wall = Window.partitionBy()
+    w = diffs.withColumn(
+        "d_obs", F.max(F.when(F.col("r") == 0, F.col("d"))).over(wall)
+    )
+    perm = w.where(F.col("r") >= 1)
+    stat_r, stat_obs = F.abs(F.col("d")), F.abs(F.col("d_obs"))
+    n_ge = F.count(F.when(stat_r >= stat_obs, F.lit(1)))
+    return perm.agg(
+        F.coalesce(F.max("nu_r"), F.lit(0))
+        .cast("long")
+        .alias("n_users"),
+        F.count("d").cast("long").alias("r_valid"),
+        F.round(F.max("d_obs"), 6).alias("obs_diff"),
+        n_ge.cast("long").alias("n_ge"),
+        F.when(
+            F.max(stat_obs).isNotNull(),
+            F.round((1.0 + n_ge) / (1.0 + F.count("d")), 6),
+        ).alias("p_value"),
+    )
+
+
+_fmt(q_permutation_test, PERM_R=PERM_R)
+
+
+# ---------------------------------------------------------------------------
+# cluster-robust standard errors + design effect — round 17
+# ---------------------------------------------------------------------------
+# q_ab_test randomizes USERS but its per-user metric collapses each
+# cluster first; the complementary production hazard is the analyst
+# who computes the naive per-EVENT z when the randomization unit is
+# the user — events within a user correlate, the iid SE understates,
+# and "significant" results evaporate on rerun. The standard readout
+# is the one-way cluster-robust (Liang-Zeger) variance next to the
+# naive one, and their ratio — the design effect — which quantifies
+# exactly how wrong the naive analysis is.
+
+
+def _register_cluster_se() -> None:
+    from pyspark.sql import Window
+
+    @query(
+        "q_cluster_robust_se",
+        oracle=f"""
+        WITH per_user AS (
+            SELECT {sql_portable_hash60(f"'{AB_SALT}:' || CAST(user_id AS VARCHAR)")}
+                     % {AB_ARMS} AS arm,
+                   user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_u,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(18,6))
+                     AS s_u,
+                   CAST(SUM(CAST(round(value * value, 12)
+                                 AS DECIMAL(38,12))) AS DECIMAL(38,12))
+                     AS ss_u
+            FROM events GROUP BY arm, user_id
+        ),
+        tot AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS g,
+                   CAST(SUM(n_u) AS BIGINT) AS n,
+                   CAST(SUM(s_u) AS DECIMAL(38,6)) AS s,
+                   CAST(SUM(ss_u) AS DECIMAL(38,12)) AS ss,
+                   -- the (19,6) cast forces DuckDB's hugeint multiply
+                   -- path: two DECIMAL(18)s multiply on int64 mantissas
+                   -- and overflow at |s_u| > ~3e3 of unscaled 9.2e18
+                   CAST(SUM(CAST(s_u AS DECIMAL(19,6)) * s_u)
+                        AS DECIMAL(38,12)) AS ss2,
+                   CAST(SUM(CAST(n_u AS DECIMAL(19,0)) * s_u)
+                        AS DECIMAL(38,6)) AS sns,
+                   CAST(SUM(n_u * n_u) AS BIGINT) AS sn2
+            FROM per_user GROUP BY arm
+        ),
+        se AS (
+            SELECT arm, g, n,
+                   CAST(CAST(s AS VARCHAR) AS DOUBLE) / n AS yb,
+                   (CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(s AS VARCHAR) AS DOUBLE) / n)
+                     / (n - 1) / n AS var_iid,
+                   g / (g - 1.0)
+                     * (CAST(CAST(ss2 AS VARCHAR) AS DOUBLE)
+                        - 2.0 * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / n)
+                              * CAST(CAST(sns AS VARCHAR) AS DOUBLE)
+                        + (CAST(CAST(s AS VARCHAR) AS DOUBLE) / n)
+                          * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / n)
+                          * sn2)
+                     / n / n AS var_cl
+            FROM tot
+        ),
+        ok AS (
+            SELECT * FROM se
+            WHERE g >= 2 AND n >= 2 AND var_iid > 0 AND var_cl >= 0
+        )
+        SELECT CAST(arm AS INT) AS arm,
+               n AS n_events,
+               g AS n_clusters,
+               round(yb, 6) AS mean,
+               round(sqrt(var_iid), 6) AS se_iid,
+               round(sqrt(var_cl), 6) AS se_cluster,
+               round(var_cl / var_iid, 6) AS design_effect,
+               round(MAX(CASE WHEN arm = 1 THEN yb END) OVER ()
+                     - MAX(CASE WHEN arm = 0 THEN yb END) OVER (), 6)
+                 AS diff,
+               round(sqrt(MAX(CASE WHEN arm = 1 THEN var_cl END) OVER ()
+                          + MAX(CASE WHEN arm = 0 THEN var_cl END) OVER ()),
+                     6) AS se_diff_cluster,
+               round((MAX(CASE WHEN arm = 1 THEN yb END) OVER ()
+                      - MAX(CASE WHEN arm = 0 THEN yb END) OVER ())
+                     / sqrt(MAX(CASE WHEN arm = 1 THEN var_cl END) OVER ()
+                            + MAX(CASE WHEN arm = 0 THEN var_cl END) OVER ()),
+                     6) AS z_cluster
+        FROM ok ORDER BY arm
+        """,
+    )
+    def q_cluster_robust_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-event A/B readout with honest uncertainty: users hash
+        into arms (the randomization unit) but the metric is the raw
+        per-EVENT value, so the naive iid SE is wrong whenever events
+        correlate within a user. Reports, per arm: the event mean, the
+        naive SE, the one-way cluster-robust (Liang-Zeger) SE, their
+        ratio (the design effect, the factor the naive analysis is off
+        by), and the cluster-robust z for the arm diff.
+
+        The cluster deviation sum expands to sufficient statistics —
+        sum_u (S_u - n_u*ybar)^2 = SS2 - 2*ybar*SNS + ybar^2*SN2 with
+        SS2 = sum S_u^2, SNS = sum n_u*S_u, SN2 = sum n_u^2 — so the
+        whole readout is ONE events scan into one per-(arm, user)
+        aggregate and one |arms|-row fold: no join-back, no second
+        scan (the naive composition recomputes the user frame because
+        column pruning defeats exchange reuse across its two
+        consumers). Arms with fewer than 2 clusters/events, zero iid
+        variance, or a (float-cancellation) negative cluster variance
+        are excluded by contract.
+
+        Magnitude contract: per-user value sums must fit
+        DECIMAL(18,6) (|sum| < 1e12) so their squares stay exact in
+        DECIMAL(38,12) — holds with 1e5 headroom at the 10x-bench
+        stress magnitude, documented like q_pacf's caps.
+
+        Numerics: every cross-row sum (per-user sums, their exact
+        decimal squares, per-event squares) folds exact decimals; all
+        derived means/variances evaluate identical double trees
+        (oracle decimal->double via VARCHAR — see q_cuped).
+
+        Scale: one map-side-combined (arm, user) shuffle bounded by
+        user cardinality, then a 2-row aggregate — strictly cheaper
+        than the q_jackknife_ratio shape, nothing quadratic."""
+        ev = read_table(spark, sf_dir, "events")
+        arm = (
+            portable_hash60(
+                F.concat(
+                    F.lit(f"{AB_SALT}:"), F.col("user_id").cast("string")
+                )
+            )
+            % AB_ARMS
+        )
+        v = F.col("value")
+        per_user = ev.groupBy(
+            arm.alias("arm"), F.col("user_id")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_u"),
+            F.sum(_d38(v)).cast("decimal(18,6)").alias("s_u"),
+            F.sum(F.round(v * v, 12).cast("decimal(38,12)"))
+            .cast("decimal(38,12)")
+            .alias("ss_u"),
+        )
+        tot = per_user.groupBy("arm").agg(
+            F.count(F.lit(1)).cast("long").alias("g"),
+            F.sum("n_u").cast("long").alias("n"),
+            F.sum("s_u").cast("decimal(38,6)").alias("s"),
+            F.sum("ss_u").cast("decimal(38,12)").alias("ss"),
+            F.sum(F.col("s_u") * F.col("s_u"))
+            .cast("decimal(38,12)")
+            .alias("ss2"),
+            F.sum(F.col("n_u").cast("decimal(18,0)") * F.col("s_u"))
+            .cast("decimal(38,6)")
+            .alias("sns"),
+            F.sum(F.col("n_u") * F.col("n_u")).cast("long").alias("sn2"),
+        )
+        g, n = F.col("g"), F.col("n")
+        s_d = F.col("s").cast("double")
+        ss_d = F.col("ss").cast("double")
+        ss2_d = F.col("ss2").cast("double")
+        sns_d = F.col("sns").cast("double")
+        yb = s_d / n
+        var_iid = (ss_d - s_d * s_d / n) / (n - 1) / n
+        var_cl = (
+            g
+            / (g - 1.0)
+            * (ss2_d - 2.0 * yb * sns_d + yb * yb * F.col("sn2"))
+            / n
+            / n
+        )
+        se = tot.select(
+            "arm",
+            "g",
+            "n",
+            yb.alias("yb"),
+            var_iid.alias("var_iid"),
+            var_cl.alias("var_cl"),
+        ).where(
+            (F.col("g") >= 2)
+            & (F.col("n") >= 2)
+            & (F.col("var_iid") > 0)
+            & (F.col("var_cl") >= 0)
+        )
+        w = Window.partitionBy()
+        yb1 = F.max(F.when(F.col("arm") == 1, F.col("yb"))).over(w)
+        yb0 = F.max(F.when(F.col("arm") == 0, F.col("yb"))).over(w)
+        vc1 = F.max(F.when(F.col("arm") == 1, F.col("var_cl"))).over(w)
+        vc0 = F.max(F.when(F.col("arm") == 0, F.col("var_cl"))).over(w)
+        return (
+            se.select(
+                F.col("arm").cast("int").alias("arm"),
+                F.col("n").alias("n_events"),
+                F.col("g").alias("n_clusters"),
+                F.round("yb", 6).alias("mean"),
+                F.round(F.sqrt("var_iid"), 6).alias("se_iid"),
+                F.round(F.sqrt("var_cl"), 6).alias("se_cluster"),
+                F.round(
+                    F.col("var_cl") / F.col("var_iid"), 6
+                ).alias("design_effect"),
+                F.round(yb1 - yb0, 6).alias("diff"),
+                F.round(F.sqrt(vc1 + vc0), 6).alias("se_diff_cluster"),
+                F.round((yb1 - yb0) / F.sqrt(vc1 + vc0), 6).alias(
+                    "z_cluster"
+                ),
+            )
+            .orderBy("arm")
+        )
+
+
+_register_cluster_se()
+
+
+# ---------------------------------------------------------------------------
+# observational causal readouts: IPW + matched pairs — round 17
+# ---------------------------------------------------------------------------
+# q_standardization adjusts a LINEITEM confounder by direct
+# standardization; the events-side observational questions ("does
+# heavy erroring depress purchase value?") need the other two
+# estimators every causal-inference text pairs with it: inverse-
+# propensity weighting — whose real production value is the WEIGHT
+# DIAGNOSTICS (effective sample size, max weight) that tell you when
+# the adjustment is trustworthy — and matching, here the fully
+# distributed variant: exact on the activity stratum, rank-nearest on
+# the spend covariate within it (coarsened-exact + nearest matching,
+# with replacement-free pairing by rank so the pair set is unique and
+# deterministic on any engine/partitioning).
+
+#: observational "treatment": a user with >= this many error events
+#: (splits the per-user error distribution near its median at every
+#: shipped sf — see TESTDATA.md).
+TRT_ERR_MIN = 14
+
+#: IPW activity-stratum width (total events // width); the propensity
+#: model is stratum-saturated, so e(x) is exact within strata.
+IPW_STRATUM_W = 10
+
+
+def _register_ipw() -> None:
+    from pyspark.sql import Window
+
+    @query(
+        "q_ipw_ate",
+        oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_ev,
+                   CASE WHEN COUNT(*) FILTER (WHERE event_type = 'error')
+                             >= {TRT_ERR_MIN} THEN 1 ELSE 0 END AS t,
+                   CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,6)))
+                                 FILTER (WHERE event_type = 'purchase'), 0)
+                        AS DECIMAL(28,6)) AS y
+            FROM events GROUP BY user_id
+        ),
+        s AS (
+            SELECT CAST(n_ev // {IPW_STRATUM_W} AS BIGINT) AS stratum,
+                   CAST(COUNT(*) AS BIGINT) AS n_s,
+                   CAST(SUM(t) AS BIGINT) AS n_t,
+                   CAST(COUNT(*) - SUM(t) AS BIGINT) AS n_c,
+                   CAST(COALESCE(SUM(y) FILTER (WHERE t = 1), 0)
+                        AS DECIMAL(38,6)) AS syt,
+                   CAST(COALESCE(SUM(y) FILTER (WHERE t = 0), 0)
+                        AS DECIMAL(38,6)) AS syc
+            FROM per_user GROUP BY stratum
+        ),
+        naive AS (
+            SELECT s.*,
+                   CAST(SUM(n_t) OVER () AS BIGINT) AS nt_all,
+                   CAST(SUM(n_c) OVER () AS BIGINT) AS nc_all,
+                   CAST(CAST(SUM(syt) OVER () AS VARCHAR) AS DOUBLE)
+                     AS syt_all,
+                   CAST(CAST(SUM(syc) OVER () AS VARCHAR) AS DOUBLE)
+                     AS syc_all,
+                   CAST(SUM(CASE WHEN n_t = 0 OR n_c = 0 THEN 1 ELSE 0 END)
+                        OVER () AS BIGINT) AS n_excluded
+            FROM s
+        ),
+        inc AS (
+            SELECT *,
+                   CAST(n_t AS DOUBLE) / n_s AS e,
+                   CAST(n_s AS DOUBLE) / n_t AS w_t,
+                   CAST(n_s AS DOUBLE) / n_c AS w_c,
+                   CAST(CAST(syt AS VARCHAR) AS DOUBLE) AS syt_d,
+                   CAST(CAST(syc AS VARCHAR) AS DOUBLE) AS syc_d
+            FROM naive WHERE n_t > 0 AND n_c > 0
+        ),
+        agg AS (
+            SELECT inc.*,
+                   CAST(SUM(n_s) OVER () AS BIGINT) AS n_inc,
+                   CAST(CAST(SUM(CAST(round(syt_d * w_t, 6)
+                                      AS DECIMAL(38,6))) OVER ()
+                             AS VARCHAR) AS DOUBLE) AS num_t,
+                   CAST(CAST(SUM(CAST(round(syc_d * w_c, 6)
+                                      AS DECIMAL(38,6))) OVER ()
+                             AS VARCHAR) AS DOUBLE) AS num_c,
+                   CAST(CAST(SUM(CAST(round(n_t * w_t, 6)
+                                      AS DECIMAL(38,6))) OVER ()
+                             AS VARCHAR) AS DOUBLE) AS sw_t,
+                   CAST(CAST(SUM(CAST(round(n_t * w_t * w_t, 6)
+                                      AS DECIMAL(38,6))) OVER ()
+                             AS VARCHAR) AS DOUBLE) AS sw2_t,
+                   CAST(CAST(SUM(CAST(round(n_c * w_c, 6)
+                                      AS DECIMAL(38,6))) OVER ()
+                             AS VARCHAR) AS DOUBLE) AS sw_c,
+                   CAST(CAST(SUM(CAST(round(n_c * w_c * w_c, 6)
+                                      AS DECIMAL(38,6))) OVER ()
+                             AS VARCHAR) AS DOUBLE) AS sw2_c,
+                   MAX(GREATEST(w_t, w_c)) OVER () AS max_w
+            FROM inc
+        )
+        SELECT stratum, n_s, n_t, n_c,
+               round(e, 6) AS propensity,
+               round(syt_d / n_t, 6) AS mean_t,
+               round(syc_d / n_c, 6) AS mean_c,
+               round(syt_d / n_t - syc_d / n_c, 6) AS stratum_effect,
+               round(num_t / n_inc - num_c / n_inc, 6) AS ate_ipw,
+               round(syt_all / nt_all - syc_all / nc_all, 6) AS naive_diff,
+               round(sw_t * sw_t / sw2_t, 6) AS ess_treated,
+               round(sw_c * sw_c / sw2_c, 6) AS ess_control,
+               round(max_w, 6) AS max_weight,
+               n_excluded AS n_excluded_strata
+        FROM agg ORDER BY stratum
+        """,
+    )
+    def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Inverse-propensity-weighted ATE of heavy erroring (>=
+        {TRT_ERR_MIN} error events) on per-user purchase value, with
+        the weight diagnostics that make IPW usable in production:
+        the propensity is stratum-saturated on activity (total events
+        // {IPW_STRATUM_W}), each unit weighs 1/e (treated) or 1/(1-e)
+        (control), and the report carries per-stratum propensities and
+        effects plus the Hajek-normalized ATE, the naive unadjusted
+        diff, the effective sample size per group (ESS =
+        (sum w)^2 / sum w^2 — how many iid units the weighted sample
+        is worth), the max weight (the instability flag), and the
+        count of strata excluded for lacking overlap (n_t = 0 or
+        n_c = 0 — the positivity violation IPW cannot fix).
+
+        With a stratum-saturated propensity the Hajek denominators
+        collapse exactly (sum_s n_t,s/e_s = n_inc), so ate_ipw equals
+        the direct-standardization estimate over the overlap strata —
+        stated here so the q_standardization parallel is explicit;
+        the diagnostics (ESS, max weight, exclusions) are what this
+        query adds over it.
+
+        Numerics: stratum cells are exact decimals; per-stratum
+        weighted terms round to 6dp and fold as exact decimals across
+        the |strata|-row frame (the q_standardization window
+        discipline); oracle decimal->double casts route via VARCHAR.
+
+        Scale: one per-user aggregate (map-side combined), one
+        |strata|-row grouped aggregate, windows over |strata| rows —
+        the events table is scanned exactly once."""
+        ev = read_table(spark, sf_dir, "events")
+        per_user = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+            F.when(
+                F.count(F.when(F.col("event_type") == "error", 1))
+                >= TRT_ERR_MIN,
+                1,
+            )
+            .otherwise(0)
+            .alias("t"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        _d38(F.col("value")),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(28,6)")
+            .alias("y"),
+        )
+        s = per_user.groupBy(
+            (F.col("n_ev") / IPW_STRATUM_W)
+            .cast("long")
+            .alias("stratum")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_s"),
+            F.sum("t").cast("long").alias("n_t"),
+            (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("n_c"),
+            F.coalesce(
+                F.sum(F.when(F.col("t") == 1, F.col("y"))), F.lit(0)
+            )
+            .cast("decimal(38,6)")
+            .alias("syt"),
+            F.coalesce(
+                F.sum(F.when(F.col("t") == 0, F.col("y"))), F.lit(0)
+            )
+            .cast("decimal(38,6)")
+            .alias("syc"),
+        )
+        wall = Window.partitionBy()
+        naive = (
+            s.withColumn(
+                "nt_all", F.sum("n_t").over(wall).cast("long")
+            )
+            .withColumn("nc_all", F.sum("n_c").over(wall).cast("long"))
+            .withColumn(
+                "syt_all", F.sum("syt").over(wall).cast("double")
+            )
+            .withColumn(
+                "syc_all", F.sum("syc").over(wall).cast("double")
+            )
+            .withColumn(
+                "n_excluded",
+                F.sum(
+                    F.when(
+                        (F.col("n_t") == 0) | (F.col("n_c") == 0), 1
+                    ).otherwise(0)
+                )
+                .over(wall)
+                .cast("long"),
+            )
+        )
+        inc = (
+            naive.where((F.col("n_t") > 0) & (F.col("n_c") > 0))
+            .withColumn(
+                "e", F.col("n_t").cast("double") / F.col("n_s")
+            )
+            .withColumn(
+                "w_t", F.col("n_s").cast("double") / F.col("n_t")
+            )
+            .withColumn(
+                "w_c", F.col("n_s").cast("double") / F.col("n_c")
+            )
+            .withColumn("syt_d", F.col("syt").cast("double"))
+            .withColumn("syc_d", F.col("syc").cast("double"))
+        )
+        dec38 = "decimal(38,6)"
+
+        def dsum(expr):
+            return (
+                F.sum(F.round(expr, 6).cast(dec38))
+                .over(wall)
+                .cast("double")
+            )
+
+        agg = (
+            inc.withColumn(
+                "n_inc", F.sum("n_s").over(wall).cast("long")
+            )
+            .withColumn("num_t", dsum(F.col("syt_d") * F.col("w_t")))
+            .withColumn("num_c", dsum(F.col("syc_d") * F.col("w_c")))
+            .withColumn("sw_t", dsum(F.col("n_t") * F.col("w_t")))
+            .withColumn(
+                "sw2_t",
+                dsum(F.col("n_t") * F.col("w_t") * F.col("w_t")),
+            )
+            .withColumn("sw_c", dsum(F.col("n_c") * F.col("w_c")))
+            .withColumn(
+                "sw2_c",
+                dsum(F.col("n_c") * F.col("w_c") * F.col("w_c")),
+            )
+            .withColumn(
+                "max_w",
+                F.max(F.greatest("w_t", "w_c")).over(wall),
+            )
+        )
+        return agg.select(
+            "stratum",
+            "n_s",
+            "n_t",
+            "n_c",
+            F.round("e", 6).alias("propensity"),
+            F.round(F.col("syt_d") / F.col("n_t"), 6).alias("mean_t"),
+            F.round(F.col("syc_d") / F.col("n_c"), 6).alias("mean_c"),
+            F.round(
+                F.col("syt_d") / F.col("n_t")
+                - F.col("syc_d") / F.col("n_c"),
+                6,
+            ).alias("stratum_effect"),
+            F.round(
+                F.col("num_t") / F.col("n_inc")
+                - F.col("num_c") / F.col("n_inc"),
+                6,
+            ).alias("ate_ipw"),
+            F.round(
+                F.col("syt_all") / F.col("nt_all")
+                - F.col("syc_all") / F.col("nc_all"),
+                6,
+            ).alias("naive_diff"),
+            F.round(
+                F.col("sw_t") * F.col("sw_t") / F.col("sw2_t"), 6
+            ).alias("ess_treated"),
+            F.round(
+                F.col("sw_c") * F.col("sw_c") / F.col("sw2_c"), 6
+            ).alias("ess_control"),
+            F.round("max_w", 6).alias("max_weight"),
+            F.col("n_excluded").alias("n_excluded_strata"),
+        ).orderBy("stratum")
+
+
+_register_ipw()
+
+
+def _register_matched_pairs() -> None:
+    from pyspark.sql import Window
+
+    @query(
+        "q_matched_pairs",
+        oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_ev,
+                   CASE WHEN COUNT(*) FILTER (WHERE event_type = 'error')
+                             >= {TRT_ERR_MIN} THEN 1 ELSE 0 END AS t,
+                   -- COALESCE: an all-NULL value column must not leave
+                   -- x NULL — the engines' NULL-ordering defaults
+                   -- differ (Spark NULLS FIRST, DuckDB NULLS LAST) and
+                   -- x orders the rank matching
+                   CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,6))), 0)
+                        AS DECIMAL(28,6)) AS x,
+                   CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,6)))
+                                 FILTER (WHERE event_type = 'purchase'), 0)
+                        AS DECIMAL(28,6)) AS y
+            FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY n_ev, t
+                                      ORDER BY x, user_id) AS rn
+            FROM per_user
+        ),
+        pairs AS (
+            SELECT tr.n_ev AS stratum,
+                   CAST(tr.y - ct.y AS DECIMAL(29,6)) AS dy,
+                   CAST(abs(tr.x - ct.x) AS DECIMAL(29,6)) AS adx
+            FROM ranked tr JOIN ranked ct
+              ON tr.n_ev = ct.n_ev AND tr.rn = ct.rn
+            WHERE tr.t = 1 AND ct.t = 0
+        ),
+        pagg AS (
+            SELECT stratum,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(dy) AS DECIMAL(38,6)) AS sdy,
+                   CAST(SUM(adx) AS DECIMAL(38,6)) AS sadx
+            FROM pairs GROUP BY stratum
+        ),
+        cells AS (
+            SELECT n_ev AS stratum,
+                   CAST(SUM(t) AS BIGINT) AS n_t,
+                   CAST(COUNT(*) - SUM(t) AS BIGINT) AS n_c
+            FROM per_user GROUP BY n_ev
+        ),
+        joined AS (
+            SELECT c.stratum, c.n_t, c.n_c,
+                   COALESCE(p.n_pairs, 0) AS n_pairs,
+                   p.sdy, p.sadx
+            FROM cells c LEFT JOIN pagg p USING (stratum)
+        ),
+        win AS (
+            SELECT joined.*,
+                   CAST(SUM(n_pairs) OVER () AS BIGINT) AS pairs_total,
+                   CAST(SUM(n_t) OVER () - SUM(n_pairs) OVER ()
+                        AS BIGINT) AS unmatched_treated,
+                   CAST(CAST(SUM(sdy) OVER () AS VARCHAR) AS DOUBLE)
+                     AS sdy_all,
+                   CAST(CAST(SUM(sadx) OVER () AS VARCHAR) AS DOUBLE)
+                     AS sadx_all
+            FROM joined
+        )
+        SELECT stratum, n_t, n_c, n_pairs,
+               round(CAST(CAST(sdy AS VARCHAR) AS DOUBLE) / n_pairs, 6)
+                 AS mean_pair_diff,
+               round(CAST(CAST(sadx AS VARCHAR) AS DOUBLE) / n_pairs, 6)
+                 AS mean_abs_dx,
+               round(sdy_all / pairs_total, 6) AS att,
+               round(sadx_all / pairs_total, 6) AS balance_abs_dx,
+               pairs_total AS n_pairs_total,
+               unmatched_treated AS n_unmatched_treated
+        FROM win WHERE n_pairs > 0 ORDER BY stratum
+        """,
+    )
+    def q_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Matched-pairs ATT of heavy erroring (>= {TRT_ERR_MIN} error
+        events) on purchase value: exact matching on the activity
+        stratum (total event count) plus rank-nearest matching on
+        total spend within it — the i-th-lowest-spend treated user
+        pairs with the i-th-lowest-spend control of the SAME activity
+        level, so the pair set is unique, replacement-free, and
+        deterministic under any partitioning (the distributed answer
+        to greedy nearest-neighbor matching, whose sequential
+        with-replacement scan does not parallelize). Reports per
+        stratum the pair count and mean within-pair outcome diff, and
+        overall the ATT, the achieved covariate balance (mean |x_t -
+        x_c| across pairs), the total pairs, and the treated units no
+        control could absorb.
+
+        Numerics: pair diffs are exact decimals end-to-end (the only
+        doubles are final per-row divisions, identical trees both
+        engines; oracle decimal->double via VARCHAR).
+
+        Scale: one per-user aggregate, two ROW_NUMBER windows
+        partitioned by (stratum, arm) — thousands of independent
+        partitions, no global sort — and an equi-join on (stratum,
+        rank); every stage is a bounded shuffle on user cardinality."""
+        ev = read_table(spark, sf_dir, "events")
+        per_user = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+            F.when(
+                F.count(F.when(F.col("event_type") == "error", 1))
+                >= TRT_ERR_MIN,
+                1,
+            )
+            .otherwise(0)
+            .alias("t"),
+            # COALESCE mirror of the oracle: see the NULL-ordering note
+            F.coalesce(F.sum(_d38(F.col("value"))), F.lit(0))
+            .cast("decimal(28,6)")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        _d38(F.col("value")),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(28,6)")
+            .alias("y"),
+        )
+        rw = Window.partitionBy("n_ev", "t").orderBy("x", "user_id")
+        ranked = per_user.withColumn("rn", F.row_number().over(rw))
+        tr = ranked.where(F.col("t") == 1).select(
+            F.col("n_ev").alias("stratum"),
+            F.col("rn"),
+            F.col("x").alias("x_t"),
+            F.col("y").alias("y_t"),
+        )
+        ct = ranked.where(F.col("t") == 0).select(
+            F.col("n_ev").alias("stratum"),
+            F.col("rn"),
+            F.col("x").alias("x_c"),
+            F.col("y").alias("y_c"),
+        )
+        pairs = tr.join(ct, ["stratum", "rn"]).select(
+            "stratum",
+            (F.col("y_t") - F.col("y_c"))
+            .cast("decimal(29,6)")
+            .alias("dy"),
+            F.abs(F.col("x_t") - F.col("x_c"))
+            .cast("decimal(29,6)")
+            .alias("adx"),
+        )
+        pagg = pairs.groupBy("stratum").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("dy").cast("decimal(38,6)").alias("sdy"),
+            F.sum("adx").cast("decimal(38,6)").alias("sadx"),
+        )
+        cells = per_user.groupBy(
+            F.col("n_ev").alias("stratum")
+        ).agg(
+            F.sum("t").cast("long").alias("n_t"),
+            (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("n_c"),
+        )
+        joined = cells.join(pagg, "stratum", "left").withColumn(
+            "n_pairs", F.coalesce(F.col("n_pairs"), F.lit(0))
+        )
+        wall = Window.partitionBy()
+        win = (
+            joined.withColumn(
+                "pairs_total",
+                F.sum("n_pairs").over(wall).cast("long"),
+            )
+            .withColumn(
+                "unmatched_treated",
+                (
+                    F.sum("n_t").over(wall)
+                    - F.sum("n_pairs").over(wall)
+                ).cast("long"),
+            )
+            .withColumn(
+                "sdy_all", F.sum("sdy").over(wall).cast("double")
+            )
+            .withColumn(
+                "sadx_all", F.sum("sadx").over(wall).cast("double")
+            )
+        )
+        return (
+            win.where(F.col("n_pairs") > 0)
+            .select(
+                "stratum",
+                "n_t",
+                "n_c",
+                "n_pairs",
+                F.round(
+                    F.col("sdy").cast("double") / F.col("n_pairs"), 6
+                ).alias("mean_pair_diff"),
+                F.round(
+                    F.col("sadx").cast("double") / F.col("n_pairs"), 6
+                ).alias("mean_abs_dx"),
+                F.round(
+                    F.col("sdy_all") / F.col("pairs_total"), 6
+                ).alias("att"),
+                F.round(
+                    F.col("sadx_all") / F.col("pairs_total"), 6
+                ).alias("balance_abs_dx"),
+                F.col("pairs_total").alias("n_pairs_total"),
+                F.col("unmatched_treated").alias(
+                    "n_unmatched_treated"
+                ),
+            )
+            .orderBy("stratum")
+        )
+
+
+_register_matched_pairs()
+
+
+# ---------------------------------------------------------------------------
+# regression discontinuity — round 17
+# ---------------------------------------------------------------------------
+# The fourth classical identification design, completing the causal
+# shelf (randomized: q_ab_test/q_cluster_robust_se; observational:
+# q_standardization/q_ipw_ate/q_matched_pairs; time: q_diff_in_diff):
+# when a rule assigns treatment by a CUTOFF on a running variable,
+# the jump in the outcome at the cutoff is the effect. The estimator
+# is two local linear fits (one per side, within a bandwidth), each a
+# closed-form OLS from exact-decimal power sums — q_linreg_train's
+# shape — evaluated AT the cutoff by centering the running variable.
+
+#: RD cutoff on the running variable (per-user total event count) —
+#: the median activity at every shipped sf (TESTDATA.md).
+RD_CUTOFF = 66
+
+#: local-linear bandwidth: users with |n_ev - cutoff| < RD_BANDWIDTH
+RD_BANDWIDTH = 20
+
+
+def _register_rdd() -> None:
+    from pyspark.sql import Window
+
+    @query(
+        "q_regression_discontinuity",
+        oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_ev,
+                   CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,6)))
+                                 FILTER (WHERE event_type = 'purchase'), 0)
+                        AS DECIMAL(18,6)) AS y
+            FROM events GROUP BY user_id
+        ),
+        band AS (
+            SELECT CASE WHEN n_ev >= {RD_CUTOFF} THEN 'right'
+                        ELSE 'left' END AS side,
+                   CAST(n_ev - {RD_CUTOFF} AS BIGINT) AS x,
+                   y
+            FROM per_user
+            WHERE n_ev >= {RD_CUTOFF - RD_BANDWIDTH}
+              AND n_ev <  {RD_CUTOFF + RD_BANDWIDTH}
+        ),
+        sums AS (
+            SELECT side,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                   CAST(CAST(CAST(SUM(y) AS DECIMAL(38,6)) AS VARCHAR)
+                        AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                   -- (19,6): force DuckDB's hugeint multiply path (two
+                   -- DECIMAL(18)s multiply on int64 mantissas — see
+                   -- q_cluster_robust_se)
+                   CAST(CAST(CAST(SUM(CAST(y AS DECIMAL(19,6)) * y)
+                                  AS DECIMAL(38,12)) AS VARCHAR)
+                        AS DOUBLE) AS syy,
+                   CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(19,0)) * y)
+                                  AS DECIMAL(38,6)) AS VARCHAR)
+                        AS DOUBLE) AS sxy
+            FROM band GROUP BY side
+        ),
+        fit AS (
+            SELECT side, n, sx, sy, sxx, syy, sxy,
+                   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+            FROM sums
+            WHERE n >= 2 AND n * sxx - sx * sx != 0
+              AND n * syy - sy * sy != 0
+        )
+        SELECT side,
+               n,
+               round(slope, 6) AS slope,
+               round((sy - slope * sx) / n, 6) AS value_at_cutoff,
+               round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                 AS r2,
+               round(MAX(CASE WHEN side = 'right'
+                              THEN (sy - slope * sx) / n END) OVER ()
+                     - MAX(CASE WHEN side = 'left'
+                                THEN (sy - slope * sx) / n END) OVER (),
+                     6) AS rd_jump
+        FROM fit ORDER BY side
+        """,
+    )
+    def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sharp regression-discontinuity readout: per-user purchase
+        value against the activity running variable (total events,
+        cutoff {RD_CUTOFF}, bandwidth {RD_BANDWIDTH}) — one local
+        linear fit per side from exact-decimal power sums (the
+        q_linreg_train closed form), the running variable centered at
+        the cutoff so each intercept IS the side's value at the
+        threshold, and the RD effect is their jump. Degenerate sides
+        (<2 users, zero x or y variance) are excluded by the
+        q_linreg_train contract.
+
+        Magnitude contract: per-user purchase sums fit DECIMAL(18,6)
+        (|sum| < 1e12) so y*y stays exact in DECIMAL(38,12) — the
+        q_cluster_robust_se cap.
+
+        Numerics: six power sums per side fold exact decimals;
+        slope/intercept/r2 evaluate identical double trees (oracle
+        decimal->double via VARCHAR); the jump is a window over the
+        2-row fit frame.
+
+        Scale: one per-user aggregate with the band filter pushed into
+        it, then a 2-row fold — the q_linreg_train cost exactly."""
+        ev = read_table(spark, sf_dir, "events")
+        per_user = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        _d38(F.col("value")),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(18,6)")
+            .alias("y"),
+        )
+        band = per_user.where(
+            (F.col("n_ev") >= RD_CUTOFF - RD_BANDWIDTH)
+            & (F.col("n_ev") < RD_CUTOFF + RD_BANDWIDTH)
+        ).select(
+            F.when(F.col("n_ev") >= RD_CUTOFF, F.lit("right"))
+            .otherwise(F.lit("left"))
+            .alias("side"),
+            (F.col("n_ev") - RD_CUTOFF).cast("long").alias("x"),
+            "y",
+        )
+        x, y = F.col("x"), F.col("y")
+        sums = band.groupBy("side").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(_d38(x)).cast("double").alias("sx"),
+            F.sum(y).cast("decimal(38,6)").cast("double").alias("sy"),
+            F.sum(_d38(x * x)).cast("double").alias("sxx"),
+            F.sum(y * y).cast("decimal(38,12)").cast("double").alias("syy"),
+            F.sum(x.cast("decimal(18,0)") * y)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("sxy"),
+        )
+        n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+        sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        fit = sums.where(
+            (n >= 2)
+            & (n * sxx - sx * sx != 0)
+            & (n * syy - sy * sy != 0)
+        ).withColumn("slope", slope)
+        icpt = (F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n")
+        w = Window.partitionBy()
+        jump = F.max(
+            F.when(F.col("side") == "right", icpt)
+        ).over(w) - F.max(F.when(F.col("side") == "left", icpt)).over(w)
+        return (
+            fit.select(
+                "side",
+                "n",
+                F.round("slope", 6).alias("slope"),
+                F.round(icpt, 6).alias("value_at_cutoff"),
+                F.round(
+                    (n * sxy - sx * sy)
+                    * (n * sxy - sx * sy)
+                    / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                    6,
+                ).alias("r2"),
+                F.round(jump, 6).alias("rd_jump"),
+            )
+            .orderBy("side")
+        )
+
+
+_register_rdd()
+
+
+# ---------------------------------------------------------------------------
+# raking (iterative proportional fitting) — round 17
+# ---------------------------------------------------------------------------
+# Survey-weighting's workhorse: a half-sample of events (portable-hash
+# selected, so the "sample" is reproducible on any engine) is
+# calibrated so its weighted (event_type x day) cells match the FULL
+# population's row and column margins — the estimator every panel /
+# survey pipeline applies before reading means off a biased sample.
+# IPF is iterative, but the iterations run on the tiny CELL frame
+# (|types| x 7 rows), so the loop is a fixed chain of window steps —
+# the data-sized work is two grouped aggregates.
+
+#: raking sample salt (hash-selected half of events)
+RAKE_SALT = "rake-events-v1"
+
+#: fixed IPF iterations (each = one row step + one column step)
+RAKE_ITERS = 4
+
+#: the margin-sum fold: round to 9dp, sum as exact decimals (window
+#: float sums are order-dependent across engines), read back as double
+#: (VARCHAR-routed in the oracle)
+_RAKE_DSUM_SQL = (
+    "CAST(CAST(SUM(CAST(round(w * n_s, 9) AS DECIMAL(38,9)))"
+    " OVER (PARTITION BY {key}) AS VARCHAR) AS DOUBLE)"
+)
+
+
+def _rake_oracle() -> str:
+    layers = []
+    prev = "base"
+    for i in range(RAKE_ITERS):
+        for key in ("event_type", "dow"):
+            tgt = "row_target" if key == "event_type" else "col_target"
+            name = f"it{len(layers)}"
+            layers.append(
+                f"{name} AS MATERIALIZED (\n"
+                f"  SELECT event_type, dow, n_s, row_target, col_target,\n"
+                f"         w * ({tgt} / {_RAKE_DSUM_SQL.format(key=key)})"
+                f" AS w\n"
+                f"  FROM {prev}\n)"
+            )
+            prev = name
+    chain = ",\n".join(layers)
+    return f"""
+    WITH cells AS MATERIALIZED (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_s
+        FROM events
+        WHERE {sql_portable_hash60(f"'{RAKE_SALT}:' || CAST(event_id AS VARCHAR)")}
+              % 2 = 0
+        GROUP BY 1, 2
+    ),
+    rowm AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS row_target
+        FROM events GROUP BY 1
+    ),
+    colm AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS col_target
+        FROM events GROUP BY 1
+    ),
+    base AS MATERIALIZED (
+        SELECT c.event_type, c.dow, c.n_s,
+               r.row_target, m.col_target, 1.0 AS w
+        FROM cells c
+        JOIN rowm r USING (event_type)
+        JOIN colm m USING (dow)
+    ),
+    {chain},
+    err AS MATERIALIZED (
+        SELECT f.*,
+               abs({_RAKE_DSUM_SQL.format(key="event_type")} - row_target)
+                 / row_target AS row_err,
+               abs({_RAKE_DSUM_SQL.format(key="dow")} - col_target)
+                 / col_target AS col_err
+        FROM {prev} f
+    )
+    SELECT event_type, dow, n_s,
+           round(w, 6) AS weight,
+           round(w * n_s, 6) AS calibrated,
+           round(MAX(row_err) OVER (), 9) AS max_row_err,
+           round(MAX(col_err) OVER (), 9) AS max_col_err
+    FROM err ORDER BY event_type, dow
+    """
+
+
+def _register_raking() -> None:
+    from pyspark.sql import Window
+
+    @query("q_raking", oracle=_rake_oracle())
+    def q_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Raking (iterative proportional fitting): a hash-selected
+        half-sample's (event_type x day-of-epoch-week) cells are
+        reweighted in {RAKE_ITERS} fixed row/column sweeps until the
+        weighted cells reproduce the FULL population's margins — the
+        survey-calibration estimator, with the residual margin errors
+        published so convergence is visible (not asserted). Weights
+        start at 1; every margin sum folds exact decimals of 9dp-
+        rounded terms (window float sums are order-dependent across
+        engines); all factors evaluate identical double trees (oracle
+        decimal->double via VARCHAR). The day key is
+        floor(epoch/86400) % 7 — integer-exact on both engines (the
+        engines' dayofweek() conventions differ).
+
+        Degenerate sampling (a margin entirely absent from the sample)
+        drops those cells via the inner join to observed cells — the
+        no-support contract, mirrored exactly in the oracle.
+
+        Scale: two grouped aggregates over events (sample cells, full
+        margins); the {RAKE_ITERS}x2 IPF sweeps are window steps over
+        the |types| x 7 CELL frame — iteration never touches data."""
+        ev = read_table(spark, sf_dir, "events")
+        dow = (
+            F.floor(
+                F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400
+            ).cast("long")
+            % 7
+        ).alias("dow")
+        in_sample = (
+            portable_hash60(
+                F.concat(
+                    F.lit(f"{RAKE_SALT}:"),
+                    F.col("event_id").cast("string"),
+                )
+            )
+            % 2
+            == 0
+        )
+        cells = (
+            ev.where(in_sample)
+            .groupBy("event_type", dow)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+        )
+        rowm = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("row_target")
+        )
+        colm = ev.groupBy(dow).agg(
+            F.count(F.lit(1)).cast("long").alias("col_target")
+        )
+        base = (
+            cells.join(F.broadcast(rowm), "event_type")
+            .join(F.broadcast(colm), "dow")
+            .withColumn("w", F.lit(1.0))
+        )
+        wt = Window.partitionBy("event_type")
+        wd = Window.partitionBy("dow")
+
+        def dsum(win):
+            return (
+                F.sum(
+                    F.round(F.col("w") * F.col("n_s"), 9).cast(
+                        "decimal(38,9)"
+                    )
+                )
+                .over(win)
+                .cast("double")
+            )
+
+        cur = base
+        for _ in range(RAKE_ITERS):
+            cur = cur.withColumn(
+                "w", F.col("w") * (F.col("row_target") / dsum(wt))
+            )
+            cur = cur.withColumn(
+                "w", F.col("w") * (F.col("col_target") / dsum(wd))
+            )
+        wall = Window.partitionBy()
+        err = cur.withColumn(
+            "row_err",
+            F.abs(dsum(wt) - F.col("row_target")) / F.col("row_target"),
+        ).withColumn(
+            "col_err",
+            F.abs(dsum(wd) - F.col("col_target")) / F.col("col_target"),
+        )
+        return err.select(
+            "event_type",
+            "dow",
+            "n_s",
+            F.round("w", 6).alias("weight"),
+            F.round(F.col("w") * F.col("n_s"), 6).alias("calibrated"),
+            F.round(F.max("row_err").over(wall), 9).alias("max_row_err"),
+            F.round(F.max("col_err").over(wall), 9).alias("max_col_err"),
+        ).orderBy("event_type", "dow")
+
+
+_register_raking()

@@ -198,6 +198,13 @@ VALUE_KERNELS = (
     "q_diff_in_diff",
     "q_ohlc_bars",
     "q_gap_fill_hourly",
+    # round-17 causal/experiments registrations: all consume
+    # events.value through decimal kernels
+    "q_permutation_test",
+    "q_cluster_robust_se",
+    "q_ipw_ate",
+    "q_matched_pairs",
+    "q_regression_discontinuity",
 )
 
 #: time-axis kernels additionally stressed with a single observed
@@ -222,6 +229,8 @@ TIME_KERNELS = (
     "q_ohlc_bars",
     "q_gap_fill_hourly",
     "q_sprt_monitor",
+    # round-17: raking's day margin collapses to a single column
+    "q_raking",
 )
 
 #: grouped kernels additionally stressed with a single group (the
@@ -236,6 +245,15 @@ GROUP_KERNELS = (
     "q_event_moments",
     "q_grouped_forecast",
     "q_standardization",
+    # round-17: treatment/grouping collapses when event_type is
+    # constant (no error events -> all-control; no purchases -> y = 0;
+    # raking's row margin degenerates to one row)
+    "q_permutation_test",
+    "q_cluster_robust_se",
+    "q_ipw_ate",
+    "q_matched_pairs",
+    "q_regression_discontinuity",
+    "q_raking",
 )
 
 #: queries whose documented contract EXCLUDES a stress axis — each

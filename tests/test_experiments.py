@@ -401,3 +401,269 @@ def test_jackknife_ratio_matches_python_loo(spark, sf_smoke):
     assert r["n_users"] == G
     assert abs(r["ratio"] - S / N) < 1e-5
     assert abs(r["jk_se"] - se) < 1e-5
+
+
+def test_permutation_test_internally_consistent(spark, sf_smoke):
+    """The add-one p-value must reproduce from its own published
+    counts, every permutation must be valid on the smoke fixture
+    (both arms populated), and p lies in (0, 1]."""
+    row = all_queries()["q_permutation_test"](spark, sf_smoke).collect()[0]
+    assert row["r_valid"] == 64
+    assert 0 <= row["n_ge"] <= row["r_valid"]
+    expect = round((1 + row["n_ge"]) / (1 + row["r_valid"]), 6)
+    assert abs(row["p_value"] - expect) < 1e-9
+    assert 0 < row["p_value"] <= 1
+    assert row["n_users"] > 0 and row["obs_diff"] is not None
+
+
+def test_cluster_robust_se_matches_python(spark, sf_smoke):
+    """Recompute one arm's Liang-Zeger cluster variance in Python from
+    per-user sums and check se_cluster and the design effect."""
+    import math
+
+    from dynamodb_streaming_datalake_spark.functions.texthash import (
+        portable_hash60,
+    )
+    from dynamodb_streaming_datalake_spark.operators.experiments import (
+        AB_ARMS,
+        AB_SALT,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r["arm"]: r
+        for r in all_queries()["q_cluster_robust_se"](
+            spark, sf_smoke
+        ).collect()
+    }
+    arm_col = (
+        portable_hash60(
+            F.concat(F.lit(f"{AB_SALT}:"), F.col("user_id").cast("string"))
+        )
+        % AB_ARMS
+    )
+    pu = (
+        read_table(spark, sf_smoke, "events")
+        .groupBy(arm_col.alias("arm"), F.col("user_id"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value") * F.col("value")).alias("ss"),
+        )
+        .collect()
+    )
+    for arm, r in got.items():
+        users = [(x["s"], x["n"], x["ss"]) for x in pu if x["arm"] == arm]
+        G = len(users)
+        N = sum(n for _, n, _ in users)
+        S = sum(s for s, _, _ in users)
+        SS = sum(ss for _, _, ss in users)
+        yb = S / N
+        var_iid = (SS - S * S / N) / (N - 1) / N
+        var_cl = (
+            G / (G - 1) * sum((s - n * yb) ** 2 for s, n, _ in users) / N / N
+        )
+        assert r["n_clusters"] == G and r["n_events"] == N
+        assert abs(r["mean"] - yb) < 1e-5
+        assert abs(r["se_iid"] - math.sqrt(var_iid)) < 1e-5
+        assert abs(r["se_cluster"] - math.sqrt(var_cl)) < 1e-4
+        assert abs(r["design_effect"] - var_cl / var_iid) < 1e-3
+        assert r["design_effect"] > 0
+
+
+def _per_user_causal_frame(spark, sf_smoke):
+    from dynamodb_streaming_datalake_spark.operators.experiments import (
+        TRT_ERR_MIN,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    return (
+        read_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            (
+                F.count(F.when(F.col("event_type") == "error", 1))
+                >= TRT_ERR_MIN
+            )
+            .cast("int")
+            .alias("t"),
+            F.coalesce(
+                F.sum(F.col("value").cast("decimal(38,6)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(38,6)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .collect()
+    )
+
+
+def test_ipw_ate_matches_python(spark, sf_smoke):
+    """Recompute the stratified IPW estimate and the treated ESS in
+    Python; both groups must appear in every reported stratum and the
+    propensity must equal n_t/n_s."""
+    from collections import defaultdict
+
+    from dynamodb_streaming_datalake_spark.operators.experiments import (
+        IPW_STRATUM_W,
+    )
+
+    rows = all_queries()["q_ipw_ate"](spark, sf_smoke).collect()
+    assert rows, "smoke fixture must have at least one overlap stratum"
+    pu = _per_user_causal_frame(spark, sf_smoke)
+    strata = defaultdict(lambda: [0, 0, 0.0, 0.0])  # n_t, n_c, syt, syc
+    for u in pu:
+        s = strata[u["n_ev"] // IPW_STRATUM_W]
+        if u["t"]:
+            s[0] += 1
+            s[2] += u["y"]
+        else:
+            s[1] += 1
+            s[3] += u["y"]
+    inc = {k: v for k, v in strata.items() if v[0] > 0 and v[1] > 0}
+    n_inc = sum(v[0] + v[1] for v in inc.values())
+    num_t = sum(v[2] * (v[0] + v[1]) / v[0] for v in inc.values())
+    num_c = sum(v[3] * (v[0] + v[1]) / v[1] for v in inc.values())
+    sw_t = sum(v[0] * (v[0] + v[1]) / v[0] for v in inc.values())
+    sw2_t = sum(v[0] * ((v[0] + v[1]) / v[0]) ** 2 for v in inc.values())
+    for r in rows:
+        assert r["n_t"] > 0 and r["n_c"] > 0
+        assert abs(r["propensity"] - r["n_t"] / r["n_s"]) < 1e-6
+    r = rows[0]
+    assert abs(r["ate_ipw"] - (num_t / n_inc - num_c / n_inc)) < 1e-4
+    assert abs(r["ess_treated"] - sw_t * sw_t / sw2_t) < 1e-3
+    assert r["n_excluded_strata"] == len(strata) - len(inc)
+    assert r["max_weight"] >= 1.0
+
+
+def test_matched_pairs_matches_python(spark, sf_smoke):
+    """Replay the rank matching in Python: same pair count, same ATT,
+    and the published unmatched count is exactly sum(n_t) - pairs."""
+    from collections import defaultdict
+
+    rows = all_queries()["q_matched_pairs"](spark, sf_smoke).collect()
+    assert rows, "smoke fixture must produce at least one pair"
+    pu = _per_user_causal_frame(spark, sf_smoke)
+    by = defaultdict(lambda: ([], []))  # treated, control per stratum
+    for u in pu:
+        by[u["n_ev"]][0 if u["t"] else 1].append(
+            (u["x"], u["user_id"], u["y"])
+        )
+    pairs, n_t_total = [], 0
+    for _, (tr, ct) in by.items():
+        tr.sort()
+        ct.sort()
+        n_t_total += len(tr)
+        pairs += [
+            (a[2] - b[2], abs(a[0] - b[0])) for a, b in zip(tr, ct)
+        ]
+    r = rows[0]
+    assert r["n_pairs_total"] == len(pairs)
+    assert r["n_unmatched_treated"] == n_t_total - len(pairs)
+    att = sum(d for d, _ in pairs) / len(pairs)
+    bal = sum(b for _, b in pairs) / len(pairs)
+    assert abs(r["att"] - att) < 1e-4
+    assert abs(r["balance_abs_dx"] - bal) < 1e-4
+
+
+def test_regression_discontinuity_matches_python(spark, sf_smoke):
+    """Recompute both sides' local OLS in Python; the jump must equal
+    the difference of the centered intercepts."""
+    from dynamodb_streaming_datalake_spark.operators.experiments import (
+        RD_BANDWIDTH,
+        RD_CUTOFF,
+    )
+
+    rows = {
+        r["side"]: r
+        for r in all_queries()["q_regression_discontinuity"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert set(rows) == {"left", "right"}
+    pu = _per_user_causal_frame(spark, sf_smoke)
+    icpt = {}
+    for side in ("left", "right"):
+        pts = [
+            (u["n_ev"] - RD_CUTOFF, u["y"])
+            for u in pu
+            if RD_CUTOFF - RD_BANDWIDTH <= u["n_ev"] < RD_CUTOFF + RD_BANDWIDTH
+            and (u["n_ev"] >= RD_CUTOFF) == (side == "right")
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        icpt[side] = (sy - slope * sx) / n
+        r = rows[side]
+        assert r["n"] == n
+        assert abs(r["slope"] - slope) < 1e-4
+        assert abs(r["value_at_cutoff"] - icpt[side]) < 1e-3
+        assert 0 <= r["r2"] <= 1
+    assert abs(
+        rows["left"]["rd_jump"] - (icpt["right"] - icpt["left"])
+    ) < 2e-3
+
+
+def test_raking_matches_python_ipf(spark, sf_smoke):
+    """Replay the 4-sweep IPF in Python over the published cells and
+    targets; weights must match and the published residual margin
+    errors must be small (the col sweep runs last, so column margins
+    are near-exact)."""
+    from collections import defaultdict
+
+    rows = all_queries()["q_raking"](spark, sf_smoke).collect()
+    assert rows
+    w = {(r["event_type"], r["dow"]): 1.0 for r in rows}
+    n_s = {(r["event_type"], r["dow"]): r["n_s"] for r in rows}
+    # recover targets from the published frame: weighted margins after
+    # convergence equal targets to max_*_err — instead rebuild them
+    # from the raw tables the same way the query does
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_smoke, "events")
+    dowc = (
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400)
+        .cast("long")
+        % 7
+    ).alias("dow")
+    rowm = {
+        r["event_type"]: r["c"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+    }
+    colm = {
+        r["dow"]: r["c"]
+        for r in ev.groupBy(dowc).agg(F.count("*").alias("c")).collect()
+    }
+    for _ in range(4):
+        rs = defaultdict(float)
+        for (t, d), wt in w.items():
+            rs[t] += wt * n_s[(t, d)]
+        w = {(t, d): wt * rowm[t] / rs[t] for (t, d), wt in w.items()}
+        cs = defaultdict(float)
+        for (t, d), wt in w.items():
+            cs[d] += wt * n_s[(t, d)]
+        w = {(t, d): wt * colm[d] / cs[d] for (t, d), wt in w.items()}
+    for r in rows:
+        assert abs(r["weight"] - w[(r["event_type"], r["dow"])]) < 1e-4
+        assert r["weight"] > 0
+        assert r["max_col_err"] < 1e-6   # col sweep ran last
+        assert r["max_row_err"] < 0.05   # near-converged after 4 sweeps
