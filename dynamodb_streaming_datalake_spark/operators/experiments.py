@@ -3827,3 +3827,192 @@ def _register_raking() -> None:
 
 
 _register_raking()
+
+
+# ---------------------------------------------------------------------------
+# quantile treatment effects — round 17
+# ---------------------------------------------------------------------------
+# Mean effects (q_ab_test) hide heterogeneity: an arm that lifts the
+# p90 while flattening the median shows a fuzzy average. The
+# distributional readout is the quantile treatment effect — per tau,
+# the difference of the arms' EXACT per-user-metric quantiles. Exact
+# order statistics at scale reuse q_two_sample_ks's two-level
+# cumulative decomposition (per-value counts -> in-bucket windows ->
+# bucket-offset stitch; no global sort), and every rank is integer
+# arithmetic: rank(tau) = ceil(num*n/den) = (num*n + den - 1) // den,
+# so there is no float tau anywhere.
+
+#: QTE quantile grid as exact rationals (num, den)
+QTE_TAUS = ((1, 4), (1, 2), (3, 4), (9, 10))
+
+#: value-bucket width for the two-level cumulative (per-user totals
+#: land in the low thousands at every shipped sf)
+QTE_BUCKET = 100
+
+
+def _register_qte() -> None:
+    from pyspark.sql import Window
+
+    @query(
+        "q_quantile_treatment_effect",
+        oracle=f"""
+        WITH per_user AS (
+            SELECT {sql_portable_hash60(f"'{AB_SALT}:' || CAST(user_id AS VARCHAR)")}
+                     % {AB_ARMS} AS arm,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(28,6))
+                     AS metric
+            FROM events GROUP BY arm, user_id
+        ),
+        pts AS (
+            SELECT metric,
+                   CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS ca,
+                   CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS cb
+            FROM per_user WHERE metric IS NOT NULL GROUP BY metric
+        ),
+        cum AS (
+            SELECT metric,
+                   SUM(ca) OVER (ORDER BY metric
+                                 ROWS UNBOUNDED PRECEDING) AS cuma,
+                   SUM(cb) OVER (ORDER BY metric
+                                 ROWS UNBOUNDED PRECEDING) AS cumb,
+                   SUM(ca) OVER () AS n_a,
+                   SUM(cb) OVER () AS n_b
+            FROM pts
+        ),
+        taus(num, den) AS (VALUES {", ".join(f"({n}, {d})" for n, d in QTE_TAUS)})
+        SELECT round(CAST(t.num AS DOUBLE) / t.den, 2) AS tau,
+               CAST(MAX(n_a) AS BIGINT) AS n_a,
+               CAST(MAX(n_b) AS BIGINT) AS n_b,
+               round(CAST(CAST(MIN(CASE WHEN cuma >=
+                       (t.num * n_a + t.den - 1) // t.den THEN metric END)
+                     AS VARCHAR) AS DOUBLE), 6) AS q_a,
+               round(CAST(CAST(MIN(CASE WHEN cumb >=
+                       (t.num * n_b + t.den - 1) // t.den THEN metric END)
+                     AS VARCHAR) AS DOUBLE), 6) AS q_b,
+               round(CAST(CAST(
+                     MIN(CASE WHEN cumb >=
+                       (t.num * n_b + t.den - 1) // t.den THEN metric END)
+                     - MIN(CASE WHEN cuma >=
+                       (t.num * n_a + t.den - 1) // t.den THEN metric END)
+                     AS VARCHAR) AS DOUBLE), 6) AS qte
+        FROM cum CROSS JOIN taus t
+        GROUP BY t.num, t.den ORDER BY tau
+        """,
+    )
+    def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Quantile treatment effects between the q_ab_test hash arms:
+        for each tau in {{1/4, 1/2, 3/4, 9/10}}, the EXACT type-1
+        quantile of the per-user total-value metric in each arm (the
+        value at integer rank ceil(num*n/den) — no float tau, no
+        interpolation) and their difference — the distributional
+        readout that tells p90 lifts from median flattening where the
+        mean effect shows only a blur.
+
+        Exactness across engines: quantile values are the exact
+        decimal metrics themselves; ranks are pure integer arithmetic
+        ((num*n + den - 1) // den); the only doubles are the final
+        rounded outputs (oracle decimal->double via VARCHAR).
+
+        Scale: q_two_sample_ks's two-level cumulative shape — one
+        shuffle to per-metric counts (map-side combined), windows
+        inside {QTE_BUCKET}-wide value buckets, a bucket-offset frame
+        stitch, then a x{len(QTE_TAUS)} tau explode on the counts
+        frame folding to {len(QTE_TAUS)} rows. No global sort; the
+        oracle's flat window is the semantic spec, not the plan."""
+        ev = read_table(spark, sf_dir, "events")
+        arm = (
+            portable_hash60(
+                F.concat(
+                    F.lit(f"{AB_SALT}:"), F.col("user_id").cast("string")
+                )
+            )
+            % AB_ARMS
+        )
+        per_user = ev.groupBy(arm.alias("arm"), F.col("user_id")).agg(
+            F.sum(_d38(F.col("value"))).cast("decimal(28,6)").alias("metric")
+        )
+        pts = (
+            per_user.where(F.col("metric").isNotNull())
+            .groupBy("metric")
+            .agg(
+                F.count(F.when(F.col("arm") == 0, 1))
+                .cast("long")
+                .alias("ca"),
+                F.count(F.when(F.col("arm") == 1, 1))
+                .cast("long")
+                .alias("cb"),
+            )
+            .withColumn(
+                "b", F.floor(F.col("metric") / QTE_BUCKET).cast("long")
+            )
+        )
+        bsum = pts.groupBy("b").agg(
+            F.sum("ca").cast("long").alias("ba"),
+            F.sum("cb").cast("long").alias("bb"),
+        )
+        woff = Window.orderBy("b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        wall = Window.partitionBy()
+        offs = bsum.select(
+            "b",
+            F.coalesce(F.sum("ba").over(woff), F.lit(0))
+            .cast("long")
+            .alias("offa"),
+            F.coalesce(F.sum("bb").over(woff), F.lit(0))
+            .cast("long")
+            .alias("offb"),
+            F.sum("ba").over(wall).cast("long").alias("n_a"),
+            F.sum("bb").over(wall).cast("long").alias("n_b"),
+        )
+        wb = (
+            Window.partitionBy("b")
+            .orderBy("metric")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = pts.join(offs, "b").select(
+            "metric",
+            "n_a",
+            "n_b",
+            (F.col("offa") + F.sum("ca").over(wb)).alias("cuma"),
+            (F.col("offb") + F.sum("cb").over(wb)).alias("cumb"),
+        )
+        taus = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("num"), F.lit(d).alias("den")
+                )
+                for n, d in QTE_TAUS
+            ]
+        )
+        ex = cum.withColumn("t", F.explode(taus))
+        num, den = F.col("t.num"), F.col("t.den")
+        # integer ceil-division: (num*n + den - 1) // den on bigints
+        ra = F.floor((num * F.col("n_a") + den - 1) / den).cast("long")
+        rb = F.floor((num * F.col("n_b") + den - 1) / den).cast("long")
+        qa = F.min(F.when(F.col("cuma") >= ra, F.col("metric")))
+        qb = F.min(F.when(F.col("cumb") >= rb, F.col("metric")))
+        return (
+            ex.groupBy(num.alias("num"), den.alias("den"))
+            .agg(
+                F.max("n_a").alias("n_a"),
+                F.max("n_b").alias("n_b"),
+                F.round(qa.cast("double"), 6).alias("q_a"),
+                F.round(qb.cast("double"), 6).alias("q_b"),
+                F.round((qb - qa).cast("double"), 6).alias("qte"),
+            )
+            .select(
+                F.round(
+                    F.col("num").cast("double") / F.col("den"), 2
+                ).alias("tau"),
+                "n_a",
+                "n_b",
+                "q_a",
+                "q_b",
+                "qte",
+            )
+            .orderBy("tau")
+        )
+
+
+_register_qte()

@@ -205,6 +205,7 @@ VALUE_KERNELS = (
     "q_ipw_ate",
     "q_matched_pairs",
     "q_regression_discontinuity",
+    "q_quantile_treatment_effect",
 )
 
 #: time-axis kernels additionally stressed with a single observed
@@ -254,6 +255,7 @@ GROUP_KERNELS = (
     "q_matched_pairs",
     "q_regression_discontinuity",
     "q_raking",
+    "q_quantile_treatment_effect",
 )
 
 #: queries whose documented contract EXCLUDES a stress axis — each

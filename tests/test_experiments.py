@@ -667,3 +667,52 @@ def test_raking_matches_python_ipf(spark, sf_smoke):
         assert r["weight"] > 0
         assert r["max_col_err"] < 1e-6   # col sweep ran last
         assert r["max_row_err"] < 0.05   # near-converged after 4 sweeps
+
+
+def test_quantile_treatment_effect_matches_python(spark, sf_smoke):
+    """Recompute both arms' exact type-1 quantiles in Python (sorted
+    per-user metrics, rank ceil(num*n/den)) and check q_a/q_b/qte."""
+    from dynamodb_streaming_datalake_spark.functions.texthash import (
+        portable_hash60,
+    )
+    from dynamodb_streaming_datalake_spark.operators.experiments import (
+        AB_ARMS,
+        AB_SALT,
+        QTE_TAUS,
+    )
+    from dynamodb_streaming_datalake_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    rows = {
+        round(r["tau"], 2): r
+        for r in all_queries()["q_quantile_treatment_effect"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert set(rows) == {round(n / d, 2) for n, d in QTE_TAUS}
+    arm_col = (
+        portable_hash60(
+            F.concat(F.lit(f"{AB_SALT}:"), F.col("user_id").cast("string"))
+        )
+        % AB_ARMS
+    )
+    pu = (
+        read_table(spark, sf_smoke, "events")
+        .groupBy(arm_col.alias("arm"), F.col("user_id"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("m")
+        )
+        .collect()
+    )
+    arms = {0: sorted(r["m"] for r in pu if r["arm"] == 0),
+            1: sorted(r["m"] for r in pu if r["arm"] == 1)}
+    for n, d in QTE_TAUS:
+        r = rows[round(n / d, 2)]
+        assert r["n_a"] == len(arms[0]) and r["n_b"] == len(arms[1])
+        qa = arms[0][(n * len(arms[0]) + d - 1) // d - 1]
+        qb = arms[1][(n * len(arms[1]) + d - 1) // d - 1]
+        assert abs(r["q_a"] - qa) < 1e-5
+        assert abs(r["q_b"] - qb) < 1e-5
+        assert abs(r["qte"] - (qb - qa)) < 1e-5
