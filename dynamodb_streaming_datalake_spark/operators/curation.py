@@ -280,9 +280,15 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.substring("d_rec", 1, ER_PREFIX)
         ),
     ).select(
-        "p_partkey", "d_key", F.levenshtein("rec", "d_rec").alias("dist")
+        "p_partkey",
+        "d_key",
+        # bounded edit distance: banded O(k*n) DP with an early exit on
+        # |len(a)-len(b)| > k, vs the unbounded O(n*m) matrix — kept
+        # pairs' distances are exact (<= threshold), dropped pairs
+        # return -1, so `>= 0` filters identically to `<= ER_MAX_DIST`
+        F.levenshtein("rec", "d_rec", ER_MAX_DIST).alias("dist"),
     )
-    return cand.where(F.col("dist") <= ER_MAX_DIST).select(
+    return cand.where(F.col("dist") >= 0).select(
         F.col("p_partkey").cast("bigint").alias("clean_key"),
         F.col("d_key").cast("bigint").alias("dirty_key"),
         F.col("dist").cast("int").alias("distance"),

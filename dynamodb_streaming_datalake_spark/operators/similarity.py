@@ -28,12 +28,14 @@ from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.functions.texthash import (
     cosine,
+    cosine_prefixes_vec,
+    cosine_vec,
     sql_cosine,
     sql_portable_hash60,
 )
 from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
 from dynamodb_streaming_datalake_spark.registry import query
-from dynamodb_streaming_datalake_spark.sources.readers import read_table
+from dynamodb_streaming_datalake_spark.sources.readers import fan_out, read_table
 
 N_QUERIES = 10
 TOP_K = 5
@@ -1686,13 +1688,17 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < IVF_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
+    # brute-force truth = |panel| x |corpus| cosines: fan the one-split
+    # corpus scan out to the session's cores and score each Arrow batch
+    # with the vectorized fold (bit-identical to the expression form)
+    # instead of an interpreted per-element lambda chain per pair
     scored = (
         F.broadcast(q)
-        .join(e, F.col("vec_id") != F.col("query_id"))
+        .join(fan_out(e, "vec_id"), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qe"), F.col("embedding")).alias("c"),
+            cosine_vec(F.col("qe"), F.col("embedding")).alias("c"),
         )
     )
     # rank truth on round(c, 6) — same cross-engine libm-ulp guard as
@@ -2088,20 +2094,25 @@ def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         qs.crossJoin(
-            e.select(F.col("vec_id").alias("neighbor_id"),
-                     F.col("embedding").alias("ne"))
+            fan_out(e, "vec_id").select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ne"),
+            )
         )
         .where(F.col("neighbor_id") != F.col("query_id"))
     )
+    # one vectorized fold snapshots every prefix cosine in a single
+    # Python-boundary crossing — bit-identical to
+    # cosine(slice(qe,1,d), slice(ne,1,d)) per prefix; the corpus-side
+    # fan-out parallelizes the panel x corpus scoring pass
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        *[
-            cosine(
-                F.slice(F.col("qe"), 1, d), F.slice(F.col("ne"), 1, d)
-            ).alias(f"c{d}")
-            for d in MRL_DIMS
-        ],
+        cosine_prefixes_vec(F.col("qe"), F.col("ne"), MRL_DIMS).alias("cs"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        *[F.col("cs")[k].alias(f"c{d}") for k, d in enumerate(MRL_DIMS)],
     )
 
     def w(d: int):

@@ -64,6 +64,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize_nanos(df, name)
 
 
+def fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Scale-adaptive parallelism floor for CPU-heavy per-row stages
+    (brute-force cosine panels, codec passes): when the scan arrives
+    with fewer splits than the session's parallelism — the local
+    fixture parquet is one split, which serializes every downstream
+    per-row computation onto one core — hash-repartition on ``cols``
+    up to ``defaultParallelism``. At real scale the input already has
+    >= parallelism splits and this is a no-op; the repartition count
+    derives from the session, never a constant (guide §2)."""
+    if df.isStreaming:
+        return df
+    n_target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n_target:
+        return df
+    return df.repartition(n_target, *cols) if cols else df.repartition(n_target)
+
+
 def load_catalog(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All tables at a scale factor, keyed by name."""
     return {t: read_table(spark, sf_dir, t) for t in TABLES}
