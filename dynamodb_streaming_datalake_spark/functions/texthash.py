@@ -14,7 +14,6 @@ SUM, exact-decimal SUM — never float addition.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -99,94 +98,11 @@ def sql_cosine(a: str, b: str) -> str:
     )
 
 
-def _fold_prefix_cosines(pa_arr, pb_arr, prefixes):
-    """Vectorized twin of :func:`cosine` over a batch of row pairs,
-    evaluated at each prefix length in ``prefixes``.
-
-    Bit-identity contract: each of dot/na/nb is accumulated dim by dim
-    in IEEE double, exactly the left-to-right fold the JVM expression
-    performs (``acc[:, j] += x * y`` is elementwise ``s = s + v`` in the
-    same order), ``sqrt`` is correctly rounded in both runtimes, and a
-    zero denominator maps to NULL — Spark's non-ANSI ``x / 0.0``.
-    Returns a list (len n) of lists (len(prefixes)) of float|None.
-    """
-    import numpy as np
-
-    n = len(pa_arr)
-    out = [[None] * len(prefixes) for _ in range(n)]
-    # bucket rows by (len_a, len_b): equal-length pairs vectorize as one
-    # matrix; a length mismatch is NULL under zip_with's null padding
-    groups: dict[tuple[int, int], list[int]] = {}
-    for i in range(n):
-        a, b = pa_arr[i], pb_arr[i]
-        if a is None or b is None:
-            continue
-        groups.setdefault((len(a), len(b)), []).append(i)
-    for (la, lb), idxs in groups.items():
-        if la != lb:
-            continue  # zip_with pads with null -> fold -> NULL
-        A = np.empty((len(idxs), la), dtype=np.float64)
-        B = np.empty((len(idxs), la), dtype=np.float64)
-        for r, i in enumerate(idxs):
-            A[r, :] = pa_arr[i]
-            B[r, :] = pb_arr[i]
-        dot = np.zeros(len(idxs))
-        na = np.zeros(len(idxs))
-        nb = np.zeros(len(idxs))
-        snap = {}
-        bounds = sorted({min(p, la) for p in prefixes})
-        d0 = 0
-        for bound in bounds:
-            for j in range(d0, bound):
-                x = A[:, j]
-                y = B[:, j]
-                dot += x * y
-                na += x * x
-                nb += y * y
-            d0 = bound
-            denom = np.sqrt(na) * np.sqrt(nb)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                c = dot / denom
-            snap[bound] = (c, denom)
-        for r, i in enumerate(idxs):
-            row = out[i]
-            for k, p in enumerate(prefixes):
-                c, denom = snap[min(p, la)]
-                row[k] = None if denom[r] == 0.0 else float(c[r])
-    return out
-
-
-def cosine_vec(a: Column, b: Column) -> Column:
-    """Arrow-vectorized drop-in for :func:`cosine` (guide §4.2): same
-    bit-identical sequential fold, executed as one numpy pass per Arrow
-    batch instead of an interpreted per-element lambda chain. Use on
-    row-heavy cosine stages (brute-force eval panels, centroid
-    assignment); the expression form stays the right tool for small
-    frames where a Python round-trip would dominate."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def _cos(pa: pd.Series, pb: pd.Series) -> pd.Series:
-        vals = _fold_prefix_cosines(pa.to_list(), pb.to_list(), (1 << 30,))
-        return pd.Series([v[0] for v in vals], dtype="object")
-
-    return _cos(a, b)
-
-
-def cosine_prefixes_vec(a: Column, b: Column, prefixes) -> Column:
-    """All prefix-length cosines of one pair in a single sequential
-    pass (``array<double>``, ordered as ``prefixes``): the fold snapshots
-    dot/na/nb at each boundary, so ``out[k]`` is bit-identical to
-    ``cosine(slice(a, 1, p_k), slice(b, 1, p_k))`` at a single crossing
-    of the Python boundary instead of one per prefix."""
-    from pyspark.sql.functions import pandas_udf
-
-    prefixes = tuple(int(p) for p in prefixes)
-
-    @pandas_udf("array<double>")
-    def _cosp(pa: pd.Series, pb: pd.Series) -> pd.Series:
-        return pd.Series(
-            _fold_prefix_cosines(pa.to_list(), pb.to_list(), prefixes)
-        )
-
-    return _cosp(a, b)
+# NOTE (round 17): an Arrow/pandas vectorized cosine kernel
+# (bit-identical sequential fold in numpy) was built and A/B'd against
+# this expression form on the brute-force eval panels at 1x and 10x
+# pair volume — and LOST both (noop walls 0.55 vs 0.22 s at 20k pairs,
+# 0.73 vs 0.60 s at 200k): shipping two 64-dim double arrays per row
+# across the JVM<->Python boundary costs more than the interpreted
+# lambda fold it replaces (guide §4.1 — built-ins beat UDFs when they
+# exist). The expression form stays the only cosine kernel.

@@ -28,8 +28,6 @@ from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.functions.texthash import (
     cosine,
-    cosine_prefixes_vec,
-    cosine_vec,
     sql_cosine,
     sql_portable_hash60,
 )
@@ -1689,16 +1687,18 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     # brute-force truth = |panel| x |corpus| cosines: fan the one-split
-    # corpus scan out to the session's cores and score each Arrow batch
-    # with the vectorized fold (bit-identical to the expression form)
-    # instead of an interpreted per-element lambda chain per pair
+    # corpus scan out to the session's cores so the fold runs on every
+    # core. The kernel stays the JVM expression: an Arrow/pandas kernel
+    # was A/B'd at 1x and 10x pair volume and lost both (0.22 vs 0.55 s,
+    # 0.6 vs 0.73 s) — shipping both 64-dim arrays across the Python
+    # boundary costs more than the interpreted fold saves (guide §4.1).
     scored = (
         F.broadcast(q)
         .join(fan_out(e, "vec_id"), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine_vec(F.col("qe"), F.col("embedding")).alias("c"),
+            cosine(F.col("qe"), F.col("embedding")).alias("c"),
         )
     )
     # rank truth on round(c, 6) — same cross-engine libm-ulp guard as
@@ -2101,18 +2101,19 @@ def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("neighbor_id") != F.col("query_id"))
     )
-    # one vectorized fold snapshots every prefix cosine in a single
-    # Python-boundary crossing — bit-identical to
-    # cosine(slice(qe,1,d), slice(ne,1,d)) per prefix; the corpus-side
-    # fan-out parallelizes the panel x corpus scoring pass
+    # the corpus-side fan-out parallelizes the panel x corpus scoring
+    # pass; the per-prefix kernels stay JVM expressions (an Arrow/pandas
+    # multi-prefix fold was A/B'd and lost at both 1x and 10x pair
+    # volume — array transfer across the Python boundary dominates)
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_prefixes_vec(F.col("qe"), F.col("ne"), MRL_DIMS).alias("cs"),
-    ).select(
-        "query_id",
-        "neighbor_id",
-        *[F.col("cs")[k].alias(f"c{d}") for k, d in enumerate(MRL_DIMS)],
+        *[
+            cosine(
+                F.slice(F.col("qe"), 1, d), F.slice(F.col("ne"), 1, d)
+            ).alias(f"c{d}")
+            for d in MRL_DIMS
+        ],
     )
 
     def w(d: int):
