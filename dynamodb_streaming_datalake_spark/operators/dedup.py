@@ -250,35 +250,45 @@ def jaccard_pairs(
             .where(F.col("freq") > max_shingle_freq)
             .select("sh")
         )
-        # lazy localCheckpoint: the capped shingle rows feed THREE
-        # consumers (sizes, postings, and sizes again via the sa/sb
-        # aliases) — without it the explode + anti-join subtree is
-        # inlined up to 14x in the physical plan and recomputed per
-        # branch. One linear materialization beats three recomputes at
-        # any scale; sizes is checkpointed too (one row per doc, tiny)
-        # because the final join reads it under two aliases.
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti").localCheckpoint(
-            eager=False
-        )
-        sizes = (
-            sh.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .localCheckpoint(eager=False)
+        # single lineage: the capped set size rides each shingle row as
+        # a window count over doc_id, so postings carry (doc_id, n) and
+        # the pair aggregate reads both sizes in-group — no separate
+        # sizes frame, no join-back under two aliases, and therefore no
+        # checkpoint to keep a multi-consumer subtree from inlining.
+        # (The previous shape paid two lazy localCheckpoints — ~1.2 s
+        # of physical planning EACH at construction — plus their
+        # codegen-less materialization, to share `sh` across three
+        # consumers this version simply doesn't have.)
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti").withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
         )
     else:
         # set sizes are row-local (|distinct shingles per doc|) — no explode
-        sizes = docs.select("doc_id", F.size(word_shingles("text")).alias("n"))
+        sh = sh.join(
+            docs.select(
+                "doc_id", F.size(word_shingles("text")).alias("n")
+            ),
+            "doc_id",
+        )
     # pairs per shingle via posting-list expansion: group docs sharing a
     # shingle, emit (lo, hi) pairs in-row — ONE shuffle on sh instead of
     # a self-join's two exchanges + sort. Equivalent output: the join
     # emits one row per (pair, shared shingle); so does this expansion.
     # A shingle shared by c docs expands to c*(c-1)/2 pairs in one row;
-    # with the cap, c <= max_shingle_freq by construction.
-    postings = sh.groupBy("sh").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    # with the cap, c <= max_shingle_freq by construction. Sorting the
+    # (doc_id, n) structs orders by doc_id first (n is a function of
+    # doc_id), so pair orientation is identical to the sorted-ids form.
+    postings = sh.groupBy("sh").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("n")))
+        ).alias("ids")
+    )
     pair_structs = F.expr(
         """
         flatten(transform(ids, (x, i) ->
-            transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))
+            transform(slice(ids, i + 2, size(ids)), y ->
+                struct(x.doc_id AS a, y.doc_id AS b,
+                       x.n AS na, y.n AS nb))))
         """
     )
     common = (
@@ -286,15 +296,17 @@ def jaccard_pairs(
         .groupBy(
             F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("p.na").alias("na"),
+            F.first("p.nb").alias("nb"),
+        )
     )
     return (
-        common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
+        common.select(
             "doc_a",
             "doc_b",
-            (F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))).alias(
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias(
                 "jaccard"
             ),
         )

@@ -58,9 +58,39 @@ def _normalize_nanos(df: DataFrame, table: str) -> DataFrame:
     return df
 
 
+#: parquet schema per (realpath, mtime_ns) — METADATA only, the role a
+#: metastore/catalog plays at scale. A plain ``spark.read.parquet``
+#: re-lists and re-reads footers on every call (~0.3 s for lineitem,
+#: measured); with the schema supplied the reader skips inference
+#: (~0.03 s). No row data is cached — every action still scans the
+#: parquet files — and the mtime key drops the entry the moment a
+#: fixture is rewritten.
+_SCHEMA_CACHE: dict[tuple[str, int], "T.StructType"] = {}
+
+
+def _table_path_key(sf_dir: str, name: str) -> tuple[str, int]:
+    import os
+
+    path = os.path.realpath(f"{sf_dir}/{name}.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    return (path, mtime)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic lake table (B1 parquet scan)."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = _table_path_key(sf_dir, name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        for stale in [k for k in _SCHEMA_CACHE if k[0] == key[0] and k != key]:
+            del _SCHEMA_CACHE[stale]
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     return _normalize_nanos(df, name)
 
 
@@ -96,7 +126,11 @@ def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Stream a synthetic table through the file source — the test
     harness's replay of the Kinesis stream (SURVEY §2 A1), with the same
     nano-timestamp normalization as the batch reader."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    key = _table_path_key(sf_dir, name)
+    raw_schema = _SCHEMA_CACHE.get(key)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+        _SCHEMA_CACHE[key] = raw_schema
     df = (
         spark.readStream.schema(raw_schema)
         # FileStreamSource needs a directory; pick the one table via glob

@@ -340,3 +340,35 @@ def test_scd2_from_patches_current_equals_patch_merge(spark, sf_smoke):
         read_table(spark, sf_smoke, "events")
     ).count()
     assert 0 < n_versions < n_patches
+
+
+def test_read_table_schema_cache_hits_and_invalidates(spark, tmp_path):
+    """The per-(path, mtime) parquet schema cache must (a) return the
+    same schema and rows on a cache hit, and (b) drop the entry when
+    the file is rewritten with a different schema — it is a metadata
+    cache, never a data cache."""
+    import time as _time
+
+    from dynamodb_streaming_datalake_spark.sources import readers
+
+    d = str(tmp_path)
+    spark.range(3).selectExpr("id AS a").write.mode("overwrite").parquet(
+        f"{d}/t.parquet"
+    )
+    df1 = readers.read_table(spark, d, "t")
+    key = readers._table_path_key(d, "t")
+    assert key in readers._SCHEMA_CACHE
+    df2 = readers.read_table(spark, d, "t")  # cache hit
+    assert df2.schema == df1.schema
+    assert sorted(r["a"] for r in df2.collect()) == [0, 1, 2]
+    # rewrite with a DIFFERENT schema -> mtime key changes -> re-infer
+    _time.sleep(0.01)
+    spark.range(2).selectExpr(
+        "id AS a", "CAST(id AS STRING) AS b"
+    ).write.mode("overwrite").parquet(f"{d}/t.parquet")
+    df3 = readers.read_table(spark, d, "t")
+    assert set(df3.columns) == {"a", "b"}
+    assert sorted(r["a"] for r in df3.collect()) == [0, 1]
+    # stale entry evicted, fresh one present
+    assert key not in readers._SCHEMA_CACHE
+    assert readers._table_path_key(d, "t") in readers._SCHEMA_CACHE
