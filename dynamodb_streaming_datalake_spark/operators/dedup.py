@@ -391,14 +391,24 @@ def minhash_signatures(
     exchange. MIN over ints is order-independent, so signatures are
     identical on any partitioning.
     """
+    # expressions built as SQL strings, not Column-op chains: each
+    # py4j round trip costs ~1 ms on this host and the 16 min-agg
+    # chains alone were ~1 s of construction per invocation (the
+    # _SqlOp precedent from operators/probe.py — same parsed tree,
+    # identical values, one parse per aggregate)
     sh = (shingle_rows(docs) if shingles is None else shingles).withColumn(
-        "h0", portable_hash60(F.col("sh")) % MINHASH_P
+        "h0",
+        F.expr(
+            "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)"
+            f" % {MINHASH_P}"
+        ),
     )
     return sh.groupBy("doc_id").agg(
         *[
-            F.min(
-                (F.lit(MINHASH_A[s]) * F.col("h0") + F.lit(MINHASH_B[s])) % MINHASH_P
-            ).alias(f"m{s}")
+            F.expr(
+                f"min(({MINHASH_A[s]}L * h0 + {MINHASH_B[s]}L)"
+                f" % {MINHASH_P}) AS m{s}"
+            )
             for s in range(n_seeds)
         ]
     )
@@ -410,20 +420,20 @@ def lsh_band_buckets(signatures: DataFrame, rows_per_band: int = _ROWS_PER_BAND)
     matrix (posexplode), no extra shuffle. Docs sharing any band bucket
     are candidates."""
     n_bands = MINHASH_SEEDS // rows_per_band
-    buckets = F.array(
-        *[
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"m{s}")
-                    for s in range(b * rows_per_band, (b + 1) * rows_per_band)
-                ],
-            )
-            for b in range(n_bands)
-        ]
+    bands_sql = ", ".join(
+        "concat_ws('|', "
+        + ", ".join(
+            f"m{s}"
+            for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        + ")"
+        for b in range(n_bands)
     )
+    # one parsed expression instead of n_bands x rows_per_band Column
+    # calls (construction-chatter discipline, see minhash_signatures)
     return signatures.select(
-        "doc_id", F.posexplode(buckets).alias("band", "bucket")
+        "doc_id",
+        F.posexplode(F.expr(f"array({bands_sql})")).alias("band", "bucket"),
     )
 
 
@@ -470,30 +480,31 @@ def lsh_pairs_from_signatures(
     read back from a lake answers the identical candidate-pair query
     as one built in-line."""
     buckets = lsh_band_buckets(signatures)
+    # posting-list expansion (the jaccard_pairs shape, round 17): group
+    # the band rows by (band, bucket), drop oversized buckets IN-ROW
+    # (size(ids) > cap — identical to the anti-join on the cap count),
+    # and emit each bucket's (lo, hi) pairs in-row. One shuffle total
+    # where the previous shape paid the cap aggregate + anti-join + a
+    # bucket-key SELF-JOIN of two more exchanges — and because the
+    # band rows now feed exactly ONE consumer, the signature pipeline
+    # no longer needs a localCheckpoint to avoid multi-consumer
+    # inlining (whose lazy creation alone cost ~1 s of physical
+    # planning per call). Pair volume is unchanged: sz*(sz-1)/2 per
+    # surviving bucket, sz <= cap by the same rule.
+    groups = buckets.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
     if max_bucket_size is not None:
-        big = (
-            buckets.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("sz"))
-            .where(F.col("sz") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        buckets = buckets.join(F.broadcast(big), ["band", "bucket"], "left_anti")
-    # lazy localCheckpoint: the signature pipeline (shingle explode ->
-    # 16 min-aggs -> band rows -> cap anti-join) feeds the cap count,
-    # BOTH sides of the self-join, and nothing else — without it the
-    # whole pipeline is inlined and recomputed per consumer (16
-    # Generate nodes in the physical plan). One band-rows
-    # materialization (|docs| x bands rows) is linear and small.
-    buckets = buckets.localCheckpoint(eager=False)
+        groups = groups.where(F.size("ids") <= max_bucket_size)
+    pair_structs = F.expr(
+        """
+        flatten(transform(ids, (x, i) ->
+            transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))
+        """
+    )
     cand = (
-        buckets.alias("x")
-        .join(
-            buckets.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        groups.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
     arrs = (
@@ -2205,44 +2216,48 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("freq") > MAX_SHINGLE_FREQ)
         .select("sh")
     )
-    capped = sh.join(F.broadcast(hot), "sh", "left_anti").localCheckpoint(
-        eager=False
-    )
-    sizes = (
-        capped.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+    # single lineage (the jaccard_pairs shape): the capped set size
+    # rides each shingle row as a window count, postings carry
+    # (doc_id, n) structs, and the pair aggregate reads both sizes
+    # in-group — no sizes frame, no join-back, no checkpoints.
+    capped = sh.join(F.broadcast(hot), "sh", "left_anti").withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
     postings = capped.groupBy("sh").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids")
+        F.sort_array(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("n")))
+        ).alias("ids")
     )
     pair_structs = F.expr(
         """
         flatten(transform(ids, (x, i) ->
-            transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))
+            transform(slice(ids, i + 2, size(ids)), y ->
+                struct(x.doc_id AS a, y.doc_id AS b,
+                       x.n AS na, y.n AS nb))))
         """
     )
     common = (
         postings.select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("p.na").alias("na"),
+            F.first("p.nb").alias("nb"),
+        )
     )
-    joined = common.join(
-        sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id")
-    ).join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-    fwd = joined.select(
+    fwd = common.select(
         F.col("doc_a").alias("doc_sub"),
         F.col("doc_b").alias("doc_super"),
         "c",
-        F.col("sa.n").alias("n_sub"),
-        F.col("sb.n").alias("n_super"),
+        F.col("na").alias("n_sub"),
+        F.col("nb").alias("n_super"),
     )
-    rev = joined.select(
+    rev = common.select(
         F.col("doc_b").alias("doc_sub"),
         F.col("doc_a").alias("doc_super"),
         "c",
-        F.col("sb.n").alias("n_sub"),
-        F.col("sa.n").alias("n_super"),
+        F.col("nb").alias("n_sub"),
+        F.col("na").alias("n_super"),
     )
     oriented = fwd.unionAll(rev)
     containment = F.col("c") / F.col("n_sub")
