@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.registry import query
-from dynamodb_streaming_datalake_spark.sources.readers import read_table
+from dynamodb_streaming_datalake_spark.sources.readers import fan_out, read_table
 
 IMG_MAGIC = b"FIMG"
 VID_MAGIC = b"FVID"
@@ -135,6 +135,63 @@ def _decode_image(blob: bytes) -> tuple[int, int, int, float]:
 # ---------------------------------------------------------------------------
 
 
+def synthesize_batches(id_col: str, kind: str = "image"):
+    """Worker-side batch generator twin of :func:`synthesize_media` —
+    pass it as a decoder's ``pre=`` so synth + decode run in ONE Python
+    worker pass and the media blobs never cross the JVM boundary
+    (guide §4: the heavy bytes move zero times instead of twice per
+    fused stage)."""
+    encoders = {"image": _encode_image, "video": _encode_video}
+    # audio/wav/ppm encoders are defined below this function; resolve lazily
+    enc = encoders.get(kind) or globals()[f"_encode_{kind}"]
+    # these are REAL container formats, not fakes — label honestly
+    fmt = (
+        kind
+        if kind
+        in ("wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg", "gif", "tiff",
+            "webp", "wav_adpcm", "wav_g711", "jpeg_prog", "jpeg_color",
+            "flac")
+        else f"fake-{kind}"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [enc(int(i)) for i in pdf[id_col]]
+            pdf = pdf.copy()
+            pdf["media"] = blobs
+            pdf["media_meta"] = [
+                {"format": fmt, "n_bytes": len(b)} for b in blobs
+            ]
+            yield pdf
+
+    return gen
+
+
+def _with_pre(dec, pre):
+    """Compose a worker-side batch transformer ahead of a decode
+    generator: one Python worker runs ``pre -> dec`` per partition, so
+    the intermediate frame (the media blobs) is handed from function to
+    function in memory instead of being serialized JVM->Python->JVM
+    between two MapInPandas stages."""
+    if pre is None:
+        return dec
+
+    def fused(batches):
+        return dec(pre(batches))
+
+    return fused
+
+
+def media_input(df: DataFrame, id_col: str) -> DataFrame:
+    """Parallelism floor for the codec stages: the synth + decode are
+    Python-per-row and scale with PARTITIONS, and the small fixture
+    parquet arrives as ONE split — which serialized every codec onto
+    one core (round-7 bench: q_media_mp3_sideinfo at 6 s wall vs 0.3 s
+    of actual Python). At real scale the input already has many splits
+    and this is a no-op (readers.fan_out)."""
+    return fan_out(df, id_col)
+
+
 def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
     """Ingest simulator: attach an opaque ``media`` binary column plus a
     typed ``media_meta`` struct keyed off ``id_col``. This is the fixture
@@ -148,18 +205,6 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
         StructType,
     )
 
-    encoders = {"image": _encode_image, "video": _encode_video}
-    # audio/wav/ppm encoders are defined below this function; resolve lazily
-    enc = encoders.get(kind) or globals()[f"_encode_{kind}"]
-    # these are REAL container formats, not fakes — label honestly
-    fmt = (
-        kind
-        if kind
-        in ("wav", "ppm", "bmp", "png", "mp4", "mp3", "jpeg", "gif", "tiff",
-            "webp", "wav_adpcm", "wav_g711", "jpeg_prog", "jpeg_color",
-            "flac")
-        else f"fake-{kind}"
-    )
     meta_t = StructType(
         [StructField("format", StringType()), StructField("n_bytes", LongType())]
     )
@@ -167,34 +212,12 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
         list(df.schema.fields)
         + [StructField("media", BinaryType()), StructField("media_meta", meta_t)]
     )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = [enc(int(i)) for i in pdf[id_col]]
-            pdf = pdf.copy()
-            pdf["media"] = blobs
-            pdf["media_meta"] = [
-                {"format": fmt, "n_bytes": len(b)} for b in blobs
-            ]
-            yield pdf
-
-    # the synth + downstream decode are Python-per-row: they scale with
-    # PARTITIONS, and the small fixture parquet arrives as ONE split —
-    # which serialized every codec onto one core (found in the round-7
-    # bench: q_media_mp3_sideinfo at 6s wall vs 0.3s of actual Python).
-    # Fan out to the session's parallelism when the input is narrower;
-    # at real scale the input already has many splits and this is a
-    # no-op. Hash on the id keeps the distribution deterministic.
-    # (streaming inputs can't be inspected via .rdd and get their
-    # parallelism from the source's own partitioning — skip the probe)
     if not df.isStreaming:
-        n_target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < n_target:
-            df = df.repartition(n_target, id_col)
-    return df.mapInPandas(gen, schema=out_schema)
+        df = media_input(df, id_col)
+    return df.mapInPandas(synthesize_batches(id_col, kind), schema=out_schema)
 
 
-def decode_media(df: DataFrame, id_col: str, fmt: str = "fake") -> DataFrame:
+def decode_media(df: DataFrame, id_col: str, fmt: str = "fake", pre=None) -> DataFrame:
     """Decode step: parse each image blob's header + payload into typed
     stats (width/height/channels/mean_pixel/n_pixels). Real codecs raise
     NotImplementedError (no imaging libs in this container)."""
@@ -217,10 +240,10 @@ def decode_media(df: DataFrame, id_col: str, fmt: str = "fake") -> DataFrame:
                 ],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
-def resize_media(df: DataFrame, new_w: int, new_h: int, fmt: str = "fake") -> DataFrame:
+def resize_media(df: DataFrame, new_w: int, new_h: int, fmt: str = "fake", pre=None) -> DataFrame:
     """Resize each image blob to (new_w, new_h) with nearest-neighbor
     resampling of the payload grid; emits a re-encoded blob so the result
     stays a valid media column."""
@@ -243,16 +266,12 @@ def resize_media(df: DataFrame, new_w: int, new_h: int, fmt: str = "fake") -> Da
             pdf["media"] = out
             yield pdf
 
-    return df.mapInPandas(rz, schema=df.schema)
+    return df.mapInPandas(_with_pre(rz, pre), schema=df.schema)
 
 
-def sample_frames(df: DataFrame, id_col: str, every_k: int, fmt: str = "fake") -> DataFrame:
-    """Frame sampling: explode each video blob into one row per k-th
-    frame, each frame re-encoded as a standalone image blob (so decode/
-    resize/features compose downstream). Row fan-out happens inside the
-    partition — no shuffle."""
-    _require_fake(fmt)
-    schema = f"{id_col} bigint, frame_idx int, media binary"
+def sample_frames_batches(id_col: str, every_k: int):
+    """Worker-side batch generator of :func:`sample_frames` (for
+    ``pre=`` fusion chains — see :func:`_with_pre`)."""
 
     def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -270,10 +289,21 @@ def sample_frames(df: DataFrame, id_col: str, every_k: int, fmt: str = "fake") -
                     )
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "media"])
 
-    return df.mapInPandas(fs, schema=schema)
+    return fs
 
 
-def media_features(df: DataFrame, id_col: str, n_bins: int = 8, fmt: str = "fake") -> DataFrame:
+def sample_frames(df: DataFrame, id_col: str, every_k: int, fmt: str = "fake", pre=None) -> DataFrame:
+    """Frame sampling: explode each video blob into one row per k-th
+    frame, each frame re-encoded as a standalone image blob (so decode/
+    resize/features compose downstream). Row fan-out happens inside the
+    partition — no shuffle."""
+    _require_fake(fmt)
+    schema = f"{id_col} bigint, frame_idx int, media binary"
+    fs = sample_frames_batches(id_col, every_k)
+    return df.mapInPandas(_with_pre(fs, pre), schema=schema)
+
+
+def media_features(df: DataFrame, id_col: str, n_bins: int = 8, fmt: str = "fake", pre=None) -> DataFrame:
     """Feature extraction: an n_bins-normalized byte histogram per image
     blob, returned as ``array<float>`` so it plugs straight into the
     similarity/ANN operators."""
@@ -290,7 +320,7 @@ def media_features(df: DataFrame, id_col: str, n_bins: int = 8, fmt: str = "fake
                 ids.append(int(i))
             yield pd.DataFrame({id_col: ids, "features": vecs})
 
-    return df.mapInPandas(feat, schema=schema)
+    return df.mapInPandas(_with_pre(feat, pre), schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -316,7 +346,11 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     back into typed stats. The oracle recomputes the same stats
     arithmetically — proving the bytes round-trip, not just the schema."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    return decode_media(synthesize_media(d, "doc_id", "image"), "doc_id")
+    return decode_media(
+        media_input(d, "doc_id"),
+        "doc_id",
+        pre=synthesize_batches("doc_id", "image"),
+    )
 
 
 @query(
@@ -337,9 +371,17 @@ def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video path: synthesize a multi-frame blob, sample every 3rd frame,
     decode each sampled frame, aggregate per document."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    vids = synthesize_media(d, "doc_id", "video")
-    frames = sample_frames(vids, "doc_id", every_k=3)
-    decoded = decode_media(frames, "doc_id")
+    # synth -> frame-sample -> decode fused into ONE Python worker pass:
+    # the video blobs and per-frame image blobs are handed function to
+    # function in memory instead of crossing the JVM boundary twice
+    # between three MapInPandas stages (guide §4)
+    synth = synthesize_batches("doc_id", "video")
+    sample = sample_frames_batches("doc_id", every_k=3)
+    decoded = decode_media(
+        media_input(d, "doc_id"),
+        "doc_id",
+        pre=lambda batches: sample(synth(batches)),
+    )
     return decoded.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sampled"),
         F.avg("mean_pixel").alias("avg_frame_mean"),
@@ -364,11 +406,13 @@ def _encode_audio(i: int) -> bytes:
     s = (i + s_idx) % 256 — deterministic 8-bit PCM the oracle can
     recompute arithmetically."""
     rate, n = _aud_dims(i)
-    payload = bytes((i + s) % 256 for s in range(n))
+    # vectorized: the per-sample generator was ~6M interpreted Python
+    # iterations per sf0.1 pass; numpy emits the identical bytes
+    payload = ((i + np.arange(n)) % 256).astype(np.uint8).tobytes()
     return AUD_MAGIC + struct.pack(">II", rate, n) + payload
 
 
-def decode_audio(df: DataFrame, id_col: str, fmt: str = "fake") -> DataFrame:
+def decode_audio(df: DataFrame, id_col: str, fmt: str = "fake", pre=None) -> DataFrame:
     """Audio decode for the FAKE 8-bit PCM wire format: parse header +
     samples into (sample_rate, n_samples, duration_s, rms). Real WAV
     goes through ``decode_wav``; library-dependent codecs (mp3) raise
@@ -398,7 +442,7 @@ def decode_audio(df: DataFrame, id_col: str, fmt: str = "fake") -> DataFrame:
                 columns=[id_col, "sample_rate", "n_samples", "duration_s", "rms"],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 @query(
@@ -421,8 +465,8 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     real bytes back into duration + RMS level; oracle recomputes both
     arithmetically from doc_id."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    aud = synthesize_media(d, "doc_id", "audio")
-    dec = decode_audio(aud, "doc_id")
+    aud = media_input(d, "doc_id")
+    dec = decode_audio(aud, "doc_id", pre=synthesize_batches("doc_id", "audio"))
     return dec.select(
         "doc_id", "sample_rate", "n_samples", "duration_s", F.round("rms", 6).alias("rms")
     )
@@ -511,7 +555,7 @@ def parse_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
     return rate, channels, samples
 
 
-def decode_wav(df: DataFrame, id_col: str) -> DataFrame:
+def decode_wav(df: DataFrame, id_col: str, pre=None) -> DataFrame:
     """Decode a real WAV column into (sample_rate, n_samples,
     duration_s, rms). Same mapInPandas plumbing as the fake codec —
     the only change is the kernel is a genuine RIFF chunk walk."""
@@ -534,7 +578,7 @@ def decode_wav(df: DataFrame, id_col: str) -> DataFrame:
                 columns=[id_col, "sample_rate", "n_samples", "duration_s", "rms"],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 def _ppm_dims(i: int) -> tuple[int, int]:
@@ -587,7 +631,7 @@ def parse_ppm(blob: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, payload.reshape(h, w, 3)
 
 
-def decode_ppm(df: DataFrame, id_col: str) -> DataFrame:
+def decode_ppm(df: DataFrame, id_col: str, pre=None) -> DataFrame:
     """Decode a real PPM column into typed stats (width, height,
     channels, mean_pixel, n_bytes)."""
     schema = (
@@ -609,7 +653,7 @@ def decode_ppm(df: DataFrame, id_col: str) -> DataFrame:
                 columns=[id_col, "width", "height", "channels", "mean_pixel", "n_bytes"],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 @query(
@@ -638,8 +682,8 @@ def q_media_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audio column streams through executors one Arrow batch at a
     time, no shuffle, no driver traffic."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    wav = synthesize_media(d, "doc_id", "wav")
-    dec = decode_wav(wav, "doc_id")
+    wav = media_input(d, "doc_id")
+    dec = decode_wav(wav, "doc_id", pre=synthesize_batches("doc_id", "wav"))
     return dec.select(
         "doc_id",
         "sample_rate",
@@ -805,7 +849,7 @@ _ADPCM_STEPS_NP = np.array(_ADPCM_STEPS, dtype=np.int64)
 _ADPCM_INDEX_NP = np.array(_ADPCM_INDEX, dtype=np.int64)
 
 
-def decode_wav_adpcm(df: DataFrame, id_col: str) -> DataFrame:
+def decode_wav_adpcm(df: DataFrame, id_col: str, pre=None) -> DataFrame:
     """Decode an IMA-ADPCM WAV column into typed sample stats.
 
     The predictor recurrence is sequential WITHIN a block but
@@ -901,7 +945,7 @@ def decode_wav_adpcm(df: DataFrame, id_col: str) -> DataFrame:
                 ],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 _ADPCM_STEPS_SQL = "[" + ", ".join(map(str, _ADPCM_STEPS)) + "]"
@@ -983,8 +1027,8 @@ def q_media_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only mapInPandas, same contract as q_media_wav."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    wav = synthesize_media(d, "doc_id", "wav_adpcm")
-    return decode_wav_adpcm(wav, "doc_id")
+    wav = media_input(d, "doc_id")
+    return decode_wav_adpcm(wav, "doc_id", pre=synthesize_batches("doc_id", "wav_adpcm"))
 
 
 # ---------------------------------------------------------------------------
@@ -1060,7 +1104,7 @@ def parse_wav_g711(blob: bytes) -> tuple[int, str, np.ndarray]:
     return rate, "alaw", alaw_expand(codes)
 
 
-def decode_wav_g711(df: DataFrame, id_col: str) -> DataFrame:
+def decode_wav_g711(df: DataFrame, id_col: str, pre=None) -> DataFrame:
     """Decode a G.711 WAV column into (codec, sample_rate, n_samples,
     rms, min/max linear sample) — map-only mapInPandas, vectorized
     expansion per Arrow batch."""
@@ -1088,7 +1132,7 @@ def decode_wav_g711(df: DataFrame, id_col: str) -> DataFrame:
                 ],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 #: oracle twin of the expansion, over code byte c (bound once by the
@@ -1141,8 +1185,8 @@ def q_media_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only mapInPandas, same contract as q_media_wav."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    wav = synthesize_media(d, "doc_id", "wav_g711")
-    dec = decode_wav_g711(wav, "doc_id")
+    wav = media_input(d, "doc_id")
+    dec = decode_wav_g711(wav, "doc_id", pre=synthesize_batches("doc_id", "wav_g711"))
     return dec.select(
         "doc_id",
         "codec",
@@ -1461,7 +1505,7 @@ def parse_flac(blob: bytes) -> tuple[int, np.ndarray]:
     return rate, np.array(out, dtype=np.int64)
 
 
-def decode_flac(df: DataFrame, id_col: str) -> DataFrame:
+def decode_flac(df: DataFrame, id_col: str, pre=None) -> DataFrame:
     """Decode a FLAC column into integer sample stats — map-only
     mapInPandas, same contract as decode_wav_adpcm."""
     schema = (
@@ -1490,7 +1534,7 @@ def decode_flac(df: DataFrame, id_col: str) -> DataFrame:
                 ],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 @query(
@@ -1536,8 +1580,8 @@ def q_media_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only mapInPandas, same contract as q_media_wav_adpcm."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    flac = synthesize_media(d, "doc_id", "flac")
-    return decode_flac(flac, "doc_id").select(
+    flac = media_input(d, "doc_id")
+    return decode_flac(flac, "doc_id", pre=synthesize_batches("doc_id", "flac")).select(
         "doc_id", "sample_rate", "n_samples", "sum_samples",
         "min_sample", "max_sample",
     )
@@ -1573,8 +1617,8 @@ def q_media_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only, same contract as q_media_wav."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    ppm = synthesize_media(d, "doc_id", "ppm")
-    return decode_ppm(ppm, "doc_id")
+    ppm = media_input(d, "doc_id")
+    return decode_ppm(ppm, "doc_id", pre=synthesize_batches("doc_id", "ppm"))
 
 
 # ---------------------------------------------------------------------------
@@ -1760,7 +1804,7 @@ def parse_bmp(blob: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, np.ascontiguousarray(grid)
 
 
-def decode_bmp(df: DataFrame, id_col: str) -> DataFrame:
+def decode_bmp(df: DataFrame, id_col: str, pre=None) -> DataFrame:
     """Decode a real BMP column into typed stats (width, height,
     channels, mean_pixel, n_bytes) — same contract as decode_ppm."""
     schema = (
@@ -1781,7 +1825,7 @@ def decode_bmp(df: DataFrame, id_col: str) -> DataFrame:
                 columns=[id_col, "width", "height", "channels", "mean_pixel", "n_bytes"],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 @query(
@@ -1830,8 +1874,8 @@ def q_media_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only mapInPandas, same contract as q_media_wav/ppm."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    bmp = synthesize_media(d, "doc_id", "bmp")
-    return decode_bmp(bmp, "doc_id")
+    bmp = media_input(d, "doc_id")
+    return decode_bmp(bmp, "doc_id", pre=synthesize_batches("doc_id", "bmp"))
 
 
 # ---------------------------------------------------------------------------
@@ -2091,7 +2135,7 @@ def parse_png(blob: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, grid
 
 
-def decode_png(df: DataFrame, id_col: str) -> DataFrame:
+def decode_png(df: DataFrame, id_col: str, pre=None) -> DataFrame:
     """Decode a real PNG column into typed stats (width, height,
     channels, mean_pixel, n_bytes) — same contract as decode_bmp."""
     schema = (
@@ -2112,7 +2156,7 @@ def decode_png(df: DataFrame, id_col: str) -> DataFrame:
                 columns=[id_col, "width", "height", "channels", "mean_pixel", "n_bytes"],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 @query(
@@ -2147,8 +2191,8 @@ def q_media_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only mapInPandas, same contract as q_media_wav/ppm/bmp."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    png = synthesize_media(d, "doc_id", "png")
-    return decode_png(png, "doc_id")
+    png = media_input(d, "doc_id")
+    return decode_png(png, "doc_id", pre=synthesize_batches("doc_id", "png"))
 
 
 # ---------------------------------------------------------------------------
@@ -2445,7 +2489,7 @@ def parse_mp4(blob: bytes) -> tuple[str, int, int, int, str, int]:
     return brand, timescale, duration, n_tracks, ",".join(handlers), mdat_bytes
 
 
-def demux_mp4(df: DataFrame, id_col: str) -> DataFrame:
+def demux_mp4(df: DataFrame, id_col: str, pre=None) -> DataFrame:
     """Demux an MP4 column into typed container metadata."""
     schema = (
         f"{id_col} bigint, major_brand string, timescale int,"
@@ -2475,7 +2519,7 @@ def demux_mp4(df: DataFrame, id_col: str) -> DataFrame:
                 ],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 @query(
@@ -2524,8 +2568,8 @@ def q_media_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     as-is); this operator supplies the metadata-extraction stage its
     consumers would run next."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    mp4 = synthesize_media(d, "doc_id", "mp4")
-    return demux_mp4(mp4, "doc_id")
+    mp4 = media_input(d, "doc_id")
+    return demux_mp4(mp4, "doc_id", pre=synthesize_batches("doc_id", "mp4"))
 
 
 def parse_mp4_samples(blob: bytes) -> list[tuple]:
@@ -2652,7 +2696,7 @@ def parse_mp4_samples(blob: bytes) -> list[tuple]:
     return out
 
 
-def demux_mp4_samples(df: DataFrame, id_col: str) -> DataFrame:
+def demux_mp4_samples(df: DataFrame, id_col: str, pre=None) -> DataFrame:
     """Expand an MP4 column into one row per media sample."""
     schema = (
         f"{id_col} bigint, track_id int, handler string, sample_idx int,"
@@ -2675,7 +2719,7 @@ def demux_mp4_samples(df: DataFrame, id_col: str) -> DataFrame:
                 ],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 @query(
@@ -2728,8 +2772,8 @@ def q_media_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-only mapInPandas over headers; sample bytes never leave
     the scan."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    mp4 = synthesize_media(d, "doc_id", "mp4")
-    return demux_mp4_samples(mp4, "doc_id")
+    mp4 = media_input(d, "doc_id")
+    return demux_mp4_samples(mp4, "doc_id", pre=synthesize_batches("doc_id", "mp4"))
 
 
 # ---------------------------------------------------------------------------
@@ -2929,7 +2973,7 @@ def parse_mp3(blob: bytes) -> tuple[int, int, int, int]:
     return samplerate, n_frames, br_sum, audio_bytes
 
 
-def demux_mp3(df: DataFrame, id_col: str) -> DataFrame:
+def demux_mp3(df: DataFrame, id_col: str, pre=None) -> DataFrame:
     """Walk an MP3 column into typed stream metadata (duration, mean
     bitrate, byte counts) without decoding samples."""
     schema = (
@@ -2964,7 +3008,7 @@ def demux_mp3(df: DataFrame, id_col: str) -> DataFrame:
                 ],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 @query(
@@ -3008,8 +3052,8 @@ def q_media_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only mapInPandas; header walk is O(n_frames) per row."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    mp3 = synthesize_media(d, "doc_id", "mp3")
-    return demux_mp3(mp3, "doc_id")
+    mp3 = media_input(d, "doc_id")
+    return demux_mp3(mp3, "doc_id", pre=synthesize_batches("doc_id", "mp3"))
 
 
 class _MsbBitReader:
@@ -3100,7 +3144,7 @@ def parse_mp3_sideinfo(blob: bytes) -> list[dict]:
     return frames
 
 
-def demux_mp3_sideinfo(df: DataFrame, id_col: str) -> DataFrame:
+def demux_mp3_sideinfo(df: DataFrame, id_col: str, pre=None) -> DataFrame:
     """Aggregate each file's parsed side info into per-document stats
     over every (frame, granule, channel)."""
     schema = (
@@ -3142,7 +3186,7 @@ def demux_mp3_sideinfo(df: DataFrame, id_col: str) -> DataFrame:
                 ],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 @query(
@@ -3203,8 +3247,8 @@ def q_media_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-only mapInPandas; side info is a fixed-size prefix of
     each frame."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    mp3 = synthesize_media(d, "doc_id", "mp3")
-    return demux_mp3_sideinfo(mp3, "doc_id")
+    mp3 = media_input(d, "doc_id")
+    return demux_mp3_sideinfo(mp3, "doc_id", pre=synthesize_batches("doc_id", "mp3"))
 
 
 # ---------------------------------------------------------------------------
@@ -3922,7 +3966,7 @@ def _encode_jpeg_prog(i: int) -> bytes:
     return encode_jpeg_gray_progressive(img)
 
 
-def decode_jpeg(df: DataFrame, id_col: str) -> DataFrame:
+def decode_jpeg(df: DataFrame, id_col: str, pre=None) -> DataFrame:
     """Decode a JPEG column into typed stats (width, height, channels,
     mean_pixel, n_bytes) — same contract as decode_png."""
     schema = (
@@ -3945,7 +3989,7 @@ def decode_jpeg(df: DataFrame, id_col: str) -> DataFrame:
                 ],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 @query(
@@ -3986,8 +4030,8 @@ def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only mapInPandas, same contract as q_media_png."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    jpg = synthesize_media(d, "doc_id", "jpeg")
-    return decode_jpeg(jpg, "doc_id")
+    jpg = media_input(d, "doc_id")
+    return decode_jpeg(jpg, "doc_id", pre=synthesize_batches("doc_id", "jpeg"))
 
 
 @query(
@@ -4035,8 +4079,8 @@ def q_media_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only mapInPandas, same contract as q_media_jpeg."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    jpg = synthesize_media(d, "doc_id", "jpeg_prog")
-    return decode_jpeg(jpg, "doc_id")
+    jpg = media_input(d, "doc_id")
+    return decode_jpeg(jpg, "doc_id", pre=synthesize_batches("doc_id", "jpeg_prog"))
 
 
 # ---------------------------------------------------------------------------
@@ -4273,7 +4317,7 @@ def parse_jpeg_color(blob: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, np.stack([r, g, b], axis=-1)
 
 
-def decode_jpeg_color(df: DataFrame, id_col: str) -> DataFrame:
+def decode_jpeg_color(df: DataFrame, id_col: str, pre=None) -> DataFrame:
     """Decode a color-JPEG column into per-channel means — map-only
     mapInPandas, same contract as decode_jpeg."""
     schema = (
@@ -4304,7 +4348,7 @@ def decode_jpeg_color(df: DataFrame, id_col: str) -> DataFrame:
                 ],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 @query(
@@ -4369,8 +4413,8 @@ def q_media_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only mapInPandas, same contract as q_media_jpeg."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    jpg = synthesize_media(d, "doc_id", "jpeg_color")
-    dec = decode_jpeg_color(jpg, "doc_id")
+    jpg = media_input(d, "doc_id")
+    dec = decode_jpeg_color(jpg, "doc_id", pre=synthesize_batches("doc_id", "jpeg_color"))
     return dec.select(
         "doc_id", "width", "height", "channels",
         "mean_r", "mean_g", "mean_b",
@@ -4598,7 +4642,7 @@ def _gif_interlace_rows(h: int) -> np.ndarray:
     )
 
 
-def decode_gif(df: DataFrame, id_col: str) -> DataFrame:
+def decode_gif(df: DataFrame, id_col: str, pre=None) -> DataFrame:
     """Decode a GIF column into typed stats — same contract as
     decode_png."""
     schema = (
@@ -4621,7 +4665,7 @@ def decode_gif(df: DataFrame, id_col: str) -> DataFrame:
                 ],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 @query(
@@ -4655,8 +4699,8 @@ def q_media_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only mapInPandas, same contract as q_media_png."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    gif = synthesize_media(d, "doc_id", "gif")
-    return decode_gif(gif, "doc_id")
+    gif = media_input(d, "doc_id")
+    return decode_gif(gif, "doc_id", pre=synthesize_batches("doc_id", "gif"))
 
 
 # ---------------------------------------------------------------------------
@@ -4923,7 +4967,7 @@ def parse_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, px.reshape(h, w)
 
 
-def decode_tiff(df: DataFrame, id_col: str) -> DataFrame:
+def decode_tiff(df: DataFrame, id_col: str, pre=None) -> DataFrame:
     """Decode a TIFF column into typed stats — same contract as
     decode_png."""
     schema = (
@@ -4946,7 +4990,7 @@ def decode_tiff(df: DataFrame, id_col: str) -> DataFrame:
                 ],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 @query(
@@ -4988,8 +5032,8 @@ def q_media_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only mapInPandas, same contract as q_media_png."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    tif = synthesize_media(d, "doc_id", "tiff")
-    return decode_tiff(tif, "doc_id")
+    tif = media_input(d, "doc_id")
+    return decode_tiff(tif, "doc_id", pre=synthesize_batches("doc_id", "tiff"))
 
 
 # ---------------------------------------------------------------------------
@@ -5394,7 +5438,7 @@ def parse_webp(blob: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, out.reshape(h, w, 4)
 
 
-def decode_webp(df: DataFrame, id_col: str) -> DataFrame:
+def decode_webp(df: DataFrame, id_col: str, pre=None) -> DataFrame:
     """Decode a WebP-lossless column into typed stats — same contract
     as decode_png/decode_gif; mean_rgb averages the three color
     channels (alpha reported via channels=4)."""
@@ -5420,7 +5464,7 @@ def decode_webp(df: DataFrame, id_col: str) -> DataFrame:
                 ],
             )
 
-    return df.mapInPandas(dec, schema=schema)
+    return df.mapInPandas(_with_pre(dec, pre), schema=schema)
 
 
 @query(
@@ -5461,5 +5505,5 @@ def q_media_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only mapInPandas, same contract as q_media_png."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    webp = synthesize_media(d, "doc_id", "webp")
-    return decode_webp(webp, "doc_id")
+    webp = media_input(d, "doc_id")
+    return decode_webp(webp, "doc_id", pre=synthesize_batches("doc_id", "webp"))
