@@ -47,7 +47,7 @@ from dynamodb_streaming_datalake_spark.functions.texthash import (
 from dynamodb_streaming_datalake_spark.operators.dedup import EMBED_NEAR_DUP_COS
 from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
 from dynamodb_streaming_datalake_spark.registry import query
-from dynamodb_streaming_datalake_spark.sources.readers import read_table
+from dynamodb_streaming_datalake_spark.sources.readers import fan_out, read_table
 
 #: anchors: the first N vectors are the mining panel (constant-size
 #: broadcast side, like q_ann_topk's query set).
@@ -128,7 +128,9 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         F.broadcast(a)
-        .join(e, F.col("vec_id") != F.col("anchor_id"))
+        # corpus-side parallelism floor: the |panel| x |corpus| cosine
+        # fold runs on every core instead of the scan's single split
+        .join(fan_out(e, "vec_id"), F.col("vec_id") != F.col("anchor_id"))
         .select(
             "anchor_id",
             "alabel",
@@ -219,7 +221,7 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     drawn = (
         F.broadcast(a)
         .join(
-            e,
+            fan_out(e, "vec_id"),
             (F.col("vec_id") != F.col("anchor_id"))
             & (F.col("label") != F.col("alabel")),
         )
@@ -333,7 +335,8 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.where(F.col("vec_id") < SEM_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    scored = e.crossJoin(F.broadcast(cents)).select(
+    # corpus-side parallelism floor for the |e| x K assignment cosines
+    scored = fan_out(e, "vec_id").crossJoin(F.broadcast(cents)).select(
         "vec_id", "cid", cosine(F.col("embedding"), F.col("ce")).alias("cs")
     )
     wa = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid"))

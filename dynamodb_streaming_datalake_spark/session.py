@@ -98,10 +98,19 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     The driver harness owns SparkSession creation in some entry points
     (``__spark_entry__.entry``); this makes those sessions behave like
     ours for every conf that is mutable post-start.
+
+    Memoized per session object: the driver calls this through the
+    ``queries()`` wrapper on EVERY invocation, and each ``conf.set`` is
+    a py4j round trip (~1 ms on this host) — ~10 ms of fixed tax per
+    timed query repetition for confs that never change after the first
+    application.
     """
+    if getattr(spark, "_engine_conf_applied", False):
+        return spark
     for k, v in ENGINE_DEFAULTS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a running session — keep going
+    spark._engine_conf_applied = True
     return spark

@@ -240,3 +240,26 @@ def test_registry_names_all_appear_in_survey():
         "SURVEY §2D inventory is stale — regenerate with "
         "`python scripts/make_survey_inventory.py`"
     )
+
+
+def test_apply_engine_conf_memoized_per_session(spark):
+    """The driver wrapper calls apply_engine_conf per query invocation;
+    it must apply the engine defaults once per session object and be a
+    no-op afterwards (each conf.set is a py4j round trip)."""
+    from dynamodb_streaming_datalake_spark.session import (
+        ENGINE_DEFAULTS,
+        apply_engine_conf,
+    )
+
+    spark._engine_conf_applied = False
+    apply_engine_conf(spark)
+    assert spark._engine_conf_applied is True
+    # flip a runtime conf; the memoized second call must NOT reset it
+    probe = "spark.sql.shuffle.partitions"
+    spark.conf.set(probe, "7")
+    apply_engine_conf(spark)
+    assert spark.conf.get(probe) == "7"
+    # a fresh application (new session in the driver) restores defaults
+    spark._engine_conf_applied = False
+    apply_engine_conf(spark)
+    assert spark.conf.get(probe) == ENGINE_DEFAULTS[probe]
