@@ -1855,10 +1855,18 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("win"),
     )
-    cnt = wins.groupBy("win").agg(F.countDistinct("doc_id").alias("nd"))
+    # one pass over the window stream: the distinct-doc count per span
+    # rides each row as size(collect_set(doc_id)) OVER (PARTITION BY
+    # win) — the previous groupBy(win) + join-back shape shuffled the
+    # full window stream TWICE and recomputed the token explode for
+    # both consumers (rounds 1-16); this is one shuffle on the window
+    # key and one on doc_id, with the explode computed once.
     dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
     return (
-        wins.join(cnt, "win")
+        wins.withColumn(
+            "nd",
+            F.size(F.collect_set("doc_id").over(Window.partitionBy("win"))),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
