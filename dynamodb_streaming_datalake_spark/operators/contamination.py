@@ -26,7 +26,7 @@ DuckDB oracle replays the identical definition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.functions.texthash import (
@@ -349,17 +349,27 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", portable_hash60(F.col("s")).alias("h"))
         .distinct()
     )
-    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    # posting-list expansion per hash: sources sharing the shingle,
-    # in-row (lo, hi) pairs — one shuffle on h, never a self-join
-    postings = sh.groupBy("h").agg(
-        F.sort_array(F.collect_list("source")).alias("srcs")
+    # single lineage (the jaccard_pairs round-17 shape): each source's
+    # distinct-shingle count rides its rows as a window count, postings
+    # carry (source, n) structs, and the pair aggregate reads both
+    # sizes in-group — the explode+distinct subtree is computed ONCE
+    # instead of once per consumer (sizes + postings), with no
+    # join-back. Pair expansion per hash stays in-row and bounded by
+    # n_sources^2.
+    shn = sh.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    postings = shn.groupBy("h").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("source"), F.col("n")))
+        ).alias("srcs")
     )
     pair_structs = F.expr(
         """
         flatten(transform(srcs, (x, i) ->
             transform(slice(srcs, i + 2, size(srcs)),
-                      y -> struct(x AS a, y AS b))))
+                      y -> struct(x.source AS a, y.source AS b,
+                                  x.n AS na, y.n AS nb))))
         """
     )
     pairs = (
@@ -367,22 +377,14 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("p.na").alias("n_a"),
+            F.first("p.nb").alias("n_b"),
+        )
     )
     return (
-        pairs.join(
-            sizes.select(
-                F.col("source").alias("source_a"), F.col("n").alias("n_a")
-            ),
-            "source_a",
-        )
-        .join(
-            sizes.select(
-                F.col("source").alias("source_b"), F.col("n").alias("n_b")
-            ),
-            "source_b",
-        )
-        .select(
+        pairs.select(
             "source_a",
             "source_b",
             F.col("shared").cast("bigint").alias("shared_shingles"),
