@@ -279,7 +279,7 @@ def _ivf_candidates(e: DataFrame) -> DataFrame:
     cents = e.where(F.col("vec_id") < IVF_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    scored_assign = e.join(F.broadcast(cents)).select(
+    scored_assign = fan_out(e, "vec_id").join(F.broadcast(cents)).select(
         "vec_id",
         "cid",
         cosine(F.col("embedding"), F.col("ce")).alias("ac"),
@@ -436,7 +436,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
 
     def assign(cents: DataFrame, out_cs: str = "cs") -> DataFrame:
-        scored = e.join(F.broadcast(cents)).select(
+        scored = fan_out(e, "vec_id").join(F.broadcast(cents)).select(
             "vec_id",
             "cid",
             cosine(F.col("embedding"), F.col("ce")).alias("cs"),
@@ -1509,7 +1509,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-engine libm ulp in the cosine must not flip dense ranks
     # (round-6 advice — the lex side already had this discipline)
     dense_top = (
-        e.crossJoin(F.broadcast(qv))
+        fan_out(e, "vec_id").crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
             F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("c"),
@@ -1866,7 +1866,7 @@ def q_ann_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ac").desc(), F.col("cid")
     )
     ranked_assign = (
-        e.join(F.broadcast(cents))
+        fan_out(e, "vec_id").join(F.broadcast(cents))
         .select(
             "vec_id", "cid", cosine(F.col("embedding"), F.col("ce")).alias("ac")
         )
@@ -3065,7 +3065,7 @@ def ivf_assign_lists(e: DataFrame, cents: DataFrame) -> DataFrame:
     batching of the corpus — the property the streaming index view
     (streaming.sketchview) relies on. Broadcast centroids, map-only
     but for the per-vector argmax window."""
-    scored = e.join(F.broadcast(cents)).select(
+    scored = fan_out(e, "vec_id").join(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
         "cid",
@@ -3581,7 +3581,7 @@ def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.where(F.col("vec_id") < SIL_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    scored = e.join(F.broadcast(cents)).select(
+    scored = fan_out(e, "vec_id").join(F.broadcast(cents)).select(
         "vec_id",
         "cid",
         (1 - cosine(F.col("embedding"), F.col("ce"))).alias("dist"),
@@ -3705,7 +3705,7 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.where(F.col("vec_id") < SIL_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    scored = e.join(F.broadcast(cents)).select(
+    scored = fan_out(e, "vec_id").join(F.broadcast(cents)).select(
         "vec_id",
         "label",
         "cid",
