@@ -181,29 +181,33 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = int(FUZZY_EVAL_RATE * DENOM)
     is_eval = hash_bucket(F.col("doc_id")) < cut
 
-    buckets = lsh_band_buckets(minhash_signatures(d))
-    big = (
-        buckets.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .where(F.col("sz") > MAX_BUCKET_SIZE)
-        .select("band", "bucket")
-    )
-    buckets = (
-        buckets.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+    # posting-list expansion with side tags (the round-17 LSH shape):
+    # group band rows by (band, bucket), drop oversized buckets IN-ROW
+    # (size counts BOTH sides, identical to the old cap aggregate), and
+    # expand train x eval pairs in-row — one shuffle where the previous
+    # shape paid cap-aggregate + anti-join + a two-sided self-join, and
+    # the single-consumer lineage drops the localCheckpoint.
+    groups = (
+        lsh_band_buckets(minhash_signatures(d))
         .withColumn("is_eval", is_eval)
-        .localCheckpoint(eager=False)  # one pipeline, two join consumers
+        .groupBy("band", "bucket")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("doc_id"), F.col("is_eval"))
+            ).alias("ids")
+        )
+        .where(F.size("ids") <= MAX_BUCKET_SIZE)
+    )
+    pair_structs = F.expr(
+        """
+        flatten(transform(filter(ids, t -> NOT t.is_eval), t ->
+            transform(filter(ids, e -> e.is_eval), e ->
+                struct(t.doc_id AS train_id, e.doc_id AS eval_id))))
+        """
     )
     cand = (
-        buckets.where(~F.col("is_eval")).alias("t")
-        .join(
-            buckets.where(F.col("is_eval")).alias("e"),
-            (F.col("t.band") == F.col("e.band"))
-            & (F.col("t.bucket") == F.col("e.bucket")),
-        )
-        .select(
-            F.col("t.doc_id").alias("train_id"),
-            F.col("e.doc_id").alias("eval_id"),
-        )
+        groups.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.train_id"), F.col("p.eval_id"))
         .distinct()
     )
     arrs = d.select("doc_id", word_shingles("text").alias("arr"))

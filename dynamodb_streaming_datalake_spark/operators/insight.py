@@ -610,16 +610,25 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item")
     )
     bf = b.join(F.broadcast(freq), "item", "semi")
-    a, c = bf.alias("a"), bf.alias("c")
+    # ordered pairs per basket expanded IN-ROW (the round-17 posting
+    # shape): one shuffle on the order key + a bounded flatten (basket
+    # size <= |brands|, so <= k*(k-1) pairs per row) replaces the
+    # basket self-join's two exchanges. Items are distinct per basket
+    # (b is distinct), so filter(y != x) is exactly the old a.item !=
+    # c.item predicate.
+    baskets = bf.groupBy("ok").agg(F.collect_list("item").alias("items"))
+    pair_structs = F.expr(
+        """
+        flatten(transform(items, x ->
+            transform(filter(items, y -> y != x), y ->
+                struct(x AS antecedent, y AS consequent))))
+        """
+    )
     pc = (
-        a.join(
-            c,
-            (F.col("a.ok") == F.col("c.ok"))
-            & (F.col("a.item") != F.col("c.item")),
-        )
+        baskets.select(F.explode(pair_structs).alias("p"))
         .groupBy(
-            F.col("a.item").alias("antecedent"),
-            F.col("c.item").alias("consequent"),
+            F.col("p.antecedent").alias("antecedent"),
+            F.col("p.consequent").alias("consequent"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
     )

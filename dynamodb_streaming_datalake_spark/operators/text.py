@@ -902,20 +902,28 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     and corpus term counts), a broadcast of the per-source totals, and
     a per-source top-k window — the same profile as q_tfidf_terms."""
     d = read_table(spark, sf_dir, "documents")
-    w = (
-        d.select("source", F.explode(F.split("text", " ")).alias("word"))
-        .where(F.col("word") != "")
-    ).localCheckpoint(eager=False)
+    w = d.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    # hierarchical aggregation (round 17): (source, word) is the finest
+    # grain, so the explode is aggregated ONCE (map-side combined) and
+    # every coarser count — per-source totals, corpus term counts, the
+    # grand total — is a SUM over the small per_source frame instead of
+    # a separate pass over the exploded stream (which previously needed
+    # a localCheckpoint to avoid being recomputed four times).
     per_source = w.groupBy("source", "word").agg(
         F.count(F.lit(1)).alias("tf_s")
     )
-    source_tot = w.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    per_source = per_source.localCheckpoint(eager=False)
+    source_tot = per_source.groupBy("source").agg(
+        F.sum("tf_s").alias("n_s")
+    )
     corpus = (
-        w.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        per_source.groupBy("word")
+        .agg(F.sum("tf_s").alias("tf"))
         .where(F.col("tf") >= DIST_MIN_CORPUS_TF)
     )
-    tot = w.agg(F.count(F.lit(1)).alias("n"))
+    tot = per_source.agg(F.sum("tf_s").alias("n"))
     lift = F.round(
         (F.col("tf_s").cast("double") / F.col("n_s"))
         / (F.col("tf").cast("double") / F.col("n")),
