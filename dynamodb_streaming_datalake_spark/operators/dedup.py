@@ -628,21 +628,19 @@ def simhash_fingerprints(docs: DataFrame, n_bits: int = SIMHASH_BITS) -> DataFra
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     ).withColumn("h", portable_hash60(F.col("tok")))
+    # aggregates and the fingerprint sum are built as SQL strings: the
+    # Column-op form was ~700 py4j round trips (~1 s of construction per
+    # invocation on this host); the parsed trees are identical
     bit_sums = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.expr(f"shiftright(h, {b}) & 1")).alias(f"s{b}")
-            for b in range(n_bits)
-        ],
+        F.expr("count(1) AS n"),
+        *[F.expr(f"sum(shiftright(h, {b}) & 1) AS s{b}") for b in range(n_bits)],
     )
-    fingerprint = None
-    for b in range(n_bits):
-        term = F.when(2 * F.col(f"s{b}") - F.col("n") >= 0, F.lit(1 << b)).otherwise(
-            F.lit(0)
-        )
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return bit_sums.select(
-        "doc_id", fingerprint.cast("bigint").alias("fingerprint")
+    fp = " + ".join(
+        f"(CASE WHEN 2 * s{b} - n >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return bit_sums.selectExpr(
+        "doc_id", f"CAST({fp} AS BIGINT) AS fingerprint"
     )
 
 
