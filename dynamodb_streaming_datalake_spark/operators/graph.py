@@ -249,6 +249,39 @@ TRI_TOP = 20
 TRI_MIN_COOCCUR = 2
 
 
+def copurchase_pairs(li: DataFrame) -> DataFrame:
+    """All (u, v) part pairs with u < v inside one order, at the
+    lineitem-self-join's multiplicity, expanded IN-ROW from a single
+    (order -> parts array) aggregate — the round-17 posting shape
+    (guide §2.4: remove the shuffle outright). Equivalence to the
+    ``a JOIN b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <
+    b.l_partkey`` build the oracle states: the join emits one row per
+    unordered row pair within an order whose part keys differ, which
+    is exactly the multiset {(x, y) : x in parts, y in parts, x < y}
+    of the collected array — (#p * #q) rows per order for each p < q
+    on either path. Downstream consumers only group-count the pairs,
+    so collect_list's row-order nondeterminism is invisible.
+
+    Scale: one shuffle on the order key replaces the self-join's
+    exchange, and the per-row expansion is bounded by the order's
+    line-item fan-out squared — the same bound the self-join already
+    carried (each order contributed the identical pair count through
+    the join)."""
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("parts")
+    )
+    pair_structs = F.expr(
+        """
+        flatten(transform(parts, x ->
+            transform(filter(parts, y -> x < y), y ->
+                struct(x AS u, y AS v))))
+        """
+    )
+    return baskets.select(F.explode(pair_structs).alias("p")).select(
+        "p.u", "p.v"
+    )
+
+
 @query(
     "q_triangle_count",
     oracle=f"""
@@ -303,22 +336,18 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        # round 17: in-row pair expansion (copurchase_pairs) replaces
+        # the lineitem x lineitem self-join — identical pair multiset,
+        # one order-key shuffle instead of the join exchange
+        copurchase_pairs(li)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("wgt"))
         .where(F.col("wgt") >= TRI_MIN_COOCCUR)
         .select("u", "v")
         # three self-join consumers: pin the pruned edge table once
-        # (the pagerank idiom) instead of re-running the lineitem x
-        # lineitem build per consumer
+        # (the pagerank idiom) instead of re-running the pair build
+        # per consumer
         .localCheckpoint(eager=False)
     )
     e1, e2, e3 = co.alias("e1"), co.alias("e2"), co.alias("e3")
@@ -335,10 +364,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.v").alias("w"),
         )
     )
-    members = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("v").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
+    # round 17: one in-row explode replaces the three-way unionAll —
+    # the tri subtree (two joins) runs once for the membership count
+    # instead of three times (guide §2.4)
+    members = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("node")
     )
     per_node = members.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
@@ -522,16 +552,12 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        # round 17: in-row pair expansion (copurchase_pairs) replaces
+        # the lineitem x lineitem self-join — identical pair multiset,
+        # one order-key shuffle instead of the join exchange
+        copurchase_pairs(li)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= TRI_MIN_COOCCUR)
     )
@@ -976,19 +1002,21 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        # round 17: in-row pair expansion (copurchase_pairs) replaces
+        # the lineitem x lineitem self-join — identical pair multiset,
+        # one order-key shuffle instead of the join exchange
+        copurchase_pairs(li)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= TRI_MIN_COOCCUR)
         .select("u", "v")
+        # five consumers read the pruned edge set (both wedge sides,
+        # the degree table twice through und, and the anti-join's
+        # right side): pin it once — the unpinned plan re-ran the
+        # whole pair build per consumer (36 parquet scans, zero
+        # ReusedExchange, measured this round)
+        .localCheckpoint(eager=False)
     )
     und = co.unionAll(co.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("k")).agg(F.count(F.lit(1)).alias("d"))

@@ -184,3 +184,39 @@ def test_hits_fixture_and_invariants(spark, sf_smoke):
         assert max(scores) == HITS_SCALE
         assert all(0 <= s <= HITS_SCALE for s in scores)
         assert scores == sorted(scores, reverse=True)
+
+
+def test_copurchase_pairs_matches_self_join_multiset(spark):
+    """The round-17 in-row pair expansion must reproduce the lineitem
+    self-join's pair MULTISET exactly — including the multiplicity a
+    duplicated part key inside one order creates ((#p in order) * (#q
+    in order) rows per p < q), which the sf corpora never exercise.
+    Order 1 holds parts [5, 5, 7, 9]: the join emits (5,7) twice,
+    (5,9) twice, (7,9) once; order 2's lone row emits nothing; order
+    3's identical-part pair [4, 4] emits nothing (x < y never holds)."""
+    from dynamodb_streaming_datalake_spark.operators.graph import (
+        copurchase_pairs,
+    )
+
+    rows = [(1, 5), (1, 5), (1, 7), (1, 9), (2, 3), (3, 4), (3, 4)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    a, b = li.alias("a"), li.alias("b")
+    joined = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    inrow = copurchase_pairs(li).groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    want = {(r["u"], r["v"]): r["c"] for r in joined.collect()}
+    got = {(r["u"], r["v"]): r["c"] for r in inrow.collect()}
+    assert want == {(5, 7): 2, (5, 9): 2, (7, 9): 1}
+    assert got == want
