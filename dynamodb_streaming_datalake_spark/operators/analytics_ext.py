@@ -3330,47 +3330,59 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     ).crossJoin(F.broadcast(n_frame))
-    cur = piv.withColumn("n2", (F.col("n") * F.col("n")).cast("long"))
-    cur = cur.withColumn("s", F.col("b0"))
-    nd = F.col("n").cast("decimal(4,0)")
-    n2d = F.col("n2").cast("decimal(7,0)")
+    # round 17: the recursion is emitted as SQL-string layers (the
+    # _SqlOp / simhash precedent — the Column-op form was ~7400 py4j
+    # round trips, ~2.8 s of construction per invocation measured by
+    # cProfile). Each string parses to the tree the Column ops built
+    # (left-associative -, explicit parens around every numerator /
+    # denominator chain), so the optimized plan — and the oracle
+    # parity it is pinned to — is unchanged.
+    cur = piv.selectExpr("*", "CAST(n * n AS BIGINT) AS n2", "b0 AS s")
     # mirror of the oracle's _rho_num: every product exact decimal
     # (declared precision <= 38 on both engines), each TERM cast to
     # double once, terms combined left-to-right as doubles — identical
     # IEEE arithmetic cross-engine. Caps documented at the oracle.
-    s17 = F.col("s").cast("decimal(17,6)")
+    _nd = "CAST(n AS DECIMAL(4,0))"
+    _n2d = "CAST(n2 AS DECIMAL(7,0))"
 
-    def _rho_num(k: int, nkd):
-        t1 = (n2d * F.col(f"a{k}")).cast("double")
+    def _rho_num(k: int, nkd: str) -> str:
+        t1 = f"CAST({_n2d} * a{k} AS DOUBLE)"
         t2 = (
-            (nd * F.col("s")).cast("decimal(20,6)")
-            * (F.col(f"b{k}") + F.col(f"c{k}")).cast("decimal(17,6)")
-        ).cast("double")
-        t3 = ((nkd * F.col("s")).cast("decimal(20,6)") * s17).cast("double")
-        return t1 - t2 + t3
+            f"CAST(CAST({_nd} * s AS DECIMAL(20,6))"
+            f" * CAST(b{k} + c{k} AS DECIMAL(17,6)) AS DOUBLE)"
+        )
+        t3 = (
+            f"CAST(CAST({nkd} * s AS DECIMAL(20,6))"
+            f" * CAST(s AS DECIMAL(17,6)) AS DOUBLE)"
+        )
+        return f"({t1} - {t2} + {t3})"
 
-    den = _rho_num(0, nd)
-    for k in range(1, PACF_LAGS + 1):
-        nkd = (F.col("n") - k).cast("decimal(4,0)")
-        cur = cur.withColumn(f"rho{k}", _rho_num(k, nkd) / den)
-    cur = cur.withColumn("phi_1_1", F.col("rho1")).withColumn(
-        "v_1", 1 - F.col("rho1") * F.col("rho1")
+    den = _rho_num(0, _nd)
+    cur = cur.selectExpr(
+        "*",
+        *[
+            f"{_rho_num(k, f'CAST(n - {k} AS DECIMAL(4,0))')} / {den}"
+            f" AS rho{k}"
+            for k in range(1, PACF_LAGS + 1)
+        ],
+    )
+    cur = cur.selectExpr(
+        "*", "rho1 AS phi_1_1", "1 - rho1 * rho1 AS v_1"
     )
     for k in range(2, PACF_LAGS + 1):
-        num = F.col(f"rho{k}")
-        for j in range(1, k):
-            num = num - F.col(f"phi_{k-1}_{j}") * F.col(f"rho{k-j}")
-        cur = cur.withColumn(f"phi_{k}_{k}", num / F.col(f"v_{k-1}"))
-        for j in range(1, k):
-            cur = cur.withColumn(
-                f"phi_{k}_{j}",
-                F.col(f"phi_{k-1}_{j}")
-                - F.col(f"phi_{k}_{k}") * F.col(f"phi_{k-1}_{k-j}"),
-            )
-        cur = cur.withColumn(
-            f"v_{k}",
-            F.col(f"v_{k-1}")
-            * (1 - F.col(f"phi_{k}_{k}") * F.col(f"phi_{k}_{k}")),
+        num = f"rho{k}" + "".join(
+            f" - phi_{k-1}_{j} * rho{k-j}" for j in range(1, k)
+        )
+        # phi_k_k first (its own layer: the j-columns below read it)
+        cur = cur.selectExpr("*", f"({num}) / v_{k-1} AS phi_{k}_{k}")
+        cur = cur.selectExpr(
+            "*",
+            *[
+                f"phi_{k-1}_{j} - phi_{k}_{k} * phi_{k-1}_{k-j}"
+                f" AS phi_{k}_{j}"
+                for j in range(1, k)
+            ],
+            f"v_{k-1} * (1 - phi_{k}_{k} * phi_{k}_{k}) AS v_{k}",
         )
     stack = "stack({}, {}) as (lag, acf_raw, pacf_raw)".format(
         PACF_LAGS,

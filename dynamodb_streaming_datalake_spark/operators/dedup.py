@@ -2102,32 +2102,39 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical) and the final fraction.
 
     Scale: the pair table is the capped posting-list expansion audited
-    in its own query — the sweep adds one bounded pairs x thresholds
-    join and two aggregates over pair-sized (not corpus-sized)
-    frames."""
+    in its own query — the sweep expands each pair in-row into the
+    (<= |thresholds|) thresholds it clears and aggregates once over
+    that pair-sized (not corpus-sized) frame."""
     d = read_table(spark, sf_dir, "documents")
-    jpairs = jaccard_pairs(d, 0.0).localCheckpoint(eager=False)
+    # round 17: single lineage — each pair expands IN-ROW into the
+    # (bounded, |thresholds| <= 4) set of thresholds it clears and
+    # each surviving (threshold, pair) into its two doc rows, so the
+    # pair kernel runs ONCE feeding ONE aggregate: n_pairs is the
+    # exact row count halved (every pair contributes exactly two doc
+    # rows), n_dup_docs the distinct-doc count. Replaces the pinned
+    # pair table (lazy checkpoint pre-executed its shuffles at
+    # construction) + 4-row theta join + two aggregates over it.
+    th_arr = ", ".join(f"{t!r}D" for t in DEDUP_SWEEP_THRESHOLDS)
     th = spark.range(1).select(
+        F.explode(F.expr(f"array({th_arr})")).alias("threshold")
+    )
+    passed = jaccard_pairs(d, 0.0).select(
         F.explode(
-            F.array(*[F.lit(t) for t in DEDUP_SWEEP_THRESHOLDS])
-        ).alias("threshold")
+            F.expr(f"filter(array({th_arr}), t -> jaccard > t)")
+        ).alias("threshold"),
+        "doc_a",
+        "doc_b",
     )
-    above = th.join(jpairs, F.col("jaccard") > F.col("threshold"))
-    pair_stats = above.groupBy("threshold").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    rows = passed.select(
+        "threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     )
-    doc_stats = (
-        above.select(
-            "threshold",
-            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
-        )
-        .groupBy("threshold")
-        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_dup_docs"))
+    stats = rows.groupBy("threshold").agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_dup_docs"),
     )
     corpus = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     return (
-        th.join(pair_stats, "threshold", "left")
-        .join(doc_stats, "threshold", "left")
+        th.join(stats, "threshold", "left")
         .crossJoin(F.broadcast(corpus))
         .select(
             "threshold",

@@ -784,20 +784,24 @@ def _register_rebalance() -> None:
         def assign_col(n_nodes):
             """Owner of key hash h: first token clockwise from h (the
             sorted-array successor, wrapping to the first token) — a
-            map-side array probe, no join, no shuffle."""
+            map-side array probe, no join, no shuffle. Built as ONE
+            SQL string (round 17): the Column-op form was ~270 lit/
+            struct py4j round trips per ring (~2.5-4 s of construction
+            per invocation measured, zero Spark jobs). The wrap case
+            is folded into the array as a sentinel token at the top
+            of the space (2^60 > every 60-bit hash, so it matches
+            whenever no real token does and carries the first token's
+            node) — filter is then provably non-empty and the CASE
+            disappears; the successor semantics are unchanged."""
             toks = ring_tokens(n_nodes)
-            arr = F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"), F.lit(n).alias("n")
-                    )
-                    for t, n in toks
-                ]
+            structs = ", ".join(
+                f"struct({t}L AS t, {n} AS n)" for t, n in toks
             )
-            ge = F.filter(arr, lambda s: s["t"] >= F.col("h"))
-            return F.when(
-                F.size(ge) > 0, F.element_at(ge, 1)["n"]
-            ).otherwise(F.lit(toks[0][1]))
+            structs += f", struct({_REB_SPACE}L AS t, {toks[0][1]} AS n)"
+            return F.expr(
+                f"element_at(filter(array({structs}),"
+                " s -> s.t >= h), 1).n"
+            )
 
         ring_moved = o.select(
             assign_col(REB_NODES_OLD).alias("node_old"),
