@@ -1683,8 +1683,24 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index serves the full corpus; the comparison joins are
     equi-joins on (query, neighbor) over k-bounded lists."""
     e = read_table(spark, sf_dir, "embeddings")
+
+    # round 17: norm sums hoisted to one fold per ROW per side (inside
+    # the pair expression the corpus-side fold re-ran once per panel
+    # query — |panel|x redundant). Same fold exprs as cosine(), same
+    # dot/(sqrt*sqrt) division shape — bit-identical doubles.
+    def _sq(col: str):
+        return F.aggregate(
+            F.transform(
+                F.col(col).cast("array<double>"), lambda x: x * x
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
     q = e.where(F.col("vec_id") < IVF_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _sq("embedding").alias("qn"),
     )
     # brute-force truth = |panel| x |corpus| cosines: fan the one-split
     # corpus scan out to the session's cores so the fold runs on every
@@ -1692,13 +1708,27 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was A/B'd at 1x and 10x pair volume and lost both (0.22 vs 0.55 s,
     # 0.6 vs 0.73 s) — shipping both 64-dim arrays across the Python
     # boundary costs more than the interpreted fold saves (guide §4.1).
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qe").cast("array<double>"),
+            F.col("embedding").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
     scored = (
         F.broadcast(q)
-        .join(fan_out(e, "vec_id"), F.col("vec_id") != F.col("query_id"))
+        .join(
+            fan_out(e, "vec_id").select(
+                "vec_id", "embedding", _sq("embedding").alias("nn")
+            ),
+            F.col("vec_id") != F.col("query_id"),
+        )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qe"), F.col("embedding")).alias("c"),
+            (dot / (F.sqrt(F.col("qn")) * F.sqrt(F.col("nn")))).alias("c"),
         )
     )
     # rank truth on round(c, 6) — same cross-engine libm-ulp guard as
@@ -2089,18 +2119,52 @@ def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-branch search would run through the IVF path instead of brute
     force, with this harness unchanged as the evaluator."""
     e = read_table(spark, sf_dir, "embeddings")
+
+    # round 17: each side's prefix NORM sums are computed once per ROW
+    # before the cross (they depend on one side only — inside the pair
+    # expression the corpus-side fold re-ran once per panel query and
+    # the query-side once per corpus doc). The folds are the exact
+    # expressions cosine() builds (slice -> cast -> x*x fold), carried
+    # through the join as columns, and the pair expression divides by
+    # sqrt(qn)*sqrt(nn) in cosine()'s shape — bit-identical doubles,
+    # ~2/3 of the per-pair multiply-adds removed.
+    def _psq(col: str, d: int):
+        return F.aggregate(
+            F.transform(
+                F.slice(F.col(col), 1, d).cast("array<double>"),
+                lambda x: x * x,
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
     qs = e.where(F.col("vec_id") < MRL_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        *[_psq("embedding", d).alias(f"qn{d}") for d in MRL_DIMS],
     )
     pairs = (
         qs.crossJoin(
             fan_out(e, "vec_id").select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("embedding").alias("ne"),
+                *[_psq("embedding", d).alias(f"nn{d}") for d in MRL_DIMS],
             )
         )
         .where(F.col("neighbor_id") != F.col("query_id"))
     )
+
+    def _dot(d: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qe"), 1, d).cast("array<double>"),
+                F.slice(F.col("ne"), 1, d).cast("array<double>"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
     # the corpus-side fan-out parallelizes the panel x corpus scoring
     # pass; the per-prefix kernels stay JVM expressions (an Arrow/pandas
     # multi-prefix fold was A/B'd and lost at both 1x and 10x pair
@@ -2109,8 +2173,9 @@ def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         *[
-            cosine(
-                F.slice(F.col("qe"), 1, d), F.slice(F.col("ne"), 1, d)
+            (
+                _dot(d)
+                / (F.sqrt(F.col(f"qn{d}")) * F.sqrt(F.col(f"nn{d}")))
             ).alias(f"c{d}")
             for d in MRL_DIMS
         ],
