@@ -69,7 +69,16 @@ def load_proofs(root: Path = ROOT, max_round: int | None = None) -> dict[str, in
     a recorded row is a driver visit; failures still count as fresher
     than never-visited). ``max_round`` caps which artifacts count —
     gating callers pass ``manifest_round()`` so artifacts the driver
-    dropped after the last commit are invisible to them."""
+    dropped after the last commit are invisible to them.
+
+    Names in the manifest's ``reprove_first`` list are treated as
+    UNPROVEN (dropped from the map): the builder restructured their
+    plan AFTER their latest driver proof, so that proof attests the
+    OLD plan and the rotation must put them back inside the window
+    (r17 VERDICT #2/#4).  The list is committed alongside PRIORITY, so
+    ``--check`` and the ratchet test derive the same order; rotation
+    generation clears it once the next CORRECTNESS artifact lands
+    (the same lifecycle as ``driver_floor_exclude``)."""
     proofs: dict[str, int] = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", p.stem).group(1))
@@ -77,6 +86,10 @@ def load_proofs(root: Path = ROOT, max_round: int | None = None) -> dict[str, in
             continue
         for name in json.loads(p.read_text()):
             proofs[name] = max(proofs.get(name, 0), rnd)
+    mp = root / MANIFEST
+    if mp.exists():
+        for name in json.loads(mp.read_text()).get("reprove_first", []):
+            proofs.pop(name, None)
     return proofs
 
 
@@ -155,6 +168,15 @@ def main(argv: list[str]) -> int:
                 f"# cleared driver_floor_exclude {stale_excl}: the r{newest} "
                 f"bench measured the post-fix plans; re-add (with a fresh "
                 f"reason) only alongside a NEW deliberate speedup",
+                file=sys.stderr,
+            )
+        stale_reprove = doc.get("reprove_first", [])
+        if stale_reprove:
+            doc["reprove_first"] = []
+            print(
+                f"# cleared reprove_first ({len(stale_reprove)} names): the "
+                f"r{newest} window has now had its shot at them; re-add only "
+                f"alongside a NEW post-proof restructuring",
                 file=sys.stderr,
             )
         mp.write_text(json.dumps(doc, indent=2) + "\n")
