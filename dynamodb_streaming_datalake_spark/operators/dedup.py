@@ -2126,10 +2126,14 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
     )
     rows = passed.select(
-        "threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        "threshold",
+        F.posexplode(F.array("doc_a", "doc_b")).alias("pos", "doc_id"),
     )
+    # n_pairs counts the pos-0 (doc_a) rows only — structurally exact,
+    # no double division to truncate (r17 ADVICE: count(1)/2 was exact
+    # only by the every-pair-emits-two-rows invariant)
     stats = rows.groupBy("threshold").agg(
-        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+        F.count(F.when(F.col("pos") == 0, 1)).cast("bigint").alias("n_pairs"),
         F.countDistinct("doc_id").cast("bigint").alias("n_dup_docs"),
     )
     corpus = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))

@@ -784,7 +784,12 @@ def _register_rebalance() -> None:
         def assign_col(n_nodes):
             """Owner of key hash h: first token clockwise from h (the
             sorted-array successor, wrapping to the first token) — a
-            map-side array probe, no join, no shuffle. Built as ONE
+            map-side array probe, no join, no shuffle. PRECONDITION:
+            h is non-null (it derives from the o_orderkey primary key
+            here). The sentinel form returns NULL for a NULL h where
+            the old when/otherwise returned the first token's node —
+            guard with coalesce before lifting assign_col onto a
+            nullable key (r17 ADVICE). Built as ONE
             SQL string (round 17): the Column-op form was ~270 lit/
             struct py4j round trips per ring (~2.5-4 s of construction
             per invocation measured, zero Spark jobs). The wrap case
