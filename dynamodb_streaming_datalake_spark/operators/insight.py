@@ -580,56 +580,61 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules are DIRECTIONAL and the decision numbers are
     confidence (P(B|A)) and lift (confidence over B's base rate).
 
-    Scale: pair generation self-joins the DEDUPLICATED basket
-    relation on the order key, so cost is sum of per-basket
-    item-count squared (the basket-size dial), shuffled on the order
-    key like any fact-fact equi-join; item frequencies and the
-    basket total are |items|-sized broadcasts. The support prune is
-    relative, so the rule surface is scale-free."""
+    Scale: ONE shuffle on the order key builds the deduplicated
+    baskets (map-side-merged collect_set), then pair generation is a
+    bounded double explode over the basket arrays — cost is sum of
+    per-basket item-count squared (the basket-size dial) with no
+    second shuffle; item frequencies and the basket total are
+    |items|-sized broadcasts off the same pinned basket table. The
+    support prune is relative, so the rule surface is scale-free."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part")
-    b = (
+    # round 18: ONE shuffle builds the deduplicated baskets directly —
+    # groupBy(ok).collect_set(item) replaces distinct() + a second
+    # shuffle (self-join on ok in r16, collect_list in r17): the
+    # partial collect_sets merge map-side, so the exchange carries one
+    # (ok, set) row per basket instead of one row per distinct
+    # (ok, item). The r17 in-row transform/filter HOF pair expansion
+    # REGRESSED (interpreted expression eval + collect_list buffering
+    # lost to the codegen'd self-join: driver sf1 12.7 -> 16.3 s); the
+    # pair expansion is now two codegen'd explodes (GenerateExec), A/B
+    # measured at sf0.1 AND sf1 against both prior forms (hash-equal,
+    # warm sf1 ~13.2 -> ~10 s).
+    baskets = (
         li.join(p, li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
-        .distinct()
+        .groupBy("ok")
+        .agg(F.collect_set("item").alias("items"))
+    ).localCheckpoint(eager=False)
+    # basket total and per-item basket counts derive from the pinned
+    # basket table (collect_set already deduplicated per basket, so the
+    # explode re-creates exactly the distinct (ok, item) relation)
+    nn = baskets.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ic = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_item"))
     )
-    # one linear materialization of the deduplicated basket relation:
-    # it feeds the basket total, the item counts, AND both sides of the
-    # pair self-join
-    b = b.localCheckpoint(eager=False)
-    nn = b.agg(F.countDistinct("ok").cast("long").alias("n"))
-    ic = b.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
     # Apriori prune (anti-monotonicity): a pair reaching AR_MINSUP needs
-    # BOTH items individually at AR_MINSUP, so semi-joining the basket
-    # relation to the frequent items BEFORE the self-join bounds the
-    # pair-generation input at zero semantic cost — the post-agg support
-    # filter below is unchanged and the oracle proves result-invisibility.
+    # BOTH items individually at AR_MINSUP. The antecedent stream is
+    # semi-joined to the frequent items; the consequent side needs no
+    # prune for correctness (n_ab <= n_consequent, so the post-agg
+    # support filter below drops those pairs) — result-invisibility is
+    # unchanged and the oracle proves it.
     freq = (
         ic.crossJoin(F.broadcast(nn))
         .where(F.col("n_item").cast("double") / F.col("n") >= AR_MINSUP)
         .select("item")
     )
-    bf = b.join(F.broadcast(freq), "item", "semi")
-    # ordered pairs per basket expanded IN-ROW (the round-17 posting
-    # shape): one shuffle on the order key + a bounded flatten (basket
-    # size <= |brands|, so <= k*(k-1) pairs per row) replaces the
-    # basket self-join's two exchanges. Items are distinct per basket
-    # (b is distinct), so filter(y != x) is exactly the old a.item !=
-    # c.item predicate.
-    baskets = bf.groupBy("ok").agg(F.collect_list("item").alias("items"))
-    pair_structs = F.expr(
-        """
-        flatten(transform(items, x ->
-            transform(filter(items, y -> y != x), y ->
-                struct(x AS antecedent, y AS consequent))))
-        """
+    ants = baskets.select(F.explode("items").alias("antecedent"), "items").join(
+        F.broadcast(freq.withColumnRenamed("item", "antecedent")),
+        "antecedent",
+        "semi",
     )
     pc = (
-        baskets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(
-            F.col("p.antecedent").alias("antecedent"),
-            F.col("p.consequent").alias("consequent"),
-        )
+        ants.select("antecedent", F.explode("items").alias("consequent"))
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
     )
     ia = ic.select(
