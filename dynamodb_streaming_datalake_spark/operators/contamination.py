@@ -353,42 +353,44 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", portable_hash60(F.col("s")).alias("h"))
         .distinct()
     )
-    # single lineage (the jaccard_pairs round-17 shape): each source's
-    # distinct-shingle count rides its rows as a window count, postings
-    # carry (source, n) structs, and the pair aggregate reads both
-    # sizes in-group — the explode+distinct subtree is computed ONCE
-    # instead of once per consumer (sizes + postings), with no
-    # join-back. Pair expansion per hash stays in-row and bounded by
-    # n_sources^2.
-    shn = sh.withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
-    )
-    postings = shn.groupBy("h").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("source"), F.col("n")))
-        ).alias("srcs")
-    )
-    pair_structs = F.expr(
-        """
-        flatten(transform(srcs, (x, i) ->
-            transform(slice(srcs, i + 2, size(srcs)),
-                      y -> struct(x.source AS a, y.source AS b,
-                                  x.n AS na, y.n AS nb))))
-        """
+    # round 18: the r17 single-lineage form carried each source's size
+    # as count(1) OVER (PARTITION BY source) — one task per source at
+    # scale (a handful of feeds means a handful of tasks holding EVERY
+    # distinct shingle of a source; guide §2.5/§5). The sizes are now a
+    # two-phase groupBy (map-side partial, n_sources rows) derived from
+    # the SAME postings aggregate the pairs read — both consumers sit
+    # on one Exchange hashpartitioning(h) (ReusedExchange, verified in
+    # the committed plan), so the explode+distinct subtree still runs
+    # once and no join-back of the shingle stream exists. The sizes
+    # attach to the PAIR AGGREGATE output (n_sources^2 rows) as two
+    # broadcast joins. Pair expansion is two codegen explodes with
+    # a < b (the q_assoc_rules round-18 shape) instead of the
+    # interpreted transform/slice HOF.
+    postings = sh.groupBy("h").agg(F.collect_list("source").alias("srcs"))
+    sizes = (
+        postings.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     pairs = (
-        postings.select(F.explode(pair_structs).alias("p"))
-        .groupBy(
-            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("shared"),
-            F.first("p.na").alias("n_a"),
-            F.first("p.nb").alias("n_b"),
-        )
+        postings.select(F.explode("srcs").alias("a"), "srcs")
+        .select("a", F.explode("srcs").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("source_a"), F.col("b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
     return (
-        pairs.select(
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a")),
+            "source_a",
+        )
+        .withColumnRenamed("n", "n_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_b")),
+            "source_b",
+        )
+        .withColumnRenamed("n", "n_b")
+        .select(
             "source_a",
             "source_b",
             F.col("shared").cast("bigint").alias("shared_shingles"),

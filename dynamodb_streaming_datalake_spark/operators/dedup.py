@@ -1853,18 +1853,22 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("win"),
     )
-    # one pass over the window stream: the distinct-doc count per span
-    # rides each row as size(collect_set(doc_id)) OVER (PARTITION BY
-    # win) — the previous groupBy(win) + join-back shape shuffled the
-    # full window stream TWICE and recomputed the token explode for
-    # both consumers (rounds 1-16); this is one shuffle on the window
-    # key and one on doc_id, with the explode computed once.
-    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    # one pass over the window stream: the previous groupBy(win) +
+    # join-back shape shuffled the full window stream TWICE and
+    # recomputed the token explode for both consumers (rounds 1-16);
+    # this is one shuffle on the window key and one on doc_id, with
+    # the explode computed once. The query only needs "shared by >= 2
+    # distinct docs", and doc_id is non-null, so the flag is
+    # min(doc_id) != max(doc_id) over the span partition — O(1)
+    # aggregator state per span (round 18; the r17
+    # size(collect_set(doc_id)) form buffered EVERY distinct doc of a
+    # boilerplate span in one task's set — exactly the hot-span shape
+    # this query hunts — guide §2.5/§5).
+    w = Window.partitionBy("win")
+    dup_flag = F.min("doc_id").over(w) != F.max("doc_id").over(w)
+    dup = F.when(F.col("dup"), 1).otherwise(0)
     return (
-        wins.withColumn(
-            "nd",
-            F.size(F.collect_set("doc_id").over(Window.partitionBy("win"))),
-        )
+        wins.withColumn("dup", dup_flag)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
