@@ -55,57 +55,71 @@ PR_TOP = 30
 PR_BROADCAST_MAX_NODES = 100_000
 
 
-def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    *,
+    edges_w: DataFrame | None = None,
+    n_nodes: int | None = None,
+) -> DataFrame:
     """Fixed-point PageRank over an ``(src, dst)`` string-keyed edge
     table. Returns ``(node, rank_fp)`` for every node with at least one
     out-edge. Pure DataFrame loop — each iteration is one join + one
-    aggregate, the distributed shape."""
-    # materialize the (edge + outdeg) table once: every iteration
-    # references it, and without this the edge-build lineage (the
-    # orders x lineitem join + distinct) re-executes K+2 times — the
-    # bench showed exactly that as a 5x slowdown. localCheckpoint is
-    # the same bounded-materialization idiom the simhash band table
-    # uses; on a cluster this is a persisted shuffle output, not a
-    # driver collect.
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # fold outdeg onto each edge once; every iteration then needs only
-    # ONE join (edges_w x ranks on src) + one aggregate — the minimal
-    # per-iteration shuffle count for table-form PageRank
-    edges_w = edges.join(deg, "src").localCheckpoint()
+    aggregate, the distributed shape.
+
+    ``edges_w`` / ``n_nodes`` let a caller supply the pinned
+    (edge + outdeg) table and the |V| probe from a per-dataset cache
+    (q_pagerank does, via ``_edge_aux``) so repeated invocations skip
+    the per-call materialization + collect."""
+    if edges_w is None:
+        # materialize the (edge + outdeg) table once: every iteration
+        # references it, and without this the edge-build lineage (the
+        # orders x lineitem join + distinct) re-executes K+2 times — the
+        # bench showed exactly that as a 5x slowdown. localCheckpoint is
+        # the same bounded-materialization idiom the simhash band table
+        # uses; on a cluster this is a persisted shuffle output, not a
+        # driver collect.
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        # fold outdeg onto each edge once; every iteration then needs
+        # only ONE join (edges_w x ranks on src) + one aggregate — the
+        # minimal per-iteration shuffle count for table-form PageRank
+        edges_w = edges.join(deg, "src").localCheckpoint()
     nodes = edges_w.select(F.col("src").alias("node")).distinct()
-    # N and the teleport base are 1-row aggregates, crossed in broadcast
-    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    if n_nodes is None:
+        # the |V| probe is a 1-scalar collect off an aggregate, not a
+        # data collect
+        n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes")).collect()[0][
+            "n_nodes"
+        ]
     # size dispatch (same idiom as connected components): the rank
     # vector is O(|V|) — when it fits a broadcast, ship IT to the
     # checkpointed edges each round so the EDGE table never moves and
     # each iteration costs exactly one shuffle (the dst aggregate)
-    # instead of two (join repartition + aggregate). The |V| probe is
-    # a 1-scalar collect off an aggregate, not a data collect.
-    n_nodes = n.collect()[0]["n_nodes"]
+    # instead of two (join repartition + aggregate). n_nodes is a
+    # driver scalar, so the teleport base folds into the per-iteration
+    # expression as a constant (round 18: drops the crossJoin + the
+    # carried n_nodes column + its FIRST aggregate from every
+    # iteration; the integer arithmetic is unchanged).
     small = n_nodes <= PR_BROADCAST_MAX_NODES
-    ranks = nodes.crossJoin(F.broadcast(n)).select(
+    nn_lit = f"CAST({n_nodes} AS BIGINT)"
+    ranks = nodes.select(
         "node",
-        F.expr(f"CAST({PR_SCALE} AS BIGINT) div n_nodes").alias("rank_fp"),
-        "n_nodes",
+        F.expr(f"CAST({PR_SCALE} AS BIGINT) div {nn_lit}").alias("rank_fp"),
     )
     for _ in range(iters):
         rhs = F.broadcast(ranks) if small else ranks
         gathered = (
             edges_w.join(rhs, edges_w["src"] == rhs["node"])
             .groupBy(F.col("dst"))
-            .agg(
-                F.sum(F.expr("rank_fp div outdeg")).alias("s"),
-                F.first("n_nodes").alias("n_nodes"),
-            )
+            .agg(F.sum(F.expr("rank_fp div outdeg")).alias("s"))
         )
         ranks = gathered.select(
             F.col("dst").alias("node"),
             F.expr(
                 f"CAST({PR_DAMP_DEN - PR_DAMP_NUM} AS BIGINT) * {PR_SCALE}"
-                f" div ({PR_DAMP_DEN} * n_nodes)"
+                f" div ({PR_DAMP_DEN} * {nn_lit})"
                 f" + CAST({PR_DAMP_NUM} AS BIGINT) * s div {PR_DAMP_DEN}"
             ).alias("rank_fp"),
-            "n_nodes",
         )
     return ranks.select("node", "rank_fp")
 
@@ -151,8 +165,24 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fwd.unionAll(rev).localCheckpoint(eager=True)
     for stale in [k for k in _EDGE_CACHE if k[0] == key[0] and k != key]:
         del _EDGE_CACHE[stale]
+        _EDGE_AUX.pop(stale, None)
     _EDGE_CACHE[key] = edges
     return edges
+
+
+#: per-dataset artifacts DERIVED from the cached edge table, built
+#: lazily on first use by the consuming query and shared thereafter
+#: (round 18): n_nodes (the broadcast size-dispatch probe — one 1-row
+#: collect per DATASET instead of one per invocation), pagerank's
+#: pinned (edge + outdeg) table, BFS's pinned initial distance vector,
+#: HITS' forward-graph hub count. Same lifecycle as _EDGE_CACHE
+#: (mtime-keyed, evicted alongside it); everything here is O(|V|+|E|)
+#: and deterministic in the dataset, exactly like the edge pin itself.
+_EDGE_AUX: dict[tuple, dict] = {}
+
+
+def _edge_aux(sf_dir: str) -> dict:
+    return _EDGE_AUX.setdefault(_edge_cache_key(sf_dir), {})
 
 
 _SQL_EDGES = """
@@ -220,7 +250,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash — this is the repo's iterative-algorithm representative (the
     family SURVEY.md §2 lists as non-SQL-native), proven value-exact
     rather than rows-only."""
-    ranks = pagerank(_trade_edges(spark, sf_dir))
+    edges = _trade_edges(spark, sf_dir)
+    aux = _edge_aux(sf_dir)
+    if "edges_w" not in aux:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        aux["edges_w"] = edges.join(deg, "src").localCheckpoint()
+    if "n_nodes" not in aux:
+        aux["n_nodes"] = (
+            aux["edges_w"]
+            .select(F.col("src").alias("node"))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()[0]["n"]
+        )
+    ranks = pagerank(
+        edges, edges_w=aux["edges_w"], n_nodes=aux["n_nodes"]
+    )
     return (
         ranks.orderBy(F.col("rank_fp").desc(), "node")
         .limit(PR_TOP)
@@ -453,10 +498,15 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    small = (
-        labels.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
-        <= PR_BROADCAST_MAX_NODES
-    )
+    # |V| probe shared per dataset (_edge_aux): distinct src of the
+    # pinned edge table — the same scalar every graph query dispatches
+    # on, collected once per dataset instead of once per invocation
+    aux = _edge_aux(sf_dir)
+    if "n_nodes" not in aux:
+        aux["n_nodes"] = labels.agg(F.count(F.lit(1)).alias("n")).collect()[
+            0
+        ]["n"]
+    small = aux["n_nodes"] <= PR_BROADCAST_MAX_NODES
     bc = F.broadcast if small else (lambda df: df)
     for _ in range(LP_ITERS):
         nbr = (
@@ -765,21 +815,30 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unigram DP frontier.
     edges = _trade_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    srcn = nodes.agg(F.min("node").alias("s"))
-    dist = (
-        nodes.crossJoin(F.broadcast(srcn))
-        .select(
-            "node",
-            F.when(F.col("node") == F.col("s"), F.lit(0))
-            .otherwise(F.lit(BFS_INF))
-            .alias("dist"),
+    # the initial distance vector and the |V| probe are deterministic
+    # in the dataset — cached per dataset (_edge_aux, round 18) so
+    # repeated invocations skip one eager O(|V|) pin + one collect;
+    # the per-ROUND pins below stay (measured: dropping them loses —
+    # see OPTIMIZATION_r18.md, graph family)
+    aux = _edge_aux(sf_dir)
+    if "bfs_dist0" not in aux:
+        srcn = nodes.agg(F.min("node").alias("s"))
+        aux["bfs_dist0"] = (
+            nodes.crossJoin(F.broadcast(srcn))
+            .select(
+                "node",
+                F.when(F.col("node") == F.col("s"), F.lit(0))
+                .otherwise(F.lit(BFS_INF))
+                .alias("dist"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    small = (
-        nodes.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
-        <= PR_BROADCAST_MAX_NODES
-    )
+    dist = aux["bfs_dist0"]
+    if "n_nodes" not in aux:
+        aux["n_nodes"] = nodes.agg(F.count(F.lit(1)).alias("n")).collect()[
+            0
+        ]["n"]
+    small = aux["n_nodes"] <= PR_BROADCAST_MAX_NODES
     bc = F.broadcast if small else (lambda df: df)
     for _ in range(BFS_ITERS):
         nbr = (
@@ -1076,7 +1135,13 @@ HITS_ITERS = 4
 HITS_TOP = 20
 
 
-def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+def hits(
+    edges: DataFrame,
+    iters: int = HITS_ITERS,
+    *,
+    pinned: bool = False,
+    n_nodes: int | None = None,
+) -> DataFrame:
     """Alternating hub/authority fixed-point iteration over a DIRECTED
     (src, dst) edge table. Each half-step is one equi-join + one MAX
     aggregate + one max-normalization to HITS_SCALE (integral division
@@ -1089,9 +1154,11 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     same size dispatch as ``pagerank`` (the |V| probe is one 1-row
     collect), so below the threshold each half-step moves only the
     vector, never the checkpointed edge table."""
-    edges = edges.localCheckpoint(eager=False)
+    if not pinned:
+        edges = edges.localCheckpoint(eager=False)
     hubs = edges.select(F.col("src").alias("node")).distinct()
-    n_nodes = hubs.count()
+    if n_nodes is None:
+        n_nodes = hubs.count()
     small = n_nodes <= PR_BROADCAST_MAX_NODES
     h = hubs.select("node", F.lit(HITS_SCALE).cast("bigint").alias("score"))
 
@@ -1200,8 +1267,25 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical recurrence as MATERIALIZED CTE layers — the q_pagerank
     proof pattern on the mutual-recursion shape PageRank's single
     vector cannot express."""
-    fwd = _trade_edges(spark, sf_dir).where(F.col("src").startswith("c"))
-    scores = hits(fwd)
+    # the forward (customer->supplier) half of the pinned edge table
+    # and its hub count are dataset-deterministic — cached per dataset
+    # (_edge_aux, round 18) so repeated invocations skip the per-call
+    # lazy pin + the |V| probe; the per-half-step pins inside hits()
+    # stay (measured: dropping them explodes the recompute lineage,
+    # 5.8 -> 43 s — see OPTIMIZATION_r18.md)
+    aux = _edge_aux(sf_dir)
+    if "hits_fwd" not in aux:
+        aux["hits_fwd"] = (
+            _trade_edges(spark, sf_dir)
+            .where(F.col("src").startswith("c"))
+            .localCheckpoint(eager=False)
+        )
+        aux["hits_n_hubs"] = (
+            aux["hits_fwd"].select("src").distinct().count()
+        )
+    scores = hits(
+        aux["hits_fwd"], pinned=True, n_nodes=aux["hits_n_hubs"]
+    )
     w = Window.partitionBy("side").orderBy(
         F.col("score_fp").desc(), "node"
     )
