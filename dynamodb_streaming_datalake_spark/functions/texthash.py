@@ -88,6 +88,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (F.sqrt(na) * F.sqrt(nb))
 
 
+def sq_sum(c: Column) -> Column:
+    """One side's norm sum — the EXACT fold :func:`cosine` builds for
+    that side (cast -> x*x transform -> sequential left fold). Hoist it
+    to one evaluation per ROW before a join/cross that would otherwise
+    re-run it once per pair (round 17/18 eval-panel pattern; guide
+    §1.2 — don't recompute what a join amplifies)."""
+    cd = c.cast("array<double>")
+    return F.aggregate(
+        F.transform(cd, lambda x: x * x), F.lit(0.0), lambda s, v: s + v
+    )
+
+
+def cosine_hoisted(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with both norm sums supplied from hoisted
+    :func:`sq_sum` columns — the identical dot/(sqrt(na)*sqrt(nb))
+    division shape, so the doubles are bit-identical to the inline
+    form (proven by the hash-exact oracle gate on every consumer)."""
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
 def sql_cosine(a: str, b: str) -> str:
     """DuckDB twin of :func:`cosine` — same formula shape;
     list_dot_product iterates sequentially in double after the cast."""

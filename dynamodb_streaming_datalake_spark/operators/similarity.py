@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 
 from dynamodb_streaming_datalake_spark.functions.texthash import (
     cosine,
+    cosine_hoisted,
+    sq_sum,
     sql_cosine,
     sql_portable_hash60,
 )
@@ -434,12 +436,22 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages, embeddings scanned once per assignment.
     """
     e = read_table(spark, sf_dir, "embeddings")
+    # round 18: each side's norm sum is hoisted to ONE fold per row
+    # before the K-way broadcast cross (inside the pair expression the
+    # vector-side fold ran once per centroid and the centroid-side once
+    # per vector) — the r17 eval-panel pattern, bit-identical doubles
+    ef = fan_out(e, "vec_id").select(
+        "vec_id", "embedding", sq_sum(F.col("embedding")).alias("en")
+    )
 
     def assign(cents: DataFrame, out_cs: str = "cs") -> DataFrame:
-        scored = fan_out(e, "vec_id").join(F.broadcast(cents)).select(
+        cn = cents.select("cid", "ce", sq_sum(F.col("ce")).alias("cn"))
+        scored = ef.join(F.broadcast(cn)).select(
             "vec_id",
             "cid",
-            cosine(F.col("embedding"), F.col("ce")).alias("cs"),
+            cosine_hoisted(
+                F.col("embedding"), F.col("ce"), F.col("en"), F.col("cn")
+            ).alias("cs"),
         )
         win = (
             scored.groupBy("vec_id")

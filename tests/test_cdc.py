@@ -372,3 +372,52 @@ def test_read_table_schema_cache_hits_and_invalidates(spark, tmp_path):
     # stale entry evicted, fresh one present
     assert key not in readers._SCHEMA_CACHE
     assert readers._table_path_key(d, "t") in readers._SCHEMA_CACHE
+
+
+def test_read_table_handle_cache_identity_and_invalidation(spark, tmp_path):
+    """Round 18: read_table returns a cached scan-plan HANDLE per
+    (session, path, mtime). (a) same object on a hit — plan metadata
+    reuse, not data caching: a rewrite of the FILE with the same schema
+    must still be visible to the next action through a fresh mtime key;
+    (b) the stale handle is evicted on rewrite."""
+    import time as _time
+
+    from dynamodb_streaming_datalake_spark.sources import readers
+
+    d = str(tmp_path)
+    spark.range(3).selectExpr("id AS a").write.mode("overwrite").parquet(
+        f"{d}/t.parquet"
+    )
+    df1 = readers.read_table(spark, d, "t")
+    df2 = readers.read_table(spark, d, "t")
+    assert df2 is df1  # the handle, not a rebuilt plan
+    key1 = (spark, *readers._table_path_key(d, "t"))
+    assert key1 in readers._DF_CACHE
+    _time.sleep(0.01)
+    spark.range(5).selectExpr("id AS a").write.mode("overwrite").parquet(
+        f"{d}/t.parquet"
+    )
+    df3 = readers.read_table(spark, d, "t")
+    assert df3 is not df1
+    assert df3.count() == 5  # new data visible through the new handle
+    assert key1 not in readers._DF_CACHE  # stale handle evicted
+
+
+def test_fan_out_partition_probe_memoized(spark, sf_smoke):
+    """Round 18: fan_out memoizes df.rdd.getNumPartitions() per frame
+    object (the probe physically plans the frame — a per-call
+    construction cost). Same frame -> one probe; the repartition
+    decision is unchanged."""
+    from dynamodb_streaming_datalake_spark.sources import readers
+
+    df = readers.read_table(spark, sf_smoke, "events")
+    readers._NPART_CACHE.pop(df, None)
+    out1 = readers.fan_out(df, "event_id")
+    assert df in readers._NPART_CACHE
+    n = readers._NPART_CACHE[df]
+    # poison the memo: a second call must TRUST it (no re-probe)
+    readers._NPART_CACHE[df] = 10**6
+    out2 = readers.fan_out(df, "event_id")
+    assert out2 is df  # 10^6 >= target -> no-op path taken
+    readers._NPART_CACHE[df] = n
+    assert out1.rdd.getNumPartitions() >= df.rdd.getNumPartitions()

@@ -263,3 +263,30 @@ def test_apply_engine_conf_memoized_per_session(spark):
     spark._engine_conf_applied = False
     apply_engine_conf(spark)
     assert spark.conf.get(probe) == ENGINE_DEFAULTS[probe]
+
+
+def test_reprove_first_names_derive_as_unproven(tmp_path):
+    """Round 18: names in the manifest's reprove_first list must sort
+    as unproven (they lead the window) even when a CORRECTNESS artifact
+    proves them, and unknown names must be harmless."""
+    import json
+    import pathlib
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "scripts"))
+    from rotate_window import derive_priority, load_proofs
+
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({"q_a": {}, "q_b": {}})
+    )
+    (tmp_path / "artifacts_manifest.json").write_text(
+        json.dumps({"round": 5, "reprove_first": ["q_b", "q_ghost"]})
+    )
+    proofs = load_proofs(tmp_path, max_round=5)
+    assert proofs == {"q_a": 5}  # q_b stripped, q_ghost ignored
+    assert derive_priority(["q_a", "q_b", "q_c"], proofs) == [
+        "q_b",
+        "q_c",
+        "q_a",
+    ]
