@@ -514,6 +514,9 @@ def q_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Identical shape to cosine(): dot/(sqrt(na)*sqrt(nb)), with
         # sqrt(nb) constant-folded driver-side.
         d_new = 1 - dot / (F.col("sqrt_na") * F.lit(_sqrt_norm(center_vec)))
+        # lazy pin: the argmax action below materializes the round's
+        # state AND checkpoints it in ONE job (round 18 — the eager
+        # form paid a second full job per round just to pin)
         state = (
             state.join(e, "vec_id")
             .select(
@@ -526,12 +529,14 @@ def q_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("dmin"),
                 "sqrt_na",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         top = (
             state.orderBy(F.col("dmin").desc(), "vec_id").limit(1).collect()
         )[0]
         selected.append((rank, top["vec_id"], top["dmin"]))
+        if rank == KC_SEEDS:
+            break  # last seed picked: no further round reads the center
         center_vec = e.where(F.col("vec_id") == top["vec_id"]).collect()[0][
             "embedding"
         ]

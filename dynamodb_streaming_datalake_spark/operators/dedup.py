@@ -52,7 +52,10 @@ from dynamodb_streaming_datalake_spark.functions.texthash import (
 )
 from dynamodb_streaming_datalake_spark.registry import format_doc as _fmt
 from dynamodb_streaming_datalake_spark.registry import query
-from dynamodb_streaming_datalake_spark.sources.readers import read_table
+from dynamodb_streaming_datalake_spark.sources.readers import (
+    read_table,
+    scan_row_count,
+)
 
 JACCARD_THRESHOLD = 0.5
 #: drop shingles shared by more than this many docs before pair
@@ -774,7 +777,7 @@ def embedding_pairs_blocked(
     """
     nb = n_blocks
     if nb is None:
-        rows = emb.count()
+        rows = scan_row_count(emb)
         nb = max(2, -(-rows // 4096))
     e = emb.select(
         "vec_id",
@@ -934,7 +937,7 @@ def embedding_pairs_ivf(
     """
     if n_centroids is None:
         # one count-star (parquet metadata-cheap) sizes the codebook
-        n_centroids = ivf_n_centroids(emb.count())
+        n_centroids = ivf_n_centroids(scan_row_count(emb))
     if nprobe is None:
         nprobe = ivf_nprobe(n_centroids)
     # bounded collect: n_centroids rows == collecting a broadcast dim
@@ -1234,7 +1237,7 @@ def trained_coarse_centroids(
     import pandas as pd
 
     if k is None:
-        k = ivf_n_centroids(emb.count())
+        k = ivf_n_centroids(scan_row_count(emb))
     # init codebook: bounded collect, like any broadcast dim
     init = sorted(
         emb.where(F.col("vec_id") < k)
@@ -1250,7 +1253,13 @@ def trained_coarse_centroids(
     # stable argsort keeps the cid-asc tie-break) — same accepted ulp
     # contract as the IVF probe selection: a flip needs two coarse
     # scores within ~1 ulp. The centroid MEANS downstream stay exact
-    # decimal, so the oracle replays them bit-identically.
+    # decimal, so the oracle replays them bit-identically. The batch
+    # carries the embedding back out with its cid (round 18): the mean
+    # aggregate needs only (cid, embedding), so returning both removes
+    # the join-back — the old a1.join(emb, "vec_id") shuffled the
+    # whole vector column by vec_id just to reattach what the Python
+    # worker already held; now the ONLY shuffle is the map-side-
+    # combined K x 64 decimal sums (guide §2.3/§2.4).
     def argmax_assign(batches):
         for pdf in batches:
             if not len(pdf):
@@ -1260,13 +1269,13 @@ def trained_coarse_centroids(
             best = np.argmax(En @ Cn.T, axis=1)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
                     "cid": cids[best],
+                    "embedding": pdf["embedding"],
                 }
             )
 
     a1 = emb.select("vec_id", "embedding").mapInPandas(
-        argmax_assign, schema="vec_id long, cid long"
+        argmax_assign, schema="cid long, embedding array<float>"
     )
     dims = [
         (
@@ -1278,8 +1287,7 @@ def trained_coarse_centroids(
         for d in range(EMB_DIM)
     ]
     return (
-        a1.join(emb, "vec_id")
-        .groupBy("cid")
+        a1.groupBy("cid")
         .agg(*dims)
         .select(
             "cid",
@@ -1298,7 +1306,7 @@ def embedding_pairs_ivf_trained(
     (`trained_coarse_centroids`), collect the K-row codebook (bounded,
     broadcast-analogous), then reuse the shared candidate machinery."""
     if k is None:
-        k = ivf_n_centroids(emb.count())
+        k = ivf_n_centroids(scan_row_count(emb))
     if nprobe is None:
         nprobe = ivf_nprobe(k)
     cents = sorted(

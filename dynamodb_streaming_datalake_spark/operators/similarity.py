@@ -2517,8 +2517,21 @@ def q_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the expensive part is candidate generation (one broadcast
     pass, any ANN query here can feed it); the greedy itself touches
     {MMR_CAND} rows x {MMR_K} rounds per query — per-query constant
-    work, embarrassingly parallel across queries, and the pairwise
-    sim table is {MMR_CAND}^2 rows per query, built once."""
+    work over a pool whose size is FIXED by the query's constants
+    ({MMR_QUERIES}x{MMR_CAND} candidates, {MMR_QUERIES}x{MMR_CAND}^2
+    pairs), independent of corpus size. Round 18: the greedy runs on
+    the driver over that bounded collect (the kcenter/codebook
+    precedent — a constant-row collect is broadcast-dim-sized), in
+    the SAME exact-decimal arithmetic the engines use: rel enters as
+    the Spark-cast decimal(18,6), sims arrive as decimal(18,6), and
+    score = λ·rel − μ·pen is exact at context precision far above
+    the operands' 20 digits, so every comparison and the final
+    double cast are bit-identical to the unrolled in-engine plan
+    (oracle-proven). The r17 shape re-ran a multi-exchange
+    pen/anti-join/window subplan per round — 4 eager checkpoints,
+    ~42 Spark jobs of pure fixed overhead on 630 constant rows."""
+    import decimal as _dec
+
     e = read_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < MMR_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -2543,95 +2556,75 @@ def q_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     a, b = cands.alias("a"), cands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.query_id") == F.col("b.query_id"))
-            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
-        )
-        .select(
-            F.col("a.query_id").alias("query_id"),
-            F.col("a.neighbor_id").alias("pa"),
-            F.col("b.neighbor_id").alias("pb"),
-            F.round(
-                cosine(F.col("a.embedding"), F.col("b.embedding")), 6
-            )
-            .cast("decimal(18,6)")
-            .alias("sim"),
-        )
-        .localCheckpoint(eager=False)
+    pairs = a.join(
+        b,
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("a.neighbor_id").alias("pa"),
+        F.col("b.neighbor_id").alias("pb"),
+        F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+        .cast("decimal(18,6)")
+        .alias("sim"),
     )
-    sel = (
-        cands.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rel",
-            (
-                F.lit(MMR_LAMBDA).cast("decimal(2,1)")
-                * F.col("rel").cast("decimal(18,6)")
+    # Bounded collects: the pool is MMR_QUERIES x MMR_CAND rows and the
+    # pair table its square — constants of the query, not of the data.
+    # rel crosses as BOTH the 6dp double (output + exact tie-order) and
+    # the Spark-cast decimal(18,6) the score arithmetic uses, so the
+    # driver never re-rounds a float.
+    pool_rows = cands.select(
+        "query_id",
+        "neighbor_id",
+        "rel",
+        F.col("rel").cast("decimal(18,6)").alias("rel_dec"),
+    ).collect()
+    sim_rows = pairs.collect()
+
+    sim: dict[tuple, _dec.Decimal] = {
+        (r["query_id"], r["pa"], r["pb"]): r["sim"] for r in sim_rows
+    }
+    by_q: dict = {}
+    for r in pool_rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+
+    lam = _dec.Decimal(str(MMR_LAMBDA))
+    mu = _dec.Decimal(str(MMR_MU))
+    out_rows = []
+    with _dec.localcontext() as ctx:
+        # operands are <= 20 digits; 50 keeps every product/difference
+        # exact, mirroring Spark's no-overflow decimal(38,7) algebra
+        ctx.prec = 50
+        for qid in sorted(by_q):
+            pool = by_q[qid]
+            # rank 1: argmax rel (decimal — identical order to the 6dp
+            # double), tie-break neighbor_id asc
+            first = max(pool, key=lambda r: (r["rel_dec"], -r["neighbor_id"]))
+            sel_ids = [first["neighbor_id"]]
+            out_rows.append(
+                (qid, 1, first["neighbor_id"], first["rel"],
+                 float(lam * first["rel_dec"]))
             )
-            .cast("decimal(38,7)")
-            .alias("score"),
-            F.lit(1).alias("rank"),
-        )
-    )
-    for k in range(2, MMR_K + 1):
-        pen = (
-            pairs.join(
-                sel.select(
-                    F.col("query_id").alias("s_qid"),
-                    F.col("neighbor_id").alias("s_id"),
-                ),
-                (F.col("query_id") == F.col("s_qid"))
-                & (F.col("pa") == F.col("s_id")),
-            )
-            .groupBy("query_id", F.col("pb").alias("neighbor_id"))
-            .agg(F.max("sim").alias("pen"))
-        )
-        unsel = cands.join(
-            sel.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-        scored_k = unsel.join(pen, ["query_id", "neighbor_id"]).select(
-            "query_id",
-            "neighbor_id",
-            "rel",
-            (
-                F.lit(MMR_LAMBDA).cast("decimal(2,1)")
-                * F.col("rel").cast("decimal(18,6)")
-                - F.lit(MMR_MU).cast("decimal(2,1)") * F.col("pen")
-            )
-            .cast("decimal(38,7)")
-            .alias("score"),
-        )
-        wk = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("neighbor_id")
-        )
-        pick = (
-            scored_k.withColumn("rn", F.row_number().over(wk))
-            .where(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "neighbor_id",
-                "rel",
-                "score",
-                F.lit(k).alias("rank"),
-            )
-        )
-        sel = sel.unionByName(pick).localCheckpoint(eager=True)
-    return (
-        sel.select(
-            "query_id",
-            F.col("rank").cast("int").alias("rank"),
-            "neighbor_id",
-            F.col("rel").alias("relevance"),
-            F.col("score").cast("double").alias("mmr_score"),
-        )
-        .orderBy("query_id", "rank")
-    )
+            for k in range(2, MMR_K + 1):
+                best = None
+                for r in pool:
+                    nid = r["neighbor_id"]
+                    if nid in sel_ids:
+                        continue
+                    pen = max(sim[(qid, s, nid)] for s in sel_ids)
+                    score = lam * r["rel_dec"] - mu * pen
+                    key = (score, -nid)
+                    if best is None or key > best[0]:
+                        best = (key, nid, r["rel"], score)
+                if best is None:
+                    break
+                sel_ids.append(best[1])
+                out_rows.append((qid, k, best[1], best[2], float(best[3])))
+    return spark.createDataFrame(
+        out_rows,
+        "query_id long, rank int, neighbor_id long, "
+        "relevance double, mmr_score double",
+    ).orderBy("query_id", "rank")
 
 
 _fmt(

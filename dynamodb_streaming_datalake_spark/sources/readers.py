@@ -109,10 +109,63 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.schema(schema).parquet(path)
     out = _normalize_nanos(df, name)
+    # tag the handle with its (path, mtime) identity so scan_row_count
+    # can answer COUNT(*) from footer statistics (row-preserving
+    # normalization above keeps the footer count exact for the handle)
+    out._graft_table_key = key
     for stale in [k for k in _DF_CACHE if k[1] == key[0] and k != dfkey]:
         del _DF_CACHE[stale]
     _DF_CACHE[dfkey] = out
     return out
+
+
+#: row count per (realpath, mtime_ns) — parquet FOOTER metadata, the
+#: table-statistics half of the metastore role the schema cache plays:
+#: ANALYZE TABLE persists exactly this number. Nothing is computed from
+#: row data (footers record exact row counts), and the mtime key drops
+#: the entry the moment a fixture is rewritten.
+_NROWS_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _footer_num_rows(path: str) -> int | None:
+    """Exact row count from parquet footer metadata (file or directory
+    of part files); None when footers cannot be read."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.read_metadata(
+                            os.path.join(root, f)
+                        ).num_rows
+            return total
+        return pq.read_metadata(path).num_rows
+    except Exception:
+        return None
+
+
+def scan_row_count(df: DataFrame) -> int:
+    """COUNT(*) of a base-table scan handle, answered from parquet
+    footer statistics when the handle came from ``read_table`` (a
+    metadata read — no Spark job, no data scan; the role table stats
+    play in a metastore). Any other frame falls back to ``count()``,
+    so operators sizing themselves from an arbitrary input stay
+    correct."""
+    key = getattr(df, "_graft_table_key", None)
+    if key is not None:
+        n = _NROWS_CACHE.get(key)
+        if n is None:
+            n = _footer_num_rows(key[0])
+            if n is not None:
+                _NROWS_CACHE[key] = n
+        if n is not None:
+            return n
+    return df.count()
 
 
 import weakref
