@@ -918,17 +918,24 @@ def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, ct, ck, pt, pk in RI_EDGES:
         child = read_table(spark, sf_dir, ct).select(F.col(ck).alias("k"))
         parent = read_table(spark, sf_dir, pt).select(
-            F.col(pk).alias("k")
+            F.col(pk).alias("k"), F.lit(1).alias("hit")
         ).distinct()
-        orphans = child.join(parent, "k", "left_anti").agg(
-            F.count(F.lit(1)).cast("long").alias("n_orphans")
-        )
-        total = child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        # ONE pass per edge (round 18): a left join against the
+        # deduplicated parent keys preserves child cardinality, so
+        # n_child and n_orphans come out of the SAME aggregate — the
+        # r17 shape scanned every child table twice (anti-join branch
+        # + a separate count branch) and union-glued the two one-row
+        # aggregates with a crossJoin (guide §2.4: one pass where one
+        # pass suffices; lineitem alone was two full extra scans)
         row = (
-            total.crossJoin(orphans)
-            .select(
-                F.lit(name).alias("edge"), "n_child", "n_orphans"
+            child.join(parent, "k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.count(F.when(F.col("hit").isNull(), 1))
+                .cast("long")
+                .alias("n_orphans"),
             )
+            .select(F.lit(name).alias("edge"), "n_child", "n_orphans")
         )
         out = row if out is None else out.unionByName(row)
     return out

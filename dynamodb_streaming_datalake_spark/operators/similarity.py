@@ -296,8 +296,13 @@ def _ivf_candidates(e: DataFrame) -> DataFrame:
     probes = ranked_assign.where(
         (F.col("r") <= IVF_NPROBE) & (F.col("vec_id") < IVF_QUERIES)
     ).select(F.col("vec_id").alias("query_id"), "cid")
+    # probes is bounded by the query's CONSTANTS (IVF_QUERIES x
+    # IVF_NPROBE rows at any corpus size) — broadcast it explicitly so
+    # the corpus-sized lists side never shuffles (guide §3.1; the
+    # planner's size estimate for a window-filtered subtree is too
+    # coarse to pick this on its own)
     return (
-        probes.join(lists, "cid")
+        F.broadcast(probes).join(lists, "cid")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
@@ -444,22 +449,40 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", sq_sum(F.col("embedding")).alias("en")
     )
 
-    def assign(cents: DataFrame, out_cs: str = "cs") -> DataFrame:
+    def assign(
+        cents: DataFrame, out_cs: str = "cs", carry_norm: bool = False
+    ) -> DataFrame:
         cn = cents.select("cid", "ce", sq_sum(F.col("ce")).alias("cn"))
+        norm_cols = (
+            [F.sqrt(F.col("cn")).alias("cnorm")] if carry_norm else []
+        )
         scored = ef.join(F.broadcast(cn)).select(
             "vec_id",
             "cid",
             cosine_hoisted(
                 F.col("embedding"), F.col("ce"), F.col("en"), F.col("cn")
             ).alias("cs"),
+            *norm_cols,
         )
+        # carry_norm rides the argmax struct BEHIND the (cs, ncid)
+        # tie-break (ncid is unique per group, so cnorm never decides
+        # the max) — it lets the caller read the winning centroid's
+        # norm without a second consumer of the centroid frame
+        struct_cols = [F.col("cs"), (-F.col("cid")).alias("ncid")]
+        if carry_norm:
+            struct_cols.append(F.col("cnorm"))
         win = (
             scored.groupBy("vec_id")
-            .agg(F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))).alias("best"))
+            .agg(F.max(F.struct(*struct_cols)).alias("best"))
             .select(
                 "vec_id",
                 (-F.col("best.ncid")).alias("cid"),
                 F.col("best.cs").alias(out_cs),
+                *(
+                    [F.col("best.cnorm").alias("cnorm")]
+                    if carry_norm
+                    else []
+                ),
             )
         )
         return win
@@ -475,27 +498,18 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"d{d}")
         for d in range(DIM)
     ]
-    # lazy localCheckpoint: K rows, but two consumers (assignment 2 and
-    # the norm projection) — without it the whole iteration-1 subplan
-    # (scan + argmax + 64-sum aggregate) executes twice
+    # round 18: assignment 2 carries the winning centroid's norm
+    # (sqrt of the SAME sq_sum fold the old norm projection computed —
+    # bit-identical doubles), so cents1 has exactly ONE consumer: no
+    # lazy checkpoint (whose physical planning pre-executed shuffle
+    # stages at construction), no join-back of the norms, one lineage
     cents1 = (
         a1.join(e, "vec_id")
         .groupBy("cid")
         .agg(*dims)
         .select("cid", F.array(*[F.col(f"d{d}") for d in range(DIM)]).alias("ce"))
-        .localCheckpoint(eager=False)
     )
-    a2 = assign(cents1)
-    norms = cents1.select(
-        "cid",
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col("ce"), lambda x: x * x),
-                F.lit(0.0),
-                lambda s, v: s + v,
-            )
-        ).alias("centroid_norm"),
-    )
+    a2 = assign(cents1, carry_norm=True)
     return (
         a2.groupBy("cid")
         .agg(
@@ -504,8 +518,8 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("cs").cast("decimal(18,6)")).cast("double")
                 / F.count(F.lit(1))
             ).alias("mean_cos"),
+            F.max("cnorm").alias("centroid_norm"),
         )
-        .join(F.broadcast(norms), "cid")
         .select("cid", "n", "mean_cos", "centroid_norm")
         .orderBy("cid")
     )
@@ -1948,9 +1962,11 @@ def q_ann_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r") <= max_np) & (F.col("vec_id") < IVF_QUERIES)
     ).select(F.col("vec_id").alias("query_id"), "cid", "r")
     # a neighbor lives in exactly one list, so (query, neighbor) pairs
-    # are unique by construction and `r` IS the first-probe rank
+    # are unique by construction and `r` IS the first-probe rank.
+    # probes is IVF_QUERIES x max_np rows — a constant — so broadcast
+    # it and leave the corpus-sized lists unshuffled (guide §3.1)
     cand = (
-        probes.join(lists, "cid")
+        F.broadcast(probes).join(lists, "cid")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", F.col("vec_id").alias("neighbor_id"),
@@ -1977,10 +1993,20 @@ def q_ann_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("qe"), F.col("ne")).alias("cs"),
         )
     )
-    levels = scored.withColumn(
-        "nprobe",
-        F.explode(F.array(*[F.lit(np) for np in ANN_TUNE_NPROBES])),
-    ).where(F.col("fpr") <= F.col("nprobe"))
+    # two consumers (the per-level top-k window and the candidate-volume
+    # aggregate) read `levels`: an explicit shuffle on the window's own
+    # key ends the shared subtree at an Exchange, so the scoring pass
+    # runs ONCE and the second consumer picks it up as a ReusedExchange
+    # (AQE runtime stage reuse — the r17 q_source_overlap precedent);
+    # without it the whole cand->scored->explode subtree planned twice
+    levels = (
+        scored.withColumn(
+            "nprobe",
+            F.explode(F.array(*[F.lit(np) for np in ANN_TUNE_NPROBES])),
+        )
+        .where(F.col("fpr") <= F.col("nprobe"))
+        .repartition("nprobe", "query_id")
+    )
     w_lvl = Window.partitionBy("nprobe", "query_id").orderBy(
         F.col("cs").desc(), F.col("neighbor_id")
     )
@@ -1996,8 +2022,10 @@ def q_ann_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(np,) for np in ANN_TUNE_NPROBES], "nprobe int"
     )
     truth_x = truth.crossJoin(F.broadcast(np_frame))
+    # sys_k is bounded by constants (|nprobes| x IVF_QUERIES x
+    # IVF_TOP_K rows) — broadcast it under the 36-row truth panel
     joined = truth_x.join(
-        sys_k, ["nprobe", "query_id", "neighbor_id"], "left"
+        F.broadcast(sys_k), ["nprobe", "query_id", "neighbor_id"], "left"
     )
     metrics = joined.groupBy("nprobe").agg(
         F.round(
