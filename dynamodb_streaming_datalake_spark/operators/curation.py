@@ -557,14 +557,38 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = clean.agg(F.count(F.lit(1)).cast("long").alias("np"))
     per = None
     for name, ck, dk in BLOCK_SCHEMES:
-        j = clean.join(dirty, F.expr(f"({ck}) = ({dk})")).agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates"),
-            F.sum(
-                F.when(F.col("p_partkey") == F.col("d_key"), 1).otherwise(0)
-            )
+        # round 18: the candidate VOLUME never needs the candidates —
+        # |block join| = sum over keys of n_clean(k) * n_dirty(k), two
+        # map-side-combined key aggregates and a |keys|-row join
+        # instead of materializing the per-key cross through the join
+        # (the coarse "brand" scheme generated ~N^2/|brands| rows just
+        # to count them — quadratic per key at scale; guide §2.3/§8:
+        # decide with small rows). NULL keys fall out of both forms
+        # identically (SQL equality never matches NULL).
+        cc = clean.groupBy(F.expr(ck).alias("k")).agg(
+            F.count(F.lit(1)).alias("nc")
+        )
+        dc = dirty.groupBy(F.expr(dk).alias("k")).agg(
+            F.count(F.lit(1)).alias("nd")
+        )
+        n_cand = cc.join(dc, "k").agg(
+            F.coalesce(F.sum(F.col("nc") * F.col("nd")), F.lit(0))
             .cast("long")
-            .alias("n_true_pairs_kept"),
-        ).select(F.lit(name).alias("scheme"), "*")
+            .alias("n_candidates")
+        )
+        # true pairs kept: a 1:1 join on the record key, then the
+        # scheme's blocking-key equality as a filter — |N| rows, never
+        # the cross product
+        kept = (
+            clean.join(dirty, F.col("p_partkey") == F.col("d_key"))
+            .where(F.expr(f"({ck}) = ({dk})"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_true_pairs_kept")
+            )
+        )
+        j = n_cand.crossJoin(kept).select(
+            F.lit(name).alias("scheme"), "*"
+        )
         per = j if per is None else per.unionByName(j)
     out = per.crossJoin(F.broadcast(n))
     return out.select(

@@ -1774,13 +1774,20 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["query_id", "neighbor_id"],
         "left",
     )
-    overlap = joined.groupBy("query_id").agg(
-        F.count("rank").alias("n_overlap")
+    # ONE per-query aggregate (round 18): overlap and the exact-NN
+    # rank both group by query_id, and truth has exactly one
+    # t_rank == 1 row per query, so max(when(t_rank==1, rank)) IS that
+    # row's sys rank (NULL when the index missed it — coalesce keeps
+    # the 0.0 semantics). The r17 shape fed `joined` to two consumers
+    # and re-executed the whole brute-force-truth + IVF subtree for
+    # each (SortMergeJoin of two copies in the plan — guide §2.4).
+    per_q = joined.groupBy("query_id").agg(
+        F.count("rank").alias("n_overlap"),
+        F.max(F.when(F.col("t_rank") == 1, F.col("rank"))).alias(
+            "sys_rank"
+        ),
     )
-    nn_rank = joined.where(F.col("t_rank") == 1).select(
-        "query_id", F.col("rank").alias("sys_rank")
-    )
-    return overlap.join(nn_rank, "query_id").select(
+    return per_q.select(
         "query_id",
         F.col("n_overlap").cast("int").alias("n_overlap"),
         (F.col("n_overlap").cast("double") / F.lit(IVF_TOP_K)).alias(
