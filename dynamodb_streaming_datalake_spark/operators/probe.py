@@ -530,7 +530,10 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = read_table(spark, sf_dir, "embeddings")
-    sums = _gram_sums_kernel(e)
+    # round 18: only the DIM diagonal power sums are read here — the
+    # diag_only kernel accumulates element-wise squares instead of the
+    # four DIM x DIM matmuls (same mantissa sums, bit-identical rows)
+    sums = _gram_sums_kernel(e, diag_only=True)
     diag = sums.where(F.col("dim_a") == F.col("dim_b")).select(
         F.col("dim_a").alias("d"),
         (F.col("s1").cast("double") / F.col("n")).alias("mean"),

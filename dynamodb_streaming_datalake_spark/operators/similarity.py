@@ -804,7 +804,23 @@ def _pq_trained_codebook(sub: DataFrame, cache_key: tuple | None = None) -> Data
     icb = sub.where(F.col("vec_id") < PQ_K).select(
         "s", F.col("vec_id").alias("code"), F.col("v").alias("c")
     )
-    a1 = _pq_assign(sub, icb)
+    # round 18: the argmin carries v alongside (v is constant across a
+    # (vec_id, s) group — F.first picks the one value), so the means
+    # aggregate below reads it directly instead of joining a1 back to
+    # sub on (vec_id, s) — the same join-back removal as the coarse
+    # IVF trainer (guide §2.4): one exchange of (s, code, v) partials
+    # replaces a full re-shuffle of the subvector frame.
+    scored = sub.join(F.broadcast(icb), "s").select(
+        "vec_id", "s", "code", "v", l2sq(F.col("v"), F.col("c")).alias("dist")
+    )
+    a1v = (
+        scored.groupBy("vec_id", "s")
+        .agg(
+            F.min(F.struct("dist", "code")).alias("best"),
+            F.first("v").alias("v"),
+        )
+        .select("s", F.col("best.code").alias("code"), "v")
+    )
     dims = [
         (
             F.sum(F.col("v")[d].cast(KM_DEC)).cast("double")
@@ -813,8 +829,7 @@ def _pq_trained_codebook(sub: DataFrame, cache_key: tuple | None = None) -> Data
         for d in range(PQ_SUBDIM)
     ]
     tcb = (
-        a1.join(sub, ["vec_id", "s"])
-        .groupBy("s", "code")
+        a1v.groupBy("s", "code")
         .agg(*dims)
         .select(
             "s",
@@ -2734,12 +2749,17 @@ def _gram_sums_pairjoin(e: DataFrame) -> DataFrame:
     )
 
 
-def _gram_sums_kernel(e: DataFrame) -> DataFrame:
+def _gram_sums_kernel(e: DataFrame, diag_only: bool = False) -> DataFrame:
     """Shipped plan: per-partition Gram accumulator over Arrow batches.
 
     Spark performs the double -> decimal(18,9) component cast (so the
-    rounding is identical to the pair-join path), the kernel receives
-    decimal arrays, and accumulates on the scale-9 integer mantissas:
+    rounding is identical to the pair-join path) and then ships the
+    scale-9 integer MANTISSA as a plain long — round 18: the decimal
+    arrays crossed Arrow as python Decimal objects and the kernel spent
+    its wall in a per-component ``Decimal.scaleb`` loop (64 interpreted
+    conversions per row); ``dec * 10^9 -> long`` is the identical
+    integer (exact: 18 digits < 2^63) extracted by the JVM, and the
+    kernel gets a C-speed ``np.stack``. Accumulation is unchanged:
     each mantissa m splits as m = (m >> 16) * 2^16 + (m & 0xffff), so
     sum(m_a * m_b) = 2^32*HH + 2^16*(HL + LH) + LL where each of the
     four terms is an int64 matmul whose per-partition sum cannot
@@ -2750,12 +2770,22 @@ def _gram_sums_kernel(e: DataFrame) -> DataFrame:
     partial rows per PARTITION — the pair-row inflation of the
     self-join (2,080x per data row) never exists — merged by one tiny
     decimal groupBy.
+
+    ``diag_only=True`` (round 18) accumulates just the DIM diagonal
+    power sums — element-wise squares instead of the four DIMxDIM
+    matmuls — for consumers like the Mahalanobis screen that read only
+    dim_a == dim_b rows; the emitted diagonal values are bit-identical
+    to the full pass's (same mantissa sums).
     """
     import pandas as pd
 
-    dec = e.select(
+    mant = e.select(
         F.transform(
-            "embedding", lambda x: x.cast("double").cast("decimal(18,9)")
+            "embedding",
+            lambda x: (
+                x.cast("double").cast("decimal(18,9)")
+                * F.lit(1_000_000_000)
+            ).cast("long"),
         ).alias("vec")
     ).where(F.col("vec").isNotNull())
 
@@ -2765,64 +2795,104 @@ def _gram_sums_kernel(e: DataFrame) -> DataFrame:
 
         n_rows = 0
         s1 = np.zeros(DIM, dtype=np.int64)
-        hh = np.zeros((DIM, DIM), dtype=np.int64)
-        hl = np.zeros((DIM, DIM), dtype=np.int64)
-        lh = np.zeros((DIM, DIM), dtype=np.int64)
-        ll = np.zeros((DIM, DIM), dtype=np.int64)
+        if diag_only:
+            hh = np.zeros(DIM, dtype=np.int64)
+            hl = np.zeros(DIM, dtype=np.int64)
+            ll = np.zeros(DIM, dtype=np.int64)
+        else:
+            hh = np.zeros((DIM, DIM), dtype=np.int64)
+            hl = np.zeros((DIM, DIM), dtype=np.int64)
+            lh = np.zeros((DIM, DIM), dtype=np.int64)
+            ll = np.zeros((DIM, DIM), dtype=np.int64)
         for pdf in batches:
             if pdf.empty:
                 continue
             rows = pdf["vec"].to_numpy()
-            mat = np.empty((len(rows), DIM), dtype=np.int64)
-            for i, row in enumerate(rows):
-                if len(row) != DIM:
-                    raise ValueError(
-                        f"embedding length {len(row)} != DIM={DIM}; the "
-                        "Gram kernel's fixed-dim contract is violated — "
-                        "fall back to _gram_sums_pairjoin for ragged data"
-                    )
-                if any(x is None for x in row):
+            try:
+                mat0 = np.stack(rows)
+            except ValueError:
+                raise ValueError(
+                    f"ragged embedding lengths (expected DIM={DIM}); the "
+                    "Gram kernel's fixed-dim contract is violated — fall "
+                    "back to _gram_sums_pairjoin for ragged data"
+                )
+            if mat0.ndim != 2 or mat0.shape[1] != DIM:
+                raise ValueError(
+                    f"embedding length {mat0.shape[-1]} != DIM={DIM}; the "
+                    "Gram kernel's fixed-dim contract is violated — fall "
+                    "back to _gram_sums_pairjoin for ragged data"
+                )
+            # Arrow hands int64 rows when every component is non-null;
+            # nulls surface as float NaN or object None
+            if mat0.dtype == object:
+                if any(x is None for row in rows for x in row):
                     raise ValueError(
                         "NULL embedding component; the Gram kernel's "
                         "non-null contract is violated — fall back to "
                         "_gram_sums_pairjoin for nullable data"
                     )
-                # scale-9 mantissa of the already-rounded decimal; the
-                # scaleb is exact (exponent is -9 by construction)
-                mat[i, :] = [int(x.scaleb(9)) for x in row]
+                mat = mat0.astype(np.int64)
+            elif mat0.dtype.kind == "f":
+                if np.isnan(mat0).any():
+                    raise ValueError(
+                        "NULL embedding component; the Gram kernel's "
+                        "non-null contract is violated — fall back to "
+                        "_gram_sums_pairjoin for nullable data"
+                    )
+                # exact: the magnitude contract below bounds |m| < 2^35,
+                # far inside float64's 2^53 integer range
+                mat = mat0.astype(np.int64)
+            else:
+                mat = mat0.astype(np.int64, copy=False)
             # int64 no-overflow bound for the hi/lo split matmuls:
             # |m| < 2**35 keeps every partial product and batch-sized
             # accumulation inside int64 (documented above; round-11
             # ADVICE made it checked, not assumed).
-            if len(rows) and int(np.abs(mat).max()) >= 2**35:
+            if len(mat) and int(np.abs(mat).max()) >= 2**35:
                 raise ValueError(
                     "embedding mantissa >= 2**35 (|value| >= ~34.4); the "
                     "Gram kernel's magnitude contract is violated — fall "
                     "back to _gram_sums_pairjoin for large-magnitude data"
                 )
-            n_rows += len(rows)
+            n_rows += len(mat)
             s1 += mat.sum(axis=0)
             hi = mat >> 16
             lo = mat & 0xFFFF
-            hh += hi.T @ hi
-            hl += hi.T @ lo
-            lh += lo.T @ hi
-            ll += lo.T @ lo
+            if diag_only:
+                hh += (hi * hi).sum(axis=0)
+                hl += (hi * lo).sum(axis=0)
+                ll += (lo * lo).sum(axis=0)
+            else:
+                hh += hi.T @ hi
+                hl += hi.T @ lo
+                lh += lo.T @ hi
+                ll += lo.T @ lo
         if n_rows == 0:
             return
-        g = (
-            (hh.astype(object) << 32)
-            + ((hl + lh).astype(object) << 16)
-            + ll.astype(object)
-        )
+        if diag_only:
+            # diagonal of HL equals diagonal of LH: double it
+            g = (
+                (hh.astype(object) << 32)
+                + ((2 * hl).astype(object) << 16)
+                + ll.astype(object)
+            )
+            pairs = [(a, a) for a in range(DIM)]
+        else:
+            g = (
+                (hh.astype(object) << 32)
+                + ((hl + lh).astype(object) << 16)
+                + ll.astype(object)
+            )
+            pairs = [(a, b) for a in range(DIM) for b in range(a, DIM)]
         out_a, out_b, out_s1, out_s2, out_s12 = [], [], [], [], []
-        for a in range(DIM):
-            for b in range(a, DIM):
-                out_a.append(a)
-                out_b.append(b)
-                out_s1.append(Decimal(int(s1[a])).scaleb(-9))
-                out_s2.append(Decimal(int(s1[b])).scaleb(-9))
-                out_s12.append(Decimal(int(g[a, b])).scaleb(-18))
+        for a, b in pairs:
+            out_a.append(a)
+            out_b.append(b)
+            out_s1.append(Decimal(int(s1[a])).scaleb(-9))
+            out_s2.append(Decimal(int(s1[b])).scaleb(-9))
+            out_s12.append(
+                Decimal(int(g[a] if diag_only else g[a, b])).scaleb(-18)
+            )
         yield pd.DataFrame(
             {
                 "dim_a": pd.array(out_a, dtype="int32"),
@@ -2834,7 +2904,7 @@ def _gram_sums_kernel(e: DataFrame) -> DataFrame:
             }
         )
 
-    partials = dec.mapInPandas(
+    partials = mant.mapInPandas(
         gram,
         "dim_a int, dim_b int, n long, s1 decimal(28,9), "
         "s2 decimal(28,9), s12 decimal(38,18)",
